@@ -1,0 +1,146 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.schema._
+
+/** The in-engine property graph: one node table per label, one edge table
+  * per (srcLabel, relLabel, dstLabel). Immutable value — loads return an
+  * updated graph. At rest these are partitioned parquet/Delta tables; here
+  * they are DataFrames threaded through a sync run.
+  */
+case class Graph(
+    nodes: Map[String, DataFrame] = Map.empty,
+    edges: Map[(String, String, String), DataFrame] = Map.empty) {
+
+  def nodeTable(label: String): DataFrame = nodes(label)
+  def edgeTable(src: String, rel: String, dst: String): DataFrame = edges((src, rel, dst))
+
+  def withNodes(label: String, df: DataFrame): Graph = copy(nodes = nodes + (label -> df))
+  def withEdges(key: (String, String, String), df: DataFrame): Graph =
+    copy(edges = edges + (key -> df))
+}
+
+/** Schema-driven load — the Spark re-expression of the reference's
+  * `load()` + `build_ingestion_query()` hot path
+  * (reference: cartography/client/core/tx.py:783-843,
+  * cartography/graph/querybuilder.py:1219-1316).
+  *
+  * One call projects the batch through the schema (renames, params, derived
+  * columns, conditional labels), upserts the node table, attaches the
+  * tenant edge, and resolves every additional relationship by its join
+  * mode. All of it is declarative: Catalyst prunes the batch columns to
+  * what the schema references and pushes filters into the scans.
+  */
+object GraphLoader {
+  import GraphStore.{DST, ID, SRC}
+
+  /** Project a raw batch through a node schema: id + properties + labels
+    * array (primary + unconditional + satisfied conditional labels). */
+  def projectBatch(schema: NodeSchema, batch: DataFrame): DataFrame = {
+    val labelCols: Seq[Column] =
+      array(lit(schema.label)) +: schema.extraLabels.map {
+        case ExtraLabel(l, None) => array(lit(l))
+        case ExtraLabel(l, Some(cond)) => when(cond, array(lit(l))).otherwise(array())
+      }
+    val labels = array_sort(concat(labelCols: _*))
+    val props = schema.properties.toSeq.sortBy(_._1).map { case (n, ref) => ref.toCol.as(n) }
+    batch.select((schema.id.toCol.as(ID) +: props :+ labels.as("labels")): _*)
+  }
+
+  /** Load a batch: node upsert + sub-resource edge + additional links.
+    * Missing target nodes drop the edge, never the node (the reference's
+    * OPTIONAL MATCH ... WHERE j IS NOT NULL → inner join on the edge
+    * build only; querybuilder.py:866-867, 960-963). */
+  def load(graph: Graph, schema: NodeSchema, batch: DataFrame, tag: Long): Graph = {
+    val projected = projectBatch(schema, batch)
+    val existing = graph.nodes.getOrElse(schema.label, GraphStore.emptyLike(projected))
+    var g = graph.withNodes(schema.label, GraphStore.upsertNodes(existing, projected, tag))
+
+    schema.subResource.foreach { sub =>
+      val pairs = batch.select(schema.id.toCol.as(SRC), sub.sourceRef.toCol.as("_ref"))
+      val tenants = g.nodes(sub.targetLabel)
+      // tenant tables are small relative to asset batches — broadcast
+      val joined = pairs
+        .join(broadcast(tenants.select(col(ID).as(DST), col(ID).as("_tkey"))),
+          pairs("_ref") === col("_tkey"), "inner")
+        .select(col(SRC), col(DST))
+      // direction in the reference is (i)<-[:RESOURCE]-(tenant): tenant is src
+      val key = (sub.targetLabel, sub.relLabel, schema.label)
+      g = upsertEdgeBatch(g, key, joined.select(col(DST).as(SRC), col(SRC).as(DST)), tag)
+    }
+
+    schema.otherRels.foldLeft(g) { (acc, rel) =>
+      val relProps = rel.properties.toSeq.sortBy(_._1)
+      val pairs = batch.select(
+        (schema.id.toCol.as(SRC) +: rel.sourceRef.toCol.as("_ref") +:
+          relProps.map { case (n, r) => r.toCol.as(n) }): _*)
+      val target = acc.nodes(rel.targetLabel)
+        .select(col(ID).as(DST), col(rel.targetKey).as("_tkey"))
+      val joined: DataFrame = rel.mode match {
+        case EquiMatch =>
+          pairs.join(target, pairs("_ref") === col("_tkey"), "inner")
+        case IgnoreCase =>
+          pairs.join(target, lower(pairs("_ref")) === lower(col("_tkey")), "inner")
+        case FuzzyContains =>
+          // theta join: only a nested-loop strategy can run it — broadcast
+          // the target side so it is a BroadcastNestedLoopJoin, not a
+          // cartesian shuffle (reference semantics querybuilder.py:712-731)
+          pairs.join(broadcast(target),
+            lower(col("_tkey")).contains(lower(pairs("_ref"))), "inner")
+        case OneToMany =>
+          // n.key IN item.list (querybuilder.py:716, 732-736): explode the
+          // list into an equi join; IN is membership → distinct pairs
+          pairs.withColumn("_ref_elem", explode(col("_ref")))
+            .drop("_ref")
+            .join(target, col("_ref_elem") === col("_tkey"), "inner")
+            .dropDuplicates(SRC :: DST :: Nil)
+      }
+      val edgeCols = (col(SRC) +: col(DST) +: relProps.map { case (n, _) => col(n) })
+      val batchDf = joined.select(edgeCols: _*)
+      val oriented = rel.direction match {
+        case Outward => (schema.label, rel.relLabel, rel.targetLabel) -> batchDf
+        case Inward =>
+          (rel.targetLabel, rel.relLabel, schema.label) ->
+            batchDf.withColumnRenamed(SRC, "_s").withColumnRenamed(DST, SRC)
+              .withColumnRenamed("_s", DST)
+      }
+      upsertEdgeBatch(acc, oriented._1, oriented._2, tag)
+    }
+  }
+
+  private def upsertEdgeBatch(g: Graph, key: (String, String, String),
+                              batch: DataFrame, tag: Long): Graph = {
+    val existing = g.edges.getOrElse(key, GraphStore.emptyLike(batch, Seq(SRC, DST)))
+    g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag))
+  }
+
+  /** MatchLink: create edges between two sets of already-loaded nodes from
+    * a DataFrame of (src ref, dst ref [, props]) pairs — both endpoints
+    * must exist or the pair is dropped
+    * (reference: querybuilder.py:1755-1924, tx.py:846-920). */
+  def matchLinks(graph: Graph, pairs: DataFrame, srcLabel: String, relLabel: String,
+                 dstLabel: String, srcRef: String, dstRef: String, tag: Long): Graph = {
+    val src = graph.nodes(srcLabel).select(col(ID).as("_src_match"))
+    val dst = graph.nodes(dstLabel).select(col(ID).as("_dst_match"))
+    val props = pairs.columns.filterNot(c => c == srcRef || c == dstRef).map(col)
+    val matched = pairs
+      .join(src, pairs(srcRef) === col("_src_match"), "inner")
+      .join(dst, pairs(dstRef) === col("_dst_match"), "inner")
+      .select((col(srcRef).as(SRC) +: col(dstRef).as(DST) +: props.toSeq): _*)
+    upsertEdgeBatch(graph, (srcLabel, relLabel, dstLabel), matched, tag)
+  }
+
+  /** Cartesian matchlink: all-pairs edges between two node sets. The
+    * reference chunks this 100×1000 per transaction to bound memory
+    * (tx.py:923-1030); Spark partitions the cross join natively, so the
+    * operator is a single `crossJoin` with dedup applied first
+    * (tx.py:974-975 `dict.fromkeys`). */
+  def crossLinks(graph: Graph, srcLabel: String, relLabel: String, dstLabel: String,
+                 tag: Long): Graph = {
+    val src = graph.nodes(srcLabel).select(col(ID).as(SRC)).dropDuplicates(SRC :: Nil)
+    val dst = graph.nodes(dstLabel).select(col(ID).as(DST)).dropDuplicates(DST :: Nil)
+    upsertEdgeBatch(graph, (srcLabel, relLabel, dstLabel), src.crossJoin(broadcast(dst)), tag)
+  }
+}

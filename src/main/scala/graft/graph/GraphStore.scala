@@ -118,4 +118,5 @@ object GraphStore {
   def detachDelete(edges: DataFrame, deletedNodeIds: DataFrame,
                    side: String = SRC): DataFrame =
     edges.join(deletedNodeIds.select(col(ID).as(side)), Seq(side), "left_anti")
+      .select(edges.columns.map(col).toSeq: _*)
 }

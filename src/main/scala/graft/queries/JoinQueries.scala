@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.{Graph, GraphLoader, GraphStore}
+import graft.ontology.Ontology
+import graft.schema._
+
+/** Join-mode / matchlink / projection operator battery (SURVEY §2.2-2.4),
+  * all driven through the schema DSL + GraphLoader so the gate exercises
+  * the real load path.
+  */
+object JoinQueries {
+
+  private val TAG = 3000L
+
+  /** Case-insensitive link mode (querybuilder.py:710-727): parts link to
+    * distinct part-name nodes via upper-cased refs — only a
+    * lower()=lower() join matches. Stays hash-joinable. */
+  def joinIgnoreCase(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val nameNodes = p.select(col("p_name").as("id")).distinct()
+    val g0 = Graph()
+      .withNodes("PartName", GraphStore.upsertNodes(
+        GraphStore.emptyLike(nameNodes), nameNodes, TAG))
+    val schema = NodeSchema(
+      label = "Part",
+      id = Field("p_partkey"),
+      otherRels = Seq(RelSchema("NAMED", "PartName", targetKey = "id",
+        sourceRef = Derived(upper(col("p_name"))), mode = IgnoreCase)))
+    GraphLoader.load(g0, schema, p, TAG)
+      .edgeTable("Part", "NAMED", "PartName")
+      .select(col("src_id"), col("dst_id"), col("lastupdated"))
+  }
+
+  /** Fuzzy containment link mode (querybuilder.py:712-731): keyword nodes
+    * link to every part name that CONTAINS them — a theta join executed as
+    * BroadcastNestedLoopJoin with the small side broadcast. */
+  def joinFuzzyContains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+    val nameNodes = p.select(col("p_name").as("id")).distinct()
+    val keywords = Seq("widget", "bolt", "rod", "gear").toDF("kw")
+    val g0 = Graph().withNodes("PartName", GraphStore.upsertNodes(
+      GraphStore.emptyLike(nameNodes), nameNodes, TAG))
+    val schema = NodeSchema(
+      label = "Keyword",
+      id = Field("kw"),
+      otherRels = Seq(RelSchema("MENTIONED_IN", "PartName", targetKey = "id",
+        sourceRef = Field("kw"), mode = FuzzyContains)))
+    GraphLoader.load(g0, schema, keywords, TAG)
+      .edgeTable("Keyword", "MENTIONED_IN", "PartName")
+      .select(col("src_id"), col("dst_id"))
+  }
+
+  /** One-to-many link mode (querybuilder.py:716, 732-736): documents carry
+    * a token list; keyword nodes with key IN that list get an edge.
+    * Explode → equi join → distinct (IN is membership). */
+  def joinOneToMany(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val kwNodes = Seq("join", "scan", "merge", "window", "hash").toDF("id")
+    val g0 = Graph().withNodes("Keyword", GraphStore.upsertNodes(
+      GraphStore.emptyLike(kwNodes), kwNodes, TAG))
+    val schema = NodeSchema(
+      label = "Document",
+      id = Field("doc_id"),
+      otherRels = Seq(RelSchema("MENTIONS", "Keyword", targetKey = "id",
+        sourceRef = Derived(split(col("text"), " ")), mode = OneToMany)))
+    GraphLoader.load(g0, schema, docs, TAG)
+      .edgeTable("Document", "MENTIONS", "Keyword")
+      .select(col("src_id"), col("dst_id"))
+  }
+
+  /** MatchLink (querybuilder.py:1755-1924): SUPPLIES edges between
+    * already-loaded order and supplier nodes from aggregated lineitem
+    * pairs; order nodes restricted to open orders so the endpoint
+    * existence check actually filters. */
+  def matchlinkSupplies(spark: SparkSession, dir: String): DataFrame = {
+    val orderNodes = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("id"))
+    val suppNodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("id"))
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("oref"), col("l_suppkey").as("sref"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"))
+    val g0 = Graph()
+      .withNodes("Order", GraphStore.upsertNodes(GraphStore.emptyLike(orderNodes), orderNodes, TAG))
+      .withNodes("Supplier", GraphStore.upsertNodes(GraphStore.emptyLike(suppNodes), suppNodes, TAG))
+    GraphLoader.matchLinks(g0, pairs, "Order", "SUPPLIES", "Supplier", "oref", "sref", TAG)
+      .edgeTable("Order", "SUPPLIES", "Supplier")
+      .select(col("src_id"), col("dst_id"), col("total_qty"), col("lastupdated"))
+  }
+
+  /** Cartesian matchlink (tx.py:923-1030): all nation × region pairs. */
+  def crosslinkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nationNodes = Tables.nation(spark, dir).select(col("n_nationkey").as("id"))
+    val regionNodes = Tables.region(spark, dir).select(col("r_regionkey").as("id"))
+    val g0 = Graph()
+      .withNodes("Nation", GraphStore.upsertNodes(GraphStore.emptyLike(nationNodes), nationNodes, TAG))
+      .withNodes("Region", GraphStore.upsertNodes(GraphStore.emptyLike(regionNodes), regionNodes, TAG))
+    GraphLoader.crossLinks(g0, "Nation", "PEER_OF", "Region", TAG)
+      .edgeTable("Nation", "PEER_OF", "Region")
+      .select(col("src_id"), col("dst_id"), col("lastupdated"))
+  }
+
+  /** Conditional extra labels (nodes.py:73-147, querybuilder.py:486-575):
+    * customers get HighValue / EUCustomer labels from row predicates; the
+    * labels array is built in the same projection as the upsert. */
+  def conditionalLabels(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val schema = NodeSchema(
+      label = "Customer",
+      id = Field("c_custkey"),
+      properties = Map("acctbal" -> Field("c_acctbal")),
+      extraLabels = Seq(
+        ExtraLabel.when("HighValue", col("c_acctbal") > 5000.0),
+        ExtraLabel.when("EUCustomer", col("c_nationkey") < 5)))
+    GraphLoader.load(Graph(), schema, c, TAG)
+      .nodeTable("Customer")
+      .select(col("id"), array_join(col("labels"), ",").as("label_str"))
+  }
+
+  /** Ontology projection (querybuilder.py:24-415): provider fields →
+    * canonical `_ont_*` fields via value mapping, coalesce-first-non-null,
+    * and boolean coercion strategies. */
+  def ontologyProject(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+      col("o_orderkey").as("id"),
+      Ontology.valueMapping(col("o_orderpriority"),
+        Map("1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium"),
+        default = Some("low")).as("_ont_priority"),
+      Ontology.coalesceFirst(
+        when(col("o_orderstatus") =!= "P", col("o_orderstatus")),
+        lit("pending")).as("_ont_status"),
+      Ontology.equalBool(col("o_orderpriority"), "1-URGENT").as("_ont_urgent"),
+      Ontology.orBool(
+        col("o_orderstatus") === "F",
+        col("o_totalprice") > 100000.0).as("_ont_closed_or_large"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_ignorecase" -> (joinIgnoreCase _),
+    "join_fuzzy_contains" -> (joinFuzzyContains _),
+    "join_one_to_many" -> (joinOneToMany _),
+    "matchlink_supplies" -> (matchlinkSupplies _),
+    "crosslink_pairs" -> (crosslinkPairs _),
+    "conditional_labels" -> (conditionalLabels _),
+    "ontology_project" -> (ontologyProject _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_ignorecase" ->
+      """SELECT CAST(a.p_partkey AS BIGINT) AS src_id, b.p_name AS dst_id,
+        |  CAST(3000 AS BIGINT) AS lastupdated
+        |FROM part a JOIN (SELECT DISTINCT p_name FROM part) b
+        |  ON lower(upper(a.p_name)) = lower(b.p_name)""".stripMargin,
+    "join_fuzzy_contains" ->
+      """SELECT kw AS src_id, p_name AS dst_id
+        |FROM (VALUES ('widget'), ('bolt'), ('rod'), ('gear')) t(kw)
+        |JOIN (SELECT DISTINCT p_name FROM part) p
+        |  ON lower(p.p_name) LIKE '%' || lower(kw) || '%'""".stripMargin,
+    "join_one_to_many" ->
+      """SELECT DISTINCT CAST(doc_id AS BIGINT) AS src_id, kw AS dst_id
+        |FROM documents
+        |JOIN (VALUES ('join'), ('scan'), ('merge'), ('window'), ('hash')) t(kw)
+        |  ON list_contains(string_split(text, ' '), kw)""".stripMargin,
+    "matchlink_supplies" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS src_id,
+        |  CAST(l_suppkey AS BIGINT) AS dst_id,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+        |  CAST(3000 AS BIGINT) AS lastupdated
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'O'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY l_orderkey, l_suppkey""".stripMargin,
+    "crosslink_pairs" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS src_id,
+        |  CAST(r_regionkey AS BIGINT) AS dst_id,
+        |  CAST(3000 AS BIGINT) AS lastupdated
+        |FROM nation CROSS JOIN region""".stripMargin,
+    "conditional_labels" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  concat('Customer',
+        |    CASE WHEN c_nationkey < 5 THEN ',EUCustomer' ELSE '' END,
+        |    CASE WHEN c_acctbal > 5000.0 THEN ',HighValue' ELSE '' END) AS label_str
+        |FROM customer""".stripMargin,
+    "ontology_project" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 'urgent'
+        |    WHEN '2-HIGH' THEN 'high' WHEN '3-MEDIUM' THEN 'medium'
+        |    ELSE 'low' END AS _ont_priority,
+        |  CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus ELSE 'pending' END AS _ont_status,
+        |  (o_orderpriority = '1-URGENT') AS _ont_urgent,
+        |  (o_orderstatus = 'F' OR o_totalprice > 100000.0) AS _ont_closed_or_large
+        |FROM orders""".stripMargin,
+  )
+}
