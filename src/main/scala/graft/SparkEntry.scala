@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, JoinQueries}
+import graft.queries.{AnalysisQueries, CoreQueries, JoinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (CoreQueries.queries, CoreQueries.oracles),
     (JoinQueries.queries, JoinQueries.oracles),
+    (AnalysisQueries.queries, AnalysisQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,94 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{Graph, GraphStore}
+
+/** Typed analysis-job DSL: derive new properties/edges from graph patterns
+  * (reference: cartography/graph/analysis.py:38-148, compiler
+  * cartography/graph/analysisbuilder.py:36-328).
+  *
+  * A job is a match pattern — here an arbitrary `Graph => DataFrame` join
+  * chain, the Spark analog of the Cypher MATCH — plus typed effects applied
+  * to node/edge tables. Effects are DataFrame merges, not per-row writes:
+  * one shuffle per effect, partition-prunable when tables are
+  * tenant-partitioned.
+  */
+sealed trait Effect
+
+/** SET node.prop = value for every node matched by the pattern
+  * (reference: analysis.py:70-87). Pattern output must carry `id` and the
+  * value column. Unmatched nodes keep their old value. */
+case class SetProperty(label: String, prop: String, valueCol: String) extends Effect
+
+/** SET node.prop = value only where the current value is null
+  * (reference SetRelationshipPropertyIfMissing analog, analysis.py:90-111). */
+case class SetPropertyIfMissing(label: String, prop: String, valueCol: String) extends Effect
+
+/** Append pattern values to a list property treated as a set
+  * (reference AddToSet/AddValuesToSet: analysis.py:113-130,
+  * analysisbuilder.py:285-307 → array_union). */
+case class AddToSet(label: String, prop: String, valueCol: String) extends Effect
+
+/** MERGE an edge for every (srcCol, dstCol) row of the pattern
+  * (reference AddRelationship: analysis.py:133-148). Derived edges carry
+  * the update tag, so the generated cleanup (analysisbuilder.py:80-166) is
+  * the standard stale-tag cleanup on the edge table. */
+case class AddRelationship(srcLabel: String, relLabel: String, dstLabel: String,
+                           srcCol: String, dstCol: String,
+                           propCols: Seq[String] = Nil) extends Effect
+
+case class AnalysisJob(name: String, pattern: Graph => DataFrame, effects: Seq[Effect])
+
+object AnalysisRunner {
+  import GraphStore.{DST, ID, SRC}
+
+  /** Run a job: evaluate the pattern once, apply each effect as a merge. */
+  def run(graph: Graph, job: AnalysisJob, tag: Long): Graph = {
+    val matched = job.pattern(graph)
+    job.effects.foldLeft(graph)((g, e) => applyEffect(g, matched, e, tag))
+  }
+
+  private def applyEffect(g: Graph, matched: DataFrame, effect: Effect, tag: Long): Graph =
+    effect match {
+      case SetProperty(label, prop, valueCol) =>
+        val updates = matched.select(col(ID), col(valueCol).as("_new")).dropDuplicates(ID :: Nil)
+        val nodes = g.nodeTable(label)
+        val merged = nodes.join(updates, Seq(ID), "left")
+          .select(nodes.columns.filterNot(_ == prop).map(col).toSeq :+
+            when(col("_new").isNotNull, col("_new"))
+              .otherwise(if (nodes.columns.contains(prop)) col(prop) else lit(null))
+              .as(prop): _*)
+        g.withNodes(label, merged)
+
+      case SetPropertyIfMissing(label, prop, valueCol) =>
+        val updates = matched.select(col(ID), col(valueCol).as("_new")).dropDuplicates(ID :: Nil)
+        val nodes = g.nodeTable(label)
+        val old = if (nodes.columns.contains(prop)) col(prop) else lit(null)
+        val merged = nodes.join(updates, Seq(ID), "left")
+          .select(nodes.columns.filterNot(_ == prop).map(col).toSeq :+
+            coalesce(old, col("_new")).as(prop): _*)
+        g.withNodes(label, merged)
+
+      case AddToSet(label, prop, valueCol) =>
+        val adds = matched.groupBy(col(ID))
+          .agg(array_sort(collect_set(col(valueCol))).as("_adds"))
+        val nodes = g.nodeTable(label)
+        val old = if (nodes.columns.contains(prop)) col(prop)
+                  else lit(null).cast("array<string>")
+        val merged = nodes.join(adds, Seq(ID), "left")
+          .select(nodes.columns.filterNot(_ == prop).map(col).toSeq :+
+            array_sort(array_union(coalesce(old, array()), coalesce(col("_adds"), array())))
+              .as(prop): _*)
+        g.withNodes(label, merged)
+
+      case AddRelationship(srcLabel, relLabel, dstLabel, srcCol, dstCol, propCols) =>
+        val batch = matched.select(
+          (col(srcCol).as(SRC) +: col(dstCol).as(DST) +: propCols.map(col)): _*)
+          .dropDuplicates(SRC :: DST :: Nil)
+        val key = (srcLabel, relLabel, dstLabel)
+        val existing = g.edges.getOrElse(key, GraphStore.emptyLike(batch, Seq(SRC, DST)))
+        g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag))
+    }
+}

@@ -1,0 +1,39 @@
+package graft.drift
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Drift detection: snapshot a query's result set, diff two snapshots in
+  * both directions (reference: cartography/driftdetect/model.py:7-33,
+  * get_states.py:142-173, detect_deviations.py:70-117).
+  *
+  * The reference stringifies rows, canonicalizes list fields with
+  * `"|".join(sorted(...))`, sorts, and takes Python set differences; here
+  * snapshots are DataFrames (persisted as parquet between runs) and the
+  * two set differences are `exceptAll` — distributed, no driver collect.
+  */
+object Drift {
+
+  /** Canonicalize a snapshot the way the reference does: array columns
+    * become sorted "|"-joined strings (get_states.py:164-173), everything
+    * else cast to string. */
+  def canonicalize(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          array_join(array_sort(col(f.name).cast("array<string>")), "|").as(f.name)
+        case _ => col(f.name).cast("string").as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Both-direction diff: rows only in `newer` tagged "added", rows only
+    * in `older` tagged "removed" (detect_deviations.py:70-117). */
+  def diff(older: DataFrame, newer: DataFrame): DataFrame = {
+    val o = canonicalize(older)
+    val n = canonicalize(newer)
+    n.exceptAll(o).withColumn("direction", lit("added"))
+      .unionByName(o.exceptAll(n).withColumn("direction", lit("removed")))
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analysis._
+import graft.drift.Drift
+import graft.graph.{Graph, GraphStore}
+import graft.permissions.Permissions
+import graft.permissions.Permissions.PolicyStatement
+import graft.rules.{Fact, Framework, Rule, RulesRunner}
+
+/** Analysis-job / rules / drift / permission operator battery
+  * (SURVEY §2.8-2.9), driven through the typed DSLs.
+  */
+object AnalysisQueries {
+
+  private val TAG = 4000L
+
+  private def customerNodes(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"))
+    GraphStore.upsertNodes(GraphStore.emptyLike(b), b, TAG)
+  }
+
+  /** SetProperty effect (analysis.py:70-87): flag customers that have an
+    * open urgent order — the internet-exposure-flag pattern
+    * (reference: analysis/aws/analysis.py:95-120). */
+  def analysisSetProperty(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = Graph().withNodes("Customer", customerNodes(spark, dir))
+    val job = AnalysisJob(
+      name = "urgent-open-exposure",
+      pattern = _ => Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("id"), lit(true).as("exposed")),
+      effects = Seq(SetProperty("Customer", "exposed", "exposed")))
+    AnalysisRunner.run(g0, job, TAG)
+      .nodeTable("Customer").select(col("id"), col("exposed"))
+  }
+
+  /** AddToSet effect (analysis.py:113-130): accumulate the distinct order
+    * priorities seen per customer into a list property. */
+  def analysisAddToSet(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = Graph().withNodes("Customer", customerNodes(spark, dir))
+    val job = AnalysisJob(
+      name = "order-priorities",
+      pattern = _ => Tables.orders(spark, dir)
+        .select(col("o_custkey").as("id"), col("o_orderpriority").as("pri")),
+      effects = Seq(AddToSet("Customer", "order_priorities", "pri")))
+    AnalysisRunner.run(g0, job, TAG)
+      .nodeTable("Customer")
+      .select(col("id"), array_join(col("order_priorities"), "|").as("priorities"))
+  }
+
+  /** AddRelationship effect (analysis.py:133-148): derive BUYS_FROM edges
+    * customer→supplier from the order/lineitem pattern — the
+    * derive-then-matchlink idiom (reference: route53.py:470-505). */
+  def analysisDeriveEdges(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = Graph().withNodes("Customer", customerNodes(spark, dir))
+    val job = AnalysisJob(
+      name = "buys-from",
+      pattern = _ => Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")),
+      effects = Seq(AddRelationship("Customer", "BUYS_FROM", "Supplier", "src", "dst")))
+    AnalysisRunner.run(g0, job, TAG)
+      .edgeTable("Customer", "BUYS_FROM", "Supplier")
+      .select(col("src_id"), col("dst_id"), col("lastupdated"))
+  }
+
+  /** Rules engine (rules/spec/model.py, runners.py:72-186): a 2-rule
+    * framework over the asset tables; findings = union of fact results. */
+  def rulesFindings(spark: SparkSession, dir: String): DataFrame = {
+    val framework = Framework("cis-demo", Seq(
+      Rule("acct-hygiene", "Account hygiene", Seq(
+        Fact("negative-balance", "Customer has negative balance", "Customer",
+          s => Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+            .select(col("c_custkey").as("asset_id"),
+              format_string("balance=%.2f", col("c_acctbal")).as("detail"))),
+        Fact("no-open-orders", "Customer has no open orders", "Customer",
+          s => Tables.customer(s, dir)
+            .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+            .select(col("c_custkey").as("asset_id"))))),
+      Rule("order-risk", "Order risk", Seq(
+        Fact("urgent-open", "Urgent order still open", "Order",
+          s => Tables.orders(s, dir)
+            .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey").as("asset_id"),
+              col("o_orderpriority").as("detail")))))))
+    RulesRunner.run(spark, framework)
+  }
+
+  /** Drift detection (driftdetect): states = (user, event_type) pairs with
+    * ≥3 events in each half of the month; diff both directions. */
+  def driftDetect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def state(cond: org.apache.spark.sql.Column): DataFrame = ev.filter(cond)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .select(col("user_id"), col("event_type"))
+    val older = state(col("ts") < lit("2024-01-16").cast("timestamp"))
+    val newer = state(col("ts") >= lit("2024-01-16").cast("timestamp"))
+    Drift.diff(older, newer)
+  }
+
+  /** Permission relationships (permission_relationships.py): wildcard
+    * policy statements evaluated over supplier principals × part ARNs,
+    * deny-overrides, without materializing the cross product. */
+  def permissionRelationships(spark: SparkSession, dir: String): DataFrame = {
+    val principals = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+    val resources = Tables.part(spark, dir)
+      .select(col("p_partkey").as("id"),
+        concat(lit("arn:part:"), col("p_brand"), lit(":"), col("p_type"),
+          lit(":"), col("p_partkey")).as("arn"))
+    val statements = Seq(
+      PolicyStatement("s1", "Allow", "Supplier#*", "arn:part:Brand#1?:*"),
+      PolicyStatement("s2", "Allow", "Supplier#0000000?1", "arn:part:*:PROMO:*"),
+      PolicyStatement("s3", "Deny", "*", "*:ECONOMY:*"))
+    Permissions.evaluate(principals, resources, statements)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analysis_set_property" -> (analysisSetProperty _),
+    "analysis_add_to_set" -> (analysisAddToSet _),
+    "analysis_derive_edges" -> (analysisDeriveEdges _),
+    "rules_findings" -> (rulesFindings _),
+    "drift_detect" -> (driftDetect _),
+    "permission_relationships" -> (permissionRelationships _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "analysis_set_property" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                    AND o_orderstatus = 'O' AND o_orderpriority = '1-URGENT')
+        |       THEN TRUE ELSE NULL END AS exposed
+        |FROM customer""".stripMargin,
+    "analysis_add_to_set" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  coalesce((SELECT string_agg(pri, '|' ORDER BY pri) FROM
+        |            (SELECT DISTINCT o_orderpriority AS pri FROM orders
+        |             WHERE o_custkey = c_custkey) t), '') AS priorities
+        |FROM customer""".stripMargin,
+    "analysis_derive_edges" ->
+      """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src_id,
+        |  CAST(l_suppkey AS BIGINT) AS dst_id,
+        |  CAST(4000 AS BIGINT) AS lastupdated
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "rules_findings" ->
+      """SELECT 'cis-demo' AS framework_id, 'acct-hygiene' AS rule_id,
+        |  'negative-balance' AS fact_id, 'Customer' AS asset_label,
+        |  CAST(c_custkey AS VARCHAR) AS asset_id,
+        |  printf('balance=%.2f', c_acctbal) AS detail
+        |FROM customer WHERE c_acctbal < 0
+        |UNION ALL
+        |SELECT 'cis-demo', 'acct-hygiene', 'no-open-orders', 'Customer',
+        |  CAST(c_custkey AS VARCHAR), NULL
+        |FROM customer WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'cis-demo', 'order-risk', 'urgent-open', 'Order',
+        |  CAST(o_orderkey AS VARCHAR), o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'""".stripMargin,
+    "drift_detect" ->
+      """WITH older AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_type
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |newer AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_type
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT user_id, event_type, 'added' AS direction
+        |FROM (SELECT * FROM newer EXCEPT ALL SELECT * FROM older)
+        |UNION ALL
+        |SELECT user_id, event_type, 'removed' AS direction
+        |FROM (SELECT * FROM older EXCEPT ALL SELECT * FROM newer)""".stripMargin,
+    "permission_relationships" ->
+      """WITH principals AS (
+        |  SELECT s_suppkey AS pid, s_name AS name FROM supplier),
+        |resources AS (
+        |  SELECT p_partkey AS rid,
+        |    'arn:part:' || p_brand || ':' || p_type || ':' || CAST(p_partkey AS VARCHAR) AS arn
+        |  FROM part),
+        |allow_pairs AS (
+        |  SELECT pid, rid FROM principals, resources
+        |  WHERE (regexp_matches(name, '(?i)^Supplier\#.*$')
+        |         AND regexp_matches(arn, '(?i)^arn:part:Brand\#1.?:.*$'))
+        |     OR (regexp_matches(name, '(?i)^Supplier\#0000000.?1$')
+        |         AND regexp_matches(arn, '(?i)^arn:part:.*:PROMO:.*$'))),
+        |deny_pairs AS (
+        |  SELECT pid, rid FROM principals, resources
+        |  WHERE regexp_matches(name, '(?i)^.*$')
+        |    AND regexp_matches(arn, '(?i)^.*:ECONOMY:.*$'))
+        |SELECT CAST(pid AS BIGINT) AS principal_id, CAST(rid AS BIGINT) AS resource_id
+        |FROM (SELECT DISTINCT pid, rid FROM allow_pairs
+        |      EXCEPT SELECT pid, rid FROM deny_pairs)""".stripMargin,
+  )
+}
