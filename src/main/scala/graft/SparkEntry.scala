@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalysisQueries, CoreQueries, JoinQueries}
+import graft.queries.{AnalysisQueries, CoreQueries, JoinQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
     (CoreQueries.queries, CoreQueries.oracles),
     (JoinQueries.queries, JoinQueries.oracles),
     (AnalysisQueries.queries, AnalysisQueries.oracles),
+    (LlmQueries.queries, LlmQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,125 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact, blocked
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: none of these materialize the full O(n²) pair space —
+  * exact dedup is one hash aggregation; Jaccard is blocked; MinHash
+  * generates candidates through band-bucket equi-joins (shuffle on band
+  * signature, skew-safe because signatures are near-uniform); SimHash
+  * pairs by exact sketch equality; cosine near-dup is quantized so results
+  * are deterministic and can be LSH-bucketed.
+  */
+object Dedup {
+
+  /** Exact dedup by key: one hash aggregation keeping the smallest id as
+    * canonical (map-side partial agg → tiny shuffle). */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("dedup_key"))
+      .agg(min(col(idCol)).cast("long").as("canonical_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** (doc_id, block, shingles) prep: dictionary-encode, shingle, and block
+    * by the first two tokens — candidates are only generated within a
+    * block. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dict = TextFunctions.dictionary(docs, textCol)
+    val wids = TextFunctions.widArrays(docs, idCol, textCol, dict)
+    wids.select(col("doc_id"),
+      concat_ws(" ", element_at(col("wids"), 1), element_at(col("wids"), 2)).as("block"),
+      TextFunctions.shingleIds(col("wids")).as("shingles"))
+  }
+
+  /** Blocked pairwise n-gram Jaccard: self-join within blocks, then an
+    * in-row array_intersect — the per-pair work is a fused codegen'd
+    * array op, not an explode+shuffle. Returns pairs ≥ minJaccX1e6. */
+  def blockedJaccard(shingled: DataFrame, minJaccX1e6: Long): DataFrame = {
+    val a = shingled.select(col("block"), col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"))
+    val b = shingled.select(col("block"), col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"))
+    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .withColumn("jacc_x1e6",
+        floor(lit(1000000.0) * col("inter") / col("uni")).cast("long"))
+      .filter(col("jacc_x1e6") >= minJaccX1e6)
+      .select(col("doc_a"), col("doc_b"), col("jacc_x1e6"))
+  }
+
+  /** MinHash + LSH near-dup detection: 8 minhashes → 4 bands of 2 → band
+    * equi-join candidates → exact Jaccard verification ≥ minJaccX1e6.
+    * Candidate generation cost is one shuffle on (band, h1, h2); the full
+    * pair space is never built (shingle→minhash→band→bucket-join). */
+  def minhashLsh(shingled: DataFrame, minJaccX1e6: Long): DataFrame = {
+    val sigs = shingled.select(
+      (col("doc_id") +: col("shingles") +:
+        TextFunctions.minhashCols(col("shingles"))): _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"), col(s"h${2 * j}").as("h1"),
+          col(s"h${2 * j + 1}").as("h2"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.h1").as("h1"), col("b.h2").as("h2"))
+    val candidates = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a" :: "doc_b" :: Nil)
+    val sh = shingled.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .withColumn("jacc_x1e6",
+        floor(lit(1000000.0) * col("inter") / col("uni")).cast("long"))
+      .filter(col("jacc_x1e6") >= minJaccX1e6)
+      .select(col("doc_a"), col("doc_b"), col("jacc_x1e6"))
+  }
+
+  /** SimHash near-dup pairs: docs with identical 16-bit tf-weighted
+    * sketches. Exact-match pairing is a single equi-join on the sketch;
+    * hamming-distance-k pairing would union the k bit-flip probes. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dict = TextFunctions.dictionary(docs, textCol)
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .join(broadcast(dict), "word")
+      .groupBy(col("doc_id"), col("wid"))
+      .agg(count(lit(1)).as("tf"))
+    val sh = TextFunctions.simhash16(tf)
+    sh.alias("a").join(sh.alias("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs over quantized vectors (see
+    * [[graft.similarity.Similarity.quantized]]): all pairs ≥ minCosX1e6.
+    * Quantization makes every dot product exact integer math. For corpora
+    * where n² is too large, bucket with [[graft.similarity.Similarity]]'s
+    * sign-LSH first. */
+  def cosineNearDup(quantized: DataFrame, minCosX1e6: Long): DataFrame = {
+    val a = quantized.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+      col("norm2").as("na"))
+    val b = quantized.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+      col("norm2").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), _ + _))
+      .withColumn("cos_x1e6",
+        floor(lit(1000000.0) * col("dot") /
+          sqrt((col("na") * col("nb")).cast("double"))).cast("long"))
+      .filter(col("cos_x1e6") >= minCosX1e6)
+      .select(col("vec_a"), col("vec_b"), col("cos_x1e6"))
+  }
+}

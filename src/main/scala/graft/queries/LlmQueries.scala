@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+/** LLM-training-data pipeline operator battery: text analysis, dedup
+  * family, similarity search, multimodal plumbing. All integer/exact
+  * arithmetic so every oracle hash-matches (see module scaladocs).
+  */
+object LlmQueries {
+
+  private val Stopwords = Seq("the", "a", "data", "row")
+  private val Markers = Map(
+    "sqlish" -> Seq("join", "scan", "merge", "hash"),
+    "streamish" -> Seq("stream", "window", "batch"),
+    "tableish" -> Seq("table", "row", "column"))
+
+  // ---- text analysis ----
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.qualityMetrics(Tables.documents(spark, dir), "doc_id", "text", Stopwords)
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.langId(Tables.documents(spark, dir), "doc_id", "text", Markers)
+
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("n_bpe_tokens"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace_chars"))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextFunctions.fingerprint(docs, "doc_id", "text",
+      TextFunctions.dictionary(docs, "text"))
+  }
+
+  // ---- dedup family ----
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+      Tables.documents(spark, dir)
+        .withColumn("prefix2", concat_ws(" ",
+          element_at(split(col("text"), " "), 1), element_at(split(col("text"), " "), 2))),
+      keyCol = "prefix2", idCol = "doc_id")
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccard(
+      Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text"),
+      minJaccX1e6 = 500000L)
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(
+      Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text"),
+      minJaccX1e6 = 800000L)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  def dedupCosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosineNearDup(
+      Similarity.quantized(Tables.embeddings(spark, dir)), minCosX1e6 = 350000L)
+
+  // ---- similarity search ----
+
+  def simBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantized(Tables.embeddings(spark, dir))
+    Similarity.bruteForceTopK(q.filter(col("vec_id") < 10), q, k = 3)
+  }
+
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantized(Tables.embeddings(spark, dir))
+    Similarity.lshTopK(q.filter(col("vec_id") < 10), q, k = 3)
+  }
+
+  // ---- multimodal ----
+
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.fromDocuments(Tables.documents(spark, dir))).toDF()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (textQuality _),
+    "text_lang_id" -> (textLangId _),
+    "text_token_count" -> (textTokenCount _),
+    "text_fingerprint" -> (textFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_cosine_neardup" -> (dedupCosineNearDup _),
+    "sim_bruteforce_topk" -> (simBruteForceTopK _),
+    "sim_ann_lsh" -> (simAnnLsh _),
+    "multimodal_decode" -> (multimodalDecode _),
+  )
+
+  // ---- oracle SQL (DuckDB) ----
+
+  /** Shared text CTEs: token table (1-based pos), sorted dictionary,
+    * wid sequence, distinct 3-gram shingles, shingle-set sizes. */
+  private val TextCtes =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |dict AS (
+      |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+      |  FROM (SELECT DISTINCT word FROM toks)),
+      |seq AS (SELECT t.doc_id, t.pos, d.wid FROM toks t JOIN dict d USING(word)),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, (a.wid*37 + b.wid)*37 + c.wid AS sid
+      |  FROM seq a
+      |  JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN seq c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |shsize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val minhashAggs: String =
+    TextFunctions.MinhashA.zip(TextFunctions.MinhashB).zipWithIndex.map {
+      case ((a, b), j) => s"min(($a*sid + $b) % ${TextFunctions.P}) AS h$j"
+    }.mkString(", ")
+
+  private val simhashBitSums: String = (0 until 16).map { k =>
+    s"sum(CASE WHEN ((wid*${TextFunctions.Mix}) // ${1L << k}) % 2 = 1 THEN tf ELSE -tf END) AS s$k"
+  }.mkString(",\n    ")
+
+  private val simhashSig: String =
+    (0 until 16).map(k => s"CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+
+  /** Quantized-embedding CTE: q = floor(1000x) per dim, integer norm. */
+  private val QuantCte =
+    """qv AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS norm2
+      |  FROM qv)""".stripMargin
+
+  private val pairDot =
+    "CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS BIGINT)"
+
+  /** Sign-LSH signature CTE over qn (8 bits, 64 dims, bit 13 of Knuth mix). */
+  private val LshSigCte =
+    s"""qd AS (
+       |  SELECT vec_id, unnest(q) AS x, generate_subscripts(q,1) AS i, norm2 FROM qn),
+       |proj AS (
+       |  SELECT vec_id, j.j,
+       |    sum(CASE WHEN (((j.j*64 + i) * ${TextFunctions.Mix}) // 8192) % 2 = 1
+       |             THEN x ELSE -x END) AS s
+       |  FROM qd CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+       |  GROUP BY vec_id, j.j),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(len(list_filter(string_split(text,' '),
+         |       t -> t IN (${Stopwords.map(s => s"'$s'").mkString(",")}))) AS BIGINT) AS n_stopwords,
+         |  CAST(floor(1000000.0 *
+         |       len(list_filter(string_split(text,' '),
+         |           t -> t IN (${Stopwords.map(s => s"'$s'").mkString(",")})))
+         |       / len(string_split(text,' '))) AS BIGINT) AS stopword_score_x1e6
+         |FROM documents""".stripMargin,
+    "text_lang_id" -> {
+      val markerRows = Markers.toSeq.sortBy(_._1).flatMap { case (l, ws) =>
+        ws.map(w => s"('$l','$w')")
+      }.mkString(", ")
+      s"""WITH markers(lang, word) AS (VALUES $markerRows),
+         |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |hits AS (
+         |  SELECT doc_id, lang, count(*) AS n
+         |  FROM toks JOIN markers USING(word) GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rk
+         |  FROM hits)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  coalesce(b.lang, 'unknown') AS pred_lang
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+         |  ON d.doc_id = b.doc_id""".stripMargin
+    },
+    "text_token_count" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(replace(text,' ','')) AS BIGINT) AS n_nonspace_chars
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH $TextCtes
+         |SELECT doc_id, CAST(sum(wid * pos) AS BIGINT) AS fingerprint
+         |FROM seq GROUP BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT string_split(text,' ')[1] || ' ' || string_split(text,' ')[2] AS dedup_key,
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $TextCtes,
+         |blocks AS (
+         |  SELECT s1.doc_id,
+         |    CAST(s1.wid AS VARCHAR) || ' ' || CAST(s2.wid AS VARCHAR) AS block
+         |  FROM seq s1 JOIN seq s2
+         |    ON s1.doc_id = s2.doc_id AND s1.pos = 1 AND s2.pos = 2),
+         |cand AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db
+         |  FROM blocks x JOIN blocks y ON x.block = y.block AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(floor(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jacc_x1e6
+         |FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 500000""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(floor(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jacc_x1e6
+         |FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $TextCtes,
+         |tf AS (SELECT doc_id, wid, count(*) AS tf FROM seq GROUP BY doc_id, wid),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM tf GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($simhashSig AS BIGINT) AS simhash FROM bits)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+         |FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_cosine_neardup" ->
+      s"""WITH $QuantCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(floor(1000000.0 * $pairDot /
+         |       sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+         |WHERE floor(1000000.0 * $pairDot /
+         |      sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) >= 350000""".stripMargin,
+    "sim_bruteforce_topk" ->
+      s"""WITH $QuantCte,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 * $pairDot /
+         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |  FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH $QuantCte,
+         |$LshSigCte,
+         |qs AS (SELECT q.vec_id, q.q, q.norm2, s.sig FROM qn q JOIN sigs s USING(vec_id)),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 * $pairDot /
+         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |  FROM qs a JOIN qs b ON a.sig = b.sig AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
+    "multimodal_decode" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+        |sums AS (SELECT doc_id, sum(ascii(c)) AS bytesum FROM chars GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(d.text)) % 640 + 1 AS BIGINT) AS fake_width,
+        |  CAST(octet_length(encode(d.text)) // 7 % 480 + 1 AS BIGINT) AS fake_height,
+        |  CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST(s.bytesum % 65536 AS BIGINT) AS checksum
+        |FROM documents d JOIN sums s ON d.doc_id = s.doc_id""".stripMargin,
+  )
+}

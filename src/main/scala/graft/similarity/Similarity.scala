@@ -1,0 +1,86 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions.Mix
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, and a sign-LSH
+  * bucketed variant as the scale path.
+  *
+  * All scores are computed over milli-quantized integer vectors
+  * (q_i = floor(1000 * x_i)), so dot products and norms are exact integers
+  * — deterministic under any partitioning and reproducible in the DuckDB
+  * oracle — and ranking ties break on vec_id. The final cosine is
+  * floor(1e6 * dot / sqrt(na*nb)).
+  */
+object Similarity {
+
+  /** Quantize: (vec_id, q array<long>, norm2) — fused array expressions,
+    * no shuffle. */
+  def quantized(embeddings: DataFrame, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame =
+    embeddings.select(
+      col(idCol).cast("long").as("vec_id"),
+      transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("norm2", aggregate(transform(col("q"), x => x * x), lit(0L), _ + _))
+
+  private def cosX1e6 = floor(lit(1000000.0) * col("dot") /
+    sqrt((col("na") * col("nb")).cast("double"))).cast("long")
+
+  /** Brute-force top-k: queries × corpus with a fused zip_with dot product
+    * per pair (no per-dimension row blowup), ranked per query. The query
+    * side is expected to be small → broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("q").as("qq"),
+      col("norm2").as("na"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
+      col("norm2").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qq"), col("qc"), (x, y) => x * y), lit(0L), _ + _))
+      .withColumn("cos_x1e6", cosX1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
+  }
+
+  /** 8-bit sign-LSH signature: bit j = sign of the projection of q onto a
+    * deterministic ±1 hyperplane (w_ji = ±1 from bit 13 of
+    * (j*64+i)*Knuth). Integer arithmetic throughout. */
+  def signLsh(quantized: DataFrame, dims: Int = 64, bits: Int = 8): DataFrame = {
+    val proj = (j: Int) => aggregate(
+      zip_with(col("q"), sequence(lit(1), lit(dims)), (x, i) =>
+        when(shiftright((lit(j) * dims + i) * lit(Mix), 13)
+          .bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
+      lit(0L), _ + _)
+    val sig = (0 until bits).map(j =>
+      when(proj(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    quantized.withColumn("sig", sig)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket
+    * (an equi-join on the signature — no cross product), then exact rank
+    * within the bucket. Recall trades off against bucket count; multi-probe
+    * = union over neighboring signatures. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = signLsh(queries).select(col("vec_id").as("query_id"), col("q").as("qq"),
+      col("norm2").as("na"), col("sig"))
+    val c = signLsh(corpus).select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
+      col("norm2").as("nb"), col("sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qq"), col("qc"), (x, y) => x * y), lit(0L), _ + _))
+      .withColumn("cos_x1e6", cosX1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+
+/** Behavior tests for the LLM-pipeline operators on tiny planted corpora
+  * (the oracle battery covers the full determinism contract; these pin the
+  * semantics: near-dups found, non-dups not, plumbing shapes right). */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "s"),
+    // near-dup of 0: one appended token (3-gram jaccard ≈ 0.9)
+    (1L, "the quick brown fox jumps over the lazy dog again and again extra", "s"),
+    (2L, "completely different text about spark catalyst optimizer rules", "s"),
+    (3L, "another unrelated document mentioning shuffles joins and scans", "s"),
+  ).toDF("doc_id", "text", "source")
+
+  test("minhash LSH finds the planted near-dup pair and nothing else") {
+    val pairs = Dedup.minhashLsh(Dedup.shingleTable(corpus, "doc_id", "text"), 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("blocked jaccard agrees with LSH on the planted pair") {
+    val pairs = Dedup.blockedJaccard(Dedup.shingleTable(corpus, "doc_id", "text"), 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("simhash groups identical docs, separates different ones") {
+    val dup = Seq((0L, "a b c a b c"), (1L, "a b c a b c"), (2L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(dup, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("brute-force topK ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f)), // ~same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantized(vecs)
+    val top = Similarity.bruteForceTopK(q.filter($"vec_id" === 0), q, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("multimodal decode stub emits per-byte features through mapPartitions") {
+    val docs = Seq((7L, "abc", "s")).toDF("doc_id", "text", "source")
+    val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect().head
+    assert(f.media_id == 7L && f.n_bytes == 3L &&
+      f.first_byte == 'a'.toLong && f.checksum == ('a' + 'b' + 'c').toLong)
+  }
+}
