@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalysisQueries, CoreQueries, JoinQueries, LlmQueries}
+import graft.queries.{AnalysisQueries, CoreQueries, JoinQueries, LlmQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,7 @@ object SparkEntry {
     (JoinQueries.queries, JoinQueries.oracles),
     (AnalysisQueries.queries, AnalysisQueries.oracles),
     (LlmQueries.queries, LlmQueries.oracles),
+    (StreamQueries.queries, StreamQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,54 @@
+package graft.intel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.graph.{Graph, GraphLoader, GraphStore}
+import graft.schema.NodeSchema
+import org.apache.spark.sql.functions.col
+
+/** The module contract every provider integration implements — the
+  * reference's Get → Transform → Load → Cleanup lifecycle
+  * (reference: docs/root/dev/writing-intel-modules.md:103-167, canonical
+  * implementation cartography/intel/aws/ec2/instances.py:576-615).
+  *
+  * `extract` is the process boundary (API paginator / file read →
+  * DataFrame); `transform` is pure declarative column logic; `load` is the
+  * schema-driven upsert; cleanup is the standard stale-tag delete scoped
+  * to the module's tenant.
+  */
+trait IntelModule {
+  def name: String
+
+  /** Get: produce the raw batch (one row per API object). */
+  def extract(spark: SparkSession, source: String): DataFrame
+
+  /** Transform: raw batch → one projected batch per node schema, in load
+    * order (tenants before assets). */
+  def transform(raw: DataFrame): Seq[(NodeSchema, DataFrame)]
+
+  /** Full sync: extract → transform → load each schema → scoped cleanup of
+    * nodes this sync did not touch. */
+  def sync(graph: Graph, spark: SparkSession, source: String, tag: Long): Graph = {
+    val loaded = transform(extract(spark, source)).foldLeft(graph) {
+      case (g, (schema, batch)) => GraphLoader.load(g, schema, batch, tag)
+    }
+    cleanup(loaded, tag)
+  }
+
+  /** Cleanup: default = stale-tag delete on every label this module loads
+    * (subclasses narrow the scope to their tenant). */
+  def labels: Seq[String]
+  def cleanup(graph: Graph, tag: Long): Graph =
+    labels.foldLeft(graph) { (g, label) =>
+      g.withNodes(label, GraphStore.cleanup(g.nodeTable(label), tag))
+    }
+}
+
+/** Registry + serial runner — the reference's sync-stage loop
+  * (cartography/sync.py:240-297): stages run serially, a stage failure
+  * aborts (best-effort per-tenant isolation is the caller's try/catch). */
+object SyncRunner {
+  def run(graph: Graph, spark: SparkSession, modules: Seq[(IntelModule, String)],
+          tag: Long): Graph =
+    modules.foldLeft(graph) { case (g, (m, source)) => m.sync(g, spark, source, tag) }
+}

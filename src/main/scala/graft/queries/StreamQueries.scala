@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.Fixpoint
+import graft.streaming.Streaming
+
+/** Streaming / incremental / recursive-path operator battery
+  * (SURVEY §2.4 variable-length paths, §2.10 streaming analogs, §2.1
+  * file-source reads).
+  */
+object StreamQueries {
+
+  /** Variable-length path fixpoint: ancestor closure over the synthetic
+    * halving hierarchy (node → node div 2), evaluated by path doubling —
+    * O(log depth) joins. Oracle: recursive CTE. */
+  def fixpointAncestors(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.customer(spark, dir)
+      .filter(col("c_custkey") >= 1)
+      .select(col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+    Fixpoint.transitiveClosure(edges)
+      .select(col("src").as("node"), col("dst").as("ancestor"))
+  }
+
+  /** True Structured Streaming run inside the gate: the events parquet is
+    * replayed through readStream → watermark → 1h tumbling window → memory
+    * sink, synchronously drained. Results must equal the batch tumbling
+    * window (same oracle). */
+  def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    // file-stream sources take a directory; glob down to the events file
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = Streaming.windowedEventCounts(stream, "ts", "1 hour", "2 hours")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_windowed_agg_sink")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table("stream_windowed_agg_sink")
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Incremental checkpoint feed (CVE-feed analog): only rows newer than
+    * the persisted checkpoint (here: max ts of the first half-month),
+    * with the new checkpoint emitted alongside. */
+  def streamIncrementalFeed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val checkpoint = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+      .agg(max(col("ts")).as("checkpoint"))
+    Streaming.incrementalFeed(ev, "ts", checkpoint)
+  }
+
+  /** File/JSON source (Trivy/SBOM-style ingest, SURVEY §2.1): the events
+    * `props` JSON-string column parsed with a real JSON parser and
+    * aggregated. */
+  def sourceJsonEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fixpoint_ancestors" -> (fixpointAncestors _),
+    "stream_windowed_agg" -> (streamWindowedAgg _),
+    "stream_incremental_feed" -> (streamIncrementalFeed _),
+    "source_json_events" -> (sourceJsonEvents _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fixpoint_ancestors" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node,
+        |         CAST(c_custkey // 2 AS BIGINT) AS ancestor
+        |  FROM customer WHERE c_custkey >= 1
+        |  UNION
+        |  SELECT node, ancestor // 2 FROM anc WHERE ancestor >= 1)
+        |SELECT node, ancestor FROM anc""".stripMargin,
+    "stream_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_incremental_feed" ->
+      """WITH cp AS (SELECT max(ts) AS checkpoint FROM events
+        |            WHERE ts < TIMESTAMP '2024-01-16')
+        |SELECT event_type, count(*) AS n_new, max(ts) AS new_checkpoint
+        |FROM events, cp WHERE ts > cp.checkpoint
+        |GROUP BY event_type""".stripMargin,
+    "source_json_events" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+  )
+}

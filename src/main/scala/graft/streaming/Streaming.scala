@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analogs of the reference's incremental-batch machinery
+  * (SURVEY §2.10). The reference has no true streaming runtime — it
+  * re-syncs with update tags and lookback windows; these operators are the
+  * Structured Streaming expression of the same semantics, plus the
+  * batch-incremental checkpoint feed it actually uses.
+  */
+object Streaming {
+
+  /** Tumbling-window event aggregation with a watermark — the streaming
+    * form of the CloudTrail lookback aggregation
+    * (cloudtrail_management_events.py:63-117, 234-310: the reference
+    * handles late data by re-reading the whole lookback window; the
+    * watermark replaces that re-read). Works on a streaming DataFrame. */
+  def windowedEventCounts(events: DataFrame, eventTimeCol: String,
+                          windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Incremental checkpoint feed (CVE-feed analog,
+    * cartography/intel/cve/feed.py:41-66,156-199): emit only rows newer
+    * than the persisted checkpoint, plus the new checkpoint value. The
+    * checkpoint rides as a broadcast scalar — no driver-side collect. */
+  def incrementalFeed(table: DataFrame, tsCol: String,
+                      checkpoint: DataFrame): DataFrame = {
+    val cp = checkpoint.select(col("checkpoint"))
+    table.crossJoin(broadcast(cp))
+      .filter(col(tsCol) > col("checkpoint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"), max(col(tsCol)).as("new_checkpoint"))
+  }
+
+  final case class KeyedEvent(key: Long, eventType: String, eventTime: java.sql.Timestamp)
+  final case class FirstSeen(key: Long, firstTsMillis: Long, nSeen: Long)
+
+  /** Stateful first-seen tracking with state TTL — the streaming analog of
+    * the update-tag stale-entity expiry (cleanupbuilder.py): a key's state
+    * expires `ttlMs` of *event time* after its last event, at which point
+    * the accumulated first-seen record is emitted and the key is forgotten.
+    * Event-time timeouts (watermark-driven) keep this deterministic —
+    * processing-time timeouts would schedule wall-clock no-data batches.
+    * flatMapGroupsWithState keeps per-key state on the executors
+    * (RocksDB/HDFS state store at scale). */
+  def firstSeenWithTtl(events: Dataset[KeyedEvent], ttlMs: Long): Dataset[FirstSeen] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("eventTime", "0 seconds")
+      .as[KeyedEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FirstSeen, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, it, state: GroupState[FirstSeen]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+            state.remove()
+            out.iterator
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption
+            val first = prev.map(_.firstTsMillis)
+              .getOrElse(evs.map(_.eventTime.getTime).min)
+            val updated = FirstSeen(key, first,
+              prev.map(_.nSeen).getOrElse(0L) + evs.size)
+            state.update(updated)
+            state.setTimeoutTimestamp(evs.map(_.eventTime.getTime).max + ttlMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{FirstSeen, KeyedEvent}
+
+/** Structured Streaming behavior tests via MemoryStream (the synchronous
+  * local-smoke pattern: feed batches, processAllAvailable, assert sink). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("windowed event counts aggregate a replayed stream like a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val df = source.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedEventCounts(df, "ts", "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_test").start()
+    try {
+      source.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.5),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.5),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("win_test")
+        .select($"window_start".cast("string"), $"event_type", $"n", $"sum_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 4.0),
+        ("2024-01-01 11:00:00", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stateful first-seen with event-time TTL emits once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val source = MemoryStream[KeyedEvent]
+    // TTL = 5 min of event time after a key's last event
+    val out = Streaming.firstSeenWithTtl(source.toDS(), ttlMs = 5 * 60 * 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ttl_test").start()
+    try {
+      source.addData(
+        KeyedEvent(1L, "a", ts("2024-01-01 10:00:00")),
+        KeyedEvent(1L, "a", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      assert(spark.table("ttl_test").count() == 0) // state alive, nothing emitted
+      // advance the watermark past key 1's 10:06 timeout
+      source.addData(KeyedEvent(2L, "b", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      source.addData(KeyedEvent(3L, "c", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val emitted = spark.table("ttl_test").as[FirstSeen].collect()
+        .map(f => f.key -> (f.firstTsMillis, f.nSeen)).toMap
+      assert(emitted.get(1L).contains(
+        (ts("2024-01-01 10:00:00").getTime, 2L)))
+      assert(!emitted.contains(3L)) // newest key's state still alive
+    } finally q.stop()
+  }
+}
