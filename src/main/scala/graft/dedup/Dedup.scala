@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecFunctions.vec_dot
 import graft.text.TextFunctions
 
 /** Deduplication operators for training-data pipelines: exact, blocked
@@ -114,8 +115,7 @@ object Dedup {
     val b = quantized.select(col("vec_id").as("vec_b"), col("q").as("qb"),
       col("norm2").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot",
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), _ + _))
+      .withColumn("dot", vec_dot(col("qa"), col("qb")))
       .withColumn("cos_x1e6",
         floor(lit(1000000.0) * col("dot") /
           sqrt((col("na") * col("nb")).cast("double"))).cast("long"))

@@ -43,31 +43,42 @@ object Permissions {
     * a pair is allowed iff some Allow statement matches both sides and no
     * Deny statement matches both sides (deny-overrides,
     * permission_relationships.py:221-252). Returns (principal_id,
-    * resource_id) edges. */
+    * resource_id) edges.
+    *
+    * Algorithm: each side gets a statement-match bitmask (one literal
+    * compiled regex per statement — codegen'd RLike), the ≤ 2^|stmts|
+    * distinct (p_mask, r_mask) combinations are decided once with pure bit
+    * arithmetic, and the allowed pairs expand through two broadcast hash
+    * joins. Zero shuffles, no DISTINCT pass, and the pair space is only
+    * materialized as the output itself. */
   def evaluate(principals: DataFrame, resources: DataFrame,
                statements: Seq[PolicyStatement]): DataFrame = {
-    val spark = principals.sparkSession
-    import spark.implicits._
-    val stmts = statements
-      .map(s => (s.stmtId, s.effect.toLowerCase,
-        wildcardToRegex(s.principalPattern), wildcardToRegex(s.resourcePattern)))
-      .toDF("stmt_id", "effect", "p_regex", "r_regex")
+    require(statements.size <= 62, "bitmask evaluation supports ≤62 statements")
+    val compiled = statements.zipWithIndex.map { case (s, i) =>
+      (i, s.effect.toLowerCase == "allow",
+        wildcardToRegex(s.principalPattern), wildcardToRegex(s.resourcePattern))
+    }
+    val allowBits = compiled.collect { case (i, true, _, _) => 1L << i }.sum
+    val denyBits = compiled.collect { case (i, false, _, _) => 1L << i }.sum
 
-    // statements are small: broadcast both halves of the match
-    // (rlike with a column-valued pattern requires the expr form)
-    val principalHits = principals.crossJoin(broadcast(stmts))
-      .filter(expr("name rlike p_regex"))
-      .select(col("id").as("principal_id"), col("stmt_id"), col("effect"))
-    val resourceHits = resources.crossJoin(broadcast(stmts))
-      .filter(expr("arn rlike r_regex"))
-      .select(col("id").as("resource_id"), col("stmt_id").as("r_stmt_id"))
+    def maskCol(target: Column, pat: (Int, Boolean, String, String) => String): Column =
+      compiled.map { c =>
+        when(target.rlike(pat.tupled(c)), lit(1L << c._1)).otherwise(lit(0L))
+      }.reduce(_ + _) // bits are disjoint → sum == bitwise or
 
-    val pairsFor = (eff: String) => principalHits.filter(col("effect") === eff)
-      .join(resourceHits, col("stmt_id") === col("r_stmt_id"))
+    val p = principals.select(col("id").as("principal_id"),
+      maskCol(col("name"), (_, _, pre, _) => pre).as("p_mask"))
+    val r = resources.select(col("id").as("resource_id"),
+      maskCol(col("arn"), (_, _, _, rre) => rre).as("r_mask"))
+
+    val shared = col("p_mask").bitwiseAND(col("r_mask"))
+    val decisions = p.select("p_mask").distinct()
+      .crossJoin(r.select("r_mask").distinct())
+      .filter(shared.bitwiseAND(lit(allowBits)) =!= 0L &&
+        shared.bitwiseAND(lit(denyBits)) === 0L)
+
+    val allowedPrincipals = p.join(broadcast(decisions), Seq("p_mask"))
+    r.join(broadcast(allowedPrincipals), Seq("r_mask"))
       .select(col("principal_id"), col("resource_id"))
-      .dropDuplicates("principal_id" :: "resource_id" :: Nil)
-
-    pairsFor("allow").join(pairsFor("deny"),
-      Seq("principal_id", "resource_id"), "left_anti")
   }
 }

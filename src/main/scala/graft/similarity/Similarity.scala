@@ -1,9 +1,10 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecFunctions.{vec_dot, vec_norm2}
 import graft.text.TextFunctions.Mix
 
 /** Similarity search over an embedding column (`array<float>`):
@@ -25,7 +26,7 @@ object Similarity {
     embeddings.select(
       col(idCol).cast("long").as("vec_id"),
       transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
-      .withColumn("norm2", aggregate(transform(col("q"), x => x * x), lit(0L), _ + _))
+      .withColumn("norm2", vec_norm2(col("q")))
 
   private def cosX1e6 = floor(lit(1000000.0) * col("dot") /
     sqrt((col("na") * col("nb")).cast("double"))).cast("long")
@@ -41,8 +42,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("qq"), col("qc"), (x, y) => x * y), lit(0L), _ + _))
+      .withColumn("dot", vec_dot(col("qq"), col("qc")))
       .withColumn("cos_x1e6", cosX1e6)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -51,15 +51,17 @@ object Similarity {
 
   /** 8-bit sign-LSH signature: bit j = sign of the projection of q onto a
     * deterministic ±1 hyperplane (w_ji = ±1 from bit 13 of
-    * (j*64+i)*Knuth). Integer arithmetic throughout. */
+    * (j*64+i)*Knuth). The hyperplanes are precomputed literal arrays, so
+    * each projection is one codegen'd vec_dot. */
   def signLsh(quantized: DataFrame, dims: Int = 64, bits: Int = 8): DataFrame = {
-    val proj = (j: Int) => aggregate(
-      zip_with(col("q"), sequence(lit(1), lit(dims)), (x, i) =>
-        when(shiftright((lit(j) * dims + i) * lit(Mix), 13)
-          .bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
-      lit(0L), _ + _)
+    val planes: Seq[Column] = (0 until bits).map { j =>
+      typedLit((1 to dims).map { i =>
+        if ((((j.toLong * dims + i) * Mix) >> 13 & 1L) == 1L) 1L else -1L
+      })
+    }
     val sig = (0 until bits).map(j =>
-      when(proj(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      when(vec_dot(col("q"), planes(j)) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
     quantized.withColumn("sig", sig)
   }
 
@@ -76,8 +78,7 @@ object Similarity {
       .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("qq"), col("qc"), (x, y) => x * y), lit(0L), _ + _))
+      .withColumn("dot", vec_dot(col("qq"), col("qc")))
       .withColumn("cos_x1e6", cosX1e6)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
