@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalysisQueries, CoreQueries, JoinQueries, LlmQueries, StreamQueries}
+import graft.queries.{AnalysisQueries, CoreQueries, FunctionQueries, JoinQueries, LlmQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
     (AnalysisQueries.queries, AnalysisQueries.oracles),
     (LlmQueries.queries, LlmQueries.oracles),
     (StreamQueries.queries, StreamQueries.oracles),
+    (FunctionQueries.queries, FunctionQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.StringFunctions
+import graft.similarity.Similarity
+
+/** Scalar-function / extra window / vector-aggregation battery
+  * (SURVEY §2.3 transforms, §2.6 windows; vector agg is an LLM-pipeline
+  * extension).
+  */
+object FunctionQueries {
+
+  /** ARN synthesis + parse-back + DNS normalization + composite ids
+    * (reference: resourcegroupstaggingapi.py:32-130, route53.py:44-240). */
+  def funcArnParse(spark: SparkSession, dir: String): DataFrame = {
+    val arn = concat(lit("arn:aws:compute:eu-1:acct"), col("p_partkey") % 5,
+      lit(":instance/i-"), col("p_partkey"))
+    Tables.part(spark, dir).select(
+      col("p_partkey").as("id"),
+      arn.as("arn"),
+      StringFunctions.arnService(arn).as("service"),
+      StringFunctions.arnAccount(arn).as("account"),
+      StringFunctions.arnResourceType(arn).as("resource_type"),
+      StringFunctions.arnShortId(arn).as("short_id"),
+      StringFunctions.normalizeDns(
+        concat(upper(col("p_name")), lit(".Example.COM."))).as("dns"),
+      StringFunctions.compositeId(col("p_brand"), col("p_type"),
+        col("p_partkey")).as("composite_id"))
+  }
+
+  /** Date/time casts (reference util.py:855-907, 1130-1174): epoch
+    * seconds, parts, formatted strings. */
+  def funcDateCasts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("id"),
+      StringFunctions.toEpoch(col("o_orderdate")).as("epoch_s"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"))
+
+  /** lag/lead/rank windows over the event stream (free in Spark; the
+    * reference has none — SURVEY §2.6). */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wVal = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("value"),
+      lag(col("value"), 1).over(wSeq).as("prev_value"),
+      lead(col("value"), 1).over(wSeq).as("next_value"),
+      rank().over(wVal).cast("long").as("value_rank"))
+  }
+
+  /** Corpus term statistics: term frequency + document frequency — the
+    * vocabulary profile a quality/dedup pipeline starts from. */
+  def textTermFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+
+  /** Per-label centroid of quantized embeddings, per dimension — the
+    * vector aggregation under IVF-style clustering. posexplode keeps the
+    * aggregation integer-exact and fully distributed. */
+  def embedLabelCentroid(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantized(Tables.embeddings(spark, dir))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "qx")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(floor(lit(1000000.0) * sum(col("qx")) / count(lit(1))).cast("long")
+        .as("centroid_x1e6"))
+      .select(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
+        col("centroid_x1e6"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "func_arn_parse" -> (funcArnParse _),
+    "func_date_casts" -> (funcDateCasts _),
+    "window_lag_lead" -> (windowLagLead _),
+    "text_term_freq" -> (textTermFreq _),
+    "embed_label_centroid" -> (embedLabelCentroid _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "func_arn_parse" ->
+      """WITH t AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type,
+        |    'arn:aws:compute:eu-1:acct' || CAST(p_partkey % 5 AS VARCHAR)
+        |      || ':instance/i-' || CAST(p_partkey AS VARCHAR) AS arn
+        |  FROM part)
+        |SELECT CAST(p_partkey AS BIGINT) AS id, arn,
+        |  string_split(arn, ':')[3] AS service,
+        |  string_split(arn, ':')[5] AS account,
+        |  regexp_extract(arn, '^arn:[^:]*:[^:]*:[^:]*:[^:]*:([^:/]+)[:/]', 1) AS resource_type,
+        |  CASE WHEN contains(string_split(arn, ':')[-1], '/')
+        |       THEN string_split(string_split(arn, ':')[-1], '/')[-1]
+        |       ELSE string_split(arn, ':')[-1] END AS short_id,
+        |  lower(regexp_replace(upper(p_name) || '.Example.COM.', '\.$', '')) AS dns,
+        |  p_brand || '/' || p_type || '/' || CAST(p_partkey AS VARCHAR) AS composite_id
+        |FROM t""".stripMargin,
+    "func_date_casts" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day_str
+        |FROM orders""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER ws AS prev_value,
+        |  lead(value, 1) OVER ws AS next_value,
+        |  CAST(rank() OVER wv AS BIGINT) AS value_rank
+        |FROM events
+        |WINDOW ws AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin,
+    "text_term_freq" ->
+      """SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+        |GROUP BY word""".stripMargin,
+    "embed_label_centroid" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) AS qx,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  CAST(floor(1000000.0 * sum(qx) / count(*)) AS BIGINT) AS centroid_x1e6
+        |FROM q GROUP BY label, dim""".stripMargin,
+  )
+}
