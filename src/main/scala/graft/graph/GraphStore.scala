@@ -119,4 +119,44 @@ object GraphStore {
                    side: String = SRC): DataFrame =
     edges.join(deletedNodeIds.select(col(ID).as(side)), Seq(side), "left_anti")
       .select(edges.columns.map(col).toSeq: _*)
+
+  /** Cleanup with child cascade (reference cleanupbuilder.py:309-334:
+    * `MATCH stale-scoped n CALL { OPTIONAL MATCH (n)-[:REL]->(child)
+    * WHERE child.lastupdated <> $TAG DETACH DELETE child } DETACH DELETE n`):
+    * delete stale parents in scope, and for each declared child edge
+    * table, delete the stale children they point at; both node deletions
+    * cascade into the edge table.
+    *
+    * Every step is an anti-/semi-join on ids — partition-prunable on the
+    * tenant scope, no iteration. */
+  def cleanupWithCascade(graph: Graph, label: String,
+                         childRels: Seq[(String, String, String)], tag: Long,
+                         scope: Column = lit(true)): Graph = {
+    val nodes = graph.nodeTable(label)
+    val staleParentIds = nodes.filter(col(LASTUPDATED) =!= lit(tag) && scope).select(col(ID))
+    var g = graph.withNodes(label, cleanup(nodes, tag, scope))
+    childRels.foreach { case key @ (src, rel, dst) =>
+      val parentIsSrc = src == label
+      val childLabel = if (parentIsSrc) dst else src
+      val parentSide = if (parentIsSrc) SRC else DST
+      val childSide = if (parentIsSrc) DST else SRC
+      val edges = graph.edgeTable(src, rel, dst)
+      // children referenced by a stale parent, themselves stale → deleted
+      val cascadeIds = edges
+        .join(staleParentIds.select(col(ID).as(parentSide)), Seq(parentSide), "left_semi")
+        .select(col(childSide).as(ID)).distinct()
+      val children = g.nodeTable(childLabel)
+      val survivors = children.filter(col(LASTUPDATED) === lit(tag)).unionByName(
+        children.filter(col(LASTUPDATED) =!= lit(tag))
+          .join(cascadeIds, Seq(ID), "left_anti"))
+      g = g.withNodes(childLabel, survivors)
+      // DETACH: drop edges touching any deleted endpoint
+      val deletedChildren = children.join(cascadeIds, Seq(ID), "left_semi")
+        .filter(col(LASTUPDATED) =!= lit(tag)).select(col(ID))
+      val prunedEdges = detachDelete(
+        detachDelete(edges, staleParentIds, parentSide), deletedChildren, childSide)
+      g = g.withEdges(key, prunedEdges)
+    }
+    g
+  }
 }

@@ -40,6 +40,15 @@ object Streaming {
       .agg(count(lit(1)).as("n_new"), max(col(tsCol)).as("new_checkpoint"))
   }
 
+  /** Streaming dedup: drop repeated keys with bounded state — the
+    * watermark expires dedup state for keys older than the delay, so state
+    * stays O(keys-per-window) instead of O(all keys ever). The streaming
+    * form of exact dedup for continuous ingest. */
+  def dedupByKey(events: DataFrame, eventTimeCol: String, watermark: String,
+                 keyCols: Seq[String]): DataFrame =
+    events.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keyCols :+ eventTimeCol)
+
   final case class KeyedEvent(key: Long, eventType: String, eventTime: java.sql.Timestamp)
   final case class FirstSeen(key: Long, firstTsMillis: Long, nSeen: Long)
 
