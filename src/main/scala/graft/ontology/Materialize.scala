@@ -1,0 +1,53 @@
+package graft.ontology
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.{Graph, GraphStore}
+
+/** Canonical-node materialization: project provider-specific node tables
+  * onto a cross-provider canonical entity, resolve collisions by provider
+  * priority, and link every canonical node back to its sources
+  * (reference: cartography/intel/ontology/users.py:19-65,
+  * utils.py:85-130, mapping specs models/ontology/mapping/specs.py:7-80).
+  */
+object Materialize {
+
+  /** One provider's contribution: its label, priority (lower wins field
+    * resolution), and a projection producing
+    * (id = canonical key, _src_id = provider node id, canonical fields...). */
+  final case class ProviderMapping(providerLabel: String, priority: Int,
+                                   project: DataFrame => DataFrame)
+
+  /** Union all provider projections, resolve each canonical id's fields
+    * from its highest-priority source ((priority, _src_id) order —
+    * deterministic), upsert the canonical node table, and upsert
+    * (canonical)-[:HAS_SOURCE]->(provider node) edges per provider. */
+  def materialize(graph: Graph, canonicalLabel: String,
+                  mappings: Seq[ProviderMapping], tag: Long): Graph = {
+    val projected = mappings.map { m =>
+      m.project(graph.nodeTable(m.providerLabel))
+        .withColumn("_ont_source", lit(m.providerLabel))
+        .withColumn("_priority", lit(m.priority))
+    }
+    val unioned = projected.reduce(_ unionByName (_, allowMissingColumns = true))
+    val w = Window.partitionBy(col("id")).orderBy(col("_priority"), col("_src_id"))
+    val winners = unioned
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "_priority", "_src_id")
+    val existing = graph.nodes.getOrElse(canonicalLabel, GraphStore.emptyLike(winners))
+    var g = graph.withNodes(canonicalLabel,
+      GraphStore.upsertNodes(existing, winners, tag))
+    mappings.foreach { m =>
+      val pairs = m.project(graph.nodeTable(m.providerLabel))
+        .select(col("id").as(GraphStore.SRC), col("_src_id").as(GraphStore.DST))
+      val key = (canonicalLabel, "HAS_SOURCE", m.providerLabel)
+      val ex = g.edges.getOrElse(key,
+        GraphStore.emptyLike(pairs, Seq(GraphStore.SRC, GraphStore.DST)))
+      g = g.withEdges(key, GraphStore.upsertEdges(ex, pairs, tag))
+    }
+    g
+  }
+}

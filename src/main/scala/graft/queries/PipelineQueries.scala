@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analysis._
+import graft.graph.{Graph, GraphLoader, GraphStore}
+import graft.ontology.Materialize
+import graft.ontology.Materialize.ProviderMapping
+import graft.rules.{Fact, Framework, Rule, RulesRunner}
+import graft.schema._
+
+/** Whole-pipeline composition queries: ontology materialization and an
+  * end-to-end sync (schema load → analysis effects → rules) driven through
+  * every layer of the engine in one gate entry.
+  */
+object PipelineQueries {
+
+  private val TAG = 5000L
+
+  /** Canonical-node materialization (intel/ontology/users.py analog):
+    * customers and suppliers project onto canonical Market nodes keyed by
+    * nation; the highest-priority source wins the display fields; every
+    * canonical node links back to its sources. Output: winners + source
+    * count. */
+  def ontologyMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    def nodes(df: DataFrame, id: String, cols: (String, String)*) = {
+      val b = df.select((col(id).as("id") +: cols.map { case (f, t) => col(f).as(t) }): _*)
+      GraphStore.upsertNodes(GraphStore.emptyLike(b), b, TAG)
+    }
+    val g0 = Graph()
+      .withNodes("Customer", nodes(Tables.customer(spark, dir), "c_custkey",
+        "c_name" -> "name", "c_nationkey" -> "nationkey"))
+      .withNodes("Supplier", nodes(Tables.supplier(spark, dir), "s_suppkey",
+        "s_name" -> "name", "s_nationkey" -> "nationkey"))
+    val g = Materialize.materialize(g0, "Market", Seq(
+      ProviderMapping("Customer", priority = 1, df => df.select(
+        col("nationkey").cast("long").as("id"), col("id").as("_src_id"),
+        col("name").as("display"))),
+      ProviderMapping("Supplier", priority = 2, df => df.select(
+        col("nationkey").cast("long").as("id"), col("id").as("_src_id"),
+        col("name").as("display")))), TAG)
+    val sources = g.edgeTable("Market", "HAS_SOURCE", "Customer")
+      .select(col("src_id")).unionByName(
+        g.edgeTable("Market", "HAS_SOURCE", "Supplier").select(col("src_id")))
+      .groupBy(col("src_id").as("id")).agg(count(lit(1)).as("n_sources"))
+    g.nodeTable("Market")
+      .join(sources, Seq("id"))
+      .select(col("id"), col("display"), col("_ont_source"), col("n_sources"))
+  }
+
+  /** End-to-end sync composition: tenant-scoped schema load → analysis
+    * effect flags exposed customers → rules framework emits findings —
+    * the full reference lifecycle (sync.py stages) in one plan. */
+  def e2eFullSync(spark: SparkSession, dir: String): DataFrame = {
+    // stage 1: load tenants + customers through the schema DSL
+    val tenants = Tables.nation(spark, dir).select(col("n_nationkey").cast("long").as("id"))
+    val g0 = Graph().withNodes("Nation",
+      GraphStore.upsertNodes(GraphStore.emptyLike(tenants), tenants, TAG))
+    val custSchema = NodeSchema(
+      label = "Customer",
+      id = Field("c_custkey"),
+      properties = Map("name" -> Field("c_name"), "acctbal" -> Field("c_acctbal")),
+      subResource = Some(SubResourceRel("Nation", "id", Derived(col("c_nationkey").cast("long")))))
+    val g1 = GraphLoader.load(g0, custSchema, Tables.customer(spark, dir), TAG)
+
+    // stage 2: analysis — flag customers with open urgent orders
+    val g2 = AnalysisRunner.run(g1, AnalysisJob(
+      "exposure",
+      pattern = _ => Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("id"), lit(true).as("exposed")),
+      effects = Seq(SetProperty("Customer", "exposed", "exposed"))), TAG)
+
+    // stage 3: rules over the derived graph
+    RulesRunner.run(spark, Framework("e2e", Seq(
+      Rule("exposure-risk", "Exposed with low balance", Seq(
+        Fact("exposed-low-balance", "Exposed customer below 1000", "Customer",
+          _ => g2.nodeTable("Customer")
+            .filter(col("exposed") === true && col("acctbal") < 1000.0)
+            .select(col("id").as("asset_id"))))))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ontology_materialize" -> (ontologyMaterialize _),
+    "e2e_full_sync" -> (e2eFullSync _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ontology_materialize" ->
+      """WITH src AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS id, 1 AS priority,
+        |         CAST(c_custkey AS BIGINT) AS sid, c_name AS display,
+        |         'Customer' AS _ont_source
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT), 2, CAST(s_suppkey AS BIGINT),
+        |         s_name, 'Supplier'
+        |  FROM supplier),
+        |win AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY priority, sid) AS rk
+        |  FROM src),
+        |counts AS (SELECT id, count(*) AS n_sources FROM src GROUP BY id)
+        |SELECT w.id, w.display, w._ont_source, c.n_sources
+        |FROM win w JOIN counts c ON w.id = c.id WHERE w.rk = 1""".stripMargin,
+    "e2e_full_sync" ->
+      """SELECT 'e2e' AS framework_id, 'exposure-risk' AS rule_id,
+        |  'exposed-low-balance' AS fact_id, 'Customer' AS asset_label,
+        |  CAST(c_custkey AS VARCHAR) AS asset_id, NULL AS detail
+        |FROM customer
+        |WHERE c_acctbal < 1000.0 AND EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderstatus = 'O' AND o_orderpriority = '1-URGENT')""".stripMargin,
+  )
+}
