@@ -53,4 +53,31 @@ object RulesRunner {
   def counts(findings: DataFrame): DataFrame =
     findings.groupBy(col("framework_id"), col("rule_id"), col("fact_id"))
       .agg(count(lit(1)).as("n_findings"))
+
+  private val Reserved = Set("framework_id", "rule_id", "fact_id", "asset_label")
+
+  /** Static fact validation (reference model.py:32-123 parses the final
+    * RETURN projection and checks aliases against reserved fields; here
+    * Catalyst's analyzed schema gives the projection for free). Returns
+    * one error string per violation; empty = valid. */
+  def validate(spark: SparkSession, framework: Framework): Seq[String] =
+    for {
+      rule <- framework.rules
+      fact <- rule.facts
+      err <- {
+        val cols =
+          try Right(fact.query(spark).schema.fieldNames.toSeq)
+          catch { case e: Throwable => Left(s"analysis failed: ${e.getMessage}") }
+        cols match {
+          case Left(msg) => Seq(s"${fact.factId}: $msg")
+          case Right(names) =>
+            val missing =
+              if (names.contains("asset_id")) Nil
+              else Seq(s"${fact.factId}: query must project an asset_id column")
+            val reserved = names.filter(Reserved)
+              .map(n => s"${fact.factId}: projection uses reserved column '$n'")
+            missing ++ reserved
+        }
+      }
+    } yield err
 }

@@ -77,6 +77,21 @@ object Resilience {
     (out.result(), more)
   }
 
+  /** Distributed fan-out fetch: one fetch per work item, executed inside
+    * `mapPartitions` with the retry wrapper — the Spark form of the
+    * reference's asyncio/thread-pool extraction (SURVEY §2.1:
+    * ecr_image_layers.py aioboto3 fan-out, GCP ThreadPoolExecutor).
+    * Parallelism = partition count of the work-item Dataset; repartition
+    * it to bound concurrent connections against the upstream API. */
+  def fetchDistributed[I, O : org.apache.spark.sql.Encoder](
+      items: org.apache.spark.sql.Dataset[I], maxAttempts: Int = 5,
+      baseDelayMs: Long = 100)(fetch: I => Seq[O]): org.apache.spark.sql.Dataset[O] =
+    items.mapPartitions { it =>
+      it.flatMap { i =>
+        retryWithBackoff(maxAttempts, baseDelayMs)(() => fetch(i))
+      }
+    }
+
   /** Lift driver-fetched records into a DataFrame — the boundary where
     * connector output enters the distributed plan. For high-volume APIs
     * the fetch itself moves into `mapPartitions` over a work-item
