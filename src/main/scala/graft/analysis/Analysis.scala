@@ -50,6 +50,17 @@ object AnalysisRunner {
     job.effects.foldLeft(graph)((g, e) => applyEffect(g, matched, e, tag))
   }
 
+  /** Auto-generated cleanup for derived edges: every AddRelationship
+    * effect declares its cleanup — stale rows (lastupdated <> tag) of the
+    * derived edge table are deleted after the run (reference:
+    * analysisbuilder.py:80-166, 385-490). */
+  def cleanupDerived(graph: Graph, job: AnalysisJob, tag: Long): Graph =
+    job.effects.foldLeft(graph) {
+      case (g, AddRelationship(s, r, d, _, _, _)) if g.edges.contains((s, r, d)) =>
+        g.withEdges((s, r, d), GraphStore.cleanup(g.edgeTable(s, r, d), tag))
+      case (g, _) => g
+    }
+
   private def applyEffect(g: Graph, matched: DataFrame, effect: Effect, tag: Long): Graph =
     effect match {
       case SetProperty(label, prop, valueCol) =>
@@ -88,7 +99,9 @@ object AnalysisRunner {
           (col(srcCol).as(SRC) +: col(dstCol).as(DST) +: propCols.map(col)): _*)
           .dropDuplicates(SRC :: DST :: Nil)
         val key = (srcLabel, relLabel, dstLabel)
-        val existing = g.edges.getOrElse(key, GraphStore.emptyLike(batch, Seq(SRC, DST)))
-        g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag))
+        g.edges.get(key) match {
+          case Some(existing) => g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag))
+          case None => g.withEdges(key, GraphStore.initialLoad(batch, Seq(SRC, DST), tag))
+        }
     }
 }

@@ -36,4 +36,20 @@ object Drift {
     n.exceptAll(o).withColumn("direction", lit("added"))
       .unionByName(o.exceptAll(n).withColumn("direction", lit("removed")))
   }
+
+  /** Persist a named snapshot (the reference's JSON state files,
+    * get_states.py:111-141 — parquet here; the canonical string form
+    * makes snapshots schema-stable across engine versions). */
+  def saveState(df: DataFrame, stateDir: String, name: String): Unit =
+    canonicalize(df).write.mode("overwrite").parquet(s"$stateDir/$name")
+
+  def loadState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+                name: String): DataFrame =
+    spark.read.parquet(s"$stateDir/$name")
+
+  /** Diff two persisted snapshots of the same query (detect_deviations
+    * CLI path). */
+  def diffStates(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+                 olderName: String, newerName: String): DataFrame =
+    diff(loadState(spark, stateDir, olderName), loadState(spark, stateDir, newerName))
 }

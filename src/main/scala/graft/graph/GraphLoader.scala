@@ -55,8 +55,11 @@ object GraphLoader {
     * build only; querybuilder.py:866-867, 960-963). */
   def load(graph: Graph, schema: NodeSchema, batch: DataFrame, tag: Long): Graph = {
     val projected = projectBatch(schema, batch)
-    val existing = graph.nodes.getOrElse(schema.label, GraphStore.emptyLike(projected))
-    var g = graph.withNodes(schema.label, GraphStore.upsertNodes(existing, projected, tag))
+    val merged = graph.nodes.get(schema.label) match {
+      case Some(existing) => GraphStore.upsertNodes(existing, projected, tag)
+      case None => GraphStore.initialLoad(projected, Seq(GraphStore.ID), tag)
+    }
+    var g = graph.withNodes(schema.label, merged)
 
     schema.subResource.foreach { sub =>
       val pairs = batch.select(schema.id.toCol.as(SRC), sub.sourceRef.toCol.as("_ref"))
@@ -111,10 +114,11 @@ object GraphLoader {
   }
 
   private def upsertEdgeBatch(g: Graph, key: (String, String, String),
-                              batch: DataFrame, tag: Long): Graph = {
-    val existing = g.edges.getOrElse(key, GraphStore.emptyLike(batch, Seq(SRC, DST)))
-    g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag))
-  }
+                              batch: DataFrame, tag: Long): Graph =
+    g.edges.get(key) match {
+      case Some(existing) => g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag))
+      case None => g.withEdges(key, GraphStore.initialLoad(batch, Seq(SRC, DST), tag))
+    }
 
   /** MatchLink: create edges between two sets of already-loaded nodes from
     * a DataFrame of (src ref, dst ref [, props]) pairs — both endpoints

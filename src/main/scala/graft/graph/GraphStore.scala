@@ -78,6 +78,18 @@ object GraphStore {
   def upsertEdges(existing: DataFrame, batch: DataFrame, tag: Long): DataFrame =
     merge(existing, batch, Seq(SRC, DST), tag)
 
+  /** First-load fast path: merging into a table known to be empty is just
+    * key-dedup + system-column stamping — no full-outer join, no shuffle
+    * of an empty side. Semantically identical to `merge(emptyLike(batch),
+    * batch, keys, tag)` (last duplicate wins either way is undefined in
+    * the reference too; we keep an arbitrary-but-deterministic first). */
+  def initialLoad(batch: DataFrame, keys: Seq[String], tag: Long): DataFrame = {
+    val props = batch.columns.filterNot(c => keys.contains(c) || SYS(c)).toSeq
+    batch.dropDuplicates(keys)
+      .select(keys.map(col) ++
+        Seq(lit(tag).as(FIRSTSEEN), lit(tag).as(LASTUPDATED)) ++ props.map(col): _*)
+  }
+
   /** Bootstrap an empty node/edge table with the batch's prop schema. */
   def emptyLike(batch: DataFrame, keys: Seq[String] = Seq(ID)): DataFrame = {
     val withSys = batch

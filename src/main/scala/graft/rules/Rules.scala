@@ -21,11 +21,33 @@ final case class Fact(
     // query returns one row per finding with an `asset_id` column (+detail)
     query: SparkSession => DataFrame)
 
+object Fact {
+  /** SQL-text fact over the registered graph views — the closest analog
+    * of the reference's `cypher_query` strings (model.py:125-236): the
+    * fact is data, not code, and Catalyst analysis validates it.
+    * Register views first with [[RulesRunner.registerGraphViews]]. */
+  def sql(factId: String, name: String, assetLabel: String, sqlText: String): Fact =
+    Fact(factId, name, assetLabel, s => s.sql(sqlText))
+}
+
 final case class Rule(ruleId: String, name: String, facts: Seq[Fact])
 
 final case class Framework(frameworkId: String, rules: Seq[Rule])
 
 object RulesRunner {
+
+  /** Expose the graph as SQL views: `node_<Label>` and
+    * `edge_<Src>_<Rel>_<Dst>` — the query surface the reference gets from
+    * Neo4j labels (SURVEY §2.9 "Facts become Spark SQL views over
+    * node/edge tables"). */
+  def registerGraphViews(graph: graft.graph.Graph): Unit = {
+    graph.nodes.foreach { case (label, df) =>
+      df.createOrReplaceTempView(s"node_$label")
+    }
+    graph.edges.foreach { case ((s, r, d), df) =>
+      df.createOrReplaceTempView(s"edge_${s}_${r}_$d")
+    }
+  }
 
   /** Execute every fact of the framework → unioned findings dataset with
     * columns (framework_id, rule_id, fact_id, asset_label, asset_id,

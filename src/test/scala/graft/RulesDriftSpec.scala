@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.{AddRelationship, AnalysisJob, AnalysisRunner}
+import graft.drift.Drift
+import graft.graph.{Graph, GraphStore}
+import graft.rules.{Fact, Framework, Rule, RulesRunner}
+
+class RulesDriftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("SQL-text facts run over registered graph views") {
+    val nodes = Seq((1L, 50.0), (2L, -10.0)).toDF("id", "bal")
+    val g = Graph().withNodes("Cust",
+      GraphStore.initialLoad(nodes, Seq("id"), 100L))
+    RulesRunner.registerGraphViews(g)
+    val fw = Framework("f", Seq(Rule("r", "r", Seq(
+      Fact.sql("neg-bal", "negative balance", "Cust",
+        "SELECT id AS asset_id FROM node_Cust WHERE bal < 0")))))
+    assert(RulesRunner.validate(spark, fw).isEmpty)
+    val findings = RulesRunner.run(spark, fw)
+      .select($"fact_id", $"asset_id").as[(String, String)].collect().toSet
+    assert(findings == Set(("neg-bal", "2")))
+  }
+
+  test("drift states persist to parquet and diff across runs") {
+    val dir = Files.createTempDirectory("drift").toString
+    Drift.saveState(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, "q1_run1")
+    Drift.saveState(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), dir, "q1_run2")
+    val got = Drift.diffStates(spark, dir, "q1_run1", "q1_run2")
+      .select($"id", $"direction").as[(String, String)].collect().toSet
+    assert(got == Set(("3", "added"), ("1", "removed")))
+  }
+
+  test("derived-edge cleanup deletes edges the latest analysis run did not re-derive") {
+    val g0 = Graph()
+    val job1 = AnalysisJob("derive",
+      pattern = _ => Seq((1L, 10L), (2L, 20L)).toDF("s", "d"),
+      effects = Seq(AddRelationship("A", "REL", "B", "s", "d")))
+    val g1 = AnalysisRunner.run(g0, job1, 100L)
+    val job2 = job1.copy(pattern = _ => Seq((1L, 10L)).toDF("s", "d"))
+    val g2 = AnalysisRunner.cleanupDerived(AnalysisRunner.run(g1, job2, 200L), job2, 200L)
+    val edges = g2.edgeTable("A", "REL", "B")
+      .select($"src_id", $"dst_id").as[(Long, Long)].collect().toSet
+    assert(edges == Set((1L, 10L)))
+  }
+
+  test("initialLoad fast path matches merge-into-empty semantics") {
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val fast = GraphStore.initialLoad(batch, Seq("id"), 100L)
+    val slow = GraphStore.upsertNodes(GraphStore.emptyLike(batch), batch, 100L)
+    assert(fast.columns.toSeq == slow.columns.toSeq)
+    assert(fast.collect().toSet == slow.collect().toSet)
+  }
+}
