@@ -1,0 +1,71 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable graph tables: one partitioned parquet table per label under a
+  * store directory, synced incrementally.
+  *
+  * This is the at-rest shape the in-memory [[Graph]] flows into at 100 TB:
+  * node tables partitioned by the tenant column (the sub-resource scope),
+  * so that
+  *   - a sync of one tenant merges against ONLY that tenant's partitions
+  *     (partition pruning on read), and
+  *   - the write rewrites ONLY the touched partitions
+  *     (`spark.sql.sources.partitionOverwriteMode=dynamic`) — a 1000-tenant
+  *     store syncing one tenant touches 1/1000th of the files.
+  * Cleanup is the same stale-tag filter, applied within the synced
+  * partitions during the rewrite — no separate delete pass at all.
+  *
+  * On Delta the same operator is `MERGE INTO ... WHEN NOT MATCHED BY
+  * SOURCE AND t.tenant = :id THEN DELETE`; this is the plain-parquet
+  * equivalent with identical semantics.
+  */
+class PersistentGraph(spark: SparkSession, storeDir: String) {
+
+  private def path(label: String): String = s"$storeDir/nodes_$label"
+
+  def exists(label: String): Boolean =
+    new java.io.File(path(label)).exists()
+
+  def readNodes(label: String): DataFrame = spark.read.parquet(path(label))
+
+  /** Sync one tenant's batch into the label's table:
+    * read only the tenant's partitions → merge (firstseen/lastupdated/
+    * null-overwrite semantics) → stale-tag cleanup → dynamic-overwrite the
+    * touched partitions. Batch rows must all belong to `tenantValue`. */
+  def syncTenant(label: String, tenantCol: String, tenantValue: String,
+                 batch: DataFrame, tag: Long): Unit = {
+    val withTenant = batch.withColumn(tenantCol, lit(tenantValue))
+    val merged =
+      if (!exists(label)) GraphStore.initialLoad(withTenant, Seq(GraphStore.ID), tag)
+      else {
+        val current = readNodes(label).filter(col(tenantCol) === tenantValue)
+        GraphStore.cleanup(
+          GraphStore.merge(current, withTenant, Seq(GraphStore.ID), tag), tag)
+      }
+    val ordered = merged.select(
+      (merged.columns.filterNot(_ == tenantCol).map(col) :+ col(tenantCol)).toSeq: _*)
+    val writer = ordered.write.mode("overwrite").partitionBy(tenantCol)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer.parquet(path(label))
+  }
+}
+
+/** Skew handling for joins whose key distribution is pathological (one
+  * tenant owning half the assets): salt the skewed side into `salt`
+  * sub-keys and explode the build side across them, restoring uniform
+  * partition sizes. AQE's skew-join handles moderate cases at runtime;
+  * salting is the explicit fix when a single key exceeds one executor.
+  */
+object Skew {
+  /** Inner equi-join `left.key = right.key` with the left side salted. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val explodedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(explodedRight, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{PersistentGraph, Skew}
+
+class PersistentGraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("tenant sync merges, cleans stale rows, and rewrites only the touched partition") {
+    val dir = Files.createTempDirectory("store").toString
+    val store = new PersistentGraph(spark, dir)
+
+    // epoch 1: two tenants
+    store.syncTenant("Asset", "tenant", "t1",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), 100L)
+    store.syncTenant("Asset", "tenant", "t2",
+      Seq((3L, "c")).toDF("id", "name"), 100L)
+    assert(store.readNodes("Asset").count() == 3)
+
+    val t2FileBefore = new java.io.File(s"$dir/nodes_Asset/tenant=t2")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified()).max
+
+    // epoch 2: tenant t1 re-syncs without id=2 → stale-cleaned; t2 untouched
+    store.syncTenant("Asset", "tenant", "t1",
+      Seq((1L, "a2")).toDF("id", "name"), 200L)
+
+    val rows = store.readNodes("Asset")
+      .select($"id", $"name", $"firstseen", $"lastupdated", $"tenant")
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    assert(rows == Set(
+      (1L, "a2", 100L, 200L, "t1"), // merged: firstseen kept, prop updated
+      (3L, "c", 100L, 100L, "t2"))) // other tenant untouched
+    val t2FileAfter = new java.io.File(s"$dir/nodes_Asset/tenant=t2")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified()).max
+    assert(t2FileAfter == t2FileBefore) // dynamic overwrite left t2's files alone
+  }
+
+  test("salted join returns the same pairs as a plain join") {
+    val left = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "lv")
+    val right = Seq((1L, "r1"), (2L, "r2")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select($"lv", $"rv")
+      .as[(String, String)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", salt = 4).select($"lv", $"rv")
+      .as[(String, String)].collect().toSet
+    assert(salted == plain)
+  }
+}
