@@ -104,6 +104,39 @@ object Dedup {
         col("a.simhash").as("simhash"))
   }
 
+  /** SimHash near-dup pairs within hamming distance k: split the 16-bit
+    * sketch into k+1 chunks — any pair within distance k shares at least
+    * one exact chunk (pigeonhole), so candidates come from k+1 chunk-value
+    * equi-joins, then `bit_count(xor) <= k` verifies. No n² pair space;
+    * the standard scale path for hamming-radius search. */
+  def simhashPairsWithin(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1 && k <= 3, "chunking tuned for 16-bit sketches, k in 1..3")
+    val dict = TextFunctions.dictionary(docs, textCol)
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .join(broadcast(dict), "word")
+      .groupBy(col("doc_id"), col("wid"))
+      .agg(count(lit(1)).as("tf"))
+    val sh = TextFunctions.simhash16(tf)
+    val chunks = TextFunctions.chunkBounds(16, k + 1)
+    val buckets = sh.select(col("doc_id"), col("simhash"),
+      explode(array(chunks.zipWithIndex.map { case ((lo, width), i) =>
+        struct(lit(i).as("ci"),
+          shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("cv"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.ci"), col("b.cv"))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      .dropDuplicates("doc_a" :: "doc_b" :: Nil)
+      .filter(col("hamming") <= k)
+  }
+
   /** Embedding-cosine near-dup pairs over quantized vectors (see
     * [[graft.similarity.Similarity.quantized]]): all pairs ≥ minCosX1e6.
     * Quantization makes every dot product exact integer math. For corpora

@@ -64,6 +64,9 @@ object LlmQueries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  def dedupSimhashHamming(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsWithin(Tables.documents(spark, dir), "doc_id", "text", k = 2)
+
   def dedupCosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDup(
       Similarity.quantized(Tables.embeddings(spark, dir)), minCosX1e6 = 350000L)
@@ -78,6 +81,11 @@ object LlmQueries {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val q = Similarity.quantized(Tables.embeddings(spark, dir))
     Similarity.lshTopK(q.filter(col("vec_id") < 10), q, k = 3)
+  }
+
+  def simAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantized(Tables.embeddings(spark, dir))
+    Similarity.lshTopKMultiProbe(q.filter(col("vec_id") < 10), q, k = 3)
   }
 
   // ---- multimodal ----
@@ -95,9 +103,11 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_hamming" -> (dedupSimhashHamming _),
     "dedup_cosine_neardup" -> (dedupCosineNearDup _),
     "sim_bruteforce_topk" -> (simBruteForceTopK _),
     "sim_ann_lsh" -> (simAnnLsh _),
+    "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "multimodal_decode" -> (multimodalDecode _),
   )
 
@@ -259,6 +269,34 @@ object LlmQueries {
          |sig AS (SELECT doc_id, CAST($simhashSig AS BIGINT) AS simhash FROM bits)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
          |FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_simhash_hamming" ->
+      s"""WITH $TextCtes,
+         |tf AS (SELECT doc_id, wid, count(*) AS tf FROM seq GROUP BY doc_id, wid),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM tf GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($simhashSig AS BIGINT) AS simhash FROM bits)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+    "sim_ann_multiprobe" ->
+      s"""WITH $QuantCte,
+         |$LshSigCte,
+         |qs AS (SELECT q.vec_id, q.q, q.norm2, s.sig FROM qn q JOIN sigs s USING(vec_id)),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 * $pairDot /
+         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |  FROM qs a JOIN qs b
+         |    ON bit_count(xor(a.sig, b.sig)) <= 1
+         |   AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
     "dedup_cosine_neardup" ->
       s"""WITH $QuantCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -24,6 +24,16 @@ object StreamQueries {
       .select(col("src").as("node"), col("dst").as("ancestor"))
   }
 
+  /** Bounded-depth reachability (the Cypher `*1..2` form): frontier
+    * expansion, no closure materialization. */
+  def fixpointReach2(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.customer(spark, dir)
+      .filter(col("c_custkey") >= 1)
+      .select(col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+    Fixpoint.reachWithin(edges, 2)
+      .select(col("src").as("node"), col("dst").as("ancestor"))
+  }
+
   /** True Structured Streaming run inside the gate: the events parquet is
     * replayed through readStream → watermark → 1h tumbling window → memory
     * sink, synchronously drained. Results must equal the batch tumbling
@@ -72,6 +82,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fixpoint_ancestors" -> (fixpointAncestors _),
+    "fixpoint_reach2" -> (fixpointReach2 _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "source_json_events" -> (sourceJsonEvents _),
@@ -86,6 +97,13 @@ object StreamQueries {
         |  UNION
         |  SELECT node, ancestor // 2 FROM anc WHERE ancestor >= 1)
         |SELECT node, ancestor FROM anc""".stripMargin,
+    "fixpoint_reach2" ->
+      """WITH e AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS s, CAST(c_custkey // 2 AS BIGINT) AS d
+        |  FROM customer WHERE c_custkey >= 1)
+        |SELECT s AS node, d AS ancestor FROM e
+        |UNION
+        |SELECT a.s, b.d FROM e a JOIN e b ON a.d = b.s""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,

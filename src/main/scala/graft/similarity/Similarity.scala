@@ -65,6 +65,32 @@ object Similarity {
     quantized.withColumn("sig", sig)
   }
 
+  /** Multi-probe LSH top-k: each query probes its own bucket plus every
+    * 1-bit-flip neighbor bucket (9 probes for 8 bits) — recall rises
+    * sharply for a 9× candidate cost that is still nowhere near the
+    * brute-force n². Probes explode on the (small, broadcast) query side;
+    * the corpus is scanned once. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                        bits: Int = 8): DataFrame = {
+    val q0 = signLsh(queries, bits = bits)
+    val probes = q0.select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("na"),
+        explode(array((lit(0L) +: (0 until bits).map(j => lit(1L << j))).map(m =>
+          col("sig").bitwiseXOR(m)): _*)).as("sig"))
+    val c = signLsh(corpus, bits = bits).select(col("vec_id").as("neighbor_id"),
+      col("q").as("qc"), col("norm2").as("nb"), col("sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    c.join(broadcast(probes), Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id" :: "neighbor_id" :: Nil)
+      .withColumn("dot", vec_dot(col("qq"), col("qc")))
+      .withColumn("cos_x1e6", cosX1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (an equi-join on the signature — no cross product), then exact rank
     * within the bucket. Recall trades off against bucket count; multi-probe

@@ -65,6 +65,15 @@ object TextFunctions {
       array_min(transform(shingles, s => (lit(a) * s + lit(b)) % lit(P))).as(s"h$j")
     }
 
+  /** Even-ish chunking of `bits` into `n` (lo, width) pieces — pigeonhole
+    * buckets for hamming-radius candidate generation. */
+  def chunkBounds(bits: Int, n: Int): Seq[(Int, Int)] = {
+    val base = bits / n
+    val extra = bits % n
+    val widths = (0 until n).map(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (lo, w) => (lo, w) }
+  }
+
   /** Term-frequency-weighted 16-bit SimHash from (doc_id, wid, tf) rows:
     * bit k of hash(wid) contributes +tf / -tf; sign of the per-bit sum sets
     * the output bit. Pure integer math, one aggregation. */
