@@ -100,11 +100,16 @@ object CoreQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"),
+        // exact integer arithmetic end-to-end: quantize each factor to a
+        // BIGINT (x1e4), multiply, sum — a decimal→double cast of the
+        // TOTAL would double-round once the scaled value exceeds 2^53
+        // (DuckDB's int128 conversion disagrees with the correctly-rounded
+        // BigDecimal cast; bit us at sf0.1)
+        sum((col("l_extendedprice").cast("decimal(18,4)") * lit(10000)).cast("long") *
+          (lit(10000L) - (col("l_discount").cast("decimal(18,4)") * lit(10000)).cast("long")))
+          .as("revenue_x1e8"),
         count(lit(1)).as("n_items"))
-      .select(col("r_name").as("region"), col("revenue"), col("n_items"))
+      .select(col("r_name").as("region"), col("revenue_x1e8"), col("n_items"))
   }
 
   /** Rules-engine Fact analog ("node lacking required edge", like
@@ -183,8 +188,8 @@ object CoreQueries {
         |FROM events GROUP BY user_id, event_type""".stripMargin,
     "core_multihop_revenue" ->
       """SELECT r_name AS region,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) *
+        |      (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS revenue_x1e8,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
