@@ -51,4 +51,19 @@ object SyncRunner {
   def run(graph: Graph, spark: SparkSession, modules: Seq[(IntelModule, String)],
           tag: Long): Graph =
     modules.foldLeft(graph) { case (g, (m, source)) => m.sync(g, spark, source, tag) }
+
+  /** Best-effort variant (reference: per-account isolation,
+    * cartography/intel/aws/__init__.py:649-670): a failing module keeps
+    * the graph state from before it ran and is reported; the remaining
+    * modules still sync. Cleanup for a failed module never runs, so its
+    * entities are not falsely expired (the reference aborts the stage for
+    * the same reason — partial syncs must not trigger cleanup). */
+  def runBestEffort(graph: Graph, spark: SparkSession,
+                    modules: Seq[(IntelModule, String)],
+                    tag: Long): (Graph, Seq[(String, Throwable)]) =
+    modules.foldLeft((graph, Seq.empty[(String, Throwable)])) {
+      case ((g, failures), (m, source)) =>
+        try (m.sync(g, spark, source, tag), failures)
+        catch { case scala.util.control.NonFatal(e) => (g, failures :+ (m.name -> e)) }
+    }
 }

@@ -80,6 +80,20 @@ class IntelModuleSpec extends AnyFunSuite {
     assert(attached == Set(("eni-1", "i-aa"), ("eni-2", "i-aa"), ("eni-3", "i-bb")))
   }
 
+  test("best-effort sync isolates a failing module and suppresses its cleanup") {
+    val g0 = Graph().withNodes("Account", accountNodes)
+    val broken = new graft.intel.IntelModule {
+      val name = "broken"
+      val labels = Seq("Instance")
+      def extract(s: SparkSession, src: String) = s.read.json("/nonexistent/path")
+      def transform(raw: org.apache.spark.sql.DataFrame) = Seq.empty
+    }
+    val (g, failures) = graft.intel.SyncRunner.runBestEffort(g0, spark,
+      Seq(broken -> "ignored", graft.intel.ComputeInstances -> epoch1), tag = 200L)
+    assert(failures.map(_._1) == Seq("broken"))
+    assert(g.nodeTable("Instance").count() == 3) // later module still synced
+  }
+
   test("re-sync with shrunken feed cleans up the stale instance") {
     val g1 = ComputeInstances.sync(Graph().withNodes("Account", accountNodes),
       spark, epoch1, tag = 200L)
