@@ -80,7 +80,19 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Session windows (30-min inactivity gap) per user — the sessionization
+    * operator a behavioral/training pipeline needs; `session_window` works
+    * in batch and streaming alike. Oracle: gaps-and-islands SQL. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_window_agg" -> (sessionWindowAgg _),
     "fixpoint_ancestors" -> (fixpointAncestors _),
     "fixpoint_reach2" -> (fixpointReach2 _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
@@ -89,6 +101,23 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "session_window_agg" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM islands GROUP BY user_id, session_id""".stripMargin,
     "fixpoint_ancestors" ->
       """WITH RECURSIVE anc AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS node,
