@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom smoke: runs the heaviest LLM-pipeline operators on
+  * synthetically multiplied corpora (id-offset self-unions of the sf0.1
+  * tables) to observe how the candidate-generation designs behave one
+  * and two orders of magnitude past the bench scale. Prints one JSON
+  * line per (operator, multiplier) with rows and seconds.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def multiply(df: DataFrame, idCol: String, m: Int): DataFrame = {
+      val n = 10000000L
+      (0 until m).map(i => df.withColumn(idCol, col(idCol) + lit(i * n)))
+        .reduce(_ unionByName _)
+    }
+
+    def time(name: String, m: Int)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","mult":$m,"rows":$rows,"sec":$s%.2f}""")
+    }
+
+    mults.foreach { m =>
+      val docs = multiply(Tables.documents(spark, sfDir), "doc_id", m)
+      val embs = multiply(Tables.embeddings(spark, sfDir), "vec_id", m)
+      time("minhash_lsh", m) {
+        dedup.Dedup.minhashLsh(
+          dedup.Dedup.shingleTable(docs, "doc_id", "text"), 800000L).count()
+      }
+      time("cosine_neardup", m) {
+        dedup.Dedup.cosineNearDup(similarity.Similarity.quantized(embs), 350000L).count()
+      }
+      time("ann_multiprobe", m) {
+        val q = similarity.Similarity.quantized(embs)
+        similarity.Similarity.lshTopKMultiProbe(q.filter(col("vec_id") < 10), q, 3).count()
+      }
+    }
+    spark.stop()
+  }
+}
