@@ -35,13 +35,31 @@ trait IntelModule {
     cleanup(loaded, tag)
   }
 
-  /** Cleanup: default = stale-tag delete on every label this module loads
-    * (subclasses narrow the scope to their tenant). */
+  /** Cleanup: stale-tag delete on every label this module loads, stale-tag
+    * delete on every edge table touching those labels, and DETACH of edges
+    * pointing at deleted nodes (subclasses narrow the scope to their
+    * tenant). Mirrors the reference's scoped node + rel cleanup pair
+    * (cleanupbuilder.py:244-383). */
   def labels: Seq[String]
-  def cleanup(graph: Graph, tag: Long): Graph =
-    labels.foldLeft(graph) { (g, label) =>
+  def cleanup(graph: Graph, tag: Long): Graph = {
+    val afterNodes = labels.foldLeft(graph) { (g, label) =>
       g.withNodes(label, GraphStore.cleanup(g.nodeTable(label), tag))
     }
+    labels.foldLeft(afterNodes) { (g, label) =>
+      val deleted = graph.nodeTable(label)
+        .filter(org.apache.spark.sql.functions.col(GraphStore.LASTUPDATED) =!= tag)
+        .select(col(GraphStore.ID))
+      g.edges.foldLeft(g) {
+        case (acc, (key @ (src, _, dst), edges)) if src == label || dst == label =>
+          val staleCleaned = GraphStore.cleanup(edges, tag)
+          val detached =
+            if (src == label) GraphStore.detachDelete(staleCleaned, deleted, GraphStore.SRC)
+            else GraphStore.detachDelete(staleCleaned, deleted, GraphStore.DST)
+          acc.withEdges(key, detached)
+        case (acc, _) => acc
+      }
+    }
+  }
 }
 
 /** Registry + serial runner — the reference's sync-stage loop

@@ -82,9 +82,37 @@ object PipelineQueries {
             .select(col("id").as("asset_id"))))))))
   }
 
+  /** Motif path matching (analysis/aws/analysis.py:10-29 pattern):
+    * Customer -[BUYS_FROM]-> Supplier -[LOCATED_IN]-> Nation, as a
+    * declarative 2-hop chain, aggregated to distinct buyers per nation. */
+  def motifTwoHop(spark: SparkSession, dir: String): DataFrame = {
+    val buys = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src_id"), col("l_suppkey").as("dst_id"))
+      .dropDuplicates("src_id" :: "dst_id" :: Nil)
+    val located = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("src_id"), col("s_nationkey").cast("long").as("dst_id"))
+    val nationNodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+    val g = Graph()
+      .withNodes("Nation", GraphStore.initialLoad(nationNodes, Seq("id"), TAG))
+      .withEdges(("Customer", "BUYS_FROM", "Supplier"),
+        GraphStore.initialLoad(buys, Seq("src_id", "dst_id"), TAG))
+      .withEdges(("Supplier", "LOCATED_IN", "Nation"),
+        GraphStore.initialLoad(located, Seq("src_id", "dst_id"), TAG))
+    val matched = graft.graph.Motif.path(g, Seq(
+      ("Customer", "BUYS_FROM", "Supplier"),
+      ("Supplier", "LOCATED_IN", "Nation")))
+    graft.graph.Motif.withNodeProps(g, matched, "n2", "Nation", "name" -> "nation_name")
+      .groupBy(col("n2").as("nation_id"), col("nation_name"))
+      .agg(countDistinct(col("n0")).as("n_buyers"),
+        count(lit(1)).as("n_paths"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ontology_materialize" -> (ontologyMaterialize _),
     "e2e_full_sync" -> (e2eFullSync _),
+    "motif_two_hop" -> (motifTwoHop _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,6 +132,16 @@ object PipelineQueries {
         |counts AS (SELECT id, count(*) AS n_sources FROM src GROUP BY id)
         |SELECT w.id, w.display, w._ont_source, c.n_sources
         |FROM win w JOIN counts c ON w.id = c.id WHERE w.rk = 1""".stripMargin,
+    "motif_two_hop" ->
+      """WITH buys AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT CAST(n_nationkey AS BIGINT) AS nation_id, n_name AS nation_name,
+        |  count(DISTINCT c) AS n_buyers, count(*) AS n_paths
+        |FROM buys
+        |JOIN supplier ON s = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name""".stripMargin,
     "e2e_full_sync" ->
       """SELECT 'e2e' AS framework_id, 'exposure-risk' AS rule_id,
         |  'exposed-low-balance' AS fact_id, 'Customer' AS asset_label,

@@ -79,3 +79,26 @@ case class NodeSchema(
     extraLabels: Seq[ExtraLabel] = Nil,
     subResource: Option[SubResourceRel] = None,
     otherRels: Seq[RelSchema] = Nil)
+
+object NodeSchema {
+  /** Reserved system columns the load path manages itself (reference:
+    * firstseen is reserved and id/lastupdated are required system fields,
+    * nodes.py:14-70). */
+  val Reserved: Set[String] = Set("id", "firstseen", "lastupdated", "labels")
+
+  /** Static schema validation (the reference enforces this with frozen
+    * dataclass post-init checks). Empty result = valid. */
+  def validate(schema: NodeSchema): Seq[String] = {
+    val labelErr =
+      if (schema.label.trim.isEmpty) Seq("label must be non-empty") else Nil
+    val propErrs = schema.properties.keys.toSeq.filter(Reserved)
+      .map(p => s"property '$p' collides with a reserved system column")
+    val relErrs = schema.otherRels.filter(_.targetKey.trim.isEmpty)
+      .map(r => s"rel ${r.relLabel}: targetKey must be non-empty")
+    val dupRels = schema.otherRels
+      .groupBy(r => (r.relLabel, r.targetLabel)).collect {
+        case (k, rs) if rs.size > 1 => s"duplicate rel declaration ${k._1}->${k._2}"
+      }.toSeq
+    labelErr ++ propErrs ++ relErrs ++ dupRels
+  }
+}

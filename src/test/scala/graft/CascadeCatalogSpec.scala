@@ -75,6 +75,27 @@ class CascadeCatalogSpec extends AnyFunSuite {
     assert(md.contains("| state | field:state |"))
   }
 
+  test("schema validation rejects reserved columns and empty keys") {
+    val bad = NodeSchema("X", Field("k"),
+      properties = Map("firstseen" -> Field("f"), "ok" -> Field("o")),
+      otherRels = Seq(
+        RelSchema("R", "T", targetKey = " ", sourceRef = Field("a")),
+        RelSchema("R", "T", targetKey = "id", sourceRef = Field("b"))))
+    val errs = NodeSchema.validate(bad)
+    assert(errs.exists(_.contains("'firstseen' collides")))
+    assert(errs.exists(_.contains("targetKey must be non-empty")))
+    assert(errs.exists(_.contains("duplicate rel declaration R->T")))
+    assert(NodeSchema.validate(NodeSchema("Ok", Field("k"))).isEmpty)
+  }
+
+  test("motif path chains validate step continuity") {
+    val e = intercept[IllegalArgumentException] {
+      graft.graph.Motif.path(graft.graph.Graph(), Seq(
+        ("A", "R1", "B"), ("C", "R2", "D")))
+    }
+    assert(e.getMessage.contains("must chain"))
+  }
+
   test("streaming dedup drops exact duplicates across batches with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)

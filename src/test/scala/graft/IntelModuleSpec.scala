@@ -102,5 +102,12 @@ class IntelModuleSpec extends AnyFunSuite {
     assert(ids == Set("i-aa")) // i-bb and i-cc stale → deleted
     val nics = g2.nodeTable("Nic").select($"id").as[String].collect().toSet
     assert(nics == Set("eni-1", "eni-2"))
+    // edge hygiene: stale edges gone, edges to deleted nodes detached
+    val attached = g2.edgeTable("Nic", "ATTACHED_TO", "Instance")
+      .select($"src_id", $"dst_id").as[(String, String)].collect().toSet
+    assert(attached == Set(("eni-1", "i-aa"), ("eni-2", "i-aa")))
+    val tenancy = g2.edgeTable("Account", "RESOURCE", "Instance")
+      .select($"dst_id").as[String].collect().toSet
+    assert(tenancy == Set("i-aa"))
   }
 }
