@@ -19,7 +19,10 @@ object Fixpoint {
 
   /** All (src, dst) pairs with a directed path src→dst. */
   def transitiveClosure(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    var paths = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // lazy checkpoints: the count() right after is the materializing action,
+    // so each round runs ONE job instead of checkpoint-job + count-job
+    var paths = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
     var n = paths.count()
     var round = 0
     var grown = true
@@ -27,7 +30,7 @@ object Fixpoint {
       val doubled = paths.alias("a")
         .join(paths.alias("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
-      val next = paths.unionByName(doubled).distinct().localCheckpoint()
+      val next = paths.unionByName(doubled).distinct().localCheckpoint(false)
       val m = next.count()
       grown = m > n
       paths = next
