@@ -112,16 +112,20 @@ object GraphStore {
     * tenant's partitions only.
     */
   def cleanup(table: DataFrame, tag: Long, scope: Column = lit(true)): DataFrame =
-    table.filter(col(LASTUPDATED) === lit(tag) || !scope)
+    // null scope = row not matched by the tenant pattern → OUT of scope,
+    // kept (the reference's scoped MATCH simply never binds such nodes);
+    // a raw `!scope` would be null and silently delete stale null-scope rows
+    table.filter(col(LASTUPDATED) === lit(tag) || !coalesce(scope, lit(false)))
 
   /** The same cleanup as an explicit anti-join against the fresh id set —
     * for callers that track "what this sync produced" as a DataFrame instead
     * of a tag column (Delta `WHEN NOT MATCHED BY SOURCE THEN DELETE`). */
   def cleanupAntiJoin(existing: DataFrame, fresh: DataFrame, keys: Seq[String] = Seq(ID),
                       scope: Column = lit(true)): DataFrame = {
-    val survivorsInScope = existing.filter(scope)
+    val inScope = coalesce(scope, lit(false)) // null scope → out of scope, kept
+    val survivorsInScope = existing.filter(inScope)
       .join(fresh.select(keys.map(col): _*).dropDuplicates(keys), keys, "left_semi")
-    existing.filter(!scope).unionByName(survivorsInScope)
+    existing.filter(!inScope).unionByName(survivorsInScope)
   }
 
   /** DETACH DELETE semantics: removing nodes cascades into every edge table

@@ -67,6 +67,20 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(cleaned.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("rows with null scope column are out of scope: kept by cleanup") {
+    val b1 = Seq((1L, Some("t1")), (2L, Some("t1")), (3L, Option.empty[String]))
+      .toDF("id", "tenant")
+    val t1 = GraphStore.upsertNodes(GraphStore.emptyLike(b1), b1, 100L)
+    val b2 = Seq((1L, Some("t1"))).toDF("id", "tenant")
+    val t2 = GraphStore.upsertNodes(t1, b2, 200L)
+    // id=3 is stale AND has null tenant → the t1-scoped cleanup must not touch it
+    val cleaned = GraphStore.cleanup(t2, 200L, scope = col("tenant") === "t1")
+    assert(cleaned.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    val cleanedAnti = GraphStore.cleanupAntiJoin(t2, Seq(Tuple1(1L)).toDF("id"),
+      scope = col("tenant") === "t1")
+    assert(cleanedAnti.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("anti-join cleanup matches tag-based cleanup") {
     val existing = Seq((1L, "t1"), (2L, "t1"), (3L, "t2")).toDF("id", "tenant")
     val t1 = GraphStore.upsertNodes(GraphStore.emptyLike(existing), existing, 100L)
