@@ -42,10 +42,10 @@ def main():
         try:
             want = con.sql(sql)
             wcols = sorted(want.columns)
+            wsel = con.sql(f"SELECT {', '.join(wcols)} FROM want")
+            wtypes = [str(t) for t in wsel.types]
             want_rows = sorted(
-                tuple(canon(v) for v in row)
-                for row in con.sql(
-                    f"SELECT {', '.join(wcols)} FROM want").fetchall())
+                tuple(canon(v) for v in row) for row in wsel.fetchall())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -53,16 +53,22 @@ def main():
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols = sorted(got.columns)
+            gsel = con.sql(f"SELECT {', '.join(gcols)} FROM got")
+            gtypes = [str(t) for t in gsel.types]
             got_rows = sorted(
-                tuple(canon(v) for v in row)
-                for row in con.sql(
-                    f"SELECT {', '.join(gcols)} FROM got").fetchall())
+                tuple(canon(v) for v in row) for row in gsel.fetchall())
         except Exception as e:
             print(f"FAIL {name}: spark result error: {e}")
             n_fail += 1
             continue
         if gcols != wcols:
             print(f"FAIL {name}: columns differ: spark={gcols} oracle={wcols}")
+            n_fail += 1
+        elif gtypes != wtypes:
+            # The driver's hash is type-sensitive (e.g. DuckDB SUM(BIGINT)
+            # yields HUGEINT while Spark writes BIGINT) — mirror that here.
+            print(f"FAIL {name}: types differ: spark={gtypes} oracle={wtypes} "
+                  f"cols={gcols}")
             n_fail += 1
         elif got_rows != want_rows:
             n_fail += 1

@@ -25,12 +25,11 @@ object Dedup {
       .agg(min(col(idCol)).cast("long").as("canonical_id"),
         count(lit(1)).as("n_docs"))
 
-  /** (doc_id, block, shingles) prep: dictionary-encode, shingle, and block
-    * by the first two tokens — candidates are only generated within a
-    * block. */
+  /** (doc_id, block, shingles) prep: dictionary-encode in place (inline
+    * hash ids — zero shuffles), shingle, and block by the first two tokens
+    * — candidates are only generated within a block. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val dict = TextFunctions.dictionary(docs, textCol)
-    val wids = TextFunctions.widArrays(docs, idCol, textCol, dict)
+    val wids = TextFunctions.widArrays(docs, idCol, textCol)
     wids.select(col("doc_id"),
       concat_ws(" ", element_at(col("wids"), 1), element_at(col("wids"), 2)).as("block"),
       TextFunctions.shingleIds(col("wids")).as("shingles"))
@@ -91,13 +90,7 @@ object Dedup {
     * sketches. Exact-match pairing is a single equi-join on the sketch;
     * hamming-distance-k pairing would union the k bit-flip probes. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val dict = TextFunctions.dictionary(docs, textCol)
-    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .join(broadcast(dict), "word")
-      .groupBy(col("doc_id"), col("wid"))
-      .agg(count(lit(1)).as("tf"))
-    val sh = TextFunctions.simhash16(tf)
+    val sh = TextFunctions.simhash16(TextFunctions.termFreq(docs, idCol, textCol))
     sh.alias("a").join(sh.alias("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -112,13 +105,7 @@ object Dedup {
   def simhashPairsWithin(docs: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame = {
     require(k >= 1 && k <= 3, "chunking tuned for 16-bit sketches, k in 1..3")
-    val dict = TextFunctions.dictionary(docs, textCol)
-    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .join(broadcast(dict), "word")
-      .groupBy(col("doc_id"), col("wid"))
-      .agg(count(lit(1)).as("tf"))
-    val sh = TextFunctions.simhash16(tf)
+    val sh = TextFunctions.simhash16(TextFunctions.termFreq(docs, idCol, textCol))
     val chunks = TextFunctions.chunkBounds(16, k + 1)
     val buckets = sh.select(col("doc_id"), col("simhash"),
       explode(array(chunks.zipWithIndex.map { case ((lo, width), i) =>

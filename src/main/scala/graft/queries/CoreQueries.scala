@@ -188,8 +188,8 @@ object CoreQueries {
         |FROM events GROUP BY user_id, event_type""".stripMargin,
     "core_multihop_revenue" ->
       """SELECT r_name AS region,
-        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) *
-        |      (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS revenue_x1e8,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) *
+        |      (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS BIGINT) AS revenue_x1e8,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey

@@ -103,7 +103,8 @@ object JoinQueries {
       .withNodes("Region", GraphStore.upsertNodes(GraphStore.emptyLike(regionNodes), regionNodes, TAG))
     GraphLoader.crossLinks(g0, "Nation", "PEER_OF", "Region", TAG)
       .edgeTable("Nation", "PEER_OF", "Region")
-      .select(col("src_id"), col("dst_id"), col("lastupdated"))
+      .select(col("src_id").cast("long").as("src_id"),
+        col("dst_id").cast("long").as("dst_id"), col("lastupdated"))
   }
 
   /** Conditional extra labels (nodes.py:73-147, querybuilder.py:486-575):

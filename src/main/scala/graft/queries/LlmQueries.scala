@@ -36,11 +36,8 @@ object LlmQueries {
       expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("n_bpe_tokens"),
       length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace_chars"))
 
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    TextFunctions.fingerprint(docs, "doc_id", "text",
-      TextFunctions.dictionary(docs, "text"))
-  }
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
   // ---- dedup family ----
 
@@ -113,31 +110,41 @@ object LlmQueries {
 
   // ---- oracle SQL (DuckDB) ----
 
-  /** Shared text CTEs: token table (1-based pos), sorted dictionary,
-    * wid sequence, distinct 3-gram shingles, shingle-set sizes. */
-  private val TextCtes =
-    """toks AS (
-      |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
-      |         generate_subscripts(string_split(text,' '),1) AS pos
-      |  FROM documents),
-      |dict AS (
-      |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
-      |  FROM (SELECT DISTINCT word FROM toks)),
-      |seq AS (SELECT t.doc_id, t.pos, d.wid FROM toks t JOIN dict d USING(word)),
-      |sh AS (
-      |  SELECT DISTINCT a.doc_id, (a.wid*37 + b.wid)*37 + c.wid AS sid
-      |  FROM seq a
-      |  JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      |  JOIN seq c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-      |shsize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  /** Shared text CTEs mirroring [[TextFunctions]]'s hash arithmetic: token
+    * table (1-based pos), 56-bit md5 word ids, two-chain ~62-bit 3-gram
+    * shingle ids, shingle-set sizes. Constants interpolated from
+    * [[TextFunctions]] so the two engines can never drift. */
+  private val TextCtes = {
+    val P = TextFunctions.P
+    val mA = TextFunctions.Mix
+    val mB = TextFunctions.MixB
+    def chain(m: Long) =
+      s"((((a.wid % $P) * $m + (b.wid % $P)) % $P) * $m + (c.wid % $P)) % $P"
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+       |         generate_subscripts(string_split(text,' '),1) AS pos
+       |  FROM documents),
+       |seq AS (
+       |  SELECT doc_id, pos,
+       |         CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) AS wid
+       |  FROM toks),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id,
+       |    (${chain(mA)}) * $P + (${chain(mB)}) AS sid
+       |  FROM seq a
+       |  JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN seq c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |shsize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  }
 
   private val minhashAggs: String =
     TextFunctions.MinhashA.zip(TextFunctions.MinhashB).zipWithIndex.map {
-      case ((a, b), j) => s"min(($a*sid + $b) % ${TextFunctions.P}) AS h$j"
+      case ((a, b), j) =>
+        s"min(($a*(sid % ${TextFunctions.P}) + $b) % ${TextFunctions.P}) AS h$j"
     }.mkString(", ")
 
   private val simhashBitSums: String = (0 until 16).map { k =>
-    s"sum(CASE WHEN ((wid*${TextFunctions.Mix}) // ${1L << k}) % 2 = 1 THEN tf ELSE -tf END) AS s$k"
+    s"sum(CASE WHEN (((wid % ${TextFunctions.P}) * ${TextFunctions.Mix}) // ${1L << k}) % 2 = 1 THEN tf ELSE -tf END) AS s$k"
   }.mkString(",\n    ")
 
   private val simhashSig: String =
@@ -211,7 +218,8 @@ object LlmQueries {
         |FROM documents""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $TextCtes
-         |SELECT doc_id, CAST(sum(wid * pos) AS BIGINT) AS fingerprint
+         |SELECT doc_id,
+         |  CAST(sum((wid % ${TextFunctions.FpMod}) * pos) AS BIGINT) AS fingerprint
          |FROM seq GROUP BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT string_split(text,' ')[1] || ' ' || string_split(text,' ')[2] AS dedup_key,

@@ -145,7 +145,7 @@ object PipelineQueries {
     "e2e_full_sync" ->
       """SELECT 'e2e' AS framework_id, 'exposure-risk' AS rule_id,
         |  'exposed-low-balance' AS fact_id, 'Customer' AS asset_label,
-        |  CAST(c_custkey AS VARCHAR) AS asset_id, NULL AS detail
+        |  CAST(c_custkey AS VARCHAR) AS asset_id, CAST(NULL AS VARCHAR) AS detail
         |FROM customer
         |WHERE c_acctbal < 1000.0 AND EXISTS (
         |  SELECT 1 FROM orders WHERE o_custkey = c_custkey

@@ -13,56 +13,86 @@ import org.apache.spark.sql.functions._
   * inside whole-stage codegen and all arithmetic is exact integer math
   * (deterministic under any partitioning / summation order, which is what
   * makes the DuckDB oracles hash-match).
+  *
+  * Scale design: word ids are content hashes (56 bits of md5), computed
+  * inline per token. There is no dictionary materialization, no dictionary
+  * join, and no global window anywhere on the hot path — encoding a corpus
+  * is a pure per-row map, so it parallelizes perfectly at any data size.
+  * All downstream arithmetic reduces ids mod [[P]] before multiplying so
+  * every intermediate stays below 2^63 (Spark runs in ANSI mode: a silent
+  * wraparound would instead be a runtime error).
   */
 object TextFunctions {
 
-  /** Large Mersenne prime used by the MinHash permutations. */
+  /** Large Mersenne prime (2^31-1): modulus for MinHash permutations and
+    * for reducing 56-bit word ids before multiplicative mixing. */
   val P: Long = 2147483647L
-  /** Dictionary base for packing word-id 3-grams into a shingle id. */
-  val B: Int = 37
   /** MinHash permutation parameters (h_j(s) = (a_j*s + b_j) mod P). */
   val MinhashA: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
   val MinhashB: Seq[Long] = Seq(3L, 5L, 7L, 9L, 11L, 13L, 15L, 17L)
-  /** Knuth multiplicative constant for SimHash/LSH bit mixing. */
+  /** Knuth multiplicative constant for SimHash/LSH/shingle bit mixing. */
   val Mix: Long = 2654435761L
+  /** Second mixing constant (xxhash prime 2) — the independent chain that
+    * widens shingle ids to ~62 bits. */
+  val MixB: Long = 2246822519L
+  /** Modulus for the positional fingerprint's reduced word id (prime, so
+    * sums stay far below 2^63 for any realistic document length). */
+  val FpMod: Long = 1000003L
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Deterministic word dictionary: (word, wid) with ids assigned by sort
-    * rank. The global-sort row_number is the oracle-reproducible variant;
-    * at 100 TB swap the id assignment for xxhash64(word) (collision-checked)
-    * so no single-partition window is needed — every downstream op only
-    * requires ids to be distinct and deterministic. */
+  /** 56-bit content-hash word id: the first 14 hex digits of md5(word).
+    * Deterministic across engines (DuckDB: `CAST('0x'||substr(md5(w),1,14)
+    * AS BIGINT)`), collision probability ~n²/2^57 (≈7e-4 for a 10M-word
+    * vocabulary). Downstream ops only need ids distinct + deterministic. */
+  def wordId(word: Column): Column =
+    conv(substring(md5(word), 1, 14), 16, 10).cast("long")
+
+  /** Deterministic word dictionary: distinct (word, wid). A reporting /
+    * collision-audit surface only — the encoding pipeline computes
+    * [[wordId]] inline and never joins against this. Use
+    * [[assertInjective]] in tests to audit a corpus's collision-freeness. */
   def dictionary(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("word"))
       .distinct()
-      .select(col("word"),
-        row_number().over(Window.orderBy("word")).cast("long").as("wid"))
+      .select(col("word"), wordId(col("word")).as("wid"))
 
-  /** (doc_id, wids): token sequence dictionary-encoded, order preserved.
-    * One shuffle (groupBy doc) after a broadcast join with the dictionary. */
-  def widArrays(docs: DataFrame, idCol: String, textCol: String,
-                dict: DataFrame): DataFrame =
+  /** True iff no two distinct words share a wid (two counts, no window). */
+  def assertInjective(dict: DataFrame): Boolean =
+    dict.select(col("wid")).distinct().count() == dict.count()
+
+  /** (doc_id, wids): token sequence dictionary-encoded in place, order
+    * preserved. Zero shuffles — a per-row array transform. */
+  def widArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
-      .join(broadcast(dict), "word")
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("wid")))),
-        s => s.getField("wid")).as("wids"))
+      transform(tokens(col(textCol)), w => wordId(w)).as("wids"))
 
-  /** Distinct 3-gram shingle ids from a wid array:
-    * sid = ((w1*B + w2)*B + w3 — injective while the vocabulary is < B. */
+  /** One multiplicative-chain mix of a reduced wid 3-gram: result in [0,P). */
+  private def chain(mix: Long, u1: Column, u2: Column, u3: Column): Column =
+    ((u1 * mix + u2) % P * mix + u3) % P
+
+  /** Distinct 3-gram shingle ids from a wid array. Two independent mix
+    * chains ([[Mix]], [[MixB]]) over the mod-P-reduced wids are combined as
+    * sid = chainA*P + chainB — a ~62-bit id, collision-negligible for real
+    * corpora (replaces the round-1 base-37 packing that was only injective
+    * for vocabularies under 37 words). All intermediates < 2^63. */
   def shingleIds(wids: Column): Column =
     when(size(wids) >= 3,
-      array_distinct(transform(sequence(lit(0), size(wids) - 3), i =>
-        (element_at(wids, i + 1) * B + element_at(wids, i + 2)) * B +
-          element_at(wids, i + 3))))
+      array_distinct(transform(sequence(lit(0), size(wids) - 3), i => {
+        val u1 = element_at(wids, i + 1) % P
+        val u2 = element_at(wids, i + 2) % P
+        val u3 = element_at(wids, i + 3) % P
+        chain(Mix, u1, u2, u3) * P + chain(MixB, u1, u2, u3)
+      })))
       .otherwise(array().cast("array<bigint>"))
 
-  /** MinHash signature columns h0..h{k-1} over a shingle-id array column. */
+  /** MinHash signature columns h0..h{k-1} over a shingle-id array column.
+    * Shingle ids are reduced mod P before the affine permutation so the
+    * products stay well under 2^63. */
   def minhashCols(shingles: Column): Seq[Column] =
     MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(shingles, s => (lit(a) * s + lit(b)) % lit(P))).as(s"h$j")
+      array_min(transform(shingles, s => (lit(a) * (s % P) + lit(b)) % lit(P)))
+        .as(s"h$j")
     }
 
   /** Even-ish chunking of `bits` into `n` (lo, width) pieces — pigeonhole
@@ -75,10 +105,10 @@ object TextFunctions {
   }
 
   /** Term-frequency-weighted 16-bit SimHash from (doc_id, wid, tf) rows:
-    * bit k of hash(wid) contributes +tf / -tf; sign of the per-bit sum sets
+    * bit k of mix(wid) contributes +tf / -tf; sign of the per-bit sum sets
     * the output bit. Pure integer math, one aggregation. */
   def simhash16(tokenTf: DataFrame): DataFrame = {
-    val h = col("wid") * lit(Mix)
+    val h = col("wid") % P * lit(Mix)
     val bitSums = (0 until 16).map { k =>
       sum(when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, col("tf"))
         .otherwise(-col("tf"))).as(s"s$k")
@@ -90,15 +120,24 @@ object TextFunctions {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Positional fingerprint: sum over tokens of wid * (1-based position) —
-    * a deterministic rolling-hash document signature. */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
-                  dict: DataFrame): DataFrame =
+  /** (doc_id, wid, tf) term-frequency table, ids computed inline (one
+    * shuffle on (doc_id, wid), no dictionary join). */
+  def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
-      .join(broadcast(dict), "word")
-      .groupBy("doc_id")
-      .agg(sum(col("wid") * (col("pos") + 1)).as("fingerprint"))
+        explode(tokens(col(textCol))).as("word"))
+      .select(col("doc_id"), wordId(col("word")).as("wid"))
+      .groupBy(col("doc_id"), col("wid"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Positional fingerprint: sum over tokens of (wid mod [[FpMod]]) *
+    * (1-based position) — a deterministic rolling-hash document signature.
+    * Computed entirely in-row (no explode, no shuffle). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = transform(tokens(col(textCol)),
+      (w, i) => wordId(w) % FpMod * (i.cast("long") + 1L))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      aggregate(terms, lit(0L), (acc, x) => acc + x).as("fingerprint"))
+  }
 
   /** Quality metrics: token/char/distinct counts, stopword ratio as an
     * exact floor(1e6 * ratio) integer score. */
