@@ -39,15 +39,56 @@ case class AddRelationship(srcLabel: String, relLabel: String, dstLabel: String,
                            srcCol: String, dstCol: String,
                            propCols: Seq[String] = Nil) extends Effect
 
-case class AnalysisJob(name: String, pattern: Graph => DataFrame, effects: Seq[Effect])
+/** SET rel.prop = value for every edge matched by the pattern
+  * (reference SetRelationshipProperty: analysis.py:90-111, compiled at
+  * analysisbuilder.py:275-283). Pattern output must carry `src_id`,
+  * `dst_id` and the value column; unmatched edges keep their old value. */
+case class SetRelationshipProperty(srcLabel: String, relLabel: String, dstLabel: String,
+                                   prop: String, valueCol: String) extends Effect
+
+/** SET rel.prop = value only where the current value is null
+  * (reference SetRelationshipPropertyIfMissing: analysis.py:90-111). */
+case class SetRelationshipPropertyIfMissing(srcLabel: String, relLabel: String,
+                                            dstLabel: String, prop: String,
+                                            valueCol: String) extends Effect
+
+/** An analysis job: a match pattern + effects.
+  *
+  * `incrementalOn = true` gates the pattern to rows the current sync
+  * touched (`lastupdated = tag`) — the reference's `incremental_on`
+  * (analysis.py:243-264): a re-run after a partial sync only derives from
+  * fresh rows, and at 100 TB the pass reads only the fresh partitions
+  * instead of the whole graph. `scopes` restricts named node tables to a
+  * tenant predicate before the pattern sees them (the reference's
+  * sub-resource scope parameter, analysisbuilder.py:195-254). Effects
+  * always apply to the full graph tables — only the MATCH is narrowed,
+  * exactly like the generated Cypher's WHERE clauses. */
+case class AnalysisJob(name: String, pattern: Graph => DataFrame, effects: Seq[Effect],
+                       incrementalOn: Boolean = false,
+                       scopes: Map[String, Column] = Map.empty)
 
 object AnalysisRunner {
-  import GraphStore.{DST, ID, SRC}
+  import GraphStore.{DST, ID, LASTUPDATED, SRC}
 
-  /** Run a job: evaluate the pattern once, apply each effect as a merge. */
+  /** Run a job: evaluate the pattern once over the scoped view of the
+    * graph, apply each effect as a merge against the full graph. */
   def run(graph: Graph, job: AnalysisJob, tag: Long): Graph = {
-    val matched = job.pattern(graph)
+    val matched = job.pattern(scopedView(graph, job, tag))
     job.effects.foldLeft(graph)((g, e) => applyEffect(g, matched, e, tag))
+  }
+
+  /** The view of the graph the pattern matches against: per-label tenant
+    * scopes, then (if incremental) only rows stamped by this sync. Plain
+    * filters — partition-prunable, pushed into the scans by Catalyst. */
+  private def scopedView(graph: Graph, job: AnalysisJob, tag: Long): Graph = {
+    val scoped = job.scopes.foldLeft(graph) { case (g, (label, pred)) =>
+      if (g.nodes.contains(label)) g.withNodes(label, g.nodeTable(label).filter(pred))
+      else g
+    }
+    if (!job.incrementalOn) scoped
+    else Graph(
+      scoped.nodes.map { case (k, df) => k -> df.filter(col(LASTUPDATED) === tag) },
+      scoped.edges.map { case (k, df) => k -> df.filter(col(LASTUPDATED) === tag) })
   }
 
   /** Auto-generated cleanup for derived edges: every AddRelationship
@@ -93,6 +134,29 @@ object AnalysisRunner {
             array_sort(array_union(coalesce(old, array()), coalesce(col("_adds"), array())))
               .as(prop): _*)
         g.withNodes(label, merged)
+
+      case SetRelationshipProperty(srcLabel, relLabel, dstLabel, prop, valueCol) =>
+        val key = (srcLabel, relLabel, dstLabel)
+        val updates = matched.select(col(SRC), col(DST), col(valueCol).as("_new"))
+          .dropDuplicates(SRC :: DST :: Nil)
+        val edges = g.edgeTable(srcLabel, relLabel, dstLabel)
+        val merged = edges.join(updates, Seq(SRC, DST), "left")
+          .select(edges.columns.filterNot(_ == prop).map(col).toSeq :+
+            when(col("_new").isNotNull, col("_new"))
+              .otherwise(if (edges.columns.contains(prop)) col(prop) else lit(null))
+              .as(prop): _*)
+        g.withEdges(key, merged)
+
+      case SetRelationshipPropertyIfMissing(srcLabel, relLabel, dstLabel, prop, valueCol) =>
+        val key = (srcLabel, relLabel, dstLabel)
+        val updates = matched.select(col(SRC), col(DST), col(valueCol).as("_new"))
+          .dropDuplicates(SRC :: DST :: Nil)
+        val edges = g.edgeTable(srcLabel, relLabel, dstLabel)
+        val old = if (edges.columns.contains(prop)) col(prop) else lit(null)
+        val merged = edges.join(updates, Seq(SRC, DST), "left")
+          .select(edges.columns.filterNot(_ == prop).map(col).toSeq :+
+            coalesce(old, col("_new")).as(prop): _*)
+        g.withEdges(key, merged)
 
       case AddRelationship(srcLabel, relLabel, dstLabel, srcCol, dstCol, propCols) =>
         val batch = matched.select(

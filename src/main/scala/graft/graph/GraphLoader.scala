@@ -88,10 +88,16 @@ object GraphLoader {
           pairs.join(target, lower(pairs("_ref")) === lower(col("_tkey")), "inner")
         case FuzzyContains =>
           // theta join: only a nested-loop strategy can run it — broadcast
-          // the target side so it is a BroadcastNestedLoopJoin, not a
-          // cartesian shuffle (reference semantics querybuilder.py:712-731)
-          pairs.join(broadcast(target),
-            lower(col("_tkey")).contains(lower(pairs("_ref"))), "inner")
+          // whichever side Catalyst estimates smaller so it is a
+          // BroadcastNestedLoopJoin, not a cartesian shuffle, and the
+          // broadcast still fits when the node table outgrows the batch
+          // refs (reference semantics querybuilder.py:712-731; inner theta
+          // join is symmetric so either build side is correct)
+          val cond = lower(col("_tkey")).contains(lower(pairs("_ref")))
+          if (pairs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+              target.queryExecution.optimizedPlan.stats.sizeInBytes)
+            broadcast(pairs).join(target, cond, "inner")
+          else pairs.join(broadcast(target), cond, "inner")
         case OneToMany =>
           // n.key IN item.list (querybuilder.py:716, 732-736): explode the
           // list into an equi join; IN is membership → distinct pairs
@@ -120,19 +126,37 @@ object GraphLoader {
       case None => g.withEdges(key, GraphStore.initialLoad(batch, Seq(SRC, DST), tag))
     }
 
+  /** Column names stamping a matchlink edge's owning sub-resource — the
+    * scoping key for [[GraphStore.cleanup]] so a tenant's sync can delete
+    * its own stale links without touching other tenants' rows
+    * (reference: querybuilder.py:1755-1924 `_sub_resource_label` /
+    * `_sub_resource_id`, cleanup filter cleanupbuilder.py:603-667). */
+  val SubResourceLabelCol = "_sub_resource_label"
+  val SubResourceIdCol = "_sub_resource_id"
+
   /** MatchLink: create edges between two sets of already-loaded nodes from
     * a DataFrame of (src ref, dst ref [, props]) pairs — both endpoints
     * must exist or the pair is dropped
-    * (reference: querybuilder.py:1755-1924, tx.py:846-920). */
+    * (reference: querybuilder.py:1755-1924, tx.py:846-920).
+    *
+    * When `subResource` is given, each edge is stamped with
+    * `_sub_resource_label`/`_sub_resource_id` (label, id-expression over
+    * the pairs batch) so scoped cleanup can be driven from the loader's
+    * own output: `GraphStore.cleanup(edges, tag, scope =
+    * col("_sub_resource_label") === l && col("_sub_resource_id") === id)`. */
   def matchLinks(graph: Graph, pairs: DataFrame, srcLabel: String, relLabel: String,
-                 dstLabel: String, srcRef: String, dstRef: String, tag: Long): Graph = {
+                 dstLabel: String, srcRef: String, dstRef: String, tag: Long,
+                 subResource: Option[(String, Column)] = None): Graph = {
     val src = graph.nodes(srcLabel).select(col(ID).as("_src_match"))
     val dst = graph.nodes(dstLabel).select(col(ID).as("_dst_match"))
     val props = pairs.columns.filterNot(c => c == srcRef || c == dstRef).map(col)
+    val scopeCols = subResource.toSeq.flatMap { case (label, idCol) =>
+      Seq(lit(label).as(SubResourceLabelCol), idCol.as(SubResourceIdCol))
+    }
     val matched = pairs
       .join(src, pairs(srcRef) === col("_src_match"), "inner")
       .join(dst, pairs(dstRef) === col("_dst_match"), "inner")
-      .select((col(srcRef).as(SRC) +: col(dstRef).as(DST) +: props.toSeq): _*)
+      .select((col(srcRef).as(SRC) +: col(dstRef).as(DST) +: props.toSeq) ++ scopeCols: _*)
     upsertEdgeBatch(graph, (srcLabel, relLabel, dstLabel), matched, tag)
   }
 

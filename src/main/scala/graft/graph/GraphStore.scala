@@ -46,7 +46,11 @@ object GraphStore {
     */
   def merge(existing: DataFrame, batch: DataFrame, keys: Seq[String], tag: Long): DataFrame = {
     val e = existing.alias("e")
-    val b = batch.alias("b")
+    // APIs can return the same resource twice across pages: collapse the
+    // batch to one row per key (the reference's UNWIND+MERGE re-matches the
+    // same node and last-write-wins; either surviving row is valid — what
+    // must hold is key uniqueness downstream, like initialLoad guarantees).
+    val b = batch.dropDuplicates(keys).alias("b")
     val cond = keys.map(k => col(s"e.$k") <=> col(s"b.$k")).reduce(_ && _)
     val touched = col(s"b.${keys.head}").isNotNull
     val created = touched && col(s"e.${keys.head}").isNull

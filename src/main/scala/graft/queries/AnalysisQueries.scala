@@ -69,6 +69,68 @@ object AnalysisQueries {
       .select(col("src_id"), col("dst_id"), col("lastupdated"))
   }
 
+  /** Edge-property effects (analysis.py:90-111, analysisbuilder.py:275-283):
+    * derive BUYS_FROM edges, stamp total_qty via SetRelationshipProperty,
+    * then two SetRelationshipPropertyIfMissing passes — the second must NOT
+    * overwrite what the first set (heavy pairs keep 'heavy'). */
+  def analysisSetRelProperty(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = Graph().withNodes("Customer", customerNodes(spark, dir))
+    val pairQty = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src_id"), col("l_suppkey").as("dst_id"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+    val derive = AnalysisJob(
+      name = "buys-from",
+      pattern = _ => pairQty.select(col("src_id").as("src"), col("dst_id").as("dst")),
+      effects = Seq(AddRelationship("Customer", "BUYS_FROM", "Supplier", "src", "dst")))
+    val stamp = AnalysisJob(
+      name = "stamp-total-qty",
+      pattern = _ => pairQty,
+      effects = Seq(SetRelationshipProperty("Customer", "BUYS_FROM", "Supplier",
+        "total_qty", "qty")))
+    val flagHeavy = AnalysisJob(
+      name = "flag-heavy",
+      pattern = _ => pairQty.filter(col("qty") >= 50).withColumn("f", lit("heavy")),
+      effects = Seq(SetRelationshipPropertyIfMissing("Customer", "BUYS_FROM", "Supplier",
+        "flag", "f")))
+    val flagRest = AnalysisJob(
+      name = "flag-rest",
+      pattern = _ => pairQty.withColumn("f", lit("light")),
+      effects = Seq(SetRelationshipPropertyIfMissing("Customer", "BUYS_FROM", "Supplier",
+        "flag", "f")))
+    Seq(derive, stamp, flagHeavy, flagRest)
+      .foldLeft(g0)((g, j) => AnalysisRunner.run(g, j, TAG))
+      .edgeTable("Customer", "BUYS_FROM", "Supplier")
+      .select(col("src_id").cast("long").as("src_id"),
+        col("dst_id").cast("long").as("dst_id"), col("total_qty"), col("flag"))
+  }
+
+  /** Incremental + scoped analysis (analysis.py:243-264,
+    * analysisbuilder.py:195-254): epoch 1 flags every customer; epoch 2
+    * re-syncs only custkey%3=0 rows and runs the flag job with
+    * `incrementalOn` plus an even-id tenant scope — so only rows that are
+    * BOTH fresh and in scope flip to 'epoch2'; everything else must be
+    * untouched. */
+  def analysisIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    def flagJob(value: String, incremental: Boolean, scopes: Map[String, org.apache.spark.sql.Column]) =
+      AnalysisJob(
+        name = s"flag-$value",
+        pattern = g => g.nodeTable("Customer").select(col("id"), lit(value).as("flag")),
+        effects = Seq(SetProperty("Customer", "flag", "flag")),
+        incrementalOn = incremental, scopes = scopes)
+    val g1 = Graph().withNodes("Customer",
+      GraphStore.initialLoad(batch, Seq(GraphStore.ID), 4000L))
+    val g2 = AnalysisRunner.run(g1, flagJob("epoch1", incremental = false, Map.empty), 4000L)
+    val g3 = g2.withNodes("Customer",
+      GraphStore.upsertNodes(g2.nodeTable("Customer"), batch.filter(col("id") % 3 === 0), 5000L))
+    AnalysisRunner.run(g3,
+        flagJob("epoch2", incremental = true, Map("Customer" -> (col("id") % 2 === 0))), 5000L)
+      .nodeTable("Customer")
+      .select(col("id").cast("long").as("id"), col("flag"))
+  }
+
   /** Rules engine (rules/spec/model.py, runners.py:72-186): a 2-rule
     * framework over the asset tables; findings = union of fact results. */
   def rulesFindings(spark: SparkSession, dir: String): DataFrame = {
@@ -126,6 +188,8 @@ object AnalysisQueries {
     "analysis_set_property" -> (analysisSetProperty _),
     "analysis_add_to_set" -> (analysisAddToSet _),
     "analysis_derive_edges" -> (analysisDeriveEdges _),
+    "analysis_set_rel_property" -> (analysisSetRelProperty _),
+    "analysis_incremental" -> (analysisIncremental _),
     "rules_findings" -> (rulesFindings _),
     "drift_detect" -> (driftDetect _),
     "permission_relationships" -> (permissionRelationships _),
@@ -149,6 +213,21 @@ object AnalysisQueries {
         |  CAST(l_suppkey AS BIGINT) AS dst_id,
         |  CAST(4000 AS BIGINT) AS lastupdated
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "analysis_set_rel_property" ->
+      """WITH pairs AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src_id,
+        |    CAST(l_suppkey AS BIGINT) AS dst_id,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT src_id, dst_id, total_qty,
+        |  CASE WHEN total_qty >= 50 THEN 'heavy' ELSE 'light' END AS flag
+        |FROM pairs""".stripMargin,
+    "analysis_incremental" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  CASE WHEN c_custkey % 3 = 0 AND c_custkey % 2 = 0
+        |       THEN 'epoch2' ELSE 'epoch1' END AS flag
+        |FROM customer""".stripMargin,
     "rules_findings" ->
       """SELECT 'cis-demo' AS framework_id, 'acct-hygiene' AS rule_id,
         |  'negative-balance' AS fact_id, 'Customer' AS asset_label,

@@ -94,6 +94,36 @@ object JoinQueries {
       .select(col("src_id"), col("dst_id"), col("total_qty"), col("lastupdated"))
   }
 
+  /** Scoped matchlink cleanup (querybuilder.py:1755-1924 sub-resource
+    * stamping + cleanupbuilder.py:603-667 scoped delete): epoch 1 links
+    * every customer to its nation stamped with the nation as owning
+    * sub-resource; epoch 2 re-links only nations < 12 (and only
+    * non-negative balances). Cleanup scoped to nations < 12 deletes that
+    * scope's stale links while other nations' stale links survive. */
+  def matchlinkScopedCleanup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val custNodes = c.select(col("c_custkey").as("id"))
+    val natNodes = Tables.nation(spark, dir).select(col("n_nationkey").as("id"))
+    def pairsOf(df: DataFrame) =
+      df.select(col("c_custkey").as("cref"), col("c_nationkey").as("nref"))
+    var g = Graph()
+      .withNodes("Customer", GraphStore.initialLoad(custNodes, Seq(GraphStore.ID), TAG))
+      .withNodes("Nation", GraphStore.initialLoad(natNodes, Seq(GraphStore.ID), TAG))
+    g = GraphLoader.matchLinks(g, pairsOf(c), "Customer", "LOCATED_IN", "Nation",
+      "cref", "nref", TAG, subResource = Some(("Nation", col("nref"))))
+    g = GraphLoader.matchLinks(g,
+      pairsOf(c.filter(col("c_nationkey") < 12 && col("c_acctbal") >= 0)),
+      "Customer", "LOCATED_IN", "Nation", "cref", "nref", TAG + 1,
+      subResource = Some(("Nation", col("nref"))))
+    val edges = g.edgeTable("Customer", "LOCATED_IN", "Nation")
+    GraphStore.cleanup(edges, TAG + 1,
+        scope = col(GraphLoader.SubResourceLabelCol) === "Nation" &&
+          col(GraphLoader.SubResourceIdCol) < 12)
+      .select(col("src_id").cast("long").as("src_id"),
+        col("dst_id").cast("long").as("dst_id"), col("lastupdated"),
+        col(GraphLoader.SubResourceIdCol).cast("long").as("sub_resource_id"))
+  }
+
   /** Cartesian matchlink (tx.py:923-1030): all nation × region pairs. */
   def crosslinkPairs(spark: SparkSession, dir: String): DataFrame = {
     val nationNodes = Tables.nation(spark, dir).select(col("n_nationkey").as("id"))
@@ -149,6 +179,7 @@ object JoinQueries {
     "join_one_to_many" -> (joinOneToMany _),
     "matchlink_supplies" -> (matchlinkSupplies _),
     "crosslink_pairs" -> (crosslinkPairs _),
+    "matchlink_scoped_cleanup" -> (matchlinkScopedCleanup _),
     "conditional_labels" -> (conditionalLabels _),
     "ontology_project" -> (ontologyProject _),
   )
@@ -178,6 +209,13 @@ object JoinQueries {
         |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'O'
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY l_orderkey, l_suppkey""".stripMargin,
+    "matchlink_scoped_cleanup" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS src_id,
+        |  CAST(c_nationkey AS BIGINT) AS dst_id,
+        |  CAST(CASE WHEN c_nationkey < 12 THEN 3001 ELSE 3000 END AS BIGINT) AS lastupdated,
+        |  CAST(c_nationkey AS BIGINT) AS sub_resource_id
+        |FROM customer
+        |WHERE c_nationkey >= 12 OR c_acctbal >= 0""".stripMargin,
     "crosslink_pairs" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS src_id,
         |  CAST(r_regionkey AS BIGINT) AS dst_id,

@@ -76,6 +76,16 @@ class MergeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("law: duplicate batch keys collapse to one row (paginated-API dup)") {
+    forAllSeeded { (b1, b2) =>
+      val dupBatch = df(b2).unionAll(df(b2)) // same resource returned twice
+      val t1 = GraphStore.initialLoad(df(b1), Seq("id"), 100L)
+      val t2 = GraphStore.upsertNodes(t1, dupBatch, 200L)
+      val ids = t2.select("id").as[Long].collect().toSeq
+      assert(ids.size == ids.distinct.size)
+    }
+  }
+
   test("law: cleanup after a full re-sync keeps exactly the batch keys") {
     forAllSeeded { (b1, b2) =>
       val t1 = GraphStore.initialLoad(df(b1), Seq("id"), 100L)
