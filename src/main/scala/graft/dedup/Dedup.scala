@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecFunctions.vec_dot
+import graft.similarity.Similarity
 import graft.text.TextFunctions
 
 /** Deduplication operators for training-data pipelines: exact, blocked
@@ -129,6 +130,29 @@ object Dedup {
     * Quantization makes every dot product exact integer math. For corpora
     * where n² is too large, bucket with [[graft.similarity.Similarity]]'s
     * sign-LSH first. */
+  /** The scale path for embedding near-dup: bucket by the 8-bit sign-LSH
+    * signature ([[graft.similarity.Similarity.signLsh]]) and score pairs
+    * only within a bucket — an equi-join on the signature, so the corpus
+    * is scanned once and the pair space never exceeds the bucket-local
+    * products (vs [[cosineNearDup]]'s all-pairs nested loop, which stays
+    * as the exactness baseline). Near-identical vectors land in the same
+    * bucket with high probability; recall tightens with more bits or
+    * multi-probe unioning. */
+  def cosineNearDupBucketed(quantized: DataFrame, minCosX1e6: Long): DataFrame = {
+    val sigs = Similarity.signLsh(quantized)
+    val a = sigs.select(col("sig"), col("vec_id").as("vec_a"), col("q").as("qa"),
+      col("norm2").as("na"))
+    val b = sigs.select(col("sig"), col("vec_id").as("vec_b"), col("q").as("qb"),
+      col("norm2").as("nb"))
+    a.join(b, Seq("sig")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", vec_dot(col("qa"), col("qb")))
+      .withColumn("cos_x1e6",
+        floor(lit(1000000.0) * col("dot") /
+          sqrt((col("na") * col("nb")).cast("double"))).cast("long"))
+      .filter(col("cos_x1e6") >= minCosX1e6)
+      .select(col("vec_a"), col("vec_b"), col("cos_x1e6"))
+  }
+
   def cosineNearDup(quantized: DataFrame, minCosX1e6: Long): DataFrame = {
     val a = quantized.select(col("vec_id").as("vec_a"), col("q").as("qa"),
       col("norm2").as("na"))

@@ -7,23 +7,32 @@ import org.apache.spark.sql.functions._
   * policies over principals × resources and emit the allowed edges
   * (reference: cartography/intel/aws/permission_relationships.py —
   * wildcard→regex compile :395-440, evaluation :178-252, nested-loop
-  * pairing :354-392).
+  * pairing :354-392, condition annotation :294-352).
   *
   * Wildcard semantics preserved exactly: `*` → `.*`, `?` → `.?`,
-  * case-insensitive, full-string anchored, deny-overrides.
+  * case-insensitive, full-string anchored, deny-overrides. Condition
+  * semantics preserved exactly (reference collect_edge_conditions): AWS
+  * evaluates Conditions at request time, so a grant whose every matching
+  * Allow path carries a Condition is annotated `has_condition = true`
+  * with the union of its context keys; one unconditional Allow path makes
+  * the edge unconditional.
   *
   * Scale design: the reference nested-loops every (principal, resource)
   * pair in Python. Here we never materialize the cross product — each
   * (small, broadcast) statement joins principals and resources
   * independently by regex match, the two halves meet on statement id, and
-  * deny pairs are removed with an anti-join. Cost is
-  * O(|statements| × (|principals| + |resources|)) + the size of the
-  * matched pairs, not O(|principals| × |resources|).
+  * the allow/deny/condition decision is made once per distinct mask
+  * combination with pure bit arithmetic. Statements beyond 62 chunk into
+  * additional 62-bit mask blocks (one extra long column per block, OR-ing
+  * allow bits and unioning denies across blocks), so the statement count
+  * is unbounded. Cost is O(|statements| × (|principals| + |resources|)) +
+  * the size of the matched pairs, not O(|principals| × |resources|).
   */
 object Permissions {
 
   final case class PolicyStatement(stmtId: String, effect: String,
-                                   principalPattern: String, resourcePattern: String)
+                                   principalPattern: String, resourcePattern: String,
+                                   condition: Option[String] = None)
 
   /** Compile an IAM-style wildcard pattern to an anchored case-insensitive
     * regex (reference: permission_relationships.py:423-440 — note the
@@ -39,46 +48,118 @@ object Permissions {
     sb.append('$').toString
   }
 
+  /** Context keys referenced by a stored Condition blob — a JSON list of
+    * operator maps, e.g. `[{"IpAddress": {"aws:SourceIp": "10.0.0.0/8"}}]`
+    * → `aws:SourceIp` (reference parse_condition_blob /
+    * extract_condition_context_keys, permission_relationships.py:255-291).
+    * Malformed blobs yield no keys but the statement stays conditional —
+    * the reference fails safe toward "conditional" too. */
+  def conditionContextKeys(blob: String): Seq[String] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import scala.jdk.CollectionConverters._
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(blob)
+      val ops: Seq[JsonNode] =
+        if (root == null) Nil
+        else if (root.isArray) root.elements().asScala.toSeq
+        else if (root.isObject) Seq(root)
+        else Nil
+      ops.filter(_.isObject).flatMap { op =>
+        op.fields().asScala.toSeq.flatMap { e =>
+          if (e.getValue.isObject) e.getValue.fieldNames().asScala.toSeq else Nil
+        }
+      }.distinct.sorted
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Per-block compiled statement metadata: local bit j within the block's
+    * 62-bit mask. */
+  private case class Block(allowBits: Long, denyBits: Long, uncondAllowBits: Long,
+                           principalRegexes: Seq[String], resourceRegexes: Seq[String],
+                           condAllowKeys: Seq[(Int, Seq[String])])
+
+  private def compile(statements: Seq[PolicyStatement]): Seq[Block] =
+    statements.grouped(62).map { blk =>
+      val rows = blk.zipWithIndex.map { case (s, j) =>
+        (j, s.effect.toLowerCase == "allow", s.condition,
+          wildcardToRegex(s.principalPattern), wildcardToRegex(s.resourcePattern))
+      }
+      Block(
+        allowBits = rows.collect { case (j, true, _, _, _) => 1L << j }.sum,
+        denyBits = rows.collect { case (j, false, _, _, _) => 1L << j }.sum,
+        uncondAllowBits = rows.collect { case (j, true, None, _, _) => 1L << j }.sum,
+        principalRegexes = rows.map(_._4),
+        resourceRegexes = rows.map(_._5),
+        condAllowKeys = rows.collect { case (j, true, Some(c), _, _) =>
+          (j, conditionContextKeys(c))
+        })
+    }.toSeq
+
   /** Evaluate statements over principals(id, name) and resources(id, arn):
     * a pair is allowed iff some Allow statement matches both sides and no
     * Deny statement matches both sides (deny-overrides,
     * permission_relationships.py:221-252). Returns (principal_id,
-    * resource_id) edges.
+    * resource_id, has_condition, condition_keys) edges — `condition_keys`
+    * is the sorted comma-joined context-key union when every matching
+    * Allow path is conditional, else ''.
     *
-    * Algorithm: each side gets a statement-match bitmask (one literal
-    * compiled regex per statement — codegen'd RLike), the ≤ 2^|stmts|
-    * distinct (p_mask, r_mask) combinations are decided once with pure bit
-    * arithmetic, and the allowed pairs expand through two broadcast hash
-    * joins. Zero shuffles, no DISTINCT pass, and the pair space is only
-    * materialized as the output itself. */
+    * Algorithm: each side gets one statement-match bitmask column per
+    * 62-statement block (one literal compiled regex per statement —
+    * codegen'd RLike), the distinct (p_masks, r_masks) combinations are
+    * decided once with pure bit arithmetic, and the allowed pairs expand
+    * through two broadcast hash joins. Zero shuffles, no DISTINCT pass
+    * over pairs, and the pair space is only materialized as the output
+    * itself. */
   def evaluate(principals: DataFrame, resources: DataFrame,
                statements: Seq[PolicyStatement]): DataFrame = {
-    require(statements.size <= 62, "bitmask evaluation supports ≤62 statements")
-    val compiled = statements.zipWithIndex.map { case (s, i) =>
-      (i, s.effect.toLowerCase == "allow",
-        wildcardToRegex(s.principalPattern), wildcardToRegex(s.resourcePattern))
-    }
-    val allowBits = compiled.collect { case (i, true, _, _) => 1L << i }.sum
-    val denyBits = compiled.collect { case (i, false, _, _) => 1L << i }.sum
+    require(statements.nonEmpty, "at least one statement required")
+    val blocks = compile(statements)
+    val nb = blocks.size
 
-    def maskCol(target: Column, pat: (Int, Boolean, String, String) => String): Column =
-      compiled.map { c =>
-        when(target.rlike(pat.tupled(c)), lit(1L << c._1)).otherwise(lit(0L))
+    def maskCol(target: Column, regexes: Seq[String]): Column =
+      regexes.zipWithIndex.map { case (re, j) =>
+        when(target.rlike(re), lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _) // bits are disjoint → sum == bitwise or
 
-    val p = principals.select(col("id").as("principal_id"),
-      maskCol(col("name"), (_, _, pre, _) => pre).as("p_mask"))
-    val r = resources.select(col("id").as("resource_id"),
-      maskCol(col("arn"), (_, _, _, rre) => rre).as("r_mask"))
+    val pmNames = (0 until nb).map(b => s"pm$b")
+    val rmNames = (0 until nb).map(b => s"rm$b")
+    val p = principals.select(col("id").as("principal_id") +:
+      blocks.zipWithIndex.map { case (m, b) =>
+        maskCol(col("name"), m.principalRegexes).as(s"pm$b") }: _*)
+    val r = resources.select(col("id").as("resource_id") +:
+      blocks.zipWithIndex.map { case (m, b) =>
+        maskCol(col("arn"), m.resourceRegexes).as(s"rm$b") }: _*)
 
-    val shared = col("p_mask").bitwiseAND(col("r_mask"))
-    val decisions = p.select("p_mask").distinct()
-      .crossJoin(r.select("r_mask").distinct())
-      .filter(shared.bitwiseAND(lit(allowBits)) =!= 0L &&
-        shared.bitwiseAND(lit(denyBits)) === 0L)
+    def shared(b: Int) = col(s"pm$b").bitwiseAND(col(s"rm$b"))
+    def anyBit(bits: Seq[(Block, Int)], f: Block => Long): Column =
+      bits.map { case (m, b) => shared(b).bitwiseAND(lit(f(m))) =!= 0L }
+        .reduce(_ || _)
+    val zb = blocks.zipWithIndex
+    val anyAllow = anyBit(zb, _.allowBits)
+    val anyDeny = anyBit(zb, _.denyBits)
+    val anyUncondAllow = anyBit(zb, _.uncondAllowBits)
+    val keyArrays = zb.flatMap { case (m, b) =>
+      m.condAllowKeys.map { case (j, keys) =>
+        when(shared(b).bitwiseAND(lit(1L << j)) =!= 0L,
+          array(keys.map(lit): _*).cast("array<string>"))
+          .otherwise(array().cast("array<string>"))
+      }
+    }
+    val keysUnion =
+      if (keyArrays.isEmpty) array().cast("array<string>")
+      else array_sort(array_distinct(concat(keyArrays: _*)))
 
-    val allowedPrincipals = p.join(broadcast(decisions), Seq("p_mask"))
-    r.join(broadcast(allowedPrincipals), Seq("r_mask"))
-      .select(col("principal_id"), col("resource_id"))
+    val decisions = p.select(pmNames.map(col): _*).distinct()
+      .crossJoin(r.select(rmNames.map(col): _*).distinct())
+      .filter(anyAllow && !anyDeny)
+      .select((pmNames ++ rmNames).map(col) :+
+        (!anyUncondAllow).as("has_condition") :+
+        when(anyUncondAllow, lit("")).otherwise(array_join(keysUnion, ","))
+          .as("condition_keys"): _*)
+
+    val allowedPrincipals = p.join(broadcast(decisions), pmNames)
+    r.join(broadcast(allowedPrincipals), rmNames)
+      .select(col("principal_id"), col("resource_id"),
+        col("has_condition"), col("condition_keys"))
   }
 }

@@ -167,9 +167,29 @@ object AnalysisQueries {
     Drift.diff(older, newer)
   }
 
+  /** The gate's policy: 123 statements (3 hand-written + 120 generated —
+    * spans 2 mask blocks, exercising the chunked evaluator), a third of
+    * them carrying Condition blobs. Shared between the Spark query and the
+    * generated oracle so the two cannot drift. */
+  private val PolicyStatements: Seq[PolicyStatement] = Seq(
+    PolicyStatement("s1", "Allow", "Supplier#*", "arn:part:Brand#1?:*"),
+    PolicyStatement("s2", "Allow", "Supplier#0000000?1", "arn:part:*:PROMO:*",
+      condition = Some("""[{"IpAddress": {"aws:SourceIp": "10.0.0.0/8"}}]""")),
+    PolicyStatement("s3", "Deny", "*", "*:ECONOMY:*")) ++
+    (0 until 120).map { i =>
+      val cond =
+        if (i % 3 == 0)
+          Some(s"""[{"StringEquals": {"aws:RequestTag/env": "env$i"}},""" +
+            s""" {"IpAddress": {"aws:SourceIp": "10.$i.0.0/16"}}]""")
+        else None
+      PolicyStatement(s"g$i", "Allow",
+        s"Supplier#*${i % 10}", s"arn:part:Brand#${10 + i % 45}:*", cond)
+    }
+
   /** Permission relationships (permission_relationships.py): wildcard
     * policy statements evaluated over supplier principals × part ARNs,
-    * deny-overrides, without materializing the cross product. */
+    * deny-overrides + condition annotation, without materializing the
+    * cross product. 123 statements → two 62-bit mask blocks. */
   def permissionRelationships(spark: SparkSession, dir: String): DataFrame = {
     val principals = Tables.supplier(spark, dir)
       .select(col("s_suppkey").as("id"), col("s_name").as("name"))
@@ -177,11 +197,7 @@ object AnalysisQueries {
       .select(col("p_partkey").as("id"),
         concat(lit("arn:part:"), col("p_brand"), lit(":"), col("p_type"),
           lit(":"), col("p_partkey")).as("arn"))
-    val statements = Seq(
-      PolicyStatement("s1", "Allow", "Supplier#*", "arn:part:Brand#1?:*"),
-      PolicyStatement("s2", "Allow", "Supplier#0000000?1", "arn:part:*:PROMO:*"),
-      PolicyStatement("s3", "Deny", "*", "*:ECONOMY:*"))
-    Permissions.evaluate(principals, resources, statements)
+    Permissions.evaluate(principals, resources, PolicyStatements)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -257,25 +273,43 @@ object AnalysisQueries {
         |UNION ALL
         |SELECT user_id, event_type, 'removed' AS direction
         |FROM (SELECT * FROM older EXCEPT ALL SELECT * FROM newer)""".stripMargin,
-    "permission_relationships" ->
-      """WITH principals AS (
-        |  SELECT s_suppkey AS pid, s_name AS name FROM supplier),
-        |resources AS (
-        |  SELECT p_partkey AS rid,
-        |    'arn:part:' || p_brand || ':' || p_type || ':' || CAST(p_partkey AS VARCHAR) AS arn
-        |  FROM part),
-        |allow_pairs AS (
-        |  SELECT pid, rid FROM principals, resources
-        |  WHERE (regexp_matches(name, '(?i)^Supplier\#.*$')
-        |         AND regexp_matches(arn, '(?i)^arn:part:Brand\#1.?:.*$'))
-        |     OR (regexp_matches(name, '(?i)^Supplier\#0000000.?1$')
-        |         AND regexp_matches(arn, '(?i)^arn:part:.*:PROMO:.*$'))),
-        |deny_pairs AS (
-        |  SELECT pid, rid FROM principals, resources
-        |  WHERE regexp_matches(name, '(?i)^.*$')
-        |    AND regexp_matches(arn, '(?i)^.*:ECONOMY:.*$'))
-        |SELECT CAST(pid AS BIGINT) AS principal_id, CAST(rid AS BIGINT) AS resource_id
-        |FROM (SELECT DISTINCT pid, rid FROM allow_pairs
-        |      EXCEPT SELECT pid, rid FROM deny_pairs)""".stripMargin,
+    "permission_relationships" -> {
+      // one VALUES row per statement, regexes/keys generated by the same
+      // compile path the evaluator uses
+      val stmtRows = PolicyStatements.map { s =>
+        val isAllow = s.effect.toLowerCase == "allow"
+        val keys = s.condition.map(Permissions.conditionContextKeys)
+          .getOrElse(Nil).mkString(",")
+        s"(${isAllow}, ${s.condition.isDefined}, " +
+          s"'${Permissions.wildcardToRegex(s.principalPattern)}', " +
+          s"'${Permissions.wildcardToRegex(s.resourcePattern)}', '$keys')"
+      }.mkString(",\n    ")
+      s"""WITH principals AS (
+         |  SELECT s_suppkey AS pid, s_name AS name FROM supplier),
+         |resources AS (
+         |  SELECT p_partkey AS rid,
+         |    'arn:part:' || p_brand || ':' || p_type || ':' || CAST(p_partkey AS VARCHAR) AS arn
+         |  FROM part),
+         |stmts(is_allow, has_cond, pre, rre, keys) AS (VALUES
+         |    $stmtRows),
+         |matches AS (
+         |  SELECT pid, rid, is_allow, has_cond, keys
+         |  FROM principals p CROSS JOIN resources r CROSS JOIN stmts s
+         |  WHERE regexp_matches(p.name, s.pre) AND regexp_matches(r.arn, s.rre)),
+         |granted AS (
+         |  SELECT pid, rid,
+         |    NOT bool_or(is_allow AND NOT has_cond) AS has_condition,
+         |    array_to_string(list_sort(list_distinct(flatten(
+         |      list(CASE WHEN is_allow AND has_cond
+         |           THEN string_split(keys, ',') ELSE [] END)))), ',') AS cond_keys_all
+         |  FROM matches
+         |  GROUP BY pid, rid
+         |  HAVING bool_or(is_allow) AND NOT bool_or(NOT is_allow))
+         |SELECT CAST(pid AS BIGINT) AS principal_id,
+         |  CAST(rid AS BIGINT) AS resource_id,
+         |  has_condition,
+         |  CASE WHEN has_condition THEN cond_keys_all ELSE '' END AS condition_keys
+         |FROM granted""".stripMargin
+    },
   )
 }

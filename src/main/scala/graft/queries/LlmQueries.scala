@@ -68,6 +68,10 @@ object LlmQueries {
     Dedup.cosineNearDup(
       Similarity.quantized(Tables.embeddings(spark, dir)), minCosX1e6 = 350000L)
 
+  def dedupCosineNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosineNearDupBucketed(
+      Similarity.quantized(Tables.embeddings(spark, dir)), minCosX1e6 = 350000L)
+
   // ---- similarity search ----
 
   def simBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -102,6 +106,7 @@ object LlmQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_hamming" -> (dedupSimhashHamming _),
     "dedup_cosine_neardup" -> (dedupCosineNearDup _),
+    "dedup_cosine_neardup_lsh" -> (dedupCosineNearDupLsh _),
     "sim_bruteforce_topk" -> (simBruteForceTopK _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
@@ -311,6 +316,16 @@ object LlmQueries {
          |  CAST(floor(1000000.0 * $pairDot /
          |       sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
          |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+         |WHERE floor(1000000.0 * $pairDot /
+         |      sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) >= 350000""".stripMargin,
+    "dedup_cosine_neardup_lsh" ->
+      s"""WITH $QuantCte,
+         |$LshSigCte,
+         |qs AS (SELECT q.vec_id, q.q, q.norm2, s.sig FROM qn q JOIN sigs s USING(vec_id))
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(floor(1000000.0 * $pairDot /
+         |       sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |FROM qs a JOIN qs b ON a.sig = b.sig AND a.vec_id < b.vec_id
          |WHERE floor(1000000.0 * $pairDot /
          |      sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) >= 350000""".stripMargin,
     "sim_bruteforce_topk" ->

@@ -36,19 +36,43 @@ object StreamQueries {
 
   /** True Structured Streaming run inside the gate: the events parquet is
     * replayed through readStream → watermark → 1h tumbling window → memory
-    * sink, synchronously drained. Results must equal the batch tumbling
-    * window (same oracle). */
+    * sink in APPEND mode, synchronously drained. Append means a window row
+    * is emitted exactly once, when the watermark passes its end, and its
+    * state is evicted — bounded state, unlike complete mode which retains
+    * and re-emits every window ever seen. A flush sentinel 10h past the
+    * last real event (unioned in as a second file source) advances the
+    * watermark past every real window's end so the final no-data
+    * micro-batch emits the trailing windows; the sentinel's own window
+    * never closes, so it is never emitted — no filter needed (a filter
+    * would be pushed below the watermark operator and defeat the flush).
+    * Results must equal the batch tumbling window (same oracle). */
   def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
+    val batchEv = spark.read.parquet(path)
+    val rawSchema = batchEv.schema
+    // sentinel event 10h (in nanos) past max ts: advances the watermark
+    // beyond every real window's end, never reaches the aggregation
+    val maxTsNanos = batchEv.agg(max(col("ts"))).head.getLong(0)
+    val sentinelVals = rawSchema.fields.map {
+      case f if f.name == "ts" => (maxTsNanos + 10L * 3600 * 1000000000L): Any
+      case f if f.name == "event_type" => "_flush": Any
+      case _ => null: Any
+    }
+    val sentinelDir = java.nio.file.Files.createTempDirectory("graft_flush").toString
+    spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row(sentinelVals: _*)),
+        rawSchema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
     // file-stream sources take a directory; glob down to the events file
-    val stream = spark.readStream.schema(rawSchema)
+    val eventsStream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val flushStream = spark.readStream.schema(rawSchema).parquet(sentinelDir)
+    val stream = eventsStream.union(flushStream)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val agg = Streaming.windowedEventCounts(stream, "ts", "1 hour", "2 hours")
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode("append")
       .format("memory")
       .queryName("stream_windowed_agg_sink")
       .start()

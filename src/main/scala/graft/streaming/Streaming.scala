@@ -16,7 +16,10 @@ object Streaming {
     * form of the CloudTrail lookback aggregation
     * (cloudtrail_management_events.py:63-117, 234-310: the reference
     * handles late data by re-reading the whole lookback window; the
-    * watermark replaces that re-read). Works on a streaming DataFrame. */
+    * watermark replaces that re-read). Works on a streaming DataFrame.
+    * Designed for append output — the watermark actually evicts window
+    * state, so state stays O(open windows) instead of growing with every
+    * window ever seen. */
   def windowedEventCounts(events: DataFrame, eventTimeCol: String,
                           windowLen: String, watermark: String): DataFrame =
     events

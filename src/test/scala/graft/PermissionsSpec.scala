@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.permissions.Permissions
+import graft.permissions.Permissions.PolicyStatement
+
+/** Chunked bitmask IAM evaluation: >62 statements span mask blocks;
+  * allow in one block must compose with deny in another; condition
+  * annotation follows the reference's collect_edge_conditions. */
+class PermissionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val principals = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+  private val resources = Seq((10L, "arn:x:doc"), (20L, "arn:x:img")).toDF("id", "arn")
+
+  private def pad(n: Int): Seq[PolicyStatement] =
+    (0 until n).map(i => PolicyStatement(s"pad$i", "Allow", s"nobody$i", s"nothing$i"))
+
+  test("allow in block 1 + deny in block 2 still deny-overrides") {
+    // 70 pads push the allow into block 0 positions and the deny into block 2
+    val stmts = (PolicyStatement("a", "Allow", "alice", "arn:x:*") +: pad(70)) :+
+      PolicyStatement("d", "Deny", "*", "*:img")
+    val out = Permissions.evaluate(principals, resources, stmts)
+      .select("principal_id", "resource_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
+  test("grant whose only allow is in the second block is found") {
+    val stmts = pad(65) :+ PolicyStatement("a", "Allow", "bob", "arn:x:doc")
+    val out = Permissions.evaluate(principals, resources, stmts)
+      .select("principal_id", "resource_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 10L)))
+  }
+
+  test("condition annotation: unconditional path wins, else keys union") {
+    val cond1 = """[{"IpAddress": {"aws:SourceIp": "10.0.0.0/8"}}]"""
+    val cond2 = """{"StringEquals": {"aws:username": "alice", "aws:userid": "1"}}"""
+    val stmts = Seq(
+      PolicyStatement("c1", "Allow", "alice", "arn:x:doc", condition = Some(cond1)),
+      PolicyStatement("c2", "Allow", "alice", "arn:x:doc", condition = Some(cond2)),
+      PolicyStatement("u", "Allow", "alice", "arn:x:img"), // unconditional
+      PolicyStatement("c3", "Allow", "bob", "arn:x:*", condition = Some(cond1)),
+      PolicyStatement("u2", "Allow", "bob", "arn:x:doc")) // makes bob/doc unconditional
+    val out = Permissions.evaluate(principals, resources, stmts)
+      .select("principal_id", "resource_id", "has_condition", "condition_keys")
+      .as[(Long, Long, Boolean, String)].collect().toSet
+    assert(out == Set(
+      (1L, 10L, true, "aws:SourceIp,aws:userid,aws:username"),
+      (1L, 20L, false, ""),
+      (2L, 10L, false, ""),
+      (2L, 20L, true, "aws:SourceIp")))
+  }
+
+  test("malformed condition blob stays conditional with no keys") {
+    val stmts = Seq(
+      PolicyStatement("m", "Allow", "alice", "arn:x:doc", condition = Some("{not json")))
+    val out = Permissions.evaluate(principals, resources, stmts)
+      .select("principal_id", "has_condition", "condition_keys")
+      .as[(Long, Boolean, String)].collect().toSet
+    assert(out == Set((1L, true, "")))
+  }
+}
