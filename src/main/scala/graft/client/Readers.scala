@@ -13,23 +13,38 @@ import graft.graph.Graph
   *
   * These are the only operators allowed to collect: they exist precisely
   * where the reference pulls a bounded result to the driver (config-sized
-  * lists, single values). Anything unbounded stays a DataFrame.
+  * lists, single values). Anything unbounded stays a DataFrame — the
+  * list readers enforce that with a row cap: pointing one at a node
+  * table fails fast instead of OOMing the driver.
   */
 object Readers {
 
+  /** Default driver-side row cap for the list readers. */
+  val DefaultMaxRows: Int = 100000
+
+  private def bounded(df: DataFrame, maxRows: Int): Array[Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"reader result exceeds maxRows=$maxRows — this helper is for " +
+        "config-sized lists; keep unbounded reads distributed as DataFrames")
+    rows
+  }
+
   /** One column as a Scala list (read_list_of_values_tx). */
-  def listOfValues(df: DataFrame, column: String): Seq[Any] =
-    df.select(col(column)).collect().toSeq.map(_.get(0))
+  def listOfValues(df: DataFrame, column: String,
+                   maxRows: Int = DefaultMaxRows): Seq[Any] =
+    bounded(df.select(col(column)), maxRows).toSeq.map(_.get(0))
 
   /** Rows as maps keyed by column name (read_list_of_dicts_tx). */
-  def listOfDicts(df: DataFrame): Seq[Map[String, Any]] = {
+  def listOfDicts(df: DataFrame, maxRows: Int = DefaultMaxRows): Seq[Map[String, Any]] = {
     val cols = df.columns
-    df.collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+    bounded(df, maxRows).toSeq
+      .map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
   }
 
   /** Rows as raw tuples in column order (read_list_of_tuples_tx). */
-  def listOfTuples(df: DataFrame): Seq[Seq[Any]] =
-    df.collect().toSeq.map(_.toSeq)
+  def listOfTuples(df: DataFrame, maxRows: Int = DefaultMaxRows): Seq[Seq[Any]] =
+    bounded(df, maxRows).toSeq.map(_.toSeq)
 
   /** First value of the first row, or None (read_single_value_tx). */
   def singleValue(df: DataFrame, column: String): Option[Any] =

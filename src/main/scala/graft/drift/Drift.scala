@@ -52,4 +52,38 @@ object Drift {
   def diffStates(spark: org.apache.spark.sql.SparkSession, stateDir: String,
                  olderName: String, newerName: String): DataFrame =
     diff(loadState(spark, stateDir, olderName), loadState(spark, stateDir, newerName))
+
+  // --- state registry lifecycle (reference get_states.py:111-141: one
+  // directory per detector/query, one timestamp-named state file per
+  // sync; listing orders states so "diff the two most recent" needs no
+  // extra bookkeeping) ---
+
+  /** Record a new state for `query` under the registry, named by the sync
+    * tag (reference add_state: state files named by timestamp). */
+  def addState(df: DataFrame, registryDir: String, query: String, tag: Long): Unit =
+    saveState(df, s"$registryDir/$query", tag.toString)
+
+  /** Tags of the recorded states for `query`, ascending. Uses the Hadoop
+    * FS API so the registry can live on any cluster filesystem. */
+  def listStates(spark: org.apache.spark.sql.SparkSession, registryDir: String,
+                 query: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(s"$registryDir/$query")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq.filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  /** Drift between the two most recent recorded states of `query`
+    * (reference detect_deviations default: latest pair). Requires ≥2
+    * states. */
+  def diffLatest(spark: org.apache.spark.sql.SparkSession, registryDir: String,
+                 query: String): DataFrame = {
+    val tags = listStates(spark, registryDir, query)
+    require(tags.size >= 2,
+      s"drift for '$query' needs at least two recorded states, found ${tags.size}")
+    diffStates(spark, s"$registryDir/$query",
+      tags(tags.size - 2).toString, tags.last.toString)
+  }
 }

@@ -37,16 +37,21 @@ object GraphLoader {
   import GraphStore.{DST, ID, SRC}
 
   /** Project a raw batch through a node schema: id + properties + labels
-    * array (primary + unconditional + satisfied conditional labels). */
+    * array (primary + unconditional + satisfied conditional labels).
+    * Nodes with a sub-resource also carry `_sub_resource_id` — the tenant
+    * key that makes scoped cleanup (and tenant partition pruning at rest)
+    * a plain column predicate. */
   def projectBatch(schema: NodeSchema, batch: DataFrame): DataFrame = {
     val labelCols: Seq[Column] =
       array(lit(schema.label)) +: schema.extraLabels.map {
-        case ExtraLabel(l, None) => array(lit(l))
-        case ExtraLabel(l, Some(cond)) => when(cond, array(lit(l))).otherwise(array())
+        case ExtraLabel(l, None, _) => array(lit(l))
+        case ExtraLabel(l, Some(cond), _) => when(cond, array(lit(l))).otherwise(array())
       }
     val labels = array_sort(concat(labelCols: _*))
     val props = schema.properties.toSeq.sortBy(_._1).map { case (n, ref) => ref.toCol.as(n) }
-    batch.select((schema.id.toCol.as(ID) +: props :+ labels.as("labels")): _*)
+    val subCol = schema.subResource.toSeq.map(sub =>
+      sub.sourceRef.toCol.as(SubResourceIdCol))
+    batch.select((schema.id.toCol.as(ID) +: props :+ labels.as("labels")) ++ subCol: _*)
   }
 
   /** Load a batch: node upsert + sub-resource edge + additional links.

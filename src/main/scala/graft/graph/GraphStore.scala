@@ -132,6 +132,19 @@ object GraphStore {
     existing.filter(!inScope).unionByName(survivorsInScope)
   }
 
+  /** Edge cleanup scoped by endpoint membership: delete stale edges whose
+    * `side` endpoint belongs to `scopedNodeIds` (the tenant's nodes);
+    * stale edges whose endpoint is outside the scope are another tenant's
+    * rows and survive (reference: rel cleanup is scoped through the
+    * sub-resource MATCH, cleanupbuilder.py:244-383). */
+  def cleanupEdgesByEndpoint(edges: DataFrame, tag: Long, scopedNodeIds: DataFrame,
+                             side: String): DataFrame =
+    edges.filter(col(LASTUPDATED) === lit(tag)).unionByName(
+      edges.filter(col(LASTUPDATED) =!= lit(tag))
+        .join(scopedNodeIds.select(col(ID).as(side)).dropDuplicates(side :: Nil),
+          Seq(side), "left_anti")
+        .select(edges.columns.map(col).toSeq: _*))
+
   /** DETACH DELETE semantics: removing nodes cascades into every edge table
     * that references the label (reference: implicit in Cypher DETACH DELETE;
     * here an explicit FK-style cascade over the edge tables). */

@@ -28,6 +28,25 @@ object Migrations {
     withNode.copy(edges = rekeyed)
   }
 
+  /** Drop a label value from a node table's `labels` array — the
+    * end-of-life step for COMPATIBILITY labels kept through a rename
+    * migration (reference ExtraNodeLabelKind.COMPATIBILITY,
+    * models/core/nodes.py:73-147). */
+  def dropLabelValue(graph: Graph, nodeLabel: String, labelToDrop: String): Graph = {
+    val table = graph.nodeTable(nodeLabel)
+    if (!table.columns.contains("labels")) graph
+    else graph.withNodes(nodeLabel, table.withColumn("labels",
+      filter(col("labels"), l => l =!= labelToDrop)))
+  }
+
+  /** Strip every COMPATIBILITY extra label a schema declares from its
+    * node table (run once consumers have migrated off the old names). */
+  def stripCompatibilityLabels(graph: Graph,
+                               schema: graft.schema.NodeSchema): Graph =
+    schema.extraLabels.collect {
+      case graft.schema.ExtraLabel(l, _, graft.schema.CompatibilityLabel) => l
+    }.foldLeft(graph)((g, l) => dropLabelValue(g, schema.label, l))
+
   /** Rename a relationship type. */
   def renameEdgeLabel(graph: Graph, key: (String, String, String),
                       newRel: String): Graph = {

@@ -46,7 +46,15 @@ class PersistentGraph(spark: SparkSession, storeDir: String) {
       }
     val ordered = merged.select(
       (merged.columns.filterNot(_ == tenantCol).map(col) :+ col(tenantCol)).toSeq: _*)
-    val writer = ordered.write.mode("overwrite").partitionBy(tenantCol)
+    // The merged plan READS the same path it is about to overwrite: an
+    // eager localCheckpoint materializes the result before the first file
+    // is touched, so a mid-write failure can no longer combine with lazy
+    // re-reads to lose the tenant's partition. (On Delta this whole method
+    // is a transactional MERGE; this is the plain-parquet mitigation.
+    // Concurrent external readers still need table-format isolation.)
+    val materialized =
+      if (exists(label)) ordered.localCheckpoint(true) else ordered
+    val writer = materialized.write.mode("overwrite").partitionBy(tenantCol)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     writer.parquet(path(label))
   }

@@ -26,36 +26,59 @@ trait IntelModule {
     * order (tenants before assets). */
   def transform(raw: DataFrame): Seq[(NodeSchema, DataFrame)]
 
-  /** Full sync: extract → transform → load each schema → scoped cleanup of
-    * nodes this sync did not touch. */
+  /** Full sync: extract → transform → load each schema → cleanup of nodes
+    * this sync did not touch, scoped by default to the sub-resources
+    * (tenants) actually present in this run's batches — syncing one
+    * tenant can never delete another tenant's rows (the reference always
+    * scopes cleanup to the sub-resource; an unscoped default would be the
+    * unsafe path). */
   def sync(graph: Graph, spark: SparkSession, source: String, tag: Long): Graph = {
-    val loaded = transform(extract(spark, source)).foldLeft(graph) {
+    val batches = transform(extract(spark, source))
+    val loaded = batches.foldLeft(graph) {
       case (g, (schema, batch)) => GraphLoader.load(g, schema, batch, tag)
     }
-    cleanup(loaded, tag)
+    // Tenant scope per label, derived from each schema's SubResourceRel:
+    // the handful of tenant ids in the batch (the reference syncs one
+    // sub-resource per run) become an isin predicate over the
+    // _sub_resource_id column the loader stamps. Labels without a
+    // sub-resource stay unscoped (reference rel-only/global cleanups).
+    val scopes: Map[String, org.apache.spark.sql.Column] =
+      batches.flatMap { case (schema, batch) =>
+        schema.subResource.map { sub =>
+          val tenants = batch.select(sub.sourceRef.toCol.cast("string"))
+            .distinct().collect().map(_.getString(0)).toSeq
+          schema.label ->
+            col(GraphLoader.SubResourceIdCol).cast("string").isin(tenants: _*)
+        }
+      }.toMap
+    cleanup(loaded, tag, scopes)
   }
 
-  /** Cleanup: stale-tag delete on every label this module loads, stale-tag
-    * delete on every edge table touching those labels, and DETACH of edges
-    * pointing at deleted nodes (subclasses narrow the scope to their
-    * tenant). Mirrors the reference's scoped node + rel cleanup pair
-    * (cleanupbuilder.py:244-383). */
+  /** Cleanup: stale-tag delete on every label this module loads (scoped
+    * per label when a scope is given), stale-tag delete on edges whose
+    * endpoint belongs to the scoped node set, and DETACH of edges
+    * pointing at deleted nodes. Mirrors the reference's scoped node + rel
+    * cleanup pair (cleanupbuilder.py:244-383). */
   def labels: Seq[String]
-  def cleanup(graph: Graph, tag: Long): Graph = {
+  def cleanup(graph: Graph, tag: Long,
+              scopes: Map[String, org.apache.spark.sql.Column] = Map.empty): Graph = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    def scopeOf(label: String) = scopes.getOrElse(label, lit(true))
     val afterNodes = labels.foldLeft(graph) { (g, label) =>
-      g.withNodes(label, GraphStore.cleanup(g.nodeTable(label), tag))
+      g.withNodes(label, GraphStore.cleanup(g.nodeTable(label), tag, scopeOf(label)))
     }
     labels.foldLeft(afterNodes) { (g, label) =>
+      val inScope = coalesce(scopeOf(label), lit(false))
       val deleted = graph.nodeTable(label)
-        .filter(org.apache.spark.sql.functions.col(GraphStore.LASTUPDATED) =!= tag)
+        .filter(org.apache.spark.sql.functions.col(GraphStore.LASTUPDATED) =!= tag && inScope)
         .select(col(GraphStore.ID))
+      val scopedIds = graph.nodeTable(label).filter(inScope).select(col(GraphStore.ID))
       g.edges.foldLeft(g) {
-        case (acc, (key @ (src, _, dst), edges)) if src == label || dst == label =>
-          val staleCleaned = GraphStore.cleanup(edges, tag)
-          val detached =
-            if (src == label) GraphStore.detachDelete(staleCleaned, deleted, GraphStore.SRC)
-            else GraphStore.detachDelete(staleCleaned, deleted, GraphStore.DST)
-          acc.withEdges(key, detached)
+        case (acc, (key @ (src, _, dst), _)) if src == label || dst == label =>
+          val side = if (src == label) GraphStore.SRC else GraphStore.DST
+          val staleCleaned = GraphStore.cleanupEdgesByEndpoint(
+            acc.edgeTable(key._1, key._2, key._3), tag, scopedIds, side)
+          acc.withEdges(key, GraphStore.detachDelete(staleCleaned, deleted, side))
         case (acc, _) => acc
       }
     }

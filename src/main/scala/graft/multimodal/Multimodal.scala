@@ -8,36 +8,76 @@ import org.apache.spark.sql.functions._
   * as a batched per-partition pass (the Scala analog of a Pandas UDF over
   * `mapInPandas`).
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * libraries — with a deterministic fake that derives "decoded" metadata
-  * from the raw bytes. The Spark-side plumbing is real: binary column
-  * handling, typed Dataset schema, partition-batched execution, and the
-  * feature schema a real decoder would emit.
+  * Image decoding is a real pure-JVM container-header parse — PNG / GIF /
+  * BMP / JPEG dimensions read straight from the payload bytes, no external
+  * library. Full pixel decode (and audio/video) would plug a codec into
+  * the same bytes-in/features-out contract; payloads no header parser
+  * recognizes fall back to a deterministic byte-derived stub so the
+  * pipeline shape stays total.
   */
 object Multimodal {
 
   /** A media row: opaque payload + source metadata. */
   final case class MediaRecord(media_id: Long, payload: Array[Byte], source: String)
 
-  /** Features a decoder would emit (dimensions, first-byte magic,
-    * checksum). */
-  final case class MediaFeatures(media_id: Long, n_bytes: Long, fake_width: Long,
-                                 fake_height: Long, first_byte: Long, checksum: Long)
+  /** Decoded features: container format (or "stub"), dimensions (header
+    * truth for recognized formats, byte-derived fake otherwise),
+    * first-byte magic, checksum. */
+  final case class MediaFeatures(media_id: Long, n_bytes: Long, format: String,
+                                 fake_width: Long, fake_height: Long,
+                                 first_byte: Long, checksum: Long)
 
-  /** DECODE STUB: deterministic fake decoder over raw bytes. A real
-    * implementation would JNI/subprocess into an image library here; the
-    * signature — bytes in, features out, executed per partition batch —
-    * is the real contract. */
-  def decodeStub(payload: Array[Byte]): MediaFeatures = {
+  private def u8(b: Byte): Int = b & 0xff
+  private def be16(p: Array[Byte], i: Int): Long = (u8(p(i)) << 8 | u8(p(i + 1))).toLong
+  private def be32(p: Array[Byte], i: Int): Long =
+    (u8(p(i)).toLong << 24) | (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+  private def le16(p: Array[Byte], i: Int): Long = (u8(p(i + 1)) << 8 | u8(p(i))).toLong
+  private def le32(p: Array[Byte], i: Int): Long =
+    (u8(p(i + 3)).toLong << 24) | (u8(p(i + 2)) << 16) | (u8(p(i + 1)) << 8) | u8(p(i))
+
+  /** Parse (format, width, height) from a real image container header:
+    * PNG IHDR (big-endian at offset 16/20), GIF logical screen
+    * (little-endian at 6/8), BMP BITMAPINFOHEADER (little-endian at
+    * 18/22), JPEG SOF0/1/2 marker scan. None if no signature matches. */
+  def decodeImageHeader(p: Array[Byte]): Option[(String, Long, Long)] = {
+    if (p.length >= 24 && u8(p(0)) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some(("png", be32(p, 16), be32(p, 20)))
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+      Some(("gif", le16(p, 6), le16(p, 8)))
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+      Some(("bmp", le32(p, 18), math.abs(le32(p, 22).toInt).toLong))
+    else if (p.length >= 4 && u8(p(0)) == 0xff && u8(p(1)) == 0xd8) {
+      // JPEG: walk the marker segments to the first start-of-frame
+      var i = 2
+      while (i + 9 < p.length) {
+        if (u8(p(i)) != 0xff) return None // desynced — not a valid stream
+        val marker = u8(p(i + 1))
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+          return Some(("jpeg", be16(p, i + 7), be16(p, i + 5)))
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // bare markers
+        else i += 2 + be16(p, i + 2).toInt // segment length includes itself
+      }
+      None
+    } else None
+  }
+
+  /** Decode one payload: real header parse when a signature matches, the
+    * deterministic byte-derived stub otherwise. Bytes in, features out,
+    * executed per partition batch — the contract a pixel-level codec
+    * would plug into. */
+  def decode(payload: Array[Byte]): MediaFeatures = {
     val n = payload.length.toLong
     var checksum = 0L
     var i = 0
     while (i < payload.length) { checksum += payload(i) & 0xffL; i += 1 }
+    val (format, w, h) = decodeImageHeader(payload)
+      .getOrElse(("stub", n % 640 + 1, n / 7 % 480 + 1))
     MediaFeatures(
       media_id = -1L, // filled by caller
       n_bytes = n,
-      fake_width = n % 640 + 1,
-      fake_height = n / 7 % 480 + 1,
+      format = format,
+      fake_width = w,
+      fake_height = h,
       first_byte = if (payload.isEmpty) -1L else (payload(0) & 0xffL),
       checksum = checksum % 65536L)
   }
@@ -48,7 +88,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would happen here
-      it.map(r => decodeStub(r.payload).copy(media_id = r.media_id))
+      it.map(r => decode(r.payload).copy(media_id = r.media_id))
     }
   }
 

@@ -9,7 +9,7 @@ import graft.drift.Drift
 import graft.graph.{Graph, GraphStore}
 import graft.permissions.Permissions
 import graft.permissions.Permissions.PolicyStatement
-import graft.rules.{Fact, Framework, Rule, RulesRunner}
+import graft.rules.{Fact, Framework, FrameworkControl, Maturity, Rule, RulesRunner}
 
 /** Analysis-job / rules / drift / permission operator battery
   * (SURVEY §2.8-2.9), driven through the typed DSLs.
@@ -154,6 +154,71 @@ object AnalysisQueries {
     RulesRunner.run(spark, framework)
   }
 
+  /** Job-directory registry (intel/analysis.py:12-45, data/jobs/cleanup):
+    * two JSON job files written to a temp dir at run time — a derive job
+    * flagging negative balances and a cleanup job keeping only
+    * `lastupdated = $UPDATE_TAG` rows — discovered in path order and run
+    * as SQL-as-data over the registered graph views. */
+  def analysisJobRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("acctbal"))
+    val nodes0 = GraphStore.initialLoad(batch, Seq(GraphStore.ID), 4000L)
+    val nodes = GraphStore.upsertNodes(nodes0, batch.filter(col("id") % 3 === 0), 5000L)
+    RulesRunner.registerGraphViews(Graph().withNodes("Customer", nodes))
+    val jobDir = java.nio.file.Files.createTempDirectory("graft_jobs")
+    def write(fname: String, body: String): Unit =
+      java.nio.file.Files.writeString(jobDir.resolve(fname), body)
+    write("10_flag_negative.json",
+      """{"name": "flag negative balances", "statements": [
+        |  {"query": "SELECT *, acctbal < 0 AS negative FROM node_Customer",
+        |   "materialize": "node_Customer",
+        |   "__comment__": "derive a negative-balance flag"}]}""".stripMargin)
+    write("20_cleanup.json",
+      """{"name": "stale customer cleanup", "statements": [
+        |  {"query": "SELECT * FROM node_Customer WHERE lastupdated = $UPDATE_TAG",
+        |   "materialize": "node_Customer",
+        |   "iterative": true, "iterationsize": 100,
+        |   "__comment__": "survivors-only SELECT replaces the LIMIT-loop delete"}]}""".stripMargin)
+    JobRegistry.runDirectory(spark, jobDir.toString, Map("UPDATE_TAG" -> 5000L))
+    spark.table("node_Customer")
+      .select(col("id").cast("long").as("id"), col("negative"), col("lastupdated"))
+  }
+
+  /** Framework-control mapping + compliance summary (model.py:286-355
+    * Framework dataclass, Fact cypher_count_query, runners.py:259-287
+    * filter): rules map to CIS-style controls; filtering by framework
+    * short-name drops unmapped rules; the summary counts finding rows,
+    * distinct failing assets (one order yields many violating lines), and
+    * total assets per fact. */
+  def rulesFrameworkSummary(spark: SparkSession, dir: String): DataFrame = {
+    val framework = Framework("sec-demo", Seq(
+      Rule("acct-hygiene", "Account hygiene",
+        facts = Seq(Fact("negative-balance", "Customer has negative balance", "Customer",
+          s => Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+            .select(col("c_custkey").as("asset_id")),
+          countQuery = Some(s => Tables.customer(s, dir).agg(count(lit(1)).as("count"))))),
+        tags = Seq("hygiene"),
+        frameworks = Seq(FrameworkControl("cis demo benchmark", "cis", "1.1",
+          scope = Some("core"), revision = Some("5.0"),
+          controlTitle = Some("Maintain account hygiene")))),
+      Rule("order-risk", "Order risk",
+        facts = Seq(Fact("urgent-open-lines", "Line item of an open urgent order", "Order",
+          s => Tables.lineitem(s, dir)
+            .join(Tables.orders(s, dir)
+              .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_orderkey").as("asset_id"), col("l_linenumber").as("line_no")),
+          maturity = Maturity.Experimental,
+          identityFields = Seq("asset_id", "line_no"),
+          countQuery = Some(s => Tables.orders(s, dir).agg(count(lit(1)).as("count"))))),
+        frameworks = Seq(FrameworkControl("cis demo benchmark", "cis", "2.3"))),
+      Rule("unmapped-rule", "Not mapped to any framework",
+        facts = Seq(Fact("never-runs", "filtered out before execution", "Customer",
+          s => sys.error("filtered rule must not execute"))))))
+    RulesRunner.summary(spark,
+      RulesRunner.filterByFramework(framework, shortName = Some("CIS")))
+  }
+
   /** Drift detection (driftdetect): states = (user, event_type) pairs with
     * ≥3 events in each half of the month; diff both directions. */
   def driftDetect(spark: SparkSession, dir: String): DataFrame = {
@@ -207,6 +272,8 @@ object AnalysisQueries {
     "analysis_set_rel_property" -> (analysisSetRelProperty _),
     "analysis_incremental" -> (analysisIncremental _),
     "rules_findings" -> (rulesFindings _),
+    "rules_framework_summary" -> (rulesFrameworkSummary _),
+    "analysis_job_registry" -> (analysisJobRegistry _),
     "drift_detect" -> (driftDetect _),
     "permission_relationships" -> (permissionRelationships _),
   )
@@ -259,6 +326,23 @@ object AnalysisQueries {
         |SELECT 'cis-demo', 'order-risk', 'urgent-open', 'Order',
         |  CAST(o_orderkey AS VARCHAR), o_orderpriority
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'""".stripMargin,
+    "analysis_job_registry" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  c_acctbal < 0 AS negative,
+        |  CAST(5000 AS BIGINT) AS lastupdated
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
+    "rules_framework_summary" ->
+      """SELECT 'acct-hygiene' AS rule_id, 'negative-balance' AS fact_id,
+        |  (SELECT count(*) FROM customer WHERE c_acctbal < 0) AS n_findings,
+        |  (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_acctbal < 0) AS n_failing_assets,
+        |  (SELECT count(*) FROM customer) AS n_total_assets
+        |UNION ALL
+        |SELECT 'order-risk', 'urgent-open-lines',
+        |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'),
+        |  (SELECT count(DISTINCT o_orderkey) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'),
+        |  (SELECT count(*) FROM orders)""".stripMargin,
     "drift_detect" ->
       """WITH older AS (
         |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_type

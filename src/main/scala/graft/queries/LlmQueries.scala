@@ -360,6 +360,7 @@ object LlmQueries {
         |sums AS (SELECT doc_id, sum(ascii(c)) AS bytesum FROM chars GROUP BY doc_id)
         |SELECT CAST(d.doc_id AS BIGINT) AS media_id,
         |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |  'stub' AS format,
         |  CAST(octet_length(encode(d.text)) % 640 + 1 AS BIGINT) AS fake_width,
         |  CAST(octet_length(encode(d.text)) // 7 % 480 + 1 AS BIGINT) AS fake_height,
         |  CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS first_byte,

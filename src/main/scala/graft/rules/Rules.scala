@@ -14,12 +14,60 @@ import org.apache.spark.sql.functions._
   * framework run is a single unioned Catalyst plan — the per-fact
   * `RETURN COUNT` variant of the reference is a groupBy on the same plan.
   */
+
+/** Maturity levels for Facts (reference model.py Maturity enum). */
+sealed trait Maturity
+object Maturity {
+  case object Experimental extends Maturity
+  case object Stable extends Maturity
+}
+
+/** A reference document for a Rule (reference RuleReference). */
+final case class RuleReference(text: String, url: String)
+
+/** A compliance framework requirement/control mapping (reference
+  * model.py:286-355 `Framework` dataclass — renamed here to avoid
+  * clashing with the rule-collection [[Framework]]). Matching fields are
+  * normalized to lowercase; controlTitle keeps display casing. */
+final case class FrameworkControl(
+    name: String, shortName: String, requirement: String,
+    scope: Option[String] = None, revision: Option[String] = None,
+    controlTitle: Option[String] = None) {
+  private def norm(s: String) = s.toLowerCase
+  /** Case-insensitive filter match (reference Framework.matches). */
+  def matches(shortName: Option[String] = None, scope: Option[String] = None,
+              revision: Option[String] = None): Boolean =
+    shortName.forall(f => norm(this.shortName) == norm(f)) &&
+      scope.forall(f => this.scope.exists(v => norm(v) == norm(f))) &&
+      revision.forall(f => this.revision.exists(v => norm(v) == norm(f)))
+}
+
 final case class Fact(
     factId: String,
     name: String,
     assetLabel: String,
     // query returns one row per finding with an `asset_id` column (+detail)
-    query: SparkSession => DataFrame)
+    query: SparkSession => DataFrame,
+    description: String = "",
+    module: String = "core",
+    maturity: Maturity = Maturity.Stable,
+    /** Columns forming the stable logical identity of a finding across
+      * syncs (reference identity_fields — required non-empty, must be
+      * projected by the query). */
+    identityFields: Seq[String] = Seq("asset_id"),
+    /** The projected column holding the `.id` of the assetLabel node —
+      * drives the distinct failing-asset count (reference asset_id_field). */
+    assetIdField: String = "asset_id",
+    /** Context-rich variant for visual/UI rendering (reference
+      * cypher_visual_query — `RETURN *` with extra relationships). */
+    visualQuery: Option[SparkSession => DataFrame] = None,
+    /** Total count of assets of the evaluated type, matching or not
+      * (reference cypher_count_query): one row, one `count` column. */
+    countQuery: Option[SparkSession => DataFrame] = None) {
+  require(identityFields.nonEmpty,
+    s"Fact '$factId' must declare non-empty identityFields")
+  require(assetLabel.nonEmpty, s"Fact '$factId' must declare an assetLabel")
+}
 
 object Fact {
   /** SQL-text fact over the registered graph views — the closest analog
@@ -30,7 +78,21 @@ object Fact {
     Fact(factId, name, assetLabel, s => s.sql(sqlText))
 }
 
-final case class Rule(ruleId: String, name: String, facts: Seq[Fact])
+final case class Rule(ruleId: String, name: String, facts: Seq[Fact],
+                      tags: Seq[String] = Nil,
+                      description: String = "",
+                      version: String = "1",
+                      references: Seq[RuleReference] = Nil,
+                      /** Compliance control mappings: a rule can map to
+                        * many controls and many rules to one control
+                        * (reference Rule.frameworks). */
+                      frameworks: Seq[FrameworkControl] = Nil) {
+  /** True if any mapped control matches the filter
+    * (reference Rule.has_framework). */
+  def hasFramework(shortName: Option[String] = None, scope: Option[String] = None,
+                   revision: Option[String] = None): Boolean =
+    frameworks.exists(_.matches(shortName, scope, revision))
+}
 
 final case class Framework(frameworkId: String, rules: Seq[Rule])
 
@@ -48,6 +110,14 @@ object RulesRunner {
       df.createOrReplaceTempView(s"edge_${s}_${r}_$d")
     }
   }
+
+  /** Keep only the rules mapped to a matching framework control
+    * (reference runners.py:259-287 filter_rules_by_framework). */
+  def filterByFramework(framework: Framework, shortName: Option[String] = None,
+                        scope: Option[String] = None,
+                        revision: Option[String] = None): Framework =
+    framework.copy(rules = framework.rules.filter(
+      _.hasFramework(shortName, scope, revision)))
 
   /** Execute every fact of the framework → unioned findings dataset with
     * columns (framework_id, rule_id, fact_id, asset_label, asset_id,
@@ -76,12 +146,40 @@ object RulesRunner {
     findings.groupBy(col("framework_id"), col("rule_id"), col("fact_id"))
       .agg(count(lit(1)).as("n_findings"))
 
+  /** Per-fact compliance summary: finding rows, distinct failing assets
+    * (distinct assetIdField values — one asset can produce many finding
+    * rows, reference asset_id_field doc), and the fact's total asset
+    * count when it declares a countQuery (reference cypher_count_query).
+    * One unioned plan, one pass. */
+  def summary(spark: SparkSession, framework: Framework): DataFrame = {
+    val parts = for {
+      rule <- framework.rules
+      fact <- rule.facts
+    } yield {
+      val result = fact.query(spark)
+      val base = result.agg(
+        count(lit(1)).as("n_findings"),
+        count_distinct(col(fact.assetIdField)).as("n_failing_assets"))
+      val total = fact.countQuery match {
+        case Some(q) => q(spark).select(col("count").cast("long").as("n_total_assets"))
+        case None => spark.range(1).select(lit(null).cast("long").as("n_total_assets"))
+      }
+      base.crossJoin(total).select(
+        lit(rule.ruleId).as("rule_id"),
+        lit(fact.factId).as("fact_id"),
+        col("n_findings"), col("n_failing_assets"), col("n_total_assets"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   private val Reserved = Set("framework_id", "rule_id", "fact_id", "asset_label")
 
   /** Static fact validation (reference model.py:32-123 parses the final
     * RETURN projection and checks aliases against reserved fields; here
-    * Catalyst's analyzed schema gives the projection for free). Returns
-    * one error string per violation; empty = valid. */
+    * Catalyst's analyzed schema gives the projection for free). Checks the
+    * asset_id column, reserved aliases, and that identityFields and
+    * assetIdField are actually projected (reference __post_init__ checks).
+    * Returns one error string per violation; empty = valid. */
   def validate(spark: SparkSession, framework: Framework): Seq[String] =
     for {
       rule <- framework.rules
@@ -98,7 +196,12 @@ object RulesRunner {
               else Seq(s"${fact.factId}: query must project an asset_id column")
             val reserved = names.filter(Reserved)
               .map(n => s"${fact.factId}: projection uses reserved column '$n'")
-            missing ++ reserved
+            val idMissing = fact.identityFields.filterNot(names.contains)
+              .map(f => s"${fact.factId}: identity field '$f' not projected")
+            val anchorMissing =
+              if (names.contains(fact.assetIdField)) Nil
+              else Seq(s"${fact.factId}: assetIdField '${fact.assetIdField}' not projected")
+            missing ++ reserved ++ idMissing ++ anchorMissing
         }
       }
     } yield err

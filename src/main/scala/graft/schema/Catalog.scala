@@ -22,8 +22,8 @@ object Catalog {
 
   def describe(schema: NodeSchema): NodeDoc = NodeDoc(
     label = schema.label,
-    extraLabels = schema.extraLabels.collect { case ExtraLabel(l, None) => l },
-    conditionalLabels = schema.extraLabels.collect { case ExtraLabel(l, Some(_)) => l },
+    extraLabels = schema.extraLabels.collect { case ExtraLabel(l, None, _) => l },
+    conditionalLabels = schema.extraLabels.collect { case ExtraLabel(l, Some(_), _) => l },
     properties = PropertyDoc("id", describeRef(schema.id)) +:
       schema.properties.toSeq.sortBy(_._1).map { case (n, r) =>
         PropertyDoc(n, describeRef(r))

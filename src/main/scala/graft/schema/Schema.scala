@@ -19,14 +19,28 @@ case class Field(name: String) extends PropertyRef { def toCol: Column = col(nam
 case class Param(value: Any) extends PropertyRef { def toCol: Column = lit(value) }
 case class Derived(c: Column) extends PropertyRef { def toCol: Column = c }
 
+/** Why an extra label exists (reference ExtraNodeLabelKind,
+  * nodes.py:73-147): STANDARD is a plain additional label; ONTOLOGY marks
+  * labels the ontology layer owns; COMPATIBILITY marks temporary aliases
+  * kept through a rename migration — they can be stripped wholesale once
+  * consumers migrate ([[graft.graph.Migrations.stripCompatibilityLabels]]). */
+sealed trait LabelKind
+case object StandardLabel extends LabelKind
+case object OntologyLabel extends LabelKind
+case object CompatibilityLabel extends LabelKind
+
 /** Unconditional or conditional extra node label
   * (reference: nodes.py:73-147, ExtraNodeLabel.when(...)). Conditional
   * labels become a `when(cond)` element of the node's `labels` array
   * column — no second pass over the table
   * (reference FOREACH-CASE trick: querybuilder.py:486-575). */
-case class ExtraLabel(label: String, condition: Option[Column] = None)
+case class ExtraLabel(label: String, condition: Option[Column] = None,
+                      kind: LabelKind = StandardLabel)
 object ExtraLabel {
   def when(label: String, cond: Column): ExtraLabel = ExtraLabel(label, Some(cond))
+  def compatibility(label: String): ExtraLabel =
+    ExtraLabel(label, None, CompatibilityLabel)
+  def ontology(label: String): ExtraLabel = ExtraLabel(label, None, OntologyLabel)
 }
 
 /** Join mode for attaching a relationship to existing target nodes

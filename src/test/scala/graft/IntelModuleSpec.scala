@@ -94,20 +94,29 @@ class IntelModuleSpec extends AnyFunSuite {
     assert(g.nodeTable("Instance").count() == 3) // later module still synced
   }
 
-  test("re-sync with shrunken feed cleans up the stale instance") {
+  test("re-sync with shrunken feed cleans the synced tenant, spares others") {
     val g1 = ComputeInstances.sync(Graph().withNodes("Account", accountNodes),
       spark, epoch1, tag = 200L)
+    // epoch2 only contains acct-1: i-bb (acct-1, stale) must be deleted,
+    // i-cc (acct-2, stale but OUT of the synced tenant scope) must survive
+    // — the reference always scopes cleanup to the sub-resource being
+    // synced; deleting acct-2's rows here would be cross-tenant data loss.
     val g2 = ComputeInstances.sync(g1, spark, epoch2, tag = 300L)
     val ids = g2.nodeTable("Instance").select($"id").as[String].collect().toSet
-    assert(ids == Set("i-aa")) // i-bb and i-cc stale → deleted
+    assert(ids == Set("i-aa", "i-cc"))
+    // Nic has no sub-resource → its cleanup is unscoped: stale eni-3 goes
     val nics = g2.nodeTable("Nic").select($"id").as[String].collect().toSet
     assert(nics == Set("eni-1", "eni-2"))
-    // edge hygiene: stale edges gone, edges to deleted nodes detached
+    // edge hygiene: stale in-scope edges gone, edges to deleted nodes detached
     val attached = g2.edgeTable("Nic", "ATTACHED_TO", "Instance")
       .select($"src_id", $"dst_id").as[(String, String)].collect().toSet
     assert(attached == Set(("eni-1", "i-aa"), ("eni-2", "i-aa")))
     val tenancy = g2.edgeTable("Account", "RESOURCE", "Instance")
       .select($"dst_id").as[String].collect().toSet
-    assert(tenancy == Set("i-aa"))
+    assert(tenancy == Set("i-aa", "i-cc"))
+    // the spared tenant's rows are byte-untouched (still epoch-1 tagged)
+    val spared = g2.nodeTable("Instance").filter($"id" === "i-cc")
+      .select($"lastupdated").as[Long].collect().toSeq
+    assert(spared == Seq(200L))
   }
 }
