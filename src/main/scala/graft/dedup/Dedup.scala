@@ -87,27 +87,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jacc_x1e6"))
   }
 
-  /** SimHash near-dup pairs: docs with identical 16-bit tf-weighted
+  /** SimHash near-dup pairs: docs with identical 32-bit tf-weighted
     * sketches. Exact-match pairing is a single equi-join on the sketch;
     * hamming-distance-k pairing would union the k bit-flip probes. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = TextFunctions.simhash16(TextFunctions.termFreq(docs, idCol, textCol))
+    val sh = TextFunctions.simhash(TextFunctions.termFreq(docs, idCol, textCol))
     sh.alias("a").join(sh.alias("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("simhash"))
   }
 
-  /** SimHash near-dup pairs within hamming distance k: split the 16-bit
+  /** SimHash near-dup pairs within hamming distance k: split the 32-bit
     * sketch into k+1 chunks — any pair within distance k shares at least
     * one exact chunk (pigeonhole), so candidates come from k+1 chunk-value
     * equi-joins, then `bit_count(xor) <= k` verifies. No n² pair space;
     * the standard scale path for hamming-radius search. */
   def simhashPairsWithin(docs: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame = {
-    require(k >= 1 && k <= 3, "chunking tuned for 16-bit sketches, k in 1..3")
-    val sh = TextFunctions.simhash16(TextFunctions.termFreq(docs, idCol, textCol))
-    val chunks = TextFunctions.chunkBounds(16, k + 1)
+    require(k >= 1 && k <= 7, "chunk width must stay useful: k in 1..7 for 32 bits")
+    val sh = TextFunctions.simhash(TextFunctions.termFreq(docs, idCol, textCol))
+    val chunks = TextFunctions.chunkBounds(TextFunctions.SimhashBits, k + 1)
     val buckets = sh.select(col("doc_id"), col("simhash"),
       explode(array(chunks.zipWithIndex.map { case ((lo, width), i) =>
         struct(lit(i).as("ci"),

@@ -148,12 +148,13 @@ object LlmQueries {
         s"min(($a*(sid % ${TextFunctions.P}) + $b) % ${TextFunctions.P}) AS h$j"
     }.mkString(", ")
 
-  private val simhashBitSums: String = (0 until 16).map { k =>
+  private val simhashBitSums: String = (0 until TextFunctions.SimhashBits).map { k =>
     s"sum(CASE WHEN (((wid % ${TextFunctions.P}) * ${TextFunctions.Mix}) // ${1L << k}) % 2 = 1 THEN tf ELSE -tf END) AS s$k"
   }.mkString(",\n    ")
 
   private val simhashSig: String =
-    (0 until 16).map(k => s"CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    (0 until TextFunctions.SimhashBits)
+      .map(k => s"CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
 
   /** Quantized-embedding CTE: q = floor(1000x) per dim, integer norm. */
   private val QuantCte =

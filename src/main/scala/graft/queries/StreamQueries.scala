@@ -49,13 +49,15 @@ object StreamQueries {
   def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val batchEv = spark.read.parquet(path)
-    val rawSchema = batchEv.schema
-    // sentinel event 10h (in nanos) past max ts: advances the watermark
-    // beyond every real window's end, never reaches the aggregation
-    val maxTsNanos = batchEv.agg(max(col("ts"))).head.getLong(0)
+    val rawSchema = spark.read.parquet(path).schema
+    // flush sentinel at a fixed far-future event time (2100-01-01, nanos):
+    // advances the watermark beyond every real window's end without
+    // scanning the data for max(ts); its own window never closes so it is
+    // never emitted
+    val sentinelNanos = java.time.Instant.parse("2100-01-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
     val sentinelVals = rawSchema.fields.map {
-      case f if f.name == "ts" => (maxTsNanos + 10L * 3600 * 1000000000L): Any
+      case f if f.name == "ts" => sentinelNanos: Any
       case f if f.name == "event_type" => "_flush": Any
       case _ => null: Any
     }

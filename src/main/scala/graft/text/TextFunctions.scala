@@ -104,16 +104,24 @@ object TextFunctions {
     widths.scanLeft(0)(_ + _).zip(widths).map { case (lo, w) => (lo, w) }
   }
 
-  /** Term-frequency-weighted 16-bit SimHash from (doc_id, wid, tf) rows:
-    * bit k of mix(wid) contributes +tf / -tf; sign of the per-bit sum sets
-    * the output bit. Pure integer math, one aggregation. */
-  def simhash16(tokenTf: DataFrame): DataFrame = {
+  /** Sketch width for [[simhash]]. 32 bits: wide enough that pigeonhole
+    * chunk buckets (3 chunks of ~11 bits for hamming ≤ 2) have ~2048
+    * values each — candidate pairs stay near the true near-dup set
+    * instead of the O(n²/buckets) blowup a 16-bit sketch hits once the
+    * corpus outgrows 2^16. */
+  val SimhashBits: Int = 32
+
+  /** Term-frequency-weighted [[SimhashBits]]-bit SimHash from
+    * (doc_id, wid, tf) rows: bit k of mix(wid) contributes +tf / -tf;
+    * sign of the per-bit sum sets the output bit. Pure integer math, one
+    * aggregation. */
+  def simhash(tokenTf: DataFrame): DataFrame = {
     val h = col("wid") % P * lit(Mix)
-    val bitSums = (0 until 16).map { k =>
+    val bitSums = (0 until SimhashBits).map { k =>
       sum(when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, col("tf"))
         .otherwise(-col("tf"))).as(s"s$k")
     }
-    val sig = (0 until 16).map { k =>
+    val sig = (0 until SimhashBits).map { k =>
       when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
     tokenTf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
