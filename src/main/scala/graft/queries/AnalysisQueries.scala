@@ -21,7 +21,7 @@ object AnalysisQueries {
   private def customerNodes(spark: SparkSession, dir: String): DataFrame = {
     val b = Tables.customer(spark, dir).select(
       col("c_custkey").as("id"), col("c_name").as("name"))
-    GraphStore.upsertNodes(GraphStore.emptyLike(b), b, TAG)
+    GraphStore.initialLoad(b, Seq(GraphStore.ID), TAG)
   }
 
   /** SetProperty effect (analysis.py:70-87): flag customers that have an

@@ -23,8 +23,7 @@ object JoinQueries {
     val p = Tables.part(spark, dir)
     val nameNodes = p.select(col("p_name").as("id")).distinct()
     val g0 = Graph()
-      .withNodes("PartName", GraphStore.upsertNodes(
-        GraphStore.emptyLike(nameNodes), nameNodes, TAG))
+      .withNodes("PartName", GraphStore.initialLoad(nameNodes, Seq(GraphStore.ID), TAG))
     val schema = NodeSchema(
       label = "Part",
       id = Field("p_partkey"),
@@ -43,8 +42,8 @@ object JoinQueries {
     val p = Tables.part(spark, dir)
     val nameNodes = p.select(col("p_name").as("id")).distinct()
     val keywords = Seq("widget", "bolt", "rod", "gear").toDF("kw")
-    val g0 = Graph().withNodes("PartName", GraphStore.upsertNodes(
-      GraphStore.emptyLike(nameNodes), nameNodes, TAG))
+    val g0 = Graph().withNodes("PartName",
+      GraphStore.initialLoad(nameNodes, Seq(GraphStore.ID), TAG))
     val schema = NodeSchema(
       label = "Keyword",
       id = Field("kw"),
@@ -62,8 +61,8 @@ object JoinQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val kwNodes = Seq("join", "scan", "merge", "window", "hash").toDF("id")
-    val g0 = Graph().withNodes("Keyword", GraphStore.upsertNodes(
-      GraphStore.emptyLike(kwNodes), kwNodes, TAG))
+    val g0 = Graph().withNodes("Keyword",
+      GraphStore.initialLoad(kwNodes, Seq(GraphStore.ID), TAG))
     val schema = NodeSchema(
       label = "Document",
       id = Field("doc_id"),
@@ -87,8 +86,8 @@ object JoinQueries {
       .groupBy(col("l_orderkey").as("oref"), col("l_suppkey").as("sref"))
       .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"))
     val g0 = Graph()
-      .withNodes("Order", GraphStore.upsertNodes(GraphStore.emptyLike(orderNodes), orderNodes, TAG))
-      .withNodes("Supplier", GraphStore.upsertNodes(GraphStore.emptyLike(suppNodes), suppNodes, TAG))
+      .withNodes("Order", GraphStore.initialLoad(orderNodes, Seq(GraphStore.ID), TAG))
+      .withNodes("Supplier", GraphStore.initialLoad(suppNodes, Seq(GraphStore.ID), TAG))
     GraphLoader.matchLinks(g0, pairs, "Order", "SUPPLIES", "Supplier", "oref", "sref", TAG)
       .edgeTable("Order", "SUPPLIES", "Supplier")
       .select(col("src_id"), col("dst_id"), col("total_qty"), col("lastupdated"))
@@ -129,8 +128,8 @@ object JoinQueries {
     val nationNodes = Tables.nation(spark, dir).select(col("n_nationkey").as("id"))
     val regionNodes = Tables.region(spark, dir).select(col("r_regionkey").as("id"))
     val g0 = Graph()
-      .withNodes("Nation", GraphStore.upsertNodes(GraphStore.emptyLike(nationNodes), nationNodes, TAG))
-      .withNodes("Region", GraphStore.upsertNodes(GraphStore.emptyLike(regionNodes), regionNodes, TAG))
+      .withNodes("Nation", GraphStore.initialLoad(nationNodes, Seq(GraphStore.ID), TAG))
+      .withNodes("Region", GraphStore.initialLoad(regionNodes, Seq(GraphStore.ID), TAG))
     GraphLoader.crossLinks(g0, "Nation", "PEER_OF", "Region", TAG)
       .edgeTable("Nation", "PEER_OF", "Region")
       .select(col("src_id").cast("long").as("src_id"),

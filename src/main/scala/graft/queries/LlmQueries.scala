@@ -89,6 +89,11 @@ object LlmQueries {
     Similarity.lshTopKMultiProbe(q.filter(col("vec_id") < 10), q, k = 3)
   }
 
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantized(Tables.embeddings(spark, dir))
+    Similarity.ivfTopK(q.filter(col("vec_id") < 10), q, k = 3)
+  }
+
   // ---- multimodal ----
 
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
@@ -110,6 +115,7 @@ object LlmQueries {
     "sim_bruteforce_topk" -> (simBruteForceTopK _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
+    "sim_ann_ivf" -> (simAnnIvf _),
     "multimodal_decode" -> (multimodalDecode _),
   )
 
@@ -306,6 +312,39 @@ object LlmQueries {
          |  FROM qs a JOIN qs b
          |    ON bit_count(xor(a.sig, b.sig)) <= 1
          |   AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
+    "sim_ann_ivf" ->
+      s"""WITH $QuantCte,
+         |cents AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
+         |ccos AS (
+         |  SELECT v.vec_id, c.cid,
+         |    floor(1000000.0 *
+         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
+         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS cc
+         |  FROM qn v CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+         |    FROM ccos) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+         |    FROM ccos WHERE vec_id < 10) WHERE rk <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 * $pairDot /
+         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |  FROM probes p
+         |  JOIN assign s ON p.cid = s.cid
+         |  JOIN qn a ON a.vec_id = s.vec_id
+         |  JOIN qn b ON b.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
          |ranked AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank

@@ -27,7 +27,7 @@ object PipelineQueries {
   def ontologyMaterialize(spark: SparkSession, dir: String): DataFrame = {
     def nodes(df: DataFrame, id: String, cols: (String, String)*) = {
       val b = df.select((col(id).as("id") +: cols.map { case (f, t) => col(f).as(t) }): _*)
-      GraphStore.upsertNodes(GraphStore.emptyLike(b), b, TAG)
+      GraphStore.initialLoad(b, Seq(GraphStore.ID), TAG)
     }
     val g0 = Graph()
       .withNodes("Customer", nodes(Tables.customer(spark, dir), "c_custkey",
@@ -57,7 +57,7 @@ object PipelineQueries {
     // stage 1: load tenants + customers through the schema DSL
     val tenants = Tables.nation(spark, dir).select(col("n_nationkey").cast("long").as("id"))
     val g0 = Graph().withNodes("Nation",
-      GraphStore.upsertNodes(GraphStore.emptyLike(tenants), tenants, TAG))
+      GraphStore.initialLoad(tenants, Seq(GraphStore.ID), TAG))
     val custSchema = NodeSchema(
       label = "Customer",
       id = Field("c_custkey"),

@@ -84,6 +84,31 @@ object StreamQueries {
       .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming exact dedup with bounded state: the events file is read as
+    * TWO identical file-stream sources unioned together (every row a
+    * duplicate), then `dropDuplicates` over (user_id, event_type, ts)
+    * with a watermark so dedup state for keys older than the delay is
+    * evicted instead of growing with every key ever seen. Output must
+    * equal batch SELECT DISTINCT (same oracle). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = src.union(src)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dd = Streaming.dedupByKey(stream, "ts", "2 hours", Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val q = dd.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup_sink")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table("stream_dedup_sink")
+  }
+
   /** Incremental checkpoint feed (CVE-feed analog): only rows newer than
     * the persisted checkpoint (here: max ts of the first half-month),
     * with the new checkpoint emitted alongside. */
@@ -123,6 +148,7 @@ object StreamQueries {
     "fixpoint_reach2" -> (fixpointReach2 _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
+    "stream_dedup" -> (streamDedup _),
     "source_json_events" -> (sourceJsonEvents _),
   )
 
@@ -164,6 +190,8 @@ object StreamQueries {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, ts FROM events""",
     "stream_incremental_feed" ->
       """WITH cp AS (SELECT max(ts) AS checkpoint FROM events
         |            WHERE ts < TIMESTAMP '2024-01-16')

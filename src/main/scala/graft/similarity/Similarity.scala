@@ -91,6 +91,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every corpus vector to its nearest centroid cell; each query probes
+    * its `nProbe` nearest cells and ranks exactly within them. Centroids
+    * here are the first `nCentroids` corpus vectors — deterministic and
+    * oracle-reproducible; at real scale you'd train them with sampled
+    * k-means and the plan shape is unchanged. Cost: corpus × centroids is
+    * one broadcast nested pass (centroid set is tiny), cell assignment is
+    * an argmax window over K rows per vector, and candidate generation is
+    * an equi-join on cell id — the corpus is never self-joined. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("norm2").as("nc"))
+    def centCos(qCol: String, nCol: String) =
+      floor(lit(1000000.0) * vec_dot(col(qCol), col("qc")) /
+        sqrt((col(nCol) * col("nc")).cast("double"))).cast("long")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_ccos").desc, col("cid").asc)
+    val assign = corpus.crossJoin(broadcast(cents))
+      .withColumn("_ccos", centCos("q", "norm2"))
+      .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val cells = corpus.join(assign, Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("q").as("qb"), col("norm2").as("nb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ccos").desc, col("cid").asc)
+    val probes = queries.select(col("vec_id").as("query_id"), col("q"), col("norm2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_ccos", centCos("q", "norm2"))
+      .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cid"), col("q").as("qq"), col("norm2").as("na"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", vec_dot(col("qq"), col("qb")))
+      .withColumn("cos_x1e6", cosX1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (an equi-join on the signature — no cross product), then exact rank
     * within the bucket. Recall trades off against bucket count; multi-probe
