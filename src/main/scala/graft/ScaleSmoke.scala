@@ -50,6 +50,17 @@ object ScaleSmoke {
         val q = similarity.Similarity.quantized(embs)
         similarity.Similarity.lshTopKMultiProbe(q.filter(col("vec_id") < 10), q, 3).count()
       }
+      time("cosine_neardup_lsh", m) {
+        dedup.Dedup.cosineNearDupBucketed(
+          similarity.Similarity.quantized(embs), 350000L).count()
+      }
+      time("simhash_hamming2", m) {
+        dedup.Dedup.simhashPairsWithin(docs, "doc_id", "text", 2).count()
+      }
+      time("ann_ivf", m) {
+        val q = similarity.Similarity.quantized(embs)
+        similarity.Similarity.ivfTopK(q.filter(col("vec_id") < 10), q, 3).count()
+      }
     }
     spark.stop()
   }
