@@ -50,8 +50,13 @@ object GraphStore {
     // batch to one row per key (the reference's UNWIND+MERGE re-matches the
     // same node and last-write-wins; either surviving row is valid — what
     // must hold is key uniqueness downstream, like initialLoad guarantees).
-    val b = batch.dropDuplicates(keys).alias("b")
-    val cond = keys.map(k => col(s"e.$k") <=> col(s"b.$k")).reduce(_ && _)
+    // Null-key batch rows are dropped — the reference's MERGE on a null
+    // property is a Cypher error, and a plain `===` join (vs null-safe
+    // `<=>`) lets the join reuse the dedup aggregate's hash partitioning
+    // instead of re-shuffling both sides on (coalesce(key), isnull(key)).
+    val b = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .dropDuplicates(keys).alias("b")
+    val cond = keys.map(k => col(s"e.$k") === col(s"b.$k")).reduce(_ && _)
     val touched = col(s"b.${keys.head}").isNotNull
     val created = touched && col(s"e.${keys.head}").isNull
 
