@@ -44,7 +44,8 @@ object GraphStore {
     * carried through (schema evolution: new props are null for untouched
     * rows; dropped props survive on untouched rows).
     */
-  def merge(existing: DataFrame, batch: DataFrame, keys: Seq[String], tag: Long): DataFrame = {
+  def merge(existing: DataFrame, batch: DataFrame, keys: Seq[String], tag: Long,
+            dedupBatch: Boolean = true): DataFrame = {
     val e = existing.alias("e")
     // APIs can return the same resource twice across pages: collapse the
     // batch to one row per key (the reference's UNWIND+MERGE re-matches the
@@ -54,8 +55,11 @@ object GraphStore {
     // property is a Cypher error, and a plain `===` join (vs null-safe
     // `<=>`) lets the join reuse the dedup aggregate's hash partitioning
     // instead of re-shuffling both sides on (coalesce(key), isnull(key)).
-    val b = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .dropDuplicates(keys).alias("b")
+    // Callers that guarantee key-unique batches (e.g. a bucketed staging
+    // table) pass dedupBatch=false: against a same-bucketed node table
+    // the merge then runs with zero shuffles (see Layout.writeBucketedTable).
+    val filtered = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val b = (if (dedupBatch) filtered.dropDuplicates(keys) else filtered).alias("b")
     val cond = keys.map(k => col(s"e.$k") === col(s"b.$k")).reduce(_ && _)
     val touched = col(s"b.${keys.head}").isNotNull
     val created = touched && col(s"e.${keys.head}").isNull

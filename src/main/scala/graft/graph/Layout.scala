@@ -36,4 +36,19 @@ object Layout {
 
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Register a bucketed, sorted table in the session catalog — REAL
+    * bucket metadata (path-based parquet cannot carry it), so a merge or
+    * join on the bucket key between two same-bucketed tables runs with
+    * ZERO shuffle exchanges: the co-located layout the 100 TB store
+    * uses for its node tables (bucket on `id`, partition by tenant). */
+  def writeBucketedTable(df: DataFrame, table: String, layout: TableLayout): Unit = {
+    require(layout.buckets > 0, "bucketed table needs buckets > 0")
+    val w = df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(layout.buckets, layout.sortCols.head, layout.sortCols.tail: _*)
+      .sortBy(layout.sortCols.head, layout.sortCols.tail: _*)
+    (if (layout.partitionCols.nonEmpty) w.partitionBy(layout.partitionCols: _*)
+     else w).saveAsTable(table)
+  }
 }

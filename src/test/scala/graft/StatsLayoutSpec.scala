@@ -93,4 +93,31 @@ class StatsLayoutSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("tenant"))
     assert(scan.count() == 2)
   }
+
+  test("same-bucketed catalog tables merge with zero shuffle exchanges") {
+    spark.sql("SET spark.sql.adaptive.enabled=false")
+    spark.sql("SET spark.sql.autoBroadcastJoinThreshold=-1")
+    try {
+      val existing = Seq((1L, 100L, 100L, "a"), (2L, 100L, 100L, "b"))
+        .toDF("id", "firstseen", "lastupdated", "name")
+      val batch = Seq((2L, "b2"), (3L, "c")).toDF("id", "name")
+      Layout.writeBucketedTable(existing, "nodes_bucketed",
+        Layout.TableLayout(buckets = 4))
+      Layout.writeBucketedTable(batch, "batch_bucketed",
+        Layout.TableLayout(buckets = 4))
+      val merged = GraphStore.merge(spark.table("nodes_bucketed"),
+        spark.table("batch_bucketed"), Seq("id"), 200L, dedupBatch = false)
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-located merge must not shuffle:\n$plan")
+      val out = merged.select("id", "lastupdated", "name")
+        .as[(Long, Long, String)].collect().toSet
+      assert(out == Set((1L, 100L, "a"), (2L, 200L, "b2"), (3L, 200L, "c")))
+    } finally {
+      spark.sql("SET spark.sql.adaptive.enabled=true")
+      spark.sql("SET spark.sql.autoBroadcastJoinThreshold=10485760")
+      spark.sql("DROP TABLE IF EXISTS nodes_bucketed")
+      spark.sql("DROP TABLE IF EXISTS batch_bucketed")
+    }
+  }
 }
