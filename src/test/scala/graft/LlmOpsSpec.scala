@@ -38,6 +38,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("hashed word ids are injective on a realistic vocabulary") {
+    import org.apache.spark.sql.functions._
+    val words = spark.range(50000)
+      .select(concat(lit("w"), col("id")).as("text"))
+    val dict = graft.text.TextFunctions.dictionary(words, "text")
+    assert(graft.text.TextFunctions.assertInjective(dict))
+  }
+
   test("simhash groups identical docs, separates different ones") {
     val dup = Seq((0L, "a b c a b c"), (1L, "a b c a b c"), (2L, "x y z w q r"))
       .toDF("doc_id", "text")
