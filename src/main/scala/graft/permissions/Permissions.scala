@@ -32,7 +32,74 @@ object Permissions {
 
   final case class PolicyStatement(stmtId: String, effect: String,
                                    principalPattern: String, resourcePattern: String,
-                                   condition: Option[String] = None)
+                                   condition: Option[String] = None,
+                                   /** IAM action wildcard (e.g. `s3:Get*`)
+                                     * matched against a permission string —
+                                     * statement_applies_to_permission,
+                                     * permission_relationships.py:145-175. */
+                                   actionPattern: String = "*") {
+    def appliesToPermission(permission: String): Boolean =
+      permission.matches(wildcardToRegex(actionPattern))
+  }
+
+  /** One entry of the reference's permission-relationships mapping file
+    * (cartography/data/permission_relationships.yaml; validity rules
+    * is_valid_rpr, permission_relationships.py:614-629): principals
+    * holding ANY of `permissions` on a `targetLabel` resource get a
+    * `relationshipName` edge. */
+  final case class RelationshipMapping(targetLabel: String, permissions: Seq[String],
+                                       relationshipName: String)
+
+  /** Parse the YAML mapping document (a list of maps). Entries missing a
+    * required field are skipped, mirroring is_valid_rpr. */
+  def parseRelationshipMappings(yamlText: String): Seq[RelationshipMapping] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readTree(yamlText)
+    if (root == null || !root.isArray) Nil
+    else root.elements().asScala.toSeq.flatMap { n =>
+      val label = Option(n.get("target_label")).map(_.asText)
+      val rel = Option(n.get("relationship_name")).map(_.asText)
+      val perms = Option(n.get("permissions")).filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText).toSeq)
+      (label, perms, rel) match {
+        case (Some(l), Some(p), Some(r)) => Some(RelationshipMapping(l, p, r))
+        case _ => None // invalid entry → skipped (reference logs + skips)
+      }
+    }
+  }
+
+  /** Load the mapping file; a missing file is an explicit skip (empty),
+    * matching the reference's warn-and-skip
+    * (parse_permission_relationships_file, :597-611). */
+  def parseRelationshipMappingsFile(path: String): Seq[RelationshipMapping] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Nil
+    else parseRelationshipMappings(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+  }
+
+  /** Evaluate every mapping: statements are pre-filtered (driver-side —
+    * config-sized) to those whose action pattern matches any of the
+    * mapping's permissions, then the chunked bitmask evaluation runs per
+    * mapping and results union with the mapping's relationship metadata
+    * (reference sync loop permission_relationships.py:631-700). */
+  def relationshipEdges(principals: DataFrame, resources: DataFrame,
+                        statements: Seq[PolicyStatement],
+                        mappings: Seq[RelationshipMapping]): DataFrame = {
+    val parts = mappings.flatMap { m =>
+      val applicable = statements.filter(s =>
+        m.permissions.exists(s.appliesToPermission))
+      if (applicable.forall(_.effect.toLowerCase != "allow")) None
+      else Some(evaluate(principals, resources, applicable)
+        .select(col("principal_id"), col("resource_id"),
+          lit(m.relationshipName).as("relationship_name"),
+          lit(m.targetLabel).as("target_label"),
+          col("has_condition"), col("condition_keys")))
+    }
+    require(parts.nonEmpty, "no mapping produced any applicable Allow statement")
+    parts.reduce(_ unionByName _)
+  }
 
   /** Compile an IAM-style wildcard pattern to an anchored case-insensitive
     * regex (reference: permission_relationships.py:423-440 — note the

@@ -251,19 +251,103 @@ object AnalysisQueries {
         s"Supplier#*${i % 10}", s"arn:part:Brand#${10 + i % 45}:*", cond)
     }
 
+  private def supplierPrincipals(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+
+  private def partResources(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").as("id"),
+        concat(lit("arn:part:"), col("p_brand"), lit(":"), col("p_type"),
+          lit(":"), col("p_partkey")).as("arn"))
+
   /** Permission relationships (permission_relationships.py): wildcard
     * policy statements evaluated over supplier principals × part ARNs,
     * deny-overrides + condition annotation, without materializing the
     * cross product. 123 statements → two 62-bit mask blocks. */
-  def permissionRelationships(spark: SparkSession, dir: String): DataFrame = {
-    val principals = Tables.supplier(spark, dir)
-      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
-    val resources = Tables.part(spark, dir)
-      .select(col("p_partkey").as("id"),
-        concat(lit("arn:part:"), col("p_brand"), lit(":"), col("p_type"),
-          lit(":"), col("p_partkey")).as("arn"))
-    Permissions.evaluate(principals, resources, PolicyStatements)
+  def permissionRelationships(spark: SparkSession, dir: String): DataFrame =
+    Permissions.evaluate(supplierPrincipals(spark, dir), partResources(spark, dir),
+      PolicyStatements)
+
+  /** Action-tagged statements for the mapping-file gate: which statements
+    * apply to a mapping is decided by IAM action wildcards
+    * (statement_applies_to_permission). */
+  private val ActionStatements: Seq[PolicyStatement] = Seq(
+    PolicyStatement("a1", "Allow", "Supplier#*1", "arn:part:*",
+      actionPattern = "part:Read*"),
+    PolicyStatement("a2", "Allow", "Supplier#*2", "arn:part:Brand#2?:*",
+      actionPattern = "part:Write",
+      condition = Some("""[{"IpAddress": {"aws:SourceIp": "10.1.0.0/16"}}]""")),
+    PolicyStatement("a3", "Allow", "Supplier#*3", "*:PROMO:*",
+      actionPattern = "part:*"),
+    PolicyStatement("d1", "Deny", "*", "*:ECONOMY:*"))
+
+  /** The YAML mapping document (reference
+    * cartography/data/permission_relationships.yaml shape) — includes an
+    * invalid entry that must be skipped like is_valid_rpr does. */
+  private val MappingYaml =
+    """- target_label: Part
+      |  permissions:
+      |  - part:ReadItem
+      |  relationship_name: CAN_READ
+      |- target_label: Part
+      |  permissions:
+      |  - part:Write
+      |  relationship_name: CAN_WRITE
+      |- target_label: Broken
+      |  permissions:
+      |  - part:Nope
+      |""".stripMargin
+
+  /** Mapping-file-driven permission relationships: the YAML config is
+    * written to disk and parsed back (the reference's
+    * --permission-relationships-file source), statements pre-filter by
+    * action wildcard per mapping, and each mapping's evaluation unions
+    * with its relationship metadata. */
+  def permissionMappingFile(spark: SparkSession, dir: String): DataFrame = {
+    val f = java.nio.file.Files.createTempFile("perm_mappings", ".yaml")
+    java.nio.file.Files.writeString(f, MappingYaml)
+    val mappings = Permissions.parseRelationshipMappingsFile(f.toString)
+    Permissions.relationshipEdges(supplierPrincipals(spark, dir),
+      partResources(spark, dir), ActionStatements, mappings)
   }
+
+  private def stmtValuesRows(stmts: Seq[PolicyStatement]): String =
+    stmts.map { s =>
+      val isAllow = s.effect.toLowerCase == "allow"
+      val keys = s.condition.map(Permissions.conditionContextKeys)
+        .getOrElse(Nil).mkString(",")
+      s"(${isAllow}, ${s.condition.isDefined}, " +
+        s"'${Permissions.wildcardToRegex(s.principalPattern)}', " +
+        s"'${Permissions.wildcardToRegex(s.resourcePattern)}', '$keys')"
+    }.mkString(",\n      ")
+
+  /** One mapping's oracle block: the statement set is pre-filtered by
+    * action in Scala — the same driver-side code path the engine uses. */
+  private def mappingGrantSql(stmts: Seq[PolicyStatement], relName: String,
+                              targetLabel: String): String =
+    s"""SELECT CAST(pid AS BIGINT) AS principal_id,
+       |  CAST(rid AS BIGINT) AS resource_id,
+       |  '$relName' AS relationship_name, '$targetLabel' AS target_label,
+       |  has_condition,
+       |  CASE WHEN has_condition THEN cond_keys_all ELSE '' END AS condition_keys
+       |FROM (
+       |  SELECT pid, rid,
+       |    NOT bool_or(is_allow AND NOT has_cond) AS has_condition,
+       |    array_to_string(list_sort(list_distinct(flatten(
+       |      list(CASE WHEN is_allow AND has_cond
+       |           THEN string_split(keys, ',') ELSE [] END)))), ',') AS cond_keys_all
+       |  FROM (
+       |    SELECT p.pid, r.rid, s.is_allow, s.has_cond, s.keys
+       |    FROM (SELECT s_suppkey AS pid, s_name AS name FROM supplier) p
+       |    CROSS JOIN (SELECT p_partkey AS rid,
+       |      'arn:part:' || p_brand || ':' || p_type || ':' || CAST(p_partkey AS VARCHAR) AS arn
+       |      FROM part) r
+       |    CROSS JOIN (SELECT * FROM (VALUES
+       |      ${stmtValuesRows(stmts)}) AS t(is_allow, has_cond, pre, rre, keys)) s
+       |    WHERE regexp_matches(p.name, s.pre) AND regexp_matches(r.arn, s.rre))
+       |  GROUP BY pid, rid
+       |  HAVING bool_or(is_allow) AND NOT bool_or(NOT is_allow))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "analysis_set_property" -> (analysisSetProperty _),
@@ -276,6 +360,7 @@ object AnalysisQueries {
     "analysis_job_registry" -> (analysisJobRegistry _),
     "drift_detect" -> (driftDetect _),
     "permission_relationships" -> (permissionRelationships _),
+    "permission_mapping_file" -> (permissionMappingFile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,6 +442,14 @@ object AnalysisQueries {
         |UNION ALL
         |SELECT user_id, event_type, 'removed' AS direction
         |FROM (SELECT * FROM older EXCEPT ALL SELECT * FROM newer)""".stripMargin,
+    "permission_mapping_file" -> {
+      val canRead = ActionStatements.filter(s =>
+        Seq("part:ReadItem").exists(s.appliesToPermission))
+      val canWrite = ActionStatements.filter(s =>
+        Seq("part:Write").exists(s.appliesToPermission))
+      mappingGrantSql(canRead, "CAN_READ", "Part") + "\nUNION ALL\n" +
+        mappingGrantSql(canWrite, "CAN_WRITE", "Part")
+    },
     "permission_relationships" -> {
       // one VALUES row per statement, regexes/keys generated by the same
       // compile path the evaluator uses

@@ -58,6 +58,31 @@ class PermissionsSpec extends AnyFunSuite {
       (2L, 20L, true, "aws:SourceIp")))
   }
 
+  test("YAML mapping file: valid entries parse, invalid skipped, missing file = empty") {
+    val yaml =
+      """- target_label: AWSS3Bucket
+        |  permissions:
+        |  - S3:GetObject
+        |  relationship_name: CAN_READ
+        |- target_label: NoRelName
+        |  permissions:
+        |  - x:y
+        |""".stripMargin
+    val ms = Permissions.parseRelationshipMappings(yaml)
+    assert(ms == Seq(Permissions.RelationshipMapping(
+      "AWSS3Bucket", Seq("S3:GetObject"), "CAN_READ")))
+    assert(Permissions.parseRelationshipMappingsFile("/nonexistent.yaml").isEmpty)
+  }
+
+  test("action wildcards gate which statements apply to a permission") {
+    val s = PolicyStatement("s", "Allow", "*", "*", actionPattern = "s3:Get*")
+    assert(s.appliesToPermission("s3:GetObject"))
+    assert(s.appliesToPermission("S3:getobject")) // case-insensitive
+    assert(!s.appliesToPermission("s3:PutObject"))
+    val any = PolicyStatement("a", "Allow", "*", "*") // default action "*"
+    assert(any.appliesToPermission("anything:AtAll"))
+  }
+
   test("malformed condition blob stays conditional with no keys") {
     val stmts = Seq(
       PolicyStatement("m", "Allow", "alice", "arn:x:doc", condition = Some("{not json")))
