@@ -40,6 +40,50 @@ object Fixpoint {
     paths
   }
 
+  /** Connected components over an undirected pair set (a, b) → (node,
+    * component) with component = the smallest node id reachable. The
+    * clustering step a dedup pipeline needs after near-dup PAIR detection
+    * (pairs → clusters → one canonical doc per cluster).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; converges in
+    * O(diameter) rounds — near-dup clusters have tiny diameters, and each
+    * round is one groupBy over the edge list (O(E) work, no closure
+    * materialization, no O(cluster²) pair space). localCheckpoint
+    * truncates lineage per round like the closure above. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(false)
+    edges.count() // materialize once; reused every round
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(false)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("component", "nbr_component"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nbr_component")).as("nbr_component"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint(false)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+
   /** Bounded-depth reachability (the `*1..k` form): plain frontier
     * expansion, k rounds, no closure materialization. */
   def reachWithin(edges: DataFrame, depth: Int): DataFrame = {

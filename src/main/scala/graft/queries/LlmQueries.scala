@@ -64,6 +64,23 @@ object LlmQueries {
   def dedupSimhashHamming(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsWithin(Tables.documents(spark, dir), "doc_id", "text", k = 2)
 
+  /** Near-dup clustering: MinHash-LSH pairs → connected components → one
+    * canonical doc per cluster (min doc_id); docs in no pair are their
+    * own canonical. The step that turns pair detection into an actual
+    * keep/drop decision for a training corpus. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(
+        Dedup.shingleTable(docs, "doc_id", "text"), minJaccX1e6 = 800000L)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comps = graft.graph.Fixpoint.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+  }
+
   def dedupCosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDup(
       Similarity.quantized(Tables.embeddings(spark, dir)), minCosX1e6 = 350000L)
@@ -108,6 +125,7 @@ object LlmQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_components" -> (dedupComponents _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_hamming" -> (dedupSimhashHamming _),
     "dedup_cosine_neardup" -> (dedupCosineNearDup _),
@@ -279,6 +297,39 @@ object LlmQueries {
          |  CAST(floor(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jacc_x1e6
          |FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
          |WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db),
+         |pairs AS (
+         |  SELECT da AS a, db AS b
+         |  FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |  WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000),
+         |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS reachable FROM und
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN und u ON r.reachable = u.a),
+         |comp AS (
+         |  SELECT node, least(node, min(reachable)) AS component
+         |  FROM reach GROUP BY node)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TextCtes,
          |tf AS (SELECT doc_id, wid, count(*) AS tf FROM seq GROUP BY doc_id, wid),

@@ -52,6 +52,29 @@ object Streaming {
     events.withWatermark(eventTimeCol, watermark)
       .dropDuplicates(keyCols :+ eventTimeCol)
 
+  /** Continuous graph ingestion: every micro-batch upserts into a node
+    * table through the SAME merge the batch sync path uses — the
+    * always-on form of the reference's scheduled re-syncs. Each batch id
+    * maps to an update tag (`tagOf`), so firstseen/lastupdated/cleanup
+    * semantics carry over unchanged and a stale-tag cleanup can run
+    * against any completed tag. The table rides in an AtomicReference of
+    * a localCheckpointed DataFrame here; on a real deployment the lambda
+    * body is the identical `MERGE INTO` against a Delta/bucketed catalog
+    * table — foreachBatch is the documented streaming-upsert idiom. */
+  def graphUpsertSink(stream: DataFrame,
+                      table: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                      keys: Seq[String],
+                      tagOf: Long => Long): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      table.updateAndGet { cur =>
+        val merged =
+          if (cur == null) graft.graph.GraphStore.initialLoad(batch, keys, tagOf(batchId))
+          else graft.graph.GraphStore.merge(cur, batch, keys, tagOf(batchId))
+        merged.localCheckpoint(true) // materialize: batch input is transient
+      }
+      ()
+    }
+
   final case class KeyedEvent(key: Long, eventType: String, eventTime: java.sql.Timestamp)
   final case class FirstSeen(key: Long, firstTsMillis: Long, nSeen: Long)
 

@@ -73,4 +73,12 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(f.media_id == 7L && f.n_bytes == 3L &&
       f.first_byte == 'a'.toLong && f.checksum == ('a' + 'b' + 'c').toLong)
   }
+
+  test("connected components: min-label over pair clusters, singletons excluded") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 3L)).toDF("a", "b")
+    val comps = graft.graph.Fixpoint.connectedComponents(pairs)
+      .select(col("node"), col("component")).as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
 }

@@ -69,4 +69,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(!emitted.contains(3L)) // newest key's state still alive
     } finally q.stop()
   }
+
+  test("graphUpsertSink merges each micro-batch with full merge semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val table = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame](null)
+    val q = Streaming.graphUpsertSink(
+      source.toDF().toDF("id", "name"), table, Seq("id"), tagOf = 100L + _).start()
+    try {
+      source.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      source.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = table.get().select("id", "firstseen", "lastupdated", "name")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 100L, 100L, "a"),   // untouched by batch 1
+      (2L, 100L, 101L, "b2"),  // updated: firstseen kept, lastupdated bumped
+      (3L, 101L, 101L, "c")))  // created in batch 1
+  }
 }
