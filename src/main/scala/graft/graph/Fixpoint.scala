@@ -60,6 +60,13 @@ object Fixpoint {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(false)
+    // labels only ever DECREASE, so the label sum strictly decreases
+    // until convergence — a single decimal aggregate replaces a
+    // join-and-count change detector (decimal: a 10^12-node graph's id
+    // sum overflows int64)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -73,12 +80,10 @@ object Fixpoint {
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
         .localCheckpoint(false)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       round += 1
     }
     labels

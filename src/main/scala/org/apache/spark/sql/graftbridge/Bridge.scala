@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a custom Expression as a SQL temp function on a LIVE
+    * session (sessionState is private[sql] — hence this bridge). The
+    * config-time path is `spark.sql.extensions=graft.GraftExtensions`;
+    * this is the equivalent for sessions that already exist. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

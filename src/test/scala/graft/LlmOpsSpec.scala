@@ -81,4 +81,12 @@ class LlmOpsSpec extends AnyFunSuite {
       .select(col("node"), col("component")).as[(Long, Long)].collect().toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("long_vec_dot registers as a SQL function (extension surface)") {
+    graft.GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT long_vec_dot(CAST(array(1,2,3) AS ARRAY<BIGINT>), " +
+        "CAST(array(4,5,6) AS ARRAY<BIGINT>)) AS d").as[Long].head()
+    assert(d == 32L)
+  }
 }
