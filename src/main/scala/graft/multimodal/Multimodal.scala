@@ -92,6 +92,46 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame" of a media payload. */
+  final case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Frame-sampling plumbing: fixed-size byte windows stand in for
+    * decoded video frames (no codecs in this sandbox); every `stride`-th
+    * window is kept. The contract is the real one — one media row fans
+    * out to many frame rows, executed as a per-partition iterator pass
+    * (mapInPandas batch shape) — only the frame extraction itself is the
+    * deterministic stand-in a real demuxer would replace. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                   stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex.collect {
+          case (chunk, i) if i % stride == 0 => Frame(r.media_id, i, chunk)
+        }
+      }
+    }
+  }
+
+  /** Resize plumbing: deterministic byte decimation (keep every
+    * `factor`-th byte) standing in for image resampling — binary in,
+    * binary out, same per-partition execution shape a real resizer
+    * plugs into. */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor > 0, "factor must be positive")
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Batched resize pass over media records. */
+  def resizeAll(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => r.copy(payload = resizeStub(r.payload, factor))))
+  }
+
   /** Lift a text table into media records (payload = utf-8 bytes) — the
     * test harness for the binary plumbing. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {

@@ -117,6 +117,21 @@ object LlmQueries {
     Multimodal.extractFeatures(
       Multimodal.fromDocuments(Tables.documents(spark, dir))).toDF()
 
+  /** Frame sampling: 16-byte windows, every 2nd kept, per-frame size +
+    * byte checksum. */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.fromDocuments(Tables.documents(spark, dir)),
+        frameBytes = 16, stride = 2)
+      .map { f =>
+        var c = 0L
+        f.payload.foreach(b => c += b & 0xffL)
+        (f.media_id, f.frame_idx, f.payload.length.toLong, c % 65536L)
+      }
+      .toDF("media_id", "frame_idx", "n_bytes", "checksum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
@@ -135,6 +150,7 @@ object LlmQueries {
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_frame_sample" -> (multimodalFrameSample _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -445,6 +461,22 @@ object LlmQueries {
          |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
+    "multimodal_frame_sample" ->
+      """WITH sized AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(len / 16.0) AS INT))) AS i
+        |  FROM sized),
+        |frames AS (
+        |  SELECT doc_id, i, substr(text, i*16 + 1, 16) AS chunk
+        |  FROM idx WHERE i % 2 = 0)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(i AS INT) AS frame_idx,
+        |  CAST(octet_length(encode(chunk)) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split_regex(chunk, ''),
+        |       c -> ascii(c))) % 65536 AS BIGINT) AS checksum
+        |FROM frames""".stripMargin,
     "multimodal_decode" ->
       """WITH chars AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),

@@ -89,4 +89,14 @@ class LlmOpsSpec extends AnyFunSuite {
         "CAST(array(4,5,6) AS ARRAY<BIGINT>)) AS d").as[Long].head()
     assert(d == 32L)
   }
+
+  test("frame sampling + resize plumbing: windows, stride, decimation") {
+    val docs = Seq((1L, "abcdefghij", "s")).toDF("doc_id", "text", "source")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.fromDocuments(docs), frameBytes = 3, stride = 2)
+      .collect().map(f => (f.frame_idx, new String(f.payload))).toSet
+    // windows: abc|def|ghi|j -> keep idx 0 and 2
+    assert(frames == Set((0, "abc"), (2, "ghi")))
+    assert(new String(Multimodal.resizeStub("abcdefg".getBytes, 3)) == "adg")
+  }
 }
