@@ -41,12 +41,15 @@ object TextFunctions {
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** 56-bit content-hash word id: the first 14 hex digits of md5(word).
-    * Deterministic across engines (DuckDB: `CAST('0x'||substr(md5(w),1,14)
-    * AS BIGINT)`), collision probability ~n²/2^57 (≈7e-4 for a 10M-word
+  /** 56-bit content-hash word id: the first 14 hex digits of md5(word),
+    * computed by the codegen'd [[graft.functions.Md5Prefix64]] kernel
+    * (digest bytes → long, no hex-string round trip on the per-token hot
+    * path). Deterministic across engines (DuckDB:
+    * `CAST('0x'||substr(md5(w),1,14) AS BIGINT)`; equivalence pinned by
+    * spec), collision probability ~n²/2^57 (≈7e-4 for a 10M-word
     * vocabulary). Downstream ops only need ids distinct + deterministic. */
   def wordId(word: Column): Column =
-    conv(substring(md5(word), 1, 14), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5_prefix64(word)
 
   /** Deterministic word dictionary: distinct (word, wid). A reporting /
     * collision-audit surface only — the encoding pipeline computes

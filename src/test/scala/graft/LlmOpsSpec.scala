@@ -99,4 +99,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames == Set((0, "abc"), (2, "ghi")))
     assert(new String(Multimodal.resizeStub("abcdefg".getBytes, 3)) == "adg")
   }
+
+  test("md5_prefix64 kernel equals the conv(substring(md5)) oracle form") {
+    import org.apache.spark.sql.functions._
+    val words = spark.range(2000).select(
+      concat(lit("tok-"), col("id"), lit("-\u00e9\u4e2d")).as("w")) // non-ascii too
+    val diff = words.select(
+        graft.functions.HashFunctions.md5_prefix64(col("w")).as("fast"),
+        expr("CAST(conv(substring(md5(w), 1, 14), 16, 10) AS BIGINT)").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
 }
