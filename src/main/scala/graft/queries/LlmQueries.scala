@@ -39,6 +39,17 @@ object LlmQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Stratified deterministic sampling: short docs kept at 20%, long at
+    * 80% — membership is a pure hash of doc_id, reproducible anywhere. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("stratum",
+        when(size(split(col("text"), " ")) < 60, lit("short")).otherwise(lit("long")))
+    graft.text.Sampling.stratified(docs, "doc_id", col("stratum"),
+        Map("short" -> 200000L, "long" -> 800000L))
+      .select(col("doc_id").cast("long").as("doc_id"), col("stratum"))
+  }
+
   // ---- dedup family ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -137,6 +148,7 @@ object LlmQueries {
     "text_lang_id" -> (textLangId _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
+    "sample_stratified" -> (sampleStratified _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -267,6 +279,15 @@ object LlmQueries {
          |SELECT doc_id,
          |  CAST(sum((wid % ${TextFunctions.FpMod}) * pos) AS BIGINT) AS fingerprint
          |FROM seq GROUP BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH strata AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text,' ')) < 60 THEN 'short' ELSE 'long' END AS stratum
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum
+        |FROM strata
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 1000000
+        |      < CASE stratum WHEN 'short' THEN 200000 ELSE 800000 END""".stripMargin,
     "dedup_exact" ->
       """SELECT string_split(text,' ')[1] || ' ' || string_split(text,' ')[2] AS dedup_key,
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id,

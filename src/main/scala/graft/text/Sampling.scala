@@ -1,0 +1,36 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.md5_prefix64
+
+/** Deterministic sampling for training-data curation: membership is a
+  * pure function of the row key (56-bit content hash mod 1e6 against a
+  * parts-per-million rate), so samples are reproducible across runs,
+  * partitionings, and engines — no RNG state, no seed plumbing, and a
+  * row keeps or loses membership only if its key changes. The standard
+  * corpus-mixing primitive (sample per quality band / language / source
+  * at different rates) as one codegen'd filter, no shuffle. */
+object Sampling {
+
+  /** keep(key) iff hash(key) mod 1e6 < ratePpm. */
+  def keyInSample(key: Column, ratePpm: Column): Column =
+    md5_prefix64(key.cast("string")) % 1000000L < ratePpm
+
+  /** Uniform deterministic sample at ratePpm parts-per-million. */
+  def deterministic(df: DataFrame, keyCol: String, ratePpm: Long): DataFrame =
+    df.filter(keyInSample(col(keyCol), lit(ratePpm)))
+
+  /** Stratified deterministic sample: each row's stratum looks up its
+    * own rate; strata missing from `ratesPpm` default to 0 (dropped) —
+    * an explicit allowlist, mirroring how corpus mixing specs name every
+    * source they keep. One broadcastable CASE expression, no shuffle. */
+  def stratified(df: DataFrame, keyCol: String, stratumCol: Column,
+                 ratesPpm: Map[String, Long]): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(0L)) { case (acc, (stratum, ppm)) =>
+      when(stratumCol === stratum, lit(ppm)).otherwise(acc)
+    }
+    df.filter(keyInSample(col(keyCol), rate))
+  }
+}

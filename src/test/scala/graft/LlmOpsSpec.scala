@@ -110,4 +110,20 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter(col("fast") =!= col("ref")).count()
     assert(diff == 0)
   }
+
+  test("deterministic sampling: stable membership, stratified rates, allowlist") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10000).toDF("id")
+      .withColumn("stratum", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val s1 = graft.text.Sampling.stratified(df, "id", col("stratum"),
+      Map("even" -> 500000L)) // odd missing -> dropped entirely
+    val rows = s1.select("id", "stratum").as[(Long, String)].collect()
+    assert(rows.forall(_._2 == "even"))
+    val evenRate = rows.length / 5000.0
+    assert(evenRate > 0.45 && evenRate < 0.55, s"rate=$evenRate")
+    // identical membership on re-evaluation (pure function of the key)
+    val s2 = graft.text.Sampling.stratified(df, "id", col("stratum"),
+      Map("even" -> 500000L)).select("id").as[Long].collect().toSet
+    assert(s2 == rows.map(_._1).toSet)
+  }
 }
