@@ -38,7 +38,13 @@ object Dedup {
 
   /** Blocked pairwise n-gram Jaccard: self-join within blocks, then an
     * in-row array_intersect — the per-pair work is a fused codegen'd
-    * array op, not an explode+shuffle. Returns pairs ≥ minJaccX1e6. */
+    * array op, not an explode+shuffle. Returns pairs ≥ minJaccX1e6.
+    *
+    * Skew note: a boilerplate-heavy corpus can concentrate a prefix
+    * block; AQE's skew-join split (on by default with AQE) re-partitions
+    * oversized blocks at runtime, and [[minhashLsh]] is the principled
+    * scale path when block-local O(b²) is unacceptable — this operator
+    * is the exact-Jaccard baseline. */
   def blockedJaccard(shingled: DataFrame, minJaccX1e6: Long): DataFrame = {
     val a = shingled.select(col("block"), col("doc_id").as("doc_a"),
       col("shingles").as("sh_a"))
