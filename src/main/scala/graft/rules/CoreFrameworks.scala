@@ -1,0 +1,93 @@
+package graft.rules
+
+/** A packaged rule library over the standard graph views — the analog of
+  * the reference's shipped rule files (the .py rule definitions under
+  * cartography/rules/: 37 of them with metadata, references, and
+  * framework mappings). Facts are SQL-as-data ([[Fact.sql]]) over the
+  * `node_<Label>` / `edge_<Src>_<Rel>_<Dst>` views registered by
+  * [[RulesRunner.registerGraphViews]], so the library is portable to any
+  * graph loaded through the engine. Validate against a live graph with
+  * [[RulesRunner.validate]] before running.
+  */
+object CoreFrameworks {
+
+  private val cis = FrameworkControl("cis demo benchmark", "cis", "1.3",
+    scope = Some("core"), revision = Some("5.0"))
+  private val nist = FrameworkControl("nist cybersecurity framework", "nist",
+    "pr.ac-4", scope = Some("core"), revision = Some("2.0"))
+
+  /** Assets exposed to the internet AND stale in the current sync — the
+    * reference's flagship exposure × hygiene intersection. Parameterize
+    * `$UPDATE_TAG` via [[graft.analysis.JobRegistry.substitute]] or
+    * inline the tag before running. */
+  def exposedStaleAssets(assetLabel: String, tag: Long): Fact = Fact(
+    factId = s"exposed-stale-${assetLabel.toLowerCase}",
+    name = s"Exposed $assetLabel not seen by the current sync",
+    assetLabel = assetLabel,
+    query = s => s.sql(
+      s"""SELECT id AS asset_id, CAST(lastupdated AS STRING) AS detail
+         |FROM node_$assetLabel
+         |WHERE exposed = true AND lastupdated <> $tag""".stripMargin),
+    description = "An exposure-flagged asset whose last sync tag is stale " +
+      "may already be deleted upstream while still reachable.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(s => s.sql(
+      s"SELECT count(*) AS count FROM node_$assetLabel")))
+
+  /** Instances still allowing IMDSv1 (the canonical compute hygiene
+    * rule; reference sample query, docs/usage/samplequeries). */
+  val imdsV1Instances: Fact = Fact(
+    factId = "imdsv1-enabled-instance",
+    name = "Instance allows IMDSv1",
+    assetLabel = "Instance",
+    query = _.sql(
+      """SELECT id AS asset_id, arn AS detail
+        |FROM node_Instance WHERE allows_imdsv1 = true""".stripMargin),
+    description = "IMDSv1 permits unauthenticated metadata access from the " +
+      "instance network namespace; require tokens (IMDSv2).",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(_.sql("SELECT count(*) AS count FROM node_Instance")))
+
+  /** Tenant-orphaned assets: nodes whose RESOURCE edge is missing — the
+    * cross-tenant hygiene invariant scoped cleanup relies on. */
+  def tenantOrphans(tenantLabel: String, assetLabel: String): Fact = Fact(
+    factId = s"orphaned-${assetLabel.toLowerCase}",
+    name = s"$assetLabel without a $tenantLabel attachment",
+    assetLabel = assetLabel,
+    query = s => s.sql(
+      s"""SELECT n.id AS asset_id
+         |FROM node_$assetLabel n
+         |LEFT ANTI JOIN edge_${tenantLabel}_RESOURCE_$assetLabel e
+         |  ON e.dst_id = n.id""".stripMargin),
+    description = "Every asset must belong to exactly one sub-resource; an " +
+      "orphan escapes scoped cleanup and billing attribution.",
+    maturity = Maturity.Experimental,
+    identityFields = Seq("asset_id"))
+
+  /** The packaged framework: hygiene + exposure rules with compliance
+    * mappings and references. */
+  def coreSecurity(tag: Long): Framework = Framework("core-security", Seq(
+    Rule("instance-metadata-hygiene", "Instance metadata service hygiene",
+      facts = Seq(imdsV1Instances),
+      tags = Seq("compute", "hygiene"),
+      description = "Compute instances must require IMDSv2 tokens.",
+      version = "1",
+      references = Seq(RuleReference(
+        "Instance metadata service docs",
+        "https://docs.aws.amazon.com/AWSEC2/latest/UserGuide/ec2-instance-metadata.html")),
+      frameworks = Seq(cis)),
+    Rule("exposure-staleness", "Exposed assets must be fresh",
+      facts = Seq(exposedStaleAssets("Instance", tag)),
+      tags = Seq("exposure", "sync"),
+      description = "Exposure-flagged assets missing from the current sync.",
+      version = "1",
+      frameworks = Seq(cis, nist)),
+    Rule("tenancy-integrity", "Assets must attach to a tenant",
+      facts = Seq(tenantOrphans("Account", "Instance")),
+      tags = Seq("tenancy"),
+      description = "Sub-resource attachment is the scoping key for cleanup.",
+      version = "1",
+      frameworks = Seq(nist))))
+}

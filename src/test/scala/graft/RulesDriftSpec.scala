@@ -62,4 +62,29 @@ class RulesDriftSpec extends AnyFunSuite {
     assert(fast.columns.toSeq == slow.columns.toSeq)
     assert(fast.collect().toSet == slow.collect().toSet)
   }
+
+  test("packaged core-security framework validates and runs over a graph") {
+    import org.apache.spark.sql.functions._
+    val instances = Seq(
+      ("i-1", true, 100L, "arn:1"), ("i-2", false, 200L, "arn:2"),
+      ("i-3", true, 200L, "arn:3")).toDF("id", "allows_imdsv1", "lastupdated", "arn")
+      .withColumn("exposed", col("allows_imdsv1"))
+    val tenancy = Seq(("acct-1", "i-1"), ("acct-1", "i-2")).toDF("src_id", "dst_id")
+    val g = graft.graph.Graph()
+      .withNodes("Instance", instances)
+      .withEdges(("Account", "RESOURCE", "Instance"), tenancy)
+    graft.rules.RulesRunner.registerGraphViews(g)
+    val fw = graft.rules.CoreFrameworks.coreSecurity(tag = 200L)
+    assert(graft.rules.RulesRunner.validate(spark, fw).isEmpty)
+    val findings = graft.rules.RulesRunner.run(spark, fw)
+      .select("fact_id", "asset_id").as[(String, String)].collect().toSet
+    assert(findings == Set(
+      ("imdsv1-enabled-instance", "i-1"), ("imdsv1-enabled-instance", "i-3"),
+      ("exposed-stale-instance", "i-1"),  // exposed + stale tag
+      ("orphaned-instance", "i-3")))      // no RESOURCE edge
+    // framework-control filtering: only nist-mapped rules survive
+    val nistOnly = graft.rules.RulesRunner.filterByFramework(fw, shortName = Some("NIST"))
+    assert(nistOnly.rules.map(_.ruleId).toSet ==
+      Set("exposure-staleness", "tenancy-integrity"))
+  }
 }
