@@ -102,10 +102,23 @@ object AnalysisRunner {
       case (g, _) => g
     }
 
+  /** One update row per key. A pattern may legally emit the same key
+    * several times (multi-hop matches); if it emits *different* values the
+    * reference's SET would keep whichever Cypher row ran last — but this
+    * repo's contract is byte determinism, so conflicts reduce with max()
+    * (orderable for every primitive and array type we stamp) instead of
+    * dropDuplicates' partition-order-dependent arbitrary row. */
+  private def reduceUpdates(matched: DataFrame, keys: Seq[String],
+                            valueCols: Seq[String]): DataFrame =
+    matched.groupBy(keys.map(col): _*)
+      .agg(max(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => max(col(c)).as(c)): _*)
+
   private def applyEffect(g: Graph, matched: DataFrame, effect: Effect, tag: Long): Graph =
     effect match {
       case SetProperty(label, prop, valueCol) =>
-        val updates = matched.select(col(ID), col(valueCol).as("_new")).dropDuplicates(ID :: Nil)
+        val updates = reduceUpdates(matched.select(col(ID), col(valueCol).as("_new")),
+          Seq(ID), Seq("_new"))
         val nodes = g.nodeTable(label)
         val merged = nodes.join(updates, Seq(ID), "left")
           .select(nodes.columns.filterNot(_ == prop).map(col).toSeq :+
@@ -115,7 +128,8 @@ object AnalysisRunner {
         g.withNodes(label, merged)
 
       case SetPropertyIfMissing(label, prop, valueCol) =>
-        val updates = matched.select(col(ID), col(valueCol).as("_new")).dropDuplicates(ID :: Nil)
+        val updates = reduceUpdates(matched.select(col(ID), col(valueCol).as("_new")),
+          Seq(ID), Seq("_new"))
         val nodes = g.nodeTable(label)
         val old = if (nodes.columns.contains(prop)) col(prop) else lit(null)
         val merged = nodes.join(updates, Seq(ID), "left")
@@ -137,8 +151,9 @@ object AnalysisRunner {
 
       case SetRelationshipProperty(srcLabel, relLabel, dstLabel, prop, valueCol) =>
         val key = (srcLabel, relLabel, dstLabel)
-        val updates = matched.select(col(SRC), col(DST), col(valueCol).as("_new"))
-          .dropDuplicates(SRC :: DST :: Nil)
+        val updates = reduceUpdates(
+          matched.select(col(SRC), col(DST), col(valueCol).as("_new")),
+          Seq(SRC, DST), Seq("_new"))
         val edges = g.edgeTable(srcLabel, relLabel, dstLabel)
         val merged = edges.join(updates, Seq(SRC, DST), "left")
           .select(edges.columns.filterNot(_ == prop).map(col).toSeq :+
@@ -149,8 +164,9 @@ object AnalysisRunner {
 
       case SetRelationshipPropertyIfMissing(srcLabel, relLabel, dstLabel, prop, valueCol) =>
         val key = (srcLabel, relLabel, dstLabel)
-        val updates = matched.select(col(SRC), col(DST), col(valueCol).as("_new"))
-          .dropDuplicates(SRC :: DST :: Nil)
+        val updates = reduceUpdates(
+          matched.select(col(SRC), col(DST), col(valueCol).as("_new")),
+          Seq(SRC, DST), Seq("_new"))
         val edges = g.edgeTable(srcLabel, relLabel, dstLabel)
         val old = if (edges.columns.contains(prop)) col(prop) else lit(null)
         val merged = edges.join(updates, Seq(SRC, DST), "left")
@@ -159,9 +175,11 @@ object AnalysisRunner {
         g.withEdges(key, merged)
 
       case AddRelationship(srcLabel, relLabel, dstLabel, srcCol, dstCol, propCols) =>
-        val batch = matched.select(
+        val projected = matched.select(
           (col(srcCol).as(SRC) +: col(dstCol).as(DST) +: propCols.map(col)): _*)
-          .dropDuplicates(SRC :: DST :: Nil)
+        val batch =
+          if (propCols.isEmpty) projected.dropDuplicates(SRC :: DST :: Nil)
+          else reduceUpdates(projected, Seq(SRC, DST), propCols)
         val key = (srcLabel, relLabel, dstLabel)
         g.edges.get(key) match {
           case Some(existing) => g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag))

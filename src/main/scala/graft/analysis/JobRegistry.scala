@@ -34,11 +34,17 @@ object JobRegistry {
     val name = Option(root.get("name")).map(_.asText).getOrElse("unnamed")
     val stmts = Option(root.get("statements")).toSeq
       .flatMap(_.elements().asScala)
-      .map { s =>
+      .zipWithIndex.map { case (s, i) =>
+        // malformed job files get a descriptive parse error (the reference
+        // raises on bad job JSON too), not an opaque NPE; JSON-null values
+        // are treated as absent, never as the string "null"
+        val query = Option(s.get("query")).filterNot(_.isNull).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"job '$name': statement #$i is missing required key 'query'"))
         JobStatement(
-          query = s.get("query").asText,
-          materialize = Option(s.get("materialize")).map(_.asText),
-          comment = Option(s.get("__comment__")).map(_.asText))
+          query = query,
+          materialize = Option(s.get("materialize")).filterNot(_.isNull).map(_.asText),
+          comment = Option(s.get("__comment__")).filterNot(_.isNull).map(_.asText))
       }
     GraphJob(name, stmts)
   }

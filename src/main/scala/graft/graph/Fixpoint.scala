@@ -37,6 +37,10 @@ object Fixpoint {
       n = m
       round += 1
     }
+    if (grown)
+      throw new IllegalStateException(
+        s"transitiveClosure did not converge in $maxRounds rounds " +
+          s"(paths of length > 2^$maxRounds exist); raise maxRounds")
     paths
   }
 
@@ -45,12 +49,16 @@ object Fixpoint {
     * clustering step a dedup pipeline needs after near-dup PAIR detection
     * (pairs → clusters → one canonical doc per cluster).
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbors' labels; converges in
-    * O(diameter) rounds — near-dup clusters have tiny diameters, and each
-    * round is one groupBy over the edge list (O(E) work, no closure
+    * Min-label propagation with pointer jumping: each round every node
+    * takes the min of its own label and its neighbors' labels, then
+    * shortcuts through its label's label (path halving). The label's
+    * reach roughly doubles per round, so convergence is O(log diameter)
+    * — a 2M-hop chain closes in ~20 rounds — while each round stays one
+    * groupBy + one self-join over the label table (O(E) work, no closure
     * materialization, no O(cluster²) pair space). localCheckpoint
-    * truncates lineage per round like the closure above. */
+    * truncates lineage per round like the closure above. Non-convergence
+    * within maxRounds throws instead of silently returning split
+    * components. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -75,10 +83,18 @@ object Fixpoint {
           .withColumnRenamed("component", "nbr_component"), Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min(col("nbr_component")).as("nbr_component"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      val propagated = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
+      // pointer jump (path halving): component := component's component.
+      // Every label value is itself a node id (mins over node ids), so the
+      // self-join resolves; coalesce is belt-and-braces for the root.
+      val next = propagated
+        .join(propagated
+          .select(col("node").as("component"), col("component").as("_jumped")),
+          Seq("component"), "left")
+        .select(col("node"), coalesce(col("_jumped"), col("component")).as("component"))
         .localCheckpoint(false)
       val s = labelSum(next)
       labels = next
@@ -86,6 +102,10 @@ object Fixpoint {
       prevSum = s
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds; " +
+          "raise maxRounds (labels would be silently wrong otherwise)")
     labels
   }
 

@@ -141,18 +141,24 @@ object GraphStore {
     existing.filter(!inScope).unionByName(survivorsInScope)
   }
 
-  /** Edge cleanup scoped by endpoint membership: delete stale edges whose
-    * `side` endpoint belongs to `scopedNodeIds` (the tenant's nodes);
-    * stale edges whose endpoint is outside the scope are another tenant's
-    * rows and survive (reference: rel cleanup is scoped through the
-    * sub-resource MATCH, cleanupbuilder.py:244-383). */
-  def cleanupEdgesByEndpoint(edges: DataFrame, tag: Long, scopedNodeIds: DataFrame,
-                             side: String): DataFrame =
+  /** Edge cleanup scoped by endpoint membership: delete stale edges on the
+    * `side` endpoint's tenant scope. A stale edge survives only when its
+    * endpoint row EXISTS in `nodes` and is out of `scope` — i.e. it is
+    * provably another tenant's row (reference: rel cleanup is scoped
+    * through the sub-resource MATCH, cleanupbuilder.py:244-383, which
+    * never binds — and so never spares — an edge without a live endpoint).
+    * Dangling stale edges (endpoint absent from the node table) are always
+    * deleted; with the default unscoped `scope = lit(true)` this reduces
+    * to the plain stale-tag cleanup. */
+  def cleanupEdgesByEndpoint(edges: DataFrame, tag: Long, nodes: DataFrame,
+                             side: String, scope: Column = lit(true)): DataFrame = {
+    val outOfScope = nodes.filter(!coalesce(scope, lit(false)))
+      .select(col(ID).as(side)).dropDuplicates(side :: Nil)
     edges.filter(col(LASTUPDATED) === lit(tag)).unionByName(
       edges.filter(col(LASTUPDATED) =!= lit(tag))
-        .join(scopedNodeIds.select(col(ID).as(side)).dropDuplicates(side :: Nil),
-          Seq(side), "left_anti")
+        .join(outOfScope, Seq(side), "left_semi")
         .select(edges.columns.map(col).toSeq: _*))
+  }
 
   /** DETACH DELETE semantics: removing nodes cascades into every edge table
     * that references the label (reference: implicit in Cypher DETACH DELETE;

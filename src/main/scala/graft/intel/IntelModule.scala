@@ -72,12 +72,12 @@ trait IntelModule {
       val deleted = graph.nodeTable(label)
         .filter(org.apache.spark.sql.functions.col(GraphStore.LASTUPDATED) =!= tag && inScope)
         .select(col(GraphStore.ID))
-      val scopedIds = graph.nodeTable(label).filter(inScope).select(col(GraphStore.ID))
       g.edges.foldLeft(g) {
         case (acc, (key @ (src, _, dst), _)) if src == label || dst == label =>
           val side = if (src == label) GraphStore.SRC else GraphStore.DST
           val staleCleaned = GraphStore.cleanupEdgesByEndpoint(
-            acc.edgeTable(key._1, key._2, key._3), tag, scopedIds, side)
+            acc.edgeTable(key._1, key._2, key._3), tag,
+            graph.nodeTable(label), side, scopeOf(label))
           acc.withEdges(key, GraphStore.detachDelete(staleCleaned, deleted, side))
         case (acc, _) => acc
       }

@@ -97,8 +97,18 @@ object Permissions {
           lit(m.targetLabel).as("target_label"),
           col("has_condition"), col("condition_keys")))
     }
-    require(parts.nonEmpty, "no mapping produced any applicable Allow statement")
-    parts.reduce(_ unionByName _)
+    // No mapping had an applicable Allow statement — a legitimate
+    // configuration state (patterns overlapping nothing): the reference
+    // warn-and-skips and emits no edges, so return an empty typed result
+    // instead of failing the sync.
+    if (parts.isEmpty)
+      principals.select(col("id").as("principal_id")).limit(0)
+        .crossJoin(resources.select(col("id").as("resource_id")).limit(0))
+        .withColumn("relationship_name", lit(null).cast("string"))
+        .withColumn("target_label", lit(null).cast("string"))
+        .withColumn("has_condition", lit(null).cast("boolean"))
+        .withColumn("condition_keys", lit(null).cast("string"))
+    else parts.reduce(_ unionByName _)
   }
 
   /** Compile an IAM-style wildcard pattern to an anchored case-insensitive
