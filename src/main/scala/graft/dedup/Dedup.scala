@@ -64,7 +64,35 @@ object Dedup {
     * equi-join candidates → exact Jaccard verification ≥ minJaccX1e6.
     * Candidate generation cost is one shuffle on (band, h1, h2); the full
     * pair space is never built (shingle→minhash→band→bucket-join). */
-  def minhashLsh(shingled: DataFrame, minJaccX1e6: Long): DataFrame = {
+  def minhashLsh(shingled: DataFrame, minJaccX1e6: Long): DataFrame =
+    lshCandidatePairs(shingled)
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .withColumn("jacc_x1e6",
+        floor(lit(1000000.0) * col("inter") / col("uni")).cast("long"))
+      .filter(col("jacc_x1e6") >= minJaccX1e6)
+      .select(col("doc_a"), col("doc_b"), col("jacc_x1e6"))
+
+  /** MinHash-LSH candidates scored by one-sided shingle CONTAINMENT
+    * (Broder's resemblance vs containment distinction):
+    * floor(1e6 * |A∩B| / min(|A|,|B|)). Catches subset duplication —
+    * a short doc embedded verbatim in a longer one scores near 1e6 here
+    * while its Jaccard stays low — the quote/excerpt case a training-data
+    * dedup pass wants flagged. Same band-bucket candidate generation as
+    * [[minhashLsh]] (never O(n²)). */
+  def minhashContainment(shingled: DataFrame, minContX1e6: Long): DataFrame =
+    lshCandidatePairs(shingled)
+      .withColumn("containment_x1e6",
+        floor(lit(1000000.0) * col("inter") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("long")).cast("long"))
+      .filter(col("containment_x1e6") >= minContX1e6)
+      .select(col("doc_a"), col("doc_b"), col("containment_x1e6"))
+
+  /** Shared LSH machinery: 8 minhashes → 4 bands of 2 → band equi-join
+    * candidates, joined back to both shingle sets with the intersection
+    * size precomputed. One shuffle on (band, h1, h2); the full pair space
+    * is never built. */
+  private def lshCandidatePairs(shingled: DataFrame): DataFrame = {
     val sigs = shingled.select(
       (col("doc_id") +: col("shingles") +:
         TextFunctions.minhashCols(col("shingles"))): _*)
@@ -85,12 +113,6 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
-      .withColumn("jacc_x1e6",
-        floor(lit(1000000.0) * col("inter") / col("uni")).cast("long"))
-      .filter(col("jacc_x1e6") >= minJaccX1e6)
-      .select(col("doc_a"), col("doc_b"), col("jacc_x1e6"))
   }
 
   /** SimHash near-dup pairs: docs with identical 32-bit tf-weighted

@@ -39,6 +39,23 @@ object LlmQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.repetitionMetrics(Tables.documents(spark, dir), "doc_id", "text")
+
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.tfidfTopK(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+
+  /** Corpus-composition report: the mixing-weights view a pretraining data
+    * pipeline reports per (lang, source) slice. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("n_chars").cast("long")).as("n_chars_sum"))
+      .withColumn("mean_tokens_x1e6",
+        floor(lit(1000000.0) * col("n_tokens") / col("n_docs")).cast("long"))
+
   /** Stratified deterministic sampling: short docs kept at 20%, long at
     * 80% — membership is a pure hash of doc_id, reproducible anywhere. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
@@ -92,6 +109,13 @@ object LlmQueries {
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
 
+  /** One-sided containment over the same LSH candidates: flags the
+    * quote/excerpt case where a short doc is a subset of a longer one. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashContainment(
+      Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text"),
+      minContX1e6 = 850000L)
+
   def dedupCosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDup(
       Similarity.quantized(Tables.embeddings(spark, dir)), minCosX1e6 = 350000L)
@@ -122,6 +146,13 @@ object LlmQueries {
     Similarity.ivfTopK(q.filter(col("vec_id") < 10), q, k = 3)
   }
 
+  /** One Lloyd training round for the IVF coarse quantizer: assign → exact
+    * integer centroid update → final assignment. */
+  def embedKmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(
+      Similarity.quantized(Tables.embeddings(spark, dir)),
+      nCentroids = 16, iterations = 1)
+
   // ---- multimodal ----
 
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
@@ -148,8 +179,13 @@ object LlmQueries {
     "text_lang_id" -> (textLangId _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
+    "text_tfidf" -> (textTfidf _),
+    "corpus_stats" -> (corpusStats _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_containment" -> (dedupContainment _),
+    "embed_kmeans_assign" -> (embedKmeansAssign _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_components" -> (dedupComponents _),
@@ -279,6 +315,123 @@ object LlmQueries {
          |SELECT doc_id,
          |  CAST(sum((wid % ${TextFunctions.FpMod}) * pos) AS BIGINT) AS fingerprint
          |FROM seq GROUP BY doc_id""".stripMargin,
+    "text_repetition" -> {
+      val P = TextFunctions.P
+      val mA = TextFunctions.Mix
+      val mB = TextFunctions.MixB
+      def g2(m: Long) = s"(((a.wid % $P) * $m + (b.wid % $P)) % $P)"
+      def g3(m: Long) =
+        s"(((((a.wid % $P) * $m + (b.wid % $P)) % $P) * $m + (c.wid % $P)) % $P)"
+      s"""WITH $TextCtes,
+         |big AS (
+         |  SELECT a.doc_id, ${g2(mA)} * $P + ${g2(mB)} AS gid
+         |  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |bigc AS (SELECT doc_id, gid, count(*) AS c FROM big GROUP BY doc_id, gid),
+         |bigm AS (SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM bigc GROUP BY doc_id),
+         |tri AS (
+         |  SELECT a.doc_id, ${g3(mA)} * $P + ${g3(mB)} AS gid
+         |  FROM seq a
+         |  JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN seq c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         |tric AS (SELECT doc_id, gid, count(*) AS c FROM tri GROUP BY doc_id, gid),
+         |trim2 AS (
+         |  SELECT doc_id, sum(c) AS nt,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+         |  FROM tric GROUP BY doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(bm.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(bm.topb, 0) AS BIGINT) AS top_bigram_n,
+         |  CAST(floor(1000000.0 * coalesce(bm.topb, 0)
+         |       / greatest(coalesce(bm.nb, 0), 1)) AS BIGINT) AS top_bigram_frac_x1e6,
+         |  CAST(coalesce(tm.nt, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(tm.dup, 0) AS BIGINT) AS dup_trigram_n,
+         |  CAST(floor(1000000.0 * coalesce(tm.dup, 0)
+         |       / greatest(coalesce(tm.nt, 0), 1)) AS BIGINT) AS dup_trigram_frac_x1e6
+         |FROM documents d
+         |LEFT JOIN bigm bm ON d.doc_id = bm.doc_id
+         |LEFT JOIN trim2 tm ON d.doc_id = tm.doc_id""".stripMargin
+    },
+    "text_tfidf" ->
+      s"""WITH $TextCtes,
+         |tf AS (SELECT doc_id, wid, count(*) AS tf FROM seq GROUP BY doc_id, wid),
+         |dfreq AS (SELECT wid, count(*) AS df FROM tf GROUP BY wid),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.wid, t.tf, d.df,
+         |    CAST(floor(1000000.0 * t.tf * n.nd / d.df) AS BIGINT) AS tfidf_x1e6
+         |  FROM tf t JOIN dfreq d USING(wid) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf_x1e6 DESC, wid ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, wid, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, tfidf_x1e6
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "corpus_stats" ->
+      """SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+        |  CAST(floor(1000000.0 * sum(len(string_split(text,' '))) / count(*)) AS BIGINT)
+        |    AS mean_tokens_x1e6
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(floor(1000000.0 * i / least(na.n, nb.n)) AS BIGINT) AS containment_x1e6
+         |FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |WHERE floor(1000000.0 * i / least(na.n, nb.n)) >= 850000""".stripMargin,
+    "embed_kmeans_assign" ->
+      s"""WITH $QuantCte,
+         |c0 AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
+         |cc0 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(floor(1000000.0 *
+         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
+         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS BIGINT) AS cc
+         |  FROM qn v CROSS JOIN c0 c),
+         |a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+         |    FROM cc0) WHERE rk = 1),
+         |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q,1) AS dim FROM qn),
+         |sums AS (
+         |  SELECT a.cid, d.dim, sum(d.x) AS sx, count(*) AS n
+         |  FROM qd d JOIN a0 a USING(vec_id) GROUP BY a.cid, d.dim),
+         |c1 AS (
+         |  SELECT cid, list(CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS qc
+         |  FROM sums GROUP BY cid),
+         |c1n AS (
+         |  SELECT cid, qc,
+         |    CAST(list_sum(list_transform(qc, x -> x*x)) AS BIGINT) AS nc
+         |  FROM c1),
+         |cc1 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(floor(1000000.0 *
+         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
+         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS BIGINT) AS cc
+         |  FROM qn v CROSS JOIN c1n c)
+         |SELECT vec_id, cid, cc AS cos_x1e6 FROM (
+         |  SELECT vec_id, cid, cc,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+         |  FROM cc1) WHERE rk = 1""".stripMargin,
     "sample_stratified" ->
       """WITH strata AS (
         |  SELECT doc_id,

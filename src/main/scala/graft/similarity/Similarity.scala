@@ -134,6 +134,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
   }
 
+  /** Lloyd k-means over quantized vectors — the coarse-quantizer TRAINING
+    * step [[ivfTopK]]'s scaladoc defers to. Deterministic end to end:
+    * centroids init from the first `nCentroids` vectors by id, assignment
+    * is argmax integer cosine with (cos desc, cid asc) tiebreak, and the
+    * centroid update is the per-dimension floor(mean) — exact-integer
+    * sums, floor of a < 2^53 double ratio — so every iteration is
+    * bit-reproducible (no RNG, no float accumulation order).
+    *
+    * Returns the assignment after `iterations` update rounds:
+    * (vec_id, cid, cos_x1e6).
+    *
+    * Scale: per iteration, assignment is one broadcast pass of the tiny
+    * centroid set over the corpus + an argmax window partitioned by
+    * vec_id, and the update is a posexplode → (cid, dim) aggregation —
+    * map-side-combinable, K×dims output rows. The corpus is scanned, never
+    * self-joined; lineage is truncated per round with a localCheckpoint of
+    * the K-row centroid table only. */
+  def kmeansAssign(corpus: DataFrame, nCentroids: Int = 16,
+                   iterations: Int = 1): DataFrame = {
+    def withNorm(c: DataFrame): DataFrame = c.withColumn("nc", vec_norm2(col("qc")))
+    var cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("norm2").as("nc"))
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_x1e6").desc, col("cid").asc)
+      corpus.crossJoin(broadcast(c))
+        .withColumn("cos_x1e6",
+          floor(lit(1000000.0) * vec_dot(col("q"), col("qc")) /
+            sqrt((col("norm2") * col("nc")).cast("double"))).cast("long"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("cos_x1e6"))
+    }
+    (1 to iterations).foreach { _ =>
+      val a = assign(cents)
+      cents = withNorm(
+        corpus.join(a.select(col("vec_id"), col("cid")), Seq("vec_id"))
+          .select(col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .withColumn("v", floor(col("sx").cast("double") / col("n")).cast("long"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+            s => s.getField("v")).as("qc")))
+        .localCheckpoint(true)
+    }
+    assign(cents)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (an equi-join on the signature — no cross product), then exact rank
     * within the bucket. Recall trades off against bucket count; multi-probe

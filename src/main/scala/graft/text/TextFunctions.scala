@@ -70,24 +70,89 @@ object TextFunctions {
     docs.select(col(idCol).cast("long").as("doc_id"),
       transform(tokens(col(textCol)), w => wordId(w)).as("wids"))
 
-  /** One multiplicative-chain mix of a reduced wid 3-gram: result in [0,P). */
-  private def chain(mix: Long, u1: Column, u2: Column, u3: Column): Column =
-    ((u1 * mix + u2) % P * mix + u3) % P
-
-  /** Distinct 3-gram shingle ids from a wid array. Two independent mix
-    * chains ([[Mix]], [[MixB]]) over the mod-P-reduced wids are combined as
-    * sid = chainA*P + chainB — a ~62-bit id, collision-negligible for real
-    * corpora (replaces the round-1 base-37 packing that was only injective
-    * for vocabularies under 37 words). All intermediates < 2^63. */
-  def shingleIds(wids: Column): Column =
-    when(size(wids) >= 3,
-      array_distinct(transform(sequence(lit(0), size(wids) - 3), i => {
-        val u1 = element_at(wids, i + 1) % P
-        val u2 = element_at(wids, i + 2) % P
-        val u3 = element_at(wids, i + 3) % P
-        chain(Mix, u1, u2, u3) * P + chain(MixB, u1, u2, u3)
-      })))
+  /** Non-distinct n-gram id array (one id per position). Two independent
+    * mix chains ([[Mix]], [[MixB]]) over the mod-P-reduced wids are
+    * combined as gid = chainA*P + chainB — a ~62-bit id,
+    * collision-negligible for real corpora (replaces the round-1 base-37
+    * packing that was only injective for vocabularies under 37 words).
+    * All intermediates < 2^63. */
+  def gramIds(wids: Column, n: Int): Column =
+    when(size(wids) >= n,
+      transform(sequence(lit(0), size(wids) - n), i => {
+        val us = (1 to n).map(j => element_at(wids, i + j) % P)
+        def chainN(m: Long) = us.reduce((a, b) => (a * m + b) % P)
+        chainN(Mix) * P + chainN(MixB)
+      }))
       .otherwise(array().cast("array<bigint>"))
+
+  /** Distinct 3-gram shingle ids from a wid array (the dedup-family
+    * shingle set). */
+  def shingleIds(wids: Column): Column = array_distinct(gramIds(wids, 3))
+
+  /** Per-doc repetition metrics — the Gopher-style repetition quality
+    * filters (Rae et al. 2021, "Scaling Language Models", table A1):
+    * the fraction of word bigrams covered by the single most frequent
+    * bigram, and the fraction of trigram occurrences whose trigram
+    * appears more than once in the document. High values flag boilerplate
+    * and degenerate repetition for corpus filtering. Fractions are exact
+    * floor(1e6 * a / b) integers; n-gram identity is the hashed ~62-bit
+    * [[gramIds]] (identical hashing on the oracle side, so collisions —
+    * already negligible — can never diverge the two engines).
+    *
+    * Scale: one shuffle per n-gram order on (doc_id, gram_id) — a
+    * near-uniform composite key — then a per-doc reduce; no global
+    * structure, no self-join. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wids = widArrays(docs, idCol, textCol)
+    def gramCounts(n: Int) = wids
+      .select(col("doc_id"), explode(gramIds(col("wids"), n)).as("gid"))
+      .groupBy(col("doc_id"), col("gid")).agg(count(lit(1)).as("c"))
+    val big = gramCounts(2).groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    val tri = gramCounts(3).groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_trigrams"),
+      sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_trigram_n"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(big, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        floor(lit(1000000.0) * coalesce(col("top_bigram_n"), lit(0L)) /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .cast("long").as("top_bigram_frac_x1e6"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("dup_trigram_n"), lit(0L)).as("dup_trigram_n"),
+        floor(lit(1000000.0) * coalesce(col("dup_trigram_n"), lit(0L)) /
+          greatest(coalesce(col("n_trigrams"), lit(0L)), lit(1L)))
+          .cast("long").as("dup_trigram_frac_x1e6"))
+  }
+
+  /** Per-doc top-k terms by a log-free integer tf-idf:
+    * score = floor(1e6 * tf * N / df). Monotone in tf·(N/df), so the
+    * ranking matches classic tf-idf without the log damping — chosen
+    * because ln() is not bit-reproducible across engines while integer
+    * products are (see the repo's determinism rules). Bound: 1e6·tf·N
+    * must stay < 2^53 for the double product to be exact; at corpus
+    * sizes beyond ~1e9·tf, quantize idf to an integer first.
+    *
+    * Scale: tf is one (doc_id, wid) shuffle, df one (wid) shuffle, the
+    * doc count broadcasts as a 1-row cross join, and the top-k window
+    * partitions by doc_id — nothing global, nothing skewed. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("wid")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_x1e6").desc, col("wid").asc)
+    tf.join(dfreq, Seq("wid"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_x1e6",
+        floor(lit(1000000.0) * col("tf") * col("n_docs") / col("df")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("wid"), col("tf"), col("df"),
+        col("tfidf_x1e6"))
+  }
 
   /** MinHash signature columns h0..h{k-1} over a shingle-id array column.
     * Shingle ids are reduced mod P before the affine permutation so the

@@ -126,4 +126,65 @@ class LlmOpsSpec extends AnyFunSuite {
       Map("even" -> 500000L)).select("id").as[Long].collect().toSet
     assert(s2 == rows.map(_._1).toSet)
   }
+
+  test("repetition metrics flag a degenerate doc, pass a clean one") {
+    // doc 0: "a b" repeated 4x -> 7 bigrams, "b a"x3 + "a b"x4, top=4;
+    //        6 trigram positions, all of "a b a"/"b a b" repeated -> dup=6
+    // doc 1: all 5 tokens distinct -> top bigram 1 of 4, zero dup trigrams
+    val docs = Seq(
+      (0L, "a b a b a b a b"),
+      (1L, "v w x y z")).toDF("doc_id", "text")
+    val byId = graft.text.TextFunctions.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(1) == 7 && byId(0L).getLong(2) == 4)
+    assert(byId(0L).getLong(3) == 571428L) // floor(1e6*4/7)
+    assert(byId(0L).getLong(5) == 6 && byId(0L).getLong(6) == 1000000L)
+    assert(byId(1L).getLong(2) == 1 && byId(1L).getLong(3) == 250000L)
+    assert(byId(1L).getLong(5) == 0 && byId(1L).getLong(6) == 0L)
+  }
+
+  test("tf-idf ranks a doc-specific term over a corpus-wide one") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "common rare0 common"),
+      (1L, "common other other"),
+      (2L, "common filler words")).toDF("doc_id", "text")
+    val top1 = graft.text.TextFunctions.tfidfTopK(docs, "doc_id", "text", k = 1)
+    val w = top1.filter(col("doc_id") === 0L).select("wid").as[Long].head()
+    val rare0 = Seq("rare0").toDF("w")
+      .select(graft.text.TextFunctions.wordId(col("w"))).as[Long].head()
+    assert(w == rare0) // tf=1,df=1 (score 3e6) beats tf=2,df=3 (score 2e6)
+  }
+
+  test("containment flags a subset doc that jaccard misses") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " phi chi psi omega one two three four five six seven " +
+        "eight nine ten more words beyond the original text entirely")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val cont = Dedup.minhashContainment(sh, 900000L)
+      .select("doc_a", "doc_b", "containment_x1e6")
+      .as[(Long, Long, Long)].collect()
+    assert(cont.toSeq == Seq((0L, 1L, 1000000L))) // all of 0's shingles in 1
+    val jacc = Dedup.minhashLsh(sh, 900000L).count()
+    assert(jacc == 0) // jaccard ~ 18/56 stays far below the bar
+  }
+
+  test("kmeans update round pulls a centroid toward its cluster") {
+    // 4 vectors near +x, 4 near +y; centroids init from vec 0 (x-ish) and 1 (y-ish)
+    val vecs = Seq(
+      (0L, Array(10.0f, 0.1f)), (1L, Array(0.1f, 10.0f)),
+      (2L, Array(9.0f, 0.2f)), (3L, Array(0.3f, 9.0f)),
+      (4L, Array(11.0f, 0.3f)), (5L, Array(0.2f, 11.0f)),
+      (6L, Array(10.5f, 0.1f)), (7L, Array(0.1f, 9.5f))
+    ).toDF("vec_id", "embedding")
+    val assign = Similarity.kmeansAssign(Similarity.quantized(vecs),
+      nCentroids = 2, iterations = 2)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 2L, 4L, 6L).forall(assign(_) == 0L))
+    assert(Seq(1L, 3L, 5L, 7L).forall(assign(_) == 1L))
+  }
 }
