@@ -88,6 +88,32 @@ object Dedup {
       .filter(col("containment_x1e6") >= minContX1e6)
       .select(col("doc_a"), col("doc_b"), col("containment_x1e6"))
 
+  /** Cross-corpus decontamination — training-set hygiene: flag every
+    * training doc sharing at least one n-gram shingle with the eval set
+    * (the benchmark-overlap rule GPT-3/PaLM-style pipelines apply before
+    * training). Returns every training doc with its shared-shingle count
+    * and a contaminated flag.
+    *
+    * Scale: the eval side reduces to a DISTINCT shingle-id set —
+    * benchmark-sized, usually broadcastable — and the training corpus is
+    * scanned once and equi-joined on the shingle id; the two corpora are
+    * never cross-joined. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def docShingles(df: DataFrame) =
+      TextFunctions.widArrays(df, idCol, textCol)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleIds(col("wids"))).as("sid"))
+    val evalShingles = docShingles(evalSet).select(col("sid")).distinct()
+    val hits = docShingles(train).join(evalShingles, Seq("sid"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+    train.select(col(idCol).cast("long").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Shared LSH machinery: 8 minhashes → 4 bands of 2 → band equi-join
     * candidates, joined back to both shingle sets with the intersection
     * size precomputed. One shuffle on (band, h1, h2); the full pair space

@@ -109,6 +109,20 @@ object LlmQueries {
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Benchmark decontamination: eval set = every 10th doc; flag training
+    * docs sharing any 3-gram shingle with it. */
+  def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text")
+  }
+
+  /** Corpus-wide boilerplate census: top-20 most widespread shingles. */
+  def textGramCensus(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.gramCensus(Tables.documents(spark, dir), "doc_id", "text", k = 20)
+
   /** One-sided containment over the same LSH candidates: flags the
     * quote/excerpt case where a short doc is a subset of a longer one. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
@@ -185,6 +199,8 @@ object LlmQueries {
     "sample_stratified" -> (sampleStratified _),
     "dedup_exact" -> (dedupExact _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_decontaminate" -> (dedupDecontaminate _),
+    "text_gram_census" -> (textGramCensus _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -375,6 +391,23 @@ object LlmQueries {
         |  CAST(floor(1000000.0 * sum(len(string_split(text,' '))) / count(*)) AS BIGINT)
         |    AS mean_tokens_x1e6
         |FROM documents GROUP BY lang, source""".stripMargin,
+    "dedup_decontaminate" ->
+      s"""WITH $TextCtes,
+         |evalsh AS (SELECT DISTINCT sid FROM sh WHERE doc_id % 10 = 0),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n
+         |  FROM sh t JOIN evalsh e ON t.sid = e.sid
+         |  WHERE t.doc_id % 10 <> 0 GROUP BY t.doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+         |  coalesce(h.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
+    "text_gram_census" ->
+      s"""WITH $TextCtes
+         |SELECT sid, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sh GROUP BY sid
+         |ORDER BY n_docs DESC, sid ASC LIMIT 20""".stripMargin,
     "dedup_containment" ->
       s"""WITH $TextCtes,
          |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),

@@ -127,6 +127,23 @@ object TextFunctions {
           .cast("long").as("dup_trigram_frac_x1e6"))
   }
 
+  /** Corpus-wide boilerplate census: the `k` most widespread 3-gram
+    * shingles by document frequency (shingle sets are per-doc distinct,
+    * so the count IS the doc frequency), total order (n_docs desc, sid
+    * asc) for a deterministic cut. The corpus-level view of what
+    * [[repetitionMetrics]] measures per document — headers, disclaimers,
+    * templated fragments that repeat across documents.
+    *
+    * Scale: one (sid) aggregation with map-side partial combine, then a
+    * global top-k — Spark executes orderBy+limit as TakeOrderedAndProject
+    * (per-partition heaps, no global sort materialization). */
+  def gramCensus(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    widArrays(docs, idCol, textCol)
+      .select(col("doc_id"), explode(shingleIds(col("wids"))).as("sid"))
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("sid").asc)
+      .limit(k)
+
   /** Per-doc top-k terms by a log-free integer tf-idf:
     * score = floor(1e6 * tf * N / df). Monotone in tf·(N/df), so the
     * ranking matches classic tf-idf without the log damping — chosen

@@ -173,6 +173,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(jacc == 0) // jaccard ~ 18/56 stays far below the bar
   }
 
+  test("decontamination flags a train doc overlapping the eval set") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // shares shingles with the eval doc (same opening)
+      (0L, "the quick brown fox jumps somewhere else entirely today"),
+      // disjoint vocabulary: clean
+      (1L, "catalyst optimizer rewrites logical plans into physical ones")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet, "doc_id", "text")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out(0L) && !out(1L))
+  }
+
+  test("gram census surfaces the cross-doc boilerplate shingle") {
+    val docs = Seq(
+      (0L, "standard header line alpha beta"),
+      (1L, "standard header line gamma delta"),
+      (2L, "standard header line epsilon zeta"),
+      (3L, "totally unrelated content words here")
+    ).toDF("doc_id", "text")
+    val top = graft.text.TextFunctions.gramCensus(docs, "doc_id", "text", 1)
+      .select("n_docs").as[Long].collect()
+    assert(top.toSeq == Seq(3L)) // "standard header line" appears in 3 docs
+  }
+
   test("kmeans update round pulls a centroid toward its cluster") {
     // 4 vectors near +x, 4 near +y; centroids init from vec 0 (x-ish) and 1 (y-ish)
     val vecs = Seq(
