@@ -61,6 +61,30 @@ object ScaleSmoke {
         val q = similarity.Similarity.quantized(embs)
         similarity.Similarity.ivfTopK(q.filter(col("vec_id") < 10), q, 3).count()
       }
+      time("repetition", m) {
+        text.TextFunctions.repetitionMetrics(docs, "doc_id", "text").count()
+      }
+      time("tfidf_top3", m) {
+        text.TextFunctions.tfidfTopK(docs, "doc_id", "text", 3).count()
+      }
+      time("containment", m) {
+        dedup.Dedup.minhashContainment(
+          dedup.Dedup.shingleTable(docs, "doc_id", "text"), 850000L).count()
+      }
+      time("decontaminate", m) {
+        // eval side stays benchmark-sized (the un-multiplied 10% slice)
+        dedup.Dedup.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text").count()
+      }
+      time("kmeans_2iter", m) {
+        similarity.Similarity.kmeansAssign(
+          similarity.Similarity.quantized(embs), 16, 2).count()
+      }
+      time("gram_census", m) {
+        text.TextFunctions.gramCensus(docs, "doc_id", "text", 20).count()
+      }
     }
     spark.stop()
   }

@@ -150,7 +150,12 @@ object Similarity {
     * vec_id, and the update is a posexplode → (cid, dim) aggregation —
     * map-side-combinable, K×dims output rows. The corpus is scanned, never
     * self-joined; lineage is truncated per round with a localCheckpoint of
-    * the K-row centroid table only. */
+    * the K-row centroid table only.
+    *
+    * Standard Lloyd caveat: a centroid that loses every member drops out
+    * of the next round (no re-seeding) — with data-point init each
+    * centroid starts with at least its own seed vector, so this only
+    * occurs when a later update strands it. */
   def kmeansAssign(corpus: DataFrame, nCentroids: Int = 16,
                    iterations: Int = 1): DataFrame = {
     def withNorm(c: DataFrame): DataFrame = c.withColumn("nc", vec_norm2(col("qc")))
