@@ -15,6 +15,8 @@ object CoreFrameworks {
     scope = Some("core"), revision = Some("5.0"))
   private val nist = FrameworkControl("nist cybersecurity framework", "nist",
     "pr.ac-4", scope = Some("core"), revision = Some("2.0"))
+  private val soc2 = FrameworkControl("soc 2 trust services criteria", "soc2",
+    "cc6.1", scope = Some("core"), revision = Some("2017"))
 
   /** Assets exposed to the internet AND stale in the current sync — the
     * reference's flagship exposure × hygiene intersection. Parameterize
@@ -66,6 +68,67 @@ object CoreFrameworks {
     maturity = Maturity.Experimental,
     identityFields = Seq("asset_id"))
 
+  /** Users without MFA (reference rules/data/rules/mfa_missing.py — the
+    * canonical identity-hygiene fact; null counts as missing). */
+  val mfaMissingUsers: Fact = Fact(
+    factId = "mfa-missing-user",
+    name = "User without MFA",
+    assetLabel = "User",
+    query = _.sql(
+      """SELECT id AS asset_id, name AS detail
+        |FROM node_User
+        |WHERE mfa_enabled = false OR mfa_enabled IS NULL""".stripMargin),
+    description = "Interactive identities without a second factor are the " +
+      "highest-frequency initial-access path.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(_.sql("SELECT count(*) AS count FROM node_User")))
+
+  /** Unencrypted storage assets (reference unencrypted-storage rules,
+    * e.g. RDS/S3 encryption facts in rules/data/rules/). */
+  def unencryptedStorage(label: String): Fact = Fact(
+    factId = s"unencrypted-${label.toLowerCase}",
+    name = s"$label without encryption at rest",
+    assetLabel = label,
+    query = s => s.sql(
+      s"""SELECT id AS asset_id
+         |FROM node_$label
+         |WHERE encrypted = false OR encrypted IS NULL""".stripMargin),
+    description = "Storage without at-rest encryption fails most " +
+      "compliance baselines; null means the flag was never asserted.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(s => s.sql(s"SELECT count(*) AS count FROM node_$label")))
+
+  /** Publicly accessible storage (reference public-exposure bucket facts). */
+  def publicStorage(label: String): Fact = Fact(
+    factId = s"public-${label.toLowerCase}",
+    name = s"$label reachable anonymously",
+    assetLabel = label,
+    query = s => s.sql(
+      s"SELECT id AS asset_id FROM node_$label WHERE public = true"),
+    description = "Anonymous-read storage leaks by default; exposure " +
+      "must be an explicit, reviewed decision.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"))
+
+  /** Principals holding access edges to an outsized share of resources —
+    * the admin-like / over-privilege read (reference
+    * client/aws/iam.py get_aws_admin_like_principals; the permission
+    * edges come from [[graft.permissions.Permissions.relationshipEdges]]). */
+  def overPrivilegedPrincipals(edgeView: String, maxResources: Long): Fact = Fact(
+    factId = "over-privileged-principal",
+    name = s"Principal can access more than $maxResources resources",
+    assetLabel = "Principal",
+    query = s => s.sql(
+      s"""SELECT src_id AS asset_id, CAST(count(*) AS STRING) AS detail
+         |FROM $edgeView
+         |GROUP BY src_id HAVING count(*) > $maxResources""".stripMargin),
+    description = "Breadth of effective access is the blast-radius metric " +
+      "least-privilege reviews start from.",
+    maturity = Maturity.Experimental,
+    identityFields = Seq("asset_id"))
+
   /** The packaged framework: hygiene + exposure rules with compliance
     * mappings and references. */
   def coreSecurity(tag: Long): Framework = Framework("core-security", Seq(
@@ -89,5 +152,28 @@ object CoreFrameworks {
       tags = Seq("tenancy"),
       description = "Sub-resource attachment is the scoping key for cleanup.",
       version = "1",
-      frameworks = Seq(nist))))
+      frameworks = Seq(nist)),
+    Rule("identity-hygiene", "Interactive identities require MFA",
+      facts = Seq(mfaMissingUsers),
+      tags = Seq("identity", "hygiene"),
+      description = "Second factor required on every interactive identity.",
+      version = "1",
+      references = Seq(RuleReference(
+        "NIST SP 800-63B authenticator assurance",
+        "https://pages.nist.gov/800-63-3/sp800-63b.html")),
+      frameworks = Seq(cis, soc2)),
+    Rule("storage-protection", "Storage encrypted and non-public",
+      facts = Seq(unencryptedStorage("Bucket"), publicStorage("Bucket")),
+      tags = Seq("storage", "exposure"),
+      description = "At-rest encryption plus no anonymous reachability.",
+      version = "1",
+      frameworks = Seq(cis, soc2)),
+    Rule("least-privilege", "Principal access breadth bounded",
+      facts = Seq(overPrivilegedPrincipals(
+        "edge_Principal_CAN_ACCESS_Resource", maxResources = 100L)),
+      tags = Seq("iam"),
+      description = "Flag principals whose effective access exceeds the " +
+        "review threshold.",
+      version = "1",
+      frameworks = Seq(soc2, nist))))
 }

@@ -70,9 +70,19 @@ class RulesDriftSpec extends AnyFunSuite {
       ("i-3", true, 200L, "arn:3")).toDF("id", "allows_imdsv1", "lastupdated", "arn")
       .withColumn("exposed", col("allows_imdsv1"))
     val tenancy = Seq(("acct-1", "i-1"), ("acct-1", "i-2")).toDF("src_id", "dst_id")
+    val users = Seq(
+      ("u-1", "alice", Some(true)), ("u-2", "bob", Some(false)),
+      ("u-3", "carol", None)).toDF("id", "name", "mfa_enabled")
+    val buckets = Seq(
+      ("b-1", true, false), ("b-2", false, true)).toDF("id", "encrypted", "public")
+    val access = (1 to 101).map(i => ("p-wide", s"r-$i")) :+ ("p-narrow" -> "r-1")
     val g = graft.graph.Graph()
       .withNodes("Instance", instances)
+      .withNodes("User", users)
+      .withNodes("Bucket", buckets)
       .withEdges(("Account", "RESOURCE", "Instance"), tenancy)
+      .withEdges(("Principal", "CAN_ACCESS", "Resource"),
+        access.toDF("src_id", "dst_id"))
     graft.rules.RulesRunner.registerGraphViews(g)
     val fw = graft.rules.CoreFrameworks.coreSecurity(tag = 200L)
     assert(graft.rules.RulesRunner.validate(spark, fw).isEmpty)
@@ -81,10 +91,18 @@ class RulesDriftSpec extends AnyFunSuite {
     assert(findings == Set(
       ("imdsv1-enabled-instance", "i-1"), ("imdsv1-enabled-instance", "i-3"),
       ("exposed-stale-instance", "i-1"),  // exposed + stale tag
-      ("orphaned-instance", "i-3")))      // no RESOURCE edge
-    // framework-control filtering: only nist-mapped rules survive
+      ("orphaned-instance", "i-3"),       // no RESOURCE edge
+      ("mfa-missing-user", "u-2"),        // mfa false
+      ("mfa-missing-user", "u-3"),        // mfa never asserted
+      ("unencrypted-bucket", "b-2"),
+      ("public-bucket", "b-2"),
+      ("over-privileged-principal", "p-wide"))) // 101 resources > 100
+    // framework-control filtering, case-insensitive
     val nistOnly = graft.rules.RulesRunner.filterByFramework(fw, shortName = Some("NIST"))
     assert(nistOnly.rules.map(_.ruleId).toSet ==
-      Set("exposure-staleness", "tenancy-integrity"))
+      Set("exposure-staleness", "tenancy-integrity", "least-privilege"))
+    val soc2Only = graft.rules.RulesRunner.filterByFramework(fw, shortName = Some("SOC2"))
+    assert(soc2Only.rules.map(_.ruleId).toSet ==
+      Set("identity-hygiene", "storage-protection", "least-privilege"))
   }
 }
