@@ -123,6 +123,12 @@ object LlmQueries {
   def textGramCensus(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.gramCensus(Tables.documents(spark, dir), "doc_id", "text", k = 20)
 
+  /** Tokenizer-prep coverage: per-doc OOV rate against the corpus top-20
+    * vocabulary. */
+  def textOovRate(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.oovRate(Tables.documents(spark, dir), "doc_id", "text",
+      vocabSize = 20)
+
   /** One-sided containment over the same LSH candidates: flags the
     * quote/excerpt case where a short doc is a subset of a longer one. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
@@ -201,6 +207,7 @@ object LlmQueries {
     "dedup_containment" -> (dedupContainment _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "text_gram_census" -> (textGramCensus _),
+    "text_oov_rate" -> (textOovRate _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -408,6 +415,20 @@ object LlmQueries {
          |SELECT sid, CAST(count(*) AS BIGINT) AS n_docs
          |FROM sh GROUP BY sid
          |ORDER BY n_docs DESC, sid ASC LIMIT 20""".stripMargin,
+    "text_oov_rate" ->
+      s"""WITH $TextCtes,
+         |wcounts AS (SELECT wid, count(*) AS n FROM seq GROUP BY wid),
+         |vocab AS (SELECT wid FROM wcounts ORDER BY n DESC, wid ASC LIMIT 20),
+         |agg AS (
+         |  SELECT s.doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN v.wid IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM seq s LEFT JOIN vocab v ON s.wid = v.wid
+         |  GROUP BY s.doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_oov AS BIGINT) AS n_oov,
+         |  CAST(floor(1000000.0 * n_oov / n_tokens) AS BIGINT) AS oov_rate_x1e6
+         |FROM agg""".stripMargin,
     "dedup_containment" ->
       s"""WITH $TextCtes,
          |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),

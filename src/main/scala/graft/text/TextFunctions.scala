@@ -144,6 +144,32 @@ object TextFunctions {
       .orderBy(col("n_docs").desc, col("sid").asc)
       .limit(k)
 
+  /** Per-doc out-of-vocabulary rate against the corpus top-`vocabSize`
+    * vocabulary — the tokenizer-prep metric that drives vocab-size and
+    * coverage decisions before training a tokenizer. Vocabulary is the
+    * top words by corpus term count under a total order (count desc, wid
+    * asc) so the cut is deterministic; per-doc rate is the exact
+    * floor(1e6 · oov / tokens) integer.
+    *
+    * Scale: one (wid) count aggregation, a top-k, then the corpus is
+    * scanned once with the vocab broadcast into a left join — the vocab
+    * is `vocabSize` rows by construction, always broadcastable. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+      .select(col("doc_id"), wordId(col("word")).as("wid"))
+    val vocab = toks.groupBy(col("wid")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("wid").asc).limit(vocabSize)
+      .select(col("wid"), lit(1L).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("wid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate_x1e6",
+        floor(lit(1000000.0) * col("n_oov") / col("n_tokens")).cast("long"))
+  }
+
   /** Per-doc top-k terms by a log-free integer tf-idf:
     * score = floor(1e6 * tf * N / df). Monotone in tf·(N/df), so the
     * ranking matches classic tf-idf without the log damping — chosen

@@ -199,6 +199,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(3L)) // "standard header line" appears in 3 docs
   }
 
+  test("oov rate counts exactly the tokens outside the top-k vocab") {
+    // corpus counts: a=4, b=3, c=2 -> vocab(2) = {a, b}; c is OOV
+    val docs = Seq(
+      (0L, "a a b c"),  // 1 of 4 tokens OOV -> 250000
+      (1L, "a a b b c")  // 1 of 5 -> 200000
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextFunctions.oovRate(docs, "doc_id", "text", 2)
+      .select("doc_id", "oov_rate_x1e6").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 250000L, 1L -> 200000L))
+  }
+
   test("kmeans update round pulls a centroid toward its cluster") {
     // 4 vectors near +x, 4 near +y; centroids init from vec 0 (x-ish) and 1 (y-ish)
     val vecs = Seq(
