@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Durable graph tables: one partitioned parquet table per label under a
@@ -67,11 +67,19 @@ class PersistentGraph(spark: SparkSession, storeDir: String) {
   * salting is the explicit fix when a single key exceeds one executor.
   */
 object Skew {
-  /** Inner equi-join `left.key = right.key` with the left side salted. */
+  /** Inner equi-join `left.key = right.key` with the left side salted.
+    * The salt is `xxhash64(saltBy) mod salt` — `saltBy` should be a
+    * (near-)unique column of the left side (a row id), giving uniform
+    * sub-keys WITHOUT rand(): a hash of row content is deterministic
+    * under any partitioning/re-execution, where a seeded rand() silently
+    * changes with the partition layout and breaks byte reproducibility.
+    * Defaults to hashing every left column (rows are near-unique →
+    * near-uniform salts even when the join key is pathologically hot). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 salt: Int): DataFrame = {
+                 salt: Int, saltBy: Option[Column] = None): DataFrame = {
+    val saltExpr = saltBy.getOrElse(xxhash64(left.columns.map(col).toSeq: _*))
     val saltedLeft = left.withColumn("_salt",
-      (rand(seed = 42) * salt).cast("int"))
+      pmod(xxhash64(saltExpr), lit(salt.toLong)).cast("int"))
     val explodedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(explodedRight, Seq(key, "_salt"), "inner").drop("_salt")

@@ -73,6 +73,22 @@ object JoinQueries {
       .select(col("src_id"), col("dst_id"))
   }
 
+  /** Salted skew join (graph/Skew): the explicit fix for a join key that
+    * exceeds one executor — left side salted by a deterministic row
+    * hash, build side exploded across the salt range. The oracle is the
+    * PLAIN join: salting must be invisible in the results, which is
+    * exactly what this gate proves. */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.graph.Skew.saltedJoin(li, ord, "okey", salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"))
+  }
+
   /** MatchLink (querybuilder.py:1755-1924): SUPPLIES edges between
     * already-loaded order and supplier nodes from aggregated lineitem
     * pairs; order nodes restricted to open orders so the endpoint
@@ -176,6 +192,7 @@ object JoinQueries {
     "join_ignorecase" -> (joinIgnoreCase _),
     "join_fuzzy_contains" -> (joinFuzzyContains _),
     "join_one_to_many" -> (joinOneToMany _),
+    "join_salted_skew" -> (joinSaltedSkew _),
     "matchlink_supplies" -> (matchlinkSupplies _),
     "crosslink_pairs" -> (crosslinkPairs _),
     "matchlink_scoped_cleanup" -> (matchlinkScopedCleanup _),
@@ -184,6 +201,12 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_salted_skew" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "join_ignorecase" ->
       """SELECT CAST(a.p_partkey AS BIGINT) AS src_id, b.p_name AS dst_id,
         |  CAST(3000 AS BIGINT) AS lastupdated
