@@ -82,12 +82,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("long_vec_dot registers as a SQL function (extension surface)") {
+  test("long_vec_dot and md5_prefix64 register as SQL functions (extension surface)") {
     graft.GraftExtensions.register(spark)
     val d = spark.sql(
       "SELECT long_vec_dot(CAST(array(1,2,3) AS ARRAY<BIGINT>), " +
         "CAST(array(4,5,6) AS ARRAY<BIGINT>)) AS d").as[Long].head()
     assert(d == 32L)
+    val h = spark.sql(
+      "SELECT md5_prefix64('word') = CAST(conv(substring(md5('word'),1,14),16,10) AS BIGINT) AS ok")
+      .as[Boolean].head()
+    assert(h)
   }
 
   test("frame sampling + resize plumbing: windows, stride, decimation") {
