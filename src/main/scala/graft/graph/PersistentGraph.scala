@@ -58,6 +58,47 @@ class PersistentGraph(spark: SparkSession, storeDir: String) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     writer.parquet(path(label))
   }
+
+  /** Crash-safe variant of [[syncTenant]]: the tenant's new partition is
+    * fully written to a dot-prefixed STAGING directory inside the table
+    * (invisible to Spark's file index), then swapped in with two
+    * same-filesystem renames — old partition aside, staging into place —
+    * and the old data deleted last. A failure at any point leaves a
+    * complete copy of either the old or the new partition on disk
+    * (the in-place overwrite of [[syncTenant]] can lose the partition if
+    * the job dies mid-write). The swap window where the live dir is
+    * momentarily absent is the residual gap only a transactional table
+    * format (Delta/Iceberg) closes completely — both recovery copies
+    * exist throughout, so nothing is ever lost.
+    *
+    * Tenant values must be partition-path-safe (no characters Hive-style
+    * layouts escape). */
+  def syncTenantAtomic(label: String, tenantCol: String, tenantValue: String,
+                       batch: DataFrame, tag: Long): Unit = {
+    if (!exists(label)) { syncTenant(label, tenantCol, tenantValue, batch, tag); return }
+    val withTenant = batch.withColumn(tenantCol, lit(tenantValue))
+    val current = readNodes(label).filter(col(tenantCol) === tenantValue)
+    val merged = GraphStore.cleanup(
+      GraphStore.merge(current, withTenant, Seq(GraphStore.ID), tag), tag)
+    import org.apache.hadoop.fs.{Path => HPath}
+    val table = new HPath(path(label))
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new HPath(table, s"$tenantCol=$tenantValue")
+    val staging = new HPath(table, s".staging-$tag-$tenantValue")
+    val retired = new HPath(table, s".retired-$tag-$tenantValue")
+    // partitioned layout stores the tenant column in the dir name, not
+    // the files — drop it before writing the staging copy
+    merged.drop(tenantCol).localCheckpoint(true)
+      .write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(live) && !fs.rename(live, retired))
+      throw new java.io.IOException(s"could not retire $live")
+    if (!fs.rename(staging, live))
+      throw new java.io.IOException(s"could not activate $staging")
+    fs.delete(retired, true)
+    // the staging write leaves a _SUCCESS marker inside the live dir;
+    // harmless to parquet readers, deleted for cleanliness
+    fs.delete(new HPath(live, "_SUCCESS"), false)
+  }
 }
 
 /** Skew handling for joins whose key distribution is pathological (one

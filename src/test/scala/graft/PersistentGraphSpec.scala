@@ -44,6 +44,31 @@ class PersistentGraphSpec extends AnyFunSuite {
     assert(t2FileAfter == t2FileBefore) // dynamic overwrite left t2's files alone
   }
 
+  test("atomic tenant sync swaps the partition and leaves no staging debris") {
+    val dir = Files.createTempDirectory("store_atomic").toString
+    val store = new PersistentGraph(spark, dir)
+    store.syncTenant("Asset", "tenant", "t1",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), 100L)
+    store.syncTenant("Asset", "tenant", "t2",
+      Seq((3L, "c")).toDF("id", "name"), 100L)
+
+    // epoch 2 through the swap path: id=2 stale-cleaned, id=1 updated
+    store.syncTenantAtomic("Asset", "tenant", "t1",
+      Seq((1L, "a2")).toDF("id", "name"), 200L)
+
+    val rows = store.readNodes("Asset")
+      .select($"id", $"name", $"firstseen", $"lastupdated", $"tenant")
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    assert(rows == Set(
+      (1L, "a2", 100L, 200L, "t1"),
+      (3L, "c", 100L, 100L, "t2")))
+    // no staging / retired dirs or success markers left behind
+    val leftoverDirs = new java.io.File(s"$dir/nodes_Asset").listFiles()
+      .map(_.getName).filter(n => n.startsWith(".staging") || n.startsWith(".retired"))
+    assert(leftoverDirs.isEmpty)
+    assert(!new java.io.File(s"$dir/nodes_Asset/tenant=t1/_SUCCESS").exists())
+  }
+
   test("salted join returns the same pairs as a plain join") {
     val left = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "lv")
     val right = Seq((1L, "r1"), (2L, "r2")).toDF("k", "rv")
