@@ -146,7 +146,20 @@ object CoreQueries {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding (hopping) windows — 2h length, 1h slide: each event lands in
+    * two overlapping windows. The rolling-feature variant of
+    * [[tumblingWindow]]; identical aggregation semantics, window
+    * membership duplicated by the slide ratio. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "core_sliding_window" -> (slidingWindow _),
     "core_upsert_nodes" -> (upsertNodes _),
     "core_cleanup_stale" -> (cleanupStale _),
     "core_edge_attach_subresource" -> (edgeAttachSubresource _),
@@ -202,6 +215,14 @@ object CoreQueries {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "core_sliding_window" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    date_trunc('hour', ts) - to_hours(i) AS window_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS i) s)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY window_start, event_type""".stripMargin,
     "core_window_funcs" ->
       """SELECT event_id, user_id,
         |  CAST(row_number() OVER w AS INTEGER) AS rn,

@@ -129,6 +129,11 @@ object LlmQueries {
     TextFunctions.oovRate(Tables.documents(spark, dir), "doc_id", "text",
       vocabSize = 20)
 
+  /** Context-window chunking: 32-token windows every 24 tokens. */
+  def textChunking(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.chunkTokens(Tables.documents(spark, dir), "doc_id", "text",
+      window = 32, stride = 24)
+
   /** One-sided containment over the same LSH candidates: flags the
     * quote/excerpt case where a short doc is a subset of a longer one. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
@@ -208,6 +213,7 @@ object LlmQueries {
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "text_gram_census" -> (textGramCensus _),
     "text_oov_rate" -> (textOovRate _),
+    "text_chunking" -> (textChunking _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -415,6 +421,19 @@ object LlmQueries {
          |SELECT sid, CAST(count(*) AS BIGINT) AS n_docs
          |FROM sh GROUP BY sid
          |ORDER BY n_docs DESC, sid ASC LIMIT 20""".stripMargin,
+    "text_chunking" ->
+      """WITH spans AS (
+        |  SELECT doc_id, string_split(text,' ') AS t,
+        |    unnest(range(0, CAST(ceil(len(string_split(text,' ')) / 24.0) AS INT)))
+        |      AS chunk_idx
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(t, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  array_to_string(list_slice(t, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')
+        |    AS chunk_text
+        |FROM spans""".stripMargin,
     "text_oov_rate" ->
       s"""WITH $TextCtes,
          |wcounts AS (SELECT wid, count(*) AS n FROM seq GROUP BY wid),

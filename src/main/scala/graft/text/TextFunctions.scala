@@ -127,6 +127,27 @@ object TextFunctions {
           .cast("long").as("dup_trigram_frac_x1e6"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * preprocessing primitive (pretraining sequence packing prep, RAG
+    * passage splitting): each doc becomes ceil(n/stride) chunks of up to
+    * `window` tokens starting every `stride` tokens. Entirely in-row
+    * (sequence + slice + posexplode) — zero shuffles, embarrassingly
+    * parallel at any corpus size. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need window >= stride >= 1 (stride > window would drop tokens)")
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("_toks")) - 1, lit(stride)),
+          s => slice(col("_toks"), s + 1, lit(window)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   /** Corpus-wide boilerplate census: the `k` most widespread 3-gram
     * shingles by document frequency (shingle sets are per-doc distinct,
     * so the count IS the doc frequency), total order (n_docs desc, sid

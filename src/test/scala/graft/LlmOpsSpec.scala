@@ -203,6 +203,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(3L)) // "standard header line" appears in 3 docs
   }
 
+  test("token chunking: window, stride, tail clamp") {
+    val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val chunks = graft.text.TextFunctions.chunkTokens(docs, "doc_id", "text",
+        window = 4, stride = 3)
+      .select("chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(chunks == Seq(
+      (0L, 4L, "t0 t1 t2 t3"),
+      (1L, 4L, "t3 t4 t5 t6"),   // overlap of window - stride = 1 token
+      (2L, 1L, "t6")))           // tail clamped, never empty
+  }
+
   test("oov rate counts exactly the tokens outside the top-k vocab") {
     // corpus counts: a=4, b=3, c=2 -> vocab(2) = {a, b}; c is OOV
     val docs = Seq(
