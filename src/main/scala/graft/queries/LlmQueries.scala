@@ -199,7 +199,34 @@ object LlmQueries {
       .toDF("media_id", "frame_idx", "n_bytes", "checksum")
   }
 
+  /** End-to-end corpus curation — the composed pipeline a pretraining
+    * data team runs: length + repetition quality filters → MinHash-LSH
+    * near-dup clustering over the survivors → one canonical doc per
+    * cluster → per-language kept-count report. One declarative plan;
+    * every stage is the library operator gated individually elsewhere. */
+  def e2eCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = TextFunctions.qualityMetrics(docs, "doc_id", "text", Stopwords)
+      .filter(col("n_tokens") >= 40).select(col("doc_id"))
+    val lowRep = TextFunctions.repetitionMetrics(docs, "doc_id", "text")
+      .filter(col("dup_trigram_frac_x1e6") <= 900000L).select(col("doc_id"))
+    val survivors = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(lowRep, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashLsh(
+        Dedup.shingleTable(survivors, "doc_id", "text"), minJaccX1e6 = 800000L)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comps = graft.graph.Fixpoint.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    survivors.join(comps, Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_curation" -> (e2eCuration _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
     "text_token_count" -> (textTokenCount _),
@@ -421,6 +448,67 @@ object LlmQueries {
          |SELECT sid, CAST(count(*) AS BIGINT) AS n_docs
          |FROM sh GROUP BY sid
          |ORDER BY n_docs DESC, sid ASC LIMIT 20""".stripMargin,
+    "e2e_curation" -> {
+      val P = TextFunctions.P
+      val mA = TextFunctions.Mix
+      val mB = TextFunctions.MixB
+      def g3(m: Long) =
+        s"(((((a.wid % $P) * $m + (b.wid % $P)) % $P) * $m + (c.wid % $P)) % $P)"
+      s"""WITH RECURSIVE $TextCtes,
+         |tri AS (
+         |  SELECT a.doc_id, ${g3(mA)} * $P + ${g3(mB)} AS gid
+         |  FROM seq a
+         |  JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN seq c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         |tric AS (SELECT doc_id, gid, count(*) AS c FROM tri GROUP BY doc_id, gid),
+         |trim2 AS (
+         |  SELECT doc_id, sum(c) AS nt,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+         |  FROM tric GROUP BY doc_id),
+         |flt AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN trim2 t ON d.doc_id = t.doc_id
+         |  WHERE len(string_split(d.text,' ')) >= 40
+         |    AND floor(1000000.0 * coalesce(t.dup, 0)
+         |        / greatest(coalesce(t.nt, 0), 1)) <= 900000),
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id IN (SELECT doc_id FROM flt)
+         |    AND y.doc_id IN (SELECT doc_id FROM flt)),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db),
+         |prs AS (
+         |  SELECT da AS a, db AS b
+         |  FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |  WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000),
+         |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+         |reach AS (
+         |  SELECT a AS node, b AS reachable FROM und
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN und u ON r.reachable = u.a),
+         |comp AS (
+         |  SELECT node, least(node, min(reachable)) AS component
+         |  FROM reach GROUP BY node),
+         |kept AS (
+         |  SELECT f.doc_id, d.lang
+         |  FROM flt f JOIN documents d ON d.doc_id = f.doc_id
+         |  LEFT JOIN comp c ON c.node = f.doc_id
+         |  WHERE coalesce(c.component, f.doc_id) = f.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
+         |FROM kept GROUP BY lang""".stripMargin
+    },
     "text_chunking" ->
       """WITH spans AS (
         |  SELECT doc_id, string_split(text,' ') AS t,
