@@ -107,12 +107,22 @@ object AnalysisRunner {
     * reference's SET would keep whichever Cypher row ran last — but this
     * repo's contract is byte determinism, so conflicts reduce with max()
     * (orderable for every primitive and array type we stamp) instead of
-    * dropDuplicates' partition-order-dependent arbitrary row. */
+    * dropDuplicates' partition-order-dependent arbitrary row. With several
+    * value columns the max is taken over ONE struct (lexicographic field
+    * order), so the winning values all come from a single coherent matched
+    * row — independent per-column maxes could stamp a combination no row
+    * actually produced. */
   private def reduceUpdates(matched: DataFrame, keys: Seq[String],
                             valueCols: Seq[String]): DataFrame =
-    matched.groupBy(keys.map(col): _*)
-      .agg(max(col(valueCols.head)).as(valueCols.head),
-        valueCols.tail.map(c => max(col(c)).as(c)): _*)
+    if (valueCols.size == 1)
+      matched.groupBy(keys.map(col): _*)
+        .agg(max(col(valueCols.head)).as(valueCols.head))
+    else {
+      val packed = matched.groupBy(keys.map(col): _*)
+        .agg(max(struct(valueCols.map(col): _*)).as("_packed"))
+      valueCols.foldLeft(packed)((df, c) => df.withColumn(c, col("_packed")(c)))
+        .drop("_packed")
+    }
 
   private def applyEffect(g: Graph, matched: DataFrame, effect: Effect, tag: Long): Graph =
     effect match {

@@ -37,10 +37,20 @@ object Fixpoint {
       n = m
       round += 1
     }
-    if (grown)
-      throw new IllegalStateException(
-        s"transitiveClosure did not converge in $maxRounds rounds " +
-          s"(paths of length > 2^$maxRounds exist); raise maxRounds")
+    // A final permitted round that still grew may nonetheless have REACHED
+    // the fixpoint (growth in round maxRounds, zero growth after) — one
+    // confirmation join distinguishes that from genuine non-convergence
+    // instead of throwing a spurious failure at the boundary.
+    if (grown) {
+      val doubled = paths.alias("a")
+        .join(paths.alias("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      val m = paths.unionByName(doubled).distinct().count()
+      if (m > n)
+        throw new IllegalStateException(
+          s"transitiveClosure did not converge in $maxRounds rounds " +
+            s"(paths of length > 2^$maxRounds exist); raise maxRounds")
+    }
     paths
   }
 
@@ -102,10 +112,24 @@ object Fixpoint {
       prevSum = s
       round += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds; " +
-          "raise maxRounds (labels would be silently wrong otherwise)")
+    // Same boundary case as transitiveClosure: the last permitted round may
+    // have landed exactly on the fixpoint. Confirm with one more
+    // propagation before declaring failure.
+    if (!converged) {
+      val confirm = edges
+        .join(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("component", "nbr_component"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nbr_component")).as("nbr_component"))
+      val confirmed = labels.join(confirm, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+      if (labelSum(confirmed).compareTo(prevSum) != 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds; " +
+            "raise maxRounds (labels would be silently wrong otherwise)")
+    }
     labels
   }
 

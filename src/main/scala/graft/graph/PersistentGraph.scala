@@ -66,16 +66,23 @@ class PersistentGraph(spark: SparkSession, storeDir: String) {
     * and the old data deleted last. A failure at any point leaves a
     * complete copy of either the old or the new partition on disk
     * (the in-place overwrite of [[syncTenant]] can lose the partition if
-    * the job dies mid-write). The swap window where the live dir is
-    * momentarily absent is the residual gap only a transactional table
-    * format (Delta/Iceberg) closes completely — both recovery copies
-    * exist throughout, so nothing is ever lost.
+    * the job dies mid-write). On entry the method REPAIRS a previous
+    * crash: if the live dir is absent but a recovery copy from an earlier
+    * run exists, the copy is restored before the current rows are read, so
+    * a re-run merges against the old data instead of an empty partition
+    * (a crash in the swap window would otherwise silently drop the
+    * tenant's firstseen/stale-cleanup lineage). Leftover recovery dirs
+    * from prior tags are swept after a successful swap. The swap window
+    * where the live dir is momentarily absent is the residual read-
+    * isolation gap only a transactional table format (Delta/Iceberg)
+    * closes completely.
     *
     * Tenant values must be partition-path-safe (no characters Hive-style
     * layouts escape). */
   def syncTenantAtomic(label: String, tenantCol: String, tenantValue: String,
                        batch: DataFrame, tag: Long): Unit = {
     if (!exists(label)) { syncTenant(label, tenantCol, tenantValue, batch, tag); return }
+    recoverPartition(label, tenantCol, tenantValue)
     val withTenant = batch.withColumn(tenantCol, lit(tenantValue))
     val current = readNodes(label).filter(col(tenantCol) === tenantValue)
     val merged = GraphStore.cleanup(
@@ -98,6 +105,52 @@ class PersistentGraph(spark: SparkSession, storeDir: String) {
     // the staging write leaves a _SUCCESS marker inside the live dir;
     // harmless to parquet readers, deleted for cleanliness
     fs.delete(new HPath(live, "_SUCCESS"), false)
+    sweepRecoveryDirs(fs, table, tenantValue, keepTag = tag)
+  }
+
+  /** Crash repair for [[syncTenantAtomic]]: if the live partition dir is
+    * absent but a dot-prefixed recovery copy exists, restore it. A
+    * `.retired-*` copy (crash between retire and activate) holds the old
+    * rows and is preferred — the re-run re-merges the batch on top; with
+    * only a `.staging-*` copy left the staged merge result itself is the
+    * most complete data available and is activated as-is. Newest tag wins
+    * when several crashes stacked up. */
+  private def recoverPartition(label: String, tenantCol: String,
+                               tenantValue: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val table = new HPath(path(label))
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new HPath(table, s"$tenantCol=$tenantValue")
+    if (fs.exists(live)) return
+    def candidates(prefix: String): Seq[(Long, HPath)] =
+      fs.globStatus(new HPath(table, s".$prefix-*-$tenantValue")).toSeq
+        .flatMap { st =>
+          val name = st.getPath.getName.stripPrefix(s".$prefix-")
+            .stripSuffix(s"-$tenantValue")
+          scala.util.Try(name.toLong).toOption.map(_ -> st.getPath)
+        }
+    val pick = (candidates("retired") ++ candidates("staging"))
+      .sortBy { case (t, p) => (!p.getName.startsWith(".retired"), -t) }
+      .headOption
+    pick.foreach { case (_, from) =>
+      if (!fs.rename(from, live))
+        throw new java.io.IOException(s"could not restore recovery copy $from")
+      fs.delete(new HPath(live, "_SUCCESS"), false)
+    }
+  }
+
+  /** Delete leftover `.retired-*`/`.staging-*` recovery dirs of this tenant
+    * from earlier (crashed) tags, keeping any from the current tag. */
+  private def sweepRecoveryDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                table: org.apache.hadoop.fs.Path,
+                                tenantValue: String, keepTag: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Seq("retired", "staging").foreach { prefix =>
+      fs.globStatus(new HPath(table, s".$prefix-*-$tenantValue")).foreach { st =>
+        if (st.getPath.getName != s".$prefix-$keepTag-$tenantValue")
+          fs.delete(st.getPath, true)
+      }
+    }
   }
 }
 

@@ -66,14 +66,14 @@ object StreamQueries {
         java.util.Collections.singletonList(org.apache.spark.sql.Row(sentinelVals: _*)),
         rawSchema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
-    // file-stream sources take a directory; glob down to the events file
-    val eventsStream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val flushStream = spark.readStream.schema(rawSchema).parquet(sentinelDir)
-    val stream = eventsStream.union(flushStream)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = Streaming.windowedEventCounts(stream, "ts", "1 hour", "2 hours")
-    withStatePartitions(spark) {
+    withStateSession(spark) { scoped =>
+      // file-stream sources take a directory; glob down to the events file
+      val eventsStream = scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val flushStream = scoped.readStream.schema(rawSchema).parquet(sentinelDir)
+      val stream = eventsStream.union(flushStream)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = Streaming.windowedEventCounts(stream, "ts", "1 hour", "2 hours")
       val q = agg.writeStream
         .outputMode("append")
         .format("memory")
@@ -81,26 +81,29 @@ object StreamQueries {
         .start()
       try q.processAllAvailable()
       finally q.stop()
+      scoped.table("stream_windowed_agg_sink")
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
     }
-    spark.table("stream_windowed_agg_sink")
-      .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
   }
 
-  /** Run a streaming query with the state-store partition count sized to
-    * the state volume instead of the session's compute-shuffle default.
-    * Each stateful partition pays a per-micro-batch commit (delta file +
-    * fsync) regardless of row count, so oversized state partitioning is
-    * pure fixed cost: measured at both sf0.001 and sf0.1, 32 partitions
+  /** Run a streaming query on a cloned session whose state-store partition
+    * count is sized to the state volume instead of the compute-shuffle
+    * default. Each stateful partition pays a per-micro-batch commit (delta
+    * file + fsync) regardless of row count, so oversized state partitioning
+    * is pure fixed cost: measured at both sf0.001 and sf0.1, 32 partitions
     * spend ~6-7s/gate against ~3.5s at 8 — the data volume is irrelevant,
     * the commits dominate. At real scale the same sizing question applies
     * in reverse: pick partitions from state size (keys × bytes / executor
-    * memory), not from the cluster's default parallelism. The partition
-    * count is captured into the query plan at start(), so restoring the
-    * session default afterwards doesn't affect the running query. */
-  private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    * memory), not from the cluster's default parallelism. `newSession`
+    * shares the SparkContext but isolates the conf, so a batch query
+    * planned concurrently on the parent session never sees the reduced
+    * partition count (the previous in-place set/restore was a footgun for
+    * parallel gate runs). */
+  private def withStateSession[A](spark: SparkSession, n: Int = 8)(body: SparkSession => A): A = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    body(scoped)
   }
 
   /** Streaming exact dedup with bounded state: the events file is read as
@@ -112,13 +115,13 @@ object StreamQueries {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val stream = src.union(src)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val dd = Streaming.dedupByKey(stream, "ts", "2 hours", Seq("user_id", "event_type"))
-      .select(col("user_id"), col("event_type"), col("ts"))
-    withStatePartitions(spark) {
+    withStateSession(spark) { scoped =>
+      def src = scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = src.union(src)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val dd = Streaming.dedupByKey(stream, "ts", "2 hours", Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("ts"))
       val q = dd.writeStream
         .outputMode("append")
         .format("memory")
@@ -126,8 +129,8 @@ object StreamQueries {
         .start()
       try q.processAllAvailable()
       finally q.stop()
+      scoped.table("stream_dedup_sink")
     }
-    spark.table("stream_dedup_sink")
   }
 
   /** Incremental checkpoint feed (CVE-feed analog): only rows newer than

@@ -69,6 +69,32 @@ class PersistentGraphSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/nodes_Asset/tenant=t1/_SUCCESS").exists())
   }
 
+  test("atomic tenant sync repairs a crash that left only a retired copy") {
+    val dir = Files.createTempDirectory("store_recover").toString
+    val store = new PersistentGraph(spark, dir)
+    store.syncTenant("Asset", "tenant", "t1",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), 100L)
+    // simulate a crash between retire and activate at tag 150: the live dir
+    // is gone, the old rows survive only as .retired (plus a half-baked
+    // staging copy that the repair must NOT prefer over the retired rows)
+    val table = new java.io.File(s"$dir/nodes_Asset")
+    assert(new java.io.File(table, "tenant=t1")
+      .renameTo(new java.io.File(table, ".retired-150-t1")))
+    new java.io.File(table, ".staging-150-t1").mkdir()
+    // the re-run with the same batch must see the old rows again: id=1
+    // keeps firstseen=100, id=2 is stale-cleaned (not silently lost)
+    store.syncTenantAtomic("Asset", "tenant", "t1",
+      Seq((1L, "a2")).toDF("id", "name"), 200L)
+    val rows = store.readNodes("Asset")
+      .select($"id", $"name", $"firstseen", $"lastupdated", $"tenant")
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    assert(rows == Set((1L, "a2", 100L, 200L, "t1")))
+    // recovery + sweep leave no dot-dir debris from the crashed tag
+    val leftover = table.listFiles().map(_.getName)
+      .filter(n => n.startsWith(".staging") || n.startsWith(".retired"))
+    assert(leftover.isEmpty)
+  }
+
   test("salted join returns the same pairs as a plain join") {
     val left = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "lv")
     val right = Seq((1L, "r1"), (2L, "r2")).toDF("k", "rv")

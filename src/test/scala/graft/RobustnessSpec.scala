@@ -37,6 +37,30 @@ class RobustnessSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("transitiveClosure converging exactly at the round budget is not a failure") {
+    // chain 1→2→3→4→5: diameter 4, closed by doubling in exactly 2 rounds —
+    // the 2nd (final permitted) round still grows, then growth stops. The
+    // confirmation round must recognize the fixpoint instead of throwing.
+    val edges = (1L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val paths = Fixpoint.transitiveClosure(edges, maxRounds = 2)
+    assert(paths.count() == 10) // 4+3+2+1 pairs
+  }
+
+  test("AddRelationship multi-property conflicts reduce to one coherent row") {
+    val g = Graph()
+      .withNodes("N", GraphStore.initialLoad(Seq(1L, 2L).toDF("id"), Seq("id"), 10L))
+    // two conflicting matched rows for the same (src,dst): (p=1,q=9) and
+    // (p=2,q=0). Per-column maxes would stamp (2,9) — a combination no row
+    // produced; the struct-max reduce must keep the winning ROW (2,0).
+    val job = AnalysisJob("tear",
+      pattern = _ => Seq((1L, 2L, 1L, 9L), (1L, 2L, 2L, 0L))
+        .toDF("s", "d", "p", "q").repartition(4),
+      effects = Seq(AddRelationship("N", "REL", "N", "s", "d", Seq("p", "q"))))
+    val out = AnalysisRunner.run(g, job, 11L).edgeTable("N", "REL", "N")
+      .select("p", "q").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 0L)))
+  }
+
   test("conflicting SetRelationshipProperty updates reduce deterministically") {
     val nodes = Seq(1L, 2L).toDF("id")
     val edges = Seq((1L, 2L)).toDF("src_id", "dst_id")
