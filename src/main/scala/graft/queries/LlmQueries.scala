@@ -171,6 +171,48 @@ object LlmQueries {
     Similarity.ivfTopK(q.filter(col("vec_id") < 10), q, k = 3)
   }
 
+  /** Corpus-wide k-NN join, blocked by the embedding's cluster label (the
+    * coarse-quantizer cell): every vector gets its 2 nearest in-cell
+    * neighbors — partition-local quadratic, never a global self-join. */
+  def simKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Similarity.quantized(emb)
+      .join(emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("long").as("label")), Seq("vec_id"))
+    Similarity.knnJoin(q, "label", k = 2)
+  }
+
+  /** Per-source document cap (max 10 docs per source, hash-ordered) — the
+    * domain-dominance cap of a web-corpus mix. */
+  def sampleCapPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.capPerGroup(
+        Tables.documents(spark, dir), "doc_id", col("source"), cap = 10)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+
+  /** PII scrub over documents with deterministically injected PII (the
+    * synthetic corpus contains none, so the gate plants an email, an IPv4
+    * and an account number per doc, then proves the scrub removes them and
+    * the counters see them). */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).select(
+      col("doc_id").cast("long").as("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com via 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" acct "), (col("doc_id") * 1234567 + 100000000).cast("string")).as("t"))
+    withPii.select(
+      (col("doc_id") +: TextFunctions.scrubPii(col("t")).as("scrubbed") +:
+        TextFunctions.piiCounts(col("t"))): _*)
+  }
+
+  /** Exact per-language length percentiles (p50/p90/p99 of n_chars) — the
+    * cutoff-selection step before length filtering. */
+  def corpusPercentiles(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.groupPercentilesDisc(Tables.documents(spark, dir),
+      "lang", "n_chars", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+
   /** One Lloyd training round for the IVF coarse quantizer: assign → exact
     * integer centroid update → final assignment. */
   def embedKmeansAssign(spark: SparkSession, dir: String): DataFrame =
@@ -253,6 +295,10 @@ object LlmQueries {
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_ivf" -> (simAnnIvf _),
+    "sim_knn_join" -> (simKnnJoin _),
+    "sample_cap_per_group" -> (sampleCapPerGroup _),
+    "text_pii_scrub" -> (textPiiScrub _),
+    "corpus_percentiles" -> (corpusPercentiles _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
   )
@@ -602,6 +648,63 @@ object LlmQueries {
         |FROM strata
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 1000000
         |      < CASE stratum WHEN 'short' THEN 200000 ELSE 800000 END""".stripMargin,
+    "sample_cap_per_group" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) ASC,
+        |      doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM r WHERE rk <= 10""".stripMargin,
+    "text_pii_scrub" -> {
+      val e = TextFunctions.EmailRe
+      val i = TextFunctions.Ipv4Re
+      val n = TextFunctions.LongNumRe
+      s"""WITH pii AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |      || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.com via 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+         |      || ' acct ' || CAST(doc_id * 1234567 + 100000000 AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$n', '<NUM>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(t, '$e', '<EMAIL>', 'g'), '$i')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(regexp_replace(
+         |    regexp_replace(t, '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'),
+         |    '$n')) AS BIGINT) AS n_num
+         |FROM pii""".stripMargin
+    },
+    "corpus_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(min(CASE WHEN rn >= ceil(CAST(0.5 AS DOUBLE) * n) THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN rn >= ceil(CAST(0.9 AS DOUBLE) * n) THEN n_chars END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN rn >= ceil(CAST(0.99 AS DOUBLE) * n) THEN n_chars END) AS BIGINT) AS p99
+        |FROM ranked GROUP BY lang""".stripMargin,
+    "sim_knn_join" ->
+      s"""WITH $QuantCte,
+         |ql AS (
+         |  SELECT n.vec_id, n.q, n.norm2, CAST(e.label AS BIGINT) AS label
+         |  FROM qn n JOIN embeddings e ON n.vec_id = CAST(e.vec_id AS BIGINT)),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 * $pairDot /
+         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |  FROM ql a JOIN ql b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT vec_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 2""".stripMargin,
     "dedup_exact" ->
       """SELECT string_split(text,' ')[1] || ' ' || string_split(text,' ')[2] AS dedup_key,
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id,

@@ -187,6 +187,31 @@ object Similarity {
     assign(cents)
   }
 
+  /** Corpus-wide k-NN JOIN: every vector's top-k neighbors, searched only
+    * within its block (an IVF cell id, an LSH signature, a cluster label —
+    * any coarse partition column on the quantized input). The whole-corpus
+    * analog of the query-set searches above: output is O(n·k), work is
+    * partition-local quadratic (Σ blockᵢ²) instead of the global n² a
+    * naive self-join pays — the standard scale shape for "give every
+    * document its neighbor list" (dedup clustering, diversity scoring).
+    * One shuffle on the block id; block size controls the quadratic term,
+    * so at 100 TB pick the coarse quantizer so blocks fit an executor. */
+  def knnJoin(corpus: DataFrame, blockCol: String, k: Int): DataFrame = {
+    val a = corpus.select(col(blockCol).as("_blk"), col("vec_id"),
+      col("q").as("qa"), col("norm2").as("na"))
+    val b = corpus.select(col(blockCol).as("_blk"), col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    a.join(b, Seq("_blk"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("dot", vec_dot(col("qa"), col("qb")))
+      .withColumn("cos_x1e6", cosX1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (an equi-join on the signature — no cross product), then exact rank
     * within the bucket. Recall trades off against bucket count; multi-probe

@@ -33,4 +33,22 @@ object Sampling {
     }
     df.filter(keyInSample(col(keyCol), rate))
   }
+
+  /** Keep at most `cap` rows per group, chosen by hash order of the row
+    * key — the per-source/per-domain downsampling cap every web-corpus
+    * mix applies (no single crawl domain may dominate the mix). Hash
+    * order makes the kept subset an unbiased, reproducible sample of the
+    * group rather than "whatever sorted first"; ties (hash collisions)
+    * break on the key itself. One shuffle on the group column; a group
+    * far exceeding the cap is exactly the skew case — the window only
+    * ranks, so AQE skew splitting or pre-filtering by a per-partition
+    * count both compose with it. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: Column,
+                  cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5_prefix64(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("_cap_rk", row_number().over(w))
+      .filter(col("_cap_rk") <= cap)
+      .drop("_cap_rk")
+  }
 }

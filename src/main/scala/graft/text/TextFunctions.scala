@@ -317,4 +317,59 @@ object TextFunctions {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lang"), lit("unknown")).as("pred_lang"))
   }
+
+  /** PII patterns for [[scrubPii]]: deliberately simple expressions that
+    * parse identically under Java regex (Spark) and RE2 (DuckDB oracle) —
+    * no backrefs, no lookaround. Emails must be scrubbed FIRST: their
+    * local/domain parts contain digits and dots that the IP/number
+    * patterns would otherwise half-match. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\b\\d{9,}\\b"
+
+  /** Redact emails, IPv4 addresses, and long digit runs (account/phone
+    * numbers) with typed placeholder tokens — the pre-training scrub pass
+    * run before any text leaves the curation pipeline. Pure per-row
+    * codegen'd regexp chain: no shuffle, no UDF, scales linearly. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Per-row PII hit counts (reported alongside the scrub so a pipeline
+    * can quarantine PII-dense documents instead of just redacting them). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_email"),
+    size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"),
+      lit(Ipv4Re), lit(0))).cast("long").as("n_ip"),
+    size(regexp_extract_all(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      lit(LongNumRe), lit(0))).cast("long").as("n_num"))
+
+  /** Exact per-group discrete percentiles of an integer column: for each
+    * requested p, the smallest value whose 1-based rank reaches
+    * ceil(p * group_count) — SQL `percentile_disc` semantics, written out
+    * as window arithmetic so the oracle can replicate it bit-for-bit
+    * (different engines disagree on quantile index conventions).
+    *
+    * The length-threshold selection step of a curation pipeline (pick the
+    * p99 cutoff per language, then filter). Cost: one shuffle on the group
+    * key serving both windows (rank + count reuse the same exchange).
+    * Exact percentiles inherently sort each group; at 100 TB run this on
+    * the (group, value) projection only — the two-column sort is cheap
+    * next to the corpus scan — or switch to approx_percentile when the
+    * threshold doesn't need to be exact. */
+  def groupPercentilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+                           ps: Seq[(String, Double)]): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col(valueCol))))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+    val aggs = count(lit(1)).as("n_rows") +: ps.map { case (name, p) =>
+      min(when(col("_rn") >= ceil(lit(p) * col("_n")), col(valueCol))).as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

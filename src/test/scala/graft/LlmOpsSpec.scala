@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
@@ -239,5 +240,61 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("vec_id", "cid").as[(Long, Long)].collect().toMap
     assert(Seq(0L, 2L, 4L, 6L).forall(assign(_) == 0L))
     assert(Seq(1L, 3L, 5L, 7L).forall(assign(_) == 1L))
+  }
+
+  test("pii scrub redacts emails, ips and long numbers; counters see each hit") {
+    import graft.text.TextFunctions
+    val docs = Seq(
+      (0L, "mail bob.smith@corp.example.com then ssh 192.168.1.10 acct 123456789 done"),
+      (1L, "no pii here just words and a short number 1234")
+    ).toDF("doc_id", "text")
+    val byId = docs.select(col("doc_id"), TextFunctions.scrubPii(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(byId(0L) == "mail <EMAIL> then ssh <IP> acct <NUM> done")
+    assert(byId(1L) == "no pii here just words and a short number 1234")
+    val counts = docs.select(col("doc_id") +: TextFunctions.piiCounts(col("text")): _*)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, e, i, n) => id -> ((e, i, n)) }.toMap
+    assert(counts(0L) == ((1L, 1L, 1L)) && counts(1L) == ((0L, 0L, 0L)))
+  }
+
+  test("capPerGroup keeps exactly cap rows per oversized group, all of a small one") {
+    val rows = (1L to 30L).map(i => (i, if (i <= 25) "big" else "small"))
+      .toDF("doc_id", "source")
+    val kept = graft.text.Sampling.capPerGroup(rows, "doc_id", col("source"), cap = 10)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.count(_._2 == "big") == 10 && kept.count(_._2 == "small") == 5)
+    // deterministic: same subset every run
+    val again = graft.text.Sampling.capPerGroup(rows, "doc_id", col("source"), cap = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
+  test("groupPercentilesDisc picks exact order statistics per group") {
+    val df = ((1L to 10L).map(v => ("a", v)) ++ Seq(("b", 7L))).toDF("g", "v")
+    val out = graft.text.TextFunctions.groupPercentilesDisc(df, "g", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select("g", "n_rows", "p50", "p90").as[(String, Long, Long, Long)]
+      .collect().map { case (g, n, a, b) => g -> ((n, a, b)) }.toMap
+    // group a: 1..10 -> p50 = 5th value = 5, p90 = 9th value = 9
+    assert(out("a") == ((10L, 5L, 9L)))
+    assert(out("b") == ((1L, 7L, 7L)))
+  }
+
+  test("knnJoin ranks neighbors only within the block") {
+    val vecs = Seq(
+      (0L, Array(10.0f, 0.0f), 0L), (1L, Array(9.0f, 1.0f), 0L),
+      (2L, Array(8.0f, 2.0f), 0L),
+      (3L, Array(0.0f, 10.0f), 1L), (4L, Array(1.0f, 9.0f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantized(vecs.select("vec_id", "embedding"))
+      .join(vecs.select(col("vec_id").cast("long").as("vec_id"), col("label")), Seq("vec_id"))
+    val out = Similarity.knnJoin(q, "label", k = 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // block 0: 0's nearest is 1 (not 2); block 1 pairs with itself only
+    assert(out(0L) == 1L && out(1L) == 2L || out(1L) == 0L)
+    assert(out(3L) == 4L && out(4L) == 3L)
+    // nobody ever matches across blocks
+    assert(!out.exists { case (v, n) => (v <= 2) != (n <= 2) })
   }
 }
