@@ -75,8 +75,12 @@ object Fixpoint {
       .distinct()
       .localCheckpoint(false)
     edges.count() // materialize once; reused every round
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // init fuses the first min-propagation: label = min(self, neighbors) —
+    // one round fewer than starting from label = self (every node appears
+    // as `a` in the symmetrized edge set, so the groupBy covers all nodes)
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("_nbr"))
+      .select(col("node"), least(col("node"), col("_nbr")).as("component"))
       .localCheckpoint(false)
     // labels only ever DECREASE, so the label sum strictly decreases
     // until convergence — a single decimal aggregate replaces a

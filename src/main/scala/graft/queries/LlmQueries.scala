@@ -252,10 +252,15 @@ object LlmQueries {
       .filter(col("n_tokens") >= 40).select(col("doc_id"))
     val lowRep = TextFunctions.repetitionMetrics(docs, "doc_id", "text")
       .filter(col("dup_trigram_frac_x1e6") <= 900000L).select(col("doc_id"))
+    // survivors feeds BOTH the pair-generation path and the final keep
+    // join; a lazy localCheckpoint materializes the filter pipeline once
+    // (first action = the component edge count) instead of re-running the
+    // two quality windows per consumer
     val survivors = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
       .join(quality, Seq("doc_id"), "left_semi")
       .join(lowRep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
     val pairs = Dedup.minhashLsh(
         Dedup.shingleTable(survivors, "doc_id", "text"), minJaccX1e6 = 800000L)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))

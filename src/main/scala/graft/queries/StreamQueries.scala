@@ -99,7 +99,7 @@ object StreamQueries {
     * planned concurrently on the parent session never sees the reduced
     * partition count (the previous in-place set/restore was a footgun for
     * parallel gate runs). */
-  private def withStateSession[A](spark: SparkSession, n: Int = 8)(body: SparkSession => A): A = {
+  private def withStateSession[A](spark: SparkSession, n: Int = 4)(body: SparkSession => A): A = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
