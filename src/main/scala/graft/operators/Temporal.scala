@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: as-of join and
+  * range(interval) join. The reference has no such operators
+  * (SURVEY §2.4 "No as-of/interval/range joins exist in the reference");
+  * a training-data/eventlog pipeline needs both constantly (latest
+  * feature value per example, events-in-window attribution).
+  *
+  * Both are built from a plan shape that survives 100 TB:
+  *  - as-of = union-merge + ONE window pass per key — O(|L|+|R|) rows
+  *    shuffled once, no range cross-product, no BroadcastNestedLoopJoin;
+  *  - range = coarse time-bucket equi-join + residual filter — the
+  *    interval side explodes only over its covered buckets, so candidate
+  *    volume is |R| × (span/bucket) instead of |L| × |R|.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, the single most recent right row with
+    * the same key and `rightTime <= leftTime` (`<` when `strict`). Left
+    * rows with no prior right row keep null payloads (left-outer
+    * semantics).
+    *
+    * Implementation: tag both sides, union by name, and take a running
+    * `last(payload, ignoreNulls)` over (key) ordered by (time, side,
+    * payload); left rows then read the latest right payload at or before
+    * their own timestamp. One shuffle on the key, no join at all. At equal
+    * timestamps the right row sorts before the left row (inclusive
+    * semantics) unless `strict`; several right rows on the same timestamp
+    * resolve to the greatest payload tuple (lexicographic over `payload`
+    * order) — deterministic under any partitioning.
+    *
+    * `payload` columns must exist on `right` and not collide with left
+    * columns (rename before calling). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String, payload: Seq[String],
+               strict: Boolean = false): DataFrame = {
+    val rightMarker = if (strict) 2 else 0
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_m", lit(1))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("_t") :+ lit(rightMarker).as("_m")) ++
+        payload.map(col): _*)
+    val merged = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc +: col("_m").asc +: payload.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(merged)((df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    filled.filter(col("_m") === 1)
+      .select(left.columns.map(col).toSeq ++ payload.map(col): _*)
+  }
+
+  /** Range (interval) join: every left row paired with every right
+    * interval `[startEpoch, endEpoch)` containing its `leftEpoch`. All
+    * three are epoch-seconds long columns.
+    *
+    * The interval side explodes into the coarse buckets it covers; the
+    * point side computes its single bucket; candidates meet in a plain
+    * equi-join on the bucket id and a residual containment filter
+    * finishes. A (row, interval) pair can only meet in the row's one
+    * bucket, so no post-join dedup is needed. Pick `bucketSeconds` near
+    * the typical interval span: shorter → more explode rows, longer →
+    * more residual-filter waste. */
+  def rangeJoinBucketed(left: DataFrame, leftEpoch: String,
+                        right: DataFrame, startEpoch: String, endEpoch: String,
+                        bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val lb = left.withColumn("_bkt",
+      floor(col(leftEpoch) / bucketSeconds).cast("long"))
+    val rb = right.withColumn("_bkt",
+      explode(sequence(
+        floor(col(startEpoch) / bucketSeconds).cast("long"),
+        floor((col(endEpoch) - 1) / bucketSeconds).cast("long"))))
+    lb.join(rb, Seq("_bkt"))
+      .filter(col(leftEpoch) >= col(startEpoch) && col(leftEpoch) < col(endEpoch))
+      .drop("_bkt")
+  }
+}

@@ -188,11 +188,44 @@ object JoinQueries {
         col("o_totalprice") > 100000.0).as("_ont_closed_or_large"))
   }
 
+  /** As-of join: each purchase event picks up the user's most recent
+    * click at or before it (union-merge + one window pass — no range
+    * cross-product; see [[graft.operators.Temporal.asofJoin]]). */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.operators.Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+      leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"))
+  }
+
+  /** Bucketed range join: 45-minute attribution windows (anchored at every
+    * 200th event) counting the events they contain — bucket equi-join +
+    * residual filter, never |L|×|R|. */
+  def joinRangeBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("es"))
+    val windows = ev.filter(col("event_id") % 200 === 0)
+      .select(col("event_id").as("window_id"), col("es").as("ws"),
+        (col("es") + 2700L).as("we"))
+    graft.operators.Temporal.rangeJoinBucketed(ev, "es", windows, "ws", "we",
+        bucketSeconds = 1800L)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_ignorecase" -> (joinIgnoreCase _),
     "join_fuzzy_contains" -> (joinFuzzyContains _),
     "join_one_to_many" -> (joinOneToMany _),
     "join_salted_skew" -> (joinSaltedSkew _),
+    "join_asof" -> (joinAsof _),
+    "join_range_bucketed" -> (joinRangeBucketed _),
     "matchlink_supplies" -> (matchlinkSupplies _),
     "crosslink_pairs" -> (crosslinkPairs _),
     "matchlink_scoped_cleanup" -> (matchlinkScopedCleanup _),
@@ -201,6 +234,31 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT l.event_id, r.click_id, r.click_ts,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.click_ts DESC, r.click_id DESC) AS rk
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.click_ts <= l.ts)
+        |SELECT l.event_id, l.user_id, l.ts, c.click_id, c.click_ts
+        |FROM l LEFT JOIN (SELECT event_id, click_id, click_ts FROM cand WHERE rk = 1) c
+        |  USING (event_id)""".stripMargin,
+    "join_range_bucketed" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |win AS (
+        |  SELECT event_id AS window_id, es AS ws, es + 2700 AS we
+        |  FROM ev WHERE event_id % 200 = 0)
+        |SELECT w.window_id, count(*) AS n_events,
+        |  min(e.event_id) AS first_event_id,
+        |  max(e.event_id) AS last_event_id
+        |FROM win w JOIN ev e ON e.es >= w.ws AND e.es < w.we
+        |GROUP BY w.window_id""".stripMargin,
     "join_salted_skew" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,

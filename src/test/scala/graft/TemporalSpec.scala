@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** Semantics of the temporal join operators: inclusive/strict as-of
+  * boundaries, deterministic tie resolution, and range-join interval
+  * boundary handling across bucket edges. */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("asofJoin picks the latest prior row, inclusive at equal timestamps") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 7L), (10L, 200L, 8L), (10L, 300L, 9L))
+      .toDF("k", "rt", "v")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(7L)) // rt=100 <= t=100 (inclusive)
+    assert(out(2L).contains(8L)) // latest prior is rt=200
+    assert(out(3L).isEmpty)      // key 20 has no right rows -> null
+  }
+
+  test("asofJoin strict excludes the equal-timestamp row") {
+    val left = Seq((1L, 10L, 200L)).toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 7L), (10L, 200L, 8L)).toDF("k", "rt", "v")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+        strict = true)
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(7L)) // rt=200 == t excluded under strict
+  }
+
+  test("asofJoin resolves same-timestamp right duplicates to the greatest payload") {
+    val left = Seq((1L, 10L, 300L)).toDF("id", "k", "t")
+    val right = Seq((10L, 200L, 5L), (10L, 200L, 9L), (10L, 200L, 2L))
+      .toDF("k", "rt", "v")
+    (1 to 3).foreach { _ =>
+      val out = Temporal.asofJoin(
+          left, right.repartition(4), Seq("k"), "t", "rt", Seq("v"))
+        .select("v").as[Long].collect().toSeq
+      assert(out == Seq(9L))
+    }
+  }
+
+  test("rangeJoinBucketed: inclusive start, exclusive end, spans bucket edges") {
+    // interval [95, 125) with bucket width 10 covers buckets 9..12
+    val right = Seq((1L, 95L, 125L)).toDF("win", "s", "e")
+    val left = Seq(94L, 95L, 100L, 110L, 124L, 125L).map(Tuple1(_)).toDF("t")
+    val in = Temporal.rangeJoinBucketed(left, "t", right, "s", "e", 10L)
+      .select("t").as[Long].collect().toSet
+    assert(in == Set(95L, 100L, 110L, 124L)) // 94 before, 125 at exclusive end
+  }
+
+  test("rangeJoinBucketed: overlapping intervals each match, no duplicates") {
+    val right = Seq((1L, 0L, 100L), (2L, 50L, 150L)).toDF("win", "s", "e")
+    val left = Seq(75L).map(Tuple1(_)).toDF("t")
+    val out = Temporal.rangeJoinBucketed(left, "t", right, "s", "e", 30L)
+      .select("win").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L)) // one row per containing interval, exactly
+  }
+}
