@@ -229,7 +229,13 @@ object AnalysisQueries {
       .select(col("user_id"), col("event_type"))
     val older = state(col("ts") < lit("2024-01-16").cast("timestamp"))
     val newer = state(col("ts") >= lit("2024-01-16").cast("timestamp"))
-    Drift.diff(older, newer)
+    // drive the full registry lifecycle (reference get_states.py:111-141):
+    // record both epochs as named states, then diff the two most recent —
+    // same result as Drift.diff(older, newer), via the persisted path
+    val registry = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Drift.addState(older, registry, "active_users", tag = 100L)
+    Drift.addState(newer, registry, "active_users", tag = 200L)
+    Drift.diffLatest(spark, registry, "active_users")
   }
 
   /** The gate's policy: 123 statements (3 hand-written + 120 generated —

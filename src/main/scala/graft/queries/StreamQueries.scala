@@ -133,6 +133,43 @@ object StreamQueries {
     }
   }
 
+  /** True stream-stream join inside the gate: purchases and clicks are
+    * replayed as two watermarked file streams and inner-joined per user on
+    * a 6-hour lookback (clicks at or before the purchase). The time-bound
+    * condition + watermarks bound the join state (Streaming
+    * .eventTimeLookbackJoin); matched rows emit in the micro-batch that
+    * completes them — append mode, no flush sentinel needed for an inner
+    * join. Oracle: the identical batch join. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    withStateSession(spark) { scoped =>
+      def src = scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = Streaming.eventTimeLookbackJoin(purchases, clicks,
+          "user_id", "c_user", "p_ts", "c_ts", "6 hours")
+        .select(col("purchase_id"), col("user_id"), col("p_ts"),
+          col("click_id"), col("c_ts"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("stream_stream_join_sink")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      scoped.table("stream_stream_join_sink")
+    }
+  }
+
   /** Incremental checkpoint feed (CVE-feed analog): only rows newer than
     * the persisted checkpoint (here: max ts of the first half-month),
     * with the new checkpoint emitted alongside. */
@@ -173,6 +210,7 @@ object StreamQueries {
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
+    "stream_stream_join" -> (streamStreamJoin _),
     "source_json_events" -> (sourceJsonEvents _),
   )
 
@@ -216,6 +254,13 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, ts FROM events""",
+    "stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |  c.event_id AS click_id, c.ts AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts""".stripMargin,
     "stream_incremental_feed" ->
       """WITH cp AS (SELECT max(ts) AS checkpoint FROM events
         |            WHERE ts < TIMESTAMP '2024-01-16')

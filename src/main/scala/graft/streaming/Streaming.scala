@@ -43,6 +43,24 @@ object Streaming {
       .agg(count(lit(1)).as("n_new"), max(col(tsCol)).as("new_checkpoint"))
   }
 
+  /** Stream-stream inner join with an event-time lookback bound: left
+    * rows match right rows of the same key whose timestamp falls in
+    * `[leftTime - lookback, leftTime]`. Works identically in batch and
+    * streaming; in streaming BOTH inputs must carry a watermark — the
+    * time-bound condition is what lets Spark evict join state (a right
+    * row older than the watermark minus the lookback can never match
+    * again), so state stays O(rows-per-lookback-window) instead of
+    * unbounded. The attribution-join shape: purchases pick up the clicks
+    * that preceded them. */
+  def eventTimeLookbackJoin(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTime: String, rightTime: String,
+                            lookback: String): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
+        col(rightTime) <= col(leftTime))
+
   /** Streaming dedup: drop repeated keys with bounded state — the
     * watermark expires dedup state for keys older than the delay, so state
     * stays O(keys-per-window) instead of O(all keys ever). The streaming
