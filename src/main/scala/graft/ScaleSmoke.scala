@@ -85,6 +85,45 @@ object ScaleSmoke {
       time("gram_census", m) {
         text.TextFunctions.gramCensus(docs, "doc_id", "text", 20).count()
       }
+      time("knn_join", m) {
+        val q = similarity.Similarity.quantized(embs)
+          .join(embs.select(col("vec_id").cast("long").as("vec_id"),
+            col("label").cast("long").as("label")), Seq("vec_id"))
+        similarity.Similarity.knnJoin(q, "label", 2).count()
+      }
+      time("asof_join", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "event_id", m)
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val r = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("ts").as("click_ts"))
+        operators.Temporal.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_ts")).count()
+      }
+      time("range_join", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "event_id", m)
+          .select(col("event_id"),
+            floor(unix_timestamp(col("ts"))).cast("long").as("es"))
+        val win = ev.filter(col("event_id") % 200 === 0)
+          .select(col("event_id").as("window_id"), col("es").as("ws"),
+            (col("es") + 2700L).as("we"))
+        operators.Temporal.rangeJoinBucketed(ev, "es", win, "ws", "we", 1800L)
+          .count()
+      }
+      time("cap_per_group", m) {
+        text.Sampling.capPerGroup(docs, "doc_id", col("source"), 40).count()
+      }
+      time("percentiles", m) {
+        text.TextFunctions.groupPercentilesDisc(docs, "lang", "n_chars",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)).count()
+      }
+      time("pii_scrub", m) {
+        docs.select(col("doc_id") +:
+            text.TextFunctions.scrubPii(col("text")).as("s") +:
+            text.TextFunctions.piiCounts(col("text")): _*)
+          .agg(sum(col("n_email"))).count()
+      }
     }
     spark.stop()
   }

@@ -182,6 +182,12 @@ object LlmQueries {
     Similarity.knnJoin(q, "label", k = 2)
   }
 
+  /** Product-quantization encode: 64-dim vectors → 8 subvector codes from
+    * a 16-entry data-initialized codebook (exact integer squared-L2). */
+  def embedPqEncode(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(Similarity.quantized(Tables.embeddings(spark, dir)),
+      nSub = 8, nCodes = 16, dims = 64)
+
   /** Per-source document cap (max 10 docs per source, hash-ordered) — the
     * domain-dominance cap of a web-corpus mix. */
   def sampleCapPerGroup(spark: SparkSession, dir: String): DataFrame =
@@ -301,6 +307,7 @@ object LlmQueries {
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "sim_knn_join" -> (simKnnJoin _),
+    "embed_pq_encode" -> (embedPqEncode _),
     "sample_cap_per_group" -> (sampleCapPerGroup _),
     "text_pii_scrub" -> (textPiiScrub _),
     "corpus_percentiles" -> (corpusPercentiles _),
@@ -653,6 +660,25 @@ object LlmQueries {
         |FROM strata
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) % 1000000
         |      < CASE stratum WHEN 'short' THEN 200000 ELSE 800000 END""".stripMargin,
+    "embed_pq_encode" ->
+      s"""WITH $QuantCte,
+         |subs AS (
+         |  SELECT vec_id, s.sub, list_slice(q, s.sub*8 + 1, s.sub*8 + 8) AS sq
+         |  FROM qn, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |codebook AS (
+         |  SELECT vec_id AS code, sub, sq AS cq FROM subs WHERE vec_id < 16),
+         |dists AS (
+         |  SELECT a.vec_id, a.sub, c.code,
+         |    CAST(list_sum(list_transform(list_zip(a.sq, c.cq),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+         |  FROM subs a JOIN codebook c ON a.sub = c.sub),
+         |best AS (
+         |  SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2 ASC, code ASC) AS rk
+         |  FROM dists)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code
+         |FROM best WHERE rk = 1""".stripMargin,
     "sample_cap_per_group" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -212,6 +212,38 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
   }
 
+  /** Product-quantization encoder — the compression step of a PQ/IVF-PQ
+    * ANN index: each quantized vector splits into `nSub` contiguous
+    * subvectors and each subvector is replaced by the id of its nearest
+    * codebook entry (exact integer squared-L2 argmin, ties to the lowest
+    * code id). The codebook is data-initialized from the first `nCodes`
+    * corpus vectors' subvectors — same deterministic convention as
+    * [[ivfTopK]]/[[kmeansAssign]]; train it with [[kmeansAssign]] per
+    * subspace at real scale, the encode plan is unchanged.
+    *
+    * Output is one row per (vec_id, sub, code): a 64-dim float vector
+    * compresses to nSub bytes of codes, and distance queries become
+    * table lookups. Cost: the corpus is scanned once, subvectors explode
+    * ×nSub, the (nSub×nCodes)-row codebook broadcasts, and the argmin is
+    * a window per (vec_id, sub) — no corpus self-join anywhere. */
+  def pqEncode(corpus: DataFrame, nSub: Int, nCodes: Int, dims: Int): DataFrame = {
+    val subLen = dims / nSub
+    require(subLen * nSub == dims, s"dims=$dims not divisible by nSub=$nSub")
+    val subsExpr = array((0 until nSub).map(s =>
+      struct(lit(s.toLong).as("sub"),
+        slice(col("q"), s * subLen + 1, subLen).as("sq"))): _*)
+    val subs = corpus.select(col("vec_id"), explode(subsExpr).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sq").as("sq"))
+    val codebook = subs.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2").asc, col("code").asc)
+    subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", vec_norm2(zip_with(col("sq"), col("cq"), (a, b) => a - b)))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (an equi-join on the signature — no cross product), then exact rank
     * within the bucket. Recall trades off against bucket count; multi-probe

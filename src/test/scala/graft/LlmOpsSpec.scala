@@ -281,6 +281,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 7L, 7L)))
   }
 
+  test("pqEncode assigns each subvector its nearest codebook entry") {
+    // 4-dim vectors, 2 subvectors of 2 dims, codebook = first 2 vectors.
+    // vec 2 = (codebook0's first half, codebook1's second half) -> codes (0, 1)
+    val vecs = Seq(
+      (0L, Array(10.0f, 0.0f, 0.0f, 10.0f)),
+      (1L, Array(0.0f, 10.0f, 10.0f, 0.0f)),
+      (2L, Array(10.0f, 1.0f, 9.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(Similarity.quantized(vecs),
+        nSub = 2, nCodes = 2, dims = 4)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, s, c) => (v, s) -> c }.toMap
+    assert(codes((0L, 0L)) == 0L && codes((0L, 1L)) == 0L) // seeds match themselves
+    assert(codes((1L, 0L)) == 1L && codes((1L, 1L)) == 1L)
+    assert(codes((2L, 0L)) == 0L && codes((2L, 1L)) == 1L) // mixed halves
+  }
+
   test("knnJoin ranks neighbors only within the block") {
     val vecs = Seq(
       (0L, Array(10.0f, 0.0f), 0L), (1L, Array(9.0f, 1.0f), 0L),
