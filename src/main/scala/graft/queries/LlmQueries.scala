@@ -195,6 +195,13 @@ object LlmQueries {
         Tables.documents(spark, dir), "doc_id", col("source"), cap = 10)
       .select(col("doc_id").cast("long").as("doc_id"), col("source"))
 
+  /** Temperature-flattened language mixing (α=0.5): rare languages keep
+    * everything, dominant ones are sqrt-downweighted. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.temperatureResample(
+        Tables.documents(spark, dir), "doc_id", col("lang"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+
   /** PII scrub over documents with deterministically injected PII (the
     * synthetic corpus contains none, so the gate plants an email, an IPv4
     * and an account number per doc, then proves the scrub removes them and
@@ -309,6 +316,7 @@ object LlmQueries {
     "sim_knn_join" -> (simKnnJoin _),
     "embed_pq_encode" -> (embedPqEncode _),
     "sample_cap_per_group" -> (sampleCapPerGroup _),
+    "sample_temperature" -> (sampleTemperature _),
     "text_pii_scrub" -> (textPiiScrub _),
     "corpus_percentiles" -> (corpusPercentiles _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -687,6 +695,17 @@ object LlmQueries {
         |      doc_id ASC) AS rk
         |  FROM documents)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM r WHERE rk <= 10""".stripMargin,
+    "sample_temperature" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS minn FROM counts),
+        |rates AS (
+        |  SELECT lang, CAST(floor(1000000.0 * sqrt(CAST(minn AS DOUBLE)) /
+        |    sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rate
+        |  FROM counts, m)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,14)) AS BIGINT)
+        |      % 1000000 < r.rate""".stripMargin,
     "text_pii_scrub" -> {
       val e = TextFunctions.EmailRe
       val i = TextFunctions.Ipv4Re

@@ -34,6 +34,28 @@ object Sampling {
     df.filter(keyInSample(col(keyCol), rate))
   }
 
+  /** Temperature-flattened corpus mixing at α = 0.5: each stratum keeps
+    * rows at a rate proportional to 1/sqrt(its count), scaled so the
+    * rarest stratum keeps everything — the standard low-resource
+    * upweighting move (p_s ∝ n_s^α) with the exponent fixed at the sqrt
+    * point because sqrt and division are correctly-rounded IEEE ops
+    * (identical in any engine), where a general pow() is not. Rates are
+    * derived from the data in the same plan (one count agg broadcast
+    * back); membership is the usual hash of the key — deterministic,
+    * no RNG. */
+  def temperatureResample(df: DataFrame, keyCol: String,
+                          stratumCol: Column): DataFrame = {
+    val counts = df.groupBy(stratumCol.as("_stratum")).agg(count(lit(1)).as("_n"))
+    val minN = counts.agg(min(col("_n")).as("_minn"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("_stratum"),
+        floor(lit(1000000.0) * sqrt(col("_minn").cast("double")) /
+          sqrt(col("_n").cast("double"))).cast("long").as("_rate"))
+    df.join(broadcast(rates), stratumCol === col("_stratum"))
+      .filter(md5_prefix64(col(keyCol).cast("string")) % 1000000L < col("_rate"))
+      .drop("_stratum", "_rate")
+  }
+
   /** Keep at most `cap` rows per group, chosen by hash order of the row
     * key — the per-source/per-domain downsampling cap every web-corpus
     * mix applies (no single crawl domain may dominate the mix). Hash

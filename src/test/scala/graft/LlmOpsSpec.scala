@@ -281,6 +281,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 7L, 7L)))
   }
 
+  test("temperatureResample keeps all of the rarest stratum, downweights the rest") {
+    // 400 "big" rows vs 100 "small": small keeps 100%, big at sqrt(100/400)=50%
+    val rows = ((1L to 400L).map(i => (i, "big")) ++ (401L to 500L).map(i => (i, "small")))
+      .toDF("doc_id", "stratum")
+    val kept = graft.text.Sampling.temperatureResample(rows, "doc_id", col("stratum"))
+      .select("doc_id", "stratum").as[(Long, String)].collect()
+    assert(kept.count(_._2 == "small") == 100) // rate 1e6 -> everything
+    val bigRate = kept.count(_._2 == "big") / 400.0
+    assert(bigRate > 0.42 && bigRate < 0.58, s"bigRate=$bigRate") // ~50%
+    // reproducible membership
+    val again = graft.text.Sampling.temperatureResample(rows, "doc_id", col("stratum"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("pqEncode assigns each subvector its nearest codebook entry") {
     // 4-dim vectors, 2 subvectors of 2 dims, codebook = first 2 vectors.
     // vec 2 = (codebook0's first half, codebook1's second half) -> codes (0, 1)

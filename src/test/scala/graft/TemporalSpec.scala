@@ -49,6 +49,25 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin matches a naive join+argmax reference on seeded random data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val left = (1L to 300L).map(i => (i, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    val right = (1L to 400L).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i))
+      .toDF("k", "rt", "v")
+    val fast = Temporal.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    // naive reference: join all candidates, argmax (rt, v) per left row
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.rt") <= col("l.t"), "left")
+      .groupBy(col("l.id").as("id"))
+      .agg(max(struct(col("r.rt"), col("r.v"))).as("best"))
+      .select(col("id"), col("best.v").as("v"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fast == naive)
+  }
+
   test("rangeJoinBucketed: inclusive start, exclusive end, spans bucket edges") {
     // interval [95, 125) with bucket width 10 covers buckets 9..12
     val right = Seq((1L, 95L, 125L)).toDF("win", "s", "e")
