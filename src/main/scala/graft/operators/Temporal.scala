@@ -55,6 +55,22 @@ object Temporal {
       .select(left.columns.map(col).toSeq ++ payload.map(col): _*)
   }
 
+  /** Forward fill over a dense grid: left-join observations onto the
+    * (key, time) grid, then carry the last non-null value forward within
+    * each key — the gap-filling/resampling step of time-series feature
+    * preparation. One shuffle on the key; rows before a key's first
+    * observation stay null. `valueCols` must exist on `obs` and not on
+    * `grid`. */
+  def forwardFill(grid: DataFrame, obs: DataFrame, keys: Seq[String],
+                  timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = grid.join(obs, keys :+ timeCol, "left")
+    valueCols.foldLeft(joined)((df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w)))
+  }
+
   /** Range (interval) join: every left row paired with every right
     * interval `[startEpoch, endEpoch)` containing its `leftEpoch`. All
     * three are epoch-seconds long columns.

@@ -75,15 +75,80 @@ object FunctionQueries {
       .select(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
         col("centroid_x1e6"))
 
+  /** Gap filling: per-user hourly grid over the first 3 days, hourly
+    * value sums forward-filled across empty hours
+    * ([[graft.operators.Temporal.forwardFill]] — the time-series
+    * resampling step of feature preparation). */
+  def windowForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val users = ev.select(col("user_id")).distinct()
+    val grid = users.crossJoin(
+      spark.range(1).select(explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00', " +
+          "timestamp'2024-01-03 23:00:00', interval 1 hour)")).as("hour")))
+    val obs = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("value_filled"))
+    graft.operators.Temporal.forwardFill(grid, obs, Seq("user_id"), "hour",
+      Seq("value_filled"))
+  }
+
+  /** Super-aggregate breadth: ROLLUP over (lang, source) — per-slice,
+    * per-lang, and grand-total rows in one pass. */
+  def corpusRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars_sum"))
+
+  /** Crosstab: doc counts per lang pivoted over the source columns (an
+    * explicit value list keeps the output schema deterministic). */
+  def corpusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .pivot("source", (0 until 20).map("src" + _))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "func_arn_parse" -> (funcArnParse _),
     "func_date_casts" -> (funcDateCasts _),
     "window_lag_lead" -> (windowLagLead _),
+    "window_forward_fill" -> (windowForwardFill _),
+    "corpus_rollup" -> (corpusRollup _),
+    "corpus_pivot" -> (corpusPivot _),
     "text_term_freq" -> (textTermFreq _),
     "embed_label_centroid" -> (embedLabelCentroid _),
   )
 
   val oracles: Map[String, String] = Map(
+    "window_forward_fill" ->
+      """WITH hours AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-03 23:00:00', INTERVAL 1 HOUR)) AS hour),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT u.user_id, h.hour FROM users u CROSS JOIN hours h),
+        |obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.user_id, g.hour,
+        |  last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM grid g LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND g.hour = o.hour""".stripMargin,
+    "corpus_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "corpus_pivot" -> {
+      val cols = (0 until 20).map(i =>
+        s"CAST(count(CASE WHEN source = 'src$i' THEN 1 END) AS BIGINT) AS src$i")
+        .mkString(",\n|  ")
+      s"""SELECT lang,
+         |  $cols
+         |FROM documents GROUP BY lang""".stripMargin
+    },
     "func_arn_parse" ->
       """WITH t AS (
         |  SELECT p_partkey, p_name, p_brand, p_type,

@@ -77,6 +77,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(in == Set(95L, 100L, 110L, 124L)) // 94 before, 125 at exclusive end
   }
 
+  test("forwardFill carries the last observation, leaves leading gaps null") {
+    val grid = (for (k <- Seq("a", "b"); t <- 1L to 5L) yield (k, t)).toDF("k", "t")
+    val obs = Seq(("a", 2L, 10L), ("a", 4L, 20L), ("b", 5L, 30L)).toDF("k", "t", "v")
+    val out = Temporal.forwardFill(grid, obs, Seq("k"), "t", Seq("v"))
+      .select("k", "t", "v").as[(String, Long, Option[Long])].collect()
+      .map { case (k, t, v) => (k, t) -> v }.toMap
+    assert(out(("a", 1L)).isEmpty)            // before first obs
+    assert(out(("a", 2L)).contains(10L))      // observed
+    assert(out(("a", 3L)).contains(10L))      // carried
+    assert(out(("a", 4L)).contains(20L))      // new obs replaces
+    assert(out(("a", 5L)).contains(20L))
+    assert(out(("b", 4L)).isEmpty && out(("b", 5L)).contains(30L))
+  }
+
   test("rangeJoinBucketed: overlapping intervals each match, no duplicates") {
     val right = Seq((1L, 0L, 100L), (2L, 50L, 150L)).toDF("win", "s", "e")
     val left = Seq(75L).map(Tuple1(_)).toDF("t")
