@@ -34,6 +34,20 @@ object StreamQueries {
       .select(col("src").as("node"), col("dst").as("ancestor"))
   }
 
+  /** Integer PageRank over the customer→nation→region containment DAG
+    * (3 damped rounds) — the link-centrality quality signal of web-corpus
+    * curation, exact long arithmetic throughout. Oracle: the same
+    * iterations unrolled as chained CTEs. */
+  def centralityPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val custEdges = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("src"),
+      (col("c_nationkey").cast("long") + 1000000L).as("dst"))
+    val natEdges = Tables.nation(spark, dir).select(
+      (col("n_nationkey").cast("long") + 1000000L).as("src"),
+      (col("n_regionkey").cast("long") + 2000000L).as("dst"))
+    graft.graph.Centrality.pagerank(custEdges.unionByName(natEdges), iterations = 3)
+  }
+
   /** True Structured Streaming run inside the gate: the events parquet is
     * replayed through readStream → watermark → 1h tumbling window → memory
     * sink in APPEND mode, synchronously drained. Append means a window row
@@ -207,6 +221,7 @@ object StreamQueries {
     "session_window_agg" -> (sessionWindowAgg _),
     "fixpoint_ancestors" -> (fixpointAncestors _),
     "fixpoint_reach2" -> (fixpointReach2 _),
+    "centrality_pagerank" -> (centralityPagerank _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
@@ -240,6 +255,32 @@ object StreamQueries {
         |  UNION
         |  SELECT node, ancestor // 2 FROM anc WHERE ancestor >= 1)
         |SELECT node, ancestor FROM anc""".stripMargin,
+    "centrality_pagerank" ->
+      """WITH e AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS src,
+        |         CAST(1000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION
+        |  SELECT CAST(1000000 + n_nationkey AS BIGINT),
+        |         CAST(2000000 + n_regionkey AS BIGINT) FROM nation),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
     "fixpoint_reach2" ->
       """WITH e AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS s, CAST(c_custkey // 2 AS BIGINT) AS d

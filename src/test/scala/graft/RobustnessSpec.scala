@@ -37,6 +37,16 @@ class RobustnessSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("pagerank matches hand-computed integer ranks on a 3-node chain") {
+    // a→b→c, 2 damped rounds, ranks in millionths:
+    //   it1: b,c inherit full mass (150000 + 850000); a drops to base 150000
+    //   it2: b = 150000 + 85%·150000 = 277500; c still fed by b's old 1e6
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = graft.graph.Centrality.pagerank(edges, iterations = 2)
+      .select("node", "rank_x1e6").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 150000L, 2L -> 277500L, 3L -> 1000000L))
+  }
+
   test("transitiveClosure converging exactly at the round budget is not a failure") {
     // chain 1→2→3→4→5: diameter 4, closed by doubling in exactly 2 rounds —
     // the 2nd (final permitted) round still grows, then growth stops. The
