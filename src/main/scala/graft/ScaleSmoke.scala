@@ -118,6 +118,15 @@ object ScaleSmoke {
         text.TextFunctions.groupPercentilesDisc(docs, "lang", "n_chars",
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)).count()
       }
+      time("pagerank_3it", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+        val edges = cust.select(col("c_custkey").as("src"),
+            (col("c_nationkey").cast("long") + 100000000L).as("dst"))
+          .unionByName(Tables.nation(spark, sfDir).select(
+            (col("n_nationkey").cast("long") + 100000000L).as("src"),
+            (col("n_regionkey").cast("long") + 200000000L).as("dst")))
+        graph.Centrality.pagerank(edges, 3).count()
+      }
       time("pii_scrub", m) {
         docs.select(col("doc_id") +:
             text.TextFunctions.scrubPii(col("text")).as("s") +:

@@ -89,4 +89,47 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 100L, 101L, "b2"),  // updated: firstseen kept, lastupdated bumped
       (3L, 101L, 101L, "c")))  // created in batch 1
   }
+
+  test("stream-static enrichment joins each micro-batch against the dim table") {
+    // the streaming form of the config-file broadcast source: a static
+    // dimension joined into a live stream per micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val source = MemoryStream[(Long, Double)]
+    val enriched = source.toDF().toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_test").start()
+    try {
+      source.addData((1L, 5.0), (3L, 7.0))
+      q.processAllAvailable()
+      source.addData((2L, 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("enrich_test")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
+    assert(out == Set((1L, Some("gold")), (3L, None), (2L, Some("basic"))))
+  }
+
+  test("stream-stream lookback join emits exactly the in-window matches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = MemoryStream[(Long, Timestamp)]
+    val right = MemoryStream[(Long, Timestamp, String)]
+    val l = left.toDF().toDF("k", "lt").withWatermark("lt", "1 hour")
+    val r = right.toDF().toDF("rk", "rt", "tag").withWatermark("rt", "1 hour")
+    val joined = Streaming.eventTimeLookbackJoin(l, r, "k", "rk", "lt", "rt", "30 minutes")
+      .select("k", "tag")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("lookback_test").start()
+    try {
+      right.addData((1L, ts("2024-01-01 10:00:00"), "in_window"),
+        (1L, ts("2024-01-01 08:00:00"), "too_old"),
+        (2L, ts("2024-01-01 10:10:00"), "wrong_key"))
+      left.addData((1L, ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("lookback_test").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "in_window"))) // 8:00 outside 30min, key 2 never joins
+  }
 }
