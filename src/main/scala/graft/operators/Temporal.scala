@@ -38,6 +38,13 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, payload: Seq[String],
                strict: Boolean = false): DataFrame = {
+    require(!left.columns.exists(Set("_t", "_m")),
+      "asofJoin reserves column names _t and _m; rename them on the left input")
+    require(payload.forall(right.columns.contains),
+      s"payload columns ${payload.filterNot(right.columns.contains).mkString(",")} " +
+        "missing on the right input")
+    require(!payload.exists(left.columns.contains),
+      "payload column names collide with left columns; rename before joining")
     val rightMarker = if (strict) 2 else 0
     val l = left
       .withColumn("_t", col(leftTime))
@@ -63,6 +70,8 @@ object Temporal {
     * `grid`. */
   def forwardFill(grid: DataFrame, obs: DataFrame, keys: Seq[String],
                   timeCol: String, valueCols: Seq[String]): DataFrame = {
+    require(!valueCols.exists(grid.columns.contains),
+      "value columns must not exist on the grid (they come from obs)")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

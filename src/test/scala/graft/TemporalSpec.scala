@@ -77,6 +77,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(in == Set(95L, 100L, 110L, 124L)) // 94 before, 125 at exclusive end
   }
 
+  test("rangeJoinBucketed matches a naive theta join on seeded random data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 500L).map(i => (i, rnd.nextInt(10000).toLong)).toDF("id", "t")
+    val right = (1L to 60L).map { i =>
+      val s = rnd.nextInt(10000).toLong; (i, s, s + 1 + rnd.nextInt(900).toLong)
+    }.toDF("win", "s", "e")
+    for (bucket <- Seq(64L, 300L, 1024L, 5000L)) {
+      val fast = Temporal.rangeJoinBucketed(left, "t", right, "s", "e", bucket)
+        .select("id", "win").as[(Long, Long)].collect().toSet
+      val naive = left.join(right, col("t") >= col("s") && col("t") < col("e"))
+        .select("id", "win").as[(Long, Long)].collect().toSet
+      assert(fast == naive, s"bucket=$bucket")
+    }
+  }
+
   test("forwardFill carries the last observation, leaves leading gaps null") {
     val grid = (for (k <- Seq("a", "b"); t <- 1L to 5L) yield (k, t)).toDF("k", "t")
     val obs = Seq(("a", 2L, 10L), ("a", 4L, 20L), ("b", 5L, 30L)).toDF("k", "t", "v")
