@@ -53,6 +53,68 @@ class IntelModuleSpec extends AnyFunSuite {
     GraphStore.upsertNodes(GraphStore.emptyLike(b), b, 100L)
   }
 
+  private val bucketsEpoch1 = writeFixture(
+    """{"Owner":"acct-1","Name":"b-logs","CreationDate":"2026-01-01T00:00:00Z",
+      | "Encryption":{"Enabled":true,"Algorithm":"AES256"},"Versioning":"Enabled",
+      | "Policy":{"Version":"2012-10-17","Id":"p1"},
+      | "Grants":[{"Grantee":{"Id":"user-1","Type":"CanonicalUser"},"Permission":"FULL_CONTROL"}]}"""
+      .stripMargin.replaceAll("\n", ""),
+    """{"Owner":"acct-1","Name":"b-public","CreationDate":"2026-01-02T00:00:00Z",
+      | "Encryption":{"Enabled":false},"Versioning":"Suspended","Policy":null,
+      | "Grants":[{"Grantee":{"URI":"http://acs.example/groups/global/AllUsers","Type":"Group"},
+      |            "Permission":"READ"},
+      |           {"Grantee":{"Id":"user-1","Type":"CanonicalUser"},"Permission":"WRITE"}]}"""
+      .stripMargin.replaceAll("\n", ""))
+
+  private val bucketsEpoch2 = writeFixture( // b-public deleted
+    """{"Owner":"acct-1","Name":"b-logs","CreationDate":"2026-01-01T00:00:00Z",
+      | "Encryption":{"Enabled":true,"Algorithm":"AES256"},"Versioning":"Enabled",
+      | "Policy":{"Version":"2012-10-17","Id":"p1"},
+      | "Grants":[{"Grantee":{"Id":"user-1","Type":"CanonicalUser"},"Permission":"FULL_CONTROL"}]}"""
+      .stripMargin.replaceAll("\n", ""))
+
+  test("storage module: grants explode to property edges, public label, policy blob") {
+    val g = graft.intel.StorageBuckets.sync(
+      Graph().withNodes("Account", accountNodes), spark, bucketsEpoch1, tag = 200L)
+    val buckets = g.nodeTable("Bucket")
+      .select($"id", $"encrypted", $"versioned", $"anonymous_access", $"labels")
+      .as[(String, Boolean, Boolean, Boolean, Seq[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(buckets("b-logs")._2 && buckets("b-logs")._3 && !buckets("b-logs")._4)
+    assert(buckets("b-public")._4)
+    assert(buckets("b-public")._5.contains("PublicBucket"))
+    assert(!buckets("b-logs")._5.contains("PublicBucket"))
+    assert(buckets("b-logs")._5.contains("StorageContainer"))
+    // policy JSON blob round-trips: parse it back on read (SURVEY §1.2)
+    val policyId = g.nodeTable("Bucket").filter($"id" === "b-logs")
+      .select(org.apache.spark.sql.functions.get_json_object($"policy_json", "$.Id")).as[String].head()
+    assert(policyId == "p1")
+    // grant edges carry the permission property
+    val grants = g.edgeTable("Grantee", "HAS_GRANT", "Bucket")
+      .select($"src_id", $"dst_id", $"permission")
+      .as[(String, String, String)].collect().toSet
+    assert(grants == Set(
+      ("user-1", "b-logs", "FULL_CONTROL"),
+      ("http://acs.example/groups/global/AllUsers", "b-public", "READ"),
+      ("user-1", "b-public", "WRITE")))
+    // tenancy edge from the sub-resource attach
+    assert(g.edgeTable("Account", "RESOURCE", "Bucket").count() == 2)
+  }
+
+  test("storage module two-epoch sync stale-cleans the deleted bucket and its edges") {
+    val g1 = graft.intel.StorageBuckets.sync(
+      Graph().withNodes("Account", accountNodes), spark, bucketsEpoch1, tag = 200L)
+    val g2 = graft.intel.StorageBuckets.sync(g1, spark, bucketsEpoch2, tag = 300L)
+    assert(g2.nodeTable("Bucket").select($"id").as[String].collect().toSeq == Seq("b-logs"))
+    // b-public's grant edges went with it; user-1's b-logs grant survives
+    val grants = g2.edgeTable("Grantee", "HAS_GRANT", "Bucket")
+      .select($"dst_id").as[String].collect().toSeq
+    assert(grants == Seq("b-logs"))
+    // firstseen lineage preserved across the sync for the surviving bucket
+    val fs = g2.nodeTable("Bucket").select($"firstseen").as[Long].head()
+    assert(fs == 200L)
+  }
+
   test("sync loads instances, nics, labels, tenancy edges from the JSON feed") {
     val g = ComputeInstances.sync(Graph().withNodes("Account", accountNodes),
       spark, epoch1, tag = 200L)
