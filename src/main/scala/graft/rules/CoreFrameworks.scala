@@ -129,8 +129,76 @@ object CoreFrameworks {
     maturity = Maturity.Experimental,
     identityFields = Seq("asset_id"))
 
+  /** Credentials older than the rotation window (reference stale/unrotated
+    * access-key rules). `nowEpoch` is passed in, never read from the
+    * clock — determinism, and the reference parameterizes analysis time
+    * the same way. */
+  def staleCredentials(maxAgeDays: Long, nowEpoch: Long): Fact = Fact(
+    factId = "stale-credential",
+    name = s"Credential older than $maxAgeDays days",
+    assetLabel = "AccessKey",
+    query = s => s.sql(
+      s"""SELECT id AS asset_id, CAST(owner AS STRING) AS detail
+         |FROM node_AccessKey
+         |WHERE created_epoch < ${nowEpoch - maxAgeDays * 86400L}""".stripMargin),
+    description = "Keys beyond the rotation window raise the odds that a " +
+      "leaked credential is still live.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(_.sql("SELECT count(*) AS count FROM node_AccessKey")))
+
+  /** Identities the current sync did not touch (reference inactive-user
+    * hygiene; the identity analog of exposure×staleness). */
+  def inactiveIdentities(tag: Long): Fact = Fact(
+    factId = "inactive-identity",
+    name = "Identity absent from the current sync",
+    assetLabel = "User",
+    query = s => s.sql(
+      s"""SELECT id AS asset_id, name AS detail
+         |FROM node_User WHERE lastupdated <> $tag""".stripMargin),
+    description = "An identity no longer returned by the provider but " +
+      "still present in the graph is likely deprovisioned upstream.",
+    maturity = Maturity.Experimental,
+    identityFields = Seq("asset_id"))
+
+  /** Principals holding many access edges granted WITHOUT any policy
+    * condition (reference wildcard/conditionless-grant review; condition
+    * metadata comes from Permissions.relationshipEdges' has_condition). */
+  def unconditionalBroadAccess(edgeView: String, threshold: Long): Fact = Fact(
+    factId = "unconditional-broad-access",
+    name = s"Principal with > $threshold unconditional grants",
+    assetLabel = "Principal",
+    query = s => s.sql(
+      s"""SELECT src_id AS asset_id, CAST(count(*) AS STRING) AS detail
+         |FROM $edgeView WHERE has_condition = false
+         |GROUP BY src_id HAVING count(*) > $threshold""".stripMargin),
+    description = "Condition-free grants bypass network/tag guardrails; " +
+      "breadth without conditions is the first review target.",
+    maturity = Maturity.Experimental,
+    identityFields = Seq("asset_id"))
+
+  /** Access edges whose endpoints live in different tenants — the
+    * cross-account trust review (reference cross-account rules). */
+  def crossTenantAccess(edgeView: String, srcView: String,
+                        dstView: String): Fact = Fact(
+    factId = "cross-tenant-access",
+    name = "Access edge spans tenants",
+    assetLabel = "Principal",
+    query = s => s.sql(
+      s"""SELECT e.src_id AS asset_id, e.dst_id AS detail
+         |FROM $edgeView e
+         |JOIN $srcView s ON e.src_id = s.id
+         |JOIN $dstView d ON e.dst_id = d.id
+         |WHERE s.tenant <> d.tenant""".stripMargin),
+    description = "Cross-tenant access is legitimate only when explicitly " +
+      "established; every edge here should map to a reviewed trust.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id", "detail"))
+
   /** The packaged framework: hygiene + exposure rules with compliance
-    * mappings and references. */
+    * mappings and references. `tag` doubles as "now" for the rotation
+    * window — update tags ARE epoch seconds in the reference
+    * (sync.py:494-496 `int(time.time())`). */
   def coreSecurity(tag: Long): Framework = Framework("core-security", Seq(
     Rule("instance-metadata-hygiene", "Instance metadata service hygiene",
       facts = Seq(imdsV1Instances),
@@ -175,5 +243,24 @@ object CoreFrameworks {
       description = "Flag principals whose effective access exceeds the " +
         "review threshold.",
       version = "1",
-      frameworks = Seq(soc2, nist))))
+      frameworks = Seq(soc2, nist)),
+    Rule("credential-hygiene", "Credentials rotated and identities live",
+      facts = Seq(
+        staleCredentials(maxAgeDays = 90L, nowEpoch = tag),
+        inactiveIdentities(tag)),
+      tags = Seq("identity", "credentials"),
+      description = "Rotation windows enforced; deprovisioned identities " +
+        "leave the graph promptly.",
+      version = "1",
+      frameworks = Seq(cis, soc2)),
+    Rule("boundary-integrity", "Access stays conditional and in-tenant",
+      facts = Seq(
+        unconditionalBroadAccess("edge_Principal_CAN_ACCESS_Resource", 50L),
+        crossTenantAccess("edge_Principal_CAN_ACCESS_Resource",
+          "node_Principal", "node_Resource")),
+      tags = Seq("iam", "tenancy"),
+      description = "Broad condition-free grants and unreviewed " +
+        "cross-tenant edges are boundary failures.",
+      version = "1",
+      frameworks = Seq(nist))))
 }

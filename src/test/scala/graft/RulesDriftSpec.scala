@@ -71,18 +71,28 @@ class RulesDriftSpec extends AnyFunSuite {
       .withColumn("exposed", col("allows_imdsv1"))
     val tenancy = Seq(("acct-1", "i-1"), ("acct-1", "i-2")).toDF("src_id", "dst_id")
     val users = Seq(
-      ("u-1", "alice", Some(true)), ("u-2", "bob", Some(false)),
-      ("u-3", "carol", None)).toDF("id", "name", "mfa_enabled")
+      ("u-1", "alice", Some(true), 200L), ("u-2", "bob", Some(false), 200L),
+      ("u-3", "carol", None, 100L)).toDF("id", "name", "mfa_enabled", "lastupdated")
     val buckets = Seq(
       ("b-1", true, false), ("b-2", false, true)).toDF("id", "encrypted", "public")
-    val access = (1 to 101).map(i => ("p-wide", s"r-$i")) :+ ("p-narrow" -> "r-1")
+    // k-old predates the 90-day rotation window relative to "now"=tag
+    val keys = Seq(("k-old", "u-1", 200L - 90L * 86400L - 1L), ("k-new", "u-2", 200L))
+      .toDF("id", "owner", "created_epoch")
+    val access = (1 to 101).map(i => ("p-wide", s"r-$i", false)) :+
+      (("p-narrow", "r-1", true))
+    val principals = Seq(("p-wide", "acct-1"), ("p-narrow", "acct-2"))
+      .toDF("id", "tenant")
+    val resources = (1 to 101).map(i => (s"r-$i", "acct-1")).toDF("id", "tenant")
     val g = graft.graph.Graph()
       .withNodes("Instance", instances)
       .withNodes("User", users)
       .withNodes("Bucket", buckets)
+      .withNodes("AccessKey", keys)
+      .withNodes("Principal", principals)
+      .withNodes("Resource", resources)
       .withEdges(("Account", "RESOURCE", "Instance"), tenancy)
       .withEdges(("Principal", "CAN_ACCESS", "Resource"),
-        access.toDF("src_id", "dst_id"))
+        access.toDF("src_id", "dst_id", "has_condition"))
     graft.rules.RulesRunner.registerGraphViews(g)
     val fw = graft.rules.CoreFrameworks.coreSecurity(tag = 200L)
     assert(graft.rules.RulesRunner.validate(spark, fw).isEmpty)
@@ -96,13 +106,19 @@ class RulesDriftSpec extends AnyFunSuite {
       ("mfa-missing-user", "u-3"),        // mfa never asserted
       ("unencrypted-bucket", "b-2"),
       ("public-bucket", "b-2"),
-      ("over-privileged-principal", "p-wide"))) // 101 resources > 100
+      ("over-privileged-principal", "p-wide"),  // 101 resources > 100
+      ("stale-credential", "k-old"),            // beyond rotation window
+      ("inactive-identity", "u-3"),             // lastupdated <> tag
+      ("unconditional-broad-access", "p-wide"), // 101 conditionless > 50
+      ("cross-tenant-access", "p-narrow")))     // acct-2 principal → acct-1 resource
     // framework-control filtering, case-insensitive
     val nistOnly = graft.rules.RulesRunner.filterByFramework(fw, shortName = Some("NIST"))
     assert(nistOnly.rules.map(_.ruleId).toSet ==
-      Set("exposure-staleness", "tenancy-integrity", "least-privilege"))
+      Set("exposure-staleness", "tenancy-integrity", "least-privilege",
+        "boundary-integrity"))
     val soc2Only = graft.rules.RulesRunner.filterByFramework(fw, shortName = Some("SOC2"))
     assert(soc2Only.rules.map(_.ruleId).toSet ==
-      Set("identity-hygiene", "storage-protection", "least-privilege"))
+      Set("identity-hygiene", "storage-protection", "least-privilege",
+        "credential-hygiene"))
   }
 }
