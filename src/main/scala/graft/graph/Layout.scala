@@ -1,7 +1,7 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Physical layout for graph tables at rest — the engine's replacement
   * for the reference's index DDL (cartography/graph/querybuilder.py:
@@ -36,6 +36,56 @@ object Layout {
 
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Spread the low 16 bits of x to the even bit positions of a 32-bit
+    * value (classic magic-number bit interleave — public-domain "Bit
+    * Twiddling Hacks" construction). Pure long arithmetic, codegen'd. */
+  private def spread16(x: Column): Column = {
+    val a = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Inverse of [[spread16]]: collapse the even bit positions of a 32-bit
+    * value back to 16 contiguous bits. */
+  private def compact16(z: Column): Column = {
+    val a = z.bitwiseAND(lit(0x55555555L))
+    val b = a.bitwiseOR(shiftright(a, 1)).bitwiseAND(lit(0x33333333L))
+    val c = b.bitwiseOR(shiftright(b, 2)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftright(c, 4)).bitwiseAND(lit(0x00FF00FFL))
+    d.bitwiseOR(shiftright(d, 8)).bitwiseAND(lit(0x0000FFFFL))
+  }
+
+  /** 32-bit Morton (Z-order) value interleaving the low 16 bits of two
+    * dimensions: bit i of x lands at position 2i, bit i of y at 2i+1.
+    * Sorting by this value clusters rows that are close in BOTH
+    * dimensions, so per-file min/max statistics become selective on
+    * either column — the multi-dimensional data-skipping layout
+    * (Delta/Iceberg OPTIMIZE ZORDER) expressed as plain columnar
+    * arithmetic. Quantize wider domains into 16 bits first (rank, bucket
+    * id, epoch-hour). */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x.bitwiseAND(lit(0xFFFFL)))
+      .bitwiseOR(shiftleft(spread16(y.bitwiseAND(lit(0xFFFFL))), 1))
+
+  /** Recover (x, y) from a [[zValue]] — the round-trip proof used by the
+    * layout spec. */
+  def zInverse(z: Column): (Column, Column) =
+    (compact16(z), compact16(shiftright(z, 1)))
+
+  /** Write z-order-clustered: range-partition on the interleaved value
+    * (so files hold contiguous z ranges → disjoint min/max envelopes on
+    * both source columns), sort within each file, drop the helper
+    * column. Readers filtering on EITHER dimension prune files via
+    * ordinary parquet column stats — no index structure to maintain. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                    numFiles: Int): Unit =
+    df.withColumn("_z", zValue(x, y))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
 
   /** Register a bucketed, sorted table in the session catalog — REAL
     * bucket metadata (path-based parquet cannot carry it), so a merge or

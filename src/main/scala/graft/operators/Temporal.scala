@@ -80,6 +80,36 @@ object Temporal {
       df.withColumn(v, last(col(v), ignoreNulls = true).over(w)))
   }
 
+  /** SCD2 history build: collapse a per-key event/observation stream into
+    * slowly-changing-dimension type-2 validity intervals — one row per
+    * state RUN (consecutive observations with identical `stateCols`),
+    * with `valid_from` = first observation of the run, `valid_to` = start
+    * of the next run (half-open, null while current), `is_current` on the
+    * open interval. The asset-history view an incremental sync pipeline
+    * derives from its firstseen/lastupdated stream.
+    *
+    * One shuffle total: the change-detection lag window and the
+    * interval-close lead window share the same (keys, time) partitioning,
+    * so Catalyst plans a single exchange. At equal timestamps the state
+    * columns break the tie deterministically. */
+  def scd2(df: DataFrame, keys: Seq[String], timeCol: String,
+           stateCols: Seq[String]): DataFrame = {
+    require(stateCols.nonEmpty, "scd2 needs at least one state column")
+    val order = col(timeCol).asc +: stateCols.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val changed = df.select((keys ++ Seq(timeCol) ++ stateCols).map(col): _*)
+      .withColumn("_same",
+        stateCols.map(c => col(c) <=> lag(col(c), 1).over(w)).reduce(_ && _))
+      .filter(!col("_same"))
+    changed.select(
+      (keys ++ stateCols).map(col) ++ Seq(
+        col(timeCol).as("valid_from"),
+        lead(col(timeCol), 1).over(
+          Window.partitionBy(keys.map(col): _*).orderBy(order: _*))
+          .as("valid_to")): _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Range (interval) join: every left row paired with every right
     * interval `[startEpoch, endEpoch)` containing its `leftEpoch`. All
     * three are epoch-seconds long columns.

@@ -109,7 +109,22 @@ object FunctionQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** GROUPING SETS breadth: independent per-lang and per-source rollups
+    * plus the grand total in one pass, with grouping() flags to tell the
+    * strata apart (the third super-aggregate shape next to ROLLUP and
+    * pivot). */
+  def corpusGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_gsets")
+    spark.sql(
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+        |  CAST(grouping(source) AS BIGINT) AS g_source
+        |FROM documents_gsets
+        |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_grouping_sets" -> (corpusGroupingSets _),
     "func_arn_parse" -> (funcArnParse _),
     "func_date_casts" -> (funcDateCasts _),
     "window_lag_lead" -> (windowLagLead _),
@@ -121,6 +136,12 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_grouping_sets" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+        |  CAST(grouping(source) AS BIGINT) AS g_source
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin,
     "window_forward_fill" ->
       """WITH hours AS (
         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',

@@ -219,7 +219,49 @@ object JoinQueries {
         max(col("event_id")).as("last_event_id"))
   }
 
+  /** Bloom-prefiltered join: orders Bloom-pruned by high-balance
+    * customers' keys before the exact join — the shuffle ships only the
+    * possibly-matching fraction of the fact table
+    * ([[graft.operators.BloomJoin]]); result identical to the plain
+    * join, which is exactly what the oracle checks. */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val vip = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_name"))
+    graft.operators.BloomJoin.prefilteredJoin(
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey", vip, "c_custkey", expectedItems = 100000L)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"), col("c_name"))
+  }
+
+  /** SCD2 history: each user's event-type stream collapsed into validity
+    * intervals ([[graft.operators.Temporal.scd2]]) — the asset-history
+    * view of an incremental sync. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.scd2(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_type")),
+      keys = Seq("user_id"), timeCol = "ts", stateCols = Seq("event_type"))
+
+  /** Z-order layout values: Morton interleave of (p_size, p_partkey mod
+    * 2^16) plus the coarse file range each row lands in when clustered by
+    * it ([[graft.graph.Layout.zValue]]) — the multi-dimensional
+    * data-skipping sort key, checked bit-for-bit against the oracle's own
+    * interleave arithmetic. */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.graph.Layout.zValue(
+      col("p_size").cast("long"), (col("p_partkey") % 65536L).cast("long"))
+    Tables.part(spark, dir).select(
+      col("p_partkey").cast("long").as("p_partkey"),
+      z.as("zvalue"),
+      shiftright(z, 24).cast("long").as("file_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
+    "scd2_history" -> (scd2History _),
+    "layout_zorder" -> (layoutZorder _),
     "join_ignorecase" -> (joinIgnoreCase _),
     "join_fuzzy_contains" -> (joinFuzzyContains _),
     "join_one_to_many" -> (joinOneToMany _),
@@ -234,6 +276,43 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000.0""".stripMargin,
+    "scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts FROM o
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL
+        |    AS is_current
+        |FROM chg""".stripMargin,
+    "layout_zorder" ->
+      """WITH t AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |    CAST(p_size AS BIGINT) & 65535 AS x,
+        |    (CAST(p_partkey AS BIGINT) % 65536) & 65535 AS y
+        |  FROM part),
+        |s1 AS (SELECT p_partkey, (x | (x << 8)) & 16711935 AS xa,
+        |              (y | (y << 8)) & 16711935 AS ya FROM t),
+        |s2 AS (SELECT p_partkey, (xa | (xa << 4)) & 252645135 AS xb,
+        |              (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+        |s3 AS (SELECT p_partkey, (xb | (xb << 2)) & 858993459 AS xc,
+        |              (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+        |s4 AS (SELECT p_partkey, (xc | (xc << 1)) & 1431655765 AS xd,
+        |              (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
+        |SELECT p_partkey,
+        |  CAST(xd | (yd << 1) AS BIGINT) AS zvalue,
+        |  CAST((xd | (yd << 1)) >> 24 AS BIGINT) AS file_id
+        |FROM s4""".stripMargin,
     "join_asof" ->
       """WITH l AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -254,6 +254,50 @@ object LlmQueries {
       .toDF("media_id", "frame_idx", "n_bytes", "checksum")
   }
 
+  /** Line-level dedup (CCNet pass): the synthetic docs have no line
+    * structure, so the gate builds one — 6-token lines plus a planted
+    * boilerplate header and footer shared by EVERY doc — then proves
+    * [[TextFunctions.lineDedup]] strips exactly the lines present in
+    * >= 100 distinct docs (the boilerplate; organic 6-token lines are
+    * practically unique) and reassembles the rest in order. */
+  def textLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val lined = Tables.documents(spark, dir).select(
+      col("doc_id").cast("long").as("doc_id"),
+      concat_ws("\n", concat(
+        array(lit("subscribe to our newsletter today")),
+        transform(sequence(lit(0), size(toks) - 1, lit(6)),
+          s => concat_ws(" ", slice(toks, s + 1, lit(6)))),
+        array(lit("all rights reserved worldwide")))).as("text"))
+    TextFunctions.lineDedup(lined, "doc_id", "text", "\n", maxDocFreq = 100L)
+  }
+
+  /** Per-domain URL census over documents with deterministically injected
+    * URLs (the synthetic corpus has none): mention and citing-doc counts
+    * per domain — the source-weighting profile of a web-corpus mix. */
+  def textUrlCensus(spark: SparkSession, dir: String): DataFrame = {
+    val withUrls = Tables.documents(spark, dir).select(
+      col("doc_id").cast("long").as("doc_id"),
+      concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" and http://mirror"), (col("doc_id") % 2).cast("string"),
+            lit(".example.org/x")))
+          .otherwise(lit(""))).as("t"))
+    TextFunctions.domainCensus(withUrls, "doc_id", "t")
+  }
+
+  /** Deterministic weighted sample: 200 docs drawn with probability
+    * proportional to length ([[graft.text.Sampling.weightedTopK]] —
+    * hash-priority, reproducible anywhere). */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.weightedTopK(
+      Tables.documents(spark, dir).select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars")),
+      "doc_id", col("n_chars"), n = 200)
+
   /** End-to-end corpus curation — the composed pipeline a pretraining
     * data team runs: length + repetition quality filters → MinHash-LSH
     * near-dup clustering over the survivors → one canonical doc per
@@ -318,6 +362,9 @@ object LlmQueries {
     "sample_cap_per_group" -> (sampleCapPerGroup _),
     "sample_temperature" -> (sampleTemperature _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "text_line_dedup" -> (textLineDedup _),
+    "text_url_census" -> (textUrlCensus _),
+    "sample_weighted" -> (sampleWeighted _),
     "corpus_percentiles" -> (corpusPercentiles _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
@@ -706,6 +753,64 @@ object LlmQueries {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,14)) AS BIGINT)
         |      % 1000000 < r.rate""".stripMargin,
+    "text_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    'subscribe to our newsletter today' || chr(10) ||
+        |    array_to_string(list_transform(
+        |      range(0, CAST(ceil(len(t) / 6.0) AS INT)),
+        |      i -> array_to_string(list_slice(t, i*6 + 1, i*6 + 6), ' ')), chr(10))
+        |    || chr(10) || 'all rights reserved worldwide' AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM lined),
+        |ldf AS (
+        |  SELECT CAST(('0x' || substr(md5(line),1,14)) AS BIGINT) AS lid,
+        |         count(DISTINCT doc_id) AS line_df
+        |  FROM lines GROUP BY 1),
+        |keep AS (
+        |  SELECT l.doc_id, l.line, l.pos FROM lines l
+        |  JOIN ldf d ON CAST(('0x' || substr(md5(l.line),1,14)) AS BIGINT) = d.lid
+        |  WHERE d.line_df < 100),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+        |         count(*) AS n_kept
+        |  FROM keep GROUP BY doc_id)
+        |SELECT l.doc_id, coalesce(a.kept_text, '') AS kept_text,
+        |  CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM lined l LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "text_url_census" -> {
+      val u = TextFunctions.UrlRe
+      s"""WITH t AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         |      || CASE WHEN doc_id % 3 = 0
+         |           THEN ' and http://mirror' || CAST(doc_id % 2 AS VARCHAR)
+         |                || '.example.org/x'
+         |           ELSE '' END AS t
+         |  FROM documents),
+         |urls AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(t, '$u')) AS url FROM t),
+         |doms AS (
+         |  SELECT doc_id, regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain
+         |  FROM urls)
+         |SELECT domain, count(*) AS n_urls,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM doms GROUP BY domain""".stripMargin
+    },
+    "sample_weighted" ->
+      """WITH pr AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT)
+        |      % 1000000) * 1000000 // CAST(n_chars AS BIGINT) AS prio
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM pr
+        |ORDER BY prio, doc_id LIMIT 200""".stripMargin,
     "text_pii_scrub" -> {
       val e = TextFunctions.EmailRe
       val i = TextFunctions.Ipv4Re

@@ -48,6 +48,20 @@ object StreamQueries {
     graft.graph.Centrality.pagerank(custEdges.unionByName(natEdges), iterations = 3)
   }
 
+  /** Triangle counting over the part co-purchase graph (parts appearing
+    * in the same order are linked) — the cohesion/link-farm signal of
+    * webgraph curation ([[graft.graph.Centrality.triangleCount]]: oriented
+    * wedge join, O(E^1.5) worst-case, never Σdeg²). */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    graft.graph.Centrality.triangleCount(edges)
+      .select(col("node").cast("long").as("node"), col("n_triangles"))
+  }
+
   /** True Structured Streaming run inside the gate: the events parquet is
     * replayed through readStream → watermark → 1h tumbling window → memory
     * sink in APPEND mode, synchronously drained. Append means a window row
@@ -222,6 +236,7 @@ object StreamQueries {
     "fixpoint_ancestors" -> (fixpointAncestors _),
     "fixpoint_reach2" -> (fixpointReach2 _),
     "centrality_pagerank" -> (centralityPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
@@ -281,6 +296,25 @@ object StreamQueries {
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |c AS (
+        |  SELECT node, count(*) AS n FROM (
+        |    SELECT x AS node FROM t UNION ALL
+        |    SELECT y FROM t UNION ALL
+        |    SELECT z FROM t) u
+        |  GROUP BY node)
+        |SELECT CAST(n.node AS BIGINT) AS node,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+        |FROM n LEFT JOIN c USING (node)""".stripMargin,
     "fixpoint_reach2" ->
       """WITH e AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS s, CAST(c_custkey // 2 AS BIGINT) AS d

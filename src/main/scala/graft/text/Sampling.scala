@@ -56,6 +56,27 @@ object Sampling {
       .drop("_stratum", "_rate")
   }
 
+  /** Deterministic weighted top-n sample (priority sampling in the
+    * Efraimidis–Spirakis shape with the RNG replaced by the key hash):
+    * each row draws a reproducible uniform u = hash(key) mod 1e6 and is
+    * ranked by priority = u·1e6 div weight — smaller wins, so a row's
+    * keep probability scales with its weight, and the chosen subset is a
+    * pure function of (keys, weights). Exact integer arithmetic
+    * (u·1e6 ≤ 1e12 ≪ 2^63); ties break on the key for a strict total
+    * order.
+    *
+    * Scale: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    * top-n heaps merged on the driver, no global sort materialization. */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: Column,
+                   n: Int): DataFrame = {
+    df.withColumn("_u", md5_prefix64(col(keyCol).cast("string")) % 1000000L)
+      .withColumn("_w", weightCol.cast("long"))
+      .withColumn("_prio", expr("_u * 1000000 div _w"))
+      .orderBy(col("_prio").asc, col(keyCol).asc)
+      .limit(n)
+      .drop("_u", "_w", "_prio")
+  }
+
   /** Keep at most `cap` rows per group, chosen by hash order of the row
     * key — the per-source/per-domain downsampling cap every web-corpus
     * mix applies (no single crawl domain may dominate the mix). Hash

@@ -348,6 +348,74 @@ object TextFunctions {
       regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
       lit(LongNumRe), lit(0))).cast("long").as("n_num"))
 
+  /** Line-level dedup (the CCNet/RefinedWeb pass): drop every line whose
+    * content occurs in at least `maxDocFreq` distinct documents — nav
+    * bars, cookie banners, boilerplate footers — and reassemble each
+    * document from its surviving lines in order. Line identity is the
+    * 56-bit md5 content hash ([[wordId]] kernel), computed inline.
+    *
+    * Output: (doc_id, kept_text, n_lines, n_kept); documents losing every
+    * line stay present with kept_text = '' so the corpus row count is
+    * stable for downstream joins.
+    *
+    * Scale shape: one (lid) doc-frequency aggregation (map-side partial
+    * combine over a near-uniform hash key), then a left-ANTI join of the
+    * line table against only the HOT lines (df >= threshold) — the
+    * boilerplate set is tiny by construction, so AQE turns the anti join
+    * into a broadcast; the full line-frequency table is never joined.
+    * Reassembly is one groupBy(doc_id) with an in-row sort — no global
+    * order anywhere. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                delim: String, maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every non-unique line")
+    val lines = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+      .withColumn("lid", wordId(col("line")))
+    val hot = lines.select(col("lid"), col("doc_id")).distinct()
+      .groupBy(col("lid")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= maxDocFreq)
+      .select(col("lid"))
+    val kept = lines.join(hot, Seq("lid"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(delim,
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s("line"))).as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), delim)).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** URL pattern for [[extractUrls]]: one character class for domain and
+    * path so there is no capture group to disagree over — parses the same
+    * under Java regex (Spark) and RE2 (DuckDB). */
+  val UrlRe = "https?://[a-z0-9./_-]+"
+
+  /** All URLs in a text column (full matches, document order). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Registrable domain of a URL (the host part before the first '/'). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "https?://([a-z0-9.-]+)", 1)
+
+  /** Per-domain census over a corpus: URL mentions and distinct citing
+    * documents per domain — the link-graph profile (domain allow/deny
+    * listing, source weighting) a web-corpus pipeline starts from.
+    * Extraction is per-row codegen'd regexp; the census is one (domain)
+    * aggregation with map-side combine. */
+  def domainCensus(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(extractUrls(col(textCol))).as("url"))
+      .select(col("doc_id"), urlDomain(col("url")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   /** Exact per-group discrete percentiles of an integer column: for each
     * requested p, the smallest value whose 1-based rank reaches
     * ceil(p * group_count) — SQL `percentile_disc` semantics, written out

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Centrality, Layout}
+import graft.operators.{BloomJoin, Temporal}
+import graft.text.{Sampling, TextFunctions}
+
+/** Round-5 operators: SCD2 history, line-level dedup, weighted sampling,
+  * URL census, z-order layout, triangle counting, Bloom join pruning. */
+class Round5OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---- scd2 ----
+
+  test("scd2 collapses runs, closes intervals half-open, flags the open one") {
+    val obs = Seq((7L, 1L, "A"), (7L, 2L, "A"), (7L, 3L, "B"), (7L, 4L, "A"))
+      .toDF("k", "t", "s")
+    val out = Temporal.scd2(obs, Seq("k"), "t", Seq("s"))
+      .select("s", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, Option[Long], Boolean)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      ("A", 1L, Some(3L), false),
+      ("B", 3L, Some(4L), false),
+      ("A", 4L, None, true)))
+  }
+
+  test("scd2 keeps keys independent and handles single-state keys") {
+    val obs = Seq((1L, 10L, "X"), (2L, 10L, "Y"), (2L, 20L, "Y")).toDF("k", "t", "s")
+    val out = Temporal.scd2(obs, Seq("k"), "t", Seq("s"))
+      .select("k", "s", "is_current").as[(Long, String, Boolean)].collect().toSet
+    assert(out == Set((1L, "X", true), (2L, "Y", true)))
+  }
+
+  // ---- lineDedup ----
+
+  test("lineDedup drops only lines at/above the doc-frequency threshold, in order") {
+    val docs = Seq(
+      (1L, "alpha\ncommon\nbeta"),
+      (2L, "gamma\ncommon\ndelta"),
+      (3L, "common\ncommon"), // duplicate within one doc: df is still 3
+      (4L, "solo\nsolo\nepsilon")) // df(solo)=1 -> both occurrences kept
+      .toDF("doc_id", "text")
+    val out = TextFunctions.lineDedup(docs, "doc_id", "text", "\n", maxDocFreq = 3)
+      .select("doc_id", "kept_text", "n_lines", "n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "alpha\nbeta", 3L, 2L)))
+    assert(out(1) == ((2L, "gamma\ndelta", 3L, 2L)))
+    assert(out(2) == ((3L, "", 2L, 0L))) // fully-boilerplate doc stays, empty
+    assert(out(3) == ((4L, "solo\nsolo\nepsilon", 3L, 3L)))
+  }
+
+  // ---- weightedTopK ----
+
+  test("weightedTopK is deterministic and biased toward heavy rows") {
+    val rows = (1L to 1000L).map(i => (i, if (i <= 500) 1000L else 1L))
+    val df = rows.toDF("k", "w")
+    val a = Sampling.weightedTopK(df, "k", col("w"), 100)
+      .select("k").as[Long].collect().toSet
+    val b = Sampling.weightedTopK(df.repartition(7), "k", col("w"), 100)
+      .select("k").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.count(_ <= 500) >= 90, s"heavy rows should dominate, got ${a.count(_ <= 500)}")
+  }
+
+  // ---- URL census ----
+
+  test("domainCensus counts mentions and distinct citing docs per domain") {
+    val docs = Seq(
+      (1L, "see https://a.com/x and https://a.com/y plus http://b.org/z"),
+      (2L, "again https://a.com/q")).toDF("doc_id", "text")
+    val rows = TextFunctions.domainCensus(docs, "doc_id", "text")
+      .select("domain", "n_urls", "n_docs").as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(("a.com", 3L, 2L), ("b.org", 1L, 1L)))
+  }
+
+  // ---- z-order ----
+
+  test("zValue round-trips through zInverse for random 16-bit points") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 500).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = pts.toDF("x", "y")
+    val (xi, yi) = Layout.zInverse(Layout.zValue(col("x"), col("y")))
+    val bad = df.select(col("x"), col("y"), xi.as("x2"), yi.as("y2"))
+      .filter(col("x") =!= col("x2") || col("y") =!= col("y2")).count()
+    assert(bad == 0L)
+  }
+
+  test("zValue interleaves bits (hand-checked corners)") {
+    val out = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (3L, 5L))
+      .toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z")).as[Long].collect().toSeq
+    // x bits at even positions, y bits at odd: (3,5) = x=11b, y=101b
+    // -> z = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 b = 0b100111 = 39
+    assert(out == Seq(0L, 0x55555555L, 0xAAAAAAAAL, 39L))
+  }
+
+  test("writeZOrdered produces files with disjoint z ranges (skippable on both dims)") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 4000).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.writeZOrdered(df, dir, col("x"), col("y"), numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 2)
+    val ranges = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .select(min(Layout.zValue(col("x"), col("y"))).as("lo"),
+          max(Layout.zValue(col("x"), col("y"))).as("hi"))
+        .as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, "file z ranges must not overlap")
+      case _ =>
+    }
+  }
+
+  // ---- triangles ----
+
+  test("triangleCount on a hand-computed graph, robust to dup/reversed edges") {
+    // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}
+    val edges = Seq((1L, 2L), (3L, 1L), (2L, 3L), (2L, 4L), (4L, 3L),
+      (2L, 1L), (2L, 3L), (3L, 3L)) // reversed dup, repeat, self-loop
+      .toDF("src", "dst")
+    val out = Centrality.triangleCount(edges)
+      .select("node", "n_triangles").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCount reports 0 for nodes outside any triangle") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("src", "dst")
+    val out = Centrality.triangleCount(edges)
+      .select("node", "n_triangles").as[(Long, Long)].collect().toMap
+    assert(out(9L) == 0L && out(1L) == 1L)
+  }
+
+  // ---- bloom join ----
+
+  test("bloom prefilteredJoin equals the plain join and never drops matches") {
+    val big = (0L until 2000L).map(i => (i, s"row$i")).toDF("bk", "payload")
+    val small = (0L until 200L).map(i => (i * 10L, s"dim$i")).toDF("sk", "name")
+    val expect = big.join(small, col("bk") === col("sk"))
+      .select("bk", "name").as[(Long, String)].collect().toSet
+    val got = BloomJoin.prefilteredJoin(big, "bk", small, "sk", expectedItems = 1000L)
+      .select("bk", "name").as[(Long, String)].collect().toSet
+    assert(got == expect && expect.size == 200)
+  }
+
+  test("bloom filter prunes non-matching rows before the join") {
+    val big = (0L until 10000L).map(i => (i, i)).toDF("bk", "v")
+    val small = Seq(3L, 77L, 4096L).toDF("sk")
+    val bloom = BloomJoin.buildBloom(small, "sk", expectedItems = 100L)
+    val kept = big.filter(BloomJoin.mightContain(bloom, col("bk"))).count()
+    // no false negatives, and the FP rate at this sizing is ~0
+    assert(kept >= 3 && kept < 100, s"expected aggressive pruning, kept $kept")
+  }
+}
