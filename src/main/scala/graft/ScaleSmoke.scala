@@ -133,6 +133,51 @@ object ScaleSmoke {
             text.TextFunctions.piiCounts(col("text")): _*)
           .agg(sum(col("n_email"))).count()
       }
+      time("line_dedup", m) {
+        val toks = split(col("text"), " ")
+        val lined = docs.select(col("doc_id"),
+          concat_ws("\n", concat(
+            array(lit("subscribe to our newsletter today")),
+            transform(sequence(lit(0), size(toks) - 1, lit(6)),
+              s => concat_ws(" ", slice(toks, s + 1, lit(6)))),
+            array(lit("all rights reserved worldwide")))).as("text"))
+        text.TextFunctions.lineDedup(lined, "doc_id", "text", "\n", 100L)
+          .count()
+      }
+      time("triangles", m) {
+        val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val edges = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        graph.Centrality.triangleCount(edges).count()
+      }
+      time("scd2", m) {
+        // multiply the KEY space so interval state grows linearly
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        operators.Temporal.scd2(ev.select(col("user_id"), col("ts"), col("event_type")),
+          Seq("user_id"), "ts", Seq("event_type")).count()
+      }
+      time("bloom_join", m) {
+        val orders = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val vip = Tables.customer(spark, sfDir)
+          .filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"), col("c_name"))
+        operators.BloomJoin.prefilteredJoin(orders, "o_custkey", vip,
+          "c_custkey", 1000000L).count()
+      }
+      time("weighted_topk", m) {
+        text.Sampling.weightedTopK(
+          docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+          "doc_id", col("n_chars"), 200).count()
+      }
+      time("zorder_values", m) {
+        val p = multiply(Tables.part(spark, sfDir), "p_partkey", m)
+        p.select(graph.Layout.zValue(col("p_size").cast("long"),
+            (col("p_partkey") % 65536L).cast("long")).as("z"))
+          .agg(max(col("z"))).count()
+      }
     }
     spark.stop()
   }
