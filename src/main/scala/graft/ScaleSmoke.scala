@@ -29,11 +29,19 @@ object ScaleSmoke {
         .reduce(_ unionByName _)
     }
 
+    // optional comma-separated op filter for targeted headroom runs
+    val onlyOps = sys.env.get("SPARK_GRAFT_SMOKE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     def time(name: String, m: Int)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","mult":$m,"rows":$rows,"sec":$s%.2f}""")
+      if (onlyOps.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val rows = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","mult":$m,"rows":$rows,"sec":$s%.2f}""")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
     }
 
     mults.foreach { m =>

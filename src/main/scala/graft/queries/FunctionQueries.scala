@@ -123,8 +123,35 @@ object FunctionQueries {
         |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin)
   }
 
+  /** Ordered conversion funnel over the event stream: first view, first
+    * click at-or-after it, first purchase at-or-after that
+    * ([[graft.operators.Funnel]] — per-stage filtered scans joined on the
+    * key, no global window). */
+  def funnel3Step(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(
+      Tables.events(spark, dir), "user_id", "ts",
+      Seq("first_view" -> (col("event_type") === "view"),
+        "first_click" -> (col("event_type") === "click"),
+        "first_purchase" -> (col("event_type") === "purchase")))
+
+  /** Degree histogram of the part co-purchase graph — the degree
+    * distribution census of webgraph curation (spam farms and hubs both
+    * announce themselves here before any expensive centrality pass). */
+  def graphDegreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_grouping_sets" -> (corpusGroupingSets _),
+    "funnel_3step" -> (funnel3Step _),
+    "graph_degree_stats" -> (graphDegreeStats _),
     "func_arn_parse" -> (funcArnParse _),
     "func_date_casts" -> (funcDateCasts _),
     "window_lag_lead" -> (windowLagLead _),
@@ -136,6 +163,34 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "funnel_3step" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS first_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "graph_degree_stats" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+        |  GROUP BY node)
+        |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+        |FROM deg GROUP BY degree""".stripMargin,
     "corpus_grouping_sets" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(grouping(lang) AS BIGINT) AS g_lang,

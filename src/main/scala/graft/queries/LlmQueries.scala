@@ -226,6 +226,13 @@ object LlmQueries {
     TextFunctions.groupPercentilesDisc(Tables.documents(spark, dir),
       "lang", "n_chars", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
 
+  /** Interpolated (percentile_cont) per-language length percentiles —
+    * the continuous companion of [[corpusPercentiles]]; both engines
+    * evaluate the identical spelled-out IEEE interpolation formula. */
+  def corpusPercentilesCont(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.groupPercentilesCont(Tables.documents(spark, dir),
+      "lang", "n_chars", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+
   /** One Lloyd training round for the IVF coarse quantizer: assign → exact
     * integer centroid update → final assignment. */
   def embedKmeansAssign(spark: SparkSession, dir: String): DataFrame =
@@ -366,6 +373,7 @@ object LlmQueries {
     "text_url_census" -> (textUrlCensus _),
     "sample_weighted" -> (sampleWeighted _),
     "corpus_percentiles" -> (corpusPercentiles _),
+    "corpus_percentiles_cont" -> (corpusPercentilesCont _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
   )
@@ -833,6 +841,30 @@ object LlmQueries {
          |    regexp_replace(t, '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'),
          |    '$n')) AS BIGINT) AS n_num
          |FROM pii""".stripMargin
+    },
+    "corpus_percentiles_cont" -> {
+      // CAST(p AS DOUBLE): a bare 0.99 literal is DECIMAL in DuckDB
+      // (exact arithmetic) but double in Spark — the interpolation must
+      // run in IEEE doubles on both sides to land on the same integer.
+      def pexpr(pRaw: Double, name: String) = {
+        val p = s"CAST($pRaw AS DOUBLE)"
+        val lo = s"floor($p * (n - 1) + 1)"
+        val vLo = s"min(CASE WHEN rn = $lo THEN v END)"
+        val vHi = s"min(CASE WHEN rn = $lo + 1 THEN v END)"
+        s"""CAST(floor(1000000.0 * ($vLo +
+           |    (max($p * (n - 1) + 1) - max($lo)) *
+           |    (coalesce($vHi, $vLo) - $vLo))) AS BIGINT) AS $name""".stripMargin
+      }
+      s"""WITH ranked AS (
+         |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_rows,
+         |  ${pexpr(0.5, "p50")},
+         |  ${pexpr(0.9, "p90")},
+         |  ${pexpr(0.99, "p99")}
+         |FROM ranked GROUP BY lang""".stripMargin
     },
     "corpus_percentiles" ->
       """WITH ranked AS (

@@ -440,4 +440,35 @@ object TextFunctions {
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Exact per-group INTERPOLATED percentiles (`percentile_cont`
+    * semantics): with the group sorted 1..n, the p-quantile sits at
+    * h = p·(n−1) + 1; the result linearly interpolates between the values
+    * at ranks ⌊h⌋ and ⌊h⌋+1, reported as floor(1e6 · value). Written as
+    * the same one-shuffle window arithmetic as [[groupPercentilesDisc]]
+    * (built-in quantile functions disagree across engines on index
+    * conventions; spelling the formula out makes both engines compute the
+    * identical IEEE expression — multiply/add/floor are all
+    * correctly-rounded, so the integers can't drift).
+    *
+    * Same scale note as the discrete variant: run on the (group, value)
+    * projection; switch to approx_percentile when the cutoff needn't be
+    * exact. */
+  def groupPercentilesCont(df: DataFrame, groupCol: String, valueCol: String,
+                           ps: Seq[(String, Double)]): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol).cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+    val aggs = count(lit(1)).as("n_rows") +: ps.map { case (name, p) =>
+      val h = lit(p) * (col("_n") - 1) + 1
+      val lo = floor(h)
+      val vLo = min(when(col("_rn") === lo, col("_v")))
+      val vHi = min(when(col("_rn") === lo + 1, col("_v")))
+      floor(lit(1000000.0) *
+        (vLo + (max(h) - max(lo)) * (coalesce(vHi, vLo) - vLo)))
+        .cast("long").as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -143,6 +143,54 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out(9L) == 0L && out(1L) == 1L)
   }
 
+  // ---- funnel ----
+
+  test("funnel requires stage order and carries nulls after abandonment") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),   // full funnel
+      (2L, 10L, "view"), (2L, 5L, "click"),                      // click BEFORE view: no stage 2
+      (3L, 10L, "view"),                                         // abandoned after view
+      (4L, 10L, "click"), (4L, 20L, "buy")                       // never viewed: absent
+    ).toDF("user_id", "ts", "etype")
+    val out = graft.operators.Funnel.funnel(ev, "user_id", "ts",
+        Seq("v" -> (col("etype") === "view"),
+          "c" -> (col("etype") === "click"),
+          "b" -> (col("etype") === "buy")))
+      .select("user_id", "v", "c", "b")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map { case (k, v, c, b) => k -> ((v, c, b)) }.toMap
+    assert(out == Map(
+      1L -> ((10L, Some(20L), Some(30L))),
+      2L -> ((10L, None, None)),
+      3L -> ((10L, None, None))))
+  }
+
+  test("funnel accepts same-timestamp progression (at-or-after)") {
+    val ev = Seq((1L, 10L, "view"), (1L, 10L, "click")).toDF("user_id", "ts", "etype")
+    val out = graft.operators.Funnel.funnel(ev, "user_id", "ts",
+        Seq("v" -> (col("etype") === "view"), "c" -> (col("etype") === "click")))
+      .select("c").as[Option[Long]].head()
+    assert(out.contains(10L))
+  }
+
+  // ---- interpolated percentiles ----
+
+  test("groupPercentilesCont interpolates between ranks (hand-checked)") {
+    // group g: values 10,20,30,40 -> p50 at h=0.5*3+1=2.5 -> 20 + 0.5*10 = 25
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 30L), ("g", 40L)).toDF("k", "v")
+    val out = TextFunctions.groupPercentilesCont(df, "k", "v", Seq("p50" -> 0.5))
+      .select("n_rows", "p50").as[(Long, Long)].head()
+    assert(out == ((4L, 25000000L)))
+  }
+
+  test("groupPercentilesCont handles single-row groups (no upper neighbor)") {
+    val df = Seq(("g", 7L)).toDF("k", "v")
+    val out = TextFunctions.groupPercentilesCont(df, "k", "v",
+        Seq("p50" -> 0.5, "p99" -> 0.99))
+      .select("p50", "p99").as[(Long, Long)].head()
+    assert(out == ((7000000L, 7000000L)))
+  }
+
   // ---- bloom join ----
 
   test("bloom prefilteredJoin equals the plain join and never drops matches") {
