@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
@@ -130,6 +130,51 @@ object Multimodal {
   def resizeAll(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => r.copy(payload = resizeStub(r.payload, factor))))
+  }
+
+  /** 32-bit average-hash perceptual signature over a (string-typed)
+    * payload: 32 evenly-strided sample bytes, each emitting a 1 bit iff
+    * it exceeds the sample mean (compared as byte·32 > Σ — no division),
+    * folded MSB-first. The aHash construction real image-dedup pipelines
+    * run on decoded luma grids, applied here to the payload bytes the
+    * sandbox stands in for pixels; swapping a pixel decoder in front
+    * changes nothing downstream. Pure per-row array expressions —
+    * codegen'd, zero shuffle. */
+  def aHash32(payload: Column): Column = {
+    val stride = greatest(floor(length(payload) / 32).cast("int"), lit(1))
+    val bytes = transform(sequence(lit(0), lit(31)),
+      j => ascii(payload.substr(lit(1) + j * stride, lit(1))).cast("long"))
+    val total = aggregate(bytes, lit(0L), (acc, x) => acc + x)
+    val bits = transform(bytes,
+      b => when(b * 32L > total, lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc * 2L + b)
+  }
+
+  /** Perceptual near-duplicate pairs: payloads whose [[aHash32]] differ
+    * in at most `k` bits. Candidates come from pigeonhole chunk buckets
+    * (k+1 chunks of the 32-bit hash — a pair within hamming k MUST agree
+    * on at least one whole chunk), so the corpus is never self-joined:
+    * one equi-join per chunk on (chunk id, chunk value), distinct, then
+    * the exact popcount filter. Same scale shape as the SimHash pass. */
+  def phashPairs(df: DataFrame, idCol: String, payloadCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 0 && k < 32, "hamming radius must be in [0, 32)")
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      aHash32(col(payloadCol)).as("phash"))
+    val chunks = graft.text.TextFunctions.chunkBounds(32, k + 1)
+    val keyed = sigs.select(col("id"), col("phash"),
+      posexplode(array(chunks.map { case (lo, w) =>
+        shiftright(col("phash"), lo).bitwiseAND(lit((1L << w) - 1))
+      }: _*)).as(Seq("chunk", "ckey")))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= k)
   }
 
   /** Lift a text table into media records (payload = utf-8 bytes) — the

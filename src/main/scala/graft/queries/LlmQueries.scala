@@ -305,6 +305,25 @@ object LlmQueries {
         col("n_chars").cast("long").as("n_chars")),
       "doc_id", col("n_chars"), n = 200)
 
+  /** Perceptual near-dup over media payloads: the corpus plus a slightly
+    * corrupted copy of every doc (first 3 bytes replaced — the re-encoded
+    * /resized-image stand-in), paired by average-hash within hamming ≤ 3
+    * ([[Multimodal.phashPairs]]: pigeonhole chunk buckets, never a
+    * self-join). Each planted copy should land near its original. */
+  def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // one scan emits each doc plus its corrupted twin (explode, not a
+    // self-union — Union constraint rewriting trips over the pruned text
+    // attribute, and a single Generate reads the corpus once anyway)
+    val corpus = Tables.documents(spark, dir).select(
+        explode(array(
+          struct(col("doc_id").cast("long").as("doc_id"), col("text")),
+          struct((col("doc_id").cast("long") + 1000000L).as("doc_id"),
+            concat(lit("zzz"), col("text").substr(lit(4), length(col("text"))))
+              .as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    Multimodal.phashPairs(corpus, "doc_id", "text", k = 3)
+  }
+
   /** End-to-end corpus curation — the composed pipeline a pretraining
     * data team runs: length + repetition quality filters → MinHash-LSH
     * near-dup clustering over the survivors → one canonical doc per
@@ -375,6 +394,7 @@ object LlmQueries {
     "corpus_percentiles" -> (corpusPercentiles _),
     "corpus_percentiles_cont" -> (corpusPercentilesCont _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
   )
 
@@ -1086,6 +1106,37 @@ object LlmQueries {
          |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
+    "multimodal_phash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000, 'zzz' || substr(text, 4)
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 32), j -> CAST(ascii(substr(text,
+        |      CAST(1 + j * greatest(length(text) // 32, 1) AS INT), 1)) AS BIGINT))
+        |      AS bytes
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 32), j ->
+        |      CASE WHEN bytes[j + 1] * 32 > list_sum(bytes)
+        |           THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END)) AS BIGINT)
+        |      AS phash
+        |  FROM b),
+        |keyed AS (
+        |  SELECT doc_id, phash, c.chunk,
+        |    (phash >> (c.chunk * 8)) & 255 AS ckey
+        |  FROM h, (SELECT unnest(range(0, 4)) AS chunk) c),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.phash AS ha, y.phash AS hb
+        |  FROM keyed x JOIN keyed y
+        |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH sized AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),

@@ -191,6 +191,29 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out == ((7000000L, 7000000L)))
   }
 
+  // ---- perceptual hash ----
+
+  test("aHash32 is stable under small edits and phashPairs finds the near pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq(
+      (1L, base),
+      (2L, "zzz" + base.drop(3)),          // small corruption -> near 1
+      (3L, base.reverse + "completely different content entirely "))
+      .toDF("doc_id", "text")
+    val pairs = graft.multimodal.Multimodal.phashPairs(docs, "doc_id", "text", k = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("phashPairs reports each candidate pair once despite multi-chunk agreement") {
+    // identical payloads agree on ALL four chunks; distinct() must dedup
+    val docs = Seq((1L, "same same same payload bytes here"),
+      (2L, "same same same payload bytes here")).toDF("doc_id", "text")
+    val rows = graft.multimodal.Multimodal.phashPairs(docs, "doc_id", "text", k = 0)
+      .collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("hamming") == 0L)
+  }
+
   // ---- bloom join ----
 
   test("bloom prefilteredJoin equals the plain join and never drops matches") {
