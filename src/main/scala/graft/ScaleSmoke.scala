@@ -180,6 +180,9 @@ object ScaleSmoke {
           docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
           "doc_id", col("n_chars"), 200).count()
       }
+      time("phash_pairs", m) {
+        multimodal.Multimodal.phashPairs(docs, "doc_id", "text", 3).count()
+      }
       time("zorder_values", m) {
         val p = multiply(Tables.part(spark, sfDir), "p_partkey", m)
         p.select(graph.Layout.zValue(col("p_size").cast("long"),
