@@ -48,6 +48,24 @@ object Centrality {
     r.select(col("node"), col("r").as("rank_x1e6"))
   }
 
+  /** Distinct co-occurrence edges: items sharing a group become (src <
+    * dst) pairs — the co-purchase / co-citation graph constructor. ONE
+    * shuffle (the groupBy); pairs expand IN-ROW from each group's sorted
+    * item set (k² per group where k = group size), where the equivalent
+    * self-join would shuffle the item table twice and hit the same k²
+    * blow-up anyway. Groups far above typical size are the skew knob:
+    * cap or sample them upstream (a 10k-item group is 50M pairs whichever
+    * plan builds it). */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val grouped = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy(col("g")).agg(array_sort(collect_set(col("i"))).as("is"))
+    grouped.select(explode(flatten(transform(col("is"), (x, i) =>
+        transform(slice(col("is"), i + lit(2), size(col("is"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+  }
+
   /** Per-node triangle participation count over an undirected simple
     * graph — the clustering/cohesion signal of community detection and
     * spam-farm flagging (link farms are triangle-dense; legitimate

@@ -138,12 +138,9 @@ object FunctionQueries {
     * distribution census of webgraph curation (spam farms and hubs both
     * announce themselves here before any expensive centrality pass). */
   def graphDegreeStats(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-    e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+    val e = graft.graph.Centrality.coOccurrenceEdges(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
   }

@@ -53,11 +53,8 @@ object StreamQueries {
     * webgraph curation ([[graft.graph.Centrality.triangleCount]]: oriented
     * wedge join, O(E^1.5) worst-case, never Σdeg²). */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    val edges = graft.graph.Centrality.coOccurrenceEdges(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
     graft.graph.Centrality.triangleCount(edges)
       .select(col("node").cast("long").as("node"), col("n_triangles"))
   }
