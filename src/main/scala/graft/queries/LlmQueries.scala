@@ -129,6 +129,23 @@ object LlmQueries {
     TextFunctions.oovRate(Tables.documents(spark, dir), "doc_id", "text",
       vocabSize = 20)
 
+  /** Sequence packing: non-overlapping 32-token chunks per doc, packed
+    * into 512-token context-window bins per language stream in
+    * (doc_id, chunk_idx) order — per-bin chunk/token counts, the
+    * pretraining batch-construction step after chunking. */
+  def textSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = TextFunctions.chunkTokens(docs, "doc_id", "text",
+        window = 32, stride = 32)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        Seq("doc_id"))
+    TextFunctions.packSequences(chunks, "lang", Seq("doc_id", "chunk_idx"),
+        "n_chunk_tokens", targetTokens = 512L)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"))
+  }
+
   /** Context-window chunking: 32-token windows every 24 tokens. */
   def textChunking(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.chunkTokens(Tables.documents(spark, dir), "doc_id", "text",
@@ -371,6 +388,7 @@ object LlmQueries {
     "text_gram_census" -> (textGramCensus _),
     "text_oov_rate" -> (textOovRate _),
     "text_chunking" -> (textChunking _),
+    "text_seq_pack" -> (textSeqPack _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -650,6 +668,29 @@ object LlmQueries {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
          |FROM kept GROUP BY lang""".stripMargin
     },
+    "text_seq_pack" ->
+      """WITH spans AS (
+        |  SELECT doc_id, string_split(text,' ') AS t,
+        |    unnest(range(0, CAST(ceil(len(string_split(text,' ')) / 32.0) AS INT)))
+        |      AS chunk_idx
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+        |    CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    CAST(len(list_slice(t, chunk_idx*32 + 1, chunk_idx*32 + 32)) AS BIGINT)
+        |      AS n_chunk_tokens,
+        |    d.lang
+        |  FROM spans s JOIN documents d ON s.doc_id = d.doc_id),
+        |packed AS (
+        |  SELECT lang, n_chunk_tokens,
+        |    CAST(floor(coalesce(sum(n_chunk_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+        |      AS BIGINT) AS bin
+        |  FROM chunks)
+        |SELECT lang, bin, count(*) AS n_chunks,
+        |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY lang, bin""".stripMargin,
     "text_chunking" ->
       """WITH spans AS (
         |  SELECT doc_id, string_split(text,' ') AS t,

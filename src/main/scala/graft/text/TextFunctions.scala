@@ -416,6 +416,31 @@ object TextFunctions {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Sequence packing: assign token chunks to fixed-capacity bins the
+    * way a pretraining pipeline packs documents into context windows —
+    * concatenate the stream in a deterministic order and split every
+    * `targetTokens` tokens. Each chunk gets `bin = floor(tokens_before /
+    * target)` from a running sum over its stream; a chunk straddling a
+    * boundary stays in the bin it started in (the overflow shrinks the
+    * next bin — split-on-write semantics, matching concat-then-slice
+    * packing up to chunk granularity).
+    *
+    * One shuffle on the stream column. At 100 TB the stream key must be
+    * finer than "language" (a window over one giant partition is the
+    * round-1 dictionary mistake): packing only needs SOME deterministic
+    * local order, so salt the stream (e.g. lang + doc_id bucket) and
+    * pack each salt shard independently — bins never cross shards. */
+  def packSequences(chunks: DataFrame, streamCol: String, orderCols: Seq[String],
+                    tokenCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens >= 1, "targetTokens must be positive")
+    val w = Window.partitionBy(col(streamCol))
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks.withColumn("_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("_before") / targetTokens).cast("long"))
+      .drop("_before")
+  }
+
   /** Exact per-group discrete percentiles of an integer column: for each
     * requested p, the smallest value whose 1-based rank reaches
     * ceil(p * group_count) — SQL `percentile_disc` semantics, written out

@@ -179,6 +179,34 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.contains(10L))
   }
 
+  // ---- sequence packing ----
+
+  test("packSequences splits on write: a straddling chunk stays in its start bin") {
+    // stream s: tokens 300, 300, 100 with target 512
+    // chunk1: before=0   -> bin 0
+    // chunk2: before=300 -> bin 0 (straddles 512; stays where it started)
+    // chunk3: before=600 -> bin 1
+    val chunks = Seq(("s", 1L, 300L), ("s", 2L, 300L), ("s", 3L, 100L))
+      .toDF("stream", "idx", "n_tok")
+    val out = TextFunctions.packSequences(chunks, "stream", Seq("idx"), "n_tok", 512L)
+      .select("idx", "bin").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("packSequences keeps streams independent and is partitioning-invariant") {
+    val chunks = (1L to 200L).map(i => (s"s${i % 3}", i, 100L))
+      .toDF("stream", "idx", "n_tok")
+    val a = TextFunctions.packSequences(chunks, "stream", Seq("idx"), "n_tok", 256L)
+      .select("stream", "idx", "bin").as[(String, Long, Long)].collect().toSet
+    val b = TextFunctions.packSequences(chunks.repartition(7), "stream", Seq("idx"),
+        "n_tok", 256L)
+      .select("stream", "idx", "bin").as[(String, Long, Long)].collect().toSet
+    assert(a == b)
+    // 100-token chunks into 256-token bins -> bins hold 2-3 chunks each
+    val sizes = a.groupBy(r => (r._1, r._3)).view.mapValues(_.size).values.toSet
+    assert(sizes.subsetOf(Set(2, 3)))
+  }
+
   // ---- interpolated percentiles ----
 
   test("groupPercentilesCont interpolates between ranks (hand-checked)") {
