@@ -188,6 +188,14 @@ object LlmQueries {
     Similarity.ivfTopK(q.filter(col("vec_id") < 10), q, k = 3)
   }
 
+  /** Full IVF-PQ-ADC index query: coarse cells + PQ codes + per-query
+    * lookup-table scoring + exact re-rank of the shortlist
+    * ([[Similarity.ivfPqTopK]]). */
+  def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantized(Tables.embeddings(spark, dir))
+    Similarity.ivfPqTopK(q.filter(col("vec_id") < 10), q, k = 3, rerank = 8)
+  }
+
   /** Corpus-wide k-NN join, blocked by the embedding's cluster label (the
     * coarse-quantizer cell): every vector gets its 2 nearest in-cell
     * neighbors — partition-local quadratic, never a global self-join. */
@@ -401,6 +409,7 @@ object LlmQueries {
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_ivf" -> (simAnnIvf _),
+    "sim_ann_ivfpq" -> (simAnnIvfPq _),
     "sim_knn_join" -> (simKnnJoin _),
     "embed_pq_encode" -> (embedPqEncode _),
     "sample_cap_per_group" -> (sampleCapPerGroup _),
@@ -1103,6 +1112,70 @@ object LlmQueries {
          |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
+    "sim_ann_ivfpq" ->
+      s"""WITH $QuantCte,
+         |cents AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
+         |ccos AS (
+         |  SELECT v.vec_id, c.cid,
+         |    floor(1000000.0 *
+         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
+         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS cc
+         |  FROM qn v CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+         |    FROM ccos) WHERE rk = 1),
+         |subs AS (
+         |  SELECT vec_id, s.sub, list_slice(q, s.sub*8 + 1, s.sub*8 + 8) AS sq
+         |  FROM qn, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |codebook AS (SELECT vec_id AS code, sub, sq AS cq FROM subs WHERE vec_id < 16),
+         |dists AS (
+         |  SELECT a.vec_id, a.sub, c.code,
+         |    CAST(list_sum(list_transform(list_zip(a.sq, c.cq),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+         |  FROM subs a JOIN codebook c ON a.sub = c.sub),
+         |codes AS (
+         |  SELECT vec_id AS neighbor_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY d2 ASC, code ASC) AS rk
+         |    FROM dists) WHERE rk = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS query_id, s.sub, c.code,
+         |    CAST(list_sum(list_transform(list_zip(s.sq, c.cq), p -> p[1]*p[2])) AS BIGINT) AS d
+         |  FROM subs s JOIN codebook c ON s.sub = c.sub
+         |  WHERE s.vec_id < 10),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+         |    FROM ccos WHERE vec_id < 10) WHERE rk <= 2),
+         |cand AS (
+         |  SELECT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assign a ON p.cid = a.cid
+         |  WHERE a.neighbor_id <> p.query_id),
+         |adc AS (
+         |  SELECT c.query_id, c.neighbor_id, sum(l.d) AS adc
+         |  FROM cand c JOIN codes k2 ON c.neighbor_id = k2.neighbor_id
+         |  JOIN lut l ON l.query_id = c.query_id AND l.sub = k2.sub AND l.code = k2.code
+         |  GROUP BY c.query_id, c.neighbor_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc DESC, neighbor_id ASC) AS rk
+         |    FROM adc) WHERE rk <= 8),
+         |scored AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    CAST(floor(1000000.0 * $pairDot /
+         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |  FROM short s JOIN qn a ON a.vec_id = s.query_id
+         |               JOIN qn b ON b.vec_id = s.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
     "dedup_cosine_neardup" ->
       s"""WITH $QuantCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -227,13 +227,7 @@ object Similarity {
     * ×nSub, the (nSub×nCodes)-row codebook broadcasts, and the argmin is
     * a window per (vec_id, sub) — no corpus self-join anywhere. */
   def pqEncode(corpus: DataFrame, nSub: Int, nCodes: Int, dims: Int): DataFrame = {
-    val subLen = dims / nSub
-    require(subLen * nSub == dims, s"dims=$dims not divisible by nSub=$nSub")
-    val subsExpr = array((0 until nSub).map(s =>
-      struct(lit(s.toLong).as("sub"),
-        slice(col("q"), s * subLen + 1, subLen).as("sq"))): _*)
-    val subs = corpus.select(col("vec_id"), explode(subsExpr).as("e"))
-      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sq").as("sq"))
+    val subs = subTable(corpus, nSub, dims)
     val codebook = subs.filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"))
     val w = Window.partitionBy(col("vec_id"), col("sub"))
@@ -242,6 +236,100 @@ object Similarity {
       .withColumn("d2", vec_norm2(zip_with(col("sq"), col("cq"), (a, b) => a - b)))
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** (vec_id, sub, sq): each quantized vector split into `nSub`
+    * contiguous subvectors — shared by [[pqEncode]] and [[ivfPqTopK]]. */
+  private def subTable(corpus: DataFrame, nSub: Int, dims: Int): DataFrame = {
+    val subLen = dims / nSub
+    require(subLen * nSub == dims, s"dims=$dims not divisible by nSub=$nSub")
+    val subsExpr = array((0 until nSub).map(s =>
+      struct(lit(s.toLong).as("sub"),
+        slice(col("q"), s * subLen + 1, subLen).as("sq"))): _*)
+    corpus.select(col("vec_id"), explode(subsExpr).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sq").as("sq"))
+  }
+
+  /** IVF-PQ approximate top-k with asymmetric distance computation — the
+    * full architecture of a production ANN index, composed from the
+    * pieces gated individually ([[ivfTopK]] coarse cells, [[pqEncode]]
+    * codes):
+    *
+    *  1. corpus vectors land in coarse cells (argmax cosine against the
+    *     centroid set) and are PQ-compressed to `nSub` code bytes;
+    *  2. a query probes its `nProbe` nearest cells, and every candidate
+    *     in them is scored from the CODES ALONE: the query precomputes a
+    *     (sub, code) → dot lookup table (ADC), so a candidate's
+    *     approximate dot is Σ_sub lut(sub, code) — no full vector is
+    *     touched;
+    *  3. the top `rerank` candidates per query by ADC are re-scored
+    *     exactly against their true vectors and the top `k` emitted.
+    *
+    * All integer arithmetic; every cut has a total order (score desc,
+    * id asc) — bit-reproducible and oracle-checkable.
+    *
+    * Scale shape: the LUT is queries × nSub × nCodes rows — broadcast;
+    * candidate scoring joins the code table (the compressed index — the
+    * only corpus-sized thing shuffled, at nSub longs per vector instead
+    * of the full embedding) and aggregates nSub rows per candidate; only
+    * `rerank` full vectors per query are ever read back. That read-back
+    * ratio (rerank·dims vs corpus·dims) is the whole point of IVF-PQ at
+    * 100 TB. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 2,
+                nSub: Int = 8, nCodes: Int = 16, dims: Int = 64,
+                rerank: Int = 10): DataFrame = {
+    require(rerank >= k, "rerank depth must be at least k")
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("norm2").as("nc"))
+    def centCos = floor(lit(1000000.0) * vec_dot(col("q"), col("qc")) /
+      sqrt((col("norm2") * col("nc")).cast("double"))).cast("long")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_ccos").desc, col("cid").asc)
+    val assign = corpus.crossJoin(broadcast(cents))
+      .withColumn("_ccos", centCos)
+      .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val codes = pqEncode(corpus, nSub, nCodes, dims)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val codebook = subTable(corpus, nSub, dims).filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"))
+    // per-query ADC lookup table: (query_id, sub, code) -> subvector dot
+    val lut = subTable(queries, nSub, dims)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sq"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        vec_dot(col("sq"), col("cq")).as("d"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ccos").desc, col("cid").asc)
+    val probes = queries.select(col("vec_id").as("query_id"), col("q"), col("norm2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_ccos", centCos)
+      .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    val candidates = assign.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = candidates.join(codes, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adc"))
+      .withColumn("rk", row_number().over(wAdc)).filter(col("rk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("norm2").as("nb")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("q").as("qq"), col("norm2").as("na"))), Seq("query_id"))
+      .withColumn("dot", vec_dot(col("qq"), col("qb")))
+      .withColumn("cos_x1e6", cosX1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x1e6"))
   }
 
   /** LSH-bucketed approximate top-k: candidates share the query's bucket

@@ -248,6 +248,39 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[Long]("hamming") == 0L)
   }
 
+  // ---- IVF-PQ ----
+
+  test("ivfPqTopK equals bruteForceTopK in the exhaustive limit") {
+    import graft.similarity.Similarity
+    val rnd = new scala.util.Random(19)
+    val embs = (0L until 60L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), 0)).toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantized(embs)
+    val queries = q.filter(col("vec_id") < 5)
+    // probe every cell, rerank the whole corpus -> the PQ shortlist cannot
+    // drop anything and the exact re-rank must reproduce brute force
+    val exhaustive = Similarity.ivfPqTopK(queries, q, k = 3,
+        nCentroids = 4, nProbe = 4, rerank = 60)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, q, k = 3)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(exhaustive == brute)
+  }
+
+  test("ivfPqTopK never returns the query itself and respects k") {
+    import graft.similarity.Similarity
+    val rnd = new scala.util.Random(23)
+    val embs = (0L until 80L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat()), 0)).toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantized(embs)
+    val out = Similarity.ivfPqTopK(q.filter(col("vec_id") < 6), q, k = 2, rerank = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.forall { case (a, b) => a != b })
+    assert(out.groupBy(_._1).values.forall(_.length <= 2))
+  }
+
   // ---- bloom join ----
 
   test("bloom prefilteredJoin equals the plain join and never drops matches") {
