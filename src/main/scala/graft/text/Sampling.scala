@@ -71,6 +71,9 @@ object Sampling {
                    n: Int): DataFrame = {
     df.withColumn("_u", md5_prefix64(col(keyCol).cast("string")) % 1000000L)
       .withColumn("_w", weightCol.cast("long"))
+      // zero/negative weight = zero selection probability; dropping the
+      // row (rather than ANSI-erroring on `div 0`) matches that reading
+      .filter(col("_w") > 0L)
       .withColumn("_prio", expr("_u * 1000000 div _w"))
       .orderBy(col("_prio").asc, col(keyCol).asc)
       .limit(n)

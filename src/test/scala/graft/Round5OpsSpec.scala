@@ -283,6 +283,20 @@ class Round5OpsSpec extends AnyFunSuite {
 
   // ---- bloom join ----
 
+  test("weightedTopK drops zero/negative-weight rows instead of erroring") {
+    val df = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 10L)).toDF("k", "w")
+    val kept = Sampling.weightedTopK(df, "k", col("w"), 10)
+      .select("k").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("bloom prefilteredJoin with an empty dim side yields an empty result") {
+    val big = (0L until 100L).map(i => (i, i)).toDF("bk", "v")
+    val small = Seq.empty[(Long, String)].toDF("sk", "name")
+    val out = BloomJoin.prefilteredJoin(big, "bk", small, "sk", expectedItems = 10L)
+    assert(out.count() == 0L)
+  }
+
   test("bloom prefilteredJoin equals the plain join and never drops matches") {
     val big = (0L until 2000L).map(i => (i, s"row$i")).toDF("bk", "payload")
     val small = (0L until 200L).map(i => (i * 10L, s"dim$i")).toDF("sk", "name")
