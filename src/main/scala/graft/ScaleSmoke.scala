@@ -180,6 +180,17 @@ object ScaleSmoke {
           docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
           "doc_id", col("n_chars"), 200).count()
       }
+      time("ivfpq_topk", m) {
+        val q = similarity.Similarity.quantized(embs)
+        similarity.Similarity.ivfPqTopK(q.filter(col("vec_id") < 10), q,
+          k = 3, rerank = 8).count()
+      }
+      time("seq_pack", m) {
+        val chunks = text.TextFunctions.chunkTokens(docs, "doc_id", "text", 32, 32)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        text.TextFunctions.packSequences(chunks, "lang",
+          Seq("doc_id", "chunk_idx"), "n_chunk_tokens", 512L).count()
+      }
       time("phash_pairs", m) {
         multimodal.Multimodal.phashPairs(docs, "doc_id", "text", 3).count()
       }
