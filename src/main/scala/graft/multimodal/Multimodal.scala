@@ -167,6 +167,9 @@ object Multimodal {
   def phashPairs(df: DataFrame, idCol: String, payloadCol: String,
                  k: Int): DataFrame = {
     require(k >= 0 && k < 32, "hamming radius must be in [0, 32)")
+    require(df.schema(payloadCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"phashPairs samples string payloads; cast $payloadCol to string first")
     // materialize the sketches once: both sides of the self-join (and the
     // join-key non-null constraint filter) would otherwise re-evaluate
     // the full hash expression against their own corpus scan

@@ -95,6 +95,11 @@ object Temporal {
   def scd2(df: DataFrame, keys: Seq[String], timeCol: String,
            stateCols: Seq[String]): DataFrame = {
     require(stateCols.nonEmpty, "scd2 needs at least one state column")
+    require((keys ++ stateCols :+ timeCol).forall(df.columns.contains),
+      "scd2 keys/time/state columns must exist on the input")
+    require(!df.columns.contains("_same") &&
+      !Seq("valid_from", "valid_to", "is_current").exists(stateCols.contains),
+      "scd2 reserves _same/valid_from/valid_to/is_current; rename the inputs")
     val order = col(timeCol).asc +: stateCols.map(col(_).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val changed = df.select((keys ++ Seq(timeCol) ++ stateCols).map(col): _*)

@@ -433,6 +433,10 @@ object TextFunctions {
   def packSequences(chunks: DataFrame, streamCol: String, orderCols: Seq[String],
                     tokenCol: String, targetTokens: Long): DataFrame = {
     require(targetTokens >= 1, "targetTokens must be positive")
+    require((streamCol +: tokenCol +: orderCols).forall(chunks.columns.contains),
+      "packSequences stream/order/token columns must exist on the input")
+    require(!chunks.columns.contains("bin") && !chunks.columns.contains("_before"),
+      "packSequences reserves the bin/_before column names; rename the inputs")
     val w = Window.partitionBy(col(streamCol))
       .orderBy(orderCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, -1)

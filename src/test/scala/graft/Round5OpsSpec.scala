@@ -39,6 +39,25 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, "X", true), (2L, "Y", true)))
   }
 
+  test("new operators reject reserved/missing column contracts up front") {
+    val ev = Seq((1L, 1L, "A")).toDF("k", "t", "s")
+    intercept[IllegalArgumentException] {
+      Temporal.scd2(ev.withColumnRenamed("s", "valid_from"), Seq("k"), "t",
+        Seq("valid_from"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.scd2(ev, Seq("k"), "missing_time", Seq("s"))
+    }
+    val chunks = Seq(("s", 1L, 10L, 0L)).toDF("stream", "idx", "n_tok", "bin")
+    intercept[IllegalArgumentException] {
+      TextFunctions.packSequences(chunks, "stream", Seq("idx"), "n_tok", 512L)
+    }
+    val bin = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.phashPairs(bin, "id", "payload", 3)
+    }
+  }
+
   // ---- lineDedup ----
 
   test("lineDedup drops only lines at/above the doc-frequency threshold, in order") {
