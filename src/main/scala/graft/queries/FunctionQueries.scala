@@ -145,8 +145,18 @@ object FunctionQueries {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** CUBE over (lang, source): all four grouping combinations in one
+    * pass — completes the super-aggregate quartet (rollup, pivot,
+    * grouping sets, cube). */
+  def corpusCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars_sum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_grouping_sets" -> (corpusGroupingSets _),
+    "corpus_cube" -> (corpusCube _),
     "funnel_3step" -> (funnel3Step _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "func_arn_parse" -> (funcArnParse _),
@@ -160,6 +170,10 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
     "funnel_3step" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS first_view FROM events
