@@ -35,14 +35,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Pay accumulated cleanup debt BETWEEN queries, not inside a later
-      // timed section: drop blocks left persisted (lazy localCheckpoints
-      // in the iterative operators) and force a GC so the ContextCleaner
-      // releases the dead shuffles/broadcasts of the 90+ preceding
-      // queries now instead of pausing mid-measurement.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
+      // pay accumulated cleanup debt BETWEEN queries, not inside a later
+      // timed section (see DriverHygiene)
+      DriverHygiene.releasePersisted(spark)
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

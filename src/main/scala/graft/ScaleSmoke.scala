@@ -29,18 +29,21 @@ object ScaleSmoke {
         .reduce(_ unionByName _)
     }
 
-    // optional comma-separated op filter for targeted headroom runs
+    // optional comma-separated op filter for targeted headroom runs;
+    // a blank value means "unset", and a filter matching nothing warns
+    // instead of silently measuring zero operators
     val onlyOps = sys.env.get("SPARK_GRAFT_SMOKE_OPS")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    var ran = 0
     def time(name: String, m: Int)(f: => Long): Unit = {
       if (onlyOps.forall(_.contains(name))) {
+        ran += 1
         val t0 = System.nanoTime()
         val rows = f
         val s = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"$name","mult":$m,"rows":$rows,"sec":$s%.2f}""")
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
+        DriverHygiene.releasePersisted(spark)
       }
     }
 
@@ -201,6 +204,9 @@ object ScaleSmoke {
           .agg(max(col("z"))).count()
       }
     }
+    if (ran == 0)
+      System.err.println(
+        s"[scalesmoke] WARNING: op filter ${onlyOps.getOrElse(Set())} matched no operators")
     spark.stop()
   }
 }

@@ -25,8 +25,8 @@ object Funnel {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.map(_._1).distinct.size == stages.size,
       "funnel stage output names must be distinct")
-    require(!stages.map(_._1).contains(keyCol) && !stages.map(_._1).contains(timeCol),
-      "stage names must not collide with the key/time columns")
+    require(!stages.map(_._1).exists(df.columns.contains),
+      "stage output names must not collide with input columns")
     val head = df.filter(stages.head._2)
       .groupBy(col(keyCol)).agg(min(col(timeCol)).as(stages.head._1))
     val stageTables = stages.tail.scanLeft(head -> stages.head._1) {

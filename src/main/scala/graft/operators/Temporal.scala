@@ -97,14 +97,19 @@ object Temporal {
     require(stateCols.nonEmpty, "scd2 needs at least one state column")
     require((keys ++ stateCols :+ timeCol).forall(df.columns.contains),
       "scd2 keys/time/state columns must exist on the input")
+    val reserved = Seq("valid_from", "valid_to", "is_current")
     require(!df.columns.contains("_same") &&
-      !Seq("valid_from", "valid_to", "is_current").exists(stateCols.contains),
+      !(keys ++ stateCols :+ timeCol).exists(reserved.contains),
       "scd2 reserves _same/valid_from/valid_to/is_current; rename the inputs")
     val order = col(timeCol).asc +: stateCols.map(col(_).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    // a key's first row ALWAYS opens an interval — detected via a
+    // constant-marker lag, not via state comparison, so a leading
+    // null-state run is kept (null <=> lag-of-nothing would read "same")
     val changed = df.select((keys ++ Seq(timeCol) ++ stateCols).map(col): _*)
       .withColumn("_same",
-        stateCols.map(c => col(c) <=> lag(col(c), 1).over(w)).reduce(_ && _))
+        lag(lit(1), 1).over(w).isNotNull &&
+          stateCols.map(c => col(c) <=> lag(col(c), 1).over(w)).reduce(_ && _))
       .filter(!col("_same"))
     changed.select(
       (keys ++ stateCols).map(col) ++ Seq(

@@ -228,8 +228,17 @@ object Similarity {
     * a window per (vec_id, sub) — no corpus self-join anywhere. */
   def pqEncode(corpus: DataFrame, nSub: Int, nCodes: Int, dims: Int): DataFrame = {
     val subs = subTable(corpus, nSub, dims)
-    val codebook = subs.filter(col("vec_id") < nCodes)
+    pqCodes(subs, pqCodebook(subs, nCodes))
+  }
+
+  /** Codebook from a sub table: the first `nCodes` vectors' subvectors. */
+  private def pqCodebook(subs: DataFrame, nCodes: Int): DataFrame =
+    subs.filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"))
+
+  /** Nearest-code assignment per (vec_id, sub) — exact integer squared-L2
+    * argmin against the broadcast codebook. */
+  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2").asc, col("code").asc)
     subs.join(broadcast(codebook), Seq("sub"))
@@ -290,10 +299,13 @@ object Similarity {
       .withColumn("_ccos", centCos)
       .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
-    val codes = pqEncode(corpus, nSub, nCodes, dims)
+    // ONE corpus-wide subvector explode shared by the code assignment
+    // and the codebook (review finding: pqEncode + a second subTable
+    // call would explode the corpus twice)
+    val subs = subTable(corpus, nSub, dims)
+    val codebook = pqCodebook(subs, nCodes)
+    val codes = pqCodes(subs, codebook)
       .withColumnRenamed("vec_id", "neighbor_id")
-    val codebook = subTable(corpus, nSub, dims).filter(col("vec_id") < nCodes)
-      .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"))
     // per-query ADC lookup table: (query_id, sub, code) -> subvector dot
     val lut = subTable(queries, nSub, dims)
       .select(col("vec_id").as("query_id"), col("sub"), col("sq"))

@@ -368,8 +368,11 @@ object TextFunctions {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 delim: String, maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every non-unique line")
+    // delim is a LITERAL separator: split() takes a regex, so quote it —
+    // an unquoted "|" or "." would split between every character
+    val delimRe = java.util.regex.Pattern.quote(delim)
     val lines = docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+        posexplode(split(col(textCol), delimRe)).as(Seq("pos", "line")))
       .withColumn("lid", wordId(col("line")))
     val hot = lines.select(col("lid"), col("doc_id")).distinct()
       .groupBy(col("lid")).agg(count(lit(1)).as("line_df"))
@@ -382,7 +385,7 @@ object TextFunctions {
             s => s("line"))).as("kept_text"),
         count(lit(1)).as("n_kept"))
     docs.select(col(idCol).cast("long").as("doc_id"),
-        size(split(col(textCol), delim)).cast("long").as("n_lines"))
+        size(split(col(textCol), delimRe)).cast("long").as("n_lines"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept_text"), lit("")).as("kept_text"),

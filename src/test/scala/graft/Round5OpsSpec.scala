@@ -32,6 +32,15 @@ class Round5OpsSpec extends AnyFunSuite {
       ("A", 4L, None, true)))
   }
 
+  test("scd2 keeps a leading null-state run as its own interval") {
+    val obs = Seq((7L, 1L, null.asInstanceOf[String]), (7L, 5L, "A"))
+      .toDF("k", "t", "s")
+    val out = Temporal.scd2(obs, Seq("k"), "t", Seq("s"))
+      .select("s", "valid_from", "valid_to")
+      .as[(Option[String], Long, Option[Long])].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((None, 1L, Some(5L)), (Some("A"), 5L, None)))
+  }
+
   test("scd2 keeps keys independent and handles single-state keys") {
     val obs = Seq((1L, 10L, "X"), (2L, 10L, "Y"), (2L, 20L, "Y")).toDF("k", "t", "s")
     val out = Temporal.scd2(obs, Seq("k"), "t", Seq("s"))
@@ -74,6 +83,18 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out(1) == ((2L, "gamma\ndelta", 3L, 2L)))
     assert(out(2) == ((3L, "", 2L, 0L))) // fully-boilerplate doc stays, empty
     assert(out(3) == ((4L, "solo\nsolo\nepsilon", 3L, 3L)))
+  }
+
+  test("lineDedup treats regex-metacharacter delimiters literally") {
+    val docs = Seq((1L, "keep one|common"), (2L, "keep two|common"),
+      (3L, "common|solo line")).toDF("doc_id", "text")
+    val out = TextFunctions.lineDedup(docs, "doc_id", "text", "|", maxDocFreq = 3)
+      .select("doc_id", "kept_text", "n_lines").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    // '|' unquoted would split between every character; literally it
+    // yields two lines per doc, and only 'common' (df=3) is dropped
+    assert(out.toSeq == Seq((1L, "keep one", 2L), (2L, "keep two", 2L),
+      (3L, "solo line", 2L)))
   }
 
   // ---- weightedTopK ----
