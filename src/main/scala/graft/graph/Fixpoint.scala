@@ -137,6 +137,46 @@ object Fixpoint {
     labels
   }
 
+  /** Hop-distance labeling from a seed set: level-synchronous BFS
+    * (the Pregel shape) — each round expands the current frontier one
+    * hop, anti-joins away everything already labeled, and stamps the
+    * round number as the distance. Returns (node, dist) for every node
+    * within `maxDepth` hops of a seed; distances are exact minima
+    * because a node is labeled the FIRST round it appears.
+    *
+    * Cost is O(E) per level with one join + one anti-join + one distinct
+    * — the right tool for small diameters / bounded neighborhoods
+    * (blast-radius queries, k-hop enrichment). For full reachability
+    * over long chains use [[transitiveClosure]]'s path doubling instead:
+    * BFS pays a round per hop, doubling pays log₂. localCheckpoint per
+    * round truncates lineage exactly like the other fixpoints here. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    visited.count() // materialize the checkpoint before reuse
+    var frontier = visited.select(col("node"))
+    var d = 1L
+    var done = maxDepth == 0
+    while (!done) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      val grew = next.count() > 0
+      if (grew) {
+        visited = visited.unionByName(next.withColumn("dist", lit(d)))
+          .localCheckpoint(false)
+        visited.count()
+        frontier = next.select(col("node"))
+      }
+      d += 1
+      done = !grew || d > maxDepth
+    }
+    visited
+  }
+
   /** Bounded-depth reachability (the `*1..k` form): plain frontier
     * expansion, k rounds, no closure materialization. */
   def reachWithin(edges: DataFrame, depth: Int): DataFrame = {

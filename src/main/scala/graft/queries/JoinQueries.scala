@@ -258,7 +258,21 @@ object JoinQueries {
       shiftright(z, 24).cast("long").as("file_id"))
   }
 
+  /** Bounded edit-distance join: canonical part names vs a typo'd twin
+    * set (last char dropped — the corrupted-twin pattern the phash gate
+    * uses), blocked on the first token so the levenshtein DP only runs
+    * inside blocks. */
+  def joinEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("id"))
+    val canon = names.select(col("id"), col("p_name").as("name"))
+    val dirty = names.select((col("id") + 100000L).as("id"),
+      expr("substring(p_name, 1, length(p_name) - 1)").as("name"))
+    graft.operators.StringJoin.editDistanceJoin(canon, dirty, "id", "name", k = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_edit_distance" -> (joinEditDistance _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "scd2_history" -> (scd2History _),
     "layout_zorder" -> (layoutZorder _),
@@ -276,6 +290,21 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_edit_distance" ->
+      """WITH n AS (
+        |  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS id
+        |  FROM part GROUP BY p_name),
+        |a AS (SELECT id AS id_a, p_name AS name_a,
+        |        string_split(p_name, ' ')[1] AS blk FROM n),
+        |b AS (SELECT id + 100000 AS id_b,
+        |        substr(p_name, 1, length(p_name) - 1) AS name_b,
+        |        string_split(substr(p_name, 1, length(p_name) - 1), ' ')[1] AS blk
+        |      FROM n)
+        |SELECT id_a, name_a, id_b, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM a JOIN b USING (blk)
+        |WHERE abs(length(name_a) - length(name_b)) <= 2
+        |  AND levenshtein(name_a, name_b) <= 2""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey, c_name

@@ -7,7 +7,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.TextFunctions
+import graft.text.{Sampling, Sketches, TextFunctions}
 
 /** LLM-training-data pipeline operator battery: text analysis, dedup
   * family, similarity search, multimodal plumbing. All integer/exact
@@ -380,8 +380,61 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs_kept"))
   }
 
+  /** Inverted index over the corpus: term → df + sorted posting list,
+    * rare terms (df < 30) and stop-terms (df > 2000) dropped. */
+  def textInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.invertedIndex(Tables.documents(spark, dir), "doc_id", "text",
+      minDf = 30L, maxDf = 2000L)
+
+  /** Top-20 collocations (adjacent-pair lift) with pair support >= 5. */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.collocations(Tables.documents(spark, dir), "doc_id", "text",
+      minCount = 5L, k = 20)
+
+  /** Per-language length-outlier flags at z = 3 — exact cross-multiplied
+    * moment test, no float stddev anywhere. */
+  def textGroupOutliers(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.groupOutliers(Tables.documents(spark, dir), "doc_id", "lang",
+      "n_chars", z = 3)
+
+  /** Deterministic 90/5/5 train/valid/test split keyed on doc_id. */
+  def sampleHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(Tables.documents(spark, dir), "doc_id",
+        Seq(("train", 900000L), ("valid", 50000L), ("test", 50000L)))
+      .select(col("doc_id").cast("long").as("doc_id"), col("split"))
+
+  private def langTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("lang"),
+      explode(TextFunctions.tokens(col("text"))).as("word"))
+
+  /** KMV distinct-count sketch (k=32) of per-language vocabulary, with
+    * the exact count joined in as the accuracy report. */
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinct(langTokens(spark, dir), "lang", "word", k = 32)
+
+  /** Count-Min sketch (4×64) of corpus token frequencies, read back as
+    * per-word point estimates next to the true counts. */
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = langTokens(spark, dir).groupBy(col("word"))
+      .agg(count(lit(1)).as("n_true"))
+    val sketch = Sketches.countMinSketch(cnt, "word", "n_true", depth = 4, width = 64)
+    Sketches.countMinLookup(sketch, cnt, "word", depth = 4, width = 64)
+  }
+
+  /** HyperLogLog (m=64) per-language vocabulary estimate with the exact
+    * count alongside. */
+  def sketchHll(spark: SparkSession, dir: String): DataFrame =
+    Sketches.hllEstimate(langTokens(spark, dir), "lang", "word")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_curation" -> (e2eCuration _),
+    "text_inverted_index" -> (textInvertedIndex _),
+    "text_collocations" -> (textCollocations _),
+    "text_group_outliers" -> (textGroupOutliers _),
+    "sample_hash_split" -> (sampleHashSplit _),
+    "sketch_kmv" -> (sketchKmv _),
+    "sketch_cms" -> (sketchCms _),
+    "sketch_hll" -> (sketchHll _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
     "text_token_count" -> (textTokenCount _),
@@ -1279,5 +1332,129 @@ object LlmQueries {
         |  CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS first_byte,
         |  CAST(s.bytesum % 65536 AS BIGINT) AS checksum
         |FROM documents d JOIN sums s ON d.doc_id = s.doc_id""".stripMargin,
+    "text_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+        |         unnest(string_split(text,' ')) AS word
+        |  FROM documents)
+        |SELECT word, CAST(count(*) AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM toks GROUP BY word
+        |HAVING count(*) BETWEEN 30 AND 2000""".stripMargin,
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.word AS wa, b.word AS wb, count(*) AS n_pair
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |ca AS (SELECT wa, sum(n_pair) AS n_first FROM pairs GROUP BY wa),
+        |cb AS (SELECT wb, sum(n_pair) AS n_second FROM pairs GROUP BY wb),
+        |tot AS (SELECT sum(n_pair) AS n_total FROM pairs)
+        |SELECT wa, wb, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(n_first AS BIGINT) AS n_first,
+        |  CAST(n_second AS BIGINT) AS n_second,
+        |  CAST((1000 * n_pair * n_total) // (n_first * n_second) AS BIGINT)
+        |    AS lift_x1e3
+        |FROM pairs JOIN ca USING (wa) JOIN cb USING (wb) CROSS JOIN tot
+        |WHERE n_pair >= 5
+        |ORDER BY lift_x1e3 DESC, wa ASC, wb ASC LIMIT 20""".stripMargin,
+    "text_group_outliers" ->
+      """WITH s AS (
+        |  SELECT lang, count(*) AS n, sum(n_chars) AS s1,
+        |         sum(n_chars * n_chars) AS s2
+        |  FROM documents GROUP BY lang)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.n_chars,
+        |  (s.n * d.n_chars - s.s1) * (s.n * d.n_chars - s.s1)
+        |    > 9 * (s.n * s.s2 - s.s1 * s.s1) AS is_outlier
+        |FROM documents d JOIN s ON d.lang = s.lang""".stripMargin,
+    "sample_hash_split" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN h < 900000 THEN 'train'
+        |       WHEN h < 950000 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT)
+        |          % 1000000 AS h
+        |      FROM documents)""".stripMargin,
+    "sketch_kmv" -> {
+      val estNum = 31L * Sketches.MaxHash
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(string_split(text,' ')) AS word FROM documents),
+         |hashed AS (
+         |  SELECT DISTINCT lang,
+         |    CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) AS h
+         |  FROM toks),
+         |ranked AS (
+         |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rn
+         |  FROM hashed),
+         |kept AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_seen, max(h) AS kth_hash
+         |  FROM ranked WHERE rn <= 32 GROUP BY lang),
+         |truth AS (
+         |  SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_true
+         |  FROM toks GROUP BY lang)
+         |SELECT k.lang, k.n_seen, k.kth_hash,
+         |  CAST(CASE WHEN k.n_seen < 32 THEN k.n_seen
+         |       ELSE $estNum // greatest(k.kth_hash, 1) END AS BIGINT)
+         |    AS est_distinct,
+         |  t.n_true
+         |FROM kept k JOIN truth t ON k.lang = t.lang""".stripMargin
+    },
+    "sketch_cms" -> {
+      val P = TextFunctions.P
+      val rows = (0 until 4).map(j =>
+        s"($j, ${TextFunctions.MinhashA(j)}, ${TextFunctions.MinhashB(j)})").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(string_split(text,' ')) AS word FROM documents),
+         |cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_true FROM toks GROUP BY word),
+         |hh AS (
+         |  SELECT word, n_true,
+         |    CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) % $P AS h
+         |  FROM cnt),
+         |cells AS (
+         |  SELECT word, n_true, t.j,
+         |    ((t.a * h + t.b) % $P) % 64 AS bucket
+         |  FROM hh CROSS JOIN (VALUES $rows) t(j, a, b)),
+         |sk AS (SELECT j, bucket, sum(n_true) AS c FROM cells GROUP BY j, bucket)
+         |SELECT cells.word, CAST(max(cells.n_true) AS BIGINT) AS n_true,
+         |  CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est
+         |FROM cells LEFT JOIN sk ON cells.j = sk.j AND cells.bucket = sk.bucket
+         |GROUP BY cells.word""".stripMargin
+    },
+    "sketch_hll" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text,' ')) AS word FROM documents),
+        |parts AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) % 64 AS bucket,
+        |    CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) // 64 AS rem
+        |  FROM toks),
+        |regs AS (
+        |  SELECT lang, bucket,
+        |    max(51 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS r
+        |  FROM parts GROUP BY lang, bucket),
+        |grid AS (
+        |  SELECT lang, b.bucket FROM (SELECT DISTINCT lang FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) b),
+        |filled AS (
+        |  SELECT g.lang, coalesce(regs.r, 0) AS r
+        |  FROM grid g LEFT JOIN regs ON g.lang = regs.lang AND g.bucket = regs.bucket),
+        |sums AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_registers,
+        |    CAST(sum(CAST(1 AS BIGINT) << (51 - r)) AS BIGINT) AS harmonic_sum
+        |  FROM filled GROUP BY lang),
+        |truth AS (
+        |  SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_true
+        |  FROM toks GROUP BY lang)
+        |SELECT s.lang, s.n_zero_registers, s.harmonic_sum,
+        |  CAST(floor(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |             * CAST(2251799813685248 AS DOUBLE) / s.harmonic_sum) AS BIGINT)
+        |    AS est_distinct,
+        |  t.n_true
+        |FROM sums s JOIN truth t ON s.lang = t.lang""".stripMargin,
   )
 }

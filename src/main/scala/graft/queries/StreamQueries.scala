@@ -24,6 +24,19 @@ object StreamQueries {
       .select(col("src").as("node"), col("dst").as("ancestor"))
   }
 
+  /** Level-synchronous BFS over the parent→child customer tree from the
+    * root: exact hop distances within 8 hops — the blast-radius /
+    * k-hop-neighborhood query shape. */
+  def graphBfsDistances(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.customer(spark, dir)
+      .filter(col("c_custkey") >= 2)
+      .select(expr("c_custkey div 2").as("src"), col("c_custkey").as("dst"))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") === 1)
+      .select(col("c_custkey").as("node"))
+    Fixpoint.bfsDistances(edges, seeds, maxDepth = 8)
+  }
+
   /** Bounded-depth reachability (the Cypher `*1..2` form): frontier
     * expansion, no closure materialization. */
   def fixpointReach2(spark: SparkSession, dir: String): DataFrame = {
@@ -232,6 +245,7 @@ object StreamQueries {
     "session_window_agg" -> (sessionWindowAgg _),
     "fixpoint_ancestors" -> (fixpointAncestors _),
     "fixpoint_reach2" -> (fixpointReach2 _),
+    "graph_bfs_distances" -> (graphBfsDistances _),
     "centrality_pagerank" -> (centralityPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
@@ -259,6 +273,19 @@ object StreamQueries {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM islands GROUP BY user_id, session_id""".stripMargin,
+    "graph_bfs_distances" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(c_custkey // 2 AS BIGINT) AS src,
+        |         CAST(c_custkey AS BIGINT) AS dst
+        |  FROM customer WHERE c_custkey >= 2),
+        |bfs AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM customer WHERE c_custkey = 1
+        |  UNION
+        |  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.dist < 8)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node""".stripMargin,
     "fixpoint_ancestors" ->
       """WITH RECURSIVE anc AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS node,

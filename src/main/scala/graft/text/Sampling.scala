@@ -80,6 +80,31 @@ object Sampling {
       .drop("_u", "_w", "_prio")
   }
 
+  /** Deterministic train/validation/test split: the key's hash draw
+    * u = hash(key) mod 1e6 is cut against cumulative ppm widths, so every
+    * row lands in exactly one named split, assignment is a pure function
+    * of the key (stable under reshuffles, re-runs, corpus growth — a doc
+    * never migrates between splits unless its key changes, the property
+    * that keeps eval sets uncontaminated across corpus versions), and
+    * expected proportions match the widths. Zero shuffles — one codegen'd
+    * CASE per row. Widths must sum to exactly 1e6 (every row must have a
+    * home). */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "hashSplit needs at least one split with positive ppm width")
+    require(splits.map(_._2).sum == 1000000L,
+      s"split widths must sum to 1000000 ppm, got ${splits.map(_._2).sum}")
+    val u = md5_prefix64(col(keyCol).cast("string")) % 1000000L
+    val cuts = splits.scanLeft(0L)(_ + _._2).tail.zip(splits.map(_._1))
+    // the last threshold is exactly 1e6, so the fold's base case is
+    // unreachable; name it after the last split to keep the CASE total
+    val assigned = cuts.init.foldRight(lit(cuts.last._2): org.apache.spark.sql.Column) {
+      case ((cut, name), acc) => when(u < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Keep at most `cap` rows per group, chosen by hash order of the row
     * key — the per-source/per-domain downsampling cap every web-corpus
     * mix applies (no single crawl domain may dominate the mix). Hash

@@ -1,0 +1,175 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.md5_prefix64
+
+/** Mergeable approximate-aggregation sketches — the cardinality and
+  * frequency summaries a 100 TB pipeline computes instead of exact
+  * distincts (an exact `COUNT(DISTINCT token)` over a web corpus is one
+  * giant shuffle; a sketch is a few KB per partition merged by
+  * sum/max/min). Three classics, each built from the same 56-bit md5
+  * content hash ([[graft.functions.Md5Prefix64]], codegen'd) so every
+  * number is a pure function of the data — deterministic across engines,
+  * partitionings, and retries, which is what lets DuckDB replicate them
+  * bit-for-bit as oracles:
+  *
+  *   - KMV (k minimum values): keep the k smallest distinct hash values;
+  *     the k-th smallest estimates the cardinality (Bar-Yossef et al.
+  *     2002). Mergeable by "union then re-take k smallest".
+  *   - Count-Min: a depth×width counter grid; point frequency estimate =
+  *     min over rows (Cormode & Muthukrishnan 2005). Mergeable by
+  *     element-wise sum — the canonical distributed-combine shape.
+  *   - HyperLogLog: per-bucket max leading-zero rank, harmonic-mean
+  *     estimate (Flajolet et al. 2007). Mergeable by element-wise max.
+  *
+  * All arithmetic is integer except the final HLL estimate, which is a
+  * fixed chain of correctly-rounded IEEE ops (see the repo determinism
+  * rules — mul/div/floor on doubles are bit-identical everywhere).
+  */
+object Sketches {
+
+  /** Hash width of [[md5_prefix64]]: values are uniform on [0, 2^56). */
+  val HashBits: Int = 56
+  val MaxHash: Long = 1L << HashBits
+
+  /** KMV distinct-count sketch per group: the `k` smallest DISTINCT
+    * hashes of `valueCol`; when a group has at least `k` distinct values
+    * the k-th smallest hash `h_k` estimates the cardinality as
+    * `(k-1) * 2^56 div h_k` (the k-1 estimator is unbiased); below k the
+    * sketch holds every hash and the count is exact.
+    *
+    * Output: (group, n_seen, kth_hash, est_distinct, n_true) — n_true is
+    * the exact distinct count, joined in so the gate doubles as an
+    * accuracy report.
+    *
+    * Scale shape: one distinct on (group, hash), then a per-group
+    * row_number window that only RANKS — at 100 TB pre-prune with a
+    * per-partition k-smallest pass (filter h < per-group threshold from a
+    * previous epoch, or a bounded-heap partial aggregate) so the window
+    * sees ~k·partitions rows, not the full vocabulary. The exact-truth
+    * join is for the gate only; production emits the sketch alone. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2 && k <= 128,
+      "KMV needs 2 <= k <= 128 ((k-1) * 2^56 must stay below 2^63)")
+    val estNumerator = (k - 1).toLong * MaxHash
+    val hashed = df.select(col(groupCol).as("g"),
+        md5_prefix64(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("h").asc)
+    val kept = hashed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth_hash"))
+    val truth = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .distinct().groupBy(col("g")).agg(count(lit(1)).as("n_true"))
+    kept.join(truth, Seq("g"))
+      .select(col("g").as(groupCol), col("n_seen"), col("kth_hash"),
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"$estNumerator div greatest(kth_hash, 1)"))
+          .as("est_distinct"),
+        col("n_true"))
+  }
+
+  /** Count-Min sketch from keyed counts: `depth` hash rows (the MinHash
+    * permutation family of [[TextFunctions]]) × `width` buckets, each
+    * cell the sum of counts hashing into it. The sketch is depth·width
+    * rows regardless of key cardinality — broadcastable, and mergeable
+    * across partitions/epochs by cell-wise sum. */
+  def countMinSketch(counts: DataFrame, keyCol: String, cntCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= TextFunctions.MinhashA.size,
+      s"depth must be in [1, ${TextFunctions.MinhashA.size}]")
+    require(width >= 2, "width must be >= 2")
+    counts.select(explode(array(bucketCols(col(keyCol), depth, width): _*)).as("r"),
+        col(cntCol).as("_c"))
+      .groupBy(col("r.j").as("j"), col("r.bucket").as("bucket"))
+      .agg(sum(col("_c")).as("c"))
+  }
+
+  /** Point-frequency estimates for `keys` against a [[countMinSketch]]:
+    * est = min over the depth rows of the cell the key hashes into —
+    * an overestimate by construction (collisions only add; a key absent
+    * from the data reads an empty or colliding cell). The sketch side is
+    * depth·width rows, so the join broadcasts. Reserves column names
+    * j/bucket/c for the sketch join. */
+  def countMinLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    require(Seq("j", "bucket", "c").forall(!keys.columns.contains(_)),
+      "countMinLookup reserves the j/bucket/c column names; rename the inputs")
+    keys.withColumn("r", explode(array(bucketCols(col(keyCol), depth, width): _*)))
+      .withColumn("j", col("r.j")).withColumn("bucket", col("r.bucket")).drop("r")
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(keys.columns.map(col).toSeq: _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** (j, bucket) pairs for one key under the depth affine hash rows:
+    * bucket_j = ((a_j * (h mod P) + b_j) mod P) mod width. */
+  private def bucketCols(key: org.apache.spark.sql.Column, depth: Int,
+                         width: Int): Seq[org.apache.spark.sql.Column] = {
+    val P = TextFunctions.P
+    val h = md5_prefix64(key.cast("string")) % P
+    (0 until depth).map { j =>
+      struct(lit(j.toLong).as("j"),
+        (((lit(TextFunctions.MinhashA(j)) * h + lit(TextFunctions.MinhashB(j))) % P)
+          % width).as("bucket"))
+    }
+  }
+
+  /** HLL bucket count (2^6): small enough that the register table for
+    * every group is trivially broadcastable, large enough for ~13% raw
+    * standard error — the gate checks determinism and mechanics, not
+    * tuned accuracy (production raises p). */
+  val HllBuckets: Int = 64
+  private val HllBucketBits = 6
+  /** Rank ceiling: rho ranges 1..51 over the 50 suffix bits; empty
+    * buckets contribute rank 0 = harmonic term 2^51. */
+  private val HllR = HashBits - HllBucketBits + 1 // 51
+
+  /** HyperLogLog distinct estimate per group: bucket = h mod 64, rank =
+    * leading zeros of the remaining 50 hash bits + 1, register = max
+    * rank per bucket, raw estimate = α·m²·2^51 / Σ 2^(51 − register)
+    * (the harmonic sum is computed in exact integer arithmetic; only the
+    * final constant multiply + divide are doubles, both correctly
+    * rounded). No small/large-range correction — this is the raw
+    * Flajolet estimator; the gate reports the exact count alongside.
+    *
+    * Output: (group, n_zero_registers, harmonic_sum, est_distinct,
+    * n_true).
+    *
+    * Scale shape: ONE aggregation on (group, bucket) with map-side
+    * combine (max is algebraic), then a 64-row-per-group fill + reduce —
+    * there is no distinct anywhere: duplicate values land in the same
+    * bucket with the same rank and max() absorbs them. This is the
+    * estimator to reach for when even the KMV distinct is too heavy. */
+  def hllEstimate(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val m = HllBuckets
+    val h = md5_prefix64(col(valueCol).cast("string"))
+    val parts = df.select(col(groupCol).as("g"),
+      (h % m).as("bucket"), shiftright(h, HllBucketBits).as("rem"))
+    // bit length via conv-to-binary string length (rem = 0 has none);
+    // rank = 51 - bitlen(rem), so rem with all 50 bits set gives rank 1
+    val bitlen = when(col("rem") === 0L, lit(0))
+      .otherwise(length(conv(col("rem"), 10, 2)))
+    val regs = parts.withColumn("rho", lit(HllR) - bitlen)
+      .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("r"))
+    val grid = df.select(col(groupCol).as("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit(m - 1L))).as("bucket"))
+    val filled = grid.join(regs, Seq("g", "bucket"), "left")
+      .select(col("g"), coalesce(col("r"), lit(0)).as("r"))
+    val sums = filled.groupBy(col("g")).agg(
+      sum(when(col("r") === 0, 1L).otherwise(0L)).as("n_zero_registers"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllR - r AS INT))")).as("harmonic_sum"))
+    val truth = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .distinct().groupBy(col("g")).agg(count(lit(1)).as("n_true"))
+    sums.join(truth, Seq("g"))
+      .select(col("g").as(groupCol), col("n_zero_registers"), col("harmonic_sum"),
+        floor(lit(0.709) * lit(m.toDouble * m) * lit(math.pow(2.0, HllR)) /
+          col("harmonic_sum")).cast("long").as("est_distinct"),
+        col("n_true"))
+  }
+}

@@ -473,6 +473,100 @@ object TextFunctions {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Inverted index over a corpus: term → document frequency + the
+    * sorted posting list of citing doc ids (comma-joined — a string
+    * column hashes identically everywhere; switch to the array form when
+    * feeding a search layer). Terms outside [minDf, maxDf] are dropped:
+    * hapax noise below, stop-terms above — the same hot-set reasoning as
+    * [[lineDedup]], and what keeps any single posting list bounded.
+    *
+    * Scale shape: one distinct on (term, doc), one (term) aggregation
+    * with map-side combine; the in-row sort is per-term. Posting lists
+    * for terms near maxDf dominate — pick maxDf from the tolerable list
+    * size, or shard wide terms by `doc_id mod s` into (term, shard)
+    * rows. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long, maxDf: Long): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+      .distinct()
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            d => d.cast("string"))).as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+
+  /** Collocation mining: adjacent word pairs ranked by a log-free PMI
+    * surrogate, lift = P(a,b) / (P(a)·P(b)) over the bigram table —
+    * reported as the exact integer floor(1000 · c_ab · T / (c_a· · c_·b))
+    * where c_a· / c_·b are the pair counts with that word first / second
+    * and T the total bigram count (same monotone-surrogate reasoning as
+    * [[tfidfTopK]]: ln() is not bit-reproducible across engines, integer
+    * products are). `minCount` floors the pair support (PMI is noisy on
+    * rare pairs); top-`k` under a (lift desc, wa, wb) total order.
+    *
+    * Bound: 1000·c_ab·T < 2^63 holds through T ≈ 3e9 bigrams; past that
+    * drop the 1000 scale or move the ratio to decimal(38,0).
+    *
+    * Scale shape: one (wa, wb) count with map-side combine, two derived
+    * margin aggregations, a 1-row broadcast total, TakeOrderedAndProject
+    * for the cut — no self-join, nothing quadratic. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = docs.select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2), i =>
+            struct(element_at(toks, i + 1).as("wa"),
+              element_at(toks, i + 2).as("wb"))))
+          .otherwise(array().cast("array<struct<wa:string,wb:string>>"))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_pair"))
+    val ca = pairs.groupBy(col("wa")).agg(sum(col("n_pair")).as("n_first"))
+    val cb = pairs.groupBy(col("wb")).agg(sum(col("n_pair")).as("n_second"))
+    val total = pairs.agg(sum(col("n_pair")).as("n_total"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(ca, Seq("wa")).join(cb, Seq("wb"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_x1e3",
+        expr("(1000 * n_pair * n_total) div (n_first * n_second)"))
+      .select(col("wa"), col("wb"), col("n_pair"), col("n_first"),
+        col("n_second"), col("lift_x1e3"))
+      .orderBy(col("lift_x1e3").desc, col("wa").asc, col("wb").asc)
+      .limit(k)
+  }
+
+  /** Per-group z-score outlier flags without a single inexact operation:
+    * |x − μ| > z·σ  ⟺  (n·x − S₁)² > z²·(n·S₂ − S₁²), with S₁ = Σx,
+    * S₂ = Σx² — the whole test cross-multiplied into integer arithmetic
+    * (decimal(38,0), exact in Spark and as HUGEINT in the oracle), so
+    * the flag can never drift on summation order the way a float
+    * stddev_pop would. The curation use: flag documents whose length is
+    * pathological for their language before the percentile cutoffs are
+    * fitted.
+    *
+    * Scale shape: one (group) moment aggregation (map-side combine),
+    * broadcast back over the corpus scan — two passes over the column,
+    * no window, no sort. */
+  def groupOutliers(df: DataFrame, idCol: String, groupCol: String,
+                    valueCol: String, z: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast(dec)
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(dec).as("_n"),
+      sum(v).as("_s1"),
+      sum(v * v).as("_s2"))
+    df.select(col(idCol).cast("long").as(idCol), col(groupCol), col(valueCol))
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("is_outlier", {
+        val dev = col("_n") * col(valueCol).cast(dec) - col("_s1")
+        dev * dev > lit(z.toLong * z).cast(dec) *
+          (col("_n") * col("_s2") - col("_s1") * col("_s1"))
+      })
+      .select(col(idCol), col(groupCol), col(valueCol), col("is_outlier"))
+  }
+
   /** Exact per-group INTERPOLATED percentiles (`percentile_cont`
     * semantics): with the group sorted 1..n, the p-quantile sits at
     * h = p·(n−1) + 1; the result linearly interpolates between the values
