@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures `sbt "runMain graft.Bench"` stdout and parses
+// the LAST line as the bench JSON. sbt's "[success] Total time" footer
+// lands after Bench's println and breaks that parse (BENCH_r01..r03 all
+// have parsed:null). Suppress the footer so the JSON line is final.
+Global / showSuccess := false
+// Forked run output goes through sbt's logger by default, prefixing every
+// line with "[info] " — which also breaks a last-line JSON parse. Write the
+// forked process's stdout straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
