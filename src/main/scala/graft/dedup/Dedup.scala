@@ -46,9 +46,11 @@ object Dedup {
     * scale path when block-local O(b²) is unacceptable — this operator
     * is the exact-Jaccard baseline. */
   def blockedJaccard(shingled: DataFrame, minJaccX1e6: Long): DataFrame = {
-    val a = shingled.select(col("block"), col("doc_id").as("doc_a"),
+    // both sides of the self-join re-run the shingle prep otherwise
+    val mat = shingled.localCheckpoint(false)
+    val a = mat.select(col("block"), col("doc_id").as("doc_a"),
       col("shingles").as("sh_a"))
-    val b = shingled.select(col("block"), col("doc_id").as("doc_b"),
+    val b = mat.select(col("block"), col("doc_id").as("doc_b"),
       col("shingles").as("sh_b"))
     a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -119,7 +121,12 @@ object Dedup {
     * size precomputed. One shuffle on (band, h1, h2); the full pair space
     * is never built. */
   private def lshCandidatePairs(shingled: DataFrame): DataFrame = {
-    val sigs = shingled.select(
+    // the shingle prep (tokenize + hash + shingle) is consumed by the band
+    // self-join AND both verification joins — materialize it once; the
+    // shingled table is corpus-sized rows but only (id, block, shingles)
+    // wide, far cheaper to store than to recompute per consumer
+    val mat = shingled.localCheckpoint(false)
+    val sigs = mat.select(
       (col("doc_id") +: col("shingles") +:
         TextFunctions.minhashCols(col("shingles"))): _*)
     val bands = sigs.select(col("doc_id"),
@@ -134,7 +141,7 @@ object Dedup {
           col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a" :: "doc_b" :: Nil)
-    val sh = shingled.select(col("doc_id"), col("shingles"))
+    val sh = mat.select(col("doc_id"), col("shingles"))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))

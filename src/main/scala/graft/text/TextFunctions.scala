@@ -515,6 +515,9 @@ object TextFunctions {
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    minCount: Long, k: Int): DataFrame = {
     val toks = tokens(col(textCol))
+    // pairs feeds FOUR consumers (both margins, the total, the final
+    // join) — materialize the corpus-wide bigram aggregation once instead
+    // of re-running the explode+shuffle per consumer
     val pairs = docs.select(explode(
         when(size(toks) >= 2,
           transform(sequence(lit(0), size(toks) - 2), i =>
@@ -523,6 +526,7 @@ object TextFunctions {
           .otherwise(array().cast("array<struct<wa:string,wb:string>>"))).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(false)
     val ca = pairs.groupBy(col("wa")).agg(sum(col("n_pair")).as("n_first"))
     val cb = pairs.groupBy(col("wb")).agg(sum(col("n_pair")).as("n_second"))
     val total = pairs.agg(sum(col("n_pair")).as("n_total"))
