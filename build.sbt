@@ -20,7 +20,7 @@ Global / showSuccess := false
 // line with "[info] " — which also breaks a last-line JSON parse. Write the
 // forked process's stdout straight through instead.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Global / excludeLintKeys += run / outputStrategy
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

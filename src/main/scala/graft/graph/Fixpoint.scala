@@ -147,6 +147,54 @@ object Fixpoint {
     labels
   }
 
+  /** Single-source (or multi-seed) shortest paths over positively
+    * weighted edges (src, dst, w) — Bellman-Ford rounds as DataFrame
+    * joins: each round relaxes every edge whose source is labeled and
+    * keeps the min distance per node. Rounds needed = the hop count of
+    * the longest shortest path, so this is the right tool for shallow
+    * weighted graphs (dependency DAGs, containment hierarchies with
+    * costs); convergence is detected by the (node count, distance sum)
+    * pair — the count only grows and, once a node is labeled, its
+    * distance only decreases, so the pair is stable iff a round changed
+    * nothing. Per round: one equi-join + one min aggregation, O(E) work,
+    * lineage truncated by a lazy localCheckpoint exactly like the other
+    * fixpoints here. Weights must be non-negative (Bellman-Ford with a
+    * round budget would silently miss longer negative-cost paths).
+    * Throws on non-convergence after a confirmation round. */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(false)
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).as("_n"),
+        sum(col("dist").cast("decimal(38,0)")).as("_s")).head
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    def relax(dist: DataFrame): DataFrame = dist.unionByName(
+        e.join(dist.select(col("node").as("src"), col("dist").as("_sd")), Seq("src"))
+          .select(col("dst").as("node"), (col("_sd") + col("w")).as("dist")))
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    var prev = sig(dist)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = relax(dist).localCheckpoint(false)
+      val s = sig(next)
+      converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
+      dist = next
+      prev = s
+      round += 1
+    }
+    if (!converged) {
+      val s = sig(relax(dist))
+      if (s._1 != prev._1 || s._2.compareTo(prev._2) != 0)
+        throw new IllegalStateException(
+          s"sssp did not converge in $maxRounds rounds; raise maxRounds " +
+            "(distances would be silently non-minimal otherwise)")
+    }
+    dist
+  }
+
   /** Hop-distance labeling from a seed set: level-synchronous BFS
     * (the Pregel shape) — each round expands the current frontier one
     * hop, anti-joins away everything already labeled, and stamps the

@@ -45,6 +45,33 @@ object LlmQueries {
   def textTfidf(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.tfidfTopK(Tables.documents(spark, dir), "doc_id", "text", k = 3)
 
+  /** Cross-doc repeated 4-token spans (exact-substring dedup signal). */
+  def textRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.repeatedSpans(Tables.documents(spark, dir), "doc_id", "text",
+      w = 4, minDocs = 2L)
+
+  /** End-to-end mixture build: quality floor → per-source cap →
+    * temperature-flattened language mix → train/valid/test hash split →
+    * per-(split, lang) composition report. Each sampling stage hashes a
+    * STAGE-SALTED key ("mix:"/"split:" prefixes): reusing one raw-key
+    * hash across stages would correlate the draws (every doc surviving a
+    * low-rate stage would pile into the first split bucket). */
+  def e2eMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 20)
+    val capped = Sampling.capPerGroup(docs, "doc_id", col("source"), cap = 15)
+    val mixed = Sampling.temperatureResample(
+      capped.withColumn("_k_mix", concat(lit("mix:"), col("doc_id").cast("string"))),
+      "_k_mix", col("lang"))
+    val assigned = Sampling.hashSplit(
+      mixed.withColumn("_k_split", concat(lit("split:"), col("doc_id").cast("string"))),
+      "_k_split",
+      Seq(("train", 980000L), ("valid", 10000L), ("test", 10000L)))
+    assigned.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+  }
+
   /** Corpus-composition report: the mixing-weights view a pretraining data
     * pipeline reports per (lang, source) slice. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
@@ -440,6 +467,8 @@ object LlmQueries {
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
+    "text_repeated_spans" -> (textRepeatedSpans _),
+    "e2e_mixture" -> (e2eMixture _),
     "text_tfidf" -> (textTfidf _),
     "corpus_stats" -> (corpusStats _),
     "sample_stratified" -> (sampleStratified _),
@@ -628,6 +657,63 @@ object LlmQueries {
          |LEFT JOIN bigm bm ON d.doc_id = bm.doc_id
          |LEFT JOIN trim2 tm ON d.doc_id = tm.doc_id""".stripMargin
     },
+    "text_repeated_spans" -> {
+      val P = TextFunctions.P
+      val mA = TextFunctions.Mix
+      val mB = TextFunctions.MixB
+      def g4(m: Long) =
+        s"(((((((a.wid % $P) * $m + (b.wid % $P)) % $P) * $m + (c.wid % $P)) % $P) * $m + (d.wid % $P)) % $P)"
+      s"""WITH $TextCtes,
+         |g4 AS (
+         |  SELECT a.doc_id, ${g4(mA)} * $P + ${g4(mB)} AS gid
+         |  FROM seq a
+         |  JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN seq c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |  JOIN seq d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3),
+         |census AS (SELECT gid, count(DISTINCT doc_id) AS nd FROM g4 GROUP BY gid),
+         |perdoc AS (
+         |  SELECT g4.doc_id, count(*) AS n_windows,
+         |         sum(CASE WHEN cs.nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |  FROM g4 JOIN census cs USING (gid) GROUP BY g4.doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared_windows,
+         |  CAST(floor(1000000.0 * coalesce(p.n_shared, 0)
+         |       / greatest(coalesce(p.n_windows, 0), 1)) AS BIGINT) AS shared_frac_x1e6
+         |FROM documents d
+         |LEFT JOIN perdoc p ON CAST(d.doc_id AS BIGINT) = p.doc_id""".stripMargin
+    },
+    "e2e_mixture" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, source, len(string_split(text,' ')) AS n_toks
+        |  FROM documents WHERE len(string_split(text,' ')) >= 20),
+        |capped AS (
+        |  SELECT doc_id, lang, n_toks FROM (
+        |    SELECT doc_id, lang, n_toks,
+        |      row_number() OVER (PARTITION BY source ORDER BY
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT) ASC,
+        |        doc_id ASC) AS rk
+        |    FROM q) WHERE rk <= 15),
+        |counts AS (SELECT lang, count(*) AS n FROM capped GROUP BY lang),
+        |mn AS (SELECT min(n) AS minn FROM counts),
+        |rates AS (
+        |  SELECT lang, CAST(floor(1000000.0 * sqrt(CAST(minn AS DOUBLE)) /
+        |    sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rate FROM counts, mn),
+        |mixed AS (
+        |  SELECT c.doc_id, c.lang, c.n_toks
+        |  FROM capped c JOIN rates r ON c.lang = r.lang
+        |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(c.doc_id AS VARCHAR)),1,14)) AS BIGINT)
+        |        % 1000000 < r.rate),
+        |sp AS (
+        |  SELECT lang, n_toks,
+        |    CASE WHEN u < 980000 THEN 'train'
+        |         WHEN u < 990000 THEN 'valid' ELSE 'test' END AS split
+        |  FROM (SELECT lang, n_toks,
+        |    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,14)) AS BIGINT)
+        |      % 1000000 AS u FROM mixed))
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY split, lang""".stripMargin,
     "text_tfidf" ->
       s"""WITH $TextCtes,
          |tf AS (SELECT doc_id, wid, count(*) AS tf FROM seq GROUP BY doc_id, wid),

@@ -241,10 +241,31 @@ object StreamQueries {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Weighted single-source shortest paths over the customer tree plus
+    * grandparent "shortcut" edges (so min-over-paths is actually
+    * exercised: most nodes have a 1-hop-cheaper and a 2-hop-cheaper way
+    * in, and the cheaper one depends on the weights). Deterministic
+    * integer weights derived from the key. */
+  def graphSssp(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val e1 = cust.filter(col("c_custkey") >= 2).select(
+      expr("CAST(c_custkey div 2 AS BIGINT)").as("src"),
+      col("c_custkey").cast("long").as("dst"),
+      (col("c_custkey") % 7 + 1).cast("long").as("w"))
+    val e2 = cust.filter(col("c_custkey") >= 4).select(
+      expr("CAST(c_custkey div 4 AS BIGINT)").as("src"),
+      col("c_custkey").cast("long").as("dst"),
+      (col("c_custkey") % 11 + 3).cast("long").as("w"))
+    val seeds = cust.filter(col("c_custkey") === 1)
+      .select(col("c_custkey").cast("long").as("node"))
+    Fixpoint.sssp(e1.unionByName(e2), seeds, maxRounds = 40)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_window_agg" -> (sessionWindowAgg _),
     "fixpoint_ancestors" -> (fixpointAncestors _),
     "fixpoint_reach2" -> (fixpointReach2 _),
+    "graph_sssp" -> (graphSssp _),
     "graph_bfs_distances" -> (graphBfsDistances _),
     "centrality_pagerank" -> (centralityPagerank _),
     "graph_triangles" -> (graphTriangles _),
@@ -286,6 +307,23 @@ object StreamQueries {
         |  WHERE bfs.dist < 8)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM bfs GROUP BY node""".stripMargin,
+    "graph_sssp" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(c_custkey // 2 AS BIGINT) AS src,
+        |         CAST(c_custkey AS BIGINT) AS dst,
+        |         CAST(c_custkey % 7 + 1 AS BIGINT) AS w
+        |  FROM customer WHERE c_custkey >= 2
+        |  UNION ALL
+        |  SELECT CAST(c_custkey // 4 AS BIGINT), CAST(c_custkey AS BIGINT),
+        |         CAST(c_custkey % 11 + 3 AS BIGINT)
+        |  FROM customer WHERE c_custkey >= 4),
+        |sp AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM customer WHERE c_custkey = 1
+        |  UNION
+        |  SELECT e.dst, sp.dist + e.w FROM sp JOIN e ON e.src = sp.node)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM sp GROUP BY node""".stripMargin,
     "fixpoint_ancestors" ->
       """WITH RECURSIVE anc AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS node,

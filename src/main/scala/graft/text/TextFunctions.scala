@@ -127,6 +127,48 @@ object TextFunctions {
           .cast("long").as("dup_trigram_frac_x1e6"))
   }
 
+  /** Cross-document repeated-span census — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every `w`-token window is hashed to a
+    * [[gramIds]] two-chain id, a corpus-wide census finds windows
+    * occurring in at least `minDocs` DISTINCT documents, and each doc
+    * reports how many of its windows are such shared spans. High
+    * fractions flag licensing/boilerplate text duplicated across pages
+    * that document-level near-dup metrics dilute away (within-doc
+    * repetition intentionally does not count — [[repetitionMetrics]]
+    * covers that axis).
+    *
+    * Scale shape: one explode shuffle on the window id (near-uniform
+    * key) for the census; the census is filtered to the shared tail
+    * BEFORE joining back (repeated spans are a small fraction of all
+    * windows — usually broadcastable), then one per-doc aggregation.
+    * The window table is re-derived from the checkpointed wid table for
+    * the join-back rather than cached: it is corpus-sized, and a narrow
+    * re-explode is cheaper than storing it. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int, minDocs: Long): DataFrame = {
+    require(w >= 2, "a repeated-span window needs at least 2 tokens")
+    val wids = widArrays(docs, idCol, textCol).localCheckpoint(false)
+    def spans = wids.select(col("doc_id"),
+      explode(gramIds(col("wids"), w)).as("gid"))
+    val shared = spans.groupBy(col("gid"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("gid"), lit(1L).as("_shared"))
+    val perDoc = spans.join(shared, Seq("gid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_shared"), lit(0L))).as("n_shared_windows"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"),
+        floor(lit(1000000.0) * coalesce(col("n_shared_windows"), lit(0L)) /
+          greatest(coalesce(col("n_windows"), lit(0L)), lit(1L)))
+          .cast("long").as("shared_frac_x1e6"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * preprocessing primitive (pretraining sequence packing prep, RAG
     * passage splitting): each doc becomes ceil(n/stride) chunks of up to

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Fixpoint
+import graft.text.TextFunctions
+
+/** Round-7 operators: cross-doc repeated-span census, weighted SSSP. */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---- repeatedSpans ----
+
+  test("repeatedSpans: cross-doc spans count, within-doc repeats do not") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "the quick brown fox" with doc 2
+      (2L, "the quick brown fox sleeps"),
+      (3L, "aa bb cc dd aa bb cc dd"),     // repeated WITHIN one doc only
+      (4L, "too short")                    // < 4 tokens: zero windows
+    ).toDF("doc_id", "text")
+    val out = Fixtures.collectMap(
+      TextFunctions.repeatedSpans(docs, "doc_id", "text", w = 4, minDocs = 2L))
+    assert(out(1L) == (2L, 1L, 500000L))  // 2 windows, 1 shared
+    assert(out(2L) == (2L, 1L, 500000L))
+    assert(out(3L) == (5L, 0L, 0L))       // dup windows, but single-doc
+    assert(out(4L) == (0L, 0L, 0L))
+  }
+
+  test("repeatedSpans: minDocs raises the sharing bar") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"),
+      (4L, "e f g h"), (5L, "e f g h")
+    ).toDF("doc_id", "text")
+    val out = Fixtures.collectMap(
+      TextFunctions.repeatedSpans(docs, "doc_id", "text", w = 4, minDocs = 3L))
+    assert(out(1L)._2 == 1L)  // abcd in 3 docs: shared
+    assert(out(4L)._2 == 0L)  // efgh in only 2 docs: below the bar
+  }
+
+  object Fixtures {
+    def collectMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  // ---- sssp ----
+
+  test("sssp takes the cheaper multi-hop path over the direct edge") {
+    val edges = Seq(
+      (1L, 2L, 10L),  // direct but expensive
+      (1L, 3L, 1L), (3L, 2L, 2L),  // cheaper via 3
+      (2L, 4L, 1L)
+    ).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val out = Fixpoint.sssp(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("sssp: unreachable nodes are absent, multi-seed takes the min") {
+    val edges = Seq(
+      (1L, 2L, 5L), (6L, 2L, 1L),
+      (9L, 10L, 1L)  // island not reachable from any seed
+    ).toDF("src", "dst", "w")
+    val seeds = Seq(1L, 6L).toDF("node")
+    val out = Fixpoint.sssp(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 6L -> 0L, 2L -> 1L))
+  }
+
+  test("sssp converging exactly on the round budget does not throw") {
+    // chain 1 -> 2 -> 3: needs exactly 2 relaxation rounds; the third
+    // (confirmation) round must not be required to fit the budget
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val out = Fixpoint.sssp(edges, seeds, maxRounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("sssp throws when the budget truncates genuinely unconverged paths") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    intercept[IllegalStateException] {
+      Fixpoint.sssp(edges, seeds, maxRounds = 1)
+    }
+  }
+}
