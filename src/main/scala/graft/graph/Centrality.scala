@@ -96,9 +96,10 @@ object Centrality {
       .join(e.as("e3"),
         col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    val corners = tris.select(col("x").as("node"))
-      .unionByName(tris.select(col("y").as("node")))
-      .unionByName(tris.select(col("z").as("node")))
+    // one scan of the triangle set: explode the three corners in-row
+    // instead of unioning three copies of the wedge-join plan
+    val corners = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n"))
     val nodes = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))

@@ -163,35 +163,41 @@ object Fixpoint {
     * Throws on non-convergence after a confirmation round. */
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 30): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(false)
-    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)).as("_n"),
-        sum(col("dist").cast("decimal(38,0)")).as("_s")).head
-      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
-    }
-    def relax(dist: DataFrame): DataFrame = dist.unionByName(
-        e.join(dist.select(col("node").as("src"), col("dist").as("_sd")), Seq("src"))
-          .select(col("dst").as("node"), (col("_sd") + col("w")).as("dist")))
-      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
     var dist = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(false)
-    var prev = sig(dist)
-    var converged = false
+    var frontier = dist
+    // frontier-based relaxation (the SPFA/delta-stepping shape): only
+    // edges leaving nodes IMPROVED last round are re-examined, so total
+    // work is proportional to the relaxations that actually happen, not
+    // rounds × O(E + V) — the difference between a settled 100 TB graph
+    // coasting through late rounds and re-shuffling every edge each round.
+    def improvements(front: DataFrame): DataFrame =
+      e.join(front.select(col("node").as("src"), col("dist").as("_sd")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("_sd") + col("w")).as("_cand"))
+        .join(dist.withColumnRenamed("dist", "_old"), Seq("node"), "left")
+        .filter(col("_old").isNull || col("_cand") < col("_old"))
+        .select(col("node"), col("_cand").as("dist"))
     var round = 0
-    while (!converged && round < maxRounds) {
-      val next = relax(dist).localCheckpoint(false)
-      val s = sig(next)
-      converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
-      dist = next
-      prev = s
+    var settled = false
+    while (!settled && round < maxRounds) {
+      val improved = improvements(frontier).localCheckpoint(false)
+      if (improved.isEmpty) settled = true
+      else {
+        dist = dist
+          .join(improved.withColumnRenamed("dist", "_new"), Seq("node"), "full")
+          .select(col("node"), coalesce(col("_new"), col("dist")).as("dist"))
+          .localCheckpoint(false)
+        frontier = improved
+      }
       round += 1
     }
-    if (!converged) {
-      val s = sig(relax(dist))
-      if (s._1 != prev._1 || s._2.compareTo(prev._2) != 0)
-        throw new IllegalStateException(
-          s"sssp did not converge in $maxRounds rounds; raise maxRounds " +
-            "(distances would be silently non-minimal otherwise)")
-    }
+    // budget exhausted with a live frontier: one confirmation pass
+    // distinguishes "last round landed exactly on the fixpoint" (its
+    // improvements are empty) from genuinely truncated paths
+    if (!settled && !improvements(frontier).isEmpty)
+      throw new IllegalStateException(
+        s"sssp did not converge in $maxRounds rounds; raise maxRounds " +
+          "(distances would be silently non-minimal otherwise)")
     dist
   }
 

@@ -140,7 +140,9 @@ object FunctionQueries {
   def graphDegreeStats(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.graph.Centrality.coOccurrenceEdges(
       Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
-    e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
+    // explode both endpoints in-row: one scan of the edge build instead
+    // of a union that evaluates the co-occurrence plan twice
+    e.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
   }
