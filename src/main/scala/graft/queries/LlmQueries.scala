@@ -50,6 +50,12 @@ object LlmQueries {
     TextFunctions.repeatedSpans(Tables.documents(spark, dir), "doc_id", "text",
       w = 4, minDocs = 2L)
 
+  /** BPE subword vocabulary: 6 merge rounds over the corpus, final
+    * weighted symbol census. */
+  def textBpeCensus(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.bpeTrain(Tables.documents(spark, dir), "doc_id", "text",
+      merges = 6)
+
   /** End-to-end mixture build: quality floor → per-source cap →
     * temperature-flattened language mix → train/valid/test hash split →
     * per-(split, lang) composition report. Each sampling stage hashes a
@@ -468,6 +474,7 @@ object LlmQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_repeated_spans" -> (textRepeatedSpans _),
+    "text_bpe_census" -> (textBpeCensus _),
     "e2e_mixture" -> (e2eMixture _),
     "text_tfidf" -> (textTfidf _),
     "corpus_stats" -> (corpusStats _),
@@ -682,6 +689,43 @@ object LlmQueries {
          |       / greatest(coalesce(p.n_windows, 0), 1)) AS BIGINT) AS shared_frac_x1e6
          |FROM documents d
          |LEFT JOIN perdoc p ON CAST(d.doc_id AS BIGINT) = p.doc_id""".stripMargin
+    },
+    "text_bpe_census" -> {
+      // 6 unrolled merge rounds, each: position table -> weighted pair
+      // census -> 1-row top pair -> bounded replace-to-fixpoint (8
+      // passes), mirroring TextFunctions.bpeTrain exactly
+      val merges = 6
+      val passes = 8
+      def nestReplace(r: Int): String = {
+        val pat = s"(SELECT ' ' || a || ' ' || b || ' ' FROM t$r)"
+        val rep = s"(SELECT ' ' || a || b || ' ' FROM t$r)"
+        (1 to passes).foldLeft("' ' || seq || ' '")((s, _) =>
+          s"replace($s, $pat, $rep)")
+      }
+      def roundSql(r: Int): String =
+        s"""pr$r AS MATERIALIZED (
+           |  SELECT word, freq, unnest(string_split(seq, ' ')) AS sym,
+           |         generate_subscripts(string_split(seq, ' '), 1) AS pos
+           |  FROM v${r - 1}),
+           |c$r AS MATERIALIZED (
+           |  SELECT x.sym AS a, y.sym AS b, sum(x.freq) AS n
+           |  FROM pr$r x JOIN pr$r y ON x.word = y.word AND y.pos = x.pos + 1
+           |  GROUP BY x.sym, y.sym),
+           |t$r AS MATERIALIZED (SELECT a, b FROM c$r ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+           |v$r AS MATERIALIZED (
+           |  SELECT word, freq, coalesce(trim(${nestReplace(r)}), seq) AS seq
+           |  FROM v${r - 1})""".stripMargin
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT word, count(*) AS freq,
+         |         array_to_string(string_split(word, ''), ' ') AS seq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0
+         |  GROUP BY word),
+         |${(1 to merges).map(roundSql).mkString(",\n")}
+         |SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_weighted
+         |FROM (SELECT freq, unnest(string_split(seq, ' ')) AS symbol FROM v$merges)
+         |WHERE length(symbol) > 0
+         |GROUP BY symbol""".stripMargin
     },
     "e2e_mixture" ->
       """WITH q AS (

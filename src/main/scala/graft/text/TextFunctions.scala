@@ -127,6 +127,67 @@ object TextFunctions {
           .cast("long").as("dup_trigram_frac_x1e6"))
   }
 
+  /** BPE-style subword vocabulary training, fully in-plan: the corpus
+    * reduces to a (word, freq) vocabulary, each word becomes a space-
+    * joined character sequence, and `merges` rounds each (1) census
+    * adjacent symbol pairs weighted by word frequency, (2) pick the top
+    * pair under the total order (count desc, pair asc), and (3) apply
+    * the merge to every word. No driver-side loop state: the winning
+    * pair stays a 1-row broadcast table and the merge is a string
+    * `replace`, so each round is census-shuffle + broadcast-map — the
+    * shape that holds when the vocabulary is billions of words.
+    *
+    * Merge application is bounded replace-to-fixpoint: `passes` literal
+    * replaces per round. Each pass rewrites left-to-right non-
+    * overlapping occurrences; occurrences blocked by a shared delimiter
+    * land in a later pass. For self-overlapping runs (`a a a a` merging
+    * `(a,a)`) the residue can differ from single-pass greedy BPE —
+    * deterministic and engine-portable either way (the oracle applies
+    * the identical algorithm), and immaterial on natural text. `passes`
+    * must be at least half the longest same-symbol run; 8 covers runs
+    * of 16.
+    *
+    * Returns the trained symbol census: (symbol, n_weighted) after all
+    * merges. */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               merges: Int, passes: Int = 8): DataFrame = {
+    require(merges >= 1 && passes >= 1, "need merges >= 1 and passes >= 1")
+    val vocab0 = docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        array_join(split(col("word"), ""), " ").as("seq"))
+      .localCheckpoint(false)
+    def round(v: DataFrame): DataFrame = {
+      val toks = split(col("seq"), " ")
+      val census = v.select(col("freq"), explode(
+          when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2), i =>
+              struct(element_at(toks, i + 1).as("a"),
+                element_at(toks, i + 2).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+      val top = census.orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).select(col("a"), col("b"))
+      // left join against the 1-row top table: when fewer than `merges`
+      // distinct pairs exist the census dries up, replace() of a null
+      // pattern is null, and coalesce keeps the sequence unchanged
+      val pat = concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
+      val rep = concat(lit(" "), col("a"), col("b"), lit(" "))
+      val padded = concat(lit(" "), col("seq"), lit(" "))
+      val merged = (1 to passes).foldLeft(padded)((s, _) =>
+        call_function("replace", s, pat, rep))
+      v.join(broadcast(top), lit(true), "left")
+        .select(col("freq"), coalesce(trim(merged), col("seq")).as("seq"))
+        .localCheckpoint(false)
+    }
+    val trained = (1 to merges).foldLeft(vocab0)((v, _) => round(v))
+    trained.select(col("freq"), explode(split(col("seq"), " ")).as("symbol"))
+      .filter(length(col("symbol")) > 0)
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("n_weighted"))
+  }
+
   /** Cross-document repeated-span census — the exact-substring dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better"): every `w`-token window is hashed to a

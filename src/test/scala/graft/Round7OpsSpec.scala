@@ -50,6 +50,29 @@ class Round7OpsSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
   }
 
+  // ---- bpeTrain ----
+
+  test("bpeTrain follows the merge order and survives census dry-up") {
+    val docs = Seq((1L, "low lower low"), (2L, "low lower")).toDF("doc_id", "text")
+    // round-by-round: (l,o) ties (o,w) at 5, a-asc picks (l,o); then
+    // (lo,w); then (e,r) beats (low,e) on a-asc; then (low,er); round 5
+    // has no pairs left -> unchanged (the coalesce path)
+    val out = TextFunctions.bpeTrain(docs, "doc_id", "text", merges = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("low" -> 3L, "lower" -> 2L))
+  }
+
+  test("bpeTrain self-overlapping runs: bounded replace-to-fixpoint semantics") {
+    // "a a a a a a" merging (a,a): pass 1 takes occurrences 1-2 and 4-5
+    // (3 is delimiter-blocked), the residue has no adjacent singles left
+    // -> [aa, a, aa, a], NOT single-pass-greedy's [aa, aa, aa]; pinned
+    // here because the oracle applies the identical algorithm
+    val docs = Seq((1L, "aaaaaa")).toDF("doc_id", "text")
+    val out = TextFunctions.bpeTrain(docs, "doc_id", "text", merges = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("aa" -> 2L, "a" -> 2L))
+  }
+
   // ---- sssp ----
 
   test("sssp takes the cheaper multi-hop path over the direct edge") {
