@@ -203,6 +203,27 @@ object ScaleSmoke {
             (col("p_partkey") % 65536L).cast("long")).as("z"))
           .agg(max(col("z"))).count()
       }
+      time("repeated_spans", m) {
+        text.TextFunctions.repeatedSpans(docs, "doc_id", "text", 4, 2L).count()
+      }
+      time("lm_score", m) {
+        text.TextFunctions.lmScore(docs, "doc_id", "text").count()
+      }
+      time("bpe_train6", m) {
+        text.TextFunctions.bpeTrain(docs, "doc_id", "text", 6).count()
+      }
+      time("sssp", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+        // m independent trees, one per id-offset copy, solved in one
+        // multi-seed run: src = same-copy parent (child div 2 within copy)
+        val e1 = cust.filter(col("c_custkey") % 10000000L >= 2).select(
+          expr("CAST(c_custkey - c_custkey % 10000000 + (c_custkey % 10000000) div 2 AS BIGINT)").as("src"),
+          col("c_custkey").cast("long").as("dst"),
+          (col("c_custkey") % 7 + 1).cast("long").as("w"))
+        val seeds = cust.filter(col("c_custkey") % 10000000L === 1)
+          .select(col("c_custkey").cast("long").as("node"))
+        graph.Fixpoint.sssp(e1, seeds, maxRounds = 40).count()
+      }
     }
     if (ran == 0)
       System.err.println(

@@ -56,6 +56,10 @@ object LlmQueries {
     TextFunctions.bpeTrain(Tables.documents(spark, dir), "doc_id", "text",
       merges = 6)
 
+  /** Bigram-LM quality score (integer perplexity surrogate). */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.lmScore(Tables.documents(spark, dir), "doc_id", "text")
+
   /** End-to-end mixture build: quality floor → per-source cap →
     * temperature-flattened language mix → train/valid/test hash split →
     * per-(split, lang) composition report. Each sampling stage hashes a
@@ -475,6 +479,7 @@ object LlmQueries {
     "text_repetition" -> (textRepetition _),
     "text_repeated_spans" -> (textRepeatedSpans _),
     "text_bpe_census" -> (textBpeCensus _),
+    "text_lm_score" -> (textLmScore _),
     "e2e_mixture" -> (e2eMixture _),
     "text_tfidf" -> (textTfidf _),
     "corpus_stats" -> (corpusStats _),
@@ -690,6 +695,23 @@ object LlmQueries {
          |FROM documents d
          |LEFT JOIN perdoc p ON CAST(d.doc_id AS BIGINT) = p.doc_id""".stripMargin
     },
+    "text_lm_score" ->
+      s"""WITH $TextCtes,
+         |bg AS (
+         |  SELECT a.doc_id, a.wid AS w1, b.wid AS w2
+         |  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |cp AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |cu AS (SELECT wid AS w1, count(*) AS c1 FROM seq GROUP BY wid),
+         |pd AS (
+         |  SELECT bg.doc_id, count(*) AS n_bigrams,
+         |         sum(CAST(floor(1000000.0 * cp.c2 / cu.c1) AS BIGINT)) AS s
+         |  FROM bg JOIN cp USING (w1, w2) JOIN cu USING (w1)
+         |  GROUP BY bg.doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(p.s // p.n_bigrams, 0) AS BIGINT) AS mean_p_x1e6
+         |FROM documents d
+         |LEFT JOIN pd p ON CAST(d.doc_id AS BIGINT) = p.doc_id""".stripMargin,
     "text_bpe_census" -> {
       // 6 unrolled merge rounds, each: position table -> weighted pair
       // census -> 1-row top pair -> bounded replace-to-fixpoint (8

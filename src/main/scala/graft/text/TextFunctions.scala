@@ -127,6 +127,46 @@ object TextFunctions {
           .cast("long").as("dup_trigram_frac_x1e6"))
   }
 
+  /** Bigram language-model scoring — the KenLM-perplexity quality filter
+    * of CCNet-style pipelines as an exact-integer surrogate: a bigram
+    * model is trained on the corpus itself (c2(w1,w2) / c1(w1) transition
+    * frequencies), and each doc scores the mean transition probability of
+    * its adjacent word pairs, floor-scaled to ppm. Degenerate/templated
+    * text scores near 1e6 (its transitions dominate the model), natural
+    * prose sits lower, and word-salad scores near zero — the
+    * low-resource-safe ordering a perplexity filter sorts by. No floats:
+    * per-pair p = floor(1e6·c2/c1), per-doc mean = sum div count.
+    *
+    * Scale shape: the model IS two aggregations of the corpus (map-side
+    * combined); scoring is two equi-joins on near-uniform hashed keys
+    * (pair id, word id) and one per-doc reduce. Nothing is broadcast by
+    * assumption — the bigram table of a 100 TB corpus shuffles like any
+    * fact-fact join. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wids = widArrays(docs, idCol, textCol).localCheckpoint(false)
+    def pairs = wids.select(col("doc_id"), explode(
+        when(size(col("wids")) >= 2,
+          transform(sequence(lit(0), size(col("wids")) - 2), i =>
+            struct(element_at(col("wids"), i + 1).as("w1"),
+              element_at(col("wids"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:bigint,w2:bigint>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = wids.select(explode(col("wids")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val perDoc = pairs
+      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        floor(lit(1000000.0) * col("c2") / col("c1")).cast("long").as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("_s"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("_s div n_bigrams"), lit(0L)).as("mean_p_x1e6"))
+  }
+
   /** BPE-style subword vocabulary training, fully in-plan: the corpus
     * reduces to a (word, freq) vocabulary, each word becomes a space-
     * joined character sequence, and `merges` rounds each (1) census

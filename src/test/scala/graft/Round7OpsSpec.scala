@@ -50,6 +50,21 @@ class Round7OpsSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
   }
 
+  // ---- lmScore ----
+
+  test("lmScore: hand-computed bigram transition means") {
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x")
+    ).toDF("doc_id", "text")
+    // unigrams a:3 b:3 c:1 x:1; bigrams (a,b):3 (b,a):1 (b,c):1
+    // doc1: p = [1e6, 333333, 1e6] -> mean 777777
+    // doc2: p = [1e6, 333333]      -> mean 666666
+    // doc3: no bigrams -> zeros
+    val out = TextFunctions.lmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> (3L, 777777L), 2L -> (2L, 666666L), 3L -> (0L, 0L)))
+  }
+
   // ---- bpeTrain ----
 
   test("bpeTrain follows the merge order and survives census dry-up") {
