@@ -1,35 +1,18 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
-
-/** Plan-audit utility: prints the formatted physical plan of named
-  * SparkEntry queries (all of them with no names given) so scan pruning
-  * (`PushedFilters`/`ReadSchema`), join strategy (broadcast vs shuffle),
-  * and whole-stage-codegen spans can be reviewed per operator.
-  *
-  * Usage: `runMain graft.PlanAudit <sfDir> [query ...]`
-  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val only = args.drop(1).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-        println(s"\n===== $name =====")
-        try println(fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable => println(s"(plan failed: ${e.getMessage})") }
-      }
+    args.foreach { q =>
+      println(s"===== $q =====")
+      println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
     spark.stop()
   }
 }
