@@ -48,6 +48,40 @@ object Centrality {
     r.select(col("node"), col("r").as("rank_x1e6"))
   }
 
+  /** Personalized (topic-sensitive) PageRank: the teleport mass returns
+    * to the SEED set instead of everywhere, so rank measures weighted
+    * proximity to the seeds — the "more like these" expansion signal
+    * (seed documents → related documents) quality-propagation curation
+    * uses. Identical exact-integer arithmetic and per-round shape to
+    * [[pagerank]]; only the teleport vector differs: seeds restart with
+    * 150000 ppm, non-seeds with 0, so an unreachable node's rank is
+    * exactly 0 (never the uniform floor). */
+  def pagerankPersonalized(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val seeded = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(seeds.select(col("node")).distinct().withColumn("_s", lit(1L)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(0L)).as("is_seed"))
+      .localCheckpoint(false)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = seeded.select(col("node"), (col("is_seed") * 1000000L).as("r"))
+    (1 to iterations).foreach { _ =>
+      val contrib = e.join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      r = seeded.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("is_seed * CAST(150000 AS BIGINT) + " +
+            "(85 * coalesce(m, CAST(0 AS BIGINT))) div 100").as("r"))
+        .localCheckpoint(false)
+    }
+    r.select(col("node"), col("r").as("rank_x1e6"))
+  }
+
   /** Distinct co-occurrence edges: items sharing a group become (src <
     * dst) pairs — the co-purchase / co-citation graph constructor. ONE
     * shuffle (the groupBy); pairs expand IN-ROW from each group's sorted

@@ -61,6 +61,23 @@ object StreamQueries {
     graft.graph.Centrality.pagerank(custEdges.unionByName(natEdges), iterations = 3)
   }
 
+  /** Personalized PageRank over the same containment DAG: teleport mass
+    * pinned to every 50th customer — ranks measure proximity to that
+    * seed cohort (their nations/regions accumulate rank, others stay 0). */
+  def centralityPpr(spark: SparkSession, dir: String): DataFrame = {
+    val custEdges = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("src"),
+      (col("c_nationkey").cast("long") + 1000000L).as("dst"))
+    val natEdges = Tables.nation(spark, dir).select(
+      (col("n_nationkey").cast("long") + 1000000L).as("src"),
+      (col("n_regionkey").cast("long") + 2000000L).as("dst"))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").cast("long").as("node"))
+    graft.graph.Centrality.pagerankPersonalized(
+      custEdges.unionByName(natEdges), seeds, iterations = 3)
+  }
+
   /** Triangle counting over the part co-purchase graph (parts appearing
     * in the same order are linked) — the cohesion/link-farm signal of
     * webgraph curation ([[graft.graph.Centrality.triangleCount]]: oriented
@@ -268,6 +285,7 @@ object StreamQueries {
     "graph_sssp" -> (graphSssp _),
     "graph_bfs_distances" -> (graphBfsDistances _),
     "centrality_pagerank" -> (centralityPagerank _),
+    "centrality_ppr" -> (centralityPpr _),
     "graph_triangles" -> (graphTriangles _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
@@ -357,6 +375,40 @@ object StreamQueries {
         |       GROUP BY e.dst),
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
+    "centrality_ppr" ->
+      """WITH e AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS src,
+        |         CAST(1000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION
+        |  SELECT CAST(1000000 + n_nationkey AS BIGINT),
+        |         CAST(2000000 + n_regionkey AS BIGINT) FROM nation),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sd AS (SELECT n.node,
+        |         CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT CAST(c_custkey AS BIGINT) AS node FROM customer
+        |         WHERE c_custkey % 50 = 0) s ON n.node = s.node),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS r FROM sd),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(n.is_seed * 150000 +
+        |         (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(n.is_seed * 150000 +
+        |         (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(n.is_seed * 150000 +
+        |         (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

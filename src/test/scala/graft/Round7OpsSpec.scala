@@ -50,6 +50,19 @@ class Round7OpsSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
   }
 
+  // ---- pagerankPersonalized ----
+
+  test("pagerankPersonalized: teleport mass stays on the seed cohort") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graph.Centrality.pagerankPersonalized(edges, seeds, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0: 1 -> 1e6, others 0. One round: node 1 = teleport only 150000;
+    // node 2 = 0 + 85% of 1e6 = 850000; node 3 = 85% of (0+0) = 0;
+    // node 4 (non-seed source) = 0
+    assert(out == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L, 4L -> 0L))
+  }
+
   // ---- lmScore ----
 
   test("lmScore: hand-computed bigram transition means") {
