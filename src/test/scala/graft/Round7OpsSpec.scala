@@ -136,6 +136,31 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("sssp matches an in-memory Dijkstra on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 12
+      val edges = (1 to 30).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, (rnd.nextInt(9) + 1).toLong)
+      }.filter { case (s, d, _) => s != d }.distinct
+      val seeds = Seq(0L, (n / 2).toLong)
+      // reference: plain Dijkstra over the adjacency list
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+      val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+      val pq = scala.collection.mutable.PriorityQueue(
+        seeds.map(s => (0L, s)): _*)(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (dist(u) == d) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+        }
+      }
+      val out = Fixpoint.sssp(edges.toDF("src", "dst", "w"), seeds.toDF("node"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == dist.toMap)
+    }
+  }
+
   test("sssp throws when the budget truncates genuinely unconverged paths") {
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "w")
     val seeds = Seq(1L).toDF("node")
