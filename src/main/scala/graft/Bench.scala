@@ -34,7 +34,8 @@ object Bench {
           "graph_bfs_distances", "multimodal_phash_pairs", "sim_ann_ivfpq")
         .foreach { q =>
           try { SparkEntry.queries(q)(spark, warmDir).count() }
-          catch { case _: Throwable => () }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup $q failed: ${e.getMessage}") }
           DriverHygiene.releasePersisted(spark)
         }
     }

@@ -59,8 +59,11 @@ object Centrality {
   def pagerankPersonalized(edges: DataFrame, seeds: DataFrame,
                            iterations: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    // node universe = edge endpoints ∪ seeds: a seed with no incident
+    // edges still ranks at its teleport floor instead of vanishing
     val seeded = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
+      .unionByName(seeds.select(col("node")))
       .distinct()
       .join(seeds.select(col("node")).distinct().withColumn("_s", lit(1L)),
         Seq("node"), "left")

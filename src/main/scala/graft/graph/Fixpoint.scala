@@ -153,14 +153,14 @@ object Fixpoint {
     * keeps the min distance per node. Rounds needed = the hop count of
     * the longest shortest path, so this is the right tool for shallow
     * weighted graphs (dependency DAGs, containment hierarchies with
-    * costs); convergence is detected by the (node count, distance sum)
-    * pair — the count only grows and, once a node is labeled, its
-    * distance only decreases, so the pair is stable iff a round changed
-    * nothing. Per round: one equi-join + one min aggregation, O(E) work,
-    * lineage truncated by a lazy localCheckpoint exactly like the other
-    * fixpoints here. Weights must be non-negative (Bellman-Ford with a
-    * round budget would silently miss longer negative-cost paths).
-    * Throws on non-convergence after a confirmation round. */
+    * costs); convergence = an empty improvement frontier. Per round:
+    * one equi-join of the frontier against the edge set + one min
+    * aggregation + one full-outer distance update — work proportional
+    * to the relaxations that actually happen, lineage truncated by lazy
+    * localCheckpoints exactly like the other fixpoints here. Weights
+    * must be non-negative (Bellman-Ford with a round budget would
+    * silently miss longer negative-cost paths). Throws on
+    * non-convergence after a confirmation round. */
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 30): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(false)
     var dist = seeds.select(col("node")).distinct()

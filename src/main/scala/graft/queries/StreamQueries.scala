@@ -383,7 +383,9 @@ object StreamQueries {
         |  UNION
         |  SELECT CAST(1000000 + n_nationkey AS BIGINT),
         |         CAST(2000000 + n_regionkey AS BIGINT) FROM nation),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+        |          UNION SELECT CAST(c_custkey AS BIGINT) FROM customer
+        |          WHERE c_custkey % 50 = 0),
         |sd AS (SELECT n.node,
         |         CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
         |       FROM nodes n LEFT JOIN (

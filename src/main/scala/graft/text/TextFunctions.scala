@@ -195,8 +195,13 @@ object TextFunctions {
     val vocab0 = docs.select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // Spark's empty-regex split keeps a trailing "" (limit -1
+      // semantics) where DuckDB's string_split does not — filter it, or
+      // every word contributes a phantom (lastChar, "") pair to the
+      // round-1 census that the oracle engine never sees
       .select(col("freq"),
-        array_join(split(col("word"), ""), " ").as("seq"))
+        array_join(filter(split(col("word"), ""), s => length(s) > 0), " ")
+          .as("seq"))
       .localCheckpoint(false)
     def round(v: DataFrame): DataFrame = {
       val toks = split(col("seq"), " ")

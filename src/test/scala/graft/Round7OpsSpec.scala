@@ -63,6 +63,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("pagerankPersonalized keeps edge-less seeds at the teleport floor") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")  // 99 touches no edge
+    val out = graph.Centrality.pagerankPersonalized(edges, seeds, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 150000L, 2L -> 850000L, 99L -> 150000L))
+  }
+
+  test("bpeTrain census has no phantom trailing-empty pairs") {
+    // every word ends in 'o': with Spark's empty-regex split artifact
+    // unfiltered, the phantom (o, "") pair counts 5 and would win round
+    // 1 over every real pair (count 1); the real top pair is (d, o)
+    val docs = Seq((1L, "go so no to do")).toDF("doc_id", "text")
+    val out = TextFunctions.bpeTrain(docs, "doc_id", "text", merges = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("g" -> 1L, "s" -> 1L, "n" -> 1L, "t" -> 1L,
+      "o" -> 4L, "do" -> 1L))
+  }
+
   // ---- lmScore ----
 
   test("lmScore: hand-computed bigram transition means") {
