@@ -357,6 +357,29 @@ object LlmQueries {
     TextFunctions.domainCensus(withUrls, "doc_id", "t")
   }
 
+  /** URL-canonicalization dedup: six planted variants per doc (mixed-case
+    * host, fragment, tracking params, tracking+real param, trailing
+    * slash) collapse under [[TextFunctions.canonicalUrl]]; the census
+    * reports variant spread and mentions per canonical URL — the
+    * fetch-once signal a crawl frontier dedups on. */
+  def dedupUrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("https://Site"),
+      (col("doc_id") % 7).cast("string"),
+      lit(".Example.com/p/"), col("doc_id").cast("string"))
+    val urls = Tables.documents(spark, dir).select(
+      explode(array(
+        base,
+        lower(base),
+        concat(base, lit("#section-2")),
+        concat(base, lit("?utm_source=feed&utm_campaign=x")),
+        concat(base, lit("?utm_source=feed&page=2")),
+        concat(base, lit("/")))).as("url"))
+    urls.select(col("url"), TextFunctions.canonicalUrl(col("url")).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(countDistinct(col("url")).as("n_variants"),
+        count(lit(1)).as("n_mentions"))
+  }
+
   /** Deterministic weighted sample: 200 docs drawn with probability
     * proportional to length ([[graft.text.Sampling.weightedTopK]] —
     * hash-priority, reproducible anywhere). */
@@ -511,6 +534,7 @@ object LlmQueries {
     "text_pii_scrub" -> (textPiiScrub _),
     "text_line_dedup" -> (textLineDedup _),
     "text_url_census" -> (textUrlCensus _),
+    "dedup_url_canonical" -> (dedupUrlCanonical _),
     "sample_weighted" -> (sampleWeighted _),
     "corpus_percentiles" -> (corpusPercentiles _),
     "corpus_percentiles_cont" -> (corpusPercentilesCont _),
@@ -1065,6 +1089,31 @@ object LlmQueries {
         |  CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_lines,
         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
         |FROM lined l LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "dedup_url_canonical" ->
+      """WITH b AS (
+        |  SELECT 'https://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.Example.com/p/' || CAST(doc_id AS VARCHAR) AS base
+        |  FROM documents),
+        |u AS (
+        |  SELECT unnest([base, lower(base), base || '#section-2',
+        |    base || '?utm_source=feed&utm_campaign=x',
+        |    base || '?utm_source=feed&page=2',
+        |    base || '/']) AS url FROM b),
+        |c0 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS u1 FROM u),
+        |c1 AS (SELECT url,
+        |  lower(regexp_extract(u1, '^(https?://[^/?#]+)', 1)) ||
+        |    substr(u1, length(regexp_extract(u1, '^(https?://[^/?#]+)', 1)) + 1) AS u2
+        |  FROM c0),
+        |c2 AS (SELECT url, regexp_replace(regexp_replace(regexp_replace(u2,
+        |    '([?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&', '\1', 'g'),
+        |    '([?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&', '\1', 'g'),
+        |    '([?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&', '\1', 'g') AS u3 FROM c1),
+        |c3 AS (SELECT url, regexp_replace(regexp_replace(u3,
+        |    '[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+        |    '/$', '', 'g') AS canonical FROM c2)
+        |SELECT canonical, CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  CAST(count(*) AS BIGINT) AS n_mentions
+        |FROM c3 GROUP BY canonical""".stripMargin,
     "text_url_census" -> {
       val u = TextFunctions.UrlRe
       s"""WITH t AS (

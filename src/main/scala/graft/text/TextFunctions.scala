@@ -550,6 +550,27 @@ object TextFunctions {
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(UrlRe), lit(0))
 
+  /** URL canonicalization — the pre-crawl/pre-fetch dedup key: strip the
+    * fragment, lowercase scheme+host (path case preserved), remove
+    * tracking parameters (utm_*, fbclid, gclid — up to three
+    * consecutive, bounded like the BPE replace-to-fixpoint), and drop a
+    * trailing slash. Pure per-row regexp chain (codegen'd, zero
+    * shuffles); every regex is RE2-safe so the oracle engine runs the
+    * identical chain. Deliberately conservative: no default-port or
+    * percent-encoding normalization (document those as out of scope
+    * rather than half-normalize). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^(https?://[^/?#]+)", 1)
+    val lowered = concat(lower(prefix),
+      noFrag.substr(length(prefix) + 1, length(noFrag)))
+    val track = "(?:utm_[a-z]+|fbclid|gclid)=[^&#]*"
+    val midStripped = (1 to 3).foldLeft(lowered)((u, _) =>
+      regexp_replace(u, s"([?&])$track&", "$1"))
+    val tailStripped = regexp_replace(midStripped, s"[?&]$track$$", "")
+    regexp_replace(tailStripped, "/$", "")
+  }
+
   /** Registrable domain of a URL (the host part before the first '/'). */
   def urlDomain(url: Column): Column =
     regexp_extract(url, "https?://([a-z0-9.-]+)", 1)

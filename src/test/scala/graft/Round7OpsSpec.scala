@@ -71,6 +71,24 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 150000L, 2L -> 850000L, 99L -> 150000L))
   }
 
+  test("canonicalUrl: host lowered, path case kept, tracking/frag/slash stripped") {
+    val in = Seq(
+      "https://A.Example.com/Path/X#frag",
+      "https://a.example.com/Path/X?utm_source=a&utm_medium=b",
+      "https://a.example.com/Path/X?utm_source=a&page=2",
+      "http://a.example.com/",
+      "https://a.example.com/p?page=2&gclid=zzz"
+    ).toDF("url")
+    val out = in.select(TextFunctions.canonicalUrl(col("url"))).as[String].collect()
+    assert(out.toSeq == Seq(
+      "https://a.example.com/Path/X",   // frag stripped, host lowered, Path case kept
+      "https://a.example.com/Path/X",   // all-tracking query fully removed, no dangling ?
+      "https://a.example.com/Path/X?page=2",
+      "http://a.example.com",           // trailing slash
+      "https://a.example.com/p?page=2"  // tail tracking param with its delimiter
+    ))
+  }
+
   test("bpeTrain census has no phantom trailing-empty pairs") {
     // every word ends in 'o': with Spark's empty-regex split artifact
     // unfiltered, the phantom (o, "") pair counts 5 and would win round
