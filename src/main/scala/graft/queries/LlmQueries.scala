@@ -50,6 +50,12 @@ object LlmQueries {
     TextFunctions.repeatedSpans(Tables.documents(spark, dir), "doc_id", "text",
       w = 4, minDocs = 2L)
 
+  /** Repeated-span removal: tokens under any cross-doc shared 4-token
+    * window deleted, text reassembled. */
+  def textRepeatedSpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.removeRepeatedSpans(Tables.documents(spark, dir), "doc_id",
+      "text", w = 4, minDocs = 2L)
+
   /** BPE subword vocabulary: 6 merge rounds over the corpus, final
     * weighted symbol census. */
   def textBpeCensus(spark: SparkSession, dir: String): DataFrame =
@@ -501,6 +507,7 @@ object LlmQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_repeated_spans" -> (textRepeatedSpans _),
+    "text_repeated_span_removal" -> (textRepeatedSpanRemoval _),
     "text_bpe_census" -> (textBpeCensus _),
     "text_lm_score" -> (textLmScore _),
     "e2e_mixture" -> (e2eMixture _),
@@ -718,6 +725,41 @@ object LlmQueries {
          |       / greatest(coalesce(p.n_windows, 0), 1)) AS BIGINT) AS shared_frac_x1e6
          |FROM documents d
          |LEFT JOIN perdoc p ON CAST(d.doc_id AS BIGINT) = p.doc_id""".stripMargin
+    },
+    "text_repeated_span_removal" -> {
+      val P = TextFunctions.P
+      val mA = TextFunctions.Mix
+      val mB = TextFunctions.MixB
+      def g4(m: Long) =
+        s"(((((((a.wid % $P) * $m + (b.wid % $P)) % $P) * $m + (c.wid % $P)) % $P) * $m + (d.wid % $P)) % $P)"
+      s"""WITH $TextCtes,
+         |g4 AS (
+         |  SELECT a.doc_id, a.pos, ${g4(mA)} * $P + ${g4(mB)} AS gid
+         |  FROM seq a
+         |  JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN seq c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |  JOIN seq d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3),
+         |hot AS (
+         |  SELECT gid FROM g4 GROUP BY gid HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT g4.doc_id, u.tp
+         |  FROM g4 JOIN hot USING (gid), unnest(range(g4.pos, g4.pos + 4)) AS u(tp)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.word
+         |  FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.tp
+         |  WHERE cov.tp IS NULL),
+         |clean AS (
+         |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS cleaned,
+         |         count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(c.cleaned, '') AS cleaned_text
+         |FROM documents d
+         |LEFT JOIN clean c ON CAST(d.doc_id AS BIGINT) = c.doc_id
+         |LEFT JOIN nrem r ON CAST(d.doc_id AS BIGINT) = r.doc_id""".stripMargin
     },
     "text_lm_score" ->
       s"""WITH $TextCtes,

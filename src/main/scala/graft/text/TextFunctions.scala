@@ -275,6 +275,46 @@ object TextFunctions {
           .cast("long").as("shared_frac_x1e6"))
   }
 
+  /** Repeated-span REMOVAL — the transform half of [[repeatedSpans]]
+    * (Lee et al. 2022 apply step): tokens covered by any w-token window
+    * occurring in ≥ `minDocs` distinct documents are deleted from every
+    * document, and the survivors are reassembled in order. Returns
+    * (doc_id, n_tokens, n_removed, cleaned_text).
+    *
+    * Scale shape: the census and the hot-window filter are the same two
+    * shuffles as the census op; coverage explodes w positions per hot
+    * window occurrence (bounded by w × hot occurrences, not corpus
+    * size), and reassembly is one in-row filter over the token array —
+    * no per-token shuffle. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int, minDocs: Long): DataFrame = {
+    require(w >= 2, "a repeated-span window needs at least 2 tokens")
+    val wids = widArrays(docs, idCol, textCol).localCheckpoint(false)
+    def spans = wids.select(col("doc_id"),
+      posexplode(gramIds(col("wids"), w)).as(Seq("pos0", "gid")))
+    val hot = spans.groupBy(col("gid"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("gid"))
+    // 1-based covered token positions per doc
+    val covered = spans.join(hot, Seq("gid"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos0") + 1, col("pos0") + w)).as("tp"))
+      .groupBy(col("doc_id")).agg(collect_set(col("tp")).as("_cov"))
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc_id"), toks.as("_t"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(transform(sequence(lit(1), size(col("_t"))), i =>
+            when(array_contains(coalesce(col("_cov"), array().cast("array<int>")),
+              i), lit(null).cast("string")).otherwise(element_at(col("_t"), i))),
+            x => x.isNotNull),
+          " ").as("cleaned_text"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * preprocessing primitive (pretraining sequence packing prep, RAG
     * passage splitting): each doc becomes ceil(n/stride) chunks of up to

@@ -33,6 +33,20 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out(4L) == (0L, 0L, 0L))
   }
 
+  test("removeRepeatedSpans deletes covered tokens and reassembles in order") {
+    val docs = Seq(
+      (1L, "intro the quick brown fox outro"),
+      (2L, "the quick brown fox"),           // fully covered -> empty
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.removeRepeatedSpans(docs, "doc_id", "text", 4, 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == (6L, 4L, "intro outro"))
+    assert(out(2L) == (4L, 4L, ""))
+    assert(out(3L) == (4L, 0L, "unrelated words entirely here"))
+  }
+
   test("repeatedSpans: minDocs raises the sharing bar") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"),
