@@ -287,25 +287,68 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 2,
                 nSub: Int = 8, nCodes: Int = 16, dims: Int = 64,
-                rerank: Int = 10): DataFrame = {
-    require(rerank >= k, "rerank depth must be at least k")
+                rerank: Int = 10): DataFrame =
+    ivfPqSearch(queries, corpus,
+      ivfPqBuild(corpus, nCentroids, nSub, nCodes, dims),
+      k, nProbe, nSub, dims, rerank)
+
+  /** Trained IVF-PQ index tables — everything serving needs except the
+    * raw vectors read back for the final exact rerank. At 100 TB these
+    * are built ONCE per corpus version and persisted ([[ivfPqSave]] /
+    * [[ivfPqLoad]]); a query batch only ever reads the compressed
+    * tables plus `rerank` full vectors per query. */
+  final case class IvfPqIndex(cents: DataFrame, codebook: DataFrame,
+                              assign: DataFrame, codes: DataFrame)
+
+  private def centCosExpr = floor(lit(1000000.0) * vec_dot(col("q"), col("qc")) /
+    sqrt((col("norm2") * col("nc")).cast("double"))).cast("long")
+
+  /** Train the IVF-PQ index: coarse-cell assignment + PQ codebook +
+    * per-vector codes. The corpus-wide subvector explode is shared by
+    * the code assignment and the codebook (a second subTable call would
+    * explode the corpus twice). */
+  def ivfPqBuild(corpus: DataFrame, nCentroids: Int = 16, nSub: Int = 8,
+                 nCodes: Int = 16, dims: Int = 64): IvfPqIndex = {
     val cents = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("q").as("qc"), col("norm2").as("nc"))
-    def centCos = floor(lit(1000000.0) * vec_dot(col("q"), col("qc")) /
-      sqrt((col("norm2") * col("nc")).cast("double"))).cast("long")
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("_ccos").desc, col("cid").asc)
     val assign = corpus.crossJoin(broadcast(cents))
-      .withColumn("_ccos", centCos)
+      .withColumn("_ccos", centCosExpr)
       .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
-    // ONE corpus-wide subvector explode shared by the code assignment
-    // and the codebook (review finding: pqEncode + a second subTable
-    // call would explode the corpus twice)
     val subs = subTable(corpus, nSub, dims)
     val codebook = pqCodebook(subs, nCodes)
     val codes = pqCodes(subs, codebook)
       .withColumnRenamed("vec_id", "neighbor_id")
+    IvfPqIndex(cents, codebook, assign, codes)
+  }
+
+  /** Persist a trained index as four parquet tables. */
+  def ivfPqSave(index: IvfPqIndex, dir: String): Unit = {
+    index.cents.write.mode("overwrite").parquet(s"$dir/cents")
+    index.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    index.assign.write.mode("overwrite").parquet(s"$dir/assign")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted index — serving never re-derives the training. */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/assign"),
+      spark.read.parquet(s"$dir/codes"))
+
+  /** Serve a query batch against a (possibly loaded) index; `corpus`
+    * supplies only the full vectors for the exact rerank read-back. */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, index: IvfPqIndex,
+                  k: Int, nProbe: Int = 2, nSub: Int = 8, dims: Int = 64,
+                  rerank: Int = 10): DataFrame = {
+    require(rerank >= k, "rerank depth must be at least k")
+    val cents = index.cents
+    val codebook = index.codebook
+    val assign = index.assign
+    val codes = index.codes
     // per-query ADC lookup table: (query_id, sub, code) -> subvector dot
     val lut = subTable(queries, nSub, dims)
       .select(col("vec_id").as("query_id"), col("sub"), col("sq"))
@@ -316,7 +359,7 @@ object Similarity {
       .orderBy(col("_ccos").desc, col("cid").asc)
     val probes = queries.select(col("vec_id").as("query_id"), col("q"), col("norm2"))
       .crossJoin(broadcast(cents))
-      .withColumn("_ccos", centCos)
+      .withColumn("_ccos", centCosExpr)
       .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= nProbe)
       .select(col("query_id"), col("cid"))
     val candidates = assign.join(broadcast(probes), Seq("cid"))

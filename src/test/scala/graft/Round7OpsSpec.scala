@@ -64,6 +64,26 @@ class Round7OpsSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
   }
 
+  // ---- IVF-PQ index persistence ----
+
+  test("ivfPq save/load round trip serves identically to the in-plan path") {
+    import graft.similarity.Similarity
+    val rnd = new scala.util.Random(7)
+    val embs = (0L until 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), 0)).toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantized(embs).localCheckpoint(true)
+    val queries = q.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.ivfPqSave(Similarity.ivfPqBuild(q), dir)
+    val served = Similarity.ivfPqSearch(queries, q, Similarity.ivfPqLoad(spark, dir), k = 3)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val inPlan = Similarity.ivfPqTopK(queries, q, k = 3)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(served == inPlan && served.nonEmpty)
+  }
+
   // ---- pagerankPersonalized ----
 
   test("pagerankPersonalized: teleport mass stays on the seed cohort") {
