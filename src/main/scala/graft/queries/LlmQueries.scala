@@ -62,6 +62,11 @@ object LlmQueries {
     TextFunctions.bpeTrain(Tables.documents(spark, dir), "doc_id", "text",
       merges = 6)
 
+  /** BPE application: encode every doc with the 6-merge vocabulary. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.bpeEncode(Tables.documents(spark, dir), "doc_id", "text",
+      merges = 6)
+
   /** Bigram-LM quality score (integer perplexity surrogate). */
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.lmScore(Tables.documents(spark, dir), "doc_id", "text")
@@ -509,6 +514,7 @@ object LlmQueries {
     "text_repeated_spans" -> (textRepeatedSpans _),
     "text_repeated_span_removal" -> (textRepeatedSpanRemoval _),
     "text_bpe_census" -> (textBpeCensus _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_lm_score" -> (textLmScore _),
     "e2e_mixture" -> (e2eMixture _),
     "text_tfidf" -> (textTfidf _),
@@ -551,6 +557,43 @@ object LlmQueries {
   )
 
   // ---- oracle SQL (DuckDB) ----
+
+  private val BpeMerges = 6
+
+  /** 6 unrolled BPE merge rounds (v0 .. v6), each: position table →
+    * weighted pair census → 1-row top pair → bounded replace-to-fixpoint
+    * (8 passes), mirroring [[TextFunctions.bpeVocab]] exactly. CTEs are
+    * MATERIALIZED: plain CTEs inline the previous round ~18× per level
+    * and the tree explodes exponentially ("too many open files"). */
+  private val BpeRoundsSql: String = {
+    val passes = 8
+    def nestReplace(r: Int): String = {
+      val pat = s"(SELECT ' ' || a || ' ' || b || ' ' FROM t$r)"
+      val rep = s"(SELECT ' ' || a || b || ' ' FROM t$r)"
+      (1 to passes).foldLeft("' ' || seq || ' '")((s, _) =>
+        s"replace($s, $pat, $rep)")
+    }
+    def roundSql(r: Int): String =
+      s"""pr$r AS MATERIALIZED (
+         |  SELECT word, freq, unnest(string_split(seq, ' ')) AS sym,
+         |         generate_subscripts(string_split(seq, ' '), 1) AS pos
+         |  FROM v${r - 1}),
+         |c$r AS MATERIALIZED (
+         |  SELECT x.sym AS a, y.sym AS b, sum(x.freq) AS n
+         |  FROM pr$r x JOIN pr$r y ON x.word = y.word AND y.pos = x.pos + 1
+         |  GROUP BY x.sym, y.sym),
+         |t$r AS MATERIALIZED (SELECT a, b FROM c$r ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, freq, coalesce(trim(${nestReplace(r)}), seq) AS seq
+         |  FROM v${r - 1})""".stripMargin
+    s"""v0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq,
+       |         array_to_string(string_split(word, ''), ' ') AS seq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY word),
+       |${(1 to BpeMerges).map(roundSql).mkString(",\n")}""".stripMargin
+  }
 
   /** Shared text CTEs mirroring [[TextFunctions]]'s hash arithmetic: token
     * table (1-based pos), 56-bit md5 word ids, two-chain ~62-bit 3-gram
@@ -778,43 +821,30 @@ object LlmQueries {
          |  CAST(coalesce(p.s // p.n_bigrams, 0) AS BIGINT) AS mean_p_x1e6
          |FROM documents d
          |LEFT JOIN pd p ON CAST(d.doc_id AS BIGINT) = p.doc_id""".stripMargin,
-    "text_bpe_census" -> {
-      // 6 unrolled merge rounds, each: position table -> weighted pair
-      // census -> 1-row top pair -> bounded replace-to-fixpoint (8
-      // passes), mirroring TextFunctions.bpeTrain exactly
-      val merges = 6
-      val passes = 8
-      def nestReplace(r: Int): String = {
-        val pat = s"(SELECT ' ' || a || ' ' || b || ' ' FROM t$r)"
-        val rep = s"(SELECT ' ' || a || b || ' ' FROM t$r)"
-        (1 to passes).foldLeft("' ' || seq || ' '")((s, _) =>
-          s"replace($s, $pat, $rep)")
-      }
-      def roundSql(r: Int): String =
-        s"""pr$r AS MATERIALIZED (
-           |  SELECT word, freq, unnest(string_split(seq, ' ')) AS sym,
-           |         generate_subscripts(string_split(seq, ' '), 1) AS pos
-           |  FROM v${r - 1}),
-           |c$r AS MATERIALIZED (
-           |  SELECT x.sym AS a, y.sym AS b, sum(x.freq) AS n
-           |  FROM pr$r x JOIN pr$r y ON x.word = y.word AND y.pos = x.pos + 1
-           |  GROUP BY x.sym, y.sym),
-           |t$r AS MATERIALIZED (SELECT a, b FROM c$r ORDER BY n DESC, a ASC, b ASC LIMIT 1),
-           |v$r AS MATERIALIZED (
-           |  SELECT word, freq, coalesce(trim(${nestReplace(r)}), seq) AS seq
-           |  FROM v${r - 1})""".stripMargin
-      s"""WITH v0 AS MATERIALIZED (
-         |  SELECT word, count(*) AS freq,
-         |         array_to_string(string_split(word, ''), ' ') AS seq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE length(word) > 0
-         |  GROUP BY word),
-         |${(1 to merges).map(roundSql).mkString(",\n")}
+    "text_bpe_census" ->
+      s"""WITH $BpeRoundsSql
          |SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_weighted
-         |FROM (SELECT freq, unnest(string_split(seq, ' ')) AS symbol FROM v$merges)
+         |FROM (SELECT freq, unnest(string_split(seq, ' ')) AS symbol FROM v$BpeMerges)
          |WHERE length(symbol) > 0
-         |GROUP BY symbol""".stripMargin
-    },
+         |GROUP BY symbol""".stripMargin,
+    "text_bpe_encode" ->
+      s"""WITH $BpeRoundsSql,
+         |tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |enc AS (
+         |  SELECT tk.doc_id,
+         |    sum(len(string_split(v.seq, ' '))) AS n_subwords,
+         |    string_agg(v.seq, ' ' ORDER BY tk.pos) AS encoded
+         |  FROM tk JOIN v$BpeMerges v ON tk.word = v.word
+         |  WHERE length(tk.word) > 0
+         |  GROUP BY tk.doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(e.n_subwords, 0) AS BIGINT) AS n_subwords,
+         |  coalesce(e.encoded, '') AS encoded_text
+         |FROM documents d
+         |LEFT JOIN enc e ON CAST(d.doc_id AS BIGINT) = e.doc_id""".stripMargin,
     "e2e_mixture" ->
       """WITH q AS (
         |  SELECT doc_id, lang, source, len(string_split(text,' ')) AS n_toks

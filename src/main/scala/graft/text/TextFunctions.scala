@@ -191,6 +191,16 @@ object TextFunctions {
     * merges. */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
                merges: Int, passes: Int = 8): DataFrame = {
+    val trained = bpeVocab(docs, textCol, merges, passes)
+    trained.select(col("freq"), explode(split(col("seq"), " ")).as("symbol"))
+      .filter(length(col("symbol")) > 0)
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("n_weighted"))
+  }
+
+  /** The trained (word, freq, seq) vocabulary after `merges` BPE rounds —
+    * the table [[bpeTrain]] censuses and [[bpeEncode]] applies. */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               merges: Int, passes: Int = 8): DataFrame = {
     require(merges >= 1 && passes >= 1, "need merges >= 1 and passes >= 1")
     val vocab0 = docs.select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -199,7 +209,7 @@ object TextFunctions {
       // semantics) where DuckDB's string_split does not — filter it, or
       // every word contributes a phantom (lastChar, "") pair to the
       // round-1 census that the oracle engine never sees
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         array_join(filter(split(col("word"), ""), s => length(s) > 0), " ")
           .as("seq"))
       .localCheckpoint(false)
@@ -224,13 +234,37 @@ object TextFunctions {
       val merged = (1 to passes).foldLeft(padded)((s, _) =>
         call_function("replace", s, pat, rep))
       v.join(broadcast(top), lit(true), "left")
-        .select(col("freq"), coalesce(trim(merged), col("seq")).as("seq"))
+        .select(col("word"), col("freq"),
+          coalesce(trim(merged), col("seq")).as("seq"))
         .localCheckpoint(false)
     }
-    val trained = (1 to merges).foldLeft(vocab0)((v, _) => round(v))
-    trained.select(col("freq"), explode(split(col("seq"), " ")).as("symbol"))
-      .filter(length(col("symbol")) > 0)
-      .groupBy(col("symbol")).agg(sum(col("freq")).as("n_weighted"))
+    (1 to merges).foldLeft(vocab0)((v, _) => round(v))
+  }
+
+  /** Apply a trained BPE vocabulary to the corpus: every document's words
+    * are looked up in the merged (word → seq) table and reassembled in
+    * order as subword tokens. Returns (doc_id, n_subwords,
+    * encoded_text). Encoding is one equi-join on the word (the vocab is
+    * NOT assumed broadcastable — a 100 TB corpus's vocabulary shuffles
+    * like any dimension) plus one per-doc ordered reassembly. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Int, passes: Int = 8): DataFrame = {
+    val vocab = bpeVocab(docs, textCol, merges, passes)
+      .select(col("word"), col("seq"))
+    val toksTable = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val perDoc = toksTable.join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(split(col("seq"), " ")).cast("long")).as("n_subwords"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seq")))),
+          x => x("seq")), " ").as("encoded_text"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("encoded_text"), lit("")).as("encoded_text"))
   }
 
   /** Cross-document repeated-span census — the exact-substring dedup

@@ -161,6 +161,18 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out == Map("low" -> 3L, "lower" -> 2L))
   }
 
+  test("bpeEncode applies the trained vocabulary in document order") {
+    val docs = Seq((1L, "low lower low"), (2L, "low lower")).toDF("doc_id", "text")
+    // after 2 merges: low -> "low", lower -> "low e r"
+    val at2 = TextFunctions.bpeEncode(docs, "doc_id", "text", merges = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(at2 == Map(1L -> (5L, "low low e r low"), 2L -> (4L, "low low e r")))
+    // after 4 merges both words are single symbols
+    val at4 = TextFunctions.bpeEncode(docs, "doc_id", "text", merges = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(at4 == Map(1L -> (3L, "low lower low"), 2L -> (2L, "low lower")))
+  }
+
   test("bpeTrain self-overlapping runs: bounded replace-to-fixpoint semantics") {
     // "a a a a a a" merging (a,a): pass 1 takes occurrences 1-2 and 4-5
     // (3 is delimiter-blocked), the residue has no adjacent singles left
