@@ -212,6 +212,29 @@ object ScaleSmoke {
       time("bpe_train6", m) {
         text.TextFunctions.bpeTrain(docs, "doc_id", "text", 6).count()
       }
+      time("span_removal", m) {
+        text.TextFunctions.removeRepeatedSpans(docs, "doc_id", "text", 4, 2L)
+          .agg(sum(col("n_removed"))).count()
+      }
+      time("bpe_encode6", m) {
+        text.TextFunctions.bpeEncode(docs, "doc_id", "text", 6)
+          .agg(sum(col("n_subwords"))).count()
+      }
+      time("url_canonical", m) {
+        docs.select(text.TextFunctions.canonicalUrl(
+            concat(lit("https://Site"), (col("doc_id") % 97).cast("string"),
+              lit(".Example.com/p/"), col("doc_id").cast("string"),
+              lit("?utm_source=feed&page=2#f"))).as("c"))
+          .groupBy(col("c")).count().count()
+      }
+      time("ppr_3it", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+        val edges = cust.select(col("c_custkey").as("src"),
+          (col("c_nationkey").cast("long") + 100000000L).as("dst"))
+        val seeds = cust.filter(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey").as("node"))
+        graph.Centrality.pagerankPersonalized(edges, seeds, 3).count()
+      }
       time("sssp", m) {
         val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
         // m independent trees, one per id-offset copy, solved in one
