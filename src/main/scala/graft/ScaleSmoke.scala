@@ -132,10 +132,10 @@ object ScaleSmoke {
       time("pagerank_3it", m) {
         val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
         val edges = cust.select(col("c_custkey").as("src"),
-            (col("c_nationkey").cast("long") + 100000000L).as("dst"))
+            (col("c_nationkey").cast("long") + 100000000000L).as("dst"))
           .unionByName(Tables.nation(spark, sfDir).select(
-            (col("n_nationkey").cast("long") + 100000000L).as("src"),
-            (col("n_regionkey").cast("long") + 200000000L).as("dst")))
+            (col("n_nationkey").cast("long") + 100000000000L).as("src"),
+            (col("n_regionkey").cast("long") + 200000000000L).as("dst")))
         graph.Centrality.pagerank(edges, 3).count()
       }
       time("pii_scrub", m) {
@@ -230,7 +230,7 @@ object ScaleSmoke {
       time("ppr_3it", m) {
         val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
         val edges = cust.select(col("c_custkey").as("src"),
-          (col("c_nationkey").cast("long") + 100000000L).as("dst"))
+          (col("c_nationkey").cast("long") + 100000000000L).as("dst"))
         val seeds = cust.filter(col("c_custkey") % 50 === 0)
           .select(col("c_custkey").as("node"))
         graph.Centrality.pagerankPersonalized(edges, seeds, 3).count()

@@ -29,20 +29,31 @@ object Centrality {
     * Output: (node, rank_x1e6). */
   def pagerank(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
+    val seeded = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(false)
+      .distinct()
+      .select(col("node"), lit(1000000L).as("r0"), lit(150000L).as("tel"))
+      .localCheckpoint(false)
+    dampedRank(e, seeded, iterations)
+  }
+
+  /** Shared damped-fixpoint loop under both PageRank variants:
+    * `seeded` = (node, r0, tel) — initial rank and per-node teleport
+    * mass in ppm. Per iteration: one join edges⋈ranks on src
+    * (co-partitioned with the outdegree join), one groupBy dst
+    * (map-side combinable sum), one left join back to the node set. */
+  private def dampedRank(e: DataFrame, seeded: DataFrame,
+                         iterations: Int): DataFrame = {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var r = nodes.withColumn("r", lit(1000000L))
+    var r = seeded.select(col("node"), col("r0").as("r"))
     (1 to iterations).foreach { _ =>
       val contrib = e.join(r.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      r = seeded.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          expr("CAST(150000 AS BIGINT) + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100")
-            .as("r"))
+          expr("tel + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100").as("r"))
         .localCheckpoint(false)
     }
     r.select(col("node"), col("r").as("rank_x1e6"))
@@ -67,22 +78,11 @@ object Centrality {
       .distinct()
       .join(seeds.select(col("node")).distinct().withColumn("_s", lit(1L)),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("_s"), lit(0L)).as("is_seed"))
+      .select(col("node"),
+        (coalesce(col("_s"), lit(0L)) * 1000000L).as("r0"),
+        (coalesce(col("_s"), lit(0L)) * 150000L).as("tel"))
       .localCheckpoint(false)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var r = seeded.select(col("node"), (col("is_seed") * 1000000L).as("r"))
-    (1 to iterations).foreach { _ =>
-      val contrib = e.join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      r = seeded.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr("is_seed * CAST(150000 AS BIGINT) + " +
-            "(85 * coalesce(m, CAST(0 AS BIGINT))) div 100").as("r"))
-        .localCheckpoint(false)
-    }
-    r.select(col("node"), col("r").as("rank_x1e6"))
+    dampedRank(e, seeded, iterations)
   }
 
   /** Distinct co-occurrence edges: items sharing a group become (src <

@@ -377,10 +377,14 @@ object LlmQueries {
     val base = concat(lit("https://Site"),
       (col("doc_id") % 7).cast("string"),
       lit(".Example.com/p/"), col("doc_id").cast("string"))
+    val upperScheme = concat(lit("HTTPS://Site"),
+      (col("doc_id") % 7).cast("string"),
+      lit(".Example.com/p/"), col("doc_id").cast("string"))
     val urls = Tables.documents(spark, dir).select(
       explode(array(
         base,
         lower(base),
+        upperScheme,
         concat(base, lit("#section-2")),
         concat(base, lit("?utm_source=feed&utm_campaign=x")),
         concat(base, lit("?utm_source=feed&page=2")),
@@ -1167,14 +1171,16 @@ object LlmQueries {
         |      || '.Example.com/p/' || CAST(doc_id AS VARCHAR) AS base
         |  FROM documents),
         |u AS (
-        |  SELECT unnest([base, lower(base), base || '#section-2',
+        |  SELECT unnest([base, lower(base),
+        |    'HTTPS' || substr(base, 6),
+        |    base || '#section-2',
         |    base || '?utm_source=feed&utm_campaign=x',
         |    base || '?utm_source=feed&page=2',
         |    base || '/']) AS url FROM b),
         |c0 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS u1 FROM u),
         |c1 AS (SELECT url,
-        |  lower(regexp_extract(u1, '^(https?://[^/?#]+)', 1)) ||
-        |    substr(u1, length(regexp_extract(u1, '^(https?://[^/?#]+)', 1)) + 1) AS u2
+        |  lower(regexp_extract(u1, '^((?i)https?://[^/?#]+)', 1)) ||
+        |    substr(u1, length(regexp_extract(u1, '^((?i)https?://[^/?#]+)', 1)) + 1) AS u2
         |  FROM c0),
         |c2 AS (SELECT url, regexp_replace(regexp_replace(regexp_replace(u2,
         |    '([?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&', '\1', 'g'),

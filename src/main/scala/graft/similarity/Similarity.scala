@@ -318,10 +318,16 @@ object Similarity {
       .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     val subs = subTable(corpus, nSub, dims)
-    val codebook = pqCodebook(subs, nCodes)
+    // lazy checkpoints: the four tables are consumed by up to four
+    // independent actions (ivfPqSave's writes, ivfPqSearch's joins) —
+    // without them each action re-derives the corpus scan, the subvector
+    // explode, and the codebook aggregation from scratch
+    val codebook = pqCodebook(subs, nCodes).localCheckpoint(false)
     val codes = pqCodes(subs, codebook)
       .withColumnRenamed("vec_id", "neighbor_id")
-    IvfPqIndex(cents, codebook, assign, codes)
+      .localCheckpoint(false)
+    IvfPqIndex(cents.localCheckpoint(false), codebook,
+      assign.localCheckpoint(false), codes)
   }
 
   /** Persist a trained index as four parquet tables. */

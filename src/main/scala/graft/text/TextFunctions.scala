@@ -318,8 +318,10 @@ object TextFunctions {
     * Scale shape: the census and the hot-window filter are the same two
     * shuffles as the census op; coverage explodes w positions per hot
     * window occurrence (bounded by w × hot occurrences, not corpus
-    * size), and reassembly is one in-row filter over the token array —
-    * no per-token shuffle. */
+    * size); reassembly is a positional anti-join of the token table
+    * against covered positions plus one per-doc ordered collect —
+    * linear in tokens, where an in-row membership scan would be
+    * O(tokens × covered) on a boilerplate-saturated document. */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           w: Int, minDocs: Long): DataFrame = {
     require(w >= 2, "a repeated-span window needs at least 2 tokens")
@@ -330,23 +332,30 @@ object TextFunctions {
       .agg(countDistinct(col("doc_id")).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("gid"))
-    // 1-based covered token positions per doc
+    // 1-based covered token positions per doc, deduped across
+    // overlapping hot windows
     val covered = spans.join(hot, Seq("gid"))
       .select(col("doc_id"),
         explode(sequence(col("pos0") + 1, col("pos0") + w)).as("tp"))
-      .groupBy(col("doc_id")).agg(collect_set(col("tp")).as("_cov"))
-    val toks = tokens(col(textCol))
-    docs.select(col(idCol).cast("long").as("doc_id"), toks.as("_t"))
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        size(col("_t")).cast("long").as("n_tokens"),
-        coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"),
-        array_join(
-          filter(transform(sequence(lit(1), size(col("_t"))), i =>
-            when(array_contains(coalesce(col("_cov"), array().cast("array<int>")),
-              i), lit(null).cast("string")).otherwise(element_at(col("_t"), i))),
-            x => x.isNotNull),
-          " ").as("cleaned_text"))
+      .distinct()
+      .localCheckpoint(false)
+    val nRemoved = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    val kept = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).as("tp"), col("word"))
+      .join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tp"), col("word")))),
+        x => x("word")), " ").as("cleaned_text"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(nRemoved, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
   /** Fixed-size token-window chunking with overlap — the context-window
@@ -635,7 +644,9 @@ object TextFunctions {
     * rather than half-normalize). */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val prefix = regexp_extract(noFrag, "^(https?://[^/?#]+)", 1)
+    // (?i): an uppercase scheme ("HTTP://...") must still anchor, or the
+    // prefix extract returns "" and the whole URL escapes lowercasing
+    val prefix = regexp_extract(noFrag, "^((?i)https?://[^/?#]+)", 1)
     val lowered = concat(lower(prefix),
       noFrag.substr(length(prefix) + 1, length(noFrag)))
     val track = "(?:utm_[a-z]+|fbclid|gclid)=[^&#]*"
