@@ -395,6 +395,12 @@ object LlmQueries {
         count(lit(1)).as("n_mentions"))
   }
 
+  /** Contrastive negatives: 2 deterministic cross-label partners per
+    * embedding — the pair-generation step of contrastive training. */
+  def sampleContrastive(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.negativePairs(
+      Tables.embeddings(spark, dir), "vec_id", "label", k = 2)
+
   /** Deterministic weighted sample: 200 docs drawn with probability
     * proportional to length ([[graft.text.Sampling.weightedTopK]] —
     * hash-priority, reproducible anywhere). */
@@ -552,6 +558,7 @@ object LlmQueries {
     "text_line_dedup" -> (textLineDedup _),
     "text_url_census" -> (textUrlCensus _),
     "dedup_url_canonical" -> (dedupUrlCanonical _),
+    "sample_contrastive" -> (sampleContrastive _),
     "sample_weighted" -> (sampleWeighted _),
     "corpus_percentiles" -> (corpusPercentiles _),
     "corpus_percentiles_cont" -> (corpusPercentilesCont _),
@@ -1165,6 +1172,33 @@ object LlmQueries {
         |  CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_lines,
         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
         |FROM lined l LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "sample_contrastive" ->
+      """WITH items AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS anchor_id, label FROM embeddings),
+        |ranked AS (
+        |  SELECT anchor_id, label,
+        |    row_number() OVER (PARTITION BY label ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR)),1,14)) AS BIGINT) ASC,
+        |      anchor_id ASC) - 1 AS rk
+        |  FROM items),
+        |labels AS (
+        |  SELECT label, count(*) AS n,
+        |    row_number() OVER (ORDER BY label) - 1 AS lidx
+        |  FROM ranked GROUP BY label),
+        |draws AS (
+        |  SELECT r.anchor_id, j.j,
+        |    (l.lidx + j.j) % (SELECT count(*) FROM labels) AS tlidx
+        |  FROM ranked r JOIN labels l ON r.label = l.label
+        |  CROSS JOIN (SELECT unnest(range(1, 3)) AS j) j),
+        |sel AS (
+        |  SELECT d.anchor_id, d.j, t.label AS negative_label,
+        |    CAST(('0x' || substr(md5(CAST(d.anchor_id AS VARCHAR) || ':'
+        |      || CAST(d.j AS VARCHAR)),1,14)) AS BIGINT) % t.n AS trk
+        |  FROM draws d JOIN labels t ON d.tlidx = t.lidx)
+        |SELECT s.anchor_id, CAST(s.j AS BIGINT) AS j,
+        |  r2.anchor_id AS negative_id, s.negative_label
+        |FROM sel s
+        |JOIN ranked r2 ON r2.label = s.negative_label AND r2.rk = s.trk""".stripMargin,
     "dedup_url_canonical" ->
       """WITH b AS (
         |  SELECT 'https://Site' || CAST(doc_id % 7 AS VARCHAR)

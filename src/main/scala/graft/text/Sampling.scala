@@ -105,6 +105,55 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic contrastive negative sampling: for every anchor row,
+    * `k` negatives drawn from OTHER label strata — the pair-generation
+    * step of contrastive embedding training, reproducible anywhere (no
+    * RNG, no global ordering). Draw j of an anchor targets the label
+    * (anchor's label index + j) mod nLabels and, within that stratum,
+    * the row whose hash-rank equals hash(anchor, j) mod stratum size.
+    *
+    * Scale shape: ranks come from label-PARTITIONED windows (never a
+    * global single-partition sort); the label directory is a tiny
+    * broadcast; selection is one equi-join on (label, rank). Requires
+    * k < number of labels so a draw can never land on the anchor's own
+    * stratum. */
+  def negativePairs(df: DataFrame, idCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = df.select(col(idCol).cast("long").as("anchor_id"),
+      col(labelCol).as("label"))
+    val ranked = items.withColumn("rk",
+        row_number().over(Window.partitionBy(col("label"))
+          .orderBy(md5_prefix64(col("anchor_id").cast("string")).asc,
+            col("anchor_id").asc)) - 1)
+      .localCheckpoint(false)
+    // label directory: index + size per label — label-cardinality rows,
+    // the one table small enough for an unpartitioned window
+    val labels = ranked.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("lidx",
+        row_number().over(Window.orderBy(col("label"))) - 1)
+      .localCheckpoint(false)
+    val nLabels = labels.count()
+    require(k < nLabels,
+      s"k=$k needs at least ${k + 1} labels (got $nLabels) so negatives " +
+        "never land in the anchor's own stratum")
+    val draws = ranked.join(broadcast(labels.select(col("label"), col("lidx"))),
+        Seq("label"))
+      .select(col("anchor_id"), col("label").as("anchor_label"), col("lidx"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("_tlidx", (col("lidx") + col("j")) % nLabels)
+      .join(broadcast(labels.select(col("lidx").as("_tlidx"),
+        col("label").as("negative_label"), col("n"))), Seq("_tlidx"))
+      .withColumn("_trk",
+        md5_prefix64(concat(col("anchor_id").cast("string"), lit(":"),
+          col("j").cast("string"))) % col("n"))
+    draws.join(ranked.select(col("label").as("negative_label"),
+        col("rk").as("_trk"), col("anchor_id").as("negative_id")),
+        Seq("negative_label", "_trk"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"),
+        col("negative_id"), col("negative_label"))
+  }
+
   /** Keep at most `cap` rows per group, chosen by hash order of the row
     * key — the per-source/per-domain downsampling cap every web-corpus
     * mix applies (no single crawl domain may dominate the mix). Hash

@@ -64,6 +64,25 @@ class Round7OpsSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
   }
 
+  // ---- negativePairs ----
+
+  test("negativePairs: k cross-label negatives per anchor, partition-invariant") {
+    import graft.text.Sampling
+    val items = (1L to 30L).map(i => (i, s"l${i % 3}")).toDF("id", "lab")
+    val out = Sampling.negativePairs(items, "id", "lab", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 60)                       // 30 anchors x 2 draws
+    val labelOf = (1L to 30L).map(i => i -> s"l${i % 3}").toMap
+    assert(out.forall { case (a, _, n, nl) =>
+      nl == labelOf(n) && nl != labelOf(a) && n != a })
+    val again = Sampling.negativePairs(items.repartition(7), "id", "lab", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSet == again.toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.negativePairs(items, "id", "lab", k = 3) // k must be < nLabels
+    }
+  }
+
   // ---- IVF-PQ index persistence ----
 
   test("ivfPq save/load round trip serves identically to the in-plan path") {
