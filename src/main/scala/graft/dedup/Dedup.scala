@@ -120,6 +120,13 @@ object Dedup {
     * candidates, joined back to both shingle sets with the intersection
     * size precomputed. One shuffle on (band, h1, h2); the full pair space
     * is never built. */
+  /** The raw LSH candidate pair set (band-bucket matches, BEFORE exact
+    * verification) — exposed so candidate-generation RECALL can be
+    * measured against an exact ground truth ([[blockedJaccard]]):
+    * tuning bands/rows is a measurement problem, not a guess. */
+  def lshCandidates(shingled: DataFrame): DataFrame =
+    lshCandidatePairs(shingled).select(col("doc_a"), col("doc_b"))
+
   private def lshCandidatePairs(shingled: DataFrame): DataFrame = {
     // the shingle prep (tokenize + hash + shingle) is consumed by the band
     // self-join AND both verification joins — materialize it once; the

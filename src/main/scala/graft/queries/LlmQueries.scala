@@ -140,6 +140,24 @@ object LlmQueries {
   def dedupSimhashHamming(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsWithin(Tables.documents(spark, dir), "doc_id", "text", k = 2)
 
+  /** Candidate-generation quality as a gated number: recall of the LSH
+    * band buckets against the blocked exact-Jaccard ground truth at the
+    * 0.5 threshold — the measurement that justifies (or indicts) the
+    * band/row configuration. */
+  def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
+    val truth = Dedup.blockedJaccard(sh, minJaccX1e6 = 500000L)
+      .select(col("doc_a"), col("doc_b")).withColumn("_t", lit(1L))
+    val cand = Dedup.lshCandidates(sh).withColumn("_c", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full")
+      .agg(sum(coalesce(col("_t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("_c"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("_t"), lit(0L)) * coalesce(col("_c"), lit(0L))).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        floor(lit(1000000.0) * col("n_hit") / greatest(col("n_truth"), lit(1L)))
+          .cast("long").as("recall_x1e6"))
+  }
+
   /** Near-dup clustering: MinHash-LSH pairs → connected components → one
     * canonical doc per cluster (min doc_id); docs in no pair are their
     * own canonical. The step that turns pair detection into an actual
@@ -540,6 +558,7 @@ object LlmQueries {
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_components" -> (dedupComponents _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_hamming" -> (dedupSimhashHamming _),
@@ -1352,6 +1371,42 @@ object LlmQueries {
          |  CAST(floor(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jacc_x1e6
          |FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
          |WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 500000""".stripMargin,
+    "dedup_lsh_recall" ->
+      s"""WITH $TextCtes,
+         |blocks AS (
+         |  SELECT s1.doc_id,
+         |    CAST(s1.wid AS VARCHAR) || ' ' || CAST(s2.wid AS VARCHAR) AS block
+         |  FROM seq s1 JOIN seq s2
+         |    ON s1.doc_id = s2.doc_id AND s1.pos = 1 AND s2.pos = 2),
+         |candx AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db
+         |  FROM blocks x JOIN blocks y ON x.block = y.block AND x.doc_id < y.doc_id),
+         |interx AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM candx c JOIN sh a ON a.doc_id = c.da
+         |               JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db),
+         |truth AS (
+         |  SELECT da, db
+         |  FROM interx JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |  WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 500000),
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |candl AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id),
+         |hit AS (SELECT t.da FROM truth t JOIN candl c ON t.da = c.da AND t.db = c.db)
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |  CAST((SELECT count(*) FROM candl) AS BIGINT) AS n_cand,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  CAST(floor(1000000.0 * (SELECT count(*) FROM hit) /
+         |    greatest((SELECT count(*) FROM truth), 1)) AS BIGINT) AS recall_x1e6""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $TextCtes,
          |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),

@@ -64,6 +64,22 @@ class Round7OpsSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
   }
 
+  // ---- lshCandidates ----
+
+  test("lshCandidates is a superset of the verified minhash pairs") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),  // exact dup: every band collides
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val cand = Dedup.lshCandidates(sh)
+      .as[(Long, Long)].collect().toSet
+    val verified = Dedup.minhashLsh(sh, 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(cand) && verified.contains((1L, 2L)))
+  }
+
   // ---- negativePairs ----
 
   test("negativePairs: k cross-label negatives per anchor, partition-invariant") {
