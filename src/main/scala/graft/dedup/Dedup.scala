@@ -116,23 +116,19 @@ object Dedup {
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
-  /** Shared LSH machinery: 8 minhashes → 4 bands of 2 → band equi-join
-    * candidates, joined back to both shingle sets with the intersection
-    * size precomputed. One shuffle on (band, h1, h2); the full pair space
-    * is never built. */
   /** The raw LSH candidate pair set (band-bucket matches, BEFORE exact
     * verification) — exposed so candidate-generation RECALL can be
     * measured against an exact ground truth ([[blockedJaccard]]):
-    * tuning bands/rows is a measurement problem, not a guess. */
+    * tuning bands/rows is a measurement problem, not a guess. Stops at
+    * the band join — none of the verification machinery runs. */
   def lshCandidates(shingled: DataFrame): DataFrame =
-    lshCandidatePairs(shingled).select(col("doc_a"), col("doc_b"))
+    bandCandidates(shingled.localCheckpoint(false))
 
-  private def lshCandidatePairs(shingled: DataFrame): DataFrame = {
-    // the shingle prep (tokenize + hash + shingle) is consumed by the band
-    // self-join AND both verification joins — materialize it once; the
-    // shingled table is corpus-sized rows but only (id, block, shingles)
-    // wide, far cheaper to store than to recompute per consumer
-    val mat = shingled.localCheckpoint(false)
+  /** Band-bucket candidate generation: 8 minhashes → 4 bands of 2 →
+    * band equi-join → distinct (doc_a < doc_b) pairs. One shuffle on
+    * (band, h1, h2); the full pair space is never built. `mat` should
+    * already be materialized — the band self-join consumes it twice. */
+  private def bandCandidates(mat: DataFrame): DataFrame = {
     val sigs = mat.select(
       (col("doc_id") +: col("shingles") +:
         TextFunctions.minhashCols(col("shingles"))): _*)
@@ -142,14 +138,25 @@ object Dedup {
           col(s"h${2 * j + 1}").as("h2"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.h1").as("h1"), col("b.h2").as("h2"))
-    val candidates = bands.alias("x")
+    bands.alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
           col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a" :: "doc_b" :: Nil)
+  }
+
+  /** [[bandCandidates]] joined back to both shingle sets with the
+    * intersection size precomputed — the verification input shared by
+    * [[minhashLsh]] and [[minhashContainment]]. The shingle prep
+    * (tokenize + hash + shingle) is consumed by the band self-join AND
+    * both verification joins — materialize it once; the shingled table
+    * is corpus-sized rows but only (id, block, shingles) wide, far
+    * cheaper to store than to recompute per consumer. */
+  private def lshCandidatePairs(shingled: DataFrame): DataFrame = {
+    val mat = shingled.localCheckpoint(false)
     val sh = mat.select(col("doc_id"), col("shingles"))
-    candidates
+    bandCandidates(mat)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))

@@ -145,14 +145,19 @@ object LlmQueries {
     * 0.5 threshold — the measurement that justifies (or indicts) the
     * band/row configuration. */
   def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    // one materialization of the shingle prep shared by both branches
     val sh = Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
+      .localCheckpoint(false)
     val truth = Dedup.blockedJaccard(sh, minJaccX1e6 = 500000L)
       .select(col("doc_a"), col("doc_b")).withColumn("_t", lit(1L))
     val cand = Dedup.lshCandidates(sh).withColumn("_c", lit(1L))
     truth.join(cand, Seq("doc_a", "doc_b"), "full")
-      .agg(sum(coalesce(col("_t"), lit(0L))).as("n_truth"),
-        sum(coalesce(col("_c"), lit(0L))).as("n_cand"),
-        sum(coalesce(col("_t"), lit(0L)) * coalesce(col("_c"), lit(0L))).as("n_hit"))
+      // coalesce AFTER the sums too: a zero-row join aggregates to one
+      // all-NULL row where the oracle's count(*) subqueries return zeros
+      .agg(coalesce(sum(coalesce(col("_t"), lit(0L))), lit(0L)).as("n_truth"),
+        coalesce(sum(coalesce(col("_c"), lit(0L))), lit(0L)).as("n_cand"),
+        coalesce(sum(coalesce(col("_t"), lit(0L)) * coalesce(col("_c"), lit(0L))),
+          lit(0L)).as("n_hit"))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
         floor(lit(1000000.0) * col("n_hit") / greatest(col("n_truth"), lit(1L)))
           .cast("long").as("recall_x1e6"))

@@ -115,13 +115,20 @@ object Sampling {
     * Scale shape: ranks come from label-PARTITIONED windows (never a
     * global single-partition sort); the label directory is a tiny
     * broadcast; selection is one equi-join on (label, rank). Requires
-    * k < number of labels so a draw can never land on the anchor's own
-    * stratum. */
+    * 1 <= k < number of labels so a draw can never land on the anchor's
+    * own stratum; rows with a null label are excluded (they could never
+    * match the stratum joins). */
   def negativePairs(df: DataFrame, idCol: String, labelCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k: need at least one negative per anchor " +
+      "(sequence(1, 0) would count DOWN and emit same-stratum draws)")
+    // null labels are excluded outright: they would inflate the label
+    // directory but never match the equi-joins, silently shorting
+    // non-null anchors of draws that target the null stratum
     val items = df.select(col(idCol).cast("long").as("anchor_id"),
-      col(labelCol).as("label"))
+        col(labelCol).as("label"))
+      .filter(col("label").isNotNull)
     val ranked = items.withColumn("rk",
         row_number().over(Window.partitionBy(col("label"))
           .orderBy(md5_prefix64(col("anchor_id").cast("string")).asc,
@@ -139,7 +146,7 @@ object Sampling {
         "never land in the anchor's own stratum")
     val draws = ranked.join(broadcast(labels.select(col("label"), col("lidx"))),
         Seq("label"))
-      .select(col("anchor_id"), col("label").as("anchor_label"), col("lidx"),
+      .select(col("anchor_id"), col("lidx"),
         explode(sequence(lit(1), lit(k))).as("j"))
       .withColumn("_tlidx", (col("lidx") + col("j")) % nLabels)
       .join(broadcast(labels.select(col("lidx").as("_tlidx"),

@@ -97,6 +97,19 @@ class Round7OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.negativePairs(items, "id", "lab", k = 3) // k must be < nLabels
     }
+    intercept[IllegalArgumentException] {
+      Sampling.negativePairs(items, "id", "lab", k = 0) // k must be >= 1
+    }
+  }
+
+  test("negativePairs excludes null-label rows from anchors and strata") {
+    import graft.text.Sampling
+    val items = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null))
+      .toDF("id", "lab")
+    val out = Sampling.negativePairs(items, "id", "lab", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.length == 6)                         // 3 non-null anchors x 2
+    assert(out.forall { case (a, n) => a != 4L && n != 4L })
   }
 
   // ---- IVF-PQ index persistence ----
