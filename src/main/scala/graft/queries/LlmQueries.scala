@@ -460,17 +460,16 @@ object LlmQueries {
     * every stage is the library operator gated individually elsewhere. */
   def e2eCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val quality = TextFunctions.qualityMetrics(docs, "doc_id", "text", Stopwords)
-      .filter(col("n_tokens") >= 40).select(col("doc_id"))
     val lowRep = TextFunctions.repetitionMetrics(docs, "doc_id", "text")
       .filter(col("dup_trigram_frac_x1e6") <= 900000L).select(col("doc_id"))
     // survivors feeds BOTH the pair-generation path and the final keep
     // join; a lazy localCheckpoint materializes the filter pipeline once
     // (first action = the component edge count) instead of re-running the
-    // two quality windows per consumer
+    // filters per consumer. The length floor is a plain scan predicate —
+    // only the repetition filter needs its aggregation semi-join.
     val survivors = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
-      .join(quality, Seq("doc_id"), "left_semi")
+      .filter(size(split(col("text"), " ")) >= 40)
       .join(lowRep, Seq("doc_id"), "left_semi")
       .localCheckpoint(false)
     val pairs = Dedup.minhashLsh(
