@@ -529,6 +529,24 @@ object LlmQueries {
   def sketchHll(spark: SparkSession, dir: String): DataFrame =
     Sketches.hllEstimate(langTokens(spark, dir), "lang", "word")
 
+  /** HLL MERGEABILITY, gated: per-language registers built separately
+    * over the even-doc and odd-doc halves, register-max-merged, must
+    * estimate exactly what one pass over the whole corpus estimates —
+    * the distributed-aggregate property a 1000-shard count-distinct
+    * stands on. */
+  def sketchHllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir).select(col("lang").as("g"),
+      explode(TextFunctions.tokens(col("text"))).as("word"),
+      (col("doc_id") % 2).as("p"))
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(tk.filter(col("p") === 0), "g", "word"),
+      Sketches.hllRegisters(tk.filter(col("p") === 1), "g", "word"))
+    Sketches.hllEstimateFromRegisters(merged, tk, "est_merged")
+      .join(Sketches.hllEstimateFromRegisters(
+        Sketches.hllRegisters(tk, "g", "word"), tk, "est_direct"), Seq("g"))
+      .select(col("g").as("lang"), col("est_merged"), col("est_direct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_curation" -> (e2eCuration _),
     "text_inverted_index" -> (textInvertedIndex _),
@@ -538,6 +556,7 @@ object LlmQueries {
     "sketch_kmv" -> (sketchKmv _),
     "sketch_cms" -> (sketchCms _),
     "sketch_hll" -> (sketchHll _),
+    "sketch_hll_merge" -> (sketchHllMerge _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
     "text_token_count" -> (textTokenCount _),
@@ -1796,6 +1815,49 @@ object LlmQueries {
          |FROM cells LEFT JOIN sk ON cells.j = sk.j AND cells.bucket = sk.bucket
          |GROUP BY cells.word""".stripMargin
     },
+    "sketch_hll_merge" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text,' ')) AS word,
+        |         doc_id % 2 AS p
+        |  FROM documents),
+        |parts AS (
+        |  SELECT lang, p,
+        |    CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) % 64 AS bucket,
+        |    CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) // 64 AS rem
+        |  FROM toks),
+        |halves AS (
+        |  SELECT lang, p, bucket,
+        |    max(51 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS r
+        |  FROM parts GROUP BY lang, p, bucket),
+        |merged AS (
+        |  SELECT lang, bucket, max(r) AS r FROM halves GROUP BY lang, bucket),
+        |direct AS (
+        |  SELECT lang, bucket,
+        |    max(51 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS r
+        |  FROM parts GROUP BY lang, bucket),
+        |grid AS (
+        |  SELECT lang, b.bucket FROM (SELECT DISTINCT lang FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) b),
+        |estm AS (
+        |  SELECT g.lang,
+        |    CAST(floor(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |      * CAST(2251799813685248 AS DOUBLE) /
+        |      sum(CAST(1 AS BIGINT) << (51 - coalesce(m.r, 0)))) AS BIGINT)
+        |      AS est_merged
+        |  FROM grid g LEFT JOIN merged m
+        |    ON g.lang = m.lang AND g.bucket = m.bucket
+        |  GROUP BY g.lang),
+        |estd AS (
+        |  SELECT g.lang,
+        |    CAST(floor(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |      * CAST(2251799813685248 AS DOUBLE) /
+        |      sum(CAST(1 AS BIGINT) << (51 - coalesce(d.r, 0)))) AS BIGINT)
+        |      AS est_direct
+        |  FROM grid g LEFT JOIN direct d
+        |    ON g.lang = d.lang AND g.bucket = d.bucket
+        |  GROUP BY g.lang)
+        |SELECT estm.lang, estm.est_merged, estd.est_direct
+        |FROM estm JOIN estd ON estm.lang = estd.lang""".stripMargin,
     "sketch_hll" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text,' ')) AS word FROM documents),

@@ -148,15 +148,7 @@ object Sketches {
     * estimator to reach for when even the KMV distinct is too heavy. */
   def hllEstimate(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val m = HllBuckets
-    val h = md5_prefix64(col(valueCol).cast("string"))
-    val parts = df.select(col(groupCol).as("g"),
-      (h % m).as("bucket"), shiftright(h, HllBucketBits).as("rem"))
-    // bit length via conv-to-binary string length (rem = 0 has none);
-    // rank = 51 - bitlen(rem), so rem with all 50 bits set gives rank 1
-    val bitlen = when(col("rem") === 0L, lit(0))
-      .otherwise(length(conv(col("rem"), 10, 2)))
-    val regs = parts.withColumn("rho", lit(HllR) - bitlen)
-      .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("r"))
+    val regs = hllRegisters(df, groupCol, valueCol)
     val grid = df.select(col(groupCol).as("g")).distinct()
       .select(col("g"), explode(sequence(lit(0L), lit(m - 1L))).as("bucket"))
     val filled = grid.join(regs, Seq("g", "bucket"), "left")
@@ -171,5 +163,43 @@ object Sketches {
         floor(lit(0.709) * lit(m.toDouble * m) * lit(math.pow(2.0, HllR)) /
           col("harmonic_sum")).cast("long").as("est_distinct"),
         col("n_true"))
+  }
+
+  /** Mergeable HLL state: (g, bucket, r) — the per-shard registers a
+    * distributed count-distinct ships instead of raw values. Bit length
+    * via conv-to-binary string length (rem = 0 has none); rank =
+    * 51 - bitlen(rem), so rem with all 50 bits set gives rank 1. */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = md5_prefix64(col(valueCol).cast("string"))
+    val parts = df.select(col(groupCol).as("g"),
+      (h % HllBuckets).as("bucket"), shiftright(h, HllBucketBits).as("rem"))
+    val bitlen = when(col("rem") === 0L, lit(0))
+      .otherwise(length(conv(col("rem"), 10, 2)))
+    parts.withColumn("rho", lit(HllR) - bitlen)
+      .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("r"))
+  }
+
+  /** Register-wise max merge: registers of any data partition, merged,
+    * equal the registers of the whole — THE property that makes the
+    * sketch a sub-linear distributed aggregate (each shard ships 64
+    * small ints, never values). */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g"), col("bucket")).agg(max(col("r")).as("r"))
+
+  /** Cardinality estimate from a register set; `groups` supplies the
+    * group universe so empty groups fill rank-0 registers. */
+  def hllEstimateFromRegisters(regs: DataFrame, groups: DataFrame,
+                               outCol: String): DataFrame = {
+    val m = HllBuckets
+    val grid = groups.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit(m - 1L))).as("bucket"))
+    grid.join(regs, Seq("g", "bucket"), "left")
+      .select(col("g"), coalesce(col("r"), lit(0)).as("r"))
+      .groupBy(col("g"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllR - r AS INT))"))
+        .as("_hs"))
+      .select(col("g"),
+        floor(lit(0.709) * lit(m.toDouble * m) * lit(math.pow(2.0, HllR)) /
+          col("_hs")).cast("long").as(outCol))
   }
 }

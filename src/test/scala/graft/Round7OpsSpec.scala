@@ -64,6 +64,25 @@ class Round7OpsSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
   }
 
+  // ---- HLL mergeability ----
+
+  test("hllMerge of arbitrary halves equals one direct register pass") {
+    import graft.text.Sketches
+    val rows = (1L to 300L).map(i => (s"g${i % 2}", s"w${i % 83}", i % 3))
+      .toDF("g", "v", "p")
+    val merged = Sketches.hllMerge(
+      Sketches.hllMerge(
+        Sketches.hllRegisters(rows.filter($"p" === 0), "g", "v"),
+        Sketches.hllRegisters(rows.filter($"p" === 1), "g", "v")),
+      Sketches.hllRegisters(rows.filter($"p" === 2), "g", "v"))
+    val est = Sketches.hllEstimateFromRegisters(merged, rows, "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.hllEstimateFromRegisters(
+        Sketches.hllRegisters(rows, "g", "v"), rows, "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == direct && est.keySet == Set("g0", "g1"))
+  }
+
   // ---- lshCandidates ----
 
   test("lshCandidates is a superset of the verified minhash pairs") {
