@@ -184,9 +184,14 @@ object Permissions {
     * 62-statement block (one literal compiled regex per statement —
     * codegen'd RLike), the distinct (p_masks, r_masks) combinations are
     * decided once with pure bit arithmetic, and the allowed pairs expand
-    * through two broadcast hash joins. Zero shuffles, no DISTINCT pass
-    * over pairs, and the pair space is only materialized as the output
-    * itself. */
+    * by joining the decision table back to both sides. Only `decisions`
+    * (K distinct mask combos — config-sized, independent of corpus size)
+    * is broadcast; the final principal × resource expansion is a shuffle
+    * join on the mask columns, so neither corpus-sized side ever crosses
+    * the driver or the 8 GB broadcast ceiling. Mask-column cardinality is
+    * low, so that shuffle can skew — AQE skew-join splits it at runtime.
+    * No DISTINCT pass over pairs; the pair space is only materialized as
+    * the output itself. */
   def evaluate(principals: DataFrame, resources: DataFrame,
                statements: Seq[PolicyStatement]): DataFrame = {
     require(statements.nonEmpty, "at least one statement required")
@@ -234,8 +239,8 @@ object Permissions {
         when(anyUncondAllow, lit("")).otherwise(array_join(keysUnion, ","))
           .as("condition_keys"): _*)
 
-    val allowedPrincipals = p.join(broadcast(decisions), pmNames)
-    r.join(broadcast(allowedPrincipals), rmNames)
+    val allowedResources = r.join(broadcast(decisions), rmNames)
+    allowedResources.join(p, pmNames)
       .select(col("principal_id"), col("resource_id"),
         col("has_condition"), col("condition_keys"))
   }

@@ -83,6 +83,24 @@ class PermissionsSpec extends AnyFunSuite {
     assert(any.appliesToPermission("anything:AtAll"))
   }
 
+  test("only the config-sized decisions table carries a broadcast hint") {
+    // Scale guard: hinting a corpus-sized side (principals or the
+    // principal×decision expansion) caps the operator at the 8 GB
+    // broadcast ceiling / driver memory at 100× principal counts. The
+    // logical plan must contain exactly one broadcast hint — the K-row
+    // distinct-mask decisions table — and the final expansion join must
+    // be hint-free so it shuffles (AQE may still locally convert it at
+    // tiny sizes, which is fine; the hint is what must not exist).
+    val stmts = Seq(PolicyStatement("a", "Allow", "*", "arn:x:*"))
+    val df = Permissions.evaluate(principals, resources, stmts)
+    val hints = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.hint.leftHint, j.hint.rightHint).flatten.filter(_.strategy.isDefined)
+    }.flatten
+    assert(hints.size == 1,
+      s"expected exactly one broadcast hint (decisions), got ${hints.size}")
+  }
+
   test("malformed condition blob stays conditional with no keys") {
     val stmts = Seq(
       PolicyStatement("m", "Allow", "alice", "arn:x:doc", condition = Some("{not json")))
