@@ -108,40 +108,64 @@ object Centrality {
     * spam-farm flagging (link farms are triangle-dense; legitimate
     * topical clusters are too, orphan spam is not).
     *
-    * Canonicalize each edge to (a < b) and close wedges with two
-    * equi-joins: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) finds every triangle
-    * exactly once as a < b < c. Per-node counts are the exploded corner
-    * union aggregated once. Nodes in no triangle report 0.
+    * Orient every edge from its lower to its higher endpoint in
+    * (degree, id) order and close wedges with two equi-joins:
+    * o1(u,v) ⋈ o2(v,w) ⋈ o3(u,w) finds every triangle exactly once as
+    * u ≺ v ≺ w. Per-node counts (orientation-invariant) are the exploded
+    * corner union aggregated once. Nodes in no triangle report 0.
     *
-    * Scale: the oriented wedge join generates Σ_b deg⁺(b)² candidates —
-    * the a<b orientation bounds every out-degree by the node's rank in
-    * degree order (the classic compact-forward guarantee: work is
-    * O(E^1.5) worst-case instead of Σ deg², because high-degree nodes
-    * sort HIGH and so keep few out-neighbors). The closing join is an
-    * equi-join on (a, c) against the edge set itself; everything
-    * shuffles on uniform composite keys, nothing is broadcast-sized by
-    * assumption. */
+    * Scale: the oriented wedge join generates Σ_v deg⁺(v)² candidates.
+    * Orienting by DEGREE rank — not node id — is what makes the classic
+    * compact-forward O(E^1.5) bound real: every out-degree is at most
+    * O(√E) because a node keeps only neighbors of higher degree, so a
+    * hub's wedges are charged to its (few, high-degree) successors. An
+    * id orientation has no such bound — a low-id hub keeps its full
+    * neighborhood and the wedge join degenerates to Σ deg². The degree
+    * attach is two node-table equi-joins before the wedge join; the
+    * closing join is an equi-join on (u, w) against the oriented set;
+    * everything shuffles on uniform composite keys, nothing is
+    * broadcast-sized by assumption. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(false)
-    val tris = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val o = orientByDegree(edges).localCheckpoint(false)
+    val tris = o.as("e1")
+      .join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .join(o.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
     // one scan of the triangle set: explode the three corners in-row
     // instead of unioning three copies of the wedge-join plan
     val corners = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n"))
-    val nodes = e.select(col("a").as("node"))
-      .unionByName(e.select(col("b").as("node")))
+    val nodes = o.select(col("u").as("node"))
+      .unionByName(o.select(col("v").as("node")))
       .distinct()
     nodes.join(corners, Seq("node"), "left")
       .select(col("node"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Degree-ordered orientation of an undirected simple graph: each
+    * distinct edge appears once as (u, v) with
+    * (deg(u), u) < (deg(v), v). Library-private so the spec can assert
+    * the compact-forward guarantee directly (a hub's out-degree is 0 —
+    * all its lower-degree neighbors point AT it). */
+  private[graft] def orientByDegree(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        // a < b already, so the id tie-break on equal degrees keeps a first
+        when(col("da") < col("db") ||
+          (col("da") === col("db")), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db")), col("b")).otherwise(col("a")).as("v"))
   }
 }

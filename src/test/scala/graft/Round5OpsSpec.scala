@@ -189,6 +189,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out(9L) == 0L && out(1L) == 1L)
   }
 
+  test("degree orientation bounds a low-id hub's wedge fan-out") {
+    // Node 0 is a 60-spoke hub with the LOWEST id: an id-ordered
+    // orientation would keep all 60 out-neighbors (Σ deg⁺² = 3600
+    // wedges); compact-forward must point every spoke→hub edge AT the
+    // hub, leaving the hub 0 out-neighbors. Spokes 1..60 each have
+    // degree 1-2 (a few spoke-spoke edges form triangles).
+    val star = (1L to 60L).map(s => (0L, s))
+    val rim = Seq((1L, 2L), (3L, 4L)) // two triangles with the hub
+    val edges = (star ++ rim).toDF("src", "dst")
+    val outdeg = Centrality.orientByDegree(edges)
+      .groupBy("u").agg(count(lit(1)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(!outdeg.contains(0L), s"hub must have out-degree 0, got ${outdeg.get(0L)}")
+    assert(outdeg.values.max <= 2)
+    // and the counts are still right: hub is in both rim triangles
+    val tri = Centrality.triangleCount(edges)
+      .select("node", "n_triangles").as[(Long, Long)].collect().toMap
+    assert(tri(0L) == 2L && tri(1L) == 1L && tri(4L) == 1L && tri(5L) == 0L)
+  }
+
   // ---- funnel ----
 
   test("funnel requires stage order and carries nulls after abandonment") {
