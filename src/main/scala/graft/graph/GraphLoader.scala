@@ -125,10 +125,13 @@ object GraphLoader {
   }
 
   private def upsertEdgeBatch(g: Graph, key: (String, String, String),
-                              batch: DataFrame, tag: Long): Graph =
+                              batch: DataFrame, tag: Long,
+                              dedupBatch: Boolean = true): Graph =
     g.edges.get(key) match {
-      case Some(existing) => g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag))
-      case None => g.withEdges(key, GraphStore.initialLoad(batch, Seq(SRC, DST), tag))
+      case Some(existing) =>
+        g.withEdges(key, GraphStore.upsertEdges(existing, batch, tag, dedupBatch))
+      case None =>
+        g.withEdges(key, GraphStore.initialLoad(batch, Seq(SRC, DST), tag, dedupBatch))
     }
 
   /** Column names stamping a matchlink edge's owning sub-resource — the
@@ -158,11 +161,18 @@ object GraphLoader {
     val scopeCols = subResource.toSeq.flatMap { case (label, idCol) =>
       Seq(lit(label).as(SubResourceLabelCol), idCol.as(SubResourceIdCol))
     }
+    // Dedup on the key BEFORE attaching scope columns: the constant
+    // label string would push the key dedup from HashAggregate to
+    // SortAggregate (var-length agg buffers aren't hash-aggregable), and
+    // the merge downstream can then skip its own dedup entirely.
     val matched = pairs
       .join(src, pairs(srcRef) === col("_src_match"), "inner")
       .join(dst, pairs(dstRef) === col("_dst_match"), "inner")
+      .drop("_src_match", "_dst_match")
+      .dropDuplicates(srcRef :: dstRef :: Nil)
       .select((col(srcRef).as(SRC) +: col(dstRef).as(DST) +: props.toSeq) ++ scopeCols: _*)
-    upsertEdgeBatch(graph, (srcLabel, relLabel, dstLabel), matched, tag)
+    upsertEdgeBatch(graph, (srcLabel, relLabel, dstLabel), matched, tag,
+      dedupBatch = false)
   }
 
   /** Cartesian matchlink: all-pairs edges between two node sets. The
@@ -174,6 +184,8 @@ object GraphLoader {
                  tag: Long): Graph = {
     val src = graph.nodes(srcLabel).select(col(ID).as(SRC)).dropDuplicates(SRC :: Nil)
     val dst = graph.nodes(dstLabel).select(col(ID).as(DST)).dropDuplicates(DST :: Nil)
-    upsertEdgeBatch(graph, (srcLabel, relLabel, dstLabel), src.crossJoin(broadcast(dst)), tag)
+    // distinct × distinct is key-unique by construction → no re-dedup
+    upsertEdgeBatch(graph, (srcLabel, relLabel, dstLabel), src.crossJoin(broadcast(dst)),
+      tag, dedupBatch = false)
   }
 }

@@ -87,18 +87,21 @@ object GraphStore {
   def upsertNodes(existing: DataFrame, batch: DataFrame, tag: Long): DataFrame =
     merge(existing, batch, Seq(ID), tag)
 
-  /** Upsert an edge batch keyed on (src_id, dst_id). */
-  def upsertEdges(existing: DataFrame, batch: DataFrame, tag: Long): DataFrame =
-    merge(existing, batch, Seq(SRC, DST), tag)
+  /** Upsert an edge batch keyed on (src_id, dst_id). `dedupBatch = false`
+    * when the caller already guarantees key-unique rows (see [[merge]]). */
+  def upsertEdges(existing: DataFrame, batch: DataFrame, tag: Long,
+                  dedupBatch: Boolean = true): DataFrame =
+    merge(existing, batch, Seq(SRC, DST), tag, dedupBatch)
 
   /** First-load fast path: merging into a table known to be empty is just
     * key-dedup + system-column stamping — no full-outer join, no shuffle
     * of an empty side. Semantically identical to `merge(emptyLike(batch),
     * batch, keys, tag)` (last duplicate wins either way is undefined in
     * the reference too; we keep an arbitrary-but-deterministic first). */
-  def initialLoad(batch: DataFrame, keys: Seq[String], tag: Long): DataFrame = {
+  def initialLoad(batch: DataFrame, keys: Seq[String], tag: Long,
+                  dedupBatch: Boolean = true): DataFrame = {
     val props = batch.columns.filterNot(c => keys.contains(c) || SYS(c)).toSeq
-    batch.dropDuplicates(keys)
+    (if (dedupBatch) batch.dropDuplicates(keys) else batch)
       .select(keys.map(col) ++
         Seq(lit(tag).as(FIRSTSEEN), lit(tag).as(LASTUPDATED)) ++ props.map(col): _*)
   }
