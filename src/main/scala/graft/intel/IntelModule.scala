@@ -78,7 +78,13 @@ trait IntelModule {
           val staleCleaned = GraphStore.cleanupEdgesByEndpoint(
             acc.edgeTable(key._1, key._2, key._3), tag,
             graph.nodeTable(label), side, scopeOf(label))
-          acc.withEdges(key, GraphStore.detachDelete(staleCleaned, deleted, side))
+          // DETACH on every side the label occupies: a self-referencing
+          // edge table (e.g. zone SUBZONE zone) must also drop edges whose
+          // DST endpoint was deleted, exactly like Cypher DETACH DELETE
+          val sides = Seq(GraphStore.SRC -> src, GraphStore.DST -> dst)
+            .collect { case (s, l) if l == label => s }
+          acc.withEdges(key, sides.foldLeft(staleCleaned)(
+            (e, s) => GraphStore.detachDelete(e, deleted, s)))
         case (acc, _) => acc
       }
     }

@@ -368,7 +368,18 @@ object AnalysisQueries {
        |  CASE WHEN has_condition THEN cond_keys_all ELSE '' END AS condition_keys
        |FROM ${grantedSubquery(stmts)}""".stripMargin
 
+  /** DNS sub-zone derivation through the full DnsZones module sync
+    * (route53.py:470-505 link_sub_zones): NS-record equi-join chain +
+    * ENDS WITH filter → matchlinks with account-scoped cleanup. The
+    * stray per-nation delegations in the feed are equi-matches the
+    * suffix filter must reject. */
+  def intelDnsSubzones(spark: SparkSession, dir: String): DataFrame =
+    graft.intel.DnsZones.sync(Graph(), spark, dir, TAG)
+      .edgeTable("DNSZone", "SUBZONE", "DNSZone")
+      .select(col("src_id"), col("dst_id"), col("lastupdated"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "intel_dns_subzones" -> (intelDnsSubzones _),
     "analysis_set_property" -> (analysisSetProperty _),
     "analysis_add_to_set" -> (analysisAddToSet _),
     "analysis_derive_edges" -> (analysisDeriveEdges _),
@@ -383,6 +394,43 @@ object AnalysisQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "intel_dns_subzones" ->
+      s"""WITH rz AS (
+         |  SELECT 'zone-r' || CAST(r_regionkey AS VARCHAR) AS zone_id,
+         |         lower(replace(r_name, ' ', '-')) || '.corp' AS name,
+         |         r_regionkey
+         |  FROM region),
+         |nz AS (
+         |  SELECT 'zone-n' || CAST(n_nationkey AS VARCHAR) AS zone_id,
+         |         lower(replace(n_name, ' ', '-')) || '.' || rz.name AS name,
+         |         n_nationkey
+         |  FROM nation JOIN rz ON n_regionkey = rz.r_regionkey),
+         |zones AS (
+         |  SELECT zone_id, name FROM rz UNION ALL SELECT zone_id, name FROM nz),
+         |ns AS (
+         |  SELECT 'ns-' || CAST(n_nationkey AS VARCHAR) AS ns_id,
+         |         zone_id AS owner_zone
+         |  FROM nz),
+         |recs AS (
+         |  SELECT rz.zone_id AS rec_zone,
+         |         lower(rtrim(upper(nz.name) || '.', '.')) AS name,
+         |         'ns-' || CAST(nz.n_nationkey AS VARCHAR) AS ns_ref
+         |  FROM nation JOIN rz ON n_regionkey = rz.r_regionkey
+         |              JOIN nz ON nz.n_nationkey = nation.n_nationkey
+         |  UNION ALL
+         |  SELECT a.zone_id,
+         |         lower(rtrim(upper(b.name) || '.', '.')),
+         |         'ns-' || CAST(b.n_nationkey AS VARCHAR)
+         |  FROM nz a JOIN nz b ON b.n_nationkey = (a.n_nationkey + 1) % 25)
+         |SELECT z.zone_id AS src_id, z2.zone_id AS dst_id,
+         |       CAST($TAG AS BIGINT) AS lastupdated
+         |FROM recs r
+         |JOIN zones z ON r.rec_zone = z.zone_id
+         |JOIN ns ON r.ns_ref = ns.ns_id
+         |JOIN nz z2 ON ns.owner_zone = z2.zone_id
+         |WHERE r.name = z2.name
+         |  AND z2.name LIKE '%.' || z.name
+         |  AND z.zone_id <> z2.zone_id""".stripMargin,
     "analysis_set_property" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id,
         |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

@@ -156,6 +156,60 @@ class IntelModuleSpec extends AnyFunSuite {
     assert(g.nodeTable("Instance").count() == 3) // later module still synced
   }
 
+  test("dns module derives sub-zones, normalizes names, rejects stray delegations") {
+    val g = graft.intel.DnsZones.sync(Graph(), spark, "/root/testdata/sf0.001", 500L)
+    // record names were loaded uppercase + trailing dot; normalization is
+    // what lets the equi-filter match zone names
+    val recNames = g.nodeTable("DNSRecord").select($"name").as[String].collect()
+    assert(recNames.nonEmpty && recNames.forall(n => n == n.toLowerCase && !n.endsWith(".")))
+    val sub = g.edgeTable("DNSZone", "SUBZONE", "DNSZone")
+      .select($"src_id", $"dst_id").as[(String, String)].collect().toSet
+    // exactly one link per nation: region zone -> nation zone; every stray
+    // (nation zone -> next nation's zone) was equi-matched but suffix-rejected
+    assert(sub.size == 25)
+    assert(sub.forall { case (s, d) => s.startsWith("zone-r") && d.startsWith("zone-n") })
+  }
+
+  test("dns module two-epoch sync: scoped matchlink cleanup spares other accounts") {
+    import org.apache.spark.sql.functions.lit
+    val sf = "/root/testdata/sf0.001"
+    val g1 = graft.intel.DnsZones.sync(Graph(), spark, sf, 500L)
+    // a foreign account's zones + SUBZONE link, already present and stale
+    // by epoch 2 — the scoped cleanup must not touch another tenant's rows
+    val foreignZones = g1.nodeTable("DNSZone").limit(1).drop("id")
+      .crossJoin(Seq("zone-x", "zone-y").toDF("id"))
+      .withColumn("firstseen", lit(400L)).withColumn("lastupdated", lit(400L))
+      .withColumn("_sub_resource_id", lit("A2"))
+    val foreign = Seq(("zone-x", "zone-y")).toDF("src_id", "dst_id")
+      .withColumn("firstseen", lit(400L)).withColumn("lastupdated", lit(400L))
+      .withColumn("_sub_resource_label", lit("Account"))
+      .withColumn("_sub_resource_id", lit("A2"))
+    val seeded = g1
+      .withNodes("DNSZone",
+        g1.nodeTable("DNSZone").unionByName(foreignZones))
+      .withEdges(graft.intel.DnsZones.SubzoneKey,
+        g1.edgeTable("DNSZone", "SUBZONE", "DNSZone").unionByName(foreign))
+    // epoch 2: nations >= 12 disappeared from the feed
+    val e2 = Files.createTempDirectory("dns-epoch2").toString
+    spark.read.parquet(s"$sf/nation.parquet").filter($"n_nationkey" < 12)
+      .write.mode("overwrite").parquet(s"$e2/nation.parquet")
+    spark.read.parquet(s"$sf/region.parquet")
+      .write.mode("overwrite").parquet(s"$e2/region.parquet")
+    val g2 = graft.intel.DnsZones.sync(seeded, spark, e2, 600L)
+    val sub = g2.edgeTable("DNSZone", "SUBZONE", "DNSZone")
+      .select($"src_id", $"dst_id", $"lastupdated", $"_sub_resource_id")
+      .as[(String, String, Long, String)].collect()
+    // A1's stale links (nations >= 12) deleted; fresh links re-stamped;
+    // A2's stale link out of scope -> survives byte-untouched
+    val a1 = sub.filter(_._4 == "A1")
+    assert(a1.length == 12 && a1.forall(_._3 == 600L))
+    assert(sub.filter(_._4 == "A2").toSeq == Seq(("zone-x", "zone-y", 400L, "A2")))
+    // stale nation zones cleaned; the foreign tenant's zones spared
+    val zoneIds = g2.nodeTable("DNSZone").select($"id").as[String].collect().toSet
+    assert(!zoneIds.contains("zone-n20") && zoneIds.contains("zone-n3"))
+    assert(zoneIds.contains("zone-x") && zoneIds.contains("zone-y"))
+  }
+
   test("re-sync with shrunken feed cleans the synced tenant, spares others") {
     val g1 = ComputeInstances.sync(Graph().withNodes("Account", accountNodes),
       spark, epoch1, tag = 200L)
