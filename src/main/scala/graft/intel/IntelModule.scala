@@ -99,6 +99,23 @@ object SyncRunner {
           tag: Long): Graph =
     modules.foldLeft(graph) { case (g, (m, source)) => m.sync(g, spark, source, tag) }
 
+  /** Serial stage execution for assembled plans ([[SyncAssembly]]). */
+  def runStages(graph: Graph, spark: SparkSession, stages: Seq[SyncStage],
+                tag: Long): Graph =
+    stages.foldLeft(graph)((g, s) => s.run(g, spark, tag))
+
+  /** Best-effort stage execution: same isolation contract as
+    * [[runBestEffort]] — a failing stage keeps the pre-stage graph and
+    * is reported; later stages still run. */
+  def runStagesBestEffort(graph: Graph, spark: SparkSession,
+                          stages: Seq[SyncStage],
+                          tag: Long): (Graph, Seq[(String, Throwable)]) =
+    stages.foldLeft((graph, Seq.empty[(String, Throwable)])) {
+      case ((g, failures), s) =>
+        try (s.run(g, spark, tag), failures)
+        catch { case scala.util.control.NonFatal(e) => (g, failures :+ (s.name -> e)) }
+    }
+
   /** Best-effort variant (reference: per-account isolation,
     * cartography/intel/aws/__init__.py:649-670): a failing module keeps
     * the graph state from before it ran and is reported; the remaining

@@ -52,9 +52,14 @@ object PipelineQueries {
 
   /** End-to-end sync composition: tenant-scoped schema load → analysis
     * effect flags exposed customers → rules framework emits findings —
-    * the full reference lifecycle (sync.py stages) in one plan. */
+    * the full reference lifecycle assembled through
+    * [[graft.intel.SyncAssembly.buildSync]] (sync.py:500-539). The
+    * selection deliberately lists `analysis` first: the assembler must
+    * reorder it last (with a warning) for the exposure flags to exist
+    * when rules read them, so the gate exercises the ordering invariant,
+    * not just the stages. */
   def e2eFullSync(spark: SparkSession, dir: String): DataFrame = {
-    // stage 1: load tenants + customers through the schema DSL
+    import graft.intel.{SyncAssembly, SyncStage}
     val tenants = Tables.nation(spark, dir).select(col("n_nationkey").cast("long").as("id"))
     val g0 = Graph().withNodes("Nation",
       GraphStore.initialLoad(tenants, Seq(GraphStore.ID), TAG))
@@ -63,17 +68,28 @@ object PipelineQueries {
       id = Field("c_custkey"),
       properties = Map("name" -> Field("c_name"), "acctbal" -> Field("c_acctbal")),
       subResource = Some(SubResourceRel("Nation", "id", Derived(col("c_nationkey").cast("long")))))
-    val g1 = GraphLoader.load(g0, custSchema, Tables.customer(spark, dir), TAG)
+    val registry = Seq(
+      // index DDL is an at-rest layout concern here (Layout.writeBucketedTable);
+      // the stage slot keeps the reference's shape and pins the ordering
+      SyncStage(SyncAssembly.IndexStage, (g, _, _) => g),
+      SyncStage("customer-load",
+        (g, s, t) => GraphLoader.load(g, custSchema, Tables.customer(s, dir), t)),
+      SyncStage(SyncAssembly.AnalysisStage,
+        (g, _, t) => AnalysisRunner.run(g, AnalysisJob(
+          "exposure",
+          pattern = _ => Tables.orders(spark, dir)
+            .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("id"), lit(true).as("exposed")),
+          effects = Seq(SetProperty("Customer", "exposed", "exposed"))), t),
+        wants = Seq("customer-load")))
+    val plan = SyncAssembly.buildSync(
+      Seq(SyncAssembly.AnalysisStage, SyncAssembly.IndexStage, "customer-load"),
+      registry)
+    assert(plan.stageNames ==
+      Seq(SyncAssembly.IndexStage, "customer-load", SyncAssembly.AnalysisStage))
+    val g2 = plan.run(g0, spark, TAG)
 
-    // stage 2: analysis — flag customers with open urgent orders
-    val g2 = AnalysisRunner.run(g1, AnalysisJob(
-      "exposure",
-      pattern = _ => Tables.orders(spark, dir)
-        .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey").as("id"), lit(true).as("exposed")),
-      effects = Seq(SetProperty("Customer", "exposed", "exposed"))), TAG)
-
-    // stage 3: rules over the derived graph
+    // read surface: rules over the synced graph
     RulesRunner.run(spark, Framework("e2e", Seq(
       Rule("exposure-risk", "Exposed with low balance", Seq(
         Fact("exposed-low-balance", "Exposed customer below 1000", "Customer",

@@ -210,6 +210,59 @@ class IntelModuleSpec extends AnyFunSuite {
     assert(zoneIds.contains("zone-x") && zoneIds.contains("zone-y"))
   }
 
+  test("buildSync validates names, dedups, aliases, enforces stage order") {
+    import graft.intel.{SyncAssembly, SyncStage}
+    val noop: (Graph, SparkSession, Long) => Graph = (g, _, _) => g
+    val registry = Seq(
+      SyncStage(SyncAssembly.IndexStage, noop),
+      SyncStage("aws", noop),
+      SyncStage("microsoft", noop),
+      SyncStage(SyncAssembly.OntologyStage, noop),
+      SyncStage(SyncAssembly.AnalysisStage, noop))
+    // unknown names abort with the full valid list (sync.py:575-584)
+    val err = intercept[IllegalArgumentException] {
+      SyncAssembly.buildSync(Seq("aws", "nope"), registry)
+    }
+    assert(err.getMessage.contains("nope") && err.getMessage.contains("Valid values"))
+    // dedup keeps first occurrence; alias entra->microsoft resolves;
+    // pinned stages move to their slots with a warning
+    val plan = SyncAssembly.buildSync(
+      "analysis, ontology ,aws,entra,aws,create-indexes", registry)
+    assert(plan.stageNames == Seq(
+      SyncAssembly.IndexStage, "aws", "microsoft",
+      SyncAssembly.OntologyStage, SyncAssembly.AnalysisStage))
+    assert(plan.warnings.exists(_.contains("order adjusted")))
+    // an in-order selection raises no ordering warning
+    val inOrder = SyncAssembly.buildSync(Seq("create-indexes", "aws", "analysis"), registry)
+    assert(inOrder.warnings.isEmpty)
+  }
+
+  test("buildSync warns on missing soft dependencies; plan runs via SyncRunner") {
+    import graft.intel.{SyncAssembly, SyncStage}
+    val loadedLabels = scala.collection.mutable.ArrayBuffer.empty[String]
+    def tracking(name: String, wants: Seq[String] = Nil) =
+      SyncStage(name, (g, _, _) => { loadedLabels += name; g }, wants)
+    val registry = Seq(
+      tracking("principals"),
+      tracking("permission-relationships", wants = Seq("principals")),
+      tracking(SyncAssembly.AnalysisStage))
+    val plan = SyncAssembly.buildSync(Seq("permission-relationships"), registry)
+    assert(plan.warnings.exists(w =>
+      w.contains("permission-relationships") && w.contains("principals")))
+    // with the dependency included there is no warning and order is kept
+    val full = SyncAssembly.buildSync(
+      Seq("principals", "permission-relationships", "analysis"), registry)
+    assert(full.warnings.isEmpty)
+    full.run(Graph(), spark, 700L)
+    assert(loadedLabels.toSeq ==
+      Seq("principals", "permission-relationships", "analysis"))
+    // best-effort: a failing stage is isolated and reported by name
+    val boom = SyncStage("boom", (_, _, _) => sys.error("nope"))
+    val (_, failures) = graft.intel.SyncPlan(Seq(boom) ++ registry.take(1), Nil)
+      .runBestEffort(Graph(), spark, 701L)
+    assert(failures.map(_._1) == Seq("boom"))
+  }
+
   test("re-sync with shrunken feed cleans the synced tenant, spares others") {
     val g1 = ComputeInstances.sync(Graph().withNodes("Account", accountNodes),
       spark, epoch1, tag = 200L)
