@@ -18,6 +18,43 @@ object CollectingWriter {
   def clear(): Unit = batches.clear()
 }
 
+/** In-process stand-in for a Bolt endpoint (local mode: executors share
+  * the JVM, so static state observes the writes). Applies MERGE
+  * semantics — replayed batches land on the same ids — and can fail each
+  * client's first run() with a transient error to exercise the retry
+  * path end-to-end through foreachBatched. */
+object FakeBoltServer {
+  import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
+  val mergedIds = new TrieMap[Any, Unit]()
+  val transientFailures = new AtomicInteger(0)
+  val maxBatchSize = new AtomicInteger(0)
+  val lastQuery = new AtomicReference[String]("")
+  val lastTag = new AtomicLong(0)
+  val openClients = new AtomicInteger(0)
+  def clear(): Unit = {
+    mergedIds.clear(); transientFailures.set(0); maxBatchSize.set(0)
+    lastQuery.set(""); lastTag.set(0); openClients.set(0)
+  }
+
+  final class Client(failFirst: Boolean) extends graft.sink.BoltWriter.BoltClient {
+    openClients.incrementAndGet()
+    private var calls = 0
+    def run(query: String, params: Map[String, Any]): Unit = {
+      calls += 1
+      if (failFirst && calls == 1) {
+        transientFailures.incrementAndGet()
+        throw graft.sink.BoltWriter.TransientException("first attempt drops")
+      }
+      val batch = params("batch").asInstanceOf[Seq[Map[String, Any]]]
+      maxBatchSize.getAndUpdate(m => math.max(m, batch.size))
+      batch.foreach(row => mergedIds.put(row("id"), ()))
+      lastQuery.set(query)
+      lastTag.set(params("tag").asInstanceOf[Long])
+    }
+    def close(): Unit = openClients.decrementAndGet()
+  }
+}
+
 class GraphSinkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -86,6 +123,74 @@ class GraphSinkSpec extends AnyFunSuite {
       .csv(s"$out/rels_Thing_LINKS_Thing/data").collect()
       .map(r => (r.getString(0), r.getString(3), r.getString(4))).toSet
     assert(relData == Set(("1", "2", "LINKS")))
+  }
+
+  test("runWithRetry classifies errors like the reference session wrapper") {
+    import graft.sink.BoltWriter
+    // transient network errors: exponential backoff 1, 2, 4 ... then recover
+    var sleeps = Vector.empty[Double]
+    var calls = 0
+    val out = BoltWriter.runWithRetry({ () =>
+      calls += 1
+      if (calls <= 3) throw BoltWriter.TransientException("blip")
+      42
+    }, sleep = sleeps :+= _)
+    assert(out == 42 && sleeps == Vector(1.0, 2.0, 4.0))
+    // EntityNotFound is the ONLY retryable ClientError
+    calls = 0
+    BoltWriter.runWithRetry({ () =>
+      calls += 1
+      if (calls == 1)
+        throw BoltWriter.ClientException(BoltWriter.EntityNotFoundCode, "racing delete")
+      ()
+    }, sleep = _ => ())
+    assert(calls == 2)
+    // any other ClientError is permanent: no retry, propagates on call 1
+    calls = 0
+    intercept[BoltWriter.ClientException] {
+      BoltWriter.runWithRetry({ () =>
+        calls += 1
+        throw BoltWriter.ClientException("Neo.ClientError.Statement.SyntaxError", "bad")
+      }, sleep = _ => ())
+    }
+    assert(calls == 1)
+    // budgets are per class and bounded at max attempts (tx.py:33-34)
+    calls = 0
+    intercept[BoltWriter.ServiceUnavailableException] {
+      BoltWriter.runWithRetry({ () =>
+        calls += 1
+        throw BoltWriter.ServiceUnavailableException("down")
+      }, sleep = _ => ())
+    }
+    assert(calls == BoltWriter.MaxNetworkRetries)
+    // classes do not share a budget: 4 network + 4 entity blips still recover
+    var net = 0; var ent = 0; calls = 0
+    BoltWriter.runWithRetry({ () =>
+      calls += 1
+      if (net < 4) { net += 1; throw BoltWriter.SessionExpiredException("x") }
+      if (ent < 4) { ent += 1
+        throw BoltWriter.ClientException(BoltWriter.EntityNotFoundCode, "y") }
+      ()
+    }, sleep = _ => ())
+    assert(calls == 9)
+  }
+
+  test("BoltRowWriter ships batches through a flaky in-process server") {
+    import graft.sink.BoltWriter
+    FakeBoltServer.clear()
+    val df = spark.range(25).toDF("id")
+      .withColumn("state", org.apache.spark.sql.functions.lit("running"))
+    BoltWriter.writeNodes(df.repartition(2), "Instance", tag = 900L,
+      clientFactory = () => new FakeBoltServer.Client(failFirst = true),
+      batchSize = 10)
+    // every id merged exactly once despite each client's first attempt
+    // failing with a transient error (MERGE replay is idempotent)
+    assert(FakeBoltServer.mergedIds.size == 25)
+    assert(FakeBoltServer.transientFailures.get() >= 2) // one per partition
+    assert(FakeBoltServer.maxBatchSize.get() <= 10)
+    assert(FakeBoltServer.lastQuery.get().contains("MERGE (i:Instance{id: item.id})"))
+    assert(FakeBoltServer.lastTag.get() == 900L)
+    assert(FakeBoltServer.openClients.get() == 0) // close() ran per partition
   }
 
   test("sync metadata control row is upserted with the tag") {
