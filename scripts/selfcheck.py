@@ -72,8 +72,9 @@ def main():
             n_fail += 1
         elif got_rows != want_rows:
             n_fail += 1
-            diff_g = [r for r in got_rows if r not in set(want_rows)][:3]
-            diff_w = [r for r in want_rows if r not in set(got_rows)][:3]
+            want_set, got_set = set(want_rows), set(got_rows)
+            diff_g = [r for r in got_rows if r not in want_set][:3]
+            diff_w = [r for r in want_rows if r not in got_set][:3]
             print(f"FAIL {name}: {len(got_rows)} vs {len(want_rows)} rows; "
                   f"spark-only={diff_g} oracle-only={diff_w} cols={gcols}")
         else:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.graph.GraphStore
+import graft.graph.{Graph, GraphStore}
 
 /** Core graph-ETL operator battery over the driver's synthetic tables.
   *
@@ -158,7 +158,100 @@ object CoreQueries {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Endpoint-scoped REL cleanup (cleanupbuilder.py:244-383 scoped rel
+    * delete; the rel-only shape of case 3 :91-103): stale Order→Customer
+    * edges die when their customer endpoint is in the synced scope
+    * (nation < 13); stale edges whose endpoint provably belongs to
+    * another scope survive; dangling stale edges (endpoint id −1, never
+    * loaded) always die. */
+  def cleanupRelScoped(spark: SparkSession, dir: String): DataFrame = {
+    val custNodes = GraphStore.initialLoad(
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("id"), col("c_nationkey").cast("long").as("nationkey")),
+      Seq(GraphStore.ID), TAG1)
+    val o = Tables.orders(spark, dir)
+    val live = o.select(col("o_orderkey").as("src_id"), col("o_custkey").as("dst_id"))
+    val dangling = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("src_id"), lit(-1L).as("dst_id"))
+    val t1 = GraphStore.upsertEdges(
+      GraphStore.emptyLike(live, Seq("src_id", "dst_id")),
+      live.unionByName(dangling), TAG1)
+    val t2 = GraphStore.upsertEdges(t1, live.filter(col("src_id") % 3 =!= 0), TAG2)
+    GraphStore.cleanupEdgesByEndpoint(t2, TAG2, custNodes, GraphStore.DST,
+        scope = col("nationkey") < 13)
+      .select(col("src_id").cast("long").as("src_id"),
+        col("dst_id").cast("long").as("dst_id"), col("lastupdated"))
+  }
+
+  /** Cascade cleanup (cleanupbuilder.py:309-334): stale scoped Orders
+    * die; their stale Item children cascade; CONTAINS edges detach from
+    * both deleted sides. Stale items under fresh or out-of-scope parents
+    * survive (the re-parent protection `child.lastupdated <> $TAG`). One
+    * result set with a kind column over orders / items / edges. */
+  def cleanupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val orders1 = o.select(col("o_orderkey").as("id"),
+      col("o_custkey").cast("long").as("cust"))
+    val orders2 = orders1.filter(col("id") % 3 =!= 0)
+    val items1 = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+      col("l_orderkey").as("parent"), col("l_linenumber").as("ln"))
+    val items2 = items1.filter(col("parent") % 3 =!= 0 && col("ln") % 2 === 1)
+    def edgesOf(items: DataFrame) =
+      items.select(col("parent").as("src_id"), col("id").as("dst_id"))
+    val g0 = Graph()
+      .withNodes("Order", GraphStore.upsertNodes(
+        GraphStore.upsertNodes(GraphStore.emptyLike(orders1), orders1, TAG1),
+        orders2, TAG2))
+      .withNodes("Item", GraphStore.upsertNodes(
+        GraphStore.upsertNodes(GraphStore.emptyLike(items1.drop("parent", "ln")),
+          items1.drop("parent", "ln"), TAG1),
+        items2.drop("parent", "ln"), TAG2))
+      .withEdges(("Order", "CONTAINS", "Item"), GraphStore.upsertEdges(
+        GraphStore.upsertEdges(GraphStore.emptyLike(edgesOf(items1),
+          Seq("src_id", "dst_id")), edgesOf(items1), TAG1),
+        edgesOf(items2), TAG2))
+    val g = GraphStore.cleanupWithCascade(g0, "Order",
+      Seq(("Order", "CONTAINS", "Item")), TAG2, scope = col("cust") % 2 === 0)
+    g.nodeTable("Order")
+      .select(lit("order").as("kind"), col("id").cast("long").as("a"),
+        lit(null).cast("long").as("b"), col("lastupdated"))
+      .unionByName(g.nodeTable("Item")
+        .select(lit("item").as("kind"), col("id").cast("long").as("a"),
+          lit(null).cast("long").as("b"), col("lastupdated")))
+      .unionByName(g.edgeTable("Order", "CONTAINS", "Item")
+        .select(lit("edge").as("kind"), col("src_id").cast("long").as("a"),
+          col("dst_id").cast("long").as("b"), col("lastupdated")))
+  }
+
+  /** Unscoped cleanup pair (cleanupbuilder.py:105-118 case 4): plain
+    * stale-tag delete on nodes AND on the relationship table, no tenant
+    * scope anywhere. */
+  def cleanupUnscoped(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val nodes1 = s.select(col("s_suppkey").as("id"))
+    val nodes2 = nodes1.filter(col("id") % 4 =!= 0)
+    val edges1 = s.select(col("s_suppkey").as("src_id"),
+      col("s_nationkey").cast("long").as("dst_id"))
+    val edges2 = edges1.filter(col("src_id") % 4 =!= 0)
+    val nodeTable = GraphStore.upsertNodes(
+      GraphStore.upsertNodes(GraphStore.emptyLike(nodes1), nodes1, TAG1), nodes2, TAG2)
+    val edgeTable = GraphStore.upsertEdges(
+      GraphStore.upsertEdges(GraphStore.emptyLike(edges1, Seq("src_id", "dst_id")),
+        edges1, TAG1), edges2, TAG2)
+    GraphStore.cleanup(nodeTable, TAG2)
+      .select(lit("node").as("kind"), col("id").cast("long").as("a"),
+        lit(null).cast("long").as("b"), col("lastupdated"))
+      .unionByName(GraphStore.cleanup(edgeTable, TAG2)
+        .select(lit("edge").as("kind"), col("src_id").cast("long").as("a"),
+          col("dst_id").cast("long").as("b"), col("lastupdated")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "core_cleanup_rel_scoped" -> (cleanupRelScoped _),
+    "core_cleanup_cascade" -> (cleanupCascade _),
+    "core_cleanup_unscoped" -> (cleanupUnscoped _),
     "core_sliding_window" -> (slidingWindow _),
     "core_upsert_nodes" -> (upsertNodes _),
     "core_cleanup_stale" -> (cleanupStale _),
@@ -171,6 +264,49 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "core_cleanup_rel_scoped" ->
+      """WITH e AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS src_id,
+        |         CAST(o_custkey AS BIGINT) AS dst_id,
+        |         CAST(CASE WHEN o_orderkey % 3 <> 0 THEN 2000 ELSE 1000 END AS BIGINT)
+        |           AS lastupdated
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT), CAST(-1 AS BIGINT), CAST(1000 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT e.src_id, e.dst_id, e.lastupdated
+        |FROM e LEFT JOIN customer c ON e.dst_id = c.c_custkey
+        |WHERE e.lastupdated = 2000
+        |   OR (c.c_custkey IS NOT NULL AND c.c_nationkey >= 13)""".stripMargin,
+    "core_cleanup_cascade" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE NOT (o_orderkey % 3 = 0 AND o_custkey % 2 = 0))
+        |SELECT 'order' AS kind, CAST(o_orderkey AS BIGINT) AS a,
+        |       CAST(NULL AS BIGINT) AS b,
+        |       CAST(CASE WHEN o_orderkey % 3 <> 0 THEN 2000 ELSE 1000 END AS BIGINT)
+        |         AS lastupdated
+        |FROM survivors
+        |UNION ALL
+        |SELECT DISTINCT 'item', CAST(l_orderkey * 10 + l_linenumber AS BIGINT),
+        |       CAST(NULL AS BIGINT),
+        |       CAST(CASE WHEN l_orderkey % 3 <> 0 AND l_linenumber % 2 = 1
+        |            THEN 2000 ELSE 1000 END AS BIGINT)
+        |FROM lineitem JOIN survivors ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT DISTINCT 'edge', CAST(l_orderkey AS BIGINT),
+        |       CAST(l_orderkey * 10 + l_linenumber AS BIGINT),
+        |       CAST(CASE WHEN l_orderkey % 3 <> 0 AND l_linenumber % 2 = 1
+        |            THEN 2000 ELSE 1000 END AS BIGINT)
+        |FROM lineitem JOIN survivors ON l_orderkey = o_orderkey""".stripMargin,
+    "core_cleanup_unscoped" ->
+      """SELECT 'node' AS kind, CAST(s_suppkey AS BIGINT) AS a,
+        |       CAST(NULL AS BIGINT) AS b, CAST(2000 AS BIGINT) AS lastupdated
+        |FROM supplier WHERE s_suppkey % 4 <> 0
+        |UNION ALL
+        |SELECT 'edge', CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT),
+        |       CAST(2000 AS BIGINT)
+        |FROM supplier WHERE s_suppkey % 4 <> 0""".stripMargin,
     "core_upsert_nodes" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id,
         |  CAST(1000 AS BIGINT) AS firstseen,
