@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * exact long math, summation-order-independent, so results are
   * bit-identical under any partitioning and reproducible in the SQL
   * oracle (which unrolls the same iterations as chained CTEs). Dangling
-  * nodes (no outlinks) leak their mass — the standard simplification;
-  * add a dangling-sum redistribution term if mass conservation matters.
+  * nodes (no outlinks) leak their mass by default — the standard
+  * simplification; `redistributeDangling = true` adds the per-round
+  * dangling-sum share (S div N, floor) to every node's incoming mass
+  * before damping, restoring (floor-exact) mass conservation. Web-style
+  * corpora are sink-heavy, and without the term their ranks bias low.
   *
   * Scale shape per iteration: one join edges⋈ranks on src (co-partitioned
   * with the outdegree join), one groupBy dst (map-side combinable sum),
@@ -27,34 +30,57 @@ object Centrality {
 
   /** Ranks in millionths after `iterations` damped rounds (d = 0.85).
     * Output: (node, rank_x1e6). */
-  def pagerank(edges: DataFrame, iterations: Int): DataFrame = {
+  def pagerank(edges: DataFrame, iterations: Int,
+               redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     val seeded = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .select(col("node"), lit(1000000L).as("r0"), lit(150000L).as("tel"))
       .localCheckpoint(false)
-    dampedRank(e, seeded, iterations)
+    dampedRank(e, seeded, iterations, redistributeDangling)
   }
 
   /** Shared damped-fixpoint loop under both PageRank variants:
     * `seeded` = (node, r0, tel) — initial rank and per-node teleport
     * mass in ppm. Per iteration: one join edges⋈ranks on src
     * (co-partitioned with the outdegree join), one groupBy dst
-    * (map-side combinable sum), one left join back to the node set. */
-  private def dampedRank(e: DataFrame, seeded: DataFrame,
-                         iterations: Int): DataFrame = {
+    * (map-side combinable sum), one left join back to the node set.
+    * With redistribution, add one tiny whole-table agg per round whose
+    * 1-row result joins back as a broadcast scalar — the share
+    * `S div N` is exact integer math, so determinism is preserved. */
+  private def dampedRank(e: DataFrame, seeded: DataFrame, iterations: Int,
+                         redistributeDangling: Boolean = false): DataFrame = {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // dangling set and node count are edge-structure constants: compute once
+    val dangling =
+      if (!redistributeDangling) null
+      else seeded.select(col("node"))
+        .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+        .localCheckpoint(false)
+    val nNodes =
+      if (!redistributeDangling) null
+      else seeded.agg(count(lit(1)).as("nn"))
     var r = seeded.select(col("node"), col("r0").as("r"))
     (1 to iterations).foreach { _ =>
       val contrib = e.join(r.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      r = seeded.join(contrib, Seq("node"), "left")
-        .select(col("node"),
+      val damped = seeded.join(contrib, Seq("node"), "left")
+      r = (if (!redistributeDangling) {
+        damped.select(col("node"),
           expr("tel + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100").as("r"))
-        .localCheckpoint(false)
+      } else {
+        val share = r.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("s"))
+          .crossJoin(nNodes)
+          .select(expr("s div nn").as("dshare"))
+        damped.crossJoin(broadcast(share))
+          .select(col("node"),
+            expr("tel + (85 * (coalesce(m, CAST(0 AS BIGINT)) + dshare)) div 100")
+              .as("r"))
+      }).localCheckpoint(false)
     }
     r.select(col("node"), col("r").as("rank_x1e6"))
   }

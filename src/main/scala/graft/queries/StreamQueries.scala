@@ -61,6 +61,21 @@ object StreamQueries {
     graft.graph.Centrality.pagerank(custEdges.unionByName(natEdges), iterations = 3)
   }
 
+  /** PageRank with dangling-mass redistribution over the same DAG: the
+    * region nodes are pure sinks, so without the per-round S div N share
+    * the graph leaks ~their whole rank mass each iteration. The oracle
+    * unrolls the share term exactly (floor integer division). */
+  def centralityPagerankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val custEdges = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("src"),
+      (col("c_nationkey").cast("long") + 1000000L).as("dst"))
+    val natEdges = Tables.nation(spark, dir).select(
+      (col("n_nationkey").cast("long") + 1000000L).as("src"),
+      (col("n_regionkey").cast("long") + 2000000L).as("dst"))
+    graft.graph.Centrality.pagerank(custEdges.unionByName(natEdges),
+      iterations = 3, redistributeDangling = true)
+  }
+
   /** Personalized PageRank over the same containment DAG: teleport mass
     * pinned to every 50th customer — ranks measure proximity to that
     * seed cohort (their nations/regions accumulate rank, others stay 0). */
@@ -285,6 +300,7 @@ object StreamQueries {
     "graph_sssp" -> (graphSssp _),
     "graph_bfs_distances" -> (graphBfsDistances _),
     "centrality_pagerank" -> (centralityPagerank _),
+    "centrality_pagerank_dangling" -> (centralityPagerankDangling _),
     "centrality_ppr" -> (centralityPpr _),
     "graph_triangles" -> (graphTriangles _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
@@ -375,6 +391,44 @@ object StreamQueries {
         |       GROUP BY e.dst),
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
+    "centrality_pagerank_dangling" ->
+      """WITH e AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS src,
+        |         CAST(1000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION
+        |  SELECT CAST(1000000 + n_nationkey AS BIGINT),
+        |         CAST(2000000 + n_regionkey AS BIGINT) FROM nation),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |dang AS (SELECT node FROM nodes
+        |         WHERE node NOT IN (SELECT src FROM e)),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |s1 AS (SELECT COALESCE(SUM(r0.r), 0) // nn.n AS sh
+        |       FROM r0 JOIN dang ON r0.node = dang.node CROSS JOIN nn GROUP BY nn.n),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + (85 * (COALESCE(c1.m, 0) + s1.sh)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 ON n.node = c1.node CROSS JOIN s1),
+        |s2 AS (SELECT COALESCE(SUM(r1.r), 0) // nn.n AS sh
+        |       FROM r1 JOIN dang ON r1.node = dang.node CROSS JOIN nn GROUP BY nn.n),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + (85 * (COALESCE(c2.m, 0) + s2.sh)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 ON n.node = c2.node CROSS JOIN s2),
+        |s3 AS (SELECT COALESCE(SUM(r2.r), 0) // nn.n AS sh
+        |       FROM r2 JOIN dang ON r2.node = dang.node CROSS JOIN nn GROUP BY nn.n),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // d.deg) AS BIGINT) AS m
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + (85 * (COALESCE(c3.m, 0) + s3.sh)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node CROSS JOIN s3)
         |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
     "centrality_ppr" ->
       """WITH e AS (

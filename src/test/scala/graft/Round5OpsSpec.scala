@@ -189,6 +189,21 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out(9L) == 0L && out(1L) == 1L)
   }
 
+  test("dangling redistribution conserves rank mass within floor error") {
+    // star into a sink: node 0..9 -> 100 (100 is dangling)
+    val edges = (0L to 9L).map(s => (s, 100L)).toDF("src", "dst")
+    val n = 11L
+    val leaky = Centrality.pagerank(edges, iterations = 5)
+      .agg(org.apache.spark.sql.functions.sum("rank_x1e6")).as[Long].head()
+    val conserved = Centrality.pagerank(edges, iterations = 5,
+        redistributeDangling = true)
+      .agg(org.apache.spark.sql.functions.sum("rank_x1e6")).as[Long].head()
+    // without the term the sink's whole mass leaks every round; with it,
+    // total stays within per-round floor loss (< N ppm per round)
+    assert(leaky < n * 1000000L * 8 / 10)
+    assert(conserved > n * 1000000L - 5 * n * 100 && conserved <= n * 1000000L)
+  }
+
   test("degree orientation bounds a low-id hub's wedge fan-out") {
     // Node 0 is a 60-spoke hub with the LOWEST id: an id-ordered
     // orientation would keep all 60 out-neighbors (Σ deg⁺² = 3600
