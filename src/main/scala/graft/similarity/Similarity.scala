@@ -32,16 +32,34 @@ object Similarity {
     sqrt((col("na") * col("nb")).cast("double"))).cast("long")
 
   /** Brute-force top-k: queries × corpus with a fused zip_with dot product
-    * per pair (no per-dimension row blowup), ranked per query. The query
-    * side is expected to be small → broadcast. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    * per pair (no per-dimension row blowup), ranked per query. This is
+    * the EXACTNESS BASELINE — the candidate-generation paths (IVF / LSH /
+    * multi-probe / IVF-PQ) are the scale architecture.
+    *
+    * The query side broadcasts by default; past the broadcast ceiling
+    * (driver memory / 8 GB) pass `broadcastQueries = false` and the pair
+    * space becomes a shuffled cartesian join — same results, corpus
+    * scanned once per query partition instead of once total, which is the
+    * honest cost of an exact all-pairs scan at that size. A query side
+    * whose plan-time size estimate already exceeds the hard ceiling fails
+    * fast with that guidance instead of dying mid-broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("q").as("qq"),
       col("norm2").as("na"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
       col("norm2").as("nb"))
+    if (broadcastQueries) {
+      val est = q.queryExecution.optimizedPlan.stats.sizeInBytes
+      require(est <= 8L * 1024 * 1024 * 1024,
+        s"query side estimates ${est} bytes, past the 8 GB broadcast ceiling; " +
+          "pass broadcastQueries = false for the shuffled exact scan " +
+          "or use an ANN path (ivfTopK / lshTopKMultiProbe / ivfPqTopK)")
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    c.join(if (broadcastQueries) broadcast(q) else q,
+        col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", vec_dot(col("qq"), col("qc")))
       .withColumn("cos_x1e6", cosX1e6)
       .withColumn("rank", row_number().over(w))

@@ -342,6 +342,13 @@ class Round5OpsSpec extends AnyFunSuite {
       .select("query_id", "rank", "neighbor_id", "cos_x1e6")
       .as[(Long, Int, Long, Long)].collect().toSet
     assert(exhaustive == brute)
+    // the non-broadcast fallback (query side past the broadcast ceiling)
+    // is the same exact scan, just shuffled: results identical
+    val shuffled = Similarity.bruteForceTopK(queries, q, k = 3,
+        broadcastQueries = false)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(shuffled == brute)
   }
 
   test("ivfPqTopK never returns the query itself and respects k") {
