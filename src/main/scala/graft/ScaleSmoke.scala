@@ -227,6 +227,36 @@ object ScaleSmoke {
               lit("?utm_source=feed&page=2#f"))).as("c"))
           .groupBy(col("c")).count().count()
       }
+      time("pagerank_dangling_3it", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+        val edges = cust.select(col("c_custkey").as("src"),
+            (col("c_nationkey").cast("long") + 100000000000L).as("dst"))
+          .unionByName(Tables.nation(spark, sfDir).select(
+            (col("n_nationkey").cast("long") + 100000000000L).as("src"),
+            (col("n_regionkey").cast("long") + 200000000000L).as("dst")))
+        graph.Centrality.pagerank(edges, 3, redistributeDangling = true).count()
+      }
+      time("cleanup_cascade", m) {
+        val o = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+        val orders1 = o.select(col("o_orderkey").as("id"),
+          col("o_custkey").cast("long").as("cust"))
+        val items1 = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m)
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+            col("l_orderkey").as("parent"))
+        val g0 = graph.Graph()
+          .withNodes("Order", graph.GraphStore.upsertNodes(
+            graph.GraphStore.initialLoad(orders1, Seq("id"), 1L),
+            orders1.filter(col("id") % 3 =!= 0), 2L))
+          .withNodes("Item", graph.GraphStore.upsertNodes(
+            graph.GraphStore.initialLoad(items1.drop("parent"), Seq("id"), 1L),
+            items1.filter(col("parent") % 3 =!= 0).drop("parent"), 2L))
+          .withEdges(("Order", "CONTAINS", "Item"), graph.GraphStore.initialLoad(
+            items1.select(col("parent").as("src_id"), col("id").as("dst_id")),
+            Seq("src_id", "dst_id"), 1L))
+        val g = graph.GraphStore.cleanupWithCascade(g0, "Order",
+          Seq(("Order", "CONTAINS", "Item")), 2L, scope = col("cust") % 2 === 0)
+        g.nodeTable("Item").count() + g.edgeTable("Order", "CONTAINS", "Item").count()
+      }
       time("ppr_3it", m) {
         val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
         val edges = cust.select(col("c_custkey").as("src"),
