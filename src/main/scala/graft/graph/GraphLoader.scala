@@ -86,11 +86,11 @@ object GraphLoader {
           relProps.map { case (n, r) => r.toCol.as(n) }): _*)
       val target = acc.nodes(rel.targetLabel)
         .select(col(ID).as(DST), col(rel.targetKey).as("_tkey"))
-      val joined: DataFrame = rel.mode match {
+      val (joined: DataFrame, preDeduped: Boolean) = rel.mode match {
         case EquiMatch =>
-          pairs.join(target, pairs("_ref") === col("_tkey"), "inner")
+          (pairs.join(target, pairs("_ref") === col("_tkey"), "inner"), false)
         case IgnoreCase =>
-          pairs.join(target, lower(pairs("_ref")) === lower(col("_tkey")), "inner")
+          (pairs.join(target, lower(pairs("_ref")) === lower(col("_tkey")), "inner"), false)
         case FuzzyContains =>
           // theta join: only a nested-loop strategy can run it — broadcast
           // whichever side Catalyst estimates smaller so it is a
@@ -99,17 +99,21 @@ object GraphLoader {
           // refs (reference semantics querybuilder.py:712-731; inner theta
           // join is symmetric so either build side is correct)
           val cond = lower(col("_tkey")).contains(lower(pairs("_ref")))
-          if (pairs.queryExecution.optimizedPlan.stats.sizeInBytes <=
-              target.queryExecution.optimizedPlan.stats.sizeInBytes)
-            broadcast(pairs).join(target, cond, "inner")
-          else pairs.join(broadcast(target), cond, "inner")
+          val df =
+            if (pairs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+                target.queryExecution.optimizedPlan.stats.sizeInBytes)
+              broadcast(pairs).join(target, cond, "inner")
+            else pairs.join(broadcast(target), cond, "inner")
+          (df, false)
         case OneToMany =>
           // n.key IN item.list (querybuilder.py:716, 732-736): explode the
-          // list into an equi join; IN is membership → distinct pairs
-          pairs.withColumn("_ref_elem", explode(col("_ref")))
+          // list into an equi join; IN is membership → distinct pairs.
+          // This dedup doubles as the merge's key dedup (preDeduped=true
+          // below) so the pair set shuffles exactly once.
+          (pairs.withColumn("_ref_elem", explode(col("_ref")))
             .drop("_ref")
             .join(target, col("_ref_elem") === col("_tkey"), "inner")
-            .dropDuplicates(SRC :: DST :: Nil)
+            .dropDuplicates(SRC :: DST :: Nil), true)
       }
       val edgeCols = (col(SRC) +: col(DST) +: relProps.map { case (n, _) => col(n) })
       val batchDf = joined.select(edgeCols: _*)
@@ -120,7 +124,7 @@ object GraphLoader {
             batchDf.withColumnRenamed(SRC, "_s").withColumnRenamed(DST, SRC)
               .withColumnRenamed("_s", DST)
       }
-      upsertEdgeBatch(acc, oriented._1, oriented._2, tag)
+      upsertEdgeBatch(acc, oriented._1, oriented._2, tag, dedupBatch = !preDeduped)
     }
   }
 
