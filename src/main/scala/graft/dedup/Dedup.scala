@@ -116,6 +116,40 @@ object Dedup {
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Near-dup cluster canonicalization — the APPLY step after near-dup
+    * detection: group documents into clusters (connected components over
+    * the verified near-dup pairs), then keep exactly one representative
+    * per cluster by policy (longest document, ties to the smallest id —
+    * the "keep the richest copy" rule a curation pipeline applies before
+    * training). Returns every doc with its cluster id, the chosen
+    * representative, and a keep flag.
+    *
+    * Scale: pairs come from band-bucketed LSH (never O(n²)); components
+    * converge in O(log diameter) rounds and near-dup clusters are
+    * shallow; the per-cluster argmax is one aggregation on the cluster
+    * key (no window over the corpus), and singleton docs never enter the
+    * pair machinery — they join back as their own representative. */
+  def representatives(docs: DataFrame, idCol: String, textCol: String,
+                      minJaccX1e6: Long): DataFrame = {
+    val pairs = minhashLsh(shingleTable(docs, idCol, textCol), minJaccX1e6)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comps = graft.graph.Fixpoint.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    // representative = max n_tokens, tie → min doc_id: a single
+    // max(struct) aggregation per cluster, merged map-side
+    val reps = base.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("rep_id"))
+    base.join(reps, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("keep"))
+  }
+
   /** The raw LSH candidate pair set (band-bucket matches, BEFORE exact
     * verification) — exposed so candidate-generation RECALL can be
     * measured against an exact ground truth ([[blockedJaccard]]):

@@ -190,6 +190,18 @@ object LlmQueries {
       "doc_id", "text")
   }
 
+  /** Gopher-shaped hard quality filter: word-count bounds, mean-word-length
+    * bounds, distinct-token-ratio floor, stopword minimum → keep flag. */
+  def textQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.qualityFilter(Tables.documents(spark, dir), "doc_id", "text",
+      Stopwords)
+
+  /** Near-dup cluster canonicalization: LSH pairs → components → keep the
+    * longest doc per cluster (tie → min id). */
+  def dedupRepresentatives(spark: SparkSession, dir: String): DataFrame =
+    Dedup.representatives(Tables.documents(spark, dir), "doc_id", "text",
+      minJaccX1e6 = 800000L)
+
   /** Corpus-wide boilerplate census: top-20 most widespread shingles. */
   def textGramCensus(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.gramCensus(Tables.documents(spark, dir), "doc_id", "text", k = 20)
@@ -607,6 +619,8 @@ object LlmQueries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
+    "text_quality_filter" -> (textQualityFilter _),
+    "dedup_representatives" -> (dedupRepresentatives _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1890,5 +1904,70 @@ object LlmQueries {
         |    AS est_distinct,
         |  t.n_true
         |FROM sums s JOIN truth t ON s.lang = t.lang""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text,' ')) AS n_words,
+        |    length(text) - len(string_split(text,' ')) + 1 AS wchars
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, count(DISTINCT w) AS nd,
+        |    count(*) FILTER (WHERE w IN ('the','a','data','row')) AS ns
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(floor(1000000.0 * wchars / n_words) AS BIGINT) AS mean_word_len_x1e6,
+        |  CAST(floor(1000000.0 * nd / n_words) AS BIGINT) AS distinct_ratio_x1e6,
+        |  CAST(ns AS BIGINT) AS n_stopwords,
+        |  (n_words BETWEEN 30 AND 1000
+        |   AND floor(1000000.0 * wchars / n_words) BETWEEN 2000000 AND 8000000
+        |   AND floor(1000000.0 * nd / n_words) >= 300000
+        |   AND ns >= 1) AS keep
+        |FROM t JOIN d USING (doc_id)""".stripMargin,
+    "dedup_representatives" ->
+      s"""WITH RECURSIVE $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db),
+         |pairs AS (
+         |  SELECT da AS a, db AS b
+         |  FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |  WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000),
+         |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS reachable FROM und
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN und u ON r.reachable = u.a),
+         |comp AS (
+         |  SELECT node, least(node, min(reachable)) AS component
+         |  FROM reach GROUP BY node),
+         |base AS (
+         |  SELECT d.doc_id, len(string_split(d.text,' ')) AS n_tokens,
+         |    coalesce(c.component, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |reps AS (
+         |  SELECT cluster_id, doc_id AS rep_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_tokens DESC, doc_id ASC) AS rk
+         |    FROM base) WHERE rk = 1)
+         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+         |  CAST(b.cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(r.rep_id AS BIGINT) AS rep_id,
+         |  b.doc_id = r.rep_id AS keep
+         |FROM base b JOIN reps r USING (cluster_id)""".stripMargin,
   )
 }

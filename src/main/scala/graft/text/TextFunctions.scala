@@ -526,6 +526,44 @@ object TextFunctions {
         floor(lit(1000000.0) * col("n_stopwords") / col("n_tokens")).cast("long"))
   }
 
+  /** Composite document-quality filter in the Gopher-rules shape (Rae et
+    * al. 2021, "Scaling Language Models" appendix A — public): hard
+    * keep/drop from cheap per-document statistics. The signals that vary
+    * on a whitespace-tokenized corpus: word count bounds, mean word
+    * length bounds, distinct-token ratio floor (repetition proxy), and a
+    * minimum stopword hit count (gibberish proxy).
+    *
+    * All ratios are exact floor(1e6 * x / y) integers and every signal is
+    * a per-row expression over the token array — a pure scan-side map
+    * with zero shuffles, so the filter runs at parquet-read speed at any
+    * corpus size and Catalyst can push `keep` into a scan predicate when
+    * the caller filters on it. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String],
+                    minWords: Long = 30L, maxWords: Long = 1000L,
+                    minMeanLenX1e6: Long = 2000000L, maxMeanLenX1e6: Long = 8000000L,
+                    minDistinctX1e6: Long = 300000L,
+                    minStopwords: Long = 1L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nWords = size(toks).cast("long")
+    // mean word length without a per-token aggregate: the text is
+    // single-space separated, so total word chars = chars - (n-1) spaces
+    val wordChars = (length(col(textCol)).cast("long") - nWords + 1L)
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      nWords.as("n_words"),
+      floor(lit(1000000.0) * wordChars / nWords).cast("long").as("mean_word_len_x1e6"),
+      floor(lit(1000000.0) * size(array_distinct(toks)) / nWords).cast("long")
+        .as("distinct_ratio_x1e6"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len_x1e6").between(minMeanLenX1e6, maxMeanLenX1e6) &&
+        col("distinct_ratio_x1e6") >= minDistinctX1e6 &&
+        col("n_stopwords") >= minStopwords)
+  }
+
   /** Marker-based language ID: count marker-word hits per candidate
     * language, argmax with (count desc, lang asc) tiebreak, 'unknown' when
     * nothing matches. The n-gram-profile analog at vocabulary level. */

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Round-8 operators: composite quality filter, near-dup cluster
+  * representative selection. */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---- qualityFilter ----
+
+  test("qualityFilter: each rule independently gates keep") {
+    val long = ("w " * 40).trim                        // 40 words, mean len 1 -> fails mean-len floor
+    val good = (1 to 40).map(i => s"tok$i").mkString(" ") + " the"  // 41 distinct words incl stopword
+    val repet = (Seq.fill(40)("the")).mkString(" ")    // distinct ratio 1/40 -> fails
+    val nostop = (1 to 40).map(i => s"tok$i").mkString(" ")  // no stopword -> fails
+    val short = "the quick fox"                        // 3 words -> fails word floor
+    val docs = Seq(
+      (1L, good), (2L, short), (3L, repet), (4L, nostop), (5L, long)
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
+
+  test("qualityFilter metrics are exact integers") {
+    val docs = Seq((1L, "aa bbb the aa")).toDF("doc_id", "text")
+    val r = TextFunctions.qualityFilter(docs, "doc_id", "text", Seq("the"),
+      minWords = 1L).collect().head
+    assert(r.getLong(1) == 4L)                   // n_words
+    assert(r.getLong(2) == 2500000L)             // (2+3+3+2)/4 = 2.5
+    assert(r.getLong(3) == 750000L)              // 3 distinct of 4
+    assert(r.getLong(4) == 1L)                   // one stopword hit
+  }
+
+  // ---- representatives ----
+
+  test("representatives: longest doc wins its cluster, ties to min id; singletons keep themselves") {
+    // docs 1,2,3 near-identical (same text +/- one trailing word), doc 9 unrelated
+    val base = (1 to 12).map(i => s"alpha bravo charlie delta echo fox$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),     // longest -> representative
+      (3L, base),
+      (9L, (1 to 30).map(i => s"zulu$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.representatives(docs, "doc_id", "text", minJaccX1e6 = 500000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == ((1L, 2L, false)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 2L, false)))
+    assert(out(9L) == ((9L, 9L, true)))
+  }
+
+  test("representatives: equal lengths tie to the smallest id") {
+    val base = (1 to 12).map(i => s"kilo lima mike november oscar papa$i").mkString(" ")
+    val docs = Seq((7L, base), (4L, base), (5L, base)).toDF("doc_id", "text")
+    val out = Dedup.representatives(docs, "doc_id", "text", minJaccX1e6 = 900000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(4L -> true, 5L -> false, 7L -> false))
+  }
+}
