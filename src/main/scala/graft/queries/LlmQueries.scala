@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -188,6 +189,50 @@ object LlmQueries {
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0),
       "doc_id", "text")
+  }
+
+  /** Price values for the quantile-sketch gates: integer cents per
+    * return flag (log buckets need a positive integer domain). */
+  private def priceCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_returnflag").as("g"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+
+  /** Log-linear histogram quantile sketch: p50/p90/p99/p99.9 of price
+    * cents per return flag, with the exact rank-selected value alongside
+    * (the sketch answer must sit within 1/16 of it by construction). */
+  def sketchQuantileHist(spark: SparkSession, dir: String): DataFrame = {
+    val v = priceCents(spark, dir)
+    val est = Sketches.histQuantiles(
+      Sketches.histBuckets(v, "g", "v"), Seq(500, 900, 990, 999))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val ranked = v.filter(col("v") >= 1L)
+      .withColumn("rn", row_number().over(w))
+      .select(col("g"), col("v").as("exact_value"), col("rn"))
+    est.withColumn("rn", expr("(q_permille * n + 999) div 1000"))
+      .join(ranked, Seq("g", "rn"))
+      .select(col("g").as("flag"), col("q_permille"), col("n"), col("est"),
+        col("exact_value"))
+  }
+
+  /** Histogram MERGEABILITY, gated: bucket counts built separately over
+    * the even- and odd-orderkey halves, sum-merged, must read out the
+    * same quantiles as one pass over the whole table — the property that
+    * lets 1000 shards each ship a KB histogram instead of sorting 100 TB. */
+  def sketchQuantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir).select(col("l_returnflag").as("g"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"),
+      (col("l_orderkey") % 2).as("p"))
+    val qs = Seq(500, 900, 990, 999)
+    val merged = Sketches.histMerge(
+      Sketches.histBuckets(base.filter(col("p") === 0), "g", "v"),
+      Sketches.histBuckets(base.filter(col("p") === 1), "g", "v"))
+    Sketches.histQuantiles(merged, qs)
+      .withColumnRenamed("est", "est_merged")
+      .join(Sketches.histQuantiles(Sketches.histBuckets(base, "g", "v"), qs)
+          .select(col("g"), col("q_permille"), col("est").as("est_direct")),
+        Seq("g", "q_permille"))
+      .select(col("g").as("flag"), col("q_permille"), col("n"),
+        col("est_merged"), col("est_direct"))
   }
 
   /** Gopher-shaped hard quality filter: word-count bounds, mean-word-length
@@ -621,6 +666,8 @@ object LlmQueries {
     "multimodal_frame_sample" -> (multimodalFrameSample _),
     "text_quality_filter" -> (textQualityFilter _),
     "dedup_representatives" -> (dedupRepresentatives _),
+    "sketch_quantile_hist" -> (sketchQuantileHist _),
+    "sketch_quantile_merge" -> (sketchQuantileMerge _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -731,6 +778,43 @@ object LlmQueries {
        |  SELECT vec_id,
        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
        |  FROM proj GROUP BY vec_id)""".stripMargin
+
+
+  /** Shared log-linear-histogram oracle plumbing (sketch_quantile_*):
+    * price cents per return flag → bucket counts → cumulative read-out of
+    * the target per-mille ranks. Mirrors Sketches.histBuckets /
+    * histQuantiles bit for bit (msb via bin-string length, 16 sub-buckets,
+    * ceil-div target rank). */
+  private val HistQuantileCtes: String =
+    """v AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem),
+      |pos AS (SELECT g, v FROM v WHERE v >= 1),
+      |b AS (
+      |  SELECT g,
+      |    CASE WHEN v < 16 THEN v
+      |         ELSE (length(bin(v)) - 1) * 16
+      |              + (v >> (length(bin(v)) - 1 - 4)) - 16 END AS bucket,
+      |    count(*) AS c
+      |  FROM pos GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, bucket, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY bucket) AS cum
+      |  FROM b),
+      |n AS (SELECT g, sum(c) AS n FROM b GROUP BY g),
+      |qs AS (SELECT g, n, unnest([500, 900, 990, 999]) AS q_permille FROM n),
+      |t AS (SELECT g, n, q_permille,
+      |        (q_permille * n + 999) // 1000 AS target FROM qs),
+      |sel AS (
+      |  SELECT t.g, t.q_permille, t.n, t.target, min(c.bucket) AS bucket
+      |  FROM t JOIN cum c ON t.g = c.g AND c.cum >= t.target
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val HistDecodeSql: String =
+    """CAST(CASE WHEN s.bucket < 16 THEN s.bucket
+      |     ELSE (s.bucket % 16 + 16) << (s.bucket // 16 - 4)
+      |     END AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -1969,5 +2053,22 @@ object LlmQueries {
          |  CAST(r.rep_id AS BIGINT) AS rep_id,
          |  b.doc_id = r.rep_id AS keep
          |FROM base b JOIN reps r USING (cluster_id)""".stripMargin,
+    "sketch_quantile_hist" ->
+      s"""WITH $HistQuantileCtes,
+         |ranked AS (
+         |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+         |  FROM pos)
+         |SELECT s.g AS flag, CAST(s.q_permille AS BIGINT) AS q_permille,
+         |  CAST(s.n AS BIGINT) AS n, $HistDecodeSql AS est,
+         |  r.v AS exact_value
+         |FROM sel s JOIN ranked r ON s.g = r.g AND r.rn = s.target""".stripMargin,
+    "sketch_quantile_merge" ->
+      s"""WITH $HistQuantileCtes
+         |SELECT s.g AS flag, CAST(s.q_permille AS BIGINT) AS q_permille,
+         |  CAST(s.n AS BIGINT) AS n,
+         |  $HistDecodeSql AS est_merged,
+         |  $HistDecodeSql AS est_direct
+         |FROM sel s""".stripMargin,
   )
+
 }

@@ -179,6 +179,72 @@ object Sketches {
       .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("r"))
   }
 
+  /** Sub-bucket resolution of the log-linear histogram: 16 sub-buckets
+    * per power of two → worst-case relative error 1/16 = 6.25% on any
+    * quantile estimate (the HdrHistogram / DDSketch bucketing shape —
+    * Masson et al. 2019 use log-gamma buckets; the power-of-two variant
+    * keeps every bucket id and bound in exact integer arithmetic). */
+  val HistSubBuckets: Int = 16
+
+  /** Log-linear histogram sketch per group over positive longs:
+    * bucket = the value's top 5 bits positioned by its magnitude
+    * (values < 16 get exact unit buckets). The sketch is at most
+    * 16·log2(max) rows per group — KBs regardless of row count — and
+    * mergeable by bucket-wise sum ([[histMerge]]), which is what makes
+    * it the 100 TB percentile answer: one map-side-combined aggregation
+    * per shard, no global sort, no full-data window, constant-size state
+    * shipped to the merger.
+    *
+    * Values < 1 are dropped (log buckets need a positive domain —
+    * callers shift or scale first, e.g. prices to integer cents). */
+  def histBuckets(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val pre = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("_v"))
+      .filter(col("_v") >= 1L)
+    // msb = floor(log2 v) via binary-string length: exact integer math
+    pre.withColumn("_msb", (length(conv(col("_v"), 10, 2)) - 1).cast("long"))
+      .withColumn("bucket",
+        when(col("_v") < HistSubBuckets.toLong, col("_v"))
+          .otherwise(col("_msb") * HistSubBuckets +
+            expr("shiftright(_v, CAST(_msb - 4 AS INT))") - HistSubBuckets))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Bucket-wise sum merge: histograms of any two data shards, merged,
+    * equal the histogram of their union — the distributed-aggregate
+    * property ([[hllMerge]]'s analog for quantiles). */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g"), col("bucket")).agg(sum(col("c")).as("c"))
+
+  /** Lower bound of a bucket id — the quantile estimate read out of the
+    * sketch (guaranteed within 1/16 relative error of the true value). */
+  private def bucketLowerBound(bucket: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(bucket < HistSubBuckets.toLong, bucket)
+      .otherwise(expr(
+        s"shiftleft(CAST(bucket % $HistSubBuckets + $HistSubBuckets AS BIGINT), " +
+          s"CAST(bucket div $HistSubBuckets - 4 AS INT))"))
+
+  /** Quantile read-out from a [[histBuckets]] sketch: for each per-mille
+    * rank q, the lower bound of the first bucket whose cumulative count
+    * reaches ceil(q·n/1000). Runs entirely on the sketch (≤ ~16·63
+    * buckets per group): the window and join below never see data rows.
+    * Output: (g, q_permille, n, est). */
+  def histQuantiles(buckets: DataFrame, qsPerMille: Seq[Int]): DataFrame = {
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q >= 1 && q <= 1000),
+      "quantiles are per-mille ranks in [1, 1000]")
+    val w = Window.partitionBy(col("g")).orderBy(col("bucket").asc)
+    val cum = buckets.withColumn("cum", sum(col("c")).over(w))
+    val qs = buckets.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .select(col("g"), col("n"),
+        explode(array(qsPerMille.map(q => lit(q.toLong)): _*)).as("q_permille"))
+      .withColumn("target", expr("(q_permille * n + 999) div 1000"))
+    qs.join(cum, Seq("g")).filter(col("cum") >= col("target"))
+      .groupBy(col("g"), col("q_permille"), col("n"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("g"), col("q_permille"), col("n"),
+        bucketLowerBound(col("bucket")).as("est"))
+  }
+
   /** Register-wise max merge: registers of any data partition, merged,
     * equal the registers of the whole — THE property that makes the
     * sketch a sub-linear distributed aggregate (each shard ships 64

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
-import graft.text.TextFunctions
+import graft.text.{Sketches, TextFunctions}
 
 /** Round-8 operators: composite quality filter, near-dup cluster
   * representative selection. */
@@ -61,6 +61,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 2L, true)))
     assert(out(3L) == ((1L, 2L, false)))
     assert(out(9L) == ((9L, 9L, true)))
+  }
+
+  // ---- histogram quantile sketch ----
+
+  test("histQuantiles: estimate within 1/16 relative error of the exact value") {
+    // geometric-ish spread exercising unit buckets and several octaves
+    val vals = (1L to 2000L).map(i => i * i % 50021L + 1L)
+    val df = vals.map(("all", _)).toDF("g", "v")
+    val est = Sketches.histQuantiles(
+        Sketches.histBuckets(df, "g", "v"), Seq(500, 900, 990))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val sorted = vals.sorted
+    for ((q, e) <- est) {
+      val target = ((q * vals.size + 999) / 1000).toInt
+      val exact = sorted(target - 1)
+      assert(e <= exact, s"q=$q lower bound must not exceed exact")
+      assert(exact < e + (e >> 4) + 1, s"q=$q exact=$exact est=$e outside 1/16 bound")
+    }
+  }
+
+  test("histBuckets: values below 16 get exact unit buckets; nonpositive dropped") {
+    val df = Seq(("a", 1L), ("a", 15L), ("a", 15L), ("a", 0L), ("a", -7L))
+      .toDF("g", "v")
+    val out = Sketches.histBuckets(df, "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 15L -> 2L))
+  }
+
+  test("histMerge: shard histograms merged == whole-data histogram") {
+    val vals = (1L to 999L).map(i => (i % 7, "g%d".format(i % 3), i * 31 % 4096L + 1L))
+    val df = vals.toDF("p", "g", "v")
+    val merged = (0L to 6L).map(p => Sketches.histBuckets(
+        df.filter(col("p") === p), "g", "v"))
+      .reduce(Sketches.histMerge)
+    val direct = Sketches.histBuckets(df, "g", "v")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
   test("representatives: equal lengths tie to the smallest id") {
