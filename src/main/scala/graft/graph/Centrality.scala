@@ -170,6 +170,55 @@ object Centrality {
       .select(col("node"), coalesce(col("n"), lit(0L)).as("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik peel expressed as synchronous rounds): repeatedly
+    * delete every node with degree < k until the remaining subgraph is
+    * stable. Returns (node, core_degree) for the survivors — the maximal
+    * subgraph where every node keeps ≥ k neighbors. The density filter a
+    * link-graph curation pass runs to separate well-connected content
+    * from stragglers and spam chains.
+    *
+    * Per round: one degree aggregation (map-side combinable) and two
+    * semi-joins of the edge set against the survivor set — O(E) work, no
+    * pair-space blowup, hub-safe (semi-joins shuffle on near-uniform
+    * endpoint keys). Rounds needed = the peel cascade depth (≤ longest
+    * chain the deletions propagate along), each round lineage-truncated
+    * with a lazy localCheckpoint like the [[Fixpoint]] loops; edge count
+    * is monotone decreasing, so "unchanged count" is an exact convergence
+    * test and non-convergence inside maxRounds throws (after a
+    * confirmation round for the exact-boundary landing). */
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1L, "k must be positive")
+    val p = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint(false)
+    var und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var n = und.count()
+    def peel(cur: DataFrame): DataFrame = {
+      val survivors = cur.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")).filter(col("deg") >= k)
+        .select(col("node"))
+      cur.join(survivors.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = peel(und).localCheckpoint(false)
+      val m = next.count()
+      converged = m == n
+      und = next
+      n = m
+      round += 1
+    }
+    if (!converged && peel(und).count() != n)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds (a deletion cascade " +
+          "is still propagating); raise maxRounds")
+    und.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Degree-ordered orientation of an undirected simple graph: each
     * distinct edge appears once as (u, v) with
     * (deg(u), u) < (deg(v), v). Library-private so the spec can assert

@@ -242,6 +242,47 @@ object Fixpoint {
     visited
   }
 
+  /** Nearest-seed labeling: multi-source BFS that assigns every node
+    * within `maxDepth` hops of a seed the LABEL of its nearest seed
+    * (ties → smallest label). The propagation step of label spreading
+    * over a link graph — stamping crawl documents with the topic/quality
+    * label of the closest curated hub, blast-radius ownership attribution
+    * in the asset graph, etc.
+    *
+    * Level-synchronous like [[bfsDistances]] (distances are exact minima
+    * because a node is labeled the first round it appears), with the
+    * frontier carrying (node, label) and a per-round min(label) aggregate
+    * resolving same-distance ties deterministically. One join + one
+    * map-side-combinable min + one anti-join per level, lineage truncated
+    * by lazy localCheckpoints. Seeds listed twice keep their smallest
+    * label; a seed's own label always wins at distance 0. */
+  def nearestSeed(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("node"), col("label"))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    visited.count() // materialize the checkpoint before reuse
+    var frontier = visited.select(col("node"), col("label"))
+    var d = 1L
+    var done = maxDepth == 0
+    while (!done) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("label"))
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      val grew = next.count() > 0
+      if (grew) {
+        visited = visited.unionByName(next.withColumn("dist", lit(d)))
+          .localCheckpoint(false)
+        frontier = next.select(col("node"), col("label"))
+      }
+      d += 1
+      done = !grew || d > maxDepth
+    }
+    visited
+  }
+
   /** Bounded-depth reachability (the `*1..k` form): plain frontier
     * expansion, k rounds, no closure materialization. */
   def reachWithin(edges: DataFrame, depth: Int): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.graph.Fixpoint
+import graft.graph.{Centrality, Fixpoint}
 import graft.streaming.Streaming
 
 /** Streaming / incremental / recursive-path operator battery
@@ -273,6 +273,41 @@ object StreamQueries {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** 2-core of the customer tree + triangle ornaments: the octal tree
+    * alone peels to nothing, every 50th customer carries a triangle that
+    * anchors itself (and pins parts of its ancestor chain) into the core
+    * — so the result exercises a real multi-round deletion cascade, not
+    * a one-shot filter. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val mx = c.agg(max(col("k")).as("mx"))
+    val tree = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    val tri = c.filter(col("k") % 50 === 0).crossJoin(broadcast(mx))
+      .filter(col("k") + 2 <= col("mx"))
+      .select(explode(array(
+        struct(col("k").as("src"), (col("k") + 1).as("dst")),
+        struct((col("k") + 1).as("src"), (col("k") + 2).as("dst")),
+        struct(col("k").as("src"), (col("k") + 2).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    Centrality.kCore(tree.unionByName(tri), k = 2L)
+  }
+
+  /** Nearest-seed labeling over the undirected customer tree: every
+    * 1000th customer is a labeled hub; nodes within 4 hops take the
+    * nearest hub's label (ties to the smallest label). */
+  def graphNearestSeed(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val tree = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    val und = tree.unionByName(
+      tree.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = c.filter(col("k") % 1000 === 0)
+      .select(col("k").as("node"), col("k").as("label"))
+    Fixpoint.nearestSeed(und, seeds, maxDepth = 4)
+      .select(col("node"), col("dist"), col("label"))
+  }
+
   /** Weighted single-source shortest paths over the customer tree plus
     * grandparent "shortcut" edges (so min-over-paths is actually
     * exercised: most nodes have a 1-hop-cheaper and a 2-hop-cheaper way
@@ -303,6 +338,8 @@ object StreamQueries {
     "centrality_pagerank_dangling" -> (centralityPagerankDangling _),
     "centrality_ppr" -> (centralityPpr _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_kcore" -> (graphKcore _),
+    "graph_nearest_seed" -> (graphNearestSeed _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
@@ -310,7 +347,68 @@ object StreamQueries {
     "source_json_events" -> (sourceJsonEvents _),
   )
 
+  /** Unrolled k-core peel rounds (graph_kcore oracle): each round keeps
+    * edges whose BOTH endpoints still have degree >= 2. Empirically the
+    * cascade settles in 4 rounds at sf0.01 and sf0.1; 7 unrolled rounds
+    * leave margin (extra rounds after convergence are no-ops). */
+  private val KcorePeelRounds = 7
+  private val KcoreOracleSql: String = {
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |u0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e WHERE src <> dst
+        |   UNION ALL SELECT dst, src FROM e WHERE src <> dst))""".stripMargin
+    val rounds = (1 to KcorePeelRounds).map { i =>
+      s"""s${i - 1} AS MATERIALIZED (SELECT src AS node FROM u${i - 1}
+         |  GROUP BY src HAVING count(*) >= 2),
+         |u$i AS MATERIALIZED (SELECT u.src, u.dst FROM u${i - 1} u
+         |  JOIN s${i - 1} a ON u.src = a.node
+         |  JOIN s${i - 1} b ON u.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM u$KcorePeelRounds GROUP BY src""".stripMargin
+  }
+
+  /** Unrolled nearest-seed BFS (graph_nearest_seed oracle): 4 levels over
+    * the symmetrized octal tree, per-level min(label) tie-break, anti-join
+    * against everything already labeled. */
+  private val NearestSeedOracleSql: String = {
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |t AS (SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8),
+        |und AS (SELECT src, dst FROM t UNION ALL SELECT dst, src FROM t),
+        |v0 AS MATERIALIZED (SELECT k AS node, k AS label, 0 AS dist FROM c WHERE k % 1000 = 0)""".stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT u.dst AS node, min(v.label) AS label
+         |  FROM v${i - 1} v JOIN und u ON v.node = u.src
+         |  WHERE v.dist = ${i - 1}
+         |    AND u.dst NOT IN (SELECT node FROM v${i - 1})
+         |  GROUP BY u.dst),
+         |v$i AS MATERIALIZED (SELECT node, label, dist FROM v${i - 1}
+         |  UNION ALL SELECT node, label, $i FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist,
+       |  CAST(label AS BIGINT) AS label
+       |FROM v4""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> KcoreOracleSql,
+    "graph_nearest_seed" -> NearestSeedOracleSql,
     "session_window_agg" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

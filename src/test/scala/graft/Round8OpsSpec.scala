@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
+import graft.graph.{Centrality, Fixpoint}
 import graft.text.{Sketches, TextFunctions}
 
 /** Round-8 operators: composite quality filter, near-dup cluster
@@ -105,5 +106,65 @@ class Round8OpsSpec extends AnyFunSuite {
     val out = Dedup.representatives(docs, "doc_id", "text", minJaccX1e6 = 900000L)
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out == Map(4L -> true, 5L -> false, 7L -> false))
+  }
+
+  // ---- kCore ----
+
+  test("kCore: a tail peels away in cascade, the cycle survives with its degrees") {
+    // triangle 1-2-3 with a pendant chain 3-4-5-6: k=2 keeps exactly the triangle,
+    // and the chain needs THREE peel rounds (6, then 5, then 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val out = Centrality.kCore(edges, k = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above the densest degree leaves an empty core; duplicate and self edges ignored") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    assert(Centrality.kCore(edges, k = 3L).isEmpty)
+    val two = Centrality.kCore(edges, k = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore throws when the cascade outruns maxRounds") {
+    val chainTri = Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+      (3L to 12L).map(i => (i, i + 1))
+    val edges = chainTri.toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Centrality.kCore(edges, k = 2L, maxRounds = 2)
+    }
+    // and with budget it agrees: only the triangle remains
+    assert(Centrality.kCore(edges, k = 2L).count() == 3L)
+  }
+
+  // ---- nearestSeed ----
+
+  test("nearestSeed: exact distances, same-distance ties take the smallest label") {
+    //  10 - 1 - 2 - 20 ; node 1 and 2 are 1 hop from both seeds via center? no:
+    //  seeds 10 (label 10) and 20 (label 20); chain 10-1-2-20 both directions
+    val base = Seq((10L, 1L), (1L, 2L), (2L, 20L), (1L, 99L), (99L, 1L))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((10L, 10L), (20L, 20L)).toDF("node", "label")
+    val out = Fixpoint.nearestSeed(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(out(10L) == ((0L, 10L)))
+    assert(out(20L) == ((0L, 20L)))
+    assert(out(1L) == ((1L, 10L)))   // 1 hop from seed 10, 2 from seed 20
+    assert(out(2L) == ((1L, 20L)))   // symmetric
+    assert(out(99L) == ((2L, 10L)))  // via node 1
+  }
+
+  test("nearestSeed: maxDepth bounds the reach; equidistant node takes min label") {
+    val base = Seq((10L, 1L), (20L, 1L), (1L, 2L), (2L, 3L))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((10L, 77L), (20L, 33L)).toDF("node", "label")
+    val out = Fixpoint.nearestSeed(edges, seeds, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(out(1L) == ((1L, 33L)))   // tie between labels 77 and 33
+    assert(out(2L) == ((2L, 33L)))
+    assert(!out.contains(3L))        // 3 hops: beyond maxDepth
   }
 }
