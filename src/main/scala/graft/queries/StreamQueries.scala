@@ -273,6 +273,36 @@ object StreamQueries {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static dimension enrichment: the events file replayed as a
+    * live stream, inner-joined per micro-batch against the static
+    * customer dimension (broadcast — the static side never shuffles the
+    * stream and carries no state store at all: each micro-batch joins
+    * against the current table snapshot, which is why this is THE shape
+    * for slowly-changing dims under continuous ingest). Append mode, no
+    * watermark needed — a stateless streaming join. Oracle: the identical
+    * batch join. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    withStateSession(spark) { scoped =>
+      val src = scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = Tables.customer(scoped, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val joined = src.join(broadcast(dim), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("stream_static_join_sink")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      scoped.table("stream_static_join_sink")
+    }
+  }
+
   /** 2-core of the customer tree + triangle ornaments: the octal tree
     * alone peels to nothing, every 50th customer carries a triangle that
     * anchors itself (and pins parts of its ancestor chain) into the core
@@ -340,6 +370,7 @@ object StreamQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "graph_nearest_seed" -> (graphNearestSeed _),
+    "stream_static_join" -> (streamStaticJoin _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
@@ -409,6 +440,9 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> KcoreOracleSql,
     "graph_nearest_seed" -> NearestSeedOracleSql,
+    "stream_static_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "session_window_agg" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
