@@ -170,6 +170,31 @@ object Centrality {
       .select(col("node"), coalesce(col("n"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node: 2·triangles / (deg·(deg−1))
+    * in exact millionths — how close each node's neighborhood is to a
+    * clique (Watts & Strogatz 1998). The link-farm/cohesion signal read
+    * together with [[triangleCount]]: high coefficient + high degree =
+    * densely interlinked cluster. Cost is [[triangleCount]] (oriented
+    * wedge join, O(E^1.5)) plus one degree aggregation; nodes with
+    * degree < 2 report 0. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    triangleCount(und.select(col("a").as("src"), col("b").as("dst")))
+      .join(deg, Seq("node"))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        when(col("degree") < 2, lit(0L))
+          .otherwise(floor(lit(2000000.0) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1))).cast("long"))
+          .as("clustering_x1e6"))
+  }
+
   /** k-core decomposition by iterative peeling (Seidman 1983; the
     * Batagelj–Zaveršnik peel expressed as synchronous rounds): repeatedly
     * delete every node with degree < k until the remaining subgraph is

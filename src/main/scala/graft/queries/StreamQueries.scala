@@ -308,7 +308,19 @@ object StreamQueries {
     * anchors itself (and pins parts of its ancestor chain) into the core
     * — so the result exercises a real multi-round deletion cascade, not
     * a one-shot filter. */
-  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    Centrality.kCore(treeWithTriangles(spark, dir), k = 2L)
+
+  /** Local clustering coefficient over the same ornamented tree: triangle
+    * members approach a clique-like neighborhood, pure tree nodes sit at
+    * zero — the cohesion signal next to the raw triangle counts. */
+  def graphClustering(spark: SparkSession, dir: String): DataFrame =
+    Centrality.clusteringCoefficient(treeWithTriangles(spark, dir))
+
+  /** Octal customer tree + a triangle at every 50th customer — the shared
+    * test graph of graph_kcore / graph_clustering (cheap to build, known
+    * cascade structure, non-trivial cores and coefficients). */
+  private def treeWithTriangles(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
     val mx = c.agg(max(col("k")).as("mx"))
     val tree = c.filter(col("k") >= 8L)
@@ -320,7 +332,7 @@ object StreamQueries {
         struct((col("k") + 1).as("src"), (col("k") + 2).as("dst")),
         struct(col("k").as("src"), (col("k") + 2).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    Centrality.kCore(tree.unionByName(tri), k = 2L)
+    tree.unionByName(tri)
   }
 
   /** Nearest-seed labeling over the undirected customer tree: every
@@ -370,6 +382,7 @@ object StreamQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "graph_nearest_seed" -> (graphNearestSeed _),
+    "graph_clustering" -> (graphClustering _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
@@ -440,6 +453,40 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> KcoreOracleSql,
     "graph_nearest_seed" -> NearestSeedOracleSql,
+    "graph_clustering" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*) AS degree FROM
+        |    (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+        |  GROUP BY node),
+        |tr AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM ed e1
+        |  JOIN ed e2 ON e2.a = e1.b
+        |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT node, count(*) AS n FROM
+        |    (SELECT unnest([x, y, z]) AS node FROM tr)
+        |  GROUP BY node)
+        |SELECT CAST(d.node AS BIGINT) AS node, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(cn.n, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN d.degree < 2 THEN 0
+        |       ELSE floor(2000000.0 * coalesce(cn.n, 0)
+        |                  / (d.degree * (d.degree - 1))) END AS BIGINT)
+        |    AS clustering_x1e6
+        |FROM deg d LEFT JOIN corners cn ON d.node = cn.node""".stripMargin,
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,

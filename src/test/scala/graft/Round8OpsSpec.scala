@@ -140,6 +140,20 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(Centrality.kCore(edges, k = 2L).count() == 3L)
   }
 
+  test("clusteringCoefficient: clique 1.0, star center 0, degree-1 leaf 0") {
+    // K4 on 1-4, star center 10 with leaves 11-13, pendant 5 off node 1
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((10L, 11L), (10L, 12L), (10L, 13L), (1L, 5L)))
+      .toDF("src", "dst")
+    val out = Centrality.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(2L) == ((3L, 3L, 1000000L)))   // in K4: deg 3, 3 triangles, coeff 1
+    assert(out(1L) == ((4L, 3L, 500000L)))    // K4 + pendant: 2*3/(4*3)
+    assert(out(10L) == ((3L, 0L, 0L)))        // star center
+    assert(out(5L) == ((1L, 0L, 0L)))         // degree-1 leaf
+  }
+
   // ---- nearestSeed ----
 
   test("nearestSeed: exact distances, same-distance ties take the smallest label") {
