@@ -265,6 +265,49 @@ object ScaleSmoke {
           .select(col("c_custkey").as("node"))
         graph.Centrality.pagerankPersonalized(edges, seeds, 3).count()
       }
+      time("quality_filter", m) {
+        text.TextFunctions.qualityFilter(docs, "doc_id", "text",
+          Seq("the", "a", "data", "row")).filter(col("keep")).count()
+      }
+      time("representatives", m) {
+        dedup.Dedup.representatives(docs, "doc_id", "text", 800000L)
+          .filter(col("keep")).count()
+      }
+      time("hist_quantiles", m) {
+        val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m)
+          .select(col("l_returnflag").as("g"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+        text.Sketches.histQuantiles(text.Sketches.histBuckets(li, "g", "v"),
+          Seq(500, 900, 990, 999)).count()
+      }
+      time("kcore2", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        // per-copy octal trees + a triangle every 50 nodes (the gate graph,
+        // multiplied): cascade depth stays constant, edge volume scales
+        val tree = cust.filter(col("k") % 10000000L >= 8)
+          .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 8 AS BIGINT)").as("src"),
+            col("k").as("dst"))
+        val tri = cust.filter(col("k") % 50 === 0)
+          .select(explode(array(
+            struct(col("k").as("src"), (col("k") + 1).as("dst")),
+            struct((col("k") + 1).as("src"), (col("k") + 2).as("dst")),
+            struct(col("k").as("src"), (col("k") + 2).as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        graph.Centrality.kCore(tree.unionByName(tri), 2L).count()
+      }
+      time("nearest_seed4", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        val tree = cust.filter(col("k") % 10000000L >= 8)
+          .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 8 AS BIGINT)").as("src"),
+            col("k").as("dst"))
+        val und = tree.unionByName(
+          tree.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = cust.filter(col("k") % 1000 === 0)
+          .select(col("k").as("node"), col("k").as("label"))
+        graph.Fixpoint.nearestSeed(und, seeds, 4).count()
+      }
       time("sssp", m) {
         val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
         // m independent trees, one per id-offset copy, solved in one
