@@ -232,9 +232,14 @@ object Sketches {
   def histQuantiles(buckets: DataFrame, qsPerMille: Seq[Int]): DataFrame = {
     require(qsPerMille.nonEmpty && qsPerMille.forall(q => q >= 1 && q <= 1000),
       "quantiles are per-mille ranks in [1, 1000]")
+    // materialize the sketch before the read-out: cum and qs both consume
+    // it, and without the checkpoint the (data-sized) bucket aggregation
+    // plan is embedded — and scanned — twice. This is also the production
+    // shape: the KB sketch persists once, read-outs touch only it.
+    val b = buckets.localCheckpoint(false)
     val w = Window.partitionBy(col("g")).orderBy(col("bucket").asc)
-    val cum = buckets.withColumn("cum", sum(col("c")).over(w))
-    val qs = buckets.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val cum = b.withColumn("cum", sum(col("c")).over(w))
+    val qs = b.groupBy(col("g")).agg(sum(col("c")).as("n"))
       .select(col("g"), col("n"),
         explode(array(qsPerMille.map(q => lit(q.toLong)): _*)).as("q_permille"))
       .withColumn("target", expr("(q_permille * n + 999) div 1000"))

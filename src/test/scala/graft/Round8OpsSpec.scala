@@ -154,6 +154,35 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 0L, 0L)))         // degree-1 leaf
   }
 
+  // ---- plan-shape scale claims ----
+
+  test("qualityFilter plan has zero exchanges (pure scan-side map)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextFunctions.qualityFilter(docs, "doc_id", "text", Seq("a"))
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"quality filter must not shuffle, found ${exchanges.size} exchange(s)")
+  }
+
+  test("histQuantiles read-out never re-scans data: only the materialized sketch") {
+    val df = (1L to 100L).map(("g", _)).toDF("g", "v")
+    val buckets = Sketches.histBuckets(df, "g", "v")
+    // the read-out consumes the sketch twice (cum + totals); the sketch is
+    // checkpointed so the plan scans ONLY the materialized KB-sized RDD —
+    // the original data relation must not appear at all
+    val plan = Sketches.histQuantiles(buckets, Seq(500, 900))
+      .queryExecution.optimizedPlan
+    val dataScans = plan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => r
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(dataScans.isEmpty,
+      s"read-out must scan only the materialized sketch, found ${dataScans.size} data scans")
+  }
+
   // ---- nearestSeed ----
 
   test("nearestSeed: exact distances, same-distance ties take the smallest label") {
