@@ -235,6 +235,16 @@ object LlmQueries {
         col("est_merged"), col("est_direct"))
   }
 
+  /** BM25 keyword extraction: top-3 length-normalized terms per doc. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.bm25TopK(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+
+  /** Ranked conjunctive search: top-10 docs containing all three query
+    * terms, by summed BM25. */
+  def textSearchRanked(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.searchRanked(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("join", "window", "hash"), k = 10)
+
   /** Gopher-shaped hard quality filter: word-count bounds, mean-word-length
     * bounds, distinct-token-ratio floor, stopword minimum → keep flag. */
   def textQualityFilter(spark: SparkSession, dir: String): DataFrame =
@@ -668,6 +678,8 @@ object LlmQueries {
     "dedup_representatives" -> (dedupRepresentatives _),
     "sketch_quantile_hist" -> (sketchQuantileHist _),
     "sketch_quantile_merge" -> (sketchQuantileMerge _),
+    "text_bm25" -> (textBm25 _),
+    "text_search_ranked" -> (textSearchRanked _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -815,6 +827,25 @@ object LlmQueries {
     """CAST(CASE WHEN s.bucket < 16 THEN s.bucket
       |     ELSE (s.bucket % 16 + 16) << (s.bucket // 16 - 4)
       |     END AS BIGINT)""".stripMargin
+
+  /** Shared BM25 oracle plumbing (text_bm25 / text_search_ranked):
+    * mirrors TextFunctions.bm25Scores — same integer surrogate, same
+    * 20·T-multiplied k1/b constants. Appended after $TextCtes (uses its
+    * `seq` word-id table). */
+  private val Bm25Ctes: String =
+    """tf AS (SELECT doc_id, wid, count(*) AS tf FROM seq GROUP BY doc_id, wid),
+      |lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+      |dfreq AS (SELECT wid, count(*) AS df FROM tf GROUP BY wid),
+      |tot AS (SELECT sum(len) AS t_total, count(*) AS n_docs FROM lens),
+      |sc AS (
+      |  SELECT t.doc_id, t.wid, t.tf, l.len, d.df,
+      |    (1000 * o.n_docs) // d.df AS idf_x1e3,
+      |    (1000000 * 44 * o.t_total * t.tf) //
+      |      (20 * o.t_total * t.tf + 6 * o.t_total + 18 * l.len * o.n_docs)
+      |      AS tfn_x1e6
+      |  FROM tf t JOIN lens l USING (doc_id) JOIN dfreq d USING (wid)
+      |  CROSS JOIN tot o),
+      |sc2 AS (SELECT *, (tfn_x1e6 * idf_x1e3) // 1000 AS bm25_x1e6 FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -2069,6 +2100,29 @@ object LlmQueries {
          |  $HistDecodeSql AS est_merged,
          |  $HistDecodeSql AS est_direct
          |FROM sel s""".stripMargin,
+    "text_bm25" ->
+      s"""WITH $TextCtes,
+         |$Bm25Ctes,
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY bm25_x1e6 DESC, wid ASC) AS INTEGER) AS rank
+         |  FROM sc2)
+         |SELECT doc_id, rank, wid, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, CAST(bm25_x1e6 AS BIGINT) AS bm25_x1e6
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "text_search_ranked" ->
+      s"""WITH $TextCtes,
+         |$Bm25Ctes,
+         |q AS (SELECT unnest([
+         |  CAST(('0x' || substr(md5('join'),1,14)) AS BIGINT),
+         |  CAST(('0x' || substr(md5('window'),1,14)) AS BIGINT),
+         |  CAST(('0x' || substr(md5('hash'),1,14)) AS BIGINT)]) AS wid),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_terms_hit, sum(bm25_x1e6) AS score
+         |  FROM sc2 JOIN q USING (wid)
+         |  GROUP BY doc_id HAVING count(*) = 3)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score_x1e6
+         |FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
   )
 
 }

@@ -500,6 +500,73 @@ object TextFunctions {
       .groupBy(col("doc_id"), col("wid"))
       .agg(count(lit(1)).as("tf"))
 
+  /** BM25 relevance scores per (doc, term) — Robertson et al.'s Okapi
+    * ranking (k1 = 1.2, b = 0.75) as a log-free exact-integer surrogate,
+    * the same monotone-surrogate reasoning as [[tfidfTopK]] (ln() is not
+    * bit-reproducible across engines; integer ratios are):
+    *
+    *   idf_x1e3  = (1000·N) div df
+    *   tfn_x1e6  = (10^6·44·T·tf) div (20·T·tf + 6·T + 18·len·N)
+    *   bm25_x1e6 = (tfn_x1e6 · idf_x1e3) div 1000
+    *
+    * where T = total corpus tokens and len the doc length — the exact
+    * k1/b constants multiplied through by 20·T so every step is long
+    * arithmetic. Bound: 10^6·44·T·tf must stay below 2^63 — holds through
+    * T·tf ≈ 2·10^11 (a ~10^11-token corpus); past that move the ratio to
+    * decimal(38,0).
+    *
+    * Scale shape: the tf aggregation is the corpus-sized shuffle; doc
+    * lengths and document frequencies are derived aggregations of it, and
+    * the corpus totals ride as a 1-row broadcast. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val dfreq = tf.groupBy(col("wid")).agg(count(lit(1)).as("df"))
+    val totals = lens.agg(sum(col("len")).as("t_total"), count(lit(1)).as("n_docs"))
+    tf.join(lens, Seq("doc_id")).join(dfreq, Seq("wid"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_x1e3", expr("(1000 * n_docs) div df"))
+      .withColumn("tfn_x1e6", expr(
+        "(1000000 * 44 * t_total * tf) div " +
+          "(20 * t_total * tf + 6 * t_total + 18 * len * n_docs)"))
+      .withColumn("bm25_x1e6", expr("(tfn_x1e6 * idf_x1e3) div 1000"))
+      .select(col("doc_id"), col("wid"), col("tf"), col("len"), col("df"),
+        col("idf_x1e3"), col("bm25_x1e6"))
+  }
+
+  /** Top-k BM25 terms per document (keyword extraction under length
+    * normalization — long docs no longer win on raw tf). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bm25_x1e6").desc, col("wid").asc)
+    bm25Scores(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("wid"), col("tf"), col("df"),
+        col("bm25_x1e6"))
+  }
+
+  /** Ranked conjunctive retrieval: documents containing ALL query terms,
+    * ranked by summed BM25 — the read path the [[invertedIndex]] serves,
+    * run straight off the scored term table. The query side is a literal
+    * in-row membership test (no join against a query table), the
+    * conjunctive filter is a count over ≤ |terms| rows per doc, and the
+    * top-k is a TakeOrderedAndProject under the (score desc, doc_id)
+    * total order — deterministic, never a global sort materialization. */
+  def searchRanked(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchRanked needs at least one query term")
+    val qwids = array(terms.map(t => wordId(lit(t))): _*)
+    bm25Scores(docs, idCol, textCol)
+      .filter(array_contains(qwids, col("wid")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("bm25_x1e6")).as("score_x1e6"))
+      .filter(col("n_terms_hit") === terms.size)
+      .orderBy(col("score_x1e6").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score_x1e6"))
+  }
+
   /** Positional fingerprint: sum over tokens of (wid mod [[FpMod]]) *
     * (1-based position) — a deterministic rolling-hash document signature.
     * Computed entirely in-row (no explode, no shuffle). */

@@ -154,6 +154,37 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 0L, 0L)))         // degree-1 leaf
   }
 
+  // ---- BM25 ----
+
+  test("bm25Scores: hand-computed integer surrogate on a 2-doc corpus") {
+    // T=5, N=2; doc1 "x x y" (len 3), doc2 "x z" (len 2); df: x=2, y=z=1
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val out = TextFunctions.bm25Scores(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(5), r.getLong(6)))).toMap  // (doc, tf) -> (idf_x1e3, bm25_x1e6)
+    // doc1 x: tfn = 440000000 div 338 = 1301775, idf 1000
+    assert(out((1L, 2L)) == ((1000L, 1301775L)))
+    // doc2 x and z share tfn = 220000000 div 202 = 1089108; z idf 2000
+    val doc2 = TextFunctions.bm25Scores(docs, "doc_id", "text")
+      .filter(col("doc_id") === 2L)
+      .collect().map(r => r.getLong(6)).sorted
+    assert(doc2.toSeq == Seq(1089108L, 2178216L))
+  }
+
+  test("searchRanked: conjunctive filter and score-ordered top-k") {
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y z")).toDF("doc_id", "text")
+    val hits = TextFunctions.searchRanked(docs, "doc_id", "text", Seq("x"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // T=7, N=3, df(x)=2 → idf 1500; doc1: tfn = 616000000 div 484 = 1272727,
+    // bm25 = 1909090; doc2: tfn = 308000000 div 290 = 1062068, bm25 = 1593102;
+    // doc3 has no x
+    assert(hits.toSeq == Seq((1L, 1909090L), (2L, 1593102L)))
+    // conjunction: only doc2 has both x and z
+    val and = TextFunctions.searchRanked(docs, "doc_id", "text", Seq("x", "z"), k = 5)
+      .collect().map(_.getLong(0))
+    assert(and.toSeq == Seq(2L))
+  }
+
   // ---- plan-shape scale claims ----
 
   test("qualityFilter plan has zero exchanges (pure scan-side map)") {
