@@ -120,6 +120,28 @@ object Temporal {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time (as-of) read against an [[scd2]] history: for each
+    * probe row, the single interval with `valid_from <= ts < valid_to`
+    * (open intervals have null `valid_to`). Intervals of one key are
+    * contiguous and half-open, so exactly one matches any probe at or
+    * after the key's first version; earlier probes drop (inner join).
+    *
+    * One equi-join on the keys + a residual containment filter — per-key
+    * interval counts are version counts (small by construction), so the
+    * join fans out by versions-per-key, never by history size; no window,
+    * no sort, probe side streams. The time-travel read every warehouse
+    * dimension lookup ("what was this entity's state when the event
+    * happened") compiles to. */
+  def asofRead(history: DataFrame, probes: DataFrame, keys: Seq[String],
+               tsCol: String): DataFrame = {
+    require(probes.columns.contains(tsCol), s"probes must carry $tsCol")
+    require(keys.forall(history.columns.contains) &&
+      keys.forall(probes.columns.contains), "join keys must exist on both sides")
+    probes.join(history, keys)
+      .filter(col("valid_from") <= col(tsCol) &&
+        (col("valid_to").isNull || col(tsCol) < col("valid_to")))
+  }
+
   /** Range (interval) join: every left row paired with every right
     * interval `[startEpoch, endEpoch)` containing its `leftEpoch`. All
     * three are epoch-seconds long columns.

@@ -244,6 +244,23 @@ object JoinQueries {
       Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_type")),
       keys = Seq("user_id"), timeCol = "ts", stateCols = Seq("event_type"))
 
+  /** Point-in-time dimension read over the SCD2 history: three probe
+    * instants per user answered from the interval table — the
+    * time-travel lookup that pairs with [[scd2History]]. */
+  def scd2AsofRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_type"))
+    val hist = graft.operators.Temporal.scd2(ev,
+      keys = Seq("user_id"), timeCol = "ts", stateCols = Seq("event_type"))
+    val probes = ev.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(array(
+        lit("2024-01-08 00:00:00").cast("timestamp"),
+        lit("2024-01-16 12:00:00").cast("timestamp"),
+        lit("2024-01-24 06:30:00").cast("timestamp"))).as("probe_ts"))
+    graft.operators.Temporal.asofRead(hist, probes, Seq("user_id"), "probe_ts")
+      .select(col("user_id"), col("probe_ts"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+  }
+
   /** Z-order layout values: Morton interleave of (p_size, p_partkey mod
     * 2^16) plus the coarse file range each row lands in when clustered by
     * it ([[graft.graph.Layout.zValue]]) — the multi-dimensional
@@ -275,6 +292,7 @@ object JoinQueries {
     "join_edit_distance" -> (joinEditDistance _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "scd2_history" -> (scd2History _),
+    "scd2_asof_read" -> (scd2AsofRead _),
     "layout_zorder" -> (layoutZorder _),
     "join_ignorecase" -> (joinIgnoreCase _),
     "join_fuzzy_contains" -> (joinFuzzyContains _),
@@ -310,6 +328,30 @@ object JoinQueries {
         |  CAST(o_custkey AS BIGINT) AS o_custkey, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 9000.0""".stripMargin,
+    "scd2_asof_read" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |hist AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+        |      AS valid_to
+        |  FROM chg),
+        |probes AS (
+        |  SELECT user_id, unnest([
+        |    TIMESTAMP '2024-01-08 00:00:00',
+        |    TIMESTAMP '2024-01-16 12:00:00',
+        |    TIMESTAMP '2024-01-24 06:30:00']) AS probe_ts
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT p.user_id, p.probe_ts, h.event_type, h.valid_from, h.valid_to
+        |FROM probes p JOIN hist h ON p.user_id = h.user_id
+        |WHERE h.valid_from <= p.probe_ts
+        |  AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)""".stripMargin,
     "scd2_history" ->
       """WITH o AS (
         |  SELECT user_id, event_type, ts,

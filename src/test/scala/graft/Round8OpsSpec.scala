@@ -154,6 +154,27 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 0L, 0L)))         // degree-1 leaf
   }
 
+  // ---- SCD2 as-of read ----
+
+  test("asofRead: half-open interval semantics, pre-history probes drop") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-0${s}%d 00:00:00")
+    val ev = Seq((1L, t(2), "A"), (1L, t(4), "B"), (2L, t(3), "C"))
+      .toDF("user_id", "ts", "state")
+    val hist = graft.operators.Temporal.scd2(ev, Seq("user_id"), "ts", Seq("state"))
+    val probes = Seq((1L, t(1)), (1L, t(2)), (1L, t(3)), (1L, t(4)), (1L, t(6)),
+      (2L, t(5))).toDF("user_id", "probe_ts")
+    val out = graft.operators.Temporal.asofRead(hist, probes, Seq("user_id"), "probe_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getString(2)).toMap
+    assert(!out.contains((1L, t(1))))          // before first version
+    assert(out((1L, t(2))) == "A")             // valid_from inclusive
+    assert(out((1L, t(3))) == "A")
+    assert(out((1L, t(4))) == "B")             // valid_to exclusive: B takes over
+    assert(out((1L, t(6))) == "B")             // open current interval
+    assert(out((2L, t(5))) == "C")
+    assert(out.size == 5)
+  }
+
   // ---- BM25 ----
 
   test("bm25Scores: hand-computed integer surrogate on a 2-doc corpus") {
