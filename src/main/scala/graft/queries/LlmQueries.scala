@@ -326,6 +326,25 @@ object LlmQueries {
     Similarity.ivfTopK(q.filter(col("vec_id") < 10), q, k = 3)
   }
 
+  /** ANN candidate-path RECALL, measured in-plan: IVF top-3 against the
+    * brute-force top-3 ground truth over the same query set — probe-count
+    * tuning is a measurement problem, not a guess (the dedup_lsh_recall
+    * principle applied to the ANN family). One row:
+    * (n_truth, n_hit, recall_x1e6). */
+  def simAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantized(Tables.embeddings(spark, dir))
+    val queries = q.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(queries, q, k = 3)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+    val got = Similarity.ivfTopK(queries, q, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_truth"), col("n_hit"),
+        expr("(1000000 * n_hit) div n_truth").as("recall_x1e6"))
+  }
+
   /** Full IVF-PQ-ADC index query: coarse cells + PQ codes + per-query
     * lookup-table scoring + exact re-rank of the shortlist
     * ([[Similarity.ivfPqTopK]]). */
@@ -680,6 +699,7 @@ object LlmQueries {
     "sketch_quantile_merge" -> (sketchQuantileMerge _),
     "text_bm25" -> (textBm25 _),
     "text_search_ranked" -> (textSearchRanked _),
+    "sim_ann_recall" -> (simAnnRecall _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -2110,6 +2130,56 @@ object LlmQueries {
          |SELECT doc_id, rank, wid, CAST(tf AS BIGINT) AS tf,
          |  CAST(df AS BIGINT) AS df, CAST(bm25_x1e6 AS BIGINT) AS bm25_x1e6
          |FROM ranked WHERE rank <= 3""".stripMargin,
+    "sim_ann_recall" ->
+      s"""WITH $QuantCte,
+         |cents AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
+         |ccos AS (
+         |  SELECT v.vec_id, c.cid,
+         |    floor(1000000.0 *
+         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
+         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS cc
+         |  FROM qn v CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+         |    FROM ccos) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+         |    FROM ccos WHERE vec_id < 10) WHERE rk <= 2),
+         |iscored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 * $pairDot /
+         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |  FROM probes p
+         |  JOIN assign s ON p.cid = s.cid
+         |  JOIN qn a ON a.vec_id = s.vec_id
+         |  JOIN qn b ON b.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+         |    FROM iscored) WHERE rank <= 3),
+         |bscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 * $pairDot /
+         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+         |  FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+         |    FROM bscored) WHERE rank <= 3),
+         |hit AS (
+         |  SELECT t.query_id, t.neighbor_id
+         |  FROM truth t JOIN ivf USING (query_id, neighbor_id))
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  CAST((1000000 * (SELECT count(*) FROM hit)) //
+         |       (SELECT count(*) FROM truth) AS BIGINT) AS recall_x1e6""".stripMargin,
     "text_search_ranked" ->
       s"""WITH $TextCtes,
          |$Bm25Ctes,
