@@ -137,6 +137,14 @@ object Temporal {
     require(probes.columns.contains(tsCol), s"probes must carry $tsCol")
     require(keys.forall(history.columns.contains) &&
       keys.forall(probes.columns.contains), "join keys must exist on both sides")
+    // a shared non-key column (e.g. probing the history with the event
+    // stream it was built from) would duplicate in the output and make
+    // every later reference AMBIGUOUS — reject it like scd2's own guards
+    val overlap = probes.columns.filterNot(keys.contains)
+      .intersect(history.columns.filterNot(keys.contains))
+    require(overlap.isEmpty,
+      s"probe columns collide with history columns: ${overlap.mkString(", ")}; " +
+        "rename or drop them on the probe side")
     probes.join(history, keys)
       .filter(col("valid_from") <= col(tsCol) &&
         (col("valid_to").isNull || col(tsCol) < col("valid_to")))

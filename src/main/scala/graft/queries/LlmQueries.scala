@@ -867,6 +867,38 @@ object LlmQueries {
       |  CROSS JOIN tot o),
       |sc2 AS (SELECT *, (tfn_x1e6 * idf_x1e3) // 1000 AS bm25_x1e6 FROM sc)""".stripMargin
 
+  /** Shared IVF oracle plumbing (sim_ann_ivf / sim_ann_recall): 16-row
+    * coarse centroid set, argmax cell assignment, 2-probe query cells,
+    * candidate scoring — mirrors Similarity.ivfTopK's defaults. Appended
+    * after $QuantCte (uses its `qn` quantized-vector table). */
+  private val IvfCtes: String =
+    s"""cents AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
+       |ccos AS (
+       |  SELECT v.vec_id, c.cid,
+       |    floor(1000000.0 *
+       |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
+       |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS cc
+       |  FROM qn v CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+       |    FROM ccos) WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+       |    FROM ccos WHERE vec_id < 10) WHERE rk <= 2),
+       |iscored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(floor(1000000.0 * $pairDot /
+       |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+       |  FROM probes p
+       |  JOIN assign s ON p.cid = s.cid
+       |  JOIN qn a ON a.vec_id = s.vec_id
+       |  JOIN qn b ON b.vec_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_quality" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1674,36 +1706,11 @@ object LlmQueries {
          |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH $QuantCte,
-         |cents AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
-         |ccos AS (
-         |  SELECT v.vec_id, c.cid,
-         |    floor(1000000.0 *
-         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
-         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS cc
-         |  FROM qn v CROSS JOIN cents c),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
-         |    FROM ccos) WHERE rk = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
-         |    FROM ccos WHERE vec_id < 10) WHERE rk <= 2),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    CAST(floor(1000000.0 * $pairDot /
-         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
-         |  FROM probes p
-         |  JOIN assign s ON p.cid = s.cid
-         |  JOIN qn a ON a.vec_id = s.vec_id
-         |  JOIN qn b ON b.vec_id = p.query_id
-         |  WHERE a.vec_id <> p.query_id),
+         |$IvfCtes,
          |ranked AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS INTEGER) AS rank
-         |  FROM scored)
+         |  FROM iscored)
          |SELECT query_id, rank, neighbor_id, cos_x1e6 FROM ranked WHERE rank <= 3""".stripMargin,
     "sim_ann_ivfpq" ->
       s"""WITH $QuantCte,
@@ -2132,32 +2139,7 @@ object LlmQueries {
          |FROM ranked WHERE rank <= 3""".stripMargin,
     "sim_ann_recall" ->
       s"""WITH $QuantCte,
-         |cents AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
-         |ccos AS (
-         |  SELECT v.vec_id, c.cid,
-         |    floor(1000000.0 *
-         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
-         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS cc
-         |  FROM qn v CROSS JOIN cents c),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
-         |    FROM ccos) WHERE rk = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
-         |    FROM ccos WHERE vec_id < 10) WHERE rk <= 2),
-         |iscored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    CAST(floor(1000000.0 * $pairDot /
-         |         sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
-         |  FROM probes p
-         |  JOIN assign s ON p.cid = s.cid
-         |  JOIN qn a ON a.vec_id = s.vec_id
-         |  JOIN qn b ON b.vec_id = p.query_id
-         |  WHERE a.vec_id <> p.query_id),
+         |$IvfCtes,
          |ivf AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id

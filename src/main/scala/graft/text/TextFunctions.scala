@@ -556,12 +556,15 @@ object TextFunctions {
   def searchRanked(docs: DataFrame, idCol: String, textCol: String,
                    terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "searchRanked needs at least one query term")
-    val qwids = array(terms.map(t => wordId(lit(t))): _*)
+    // scores carry one row per (doc, wid): a duplicated query term would
+    // make the conjunctive count unreachable — dedup the query first
+    val qterms = terms.distinct
+    val qwids = array(qterms.map(t => wordId(lit(t))): _*)
     bm25Scores(docs, idCol, textCol)
       .filter(array_contains(qwids, col("wid")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("bm25_x1e6")).as("score_x1e6"))
-      .filter(col("n_terms_hit") === terms.size)
+      .filter(col("n_terms_hit") === qterms.size)
       .orderBy(col("score_x1e6").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("score_x1e6"))

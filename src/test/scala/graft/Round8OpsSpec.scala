@@ -206,6 +206,25 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(and.toSeq == Seq(2L))
   }
 
+  test("searchRanked: duplicated query terms collapse instead of zeroing the result") {
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val dup = TextFunctions.searchRanked(docs, "doc_id", "text",
+      Seq("x", "x"), k = 5).collect().map(_.getLong(0)).toSet
+    assert(dup == Set(1L, 2L))
+  }
+
+  test("asofRead rejects probe columns colliding with history columns") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-0${s}%d 00:00:00")
+    val ev = Seq((1L, t(2), "A")).toDF("user_id", "ts", "state")
+    val hist = graft.operators.Temporal.scd2(ev, Seq("user_id"), "ts", Seq("state"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Temporal.asofRead(hist,
+        ev.withColumnRenamed("ts", "probe_ts"), Seq("user_id"), "probe_ts")
+    }
+    assert(ex.getMessage.contains("state"))
+  }
+
   // ---- plan-shape scale claims ----
 
   test("qualityFilter plan has zero exchanges (pure scan-side map)") {
