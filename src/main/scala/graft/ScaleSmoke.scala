@@ -308,6 +308,18 @@ object ScaleSmoke {
           .select(col("k").as("node"), col("k").as("label"))
         graph.Fixpoint.nearestSeed(und, seeds, 4).count()
       }
+      time("neighbor_agg2", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("f"))
+        val tree = cust.filter(col("k") % 10000000L >= 8)
+          .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 8 AS BIGINT)").as("src"),
+            col("k").as("dst"))
+        val feats = cust.select(col("k").as("node"), col("f"))
+        val l1 = graph.Centrality.neighborAgg(tree, feats, "f")
+        graph.Centrality.neighborAgg(tree,
+          l1.select(col("node"), col("mean_f")), "mean_f").count()
+      }
       time("sssp", m) {
         val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
         // m independent trees, one per id-offset copy, solved in one

@@ -244,6 +244,29 @@ object Centrality {
     und.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Neighborhood feature aggregation — one message-passing layer of the
+    * GraphSAGE shape (Hamilton et al. 2017): every node aggregates its
+    * undirected neighbors' integer feature (count/sum/min/max + floor
+    * mean). Chain two calls for a 2-hop receptive field (feed layer 1's
+    * `mean_f` back as the feature) — the graph-side feature engineering
+    * a curation pipeline runs to attach neighborhood context to nodes.
+    *
+    * One symmetrize + one equi-join on the feature table + one map-side
+    * combinable aggregation: O(E) work, exact integer arithmetic, no
+    * windows. Nodes without features contribute nothing; isolated nodes
+    * don't appear (join the node table back for a default). */
+  def neighborAgg(edges: DataFrame, feats: DataFrame, featCol: String): DataFrame = {
+    val p = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    sym.join(feats.select(col("node").as("dst"), col(featCol).as("_f")), Seq("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_nbrs"), sum(col("_f")).as("sum_f"),
+        min(col("_f")).as("min_f"), max(col("_f")).as("max_f"))
+      .withColumn("mean_f", expr("sum_f div n_nbrs"))
+  }
+
   /** Degree-ordered orientation of an undirected simple graph: each
     * distinct edge appears once as (u, v) with
     * (deg(u), u) < (deg(v), v). Library-private so the spec can assert

@@ -317,6 +317,22 @@ object StreamQueries {
   def graphClustering(spark: SparkSession, dir: String): DataFrame =
     Centrality.clusteringCoefficient(treeWithTriangles(spark, dir))
 
+  /** Two chained neighborhood-aggregation layers over the customer tree
+    * (features = account-balance cents): layer 2 aggregates layer 1's
+    * floor means — the 2-hop receptive field of GNN feature prep. */
+  def graphNeighborAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("f"))
+    val tree = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    val feats = c.select(col("k").as("node"), col("f"))
+    val l1 = Centrality.neighborAgg(tree, feats, "f")
+    val l2 = Centrality.neighborAgg(tree,
+      l1.select(col("node"), col("mean_f")), "mean_f")
+    l1.select(col("node"), col("n_nbrs"), col("mean_f"))
+      .join(l2.select(col("node"), col("mean_f").as("mean2_f")), Seq("node"))
+  }
+
   /** Octal customer tree + a triangle at every 50th customer — the shared
     * test graph of graph_kcore / graph_clustering (cheap to build, known
     * cascade structure, non-trivial cores and coefficients). */
@@ -383,6 +399,7 @@ object StreamQueries {
     "graph_kcore" -> (graphKcore _),
     "graph_nearest_seed" -> (graphNearestSeed _),
     "graph_clustering" -> (graphClustering _),
+    "graph_neighbor_agg" -> (graphNeighborAgg _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
@@ -453,6 +470,27 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> KcoreOracleSql,
     "graph_nearest_seed" -> NearestSeedOracleSql,
+    "graph_neighbor_agg" ->
+      """WITH c AS (SELECT c_custkey AS k,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS f
+        |  FROM customer),
+        |t AS (SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |      AND k // 8 <> k),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM
+        |    (SELECT src, dst FROM t UNION ALL SELECT dst, src FROM t)),
+        |l1 AS MATERIALIZED (
+        |  SELECT u.src AS node, count(*) AS n_nbrs, sum(c.f) AS sum_f,
+        |    sum(c.f) // count(*) AS mean_f
+        |  FROM und u JOIN c ON u.dst = c.k GROUP BY u.src),
+        |l2 AS (
+        |  SELECT u.src AS node, sum(l.mean_f) // count(*) AS mean2_f
+        |  FROM und u JOIN l1 l ON u.dst = l.node GROUP BY u.src)
+        |SELECT CAST(l1.node AS BIGINT) AS node,
+        |  CAST(l1.n_nbrs AS BIGINT) AS n_nbrs,
+        |  CAST(l1.mean_f AS BIGINT) AS mean_f,
+        |  CAST(l2.mean2_f AS BIGINT) AS mean2_f
+        |FROM l1 JOIN l2 ON l1.node = l2.node""".stripMargin,
     "graph_clustering" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),
         |mx AS (SELECT max(k) AS mx FROM c),

@@ -254,6 +254,18 @@ class Round8OpsSpec extends AnyFunSuite {
       s"read-out must scan only the materialized sketch, found ${dataScans.size} data scans")
   }
 
+  test("neighborAgg: undirected aggregation with exact floor means, self-loops dropped") {
+    // star: 1-2, 1-3, 1-4 plus a self loop on 1; features 2→10, 3→20, 4→31
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 1L), (1L, 1L)).toDF("src", "dst")
+    val feats = Seq((1L, 100L), (2L, 10L), (3L, 20L), (4L, 31L)).toDF("node", "f")
+    val out = Centrality.neighborAgg(edges, feats, "f")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((3L, 61L, 10L, 31L, 20L)))  // mean = 61 div 3 = 20
+    assert(out(2L) == ((1L, 100L, 100L, 100L, 100L)))
+    assert(out(4L) == ((1L, 100L, 100L, 100L, 100L)))
+  }
+
   // ---- nearestSeed ----
 
   test("nearestSeed: exact distances, same-distance ties take the smallest label") {
