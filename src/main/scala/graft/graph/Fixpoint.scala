@@ -95,6 +95,10 @@ object Fixpoint {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
+    // empty pair set (e.g. a corpus with no near-dup pairs at all):
+    // sum-of-nothing is null and there is nothing to propagate — the
+    // empty (node, component) frame IS the fixpoint
+    if (prevSum == null) return labels
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {

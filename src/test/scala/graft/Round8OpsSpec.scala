@@ -283,6 +283,32 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(99L) == ((2L, 10L)))  // via node 1
   }
 
+  // ---- degenerate inputs ----
+
+  test("new operators tolerate empty/degenerate inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Centrality.kCore(noEdges, k = 2L).isEmpty)
+    assert(Centrality.clusteringCoefficient(noEdges).isEmpty)
+    assert(Centrality.neighborAgg(noEdges,
+      Seq((1L, 5L)).toDF("node", "f"), "f").isEmpty)
+    // no seeds: nothing to label
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    assert(Fixpoint.nearestSeed(edges,
+      Seq.empty[(Long, Long)].toDF("node", "label"), maxDepth = 3).isEmpty)
+    // single-value histogram: every quantile reads the one bucket
+    val one = Sketches.histQuantiles(
+      Sketches.histBuckets(Seq(("g", 100L)).toDF("g", "v"), "g", "v"),
+      Seq(1, 500, 1000))
+      .collect().map(_.getLong(3)).toSet
+    assert(one == Set(100L))
+    // all-singleton corpus: every doc is its own representative
+    val solo = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val reps = Dedup.representatives(solo, "doc_id", "text", 500000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(reps == Map(1L -> true, 2L -> true))
+  }
+
   test("nearestSeed: maxDepth bounds the reach; equidistant node takes min label") {
     val base = Seq((10L, 1L), (20L, 1L), (1L, 2L), (2L, 3L))
     val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
