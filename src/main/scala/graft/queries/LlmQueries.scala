@@ -245,6 +245,12 @@ object LlmQueries {
     TextFunctions.searchRanked(Tables.documents(spark, dir), "doc_id", "text",
       Seq("join", "window", "hash"), k = 10)
 
+  /** Winsorize per-language doc lengths into the [p05, p95] band — the
+    * outlier APPLY step (clamp, don't drop). */
+  def textWinsorize(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.winsorize(Tables.documents(spark, dir), "doc_id", "lang",
+      "n_chars", pLow = 0.05, pHigh = 0.95)
+
   /** Gopher-shaped hard quality filter: word-count bounds, mean-word-length
     * bounds, distinct-token-ratio floor, stopword minimum → keep flag. */
   def textQualityFilter(spark: SparkSession, dir: String): DataFrame =
@@ -700,6 +706,7 @@ object LlmQueries {
     "text_bm25" -> (textBm25 _),
     "text_search_ranked" -> (textSearchRanked _),
     "sim_ann_recall" -> (simAnnRecall _),
+    "text_winsorize" -> (textWinsorize _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1525,6 +1532,21 @@ object LlmQueries {
          |  ${pexpr(0.99, "p99")}
          |FROM ranked GROUP BY lang""".stripMargin
     },
+    "text_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT lang,
+        |    min(CASE WHEN rn >= ceil(CAST(0.05 AS DOUBLE) * n) THEN n_chars END) AS lo,
+        |    min(CASE WHEN rn >= ceil(CAST(0.95 AS DOUBLE) * n) THEN n_chars END) AS hi
+        |  FROM ranked GROUP BY lang)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.n_chars,
+        |  CAST(greatest(c.lo, least(c.hi, d.n_chars)) AS BIGINT) AS winsorized,
+        |  greatest(c.lo, least(c.hi, d.n_chars)) <> d.n_chars AS clamped
+        |FROM documents d JOIN cuts c ON d.lang = c.lang""".stripMargin,
     "corpus_percentiles" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars,

@@ -835,6 +835,31 @@ object TextFunctions {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Winsorization — the outlier APPLY step pairing with
+    * [[groupOutliers]]/[[groupPercentilesDisc]]: clamp each value into
+    * its group's [pLow, pHigh] percentile band (Tukey's trimming without
+    * dropping rows — the length-normalization a metrics pipeline runs
+    * before averaging heavy-tailed per-doc statistics).
+    *
+    * The cutoffs come from the one-shuffle exact-percentile window
+    * ([[groupPercentilesDisc]]), broadcast back as a groups-sized table;
+    * the clamp itself is a per-row greatest/least — the data is scanned
+    * once for cutoffs and once for the apply, with no second shuffle. */
+  def winsorize(df: DataFrame, idCol: String, groupCol: String, valueCol: String,
+                pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow > 0.0 && pHigh < 1.0 && pLow < pHigh,
+      "winsorize needs 0 < pLow < pHigh < 1")
+    val cuts = groupPercentilesDisc(df.select(col(groupCol), col(valueCol)),
+      groupCol, valueCol, Seq("_lo" -> pLow, "_hi" -> pHigh))
+    df.select(col(idCol).cast("long").as(idCol), col(groupCol), col(valueCol))
+      .join(broadcast(cuts.select(col(groupCol), col("_lo"), col("_hi"))),
+        Seq(groupCol))
+      .withColumn("winsorized",
+        greatest(col("_lo"), least(col("_hi"), col(valueCol))))
+      .select(col(idCol), col(groupCol), col(valueCol), col("winsorized"),
+        (col("winsorized") =!= col(valueCol)).as("clamped"))
+  }
+
   /** Inverted index over a corpus: term → document frequency + the
     * sorted posting list of citing doc ids (comma-joined — a string
     * column hashes identically everywhere; switch to the array form when

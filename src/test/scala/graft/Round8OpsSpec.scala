@@ -283,6 +283,22 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(99L) == ((2L, 10L)))  // via node 1
   }
 
+  test("winsorize clamps into the percentile band, keeps every row, flags clamps") {
+    // group g: values 1..20 → p05 cut = value at rank ceil(.05*20)=1 → 1,
+    // p95 cut = rank ceil(.95*20)=19 → 19; only 20 clamps down
+    val df = (1L to 20L).map(v => (v, "g", v)).toDF("id", "grp", "v")
+    val out = TextFunctions.winsorize(df, "id", "grp", "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 20)
+    assert(out(20L) == ((19L, true)))
+    assert(out(19L) == ((19L, false)))
+    assert(out(1L) == ((1L, false)))
+    // tighter band: 10% trims both tails (rank 2 → 2, rank 18 → 18)
+    val tight = TextFunctions.winsorize(df, "id", "grp", "v", 0.10, 0.90)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(tight(1L) == 2L && tight(20L) == 18L && tight(10L) == 10L)
+  }
+
   // ---- degenerate inputs ----
 
   test("new operators tolerate empty/degenerate inputs") {
