@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecFunctions.vec_dot
+import graft.operators.BloomJoin
 import graft.similarity.Similarity
 import graft.text.TextFunctions
 
@@ -102,19 +103,55 @@ object Dedup {
     * never cross-joined. */
   def decontaminate(train: DataFrame, evalSet: DataFrame,
                     idCol: String, textCol: String): DataFrame = {
-    def docShingles(df: DataFrame) =
-      TextFunctions.widArrays(df, idCol, textCol)
-        .select(col("doc_id"),
-          explode(TextFunctions.shingleIds(col("wids"))).as("sid"))
-    val evalShingles = docShingles(evalSet).select(col("sid")).distinct()
-    val hits = docShingles(train).join(evalShingles, Seq("sid"))
+    val evalShingles = docShingles(evalSet, idCol, textCol)
+      .select(col("sid")).distinct()
+    val hits = docShingles(train, idCol, textCol).join(evalShingles, Seq("sid"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+    contaminationReport(train, idCol, hits)
+  }
+
+  /** [[decontaminate]] with a Bloom prefilter on the training side: the
+    * eval corpus's distinct shingle set builds a compact Bloom filter
+    * (8 bits/key — a 10M-shingle eval suite is ~10 MB, task-shippable),
+    * and the train shingle table is pruned by `might_contain` IN THE
+    * SCAN STAGE before anything shuffles. The exact equi-join then
+    * removes Bloom false positives, so the result is byte-identical to
+    * [[decontaminate]] — the filter only cuts shuffled volume.
+    *
+    * This is the 100 TB decontamination path: the train side's
+    * non-candidate shingles (the overwhelming majority — eval overlap
+    * is rare by construction) never leave their scan tasks, where the
+    * plain join ships the full exploded shingle table through an
+    * exchange. `expectedItems` sizes the filter; at the default 3% FP
+    * rate an overestimate only wastes bytes, never correctness. */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         expectedItems: Long): DataFrame = {
+    val evalShingles = docShingles(evalSet, idCol, textCol)
+      .select(col("sid")).distinct().localCheckpoint(false)
+    val bloom = BloomJoin.buildBloom(evalShingles, "sid", expectedItems)
+    val candidates = docShingles(train, idCol, textCol)
+      .filter(BloomJoin.mightContain(bloom, col("sid")))
+    val hits = candidates.join(evalShingles, Seq("sid"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+    contaminationReport(train, idCol, hits)
+  }
+
+  /** Exploded (doc_id, shingle-id) table shared by the decontamination
+    * variants. */
+  private def docShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextFunctions.widArrays(df, idCol, textCol)
+      .select(col("doc_id"),
+        explode(TextFunctions.shingleIds(col("wids"))).as("sid"))
+
+  /** Left-join per-doc hit counts back onto the full train id set. */
+  private def contaminationReport(train: DataFrame, idCol: String,
+                                  hits: DataFrame): DataFrame =
     train.select(col(idCol).cast("long").as("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
-  }
 
   /** Near-dup cluster canonicalization — the APPLY step after near-dup
     * detection: group documents into clusters (connected components over

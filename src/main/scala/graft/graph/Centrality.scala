@@ -267,6 +267,97 @@ object Centrality {
       .withColumn("mean_f", expr("sum_f div n_nbrs"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    * set, `rounds` full auth-then-hub updates from all-ones scores —
+    * the link-analysis complement to [[pagerank]]: authorities are
+    * pointed at by good hubs, hubs point at good authorities (directory
+    * pages vs content pages in a web-corpus quality signal).
+    *
+    * Scores are UNNORMALIZED exact integers (the classic formulation
+    * divides by the L2 norm each round — irrational, so not
+    * byte-deterministic; rankings are identical either way). They grow
+    * geometrically at ≤ (max_in·max_out)^rounds, which is why `rounds`
+    * is capped — at the cap, any graph with max degree ≤ ~2000 stays
+    * within Long range, and realistic web graphs converge their RANKING
+    * in a handful of rounds anyway.
+    *
+    * Scale shape per round: two edge⋈score equi-joins + two map-side
+    * combinable sums + a left join back to the node universe for
+    * zero-fill — O(E) per round, lineage truncated per round like the
+    * [[Fixpoint]] family. */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 5,
+      s"unnormalized integer HITS needs 1..5 rounds (scores grow geometrically); got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to rounds) {
+      val a = e.join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("_a"))
+      auth = nodes.join(a.select(col("dst").as("node"), col("_a")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("_a"), lit(0L)).as("auth"))
+        .localCheckpoint(false)
+      val h = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("_h"))
+      hub = nodes.join(h.select(col("src").as("node"), col("_h")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("_h"), lit(0L)).as("hub"))
+        .localCheckpoint(false)
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** Common-neighbor link prediction over an undirected simple graph:
+    * for every NON-adjacent pair (u < v) with at least one shared
+    * neighbor, the three classic scores — common-neighbor count,
+    * Jaccard overlap of neighborhoods (floor millionths), and the
+    * Resource Allocation index Σ_w 1/deg(w) (floor trillionths per
+    * term, exact integer sum; Zhou, Lü & Zhang 2009 — RA consistently
+    * beats Adamic–Adar and needs no logarithm, so the arithmetic stays
+    * oracle-exact).
+    *
+    * Candidate pairs are generated FROM each shared neighbor's sorted
+    * adjacency array in-row (deg² per center, like
+    * [[coOccurrenceEdges]]) and meet in ONE groupBy on (u, v) — the
+    * pair space is Σ_w deg(w)², never |V|²: only pairs at distance 2
+    * ever exist. An anti-join against the edge set then removes
+    * already-adjacent pairs. The skew knob is the max degree (a 10k-hub
+    * center contributes 50M wedge pairs); cap or sample hub
+    * neighborhoods upstream when predicting over power-law graphs. */
+  def linkPrediction(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(false)
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val centers = adj.join(deg, Seq("node"))
+      .groupBy(col("node"), col("deg"))
+      .agg(array_sort(collect_set(col("nbr"))).as("nbrs"))
+    val pairs = centers.select(col("deg").as("wdeg"),
+      explode(flatten(transform(col("nbrs"), (x, i) =>
+        transform(slice(col("nbrs"), i + lit(2), size(col("nbrs"))),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("wdeg"))
+    val scored = pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000000000 div wdeg")).as("ra_x1e12"))
+    scored
+      .join(und.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common_neighbors"), col("ra_x1e12"),
+        expr("common_neighbors * 1000000 div (du + dv - common_neighbors)")
+          .as("jaccard_x1e6"))
+  }
+
   /** Degree-ordered orientation of an undirected simple graph: each
     * distinct edge appears once as (u, v) with
     * (deg(u), u) < (deg(v), v). Library-private so the spec can assert

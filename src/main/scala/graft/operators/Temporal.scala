@@ -175,4 +175,44 @@ object Temporal {
       .filter(col(leftEpoch) >= col(startEpoch) && col(leftEpoch) < col(endEpoch))
       .drop("_bkt")
   }
+
+  /** Coalesce overlapping-or-touching closed intervals per key into
+    * maximal islands (gaps-and-islands): availability windows, session
+    * spans, validity ranges — the interval-union primitive behind
+    * "total covered time" and conflict detection.
+    *
+    * One window pass: order each key's intervals by (start, end), take
+    * the running max of `end` over the strict prefix, and start a new
+    * island exactly when `start` exceeds it (touching intervals —
+    * start == previous max end — merge). A second running sum turns the
+    * flags into island ids, and one aggregation emits
+    * (keys..., island_start, island_end, n_intervals).
+    *
+    * The flag pass and the island-id pass are two window operators over
+    * the same sort; rows tying on the full ordering key could permute
+    * between the passes and carry their flags with them, splitting an
+    * island mid-tie — so the ordering must be TOTAL. Pass `tieCols`
+    * (e.g. the row's primary key) whenever (keys, start, end) does not
+    * uniquely identify a row. ONE shuffle on the key set (both windows
+    * and the groupBy share it); per-key state is a sort, never a
+    * cross-product — the skew knob is a single hot key's interval
+    * count, same as any per-key window. */
+  def coalesceIntervals(df: DataFrame, keys: Seq[String],
+                        startCol: String, endCol: String,
+                        tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "coalesceIntervals needs at least one key column")
+    val part = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol) +: col(endCol) +: tieCols.map(col): _*)
+    val prevMax = max(col(endCol))
+      .over(part.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df.withColumn("_new_island",
+      when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+    val islands = flagged.withColumn("_island",
+      sum(col("_new_island")).over(part.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(keys.map(col) :+ col("_island"): _*)
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("_island")
+  }
 }

@@ -288,7 +288,26 @@ object JoinQueries {
     graft.operators.StringJoin.editDistanceJoin(canon, dirty, "id", "name", k = 2)
   }
 
+  /** Per-customer order "activity windows" — [orderdate, orderdate +
+    * (orderkey % 30 + 1) days] — merged into maximal overlapping-or-
+    * touching islands: the interval-union / gaps-and-islands read over
+    * validity ranges. The deterministic duration mix (1..30 days
+    * against a multi-year date span) produces real multi-interval
+    * islands AND real gaps at every SF. */
+  def intervalsCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(spark, dir).select(
+      col("o_custkey").cast("long").as("custkey"),
+      col("o_orderkey").cast("long").as("okey"),
+      col("o_orderdate").as("s"),
+      expr("timestampadd(DAY, CAST(o_orderkey % 30 + 1 AS INT), o_orderdate)").as("e"))
+    graft.operators.Temporal.coalesceIntervals(
+        iv, Seq("custkey"), "s", "e", tieCols = Seq("okey"))
+      .select(col("custkey"), col("island_start"), col("island_end"),
+        col("n_intervals"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "intervals_coalesce" -> (intervalsCoalesce _),
     "join_edit_distance" -> (joinEditDistance _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "scd2_history" -> (scd2History _),
@@ -308,6 +327,27 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "intervals_coalesce" ->
+      """WITH iv AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |    o_orderkey AS okey, o_orderdate AS s,
+        |    o_orderdate + ((o_orderkey % 30 + 1) * INTERVAL 1 DAY) AS e
+        |  FROM orders),
+        |m AS (
+        |  SELECT custkey, okey, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |         THEN 1 ELSE 0 END AS ni
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY custkey ORDER BY s, e, okey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (
+        |  SELECT custkey, s, e,
+        |    SUM(ni) OVER (PARTITION BY custkey ORDER BY s, e, okey
+        |                  ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM m)
+        |SELECT custkey, min(s) AS island_start, max(e) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM isl GROUP BY custkey, g""".stripMargin,
     "join_edit_distance" ->
       """WITH n AS (
         |  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS id

@@ -1,0 +1,79 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation computed in ONE pass over the
+  * table (the Deequ/Great-Expectations shape): the caller lists checks,
+  * every check contributes aggregate expressions to a single `agg`, and
+  * the one-row result is unpivoted in-plan to (check, metric, value)
+  * rows. The reference validates ingested assets ad hoc per module
+  * (required-field presence, id non-emptiness — e.g.
+  * cartography/intel/aws/ec2/instances.py asserts on required keys
+  * before load); this is that concern made a first-class operator a
+  * 100 TB pipeline can afford: N checks cost one table scan, not N.
+  *
+  * All fractions are exact floor-millionths (long arithmetic over two
+  * counts), so results are partition-invariant and oracle-reproducible.
+  *
+  * Scale shape: a single scan + one aggregation. [[Uniqueness]] checks
+  * add `count(DISTINCT ...)` which Catalyst plans via Expand — still one
+  * scan of the source, with data duplicated once per distinct-group in
+  * the exchange (the documented cost of exact uniqueness; swap to HLL
+  * sketches in `text.Sketches` when approximate suffices). Everything
+  * else is a plain map-side-combinable count/sum/min/max.
+  */
+object DataQuality {
+
+  /** One validation rule; contributes (metric-name → long value) pairs. */
+  sealed trait Check
+
+  /** Fraction of rows with `column` non-null, in millionths. */
+  final case class Completeness(column: String) extends Check
+
+  /** distinct(columns) / rows, in millionths — 1e6 means a true key. */
+  final case class Uniqueness(columns: Seq[String]) extends Check
+
+  /** Fraction of rows satisfying `predicate`, in millionths. Nulls count
+    * as unsatisfied (predicate is coalesced to false). */
+  final case class Compliance(label: String, predicate: Column) extends Check
+
+  /** min / max / sum of a long-valued column (pre-scale floats to exact
+    * integers — cents, micros — before calling). */
+  final case class NumericProfile(column: String) extends Check
+
+  private val Ppm = 1000000L
+
+  /** Run every check in one aggregation pass; returns
+    * (check STRING, metric STRING, value BIGINT) rows, one per metric,
+    * plus a ("rows", "count", n) row. */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val n = count(lit(1))
+    def ppm(c: Column): Column = floor(c * Ppm / n).cast("long")
+    // (check, metric, value) triples, value as an aggregate Column
+    val metrics: Seq[(String, String, Column)] =
+      ("rows", "count", n.cast("long")) +: checks.flatMap {
+        case Completeness(c) =>
+          Seq((s"completeness:$c", "non_null_x1e6", ppm(count(col(c)))))
+        case Uniqueness(cs) =>
+          Seq((s"uniqueness:${cs.mkString(",")}", "distinct_x1e6",
+            ppm(count_distinct(col(cs.head), cs.tail.map(col): _*))))
+        case Compliance(label, p) =>
+          Seq((s"compliance:$label", "satisfied_x1e6",
+            ppm(sum(when(coalesce(p, lit(false)), 1L).otherwise(0L)))))
+        case NumericProfile(c) =>
+          Seq((s"profile:$c", "min", min(col(c)).cast("long")),
+            (s"profile:$c", "max", max(col(c)).cast("long")),
+            (s"profile:$c", "sum", sum(col(c)).cast("long")))
+      }
+    val named = metrics.zipWithIndex.map { case ((_, _, c), i) => c.as(s"_m$i") }
+    val row = df.agg(named.head, named.tail: _*)
+    // unpivot the 1-row aggregate in-plan: no collect, stays a DataFrame
+    row.select(explode(array(metrics.zipWithIndex.map { case ((chk, met, _), i) =>
+        struct(lit(chk).as("check"), lit(met).as("metric"),
+          col(s"_m$i").as("value"))
+      }: _*)).as("r"))
+      .select(col("r.check").as("check"), col("r.metric").as("metric"),
+        col("r.value").as("value"))
+  }
+}
