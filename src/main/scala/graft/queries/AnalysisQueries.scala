@@ -378,7 +378,27 @@ object AnalysisQueries {
       .edgeTable("DNSZone", "SUBZONE", "DNSZone")
       .select(col("src_id"), col("dst_id"), col("lastupdated"))
 
+  /** Deequ-style declarative validation over orders, every check in ONE
+    * aggregation pass: row count, key uniqueness (o_orderkey is a true
+    * key, o_custkey is 10:1), completeness, domain compliance, bounds
+    * compliance (the price-band check actually discriminates on this
+    * corpus), and an exact numeric profile in cents. */
+  def qualitySuite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.stats.DataQuality._
+    val o = Tables.orders(spark, dir).withColumn("price_cents",
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    report(o, Seq(
+      Uniqueness(Seq("o_orderkey")),
+      Uniqueness(Seq("o_custkey")),
+      Completeness("o_orderstatus"),
+      Compliance("status_known", col("o_orderstatus").isin("F", "O", "P")),
+      Compliance("price_band", col("o_totalprice").between(2000.0, 400000.0)),
+      Compliance("urgent", col("o_orderpriority") === "1-URGENT"),
+      NumericProfile("price_cents")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_suite" -> (qualitySuite _),
     "intel_dns_subzones" -> (intelDnsSubzones _),
     "analysis_set_property" -> (analysisSetProperty _),
     "analysis_add_to_set" -> (analysisAddToSet _),
@@ -394,6 +414,32 @@ object AnalysisQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "quality_suite" ->
+      """WITH o AS (
+        |  SELECT *, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS price_cents FROM orders),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS dk,
+        |    count(DISTINCT o_custkey) AS dc,
+        |    count(o_orderstatus) AS nn,
+        |    sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS sk,
+        |    sum(CASE WHEN o_totalprice BETWEEN 2000.0 AND 400000.0
+        |             THEN 1 ELSE 0 END) AS pb,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ur,
+        |    min(price_cents) AS mn, max(price_cents) AS mx,
+        |    sum(price_cents) AS sm
+        |  FROM o)
+        |SELECT 'rows' AS check_name, 'count' AS metric, CAST(n AS BIGINT) AS value FROM a
+        |UNION ALL SELECT 'uniqueness:o_orderkey', 'distinct_x1e6', CAST(dk * 1000000 // n AS BIGINT) FROM a
+        |UNION ALL SELECT 'uniqueness:o_custkey', 'distinct_x1e6', CAST(dc * 1000000 // n AS BIGINT) FROM a
+        |UNION ALL SELECT 'completeness:o_orderstatus', 'non_null_x1e6', CAST(nn * 1000000 // n AS BIGINT) FROM a
+        |UNION ALL SELECT 'compliance:status_known', 'satisfied_x1e6', CAST(sk * 1000000 // n AS BIGINT) FROM a
+        |UNION ALL SELECT 'compliance:price_band', 'satisfied_x1e6', CAST(pb * 1000000 // n AS BIGINT) FROM a
+        |UNION ALL SELECT 'compliance:urgent', 'satisfied_x1e6', CAST(ur * 1000000 // n AS BIGINT) FROM a
+        |UNION ALL SELECT 'profile:price_cents', 'min', CAST(mn AS BIGINT) FROM a
+        |UNION ALL SELECT 'profile:price_cents', 'max', CAST(mx AS BIGINT) FROM a
+        |UNION ALL SELECT 'profile:price_cents', 'sum', CAST(sm AS BIGINT) FROM a""".stripMargin,
     "intel_dns_subzones" ->
       s"""WITH rz AS (
          |  SELECT 'zone-r' || CAST(r_regionkey AS VARCHAR) AS zone_id,

@@ -45,35 +45,37 @@ object DataQuality {
   private val Ppm = 1000000L
 
   /** Run every check in one aggregation pass; returns
-    * (check STRING, metric STRING, value BIGINT) rows, one per metric,
-    * plus a ("rows", "count", n) row. */
+    * (check_name STRING, metric STRING, value BIGINT) rows, one per metric,
+    * plus a ("rows", "count", n) row. Fractions divide AFTER the
+    * aggregate with integer `div` (never float), so every value is
+    * exact at any row count. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    val n = count(lit(1))
-    def ppm(c: Column): Column = floor(c * Ppm / n).cast("long")
-    // (check, metric, value) triples, value as an aggregate Column
-    val metrics: Seq[(String, String, Column)] =
-      ("rows", "count", n.cast("long")) +: checks.flatMap {
+    // (check, metric, raw aggregate, divide-by-n?) rows
+    val metrics: Seq[(String, String, Column, Boolean)] =
+      ("rows", "count", count(lit(1)).cast("long"), false) +: checks.flatMap {
         case Completeness(c) =>
-          Seq((s"completeness:$c", "non_null_x1e6", ppm(count(col(c)))))
+          Seq((s"completeness:$c", "non_null_x1e6",
+            count(col(c)).cast("long"), true))
         case Uniqueness(cs) =>
           Seq((s"uniqueness:${cs.mkString(",")}", "distinct_x1e6",
-            ppm(count_distinct(col(cs.head), cs.tail.map(col): _*))))
+            count_distinct(col(cs.head), cs.tail.map(col): _*).cast("long"), true))
         case Compliance(label, p) =>
           Seq((s"compliance:$label", "satisfied_x1e6",
-            ppm(sum(when(coalesce(p, lit(false)), 1L).otherwise(0L)))))
+            sum(when(coalesce(p, lit(false)), 1L).otherwise(0L)).cast("long"), true))
         case NumericProfile(c) =>
-          Seq((s"profile:$c", "min", min(col(c)).cast("long")),
-            (s"profile:$c", "max", max(col(c)).cast("long")),
-            (s"profile:$c", "sum", sum(col(c)).cast("long")))
+          Seq((s"profile:$c", "min", min(col(c)).cast("long"), false),
+            (s"profile:$c", "max", max(col(c)).cast("long"), false),
+            (s"profile:$c", "sum", sum(col(c)).cast("long"), false))
       }
-    val named = metrics.zipWithIndex.map { case ((_, _, c), i) => c.as(s"_m$i") }
+    val named = metrics.zipWithIndex.map { case ((_, _, c, _), i) => c.as(s"_m$i") }
     val row = df.agg(named.head, named.tail: _*)
     // unpivot the 1-row aggregate in-plan: no collect, stays a DataFrame
-    row.select(explode(array(metrics.zipWithIndex.map { case ((chk, met, _), i) =>
-        struct(lit(chk).as("check"), lit(met).as("metric"),
-          col(s"_m$i").as("value"))
+    row.select(explode(array(metrics.zipWithIndex.map { case ((chk, met, _, frac), i) =>
+        val value =
+          if (frac) expr(s"(_m$i * $Ppm) div _m0") else col(s"_m$i")
+        struct(lit(chk).as("check_name"), lit(met).as("metric"), value.as("value"))
       }: _*)).as("r"))
-      .select(col("r.check").as("check"), col("r.metric").as("metric"),
+      .select(col("r.check_name").as("check_name"), col("r.metric").as("metric"),
         col("r.value").as("value"))
   }
 }
