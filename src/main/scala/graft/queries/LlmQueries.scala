@@ -191,6 +191,17 @@ object LlmQueries {
       "doc_id", "text")
   }
 
+  /** Same train/eval split through the Bloom-prefiltered path: results
+    * must be byte-identical to dedup_decontaminate (the filter only cuts
+    * shuffled volume; the exact join removes its false positives). */
+  def dedupDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", expectedItems = 200000L)
+  }
+
   /** Price values for the quantile-sketch gates: integer cents per
     * return flag (log buckets need a positive integer domain). */
   private def priceCents(spark: SparkSession, dir: String): DataFrame =
@@ -666,6 +677,7 @@ object LlmQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
+    "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
     "text_gram_census" -> (textGramCensus _),
     "text_oov_rate" -> (textOovRate _),
     "text_chunking" -> (textChunking _),
@@ -1142,6 +1154,20 @@ object LlmQueries {
         |    AS mean_tokens_x1e6
         |FROM documents GROUP BY lang, source""".stripMargin,
     "dedup_decontaminate" ->
+      s"""WITH $TextCtes,
+         |evalsh AS (SELECT DISTINCT sid FROM sh WHERE doc_id % 10 = 0),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n
+         |  FROM sh t JOIN evalsh e ON t.sid = e.sid
+         |  WHERE t.doc_id % 10 <> 0 GROUP BY t.doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+         |  coalesce(h.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
+    // identical semantics to dedup_decontaminate: the Bloom filter is a
+    // prefilter only, and the exact verify join removes false positives
+    "dedup_decontaminate_bloom" ->
       s"""WITH $TextCtes,
          |evalsh AS (SELECT DISTINCT sid FROM sh WHERE doc_id % 10 = 0),
          |hits AS (
