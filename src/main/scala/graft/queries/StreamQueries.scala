@@ -351,6 +351,29 @@ object StreamQueries {
     tree.unionByName(tri)
   }
 
+  /** HITS over the div2 customer tree plus div4 shortcut edges (the
+    * SSSP graph shape, unweighted): interior nodes are both hubs
+    * (point at children) and authorities (pointed at by parent and
+    * grandparent), so three rounds produce a genuinely mixed score
+    * surface, not a bipartite split. Unnormalized exact integers. */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val e = c.filter(col("k") >= 2L)
+      .select(expr("k div 2").as("src"), col("k").as("dst"))
+      .unionByName(c.filter(col("k") >= 4L)
+        .select(expr("k div 4").as("src"), col("k").as("dst")))
+    Centrality.hits(e, rounds = 3)
+  }
+
+  /** Link prediction over the ornamented tree: unlinked sibling pairs
+    * (shared parent), triangle-adjacent pairs, and parent/grandchild
+    * gaps all score; top 200 by (common neighbors, RA, pair) keeps the
+    * gate output bounded under a total order. */
+  def graphLinkPred(spark: SparkSession, dir: String): DataFrame =
+    Centrality.linkPrediction(treeWithTriangles(spark, dir))
+      .orderBy(desc("common_neighbors"), desc("ra_x1e12"), col("u"), col("v"))
+      .limit(200)
+
   /** Nearest-seed labeling over the undirected customer tree: every
     * 1000th customer is a labeled hub; nodes within 4 hops take the
     * nearest hub's label (ties to the smallest label). */
@@ -397,6 +420,8 @@ object StreamQueries {
     "centrality_ppr" -> (centralityPpr _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
+    "graph_hits" -> (graphHits _),
+    "graph_link_pred" -> (graphLinkPred _),
     "graph_nearest_seed" -> (graphNearestSeed _),
     "graph_clustering" -> (graphClustering _),
     "graph_neighbor_agg" -> (graphNeighborAgg _),
@@ -491,6 +516,78 @@ object StreamQueries {
         |  CAST(l1.mean_f AS BIGINT) AS mean_f,
         |  CAST(l2.mean2_f AS BIGINT) AS mean2_f
         |FROM l1 JOIN l2 ON l1.node = l2.node""".stripMargin,
+    "graph_hits" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |e AS MATERIALIZED (
+        |  SELECT k // 2 AS src, k AS dst FROM c WHERE k >= 2
+        |  UNION ALL
+        |  SELECT k // 4 AS src, k AS dst FROM c WHERE k >= 4),
+        |n AS MATERIALIZED (
+        |  SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |a1 AS MATERIALIZED (
+        |  SELECT n.node, coalesce(t.s, 0) AS auth FROM n LEFT JOIN
+        |    (SELECT dst AS node, count(*) AS s FROM e GROUP BY dst) t
+        |    USING (node)),
+        |h1 AS MATERIALIZED (
+        |  SELECT n.node, coalesce(t.s, 0) AS hub FROM n LEFT JOIN
+        |    (SELECT e.src AS node, sum(a1.auth) AS s FROM e
+        |     JOIN a1 ON e.dst = a1.node GROUP BY e.src) t USING (node)),
+        |a2 AS MATERIALIZED (
+        |  SELECT n.node, coalesce(t.s, 0) AS auth FROM n LEFT JOIN
+        |    (SELECT e.dst AS node, sum(h1.hub) AS s FROM e
+        |     JOIN h1 ON e.src = h1.node GROUP BY e.dst) t USING (node)),
+        |h2 AS MATERIALIZED (
+        |  SELECT n.node, coalesce(t.s, 0) AS hub FROM n LEFT JOIN
+        |    (SELECT e.src AS node, sum(a2.auth) AS s FROM e
+        |     JOIN a2 ON e.dst = a2.node GROUP BY e.src) t USING (node)),
+        |a3 AS MATERIALIZED (
+        |  SELECT n.node, coalesce(t.s, 0) AS auth FROM n LEFT JOIN
+        |    (SELECT e.dst AS node, sum(h2.hub) AS s FROM e
+        |     JOIN h2 ON e.src = h2.node GROUP BY e.dst) t USING (node)),
+        |h3 AS MATERIALIZED (
+        |  SELECT n.node, coalesce(t.s, 0) AS hub FROM n LEFT JOIN
+        |    (SELECT e.src AS node, sum(a3.auth) AS s FROM e
+        |     JOIN a3 ON e.dst = a3.node GROUP BY e.src) t USING (node))
+        |SELECT h3.node, CAST(h3.hub AS BIGINT) AS hub,
+        |  CAST(a3.auth AS BIGINT) AS auth
+        |FROM h3 JOIN a3 USING (node)""".stripMargin,
+    "graph_link_pred" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS node, b AS nbr FROM ed
+        |  UNION ALL SELECT b, a FROM ed),
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM adj GROUP BY node),
+        |pairs AS (
+        |  SELECT x.nbr AS u, y.nbr AS v, d.deg AS wdeg
+        |  FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr
+        |  JOIN deg d ON d.node = x.node),
+        |sc AS MATERIALIZED (
+        |  SELECT u, v, count(*) AS cn, sum(1000000000000 // wdeg) AS ra
+        |  FROM pairs GROUP BY u, v),
+        |cand AS (
+        |  SELECT sc.* FROM sc LEFT JOIN ed ON sc.u = ed.a AND sc.v = ed.b
+        |  WHERE ed.a IS NULL)
+        |SELECT CAST(cand.u AS BIGINT) AS u, CAST(cand.v AS BIGINT) AS v,
+        |  CAST(cn AS BIGINT) AS common_neighbors,
+        |  CAST(ra AS BIGINT) AS ra_x1e12,
+        |  CAST(cn * 1000000 // (du.deg + dv.deg - cn) AS BIGINT) AS jaccard_x1e6
+        |FROM cand JOIN deg du ON du.node = cand.u
+        |JOIN deg dv ON dv.node = cand.v
+        |ORDER BY common_neighbors DESC, ra_x1e12 DESC, u, v LIMIT 200""".stripMargin,
     "graph_clustering" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),
         |mx AS (SELECT max(k) AS mx FROM c),
