@@ -287,6 +287,47 @@ object Fixpoint {
     visited
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection over an undirected edge set, made DETERMINISTIC: every
+    * node starts labeled with its own id, and each round adopts the
+    * label most frequent among its neighbors, ties to the SMALLEST
+    * label (the classic formulation breaks ties randomly, which is
+    * neither reproducible nor oracle-checkable; min-label ties converge
+    * to the same partition families in practice). A node with no
+    * neighbor votes keeps its label. Fixed `rounds` — LPA has no
+    * monotone convergence measure (labels can oscillate on bipartite
+    * structures), so a bounded round count IS the standard stopping
+    * rule.
+    *
+    * Scale shape per round: one edges⋈labels equi-join, one
+    * (node, label) count — map-side combinable — and one argmax via
+    * `max(struct(count, -label))` (no window, no sort), then a left
+    * join back to the node set. O(E) per round; lineage truncated per
+    * round like every fixpoint here. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"labelPropagation wants 1..8 synchronous rounds, got $rounds")
+    val p = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val winner = votes
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
+        .select(col("node"), (-col("w.nl")).as("_new"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   /** Bounded-depth reachability (the `*1..k` form): plain frontier
     * expansion, k rounds, no closure materialization. */
   def reachWithin(edges: DataFrame, depth: Int): DataFrame = {

@@ -374,6 +374,13 @@ object StreamQueries {
       .orderBy(desc("common_neighbors"), desc("ra_x1e12"), col("u"), col("v"))
       .limit(200)
 
+  /** Deterministic label propagation over the ornamented tree, four
+    * synchronous rounds: triangle ornaments anchor local label
+    * majorities while the tree trunk floods toward small ids — the
+    * community-detection read over the shared test graph. */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame =
+    Fixpoint.labelPropagation(treeWithTriangles(spark, dir), rounds = 4)
+
   /** Nearest-seed labeling over the undirected customer tree: every
     * 1000th customer is a labeled hub; nodes within 4 hops take the
     * nearest hub's label (ties to the smallest label). */
@@ -422,6 +429,7 @@ object StreamQueries {
     "graph_kcore" -> (graphKcore _),
     "graph_hits" -> (graphHits _),
     "graph_link_pred" -> (graphLinkPred _),
+    "graph_label_prop" -> (graphLabelProp _),
     "graph_nearest_seed" -> (graphNearestSeed _),
     "graph_clustering" -> (graphClustering _),
     "graph_neighbor_agg" -> (graphNeighborAgg _),
@@ -552,6 +560,42 @@ object StreamQueries {
         |SELECT h3.node, CAST(h3.hub AS BIGINT) AS hub,
         |  CAST(a3.auth AS BIGINT) AS auth
         |FROM h3 JOIN a3 USING (node)""".stripMargin,
+    "graph_label_prop" -> {
+      def round(r: Int): String = {
+        val prev = s"l${r - 1}"
+        s"""v$r AS (
+           |  SELECT u.dst AS node, l.lab, count(*) AS c
+           |  FROM und u JOIN $prev l ON u.src = l.node
+           |  GROUP BY u.dst, l.lab),
+           |w$r AS (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab, row_number() OVER
+           |      (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+           |    FROM v$r) WHERE rn = 1),
+           |l$r AS MATERIALIZED (
+           |  SELECT l.node, coalesce(w.lab, l.lab) AS lab
+           |  FROM $prev l LEFT JOIN w$r w ON l.node = w.node)""".stripMargin
+      }
+      s"""WITH c AS (SELECT c_custkey AS k FROM customer),
+         |mx AS (SELECT max(k) AS mx FROM c),
+         |e AS (
+         |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+         |  UNION ALL
+         |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+         |  UNION ALL
+         |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+         |  UNION ALL
+         |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e WHERE src <> dst
+         |    UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS lab FROM und),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label
+         |FROM l4""".stripMargin
+    },
     "graph_link_pred" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),
         |mx AS (SELECT max(k) AS mx FROM c),
