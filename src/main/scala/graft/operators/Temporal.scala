@@ -176,6 +176,39 @@ object Temporal {
       .drop("_bkt")
   }
 
+  /** Interval × interval overlap join: every (left, right) pair of
+    * half-open intervals `[s, e)` (epoch-seconds longs) that overlap —
+    * `ls < re AND rs < le` — optionally under equi-`keys` (per-tenant /
+    * per-entity overlap detection). The conflict-detection primitive
+    * over bookings, leases, validity windows.
+    *
+    * Both sides explode onto the coarse time buckets they cover and
+    * candidates meet in an equi-join on (keys..., bucket) + residual
+    * overlap filter — candidate volume is overlap-local, never
+    * |L| × |R|. A pair overlapping several buckets would match in each;
+    * instead of a post-join dedup (an extra shuffle over the OUTPUT,
+    * the biggest table in the plan), each pair is claimed exactly once
+    * in the bucket of `max(ls, rs)` — the first bucket where both are
+    * present, a constant-time filter. Pick `bucketSeconds` near the
+    * typical interval span: shorter → more explode rows, longer → more
+    * residual waste. */
+  def intervalOverlapJoin(left: DataFrame, ls: String, le: String,
+                          right: DataFrame, rs: String, re: String,
+                          bucketSeconds: Long,
+                          keys: Seq[String] = Nil): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    def buckets(s: String, e: String) = sequence(
+      floor(col(s) / bucketSeconds).cast("long"),
+      floor((col(e) - 1) / bucketSeconds).cast("long"))
+    val lb = left.withColumn("_bkt", explode(buckets(ls, le)))
+    val rb = right.withColumn("_bkt", explode(buckets(rs, re)))
+    lb.join(rb, keys :+ "_bkt")
+      .filter(col(ls) < col(re) && col(rs) < col(le))
+      .filter(col("_bkt") ===
+        floor(greatest(col(ls), col(rs)) / bucketSeconds).cast("long"))
+      .drop("_bkt")
+  }
+
   /** Coalesce overlapping-or-touching closed intervals per key into
     * maximal islands (gaps-and-islands): availability windows, session
     * spans, validity ranges — the interval-union primitive behind

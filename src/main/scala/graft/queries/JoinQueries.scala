@@ -306,7 +306,33 @@ object JoinQueries {
         col("n_intervals"))
   }
 
+  /** Per-nation overlap join between even-customer and odd-customer
+    * order activity windows (half-open, 1..20 days): the
+    * conflict-detection shape. Bucketed at 30 days; each overlapping
+    * pair is claimed once in the bucket of max(start, start) — no
+    * output dedup shuffle. */
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nk"),
+        col("o_custkey").cast("long").as("ck"),
+        col("o_orderkey").cast("long").as("okey"),
+        unix_timestamp(col("o_orderdate")).as("s"))
+      .withColumn("e", col("s") + (col("okey") % 20 + 1) * 86400L)
+    val l = base.filter(col("ck") % 2 === 0)
+      .select(col("nk"), col("okey").as("l_okey"), col("s").as("l_s"), col("e").as("l_e"))
+    val r = base.filter(col("ck") % 2 === 1)
+      .select(col("nk"), col("okey").as("r_okey"), col("s").as("r_s"), col("e").as("r_e"))
+    graft.operators.Temporal.intervalOverlapJoin(
+        l, "l_s", "l_e", r, "r_s", "r_e",
+        bucketSeconds = 30L * 86400L, keys = Seq("nk"))
+      .select(col("nk"), col("l_okey"), col("r_okey"),
+        (least(col("l_e"), col("r_e")) - greatest(col("l_s"), col("r_s")))
+          .as("overlap_secs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_overlap" -> (joinIntervalOverlap _),
     "intervals_coalesce" -> (intervalsCoalesce _),
     "join_edit_distance" -> (joinEditDistance _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
@@ -327,6 +353,21 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      """WITH base AS (
+        |  SELECT c_nationkey AS nk, o_custkey AS ck, o_orderkey AS okey,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS s,
+        |    CAST(epoch(o_orderdate) AS BIGINT)
+        |      + (o_orderkey % 20 + 1) * 86400 AS e
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |l AS (SELECT nk, okey AS l_okey, s AS l_s, e AS l_e
+        |      FROM base WHERE ck % 2 = 0),
+        |r AS (SELECT nk, okey AS r_okey, s AS r_s, e AS r_e
+        |      FROM base WHERE ck % 2 = 1)
+        |SELECT CAST(l.nk AS BIGINT) AS nk, CAST(l_okey AS BIGINT) AS l_okey,
+        |  CAST(r_okey AS BIGINT) AS r_okey,
+        |  CAST(least(l_e, r_e) - greatest(l_s, r_s) AS BIGINT) AS overlap_secs
+        |FROM l JOIN r ON l.nk = r.nk AND l_s < r_e AND r_s < l_e""".stripMargin,
     "intervals_coalesce" ->
       """WITH iv AS (
         |  SELECT CAST(o_custkey AS BIGINT) AS custkey,
