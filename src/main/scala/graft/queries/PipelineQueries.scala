@@ -125,13 +125,82 @@ object PipelineQueries {
         count(lit(1)).as("n_paths"))
   }
 
+  /** End-to-end entity resolution: canonical part-name records plus two
+    * progressively-truncated "vendor feed" copies, blocked edit-distance
+    * matching (first-token block, k=2), connected components over the
+    * match pairs, and a canonical-id + cluster-size assignment — the
+    * identity-resolution workload (reference: MatchLinks over fuzzy
+    * name joins) as one composed pipeline. Records whose names collide
+    * ACROSS distinct parts merge too — components, not pairwise match,
+    * decide the entity. */
+  def e2eEntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.part(spark, dir).groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
+    val canon = n.select(col("id"), col("p_name").as("name"))
+    val feedA = n.select((col("id") + 100000L).as("id"),
+      expr("substring(p_name, 1, length(p_name) - 1)").as("name"))
+    val feedB = n.select((col("id") + 200000L).as("id"),
+      expr("substring(p_name, 1, length(p_name) - 2)").as("name"))
+    val recs = canon.unionByName(feedA).unionByName(feedB).localCheckpoint(false)
+    val pairs = graft.operators.StringJoin
+      .editDistanceJoin(recs, recs, "id", "name", k = 2)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val comp = graft.graph.Fixpoint.connectedComponents(pairs)
+    val lab = recs.select(col("id").as("record_id"))
+      .join(comp.select(col("node").as("record_id"), col("component")),
+        Seq("record_id"), "left")
+      .select(col("record_id"),
+        coalesce(col("component"), col("record_id")).as("canonical_id"))
+    val sz = lab.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sz, Seq("canonical_id"))
+      .select(col("record_id"), col("canonical_id"), col("cluster_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ontology_materialize" -> (ontologyMaterialize _),
     "e2e_full_sync" -> (e2eFullSync _),
+    "e2e_entity_resolution" -> (e2eEntityResolution _),
     "motif_two_hop" -> (motifTwoHop _),
   )
 
   val oracles: Map[String, String] = Map(
+    "e2e_entity_resolution" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
+        |  FROM part GROUP BY p_name),
+        |recs AS MATERIALIZED (
+        |  SELECT id, name FROM n
+        |  UNION ALL
+        |  SELECT id + 100000, substr(name, 1, length(name) - 1) FROM n
+        |  UNION ALL
+        |  SELECT id + 200000, substr(name, 1, length(name) - 2) FROM n),
+        |blocked AS MATERIALIZED (
+        |  SELECT id, name, string_split(name, ' ')[1] AS blk FROM recs),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 2),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, b AS reachable FROM und
+        |  UNION
+        |  SELECT r.node, u.b FROM reach r JOIN und u ON r.reachable = u.a),
+        |comp AS (
+        |  SELECT node, least(node, min(reachable)) AS component
+        |  FROM reach GROUP BY node),
+        |lab AS MATERIALIZED (
+        |  SELECT recs.id AS record_id,
+        |    coalesce(c.component, recs.id) AS canonical_id
+        |  FROM recs LEFT JOIN comp c ON recs.id = c.node),
+        |sz AS (SELECT canonical_id, count(*) AS cluster_size
+        |       FROM lab GROUP BY canonical_id)
+        |SELECT CAST(record_id AS BIGINT) AS record_id,
+        |  CAST(l.canonical_id AS BIGINT) AS canonical_id,
+        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+        |FROM lab l JOIN sz USING (canonical_id)""".stripMargin,
     "ontology_materialize" ->
       """WITH src AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS id, 1 AS priority,
