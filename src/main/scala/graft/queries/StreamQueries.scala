@@ -303,6 +303,36 @@ object StreamQueries {
     }
   }
 
+  /** Left-OUTER stream-static enrichment: the dim side is restricted to
+    * BUILDING-segment customers, so a real fraction of events keeps a
+    * null segment instead of being dropped — the null-preserving
+    * enrichment streaming allows only on the stream side (right-outer
+    * stream-static is unsupported by construction: unmatched dim rows
+    * can never be declared final while the stream runs). Stateless like
+    * the inner variant; broadcast dim, no state store. */
+  def streamStaticLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    withStateSession(spark) { scoped =>
+      val src = scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = Tables.customer(scoped, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val joined = src.join(broadcast(dim), Seq("user_id"), "left_outer")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("stream_static_left_join_sink")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      scoped.table("stream_static_left_join_sink")
+    }
+  }
+
   /** 2-core of the customer tree + triangle ornaments: the octal tree
     * alone peels to nothing, every 50th customer carries a triangle that
     * anchors itself (and pins parts of its ancestor chain) into the core
@@ -434,6 +464,7 @@ object StreamQueries {
     "graph_clustering" -> (graphClustering _),
     "graph_neighbor_agg" -> (graphNeighborAgg _),
     "stream_static_join" -> (streamStaticJoin _),
+    "stream_static_left_join" -> (streamStaticLeftJoin _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
@@ -669,6 +700,10 @@ object StreamQueries {
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "stream_static_left_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c
+        |  ON e.user_id = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin,
     "session_window_agg" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
