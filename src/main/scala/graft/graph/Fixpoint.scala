@@ -293,11 +293,13 @@ object Fixpoint {
     * label most frequent among its neighbors, ties to the SMALLEST
     * label (the classic formulation breaks ties randomly, which is
     * neither reproducible nor oracle-checkable; min-label ties converge
-    * to the same partition families in practice). A node with no
-    * neighbor votes keeps its label. Fixed `rounds` — LPA has no
-    * monotone convergence measure (labels can oscillate on bipartite
-    * structures), so a bounded round count IS the standard stopping
-    * rule.
+    * to the same partition families in practice). Each node's OWN label
+    * joins the vote: pure synchronous LPA label-swaps forever on
+    * bipartite structure (a single edge oscillates 1↔2), and the
+    * self-vote is the standard damping that lets it settle — it also
+    * makes "no neighbors" a non-case, every node has at least one vote.
+    * Fixed `rounds` — LPA has no monotone convergence measure, so a
+    * bounded round count IS the standard stopping rule.
     *
     * Scale shape per round: one edges⋈labels equi-join, one
     * (node, label) count — map-side combinable — and one argmax via
@@ -316,13 +318,13 @@ object Fixpoint {
     for (_ <- 1 to rounds) {
       val votes = und
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-      val winner = votes
-        .groupBy(col("dst").as("node"))
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
-        .select(col("node"), (-col("w.nl")).as("_new"))
-      labels = labels.join(winner, Seq("node"), "left")
-        .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
+        .select(col("node"), (-col("w.nl")).as("label"))
         .localCheckpoint(false)
     }
     labels

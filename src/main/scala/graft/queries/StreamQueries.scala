@@ -595,17 +595,16 @@ object StreamQueries {
       def round(r: Int): String = {
         val prev = s"l${r - 1}"
         s"""v$r AS (
-           |  SELECT u.dst AS node, l.lab, count(*) AS c
-           |  FROM und u JOIN $prev l ON u.src = l.node
-           |  GROUP BY u.dst, l.lab),
-           |w$r AS (
+           |  SELECT node, lab, count(*) AS c FROM (
+           |    SELECT u.dst AS node, l.lab
+           |    FROM und u JOIN $prev l ON u.src = l.node
+           |    UNION ALL SELECT node, lab FROM $prev)
+           |  GROUP BY node, lab),
+           |l$r AS MATERIALIZED (
            |  SELECT node, lab FROM (
            |    SELECT node, lab, row_number() OVER
            |      (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
-           |    FROM v$r) WHERE rn = 1),
-           |l$r AS MATERIALIZED (
-           |  SELECT l.node, coalesce(w.lab, l.lab) AS lab
-           |  FROM $prev l LEFT JOIN w$r w ON l.node = w.node)""".stripMargin
+           |    FROM v$r) WHERE rn = 1)""".stripMargin
       }
       s"""WITH c AS (SELECT c_custkey AS k FROM customer),
          |mx AS (SELECT max(k) AS mx FROM c),

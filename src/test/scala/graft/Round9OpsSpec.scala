@@ -135,6 +135,60 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out.contains((2L, 4L)))
   }
 
+  // ---- labelPropagation ----
+
+  test("labelPropagation: two triangles bridged by one edge keep distinct communities") {
+    // triangle A = {1,2,3}, triangle B = {10,11,12}, bridge 3-10
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val out = graft.graph.Fixpoint.labelPropagation(e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 pulls the bridge label 3 into node 10, round 2's triangle
+    // majority (11, 12 both voting 10) overrides it — communities settle
+    // to each triangle's smallest member and stay there
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: round bounds enforced, isolated self-loop dropped") {
+    val e = Seq((1L, 2L), (3L, 3L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      graft.graph.Fixpoint.labelPropagation(e, rounds = 0)
+    }
+    val out = graft.graph.Fixpoint.labelPropagation(e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 3 has only a self-loop -> not in the node universe at all
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  // ---- intervalOverlapJoin ----
+
+  test("intervalOverlapJoin: overlap pairs exact, multi-bucket pairs claimed once") {
+    val l = Seq((1L, 0L, 250L), (2L, 500L, 600L)).toDF("l_id", "l_s", "l_e")
+    val r = Seq(
+      (10L, 100L, 400L),  // overlaps 1 across buckets 1-3
+      (20L, 240L, 260L),  // overlaps 1 only
+      (30L, 590L, 700L),  // overlaps 2
+      (40L, 250L, 500L)   // touches 1 at 250 (half-open: NO overlap), ends at 2's start: NO
+    ).toDF("r_id", "r_s", "r_e")
+    val out = Temporal.intervalOverlapJoin(l, "l_s", "l_e", r, "r_s", "r_e",
+        bucketSeconds = 100L)
+      .select("l_id", "r_id")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+    // no duplicates even though (1,10) shares buckets 1 and 2
+    assert(out.length == out.distinct.length)
+    assert(out.toSet == Set((1L, 10L), (1L, 20L), (2L, 30L)))
+  }
+
+  test("intervalOverlapJoin: equi-keys partition the candidate space") {
+    val l = Seq(("a", 1L, 0L, 100L), ("b", 2L, 0L, 100L)).toDF("k", "l_id", "l_s", "l_e")
+    val r = Seq(("a", 10L, 50L, 150L), ("b", 20L, 50L, 150L)).toDF("k", "r_id", "r_s", "r_e")
+    val out = Temporal.intervalOverlapJoin(l, "l_s", "l_e", r, "r_s", "r_e",
+        bucketSeconds = 1000L, keys = Seq("k"))
+      .select("l_id", "r_id").collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 20L)))
+  }
+
   // ---- decontaminateBloom ----
 
   test("decontaminateBloom is byte-identical to the exact-join path") {
