@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Changelog (CDC) compaction: apply an ordered stream of upsert/delete
+  * records to a base snapshot and produce the next snapshot — the batch
+  * core of incremental materialization (Debezium/Hudi/Delta `MERGE`
+  * shape). The reference's closest analog is its per-sync node upsert +
+  * stale-cleanup pair (`cartography/graph/statement.py` merge +
+  * `cleanupbuilder.py` delete); this operator is the general
+  * last-writer-wins form a 100 TB pipeline compacts event logs with.
+  *
+  * Plan shape: ONE map-side-combinable aggregation — the base is unioned
+  * in as version-`baseVersion` upserts and the latest record per key is
+  * `max(struct(version, op, values…))`, so partial aggregates collapse
+  * on the map side and nothing is ever sorted per key (no window, no
+  * row_number). Delete tombstones participate in the max like any other
+  * record and are dropped AFTER the argmax, which gives the full CDC
+  * semantics for free: a delete followed by a later upsert resurrects
+  * the key, a trailing delete removes it, a delete for an absent key is
+  * a no-op.
+  */
+object Changelog {
+
+  /** Apply `changes` to `base`, last writer wins.
+    *
+    * `base`: the previous snapshot — key columns + `valueCols` (no
+    * version/op columns needed; it is treated as a batch of upserts at
+    * `baseVersion`). May be empty (pure changelog compaction).
+    *
+    * `changes`: key columns + `versionCol` (total order per key, all
+    * strictly greater than `baseVersion`) + `opCol` (`deleteOp` marks a
+    * tombstone, anything else is an upsert) + `valueCols`.
+    *
+    * (key, version) pairs must be unique — with equal versions the
+    * argmax falls back to (op, values…) lexicographic order, which is
+    * deterministic but not meaningful CDC order.
+    *
+    * Output: keys ++ versionCol ++ valueCols — surviving keys with the
+    * version that last wrote them. */
+  def apply(base: DataFrame, changes: DataFrame, keys: Seq[String],
+            versionCol: String, opCol: String, valueCols: Seq[String],
+            deleteOp: String = "D", baseVersion: Long = 0L): DataFrame = {
+    val vType = changes.schema(versionCol).dataType
+    val b = base.select(
+      keys.map(col) ++
+        Seq(lit(baseVersion).cast(vType).as(versionCol), lit("U").as(opCol)) ++
+        valueCols.map(col): _*)
+    val c = changes.select(
+      keys.map(col) ++ Seq(col(versionCol), col(opCol)) ++ valueCols.map(col): _*)
+    b.unionByName(c)
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(
+        (col(versionCol) +: col(opCol) +: valueCols.map(col)): _*)).as("_last"))
+      .filter(col(s"_last.$opCol") =!= deleteOp)
+      .select(keys.map(col) ++
+        (versionCol +: valueCols).map(c0 => col(s"_last.$c0").as(c0)): _*)
+  }
+}

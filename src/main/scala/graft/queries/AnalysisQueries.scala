@@ -397,7 +397,32 @@ object AnalysisQueries {
       NumericProfile("price_cents")))
   }
 
+  /** CDC changelog compaction ([[graft.operators.Changelog]]): the base
+    * snapshot is orders NOT divisible by 5 (so divisible-by-5 keys arrive
+    * as pure inserts), the changelog is one change per (order, line
+    * number) — line numbers divisible by 3 are delete tombstones, the
+    * rest upsert the line's max price — and the argmax must replay them
+    * in version order: a delete at 3 or 6 resurrects under a later
+    * upsert at 4/5/7, a trailing delete removes the key. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("order_id"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long")
+          .as("price_x1e4"))
+    val changes = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("order_id"),
+        col("l_linenumber").cast("long").as("version"))
+      .agg(max((col("l_extendedprice").cast("decimal(18,4)") * 10000)
+        .cast("long")).as("price_x1e4"))
+      .withColumn("op",
+        when(col("version") % 3 === 0, lit("D")).otherwise(lit("U")))
+    graft.operators.Changelog.apply(base, changes, Seq("order_id"),
+      "version", "op", Seq("price_x1e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply" -> (cdcApply _),
     "quality_suite" -> (qualitySuite _),
     "intel_dns_subzones" -> (intelDnsSubzones _),
     "analysis_set_property" -> (analysisSetProperty _),
@@ -414,6 +439,26 @@ object AnalysisQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS order_id, CAST(0 AS BIGINT) AS version,
+        |    'U' AS op,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS price_x1e4
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |ch AS (
+        |  SELECT l_orderkey AS order_id, CAST(l_linenumber AS BIGINT) AS version,
+        |    CASE WHEN l_linenumber % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    max(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT))
+        |      AS price_x1e4
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+        |last AS (
+        |  SELECT order_id, version, op, price_x1e4,
+        |    row_number() OVER (PARTITION BY order_id ORDER BY version DESC) AS rk
+        |  FROM u)
+        |SELECT order_id, version, price_x1e4
+        |FROM last WHERE rk = 1 AND op <> 'D'""".stripMargin,
     "quality_suite" ->
       """WITH o AS (
         |  SELECT *, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
