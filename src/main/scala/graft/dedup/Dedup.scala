@@ -299,6 +299,45 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos_x1e6"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup scoped by a k-means
+    * clustering — train a coarse quantizer ([[graft.similarity.Similarity
+    * .kmeansAssign]], one Lloyd round, deterministic), score cosine pairs
+    * ONLY within a cluster, and collapse the resulting near-dup graph to
+    * canonical ids via [[graft.graph.Fixpoint.connectedComponents]].
+    *
+    * The cluster equi-join is what survives 100 TB: pair volume is
+    * Σ clusterᵢ² instead of n², and the centroid count is the knob that
+    * bounds cluster size (SemDeDup uses 50k clusters at web scale). The
+    * price, as in the paper, is recall at cluster boundaries — a pair
+    * split across centroids is never scored; [[cosineNearDup]] stays the
+    * exactness baseline.
+    *
+    * Output: one row per vector — (vec_id, cid, canonical_id) with
+    * canonical_id = min vec_id of its within-cluster near-dup component
+    * (itself when nothing merged). */
+  def semanticDedup(quantized: DataFrame, nCentroids: Int,
+                    minCosX1e6: Long): DataFrame = {
+    val assign = Similarity.kmeansAssign(quantized, nCentroids, iterations = 1)
+      .select(col("vec_id"), col("cid"))
+    val clustered = quantized.join(assign, Seq("vec_id"))
+    val a = clustered.select(col("cid"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("norm2").as("na"))
+    val b = clustered.select(col("cid"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    val pairs = a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", vec_dot(col("qa"), col("qb")))
+      .withColumn("cos_x1e6",
+        floor(lit(1000000.0) * col("dot") /
+          sqrt((col("na") * col("nb")).cast("double"))).cast("long"))
+      .filter(col("cos_x1e6") >= minCosX1e6)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val comp = graft.graph.Fixpoint.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("component"))
+    assign.join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("component"), col("vec_id")).as("canonical_id"))
+  }
+
   def cosineNearDup(quantized: DataFrame, minCosX1e6: Long): DataFrame = {
     val a = quantized.select(col("vec_id").as("vec_a"), col("q").as("qa"),
       col("norm2").as("na"))

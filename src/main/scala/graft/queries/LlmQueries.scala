@@ -321,6 +321,16 @@ object LlmQueries {
     Dedup.cosineNearDupBucketed(
       Similarity.quantized(Tables.embeddings(spark, dir)), minCosX1e6 = 350000L)
 
+  /** SemDeDup over the embeddings corpus: 16-centroid coarse clustering
+    * scopes the cosine pair search, components collapse to canonical
+    * ids. Same 0.35 threshold as the exact near-dup gates, so the
+    * cluster-boundary recall loss is observable against
+    * [[dedupCosineNearDup]]. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(
+      Similarity.quantized(Tables.embeddings(spark, dir)),
+      nCentroids = 16, minCosX1e6 = 350000L)
+
   // ---- similarity search ----
 
   def simBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -690,6 +700,7 @@ object LlmQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_hamming" -> (dedupSimhashHamming _),
     "dedup_cosine_neardup" -> (dedupCosineNearDup _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_cosine_neardup_lsh" -> (dedupCosineNearDupLsh _),
     "sim_bruteforce_topk" -> (simBruteForceTopK _),
     "sim_ann_lsh" -> (simAnnLsh _),
@@ -814,6 +825,47 @@ object LlmQueries {
 
   private val pairDot =
     "CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS BIGINT)"
+
+  /** One deterministic Lloyd round over qn (init = first 16 vectors,
+    * floor-mean update, (cos desc, cid asc) argmax) ending in `a1` =
+    * (vec_id, cid, cos_x1e6) — the unrolled mirror of
+    * [[graft.similarity.Similarity.kmeansAssign]](nCentroids=16,
+    * iterations=1), shared by the kmeans and semantic-dedup oracles. */
+  private val KmeansCte =
+    """c0 AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
+      |cc0 AS (
+      |  SELECT v.vec_id, c.cid,
+      |    CAST(floor(1000000.0 *
+      |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
+      |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS BIGINT) AS cc
+      |  FROM qn v CROSS JOIN c0 c),
+      |a0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+      |    FROM cc0) WHERE rk = 1),
+      |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q,1) AS dim FROM qn),
+      |sums AS (
+      |  SELECT a.cid, d.dim, sum(d.x) AS sx, count(*) AS n
+      |  FROM qd d JOIN a0 a USING(vec_id) GROUP BY a.cid, d.dim),
+      |c1 AS (
+      |  SELECT cid, list(CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS qc
+      |  FROM sums GROUP BY cid),
+      |c1n AS (
+      |  SELECT cid, qc,
+      |    CAST(list_sum(list_transform(qc, x -> x*x)) AS BIGINT) AS nc
+      |  FROM c1),
+      |cc1 AS (
+      |  SELECT v.vec_id, c.cid,
+      |    CAST(floor(1000000.0 *
+      |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
+      |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS BIGINT) AS cc
+      |  FROM qn v CROSS JOIN c1n c),
+      |a1 AS (
+      |  SELECT vec_id, cid, cc AS cos_x1e6 FROM (
+      |    SELECT vec_id, cid, cc,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
+      |    FROM cc1) WHERE rk = 1)""".stripMargin
 
   /** Sign-LSH signature CTE over qn (8 bits, 64 dims, bit 13 of Knuth mix). */
   private val LshSigCte =
@@ -1319,39 +1371,29 @@ object LlmQueries {
          |WHERE floor(1000000.0 * i / least(na.n, nb.n)) >= 850000""".stripMargin,
     "embed_kmeans_assign" ->
       s"""WITH $QuantCte,
-         |c0 AS (SELECT vec_id AS cid, q AS qc, norm2 AS nc FROM qn WHERE vec_id < 16),
-         |cc0 AS (
-         |  SELECT v.vec_id, c.cid,
-         |    CAST(floor(1000000.0 *
-         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
-         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS BIGINT) AS cc
-         |  FROM qn v CROSS JOIN c0 c),
-         |a0 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
-         |    FROM cc0) WHERE rk = 1),
-         |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q,1) AS dim FROM qn),
-         |sums AS (
-         |  SELECT a.cid, d.dim, sum(d.x) AS sx, count(*) AS n
-         |  FROM qd d JOIN a0 a USING(vec_id) GROUP BY a.cid, d.dim),
-         |c1 AS (
-         |  SELECT cid, list(CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS qc
-         |  FROM sums GROUP BY cid),
-         |c1n AS (
-         |  SELECT cid, qc,
-         |    CAST(list_sum(list_transform(qc, x -> x*x)) AS BIGINT) AS nc
-         |  FROM c1),
-         |cc1 AS (
-         |  SELECT v.vec_id, c.cid,
-         |    CAST(floor(1000000.0 *
-         |      CAST(list_sum(list_transform(list_zip(v.q, c.qc), p -> p[1]*p[2])) AS BIGINT) /
-         |      sqrt(CAST(v.norm2 * c.nc AS DOUBLE))) AS BIGINT) AS cc
-         |  FROM qn v CROSS JOIN c1n c)
-         |SELECT vec_id, cid, cc AS cos_x1e6 FROM (
-         |  SELECT vec_id, cid, cc,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rk
-         |  FROM cc1) WHERE rk = 1""".stripMargin,
+         |$KmeansCte
+         |SELECT vec_id, cid, cos_x1e6 FROM a1""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $QuantCte,
+         |$KmeansCte,
+         |cl AS (SELECT a.vec_id, a.cid, v.q, v.norm2
+         |       FROM a1 a JOIN qn v USING(vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS pa, b.vec_id AS pb
+         |  FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE floor(1000000.0 * $pairDot /
+         |        sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) >= 350000),
+         |und AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+         |reach AS (
+         |  SELECT pa AS node, pb AS reachable FROM und
+         |  UNION
+         |  SELECT r.node, u.pb FROM reach r JOIN und u ON r.reachable = u.pa),
+         |comp AS (
+         |  SELECT node, least(node, min(reachable)) AS component
+         |  FROM reach GROUP BY node)
+         |SELECT a.vec_id, a.cid,
+         |  CAST(coalesce(c.component, a.vec_id) AS BIGINT) AS canonical_id
+         |FROM a1 a LEFT JOIN comp c ON a.vec_id = c.node""".stripMargin,
     "sample_stratified" ->
       """WITH strata AS (
         |  SELECT doc_id,
