@@ -381,6 +381,34 @@ object StreamQueries {
     tree.unionByName(tri)
   }
 
+  /** Strongly connected components over a rings-on-a-tree digraph built
+    * from customers (0-based k = c_custkey − 1): blocks of 4 consecutive
+    * ids form 4-cycles (even blocks) or open chains (odd blocks — the
+    * trim path), every block start points at its div-64 parent block
+    * start, and one fuse edge from node 0 to the last block's start
+    * closes a multi-ring cycle through the tree — so the gate exercises
+    * small cyclic SCCs, chain singletons, AND a composite SCC spanning
+    * several blocks in one graph. Component id = max member
+    * ([[graft.graph.Fixpoint.stronglyConnectedComponents]]'s canon). */
+  def graphScc(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.customer(spark, dir)
+      .select((col("c_custkey") - 1).cast("long").as("k"))
+    val mx = n.agg(((max(col("k")).cast("long")) / 4).cast("long").as("_mb"))
+      .select((col("_mb") * 4).as("fuse_dst"))
+    val ring = n
+      .filter((expr("k div 4") % 2 === 0) || (col("k") % 4 < 3))
+      .select(col("k").as("src"),
+        when(expr("k div 4") % 2 === 0,
+          expr("(k div 4) * 4") + (col("k") % 4 + 1) % 4)
+          .otherwise(col("k") + 1).as("dst"))
+    val tree = n.filter(col("k") % 4 === 0 && col("k") > 0)
+      .select(col("k").as("src"), expr("(k div 256) * 4").as("dst"))
+    val fuse = mx.select(lit(0L).as("src"), col("fuse_dst").as("dst"))
+    val edges = ring.unionByName(tree).unionByName(fuse)
+      .join(n.select(col("k").as("dst")), Seq("dst"), "left_semi")
+    Fixpoint.stronglyConnectedComponents(edges)
+  }
+
   /** HITS over the div2 customer tree plus div4 shortcut edges (the
     * SSSP graph shape, unweighted): interior nodes are both hubs
     * (point at children) and authorities (pointed at by parent and
@@ -457,6 +485,7 @@ object StreamQueries {
     "centrality_ppr" -> (centralityPpr _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
+    "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_link_pred" -> (graphLinkPred _),
     "graph_label_prop" -> (graphLabelProp _),
@@ -532,6 +561,32 @@ object StreamQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_scc" ->
+      """WITH RECURSIVE n AS (SELECT c_custkey - 1 AS k FROM customer),
+        |mx AS (SELECT (max(k) // 4) * 4 AS fuse_dst FROM n),
+        |cand AS (
+        |  SELECT k AS src,
+        |    CASE WHEN (k // 4) % 2 = 0 THEN (k // 4) * 4 + ((k % 4 + 1) % 4)
+        |         ELSE k + 1 END AS dst
+        |  FROM n WHERE (k // 4) % 2 = 0 OR k % 4 < 3
+        |  UNION ALL
+        |  SELECT k, (k // 256) * 4 FROM n WHERE k % 4 = 0 AND k > 0
+        |  UNION ALL
+        |  SELECT 0, fuse_dst FROM mx),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT c.src, c.dst FROM cand c JOIN n ON c.dst = n.k),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |mutual AS MATERIALIZED (
+        |  SELECT a.src AS u, a.dst AS v
+        |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        |vx AS (SELECT src AS u FROM e UNION SELECT dst FROM e)
+        |SELECT CAST(v.u AS BIGINT) AS node,
+        |  CAST(greatest(v.u, coalesce(max(m.v), v.u)) AS BIGINT) AS component
+        |FROM vx v LEFT JOIN mutual m ON v.u = m.u
+        |GROUP BY v.u""".stripMargin,
     "graph_kcore" -> KcoreOracleSql,
     "graph_nearest_seed" -> NearestSeedOracleSql,
     "graph_neighbor_agg" ->

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
+import graft.graph.Fixpoint
 import graft.operators.Changelog
 
 /** Round-10 operators: CDC changelog compaction, semantic dedup,
@@ -44,6 +45,32 @@ class Round10OpsSpec extends AnyFunSuite {
         (1L, 3L, "D", 0L), (1L, 8L, "U", 11L),   // resurrection
         (2L, 4L, "U", 22L), (2L, 9L, "D", 0L)))  // trailing tombstone
     assert(out == Set((1L, 8L, 11L)))
+  }
+
+  // ---- Fixpoint.stronglyConnectedComponents ----
+
+  private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Fixpoint.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("scc: two rings joined by a one-way edge stay separate components") {
+    val out = sccOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 10L -> 11L, 11L -> 10L, 3L -> 10L))
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 11L, 11L -> 11L))
+  }
+
+  test("scc: a reverse-ordered chain is all singletons (trim path)") {
+    val out = sccOf(Seq(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L))
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("scc: two rings fused by a cycle collapse into one component") {
+    val out = sccOf(Seq(1L -> 2L, 2L -> 1L, 5L -> 6L, 6L -> 5L, 2L -> 5L, 6L -> 1L))
+    assert(out == Map(1L -> 6L, 2L -> 6L, 5L -> 6L, 6L -> 6L))
+  }
+
+  test("scc: self-loop is a singleton component; DAG diamond all singletons") {
+    val out = sccOf(Seq(7L -> 7L, 1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L))
+    assert(out == Map(7L -> 7L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
   // ---- Dedup.semanticDedup ----
