@@ -281,6 +281,42 @@ object StreamQueries {
     * for slowly-changing dims under continuous ingest). Append mode, no
     * watermark needed — a stateless streaming join. Oracle: the identical
     * batch join. */
+  /** Stream-stream LEFT OUTER lookback join, run live: clicks are
+    * restricted to user_id % 3 ≠ 0 so a third of the purchases are
+    * genuinely unattributed. The unmatched rows only emit for purchases
+    * older than the final watermark (min of both sides' max ts − 2h) —
+    * the oracle replicates exactly that cutoff; younger unmatched
+    * purchases are still in join state at shutdown and never surface. */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    withStateSession(spark) { scoped =>
+      def src = scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = src.filter(col("event_type") === "click" && col("user_id") % 3 =!= 0)
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = Streaming.eventTimeLookbackLeftJoin(purchases, clicks,
+          "user_id", "c_user", "p_ts", "c_ts", "6 hours")
+        .select(col("purchase_id"), col("user_id"), col("p_ts"),
+          col("click_id"), col("c_ts"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("stream_stream_left_join_sink")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      scoped.table("stream_stream_left_join_sink")
+    }
+  }
+
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -498,6 +534,7 @@ object StreamQueries {
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
     "stream_stream_join" -> (streamStreamJoin _),
+    "stream_stream_left_join" -> (streamStreamLeftJoin _),
     "source_json_events" -> (sourceJsonEvents _),
   )
 
@@ -953,6 +990,24 @@ object StreamQueries {
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts""".stripMargin,
+    "stream_stream_left_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click' AND user_id % 3 <> 0),
+        |wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+        |         - INTERVAL 2 HOUR AS w)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |  c.event_id AS click_id, c.ts AS c_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+        |UNION ALL
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+        |FROM p, wm
+        |WHERE p.ts < wm.w AND NOT EXISTS (
+        |  SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts)""".stripMargin,
     "stream_incremental_feed" ->
       """WITH cp AS (SELECT max(ts) AS checkpoint FROM events
         |            WHERE ts < TIMESTAMP '2024-01-16')

@@ -61,6 +61,26 @@ object Streaming {
         col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
         col(rightTime) <= col(leftTime))
 
+  /** LEFT OUTER form of [[eventTimeLookbackJoin]] — the attribution join
+    * that also KEEPS unattributed left rows (purchases with no prior
+    * click). In streaming this is the join whose null side is gated by
+    * the watermark: an unmatched left row may only emit once the global
+    * watermark (min over both inputs' `max(eventTime) − delay`) passes
+    * its timestamp, proving no matching right row can still arrive —
+    * Spark emits those in the no-data batch that follows the watermark
+    * advance, and left rows younger than the final watermark never
+    * surface (they are still join state when the stream ends). Same
+    * plan in batch = a plain left outer with the time bound. */
+  def eventTimeLookbackLeftJoin(left: DataFrame, right: DataFrame,
+                                leftKey: String, rightKey: String,
+                                leftTime: String, rightTime: String,
+                                lookback: String): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
+        col(rightTime) <= col(leftTime),
+      "left_outer")
+
   /** Streaming dedup: drop repeated keys with bounded state — the
     * watermark expires dedup state for keys older than the delay, so state
     * stays O(keys-per-window) instead of O(all keys ever). The streaming

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -131,5 +132,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     val out = spark.table("lookback_test").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "in_window"))) // 8:00 outside 30min, key 2 never joins
+  }
+
+  test("stream-stream LEFT join: null row only after the watermark passes the left time") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = MemoryStream[(Long, Timestamp)]
+    val right = MemoryStream[(Long, Timestamp, String)]
+    val l = left.toDF().toDF("k", "lt").withWatermark("lt", "1 hour")
+    val r = right.toDF().toDF("rk", "rt", "tag").withWatermark("rt", "1 hour")
+    val joined = Streaming.eventTimeLookbackLeftJoin(
+        l, r, "k", "rk", "lt", "rt", "30 minutes")
+      .select(col("k"), col("lt"), col("tag"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("left_lookback_test").start()
+    try {
+      right.addData((1L, ts("2024-01-01 10:00:00"), "match"))
+      left.addData((1L, ts("2024-01-01 10:15:00")),   // matched
+        (2L, ts("2024-01-01 10:15:00")))              // unmatched, old
+      q.processAllAvailable()
+      // nothing beyond the match yet: watermark still at 09:15
+      val early = spark.table("left_lookback_test").as[(Long, Timestamp, String)]
+        .collect().toSet
+      assert(early == Set((1L, ts("2024-01-01 10:15:00"), "match")))
+      // advance both watermarks past 10:15 -> key 2's null row must emit;
+      // the 23:00 unmatched row itself stays younger than the watermark
+      left.addData((3L, ts("2024-01-01 23:00:00")))
+      right.addData((99L, ts("2024-01-01 23:00:00"), "wm_push"))
+      q.processAllAvailable()
+      val late = spark.table("left_lookback_test").as[(Long, Timestamp, String)]
+        .collect().toSet
+      assert(late == Set(
+        (1L, ts("2024-01-01 10:15:00"), "match"),
+        (2L, ts("2024-01-01 10:15:00"), null)))
+    } finally q.stop()
   }
 }
