@@ -332,6 +332,50 @@ object ScaleSmoke {
           .select(col("c_custkey").cast("long").as("node"))
         graph.Fixpoint.sssp(e1, seeds, maxRounds = 40).count()
       }
+      time("cdc_apply", m) {
+        val ords = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+        val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m)
+        val base = ords.filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey").as("order_id"),
+            (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long")
+              .as("price_x1e4"))
+        val changes = li
+          .groupBy(col("l_orderkey").as("order_id"),
+            col("l_linenumber").cast("long").as("version"))
+          .agg(max((col("l_extendedprice").cast("decimal(18,4)") * 10000)
+            .cast("long")).as("price_x1e4"))
+          .withColumn("op",
+            when(col("version") % 3 === 0, lit("D")).otherwise(lit("U")))
+        operators.Changelog.apply(base, changes, Seq("order_id"),
+          "version", "op", Seq("price_x1e4")).count()
+      }
+      time("semantic_dedup", m) {
+        dedup.Dedup.semanticDedup(
+          similarity.Similarity.quantized(embs), 16, 350000L).count()
+      }
+      time("scc", m) {
+        // per-copy rings-on-a-tree (the gate graph, multiplied): SCC
+        // sizes and condensation depth stay constant, volume scales
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        val n = cust.select((col("k") - col("k") % 10000000L).as("base"),
+          (col("k") % 10000000L - 1).as("lk"))
+        val ring = n.filter((expr("lk div 4") % 2 === 0) || (col("lk") % 4 < 3))
+          .select((col("base") + col("lk")).as("src"),
+            (col("base") + when(expr("lk div 4") % 2 === 0,
+              expr("(lk div 4) * 4") + (col("lk") % 4 + 1) % 4)
+              .otherwise(col("lk") + 1)).as("dst"))
+        val tree = n.filter(col("lk") % 4 === 0 && col("lk") > 0)
+          .select((col("base") + col("lk")).as("src"),
+            (col("base") + expr("(lk div 256) * 4")).as("dst"))
+        val mxb = n.agg(expr("(max(lk) div 4) * 4").as("fd"))
+        val fuse = n.select(col("base")).distinct().crossJoin(broadcast(mxb))
+          .select(col("base").as("src"), (col("base") + col("fd")).as("dst"))
+        val nodes = n.select((col("base") + col("lk")).as("dst"))
+        val edges = ring.unionByName(tree).unionByName(fuse)
+          .join(nodes, Seq("dst"), "left_semi")
+        graph.Fixpoint.stronglyConnectedComponents(edges).count()
+      }
     }
     if (ran == 0)
       System.err.println(

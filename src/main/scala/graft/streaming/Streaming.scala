@@ -113,6 +113,41 @@ object Streaming {
       ()
     }
 
+  /** Streaming CDC apply: every micro-batch of changelog records
+    * (key + version + op + values) compacts into the evolving snapshot
+    * through [[graft.operators.Changelog.apply]] — the streaming form of
+    * incremental materialization (a Debezium topic folding into a serving
+    * table). Within a batch the version column orders writes; across
+    * batches the snapshot re-enters the argmax as upserts AT ITS STORED
+    * VERSIONS, so a stale record arriving in a later batch still loses:
+    * apply(apply(s, b1), b2) ≡ apply(s, b1 ∪ b2) for every key the
+    * snapshot retains. The one asymmetry with the true union: delete
+    * tombstones are NOT retained across batches (the key is gone from
+    * the snapshot), so a cross-batch reordering of a delete and an OLDER
+    * upsert resurrects the key — deliver per-key in order, or retain
+    * tombstones for a retention window at scale, exactly the Kafka
+    * compacted-topic contract. The snapshot rides in an AtomicReference
+    * of a localCheckpointed DataFrame here; at scale the lambda body is
+    * the identical MERGE against a Delta/bucketed catalog table. */
+  def changelogSink(stream: DataFrame,
+                    table: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                    keys: Seq[String], versionCol: String, opCol: String,
+                    valueCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      table.updateAndGet { cur =>
+        val cols = keys ++ Seq(versionCol, opCol) ++ valueCols
+        val changes =
+          if (cur == null) batch.select(cols.map(col): _*)
+          else cur.withColumn(opCol, lit("U")).select(cols.map(col): _*)
+            .unionByName(batch.select(cols.map(col): _*))
+        val empty = changes.select((keys ++ valueCols).map(col): _*).limit(0)
+        graft.operators.Changelog.apply(empty, changes, keys,
+          versionCol, opCol, valueCols)
+          .localCheckpoint(true) // materialize: batch input is transient
+      }
+      ()
+    }
+
   final case class KeyedEvent(key: Long, eventType: String, eventTime: java.sql.Timestamp)
   final case class FirstSeen(key: Long, firstTsMillis: Long, nSeen: Long)
 

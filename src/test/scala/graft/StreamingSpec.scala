@@ -134,6 +134,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((1L, "in_window"))) // 8:00 outside 30min, key 2 never joins
   }
 
+  test("changelogSink folds each micro-batch into the snapshot, versions win across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String, Long)]
+    val table = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame](null)
+    val q = Streaming.changelogSink(
+      source.toDF().toDF("k", "ver", "op", "v1"),
+      table, Seq("k"), "ver", "op", Seq("v1")).start()
+    try {
+      source.addData((1L, 5L, "U", 10L), (2L, 6L, "U", 20L), (3L, 7L, "U", 30L))
+      q.processAllAvailable()
+      // batch 2: stale update for 1 loses to the stored version 5; delete
+      // removes 2; 3 updates forward; 4 inserts
+      source.addData((1L, 3L, "U", 99L), (2L, 8L, "D", 0L),
+        (3L, 9L, "U", 31L), (4L, 10L, "U", 40L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = table.get().select("k", "ver", "v1")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 5L, 10L), (3L, 9L, 31L), (4L, 10L, 40L)))
+  }
+
   test("stream-stream LEFT join: null row only after the watermark passes the left time") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
