@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
   * round-5 bench-spike root cause — see PROGRESS.md). */
 object DriverHygiene {
   def releasePersisted(spark: SparkSession, gc: Boolean = true): Unit = {
+    // blocking=true: async block removal otherwise races into the NEXT
+    // query's timed section and shows up as phantom per-query drift.
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
     if (gc) System.gc()
   }
 }
