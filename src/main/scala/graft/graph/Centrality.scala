@@ -294,22 +294,27 @@ object Centrality {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(false)
-    var hub = nodes.select(col("node"), lit(1L).as("hub"))
-    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    // Accumulate in decimal(38,0): a graph past the ~2000-max-degree
+    // bound then fails loudly (decimal overflow / final ANSI cast)
+    // instead of silently wrapping Long into garbage scores.
+    val dec = "decimal(38,0)"
+    var hub = nodes.select(col("node"), lit(1L).cast(dec).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).cast(dec).as("auth"))
     for (_ <- 1 to rounds) {
       val a = e.join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("_a"))
+        .groupBy(col("dst")).agg(sum(col("hub")).cast(dec).as("_a"))
       auth = nodes.join(a.select(col("dst").as("node"), col("_a")), Seq("node"), "left")
-        .select(col("node"), coalesce(col("_a"), lit(0L)).as("auth"))
+        .select(col("node"), coalesce(col("_a"), lit(0L).cast(dec)).as("auth"))
         .localCheckpoint(false)
       val h = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("_h"))
+        .groupBy(col("src")).agg(sum(col("auth")).cast(dec).as("_h"))
       hub = nodes.join(h.select(col("src").as("node"), col("_h")), Seq("node"), "left")
-        .select(col("node"), coalesce(col("_h"), lit(0L)).as("hub"))
+        .select(col("node"), coalesce(col("_h"), lit(0L).cast(dec)).as("hub"))
         .localCheckpoint(false)
     }
     hub.join(auth, Seq("node"))
-      .select(col("node"), col("hub"), col("auth"))
+      .select(col("node"), col("hub").cast("long").as("hub"),
+        col("auth").cast("long").as("auth"))
   }
 
   /** Common-neighbor link prediction over an undirected simple graph:

@@ -200,8 +200,14 @@ object Temporal {
     def buckets(s: String, e: String) = sequence(
       floor(col(s) / bucketSeconds).cast("long"),
       floor((col(e) - 1) / bucketSeconds).cast("long"))
-    val lb = left.withColumn("_bkt", explode(buckets(ls, le)))
-    val rb = right.withColumn("_bkt", explode(buckets(rs, re)))
+    // Empty/inverted half-open intervals (e <= s) must match nothing —
+    // without this filter, sequence() counts DOWN when stop < start and
+    // the residual filters can still pass (e.g. empty [10,10) vs [5,20)),
+    // emitting false matches. Drop them before the explode.
+    val lb = left.filter(col(ls) < col(le))
+      .withColumn("_bkt", explode(buckets(ls, le)))
+    val rb = right.filter(col(rs) < col(re))
+      .withColumn("_bkt", explode(buckets(rs, re)))
     lb.join(rb, keys :+ "_bkt")
       .filter(col(ls) < col(re) && col(rs) < col(le))
       .filter(col("_bkt") ===

@@ -136,11 +136,20 @@ object PipelineQueries {
   def e2eEntityResolution(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.part(spark, dir).groupBy(col("p_name"))
       .agg(min(col("p_partkey")).cast("long").as("id"))
+    // Feed ids live in their own namespace: offset = next power of 10
+    // above max(id), so they can never collide with canonical ids at any
+    // scale factor (a fixed +100000 collides once part exceeds 100k
+    // rows and silently merges unrelated records). Broadcast the 1-row
+    // scalar, never collect.
+    val off = n.agg(pow(lit(10.0), ceil(log10(max(col("id")) + 1)))
+      .cast("long").as("_off"))
     val canon = n.select(col("id"), col("p_name").as("name"))
-    val feedA = n.select((col("id") + 100000L).as("id"),
-      expr("substring(p_name, 1, length(p_name) - 1)").as("name"))
-    val feedB = n.select((col("id") + 200000L).as("id"),
-      expr("substring(p_name, 1, length(p_name) - 2)").as("name"))
+    val feedA = n.crossJoin(broadcast(off))
+      .select((col("id") + col("_off")).as("id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("name"))
+    val feedB = n.crossJoin(broadcast(off))
+      .select((col("id") + lit(2L) * col("_off")).as("id"),
+        expr("substring(p_name, 1, length(p_name) - 2)").as("name"))
     val recs = canon.unionByName(feedA).unionByName(feedB).localCheckpoint(false)
     val pairs = graft.operators.StringJoin
       .editDistanceJoin(recs, recs, "id", "name", k = 2)
@@ -170,12 +179,14 @@ object PipelineQueries {
       """WITH RECURSIVE n AS (
         |  SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
         |  FROM part GROUP BY p_name),
+        |off AS (SELECT CAST(power(10, ceil(log10(max(id) + 1))) AS BIGINT) AS o
+        |        FROM n),
         |recs AS MATERIALIZED (
         |  SELECT id, name FROM n
         |  UNION ALL
-        |  SELECT id + 100000, substr(name, 1, length(name) - 1) FROM n
+        |  SELECT id + o, substr(name, 1, length(name) - 1) FROM n, off
         |  UNION ALL
-        |  SELECT id + 200000, substr(name, 1, length(name) - 2) FROM n),
+        |  SELECT id + 2 * o, substr(name, 1, length(name) - 2) FROM n, off),
         |blocked AS MATERIALIZED (
         |  SELECT id, name, string_split(name, ' ')[1] AS blk FROM recs),
         |pairs AS MATERIALIZED (

@@ -71,8 +71,13 @@ object DataQuality {
     val row = df.agg(named.head, named.tail: _*)
     // unpivot the 1-row aggregate in-plan: no collect, stays a DataFrame
     row.select(explode(array(metrics.zipWithIndex.map { case ((chk, met, _, frac), i) =>
+        // `div 0` yields NULL, not an error — on an empty table every
+        // fraction must still be a concrete BIGINT (vacuous checks pass:
+        // 1e6), or the "exact at any row count" contract breaks and typed
+        // readers NPE on getLong.
         val value =
-          if (frac) expr(s"(_m$i * $Ppm) div _m0") else col(s"_m$i")
+          if (frac) expr(s"if(_m0 = 0, ${Ppm}L, (_m$i * $Ppm) div _m0)")
+          else col(s"_m$i")
         struct(lit(chk).as("check_name"), lit(met).as("metric"), value.as("value"))
       }: _*)).as("r"))
       .select(col("r.check_name").as("check_name"), col("r.metric").as("metric"),

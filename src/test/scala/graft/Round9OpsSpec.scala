@@ -189,6 +189,36 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 10L), (2L, 20L)))
   }
 
+  test("intervalOverlapJoin: empty and inverted half-open intervals match nothing") {
+    // empty [10,10) sits inside [5,20); inverted [30,20) spans [25,35) —
+    // both would bucket-match without the e<=s filter
+    val l = Seq((1L, 10L, 10L), (2L, 30L, 20L)).toDF("l_id", "l_s", "l_e")
+    val r = Seq((10L, 5L, 20L), (20L, 25L, 35L)).toDF("r_id", "r_s", "r_e")
+    val out = Temporal.intervalOverlapJoin(l, "l_s", "l_e", r, "r_s", "r_e",
+      bucketSeconds = 7L)
+    assert(out.count() == 0L)
+    // and empty intervals on the RIGHT match nothing either
+    val out2 = Temporal.intervalOverlapJoin(r, "r_s", "r_e", l, "l_s", "l_e",
+      bucketSeconds = 7L)
+    assert(out2.count() == 0L)
+  }
+
+  test("DataQuality.report: empty input yields concrete values, never null") {
+    val df = Seq((1L, Some("x"), 10L)).toDF("id", "tag", "v").filter(lit(false))
+    val out = DataQuality.report(df, Seq(
+      DataQuality.Uniqueness(Seq("id")),
+      DataQuality.Completeness("tag"),
+      DataQuality.Compliance("v_pos", col("v") > 0)))
+      .collect()
+    // fraction metrics are vacuously 1e6 on zero rows; no value is null
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r.isNullAt(2)).toMap
+    assert(m.values.forall(_ == false), s"null values in $m")
+    val v = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v(("rows", "count")) == 0L)
+    assert(v(("completeness:tag", "non_null_x1e6")) == 1000000L)
+    assert(v(("compliance:v_pos", "satisfied_x1e6")) == 1000000L)
+  }
+
   // ---- decontaminateBloom ----
 
   test("decontaminateBloom is byte-identical to the exact-join path") {
