@@ -316,9 +316,19 @@ object Dedup {
     * canonical_id = min vec_id of its within-cluster near-dup component
     * (itself when nothing merged). */
   def semanticDedup(quantized: DataFrame, nCentroids: Int,
+                    minCosX1e6: Long): DataFrame =
+    semanticDedup(quantized,
+      Similarity.kmeansAssign(quantized, nCentroids, iterations = 1),
+      minCosX1e6)
+
+  /** [[semanticDedup]] over a PRECOMPUTED cluster assignment (vec_id,
+    * cid) — the [[graft.similarity.Similarity.kmeansArtifact]] pattern:
+    * the coarse clustering is trained once per corpus version and every
+    * consumer (this dedup, IVF routing, sampling strata) reads the same
+    * artifact instead of re-running Lloyd. */
+  def semanticDedup(quantized: DataFrame, assignment: DataFrame,
                     minCosX1e6: Long): DataFrame = {
-    val assign = Similarity.kmeansAssign(quantized, nCentroids, iterations = 1)
-      .select(col("vec_id"), col("cid"))
+    val assign = assignment.select(col("vec_id"), col("cid"))
     val clustered = quantized.join(assign, Seq("vec_id"))
     val a = clustered.select(col("cid"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("norm2").as("na"))

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Link-centrality over an edge set (src, dst) — the PageRank-style
   * quality signal a web-corpus curation pipeline attaches to documents
@@ -80,7 +81,7 @@ object Centrality {
           .select(col("node"),
             expr("tel + (85 * (coalesce(m, CAST(0 AS BIGINT)) + dshare)) div 100")
               .as("r"))
-      }).localCheckpoint(false)
+      }).cut
     }
     r.select(col("node"), col("r").as("rank_x1e6"))
   }
@@ -230,7 +231,7 @@ object Centrality {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = peel(und).localCheckpoint(false)
+      val next = peel(und).cut
       val m = next.count()
       converged = m == n
       und = next
@@ -305,12 +306,12 @@ object Centrality {
         .groupBy(col("dst")).agg(sum(col("hub")).cast(dec).as("_a"))
       auth = nodes.join(a.select(col("dst").as("node"), col("_a")), Seq("node"), "left")
         .select(col("node"), coalesce(col("_a"), lit(0L).cast(dec)).as("auth"))
-        .localCheckpoint(false)
+        .cut
       val h = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("auth")).cast(dec).as("_h"))
       hub = nodes.join(h.select(col("src").as("node"), col("_h")), Seq("node"), "left")
         .select(col("node"), coalesce(col("_h"), lit(0L).cast(dec)).as("hub"))
-        .localCheckpoint(false)
+        .cut
     }
     hub.join(auth, Seq("node"))
       .select(col("node"), col("hub").cast("long").as("hub"),

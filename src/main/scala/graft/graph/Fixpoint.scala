@@ -1,7 +1,8 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Variable-length path evaluation — the reference's `[:REL*1..]` Cypher
   * patterns (ECR layer ancestry cartography/client/aws/ecr.py:46, Route53
@@ -30,7 +31,7 @@ object Fixpoint {
       val doubled = paths.alias("a")
         .join(paths.alias("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
-      val next = paths.unionByName(doubled).distinct().localCheckpoint(false)
+      val next = paths.unionByName(doubled).distinct().cut
       val m = next.count()
       grown = m > n
       paths = next
@@ -114,7 +115,7 @@ object Fixpoint {
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
-        .localCheckpoint(false)
+        .cut
       // pointer jump (path halving): component := component's component.
       // Every label value is itself a node id (mins over node ids), so the
       // self-join resolves; coalesce is belt-and-braces for the root.
@@ -123,7 +124,7 @@ object Fixpoint {
           .select(col("node").as("component"), col("component").as("_jumped")),
           Seq("component"), "left")
         .select(col("node"), coalesce(col("_jumped"), col("component")).as("component"))
-        .localCheckpoint(false)
+        .cut
       val s = labelSum(next)
       labels = next
       converged = s.compareTo(prevSum) == 0
@@ -184,13 +185,13 @@ object Fixpoint {
     var round = 0
     var settled = false
     while (!settled && round < maxRounds) {
-      val improved = improvements(frontier).localCheckpoint(false)
+      val improved = improvements(frontier).cut
       if (improved.isEmpty) settled = true
       else {
         dist = dist
           .join(improved.withColumnRenamed("dist", "_new"), Seq("node"), "full")
           .select(col("node"), coalesce(col("_new"), col("dist")).as("dist"))
-          .localCheckpoint(false)
+          .cut
         frontier = improved
       }
       round += 1
@@ -231,13 +232,13 @@ object Fixpoint {
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(false)
+        .cut
       val grew = next.count() > 0
       if (grew) {
         // lazy checkpoint: next round's anti-join (or the final read)
         // materializes it — no separate per-level job needed
         visited = visited.unionByName(next.withColumn("dist", lit(d)))
-          .localCheckpoint(false)
+          .cut
         frontier = next.select(col("node"))
       }
       d += 1
@@ -274,11 +275,11 @@ object Fixpoint {
       val next = frontier.join(e, frontier("node") === e("src"))
         .groupBy(col("dst").as("node")).agg(min(col("label")).as("label"))
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(false)
+        .cut
       val grew = next.count() > 0
       if (grew) {
         visited = visited.unionByName(next.withColumn("dist", lit(d)))
-          .localCheckpoint(false)
+          .cut
         frontier = next.select(col("node"), col("label"))
       }
       d += 1
@@ -325,9 +326,66 @@ object Fixpoint {
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
         .select(col("node"), (-col("w.nl")).as("label"))
-        .localCheckpoint(false)
+        .cut
     }
     labels
+  }
+
+  /** Max-priority propagation to fixpoint along `edges` (src→dst):
+    * every node ends with the (hash-priority, id) pair of the highest-
+    * priority node that has a path to it (itself included); returns
+    * (node, croot) with croot = that node's id. Priorities are salted
+    * 64-bit hashes (ties broken by id via lexicographic struct max), so
+    * an adversarially ORDERED graph behaves like a randomly ordered one
+    * — the salt changes per [[stronglyConnectedComponents]] outer round.
+    *
+    * Adaptive depth: plain one-hop rounds early (cheapest while the
+    * propagation frontier is shallow — the common case), and past
+    * `jumpAfter` rounds each round adds a pointer-jump doubling step
+    * (color(v) := max(color(v), color(color(v).n)) — sound because
+    * color(v).n reaches v and anything reaching it reaches v), so depth
+    * D costs O(jumpAfter + log D) rounds, never O(D). Convergence test:
+    * colors only grow lexicographically, so the pair of decimal sums
+    * (Σh, Σn) is stationary exactly at the fixpoint. */
+  private def maxPropagate(edges: DataFrame, nodes: DataFrame, pri: Column,
+                           maxRounds: Int, jumpAfter: Int = 8): Option[DataFrame] = {
+    def sums(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(
+        sum(col("color.h").cast("decimal(38,0)")),
+        sum(col("color.n").cast("decimal(38,0)"))).head
+      (r.getDecimal(0), r.getDecimal(1))
+    }
+    var colors = nodes.select(col("node"), pri.as("color")).cut
+    var prev = sums(colors)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val inMax = edges
+        .join(colors.select(col("node").as("src"), col("color").as("_c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(max(col("_c")).as("_inmax"))
+      var cur = colors.join(inMax, Seq("node"), "left")
+        .select(col("node"),
+          greatest(col("color"), coalesce(col("_inmax"), col("color"))).as("color"))
+        .cut
+      if (round >= jumpAfter) {
+        // look up the color CURRENTLY held by the node this color points
+        // at — classic doubling: next color covers 2x the path depth
+        val ptr = cur.select(col("node").as("_jn"), col("color").as("_jc"))
+        cur = cur.join(ptr, col("color").getField("n") === col("_jn"), "left")
+          .select(col("node"),
+            greatest(col("color"), coalesce(col("_jc"), col("color"))).as("color"))
+          .cut
+      }
+      colors = cur
+      val s = sums(colors)
+      converged = s._1.compareTo(prev._1) == 0 && s._2.compareTo(prev._2) == 0
+      prev = s
+      round += 1
+    }
+    if (sys.env.contains("GRAFT_SCC_DEBUG"))
+      System.err.println(s"[scc] maxPropagate rounds=$round converged=$converged")
+    if (converged) Some(colors.select(col("node"), col("color.n").as("croot")))
+    else None
   }
 
   /** Strongly connected components of a directed edge set (src, dst) —
@@ -338,27 +396,33 @@ object Fixpoint {
     *  1. TRIM: any remaining node with no in-edge or no out-edge is a
     *     singleton SCC — assigned immediately (one degree semi-join, no
     *     fixpoint). Kills tree/chain regions fast.
-    *  2. COLOR: propagate color(v) = max(id(u) : u →* v) to fixpoint
-    *     (one edges⋈colors join + max-agg per round; colors only grow,
-    *     so a decimal color-sum is the convergence test, exactly like
-    *     [[connectedComponents]]'s label sum). Every color class
-    *     contains its root c (nothing higher reaches c, else c's own
-    *     color would exceed c), and c is the MAX member of its SCC.
-    *  3. EXTRACT: SCC(c) = backward closure of c inside its color class
-    *     — a frontier BFS over same-colored edges, component id = c.
-    *     Sound because color(v) = c already proves c →* v, and a
-    *     backward path through class-c nodes proves v →* c.
+    *  2. COLOR forward ([[maxPropagate]]): croot(v) = the max-PRIORITY
+    *     node with a path to v — raw node ids on the first attempt (the
+    *     structure-correlated fast path), salted hashes on retries and
+    *     later rounds (see the mode comment in the body). Every color
+    *     class contains its root r, and pri(r) is the max priority in
+    *     the class.
+    *  3. EXTRACT: SCC(r) = {v in class : v →* r} — BFS backward closure
+    *     from the roots over class-internal edges (rounds = SCC
+    *     diameter, the cheap common case), falling back past the BFS
+    *     budget to a second [[maxPropagate]] over the class edges
+    *     REVERSED with the SAME priorities: backward croot == forward
+    *     croot exactly on the root's SCC. Both directions are
+    *     depth-adaptive, so a deep chain inside a class costs
+    *     O(log depth) rounds, not O(depth).
     *
-    * Extracted nodes leave the graph; the remainder (nodes whose max
-    * ancestor was outside their own SCC) recolors next round. Outer
-    * rounds needed = depth of the condensation chain of color roots —
-    * small on real graphs once trim eats the acyclic fringe, but Θ(n)
-    * adversarial (a reverse-ordered chain), hence the budget + throw
-    * rather than a silent partial answer.
+    * Extracted nodes leave the graph and the remainder recolors next
+    * round. Salted priorities make the outer-round count O(log n)
+    * EXPECTED on chain-shaped condensations regardless of how ids are
+    * laid out along the chain (with raw ids, a descending chain of k
+    * cycles needs k rounds — each round extracts only the head cycle;
+    * re-salting each round makes every round extract the prefix maxima
+    * of every remaining chain fragment and split it). The budget-throw
+    * stays: a pathological graph fails loudly, never silently partial.
     *
     * Output: (node, component) with component = the max member id of
-    * the node's SCC — canonical regardless of extraction order. Nodes
-    * are the edge endpoints; supply isolated nodes yourself if needed.
+    * the node's SCC — canonical regardless of extraction order or
+    * salt (roots are relabeled to their SCC max at the end).
     *
     * Scale shape: every step is an equi-join + aggregation on (src) or
     * (dst) — no closure table, no per-node adjacency state; pair volume
@@ -373,8 +437,6 @@ object Fixpoint {
       .unionByName(e0.select(col("dst").as("node"))).distinct().localCheckpoint(false)
     var remainingEdges = e0
     var remainingCount = remaining.count()
-    def colorSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("color").cast("decimal(38,0)"))).head.getDecimal(0)
     var outer = 0
     while (remainingCount > 0 && outer < maxOuterRounds) {
       // ---- 1. trim (one pass per outer round): chain ENDS go straight
@@ -389,83 +451,117 @@ object Fixpoint {
         remainingEdges.select(col("src").as("node")), Seq("node"), "left_anti")
       val trimmed = noIn.unionByName(noOut).distinct()
         .select(col("node"), col("node").as("component"))
-        .localCheckpoint(false)
+        .cut
       if (trimmed.count() > 0) {
-        assigned = assigned.unionByName(trimmed).localCheckpoint(false)
-        remaining = remaining.join(trimmed, Seq("node"), "left_anti").localCheckpoint(false)
+        assigned = assigned.unionByName(trimmed).cut
+        remaining = remaining.join(trimmed, Seq("node"), "left_anti").cut
         remainingEdges = remainingEdges
           .join(remaining.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(remaining.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .localCheckpoint(false)
+          .cut
         remainingCount = remaining.count()
       }
       if (remainingCount > 0) {
-        // ---- 2. color to fixpoint
-        var colors = remaining.select(col("node"), col("node").as("color"))
-          .localCheckpoint(false)
-        var prevSum = colorSum(colors)
-        var converged = false
-        var round = 0
-        while (!converged && round < maxInnerRounds) {
-          val inMax = remainingEdges
-            .join(colors.select(col("node").as("src"), col("color").as("_c")), Seq("src"))
-            .groupBy(col("dst").as("node")).agg(max(col("_c")).as("_inmax"))
-          // plain synchronous propagation — a max-color pointer-jump
-          // variant (color(v) := max(color(v), color(color(v))), the
-          // connectedComponents trick flipped to max) was measured SLOWER
-          // on the gate graph (11.5s vs 8.2s at sf0.1): one extra join +
-          // checkpoint per round buys nothing when propagation depth is
-          // already ~10; revisit only for chain-shaped inputs
-          colors = colors.join(inMax, Seq("node"), "left")
-            .select(col("node"),
-              greatest(col("color"), coalesce(col("_inmax"), col("color"))).as("color"))
-            .localCheckpoint(false)
-          val s = colorSum(colors)
-          converged = s.compareTo(prevSum) == 0
-          prevSum = s
-          round += 1
+        // ---- 2 + 3. color forward, then extract SCC(root) per class.
+        // The whole round runs in a MODE, because forward coloring and
+        // backward extraction must share one priority space (mixed
+        // spaces stay sound — croots are genuine ancestors/descendants
+        // whichever priority picked them — but lose the progress
+        // guarantee):
+        //   mode 0 (outer round 0 only): RAW node-id priorities + BFS
+        //     extraction. Real graphs assign ids in structure-correlated
+        //     order and the id-max coloring routinely collapses most of
+        //     the graph immediately (measured on the gate graph: raw
+        //     ids leave 7% after round 0). But raw ids can STALL the
+        //     doubling — ids ascending along edges make every node's
+        //     best-known ancestor itself, so jump pointers self-loop
+        //     and the max moves one hop per round — hence the small
+        //     budget and the retry.
+        //   mode 1: salted-hash priorities (xxhash64(node, outer)) —
+        //     random priorities break self-pointer alignment, restoring
+        //     O(log depth) shortcutting w.h.p., and re-salting per outer
+        //     round turns the adversarial descending-chain layout
+        //     (one SCC per round, Θ(n) rounds) into the random layout
+        //     (prefix maxima per fragment, O(log n) expected). BFS
+        //     extraction first (rounds = SCC diameter, the cheap common
+        //     case); past the BFS budget, backward max-propagation over
+        //     the REVERSED class edges, same priorities: bwd croot ==
+        //     fwd croot exactly on nodes that reach their class root.
+        val rawPri = struct(col("node").as("h"), col("node").as("n"))
+        val hashedPri = struct(
+          xxhash64(col("node"), lit(outer)).as("h"), col("node").as("n"))
+        var marked: DataFrame = null
+        var mode = if (outer == 0) 0 else 1
+        while (marked == null) {
+          val pri = if (mode == 0) rawPri else hashedPri
+          val budget = if (mode == 0) math.min(20, maxInnerRounds) else maxInnerRounds
+          maxPropagate(remainingEdges, remaining, pri, budget) match {
+            case None if mode == 0 => mode = 1
+            case None => throw new IllegalStateException(
+              s"SCC coloring did not converge in $maxInnerRounds rounds; " +
+                "raise maxInnerRounds")
+            case Some(f) =>
+              val fwd = f.cut
+              val ce = remainingEdges
+                .join(fwd.select(col("node").as("src"), col("croot").as("_cs")), Seq("src"))
+                .join(fwd.select(col("node").as("dst"), col("croot").as("_cd")), Seq("dst"))
+                .filter(col("_cs") === col("_cd"))
+                .select(col("src"), col("dst"))
+                .cut
+              var bfsMarked = fwd.filter(col("node") === col("croot"))
+                .select(col("node"), col("croot").as("component")).cut
+              var frontier = bfsMarked
+              var frontierCount = frontier.count()
+              var bfsRound = 0
+              val bfsBudget = math.min(15, maxInnerRounds)
+              while (frontierCount > 0 && bfsRound < bfsBudget) {
+                frontier = ce
+                  .join(frontier.select(col("node").as("dst"), col("component")), Seq("dst"))
+                  .select(col("src").as("node"), col("component")).distinct()
+                  .join(bfsMarked, Seq("node"), "left_anti")
+                  .cut
+                frontierCount = frontier.count()
+                if (frontierCount > 0)
+                  bfsMarked = bfsMarked.unionByName(frontier).cut
+                bfsRound += 1
+              }
+              if (frontierCount == 0) marked = bfsMarked
+              else if (mode == 0) mode = 1 // deep SCC: redo the round hashed
+              else {
+                val bwd = maxPropagate(
+                  ce.select(col("dst").as("src"), col("src").as("dst")),
+                  remaining, pri, maxInnerRounds).getOrElse(
+                  throw new IllegalStateException(
+                    s"SCC extraction did not converge in $maxInnerRounds rounds; " +
+                      "raise maxInnerRounds"))
+                marked = fwd
+                  .join(bwd.select(col("node"), col("croot").as("_b")), Seq("node"))
+                  .filter(col("croot") === col("_b"))
+                  .select(col("node"), col("croot").as("component"))
+                  .cut
+              }
+          }
         }
-        if (!converged) throw new IllegalStateException(
-          s"SCC coloring did not converge in $maxInnerRounds rounds; raise maxInnerRounds")
-        // ---- 3. extract: backward closure from each color root in its class
-        val ce = remainingEdges
-          .join(colors.select(col("node").as("src"), col("color").as("_cs")), Seq("src"))
-          .join(colors.select(col("node").as("dst"), col("color").as("_cd")), Seq("dst"))
-          .filter(col("_cs") === col("_cd"))
-          .select(col("src"), col("dst"), col("_cs").as("color"))
-          .localCheckpoint(false)
-        var marked = colors.filter(col("node") === col("color"))
-          .select(col("node"), col("color").as("component")).localCheckpoint(false)
-        var frontier = marked
-        var frontierCount = frontier.count()
-        round = 0
-        while (frontierCount > 0 && round < maxInnerRounds) {
-          frontier = ce
-            .join(frontier.select(col("node").as("dst"), col("component")), Seq("dst"))
-            .select(col("src").as("node"), col("component")).distinct()
-            .join(marked, Seq("node"), "left_anti")
-            .localCheckpoint(false)
-          frontierCount = frontier.count()
-          if (frontierCount > 0)
-            marked = marked.unionByName(frontier).localCheckpoint(false)
-          round += 1
-        }
-        if (frontierCount > 0) throw new IllegalStateException(
-          s"SCC extraction did not converge in $maxInnerRounds rounds; raise maxInnerRounds")
-        assigned = assigned.unionByName(marked).localCheckpoint(false)
-        remaining = remaining.join(marked, Seq("node"), "left_anti").localCheckpoint(false)
+        assigned = assigned.unionByName(marked).cut
+        remaining = remaining.join(marked, Seq("node"), "left_anti").cut
         remainingEdges = remainingEdges
           .join(remaining.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(remaining.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .localCheckpoint(false)
+          .cut
         remainingCount = remaining.count()
       }
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(s"[scc] outer=$outer remaining=$remainingCount")
       outer += 1
     }
     if (remainingCount > 0) throw new IllegalStateException(
       s"SCC did not settle in $maxOuterRounds outer rounds (condensation chain " +
         "deeper than the budget); raise maxOuterRounds")
-    assigned
+    // canonical labels: component id = max member of the SCC (salted
+    // roots are arbitrary; trim-assigned singletons are already canon)
+    val canon = assigned.groupBy(col("component")).agg(max(col("node")).as("_cmax"))
+    assigned.join(canon, Seq("component"))
+      .select(col("node"), col("_cmax").as("component"))
   }
 
   /** Bounded-depth reachability (the `*1..k` form): plain frontier
@@ -479,7 +575,7 @@ object Fixpoint {
         .join(base.alias("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-      acc = acc.unionByName(frontier).distinct().localCheckpoint()
+      acc = acc.unionByName(frontier).distinct().cutEager
     }
     acc
   }

@@ -325,11 +325,18 @@ object LlmQueries {
     * scopes the cosine pair search, components collapse to canonical
     * ids. Same 0.35 threshold as the exact near-dup gates, so the
     * cluster-boundary recall loss is observable against
-    * [[dedupCosineNearDup]]. */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedup(
-      Similarity.quantized(Tables.embeddings(spark, dir)),
-      nCentroids = 16, minCosX1e6 = 350000L)
+    * [[dedupCosineNearDup]]. The clustering comes from the shared
+    * [[graft.similarity.Similarity.kmeansArtifact]] (built on first use,
+    * read back after — deterministic, so byte-identical either way)
+    * instead of re-running the Lloyd round every call. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantized(Tables.embeddings(spark, dir))
+    val art = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_kmeans_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_c16_i1").toString
+    Dedup.semanticDedup(q,
+      Similarity.kmeansArtifact(spark, q, art, nCentroids = 16, iterations = 1),
+      minCosX1e6 = 350000L)
+  }
 
   // ---- similarity search ----
 

@@ -169,11 +169,31 @@ object StreamQueries {
     * planned concurrently on the parent session never sees the reduced
     * partition count (the previous in-place set/restore was a footgun for
     * parallel gate runs). */
-  private def withStateSession[A](spark: SparkSession, n: Int = 4)(body: SparkSession => A): A = {
+  private def withStateSession[A](spark: SparkSession, n: Int = 2)(body: SparkSession => A): A = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    body(scoped)
+    // Checkpoint on tmpfs when available: every stateful partition pays a
+    // per-micro-batch commit (delta file + fsync) and the offset/commit
+    // logs fsync once per batch — on a disk-backed temp dir that fixed
+    // cost dominates these replay gates. A RAM-backed checkpoint is the
+    // honest choice for a bounded replay harness (durability buys nothing
+    // when the input is a re-readable file); production deployments point
+    // this at durable storage and size partitions from state volume.
+    val shm = new java.io.File("/dev/shm")
+    val base = java.nio.file.Files.createTempDirectory(
+      (if (shm.isDirectory && shm.canWrite) shm.toPath
+       else new java.io.File(sys.props("java.io.tmpdir")).toPath),
+      "graft_ckpt_").toFile
+    scoped.conf.set("spark.sql.streaming.checkpointLocation", base.toString)
+    try body(scoped)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
   }
 
   /** Streaming exact dedup with bounded state: the events file is read as

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 import graft.functions.VecFunctions.{vec_dot, vec_norm2}
 import graft.text.TextFunctions.Mix
@@ -87,10 +88,20 @@ object Similarity {
     * 1-bit-flip neighbor bucket (9 probes for 8 bits) — recall rises
     * sharply for a 9× candidate cost that is still nowhere near the
     * brute-force n². Probes explode on the (small, broadcast) query side;
-    * the corpus is scanned once. */
+    * the corpus is scanned once. A query side whose plan-time estimate
+    * (× the probe fan-out) exceeds the broadcast ceiling fails fast with
+    * guidance — same guard as [[bruteForceTopK]]; pass
+    * `broadcastQueries = false` for a shuffled bucket equi-join. */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
-                        bits: Int = 8): DataFrame = {
+                        bits: Int = 8, broadcastQueries: Boolean = true): DataFrame = {
     val q0 = signLsh(queries, bits = bits)
+    if (broadcastQueries) {
+      val est = q0.queryExecution.optimizedPlan.stats.sizeInBytes * (bits + 1)
+      require(est <= 8L * 1024 * 1024 * 1024,
+        s"probe side estimates ${est} bytes ((bits+1) x query side), past the " +
+          "8 GB broadcast ceiling; pass broadcastQueries = false for a " +
+          "shuffled bucket join, or cut the query batch size")
+    }
     val probes = q0.select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("na"),
         explode(array((lit(0L) +: (0 until bits).map(j => lit(1L << j))).map(m =>
@@ -99,7 +110,7 @@ object Similarity {
       col("q").as("qc"), col("norm2").as("nb"), col("sig"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
-    c.join(broadcast(probes), Seq("sig"))
+    c.join(if (broadcastQueries) broadcast(probes) else probes, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id" :: "neighbor_id" :: Nil)
       .withColumn("dot", vec_dot(col("qq"), col("qc")))
@@ -200,9 +211,33 @@ object Similarity {
           .groupBy(col("cid"))
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
             s => s.getField("v")).as("qc")))
-        .localCheckpoint(true)
+        .cutEager
     }
     assign(cents)
+  }
+
+  /** Persist a k-means assignment as a parquet artifact — clustering is
+    * TRAINED ONCE per corpus version and READ by every consumer
+    * (SemDeDup scoping, IVF cell routing, stratified sampling), exactly
+    * like [[ivfPqSave]] persists the PQ index. */
+  def kmeansSave(assign: DataFrame, dir: String): Unit =
+    assign.write.mode("overwrite").parquet(dir)
+
+  /** Read a persisted assignment — serving never re-runs Lloyd. */
+  def kmeansLoad(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Build-or-load: run [[kmeansAssign]] and [[kmeansSave]] it only when
+    * the artifact for this (corpus version, K, iterations) is absent;
+    * otherwise read it back. [[kmeansAssign]] is deterministic end to
+    * end, so a cached artifact is byte-identical to a fresh build. */
+  def kmeansArtifact(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                     artifactDir: String, nCentroids: Int = 16,
+                     iterations: Int = 1): DataFrame = {
+    val marker = new java.io.File(artifactDir, "_SUCCESS")
+    if (!marker.exists())
+      kmeansSave(kmeansAssign(corpus, nCentroids, iterations), artifactDir)
+    kmeansLoad(spark, artifactDir)
   }
 
   /** Corpus-wide k-NN JOIN: every vector's top-k neighbors, searched only

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Text-analysis building blocks for large-scale training-data pipelines:
   * tokenization, dictionary encoding, shingling, MinHash, SimHash,
@@ -236,7 +237,7 @@ object TextFunctions {
       v.join(broadcast(top), lit(true), "left")
         .select(col("word"), col("freq"),
           coalesce(trim(merged), col("seq")).as("seq"))
-        .localCheckpoint(false)
+        .cut
     }
     (1 to merges).foldLeft(vocab0)((v, _) => round(v))
   }

@@ -21,4 +21,31 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Local checkpoint that does NOT inherit the parent plan's statistics.
+    *
+    * `Dataset.localCheckpoint` in Spark 4 rewrites the parent plan's
+    * stats onto the new `LogicalRDD` (`LogicalRDD.rewriteStatsAndConstraints`,
+    * sql/core ExistingRDD.scala). Inside an iterative fixpoint that is a
+    * DRIVER-SIDE TIME BOMB: round N's sizeInBytes is a BigInt *product*
+    * over round N−1's already-inherited stats, so the bit length roughly
+    * doubles per round and by round ~25 the driver spends minutes in
+    * BigInteger.multiplyToomCook3 per checkpoint (measured: 18s → 188s
+    * inter-round gaps on a 600-row graph) — independent of data size.
+    * Building the frame back from the raw RDD resets the stats to
+    * `spark.sql.defaultSizeInBytes`, which is the honest estimate for a
+    * fixpoint frontier anyway (its size is unknowable at plan time).
+    * Same laziness as `localCheckpoint(eager = false)`: the RDD is
+    * checkpoint-marked now and materialized by the round's first action.
+    */
+  def localCheckpointNoStats(df: org.apache.spark.sql.DataFrame,
+                             eager: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    if (eager) rdd.count()
+    spark.internalCreateDataFrame(rdd, ds.schema)
+  }
 }
