@@ -50,6 +50,53 @@ object PipelineQueries {
       .select(col("id"), col("display"), col("_ont_source"), col("n_sources"))
   }
 
+  /** Second canonical label end-to-end (reference maps Device across the
+    * Bigfix/Crowdstrike/Duo/Kandji feeds, mapping/data/devices.py): a
+    * Device canon from two synthetic feeds over TPC-H —
+    * EndpointAgent (customers; serial_number REQUIRED, null for every
+    * 7th key, so those rows cannot create canon nodes) and MdmDevice
+    * (suppliers; eligible_for_source = false, so it NEVER creates canon
+    * nodes — it only links HAS_SOURCE to devices the agent feed
+    * created). Output: each device with its winning fields + per-feed
+    * source counts; devices whose every agent row lacked a serial never
+    * materialize, and MDM rows pointing at them link nothing. */
+  def ontologyMaterializeDevice(spark: SparkSession, dir: String): DataFrame = {
+    def nodes(df: DataFrame, id: String, cols: (String, String)*) = {
+      val b = df.select((col(id).as("id") +: cols.map { case (f, t) => col(f).as(t) }): _*)
+      GraphStore.initialLoad(b, Seq(GraphStore.ID), TAG)
+    }
+    val g0 = Graph()
+      .withNodes("EndpointAgent", nodes(Tables.customer(spark, dir), "c_custkey",
+        "c_name" -> "name", "c_mktsegment" -> "segment"))
+      .withNodes("MdmDevice", nodes(Tables.supplier(spark, dir), "s_suppkey",
+        "s_name" -> "name"))
+    val g = Materialize.materialize(g0, "Device", Seq(
+      ProviderMapping("EndpointAgent", priority = 1, df => df.select(
+        (col("id").cast("long") % 500L).as("id"), col("id").as("_src_id"),
+        concat(lit("host-"), (col("id").cast("long") % 500L).cast("string"))
+          .as("hostname"),
+        col("segment").as("os"),
+        when(col("id").cast("long") % 7L === 0L, lit(null).cast("long"))
+          .otherwise(col("id").cast("long")).as("serial_number")),
+        requiredFields = Seq("serial_number")),
+      ProviderMapping("MdmDevice", priority = 2, df => df.select(
+        (col("id").cast("long") % 500L).as("id"), col("id").as("_src_id"),
+        concat(lit("host-"), (col("id").cast("long") % 500L).cast("string"))
+          .as("hostname"),
+        upper(col("name")).as("os"),
+        col("id").cast("long").as("serial_number")),
+        eligibleForSource = false)), TAG)
+    def srcCount(provider: String, as: String) =
+      g.edgeTable("Device", "HAS_SOURCE", provider)
+        .groupBy(col("src_id").as("id")).agg(count(lit(1)).as(as))
+    g.nodeTable("Device")
+      .join(srcCount("EndpointAgent", "n_agent_sources"), Seq("id"))
+      .join(srcCount("MdmDevice", "n_mdm_sources"), Seq("id"), "left")
+      .select(col("id"), col("hostname"), col("os"), col("serial_number"),
+        col("n_agent_sources"),
+        coalesce(col("n_mdm_sources"), lit(0L)).as("n_mdm_sources"))
+  }
+
   /** End-to-end sync composition: tenant-scoped schema load → analysis
     * effect flags exposed customers → rules framework emits findings —
     * the full reference lifecycle assembled through
@@ -169,12 +216,39 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ontology_materialize" -> (ontologyMaterialize _),
+    "ontology_materialize_device" -> (ontologyMaterializeDevice _),
     "e2e_full_sync" -> (e2eFullSync _),
     "e2e_entity_resolution" -> (e2eEntityResolution _),
     "motif_two_hop" -> (motifTwoHop _),
   )
 
   val oracles: Map[String, String] = Map(
+    "ontology_materialize_device" ->
+      """WITH ep AS (
+        |  SELECT CAST(c_custkey % 500 AS BIGINT) AS id,
+        |         CAST(c_custkey AS BIGINT) AS srcid,
+        |         'host-' || CAST(c_custkey % 500 AS VARCHAR) AS hostname,
+        |         c_mktsegment AS os,
+        |         CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |              ELSE CAST(c_custkey AS BIGINT) END AS serial_number
+        |  FROM customer),
+        |winners AS MATERIALIZED (
+        |  SELECT id, hostname, os, serial_number FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY srcid) AS rk
+        |    FROM ep WHERE serial_number IS NOT NULL) WHERE rk = 1),
+        |agent_links AS (
+        |  SELECT e.id, count(*) AS n_agent
+        |  FROM ep e JOIN winners w ON e.id = w.id GROUP BY e.id),
+        |md AS (SELECT CAST(s_suppkey % 500 AS BIGINT) AS id FROM supplier),
+        |mdm_links AS (
+        |  SELECT m.id, count(*) AS n_mdm
+        |  FROM md m JOIN winners w ON m.id = w.id GROUP BY m.id)
+        |SELECT w.id, w.hostname, w.os, w.serial_number,
+        |  CAST(a.n_agent AS BIGINT) AS n_agent_sources,
+        |  CAST(coalesce(l.n_mdm, 0) AS BIGINT) AS n_mdm_sources
+        |FROM winners w
+        |JOIN agent_links a ON w.id = a.id
+        |LEFT JOIN mdm_links l ON w.id = l.id""".stripMargin,
     "e2e_entity_resolution" ->
       """WITH RECURSIVE n AS (
         |  SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id

@@ -54,6 +54,41 @@ class Round11OpsSpec extends AnyFunSuite {
     checkChain(200, ascending = false)
   }
 
+  test("ontology materialize: required fields gate creation, ineligible mappings only enrich") {
+    import graft.graph.{Graph, GraphStore}
+    import graft.ontology.Materialize
+    import graft.ontology.Materialize.ProviderMapping
+    val agents = Seq((1L, "a", Some(10L)), (2L, "b", None), (3L, "c", Some(30L)))
+      .toDF("id", "name", "serial")
+    val mdm = Seq((11L, 1L), (12L, 2L), (13L, 9L)).toDF("id", "dev")
+    val g0 = Graph()
+      .withNodes("Agent", GraphStore.initialLoad(agents, Seq("id"), 1L))
+      .withNodes("Mdm", GraphStore.initialLoad(mdm, Seq("id"), 1L))
+    val g = Materialize.materialize(g0, "Device", Seq(
+      ProviderMapping("Agent", 1, df => df.select(col("id"),
+        col("id").as("_src_id"), col("name"), col("serial")),
+        requiredFields = Seq("serial")),
+      ProviderMapping("Mdm", 2, df => df.select(col("dev").as("id"),
+        col("id").as("_src_id"), lit(null).cast("string").as("name"),
+        col("id").as("serial")),
+        eligibleForSource = false)), 1L)
+    // node 2 has no serial -> no canon; Mdm cannot create (dev 9 linked nothing)
+    val canon = g.nodeTable("Device").select("id").as[Long].collect().toSet
+    assert(canon == Set(1L, 3L))
+    val agentLinks = g.edgeTable("Device", "HAS_SOURCE", "Agent")
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    assert(agentLinks == Set((1L, 1L), (3L, 3L))) // node 2's row links nothing
+    val mdmLinks = g.edgeTable("Device", "HAS_SOURCE", "Mdm")
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    assert(mdmLinks == Set((1L, 11L))) // dev 2 not canon, dev 9 unknown
+    // a mapping set with no eligible creator is a configuration error
+    intercept[IllegalArgumentException] {
+      Materialize.materialize(g0, "X", Seq(
+        ProviderMapping("Mdm", 1, df => df.select(col("dev").as("id"),
+          col("id").as("_src_id")), eligibleForSource = false)), 1L)
+    }
+  }
+
   test("scc: 200-node single cycle (deep SCC, extraction side), default budgets") {
     val k = 200
     val e = (0 until k).map(i => (i.toLong, ((i + 1) % k).toLong)).toDF("src", "dst")
