@@ -275,6 +275,53 @@ object AnalysisQueries {
     Permissions.evaluate(supplierPrincipals(spark, dir), partResources(spark, dir),
       PolicyStatements)
 
+  private val SyncStatementsEpoch1: Seq[PolicyStatement] = Seq(
+    PolicyStatement("s1", "Allow", "Supplier#*1", "arn:part:*"),
+    PolicyStatement("s2", "Allow", "Supplier#*2", "*:PROMO*"),
+    PolicyStatement("d1", "Deny", "*", "*:ECONOMY*"))
+  private val SyncStatementsEpoch2: Seq[PolicyStatement] = Seq(
+    PolicyStatement("s1", "Allow", "Supplier#*1", "arn:part:*"),
+    PolicyStatement("s3", "Allow", "Supplier#*3", "*:STANDARD*"),
+    PolicyStatement("d1", "Deny", "*", "*:ECONOMY*"))
+
+  /** The FULL reference sync loop for permission relationships
+    * (permission_relationships.py:630-694): principals and resource ARNs
+    * are READ BACK from graph node tables (get_principals_for_account /
+    * get_resource_arns), the evaluator runs, allowed pairs LOAD as
+    * CAN_ACCESS edges under the epoch tag (load_principal_mappings), and
+    * cleanup_rpr deletes every edge of the relationship not touched this
+    * epoch. Two epochs with a policy change between them: epoch 2
+    * revokes the PROMO grant and adds a STANDARD grant, so PROMO-only
+    * edges must be DELETED by the scoped cleanup, pairs granted in both
+    * epochs keep firstseen = epoch 1, and new STANDARD pairs appear with
+    * firstseen = epoch 2 — the stale-edge deletion is what the oracle
+    * pins. */
+  def permissionRelationshipsSync(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = Graph()
+      .withNodes("Supplier", GraphStore.initialLoad(
+        supplierPrincipals(spark, dir), Seq(GraphStore.ID), 100L))
+      .withNodes("Part", GraphStore.initialLoad(
+        partResources(spark, dir), Seq(GraphStore.ID), 100L))
+    val key = ("Supplier", "CAN_ACCESS", "Part")
+    def epoch(g: Graph, stmts: Seq[PolicyStatement], tag: Long): Graph = {
+      val principals = g.nodeTable("Supplier").select(col("id"), col("name"))
+      val resources = g.nodeTable("Part").select(col("id"), col("arn"))
+      val allowed = Permissions.evaluate(principals, resources, stmts)
+        .select(col("principal_id").as(GraphStore.SRC),
+          col("resource_id").as(GraphStore.DST))
+      val ex = g.edges.getOrElse(key,
+        GraphStore.emptyLike(allowed, Seq(GraphStore.SRC, GraphStore.DST)))
+      val upserted = GraphStore.upsertEdges(ex, allowed, tag)
+      g.withEdges(key, GraphStore.cleanup(upserted, tag))
+    }
+    val g2 = epoch(epoch(g0, SyncStatementsEpoch1, 100L), SyncStatementsEpoch2, 200L)
+    g2.edgeTable("Supplier", "CAN_ACCESS", "Part")
+      .select(col(GraphStore.SRC).as("principal_id"),
+        col(GraphStore.DST).as("resource_id"),
+        col(GraphStore.FIRSTSEEN).as("firstseen"),
+        col(GraphStore.LASTUPDATED).as("lastupdated"))
+  }
+
   /** Action-tagged statements for the mapping-file gate: which statements
     * apply to a mapping is decided by IAM action wildcards
     * (statement_applies_to_permission). */
@@ -435,6 +482,7 @@ object AnalysisQueries {
     "analysis_job_registry" -> (analysisJobRegistry _),
     "drift_detect" -> (driftDetect _),
     "permission_relationships" -> (permissionRelationships _),
+    "permission_relationships_sync" -> (permissionRelationshipsSync _),
     "permission_mapping_file" -> (permissionMappingFile _),
   )
 
@@ -614,5 +662,14 @@ object AnalysisQueries {
          |  has_condition,
          |  CASE WHEN has_condition THEN cond_keys_all ELSE '' END AS condition_keys
          |FROM ${grantedSubquery(PolicyStatements)}""".stripMargin,
+    "permission_relationships_sync" ->
+      s"""SELECT CAST(e2.pid AS BIGINT) AS principal_id,
+         |  CAST(e2.rid AS BIGINT) AS resource_id,
+         |  CAST(CASE WHEN e1.pid IS NOT NULL THEN 100 ELSE 200 END AS BIGINT)
+         |    AS firstseen,
+         |  CAST(200 AS BIGINT) AS lastupdated
+         |FROM ${grantedSubquery(SyncStatementsEpoch2)} e2
+         |LEFT JOIN ${grantedSubquery(SyncStatementsEpoch1)} e1
+         |  ON e2.pid = e1.pid AND e2.rid = e1.rid""".stripMargin,
   )
 }
