@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.graph.Graph
+import graft.intel.{ComputeInstances, DnsZones, StorageBuckets, SyncAssembly, SyncStage}
+import graft.sink.SyncMetadata
+
+/** Thin CLI front end over [[graft.intel.SyncAssembly]] — the argument-
+  * parsing entry the reference exposes as `cartography` (cli.py:328 →
+  * CLI.main → build_sync(config.selected_modules)). Flags are the
+  * relevant subset of the reference's surface re-expressed for a Spark
+  * library:
+  *
+  * {{{
+  * runMain graft.SyncCli --select compute-instances,storage-buckets \
+  *   --sf-dir /root/testdata/sf0.001 [--update-tag 123] [--best-effort]
+  *   [--dry-run] [--list-modules] [--out /tmp/sync_out]
+  * }}}
+  *
+  * Selection semantics (aliases, duplicate collapse, unknown-module
+  * abort, pinned create-indexes/ontology/analysis ordering with
+  * reorder warnings) all live in [[SyncAssembly.buildSync]]; the CLI
+  * only parses flags, builds the standard registry, runs the plan, and
+  * prints per-label row counts. */
+object SyncCli {
+
+  final case class Config(select: Seq[String] = Nil,
+                          sfDir: String = "/root/testdata/sf0.001",
+                          tag: Long = 1L,
+                          bestEffort: Boolean = false,
+                          dryRun: Boolean = false,
+                          listModules: Boolean = false,
+                          out: Option[String] = None,
+                          computeJson: Option[String] = None,
+                          storageJson: Option[String] = None)
+
+  /** Pure flag parser — unknown flags and missing values throw with the
+    * reference's abort-with-guidance shape (cli.py raises through
+    * argparse). */
+  def parseArgs(args: Seq[String]): Config = {
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case Nil => c
+      case "--select" :: v :: t => loop(t, c.copy(select = SyncAssembly.parseSelected(v)))
+      case "--sf-dir" :: v :: t => loop(t, c.copy(sfDir = v))
+      case "--update-tag" :: v :: t => loop(t, c.copy(tag = v.toLong))
+      case "--best-effort" :: t => loop(t, c.copy(bestEffort = true))
+      case "--dry-run" :: t => loop(t, c.copy(dryRun = true))
+      case "--list-modules" :: t => loop(t, c.copy(listModules = true))
+      case "--out" :: v :: t => loop(t, c.copy(out = Some(v)))
+      case "--compute-json" :: v :: t => loop(t, c.copy(computeJson = Some(v)))
+      case "--storage-json" :: v :: t => loop(t, c.copy(storageJson = Some(v)))
+      case flag :: _ if flag.startsWith("--") =>
+        throw new IllegalArgumentException(
+          s"unknown or valueless flag $flag; valid: --select --sf-dir " +
+            "--update-tag --best-effort --dry-run --list-modules --out " +
+            "--compute-json --storage-json")
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unexpected positional argument $other")
+    }
+    loop(args.toList, Config())
+  }
+
+  /** The module registry for this configuration (the reference's
+    * TOP_LEVEL_MODULES analog): the index slot, dns-zones (reads the
+    * sf-dir parquet), compute/storage ONLY when their API-fixture JSON
+    * source is configured — the reference likewise runs a module only
+    * when its credentials/config are present (cli.py skips e.g.
+    * permission relationships without --permission-relationships-file)
+    * — and a sync-metadata marker in the analysis slot (runs last by
+    * the pinned ordering, stamping the run like the reference's
+    * metadata job). Selecting an unconfigured module aborts with the
+    * valid list, exactly like an unknown module name. */
+  def registry(cfg: Config): Seq[SyncStage] = {
+    import org.apache.spark.sql.functions.col
+    import graft.graph.GraphStore
+    // account discovery (the reference's organizations stage): the
+    // tenant universe the asset modules' sub-resource loads attach to,
+    // derived from the configured fixtures' owner fields
+    val accountStage =
+      if (cfg.computeJson.isEmpty && cfg.storageJson.isEmpty) None
+      else Some(SyncStage("accounts", (g, s, t) => {
+        val owners = Seq(
+          cfg.computeJson.map(p => s.read.json(p).select(col("OwnerId").as("id"))),
+          cfg.storageJson.map(p => s.read.json(p).select(col("Owner").as("id"))))
+          .flatten.reduce(_ unionByName _).distinct()
+        val existing = g.nodes.getOrElse("Account", GraphStore.emptyLike(owners))
+        g.withNodes("Account", GraphStore.upsertNodes(existing, owners, t))
+      }))
+    Seq(
+      Some(SyncStage(SyncAssembly.IndexStage, (g, _, _) => g)),
+      accountStage,
+      cfg.computeJson.map(src =>
+        SyncAssembly.stageFor(ComputeInstances, src, wants = Seq("accounts"))),
+      cfg.storageJson.map(src =>
+        SyncAssembly.stageFor(StorageBuckets, src, wants = Seq("accounts"))),
+      Some(SyncAssembly.stageFor(DnsZones, cfg.sfDir)),
+      Some(SyncStage(SyncAssembly.AnalysisStage, (g, _, t) =>
+        SyncMetadata.record(g, "SyncRun", "cli", "all-modules", t)))).flatten
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args.toSeq)
+    val reg = registry(cfg)
+    if (cfg.listModules) {
+      reg.foreach(s => println(s.name))
+      return
+    }
+    require(cfg.select.nonEmpty, "--select is required (or use --list-modules)")
+    val plan = SyncAssembly.buildSync(cfg.select, reg)
+    plan.warnings.foreach(w => System.err.println(s"[sync-cli] WARN $w"))
+    if (cfg.dryRun) {
+      plan.stageNames.foreach(println)
+      return
+    }
+    // getOrCreate joins a live session when embedded (tests, notebooks);
+    // only a session this main itself created gets stopped at the end
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val g =
+      if (cfg.bestEffort) {
+        val (graph, failures) = plan.runBestEffort(Graph(), spark, cfg.tag)
+        failures.foreach { case (stage, e) =>
+          System.err.println(s"[sync-cli] stage $stage failed: ${e.getMessage}")
+        }
+        graph
+      } else plan.run(Graph(), spark, cfg.tag)
+    g.nodes.toSeq.sortBy(_._1).foreach { case (label, df) =>
+      println(s"$label ${df.count()}")
+    }
+    cfg.out.foreach { dir =>
+      g.nodes.foreach { case (label, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/nodes_$label")
+      }
+      g.edges.foreach { case ((s, r, d), df) =>
+        df.write.mode("overwrite").parquet(s"$dir/edges_${s}_${r}_$d")
+      }
+    }
+    if (!preExisting) spark.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.intel.SyncAssembly
+
+/** CLI front end: flag parsing, conditional module registry, pinned
+  * ordering through buildSync, and a full runMain-equivalent sync run. */
+class SyncCliSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("parseArgs: full flag surface, defaults, and abort-with-guidance") {
+    val c = SyncCli.parseArgs(Seq("--select", "accounts, compute-instances",
+      "--sf-dir", "/x", "--update-tag", "42", "--best-effort", "--dry-run",
+      "--compute-json", "/c.json", "--out", "/o"))
+    assert(c.select == Seq("accounts", "compute-instances"))
+    assert(c.sfDir == "/x" && c.tag == 42L && c.bestEffort && c.dryRun)
+    assert(c.computeJson.contains("/c.json") && c.out.contains("/o"))
+    assert(SyncCli.parseArgs(Nil).tag == 1L)
+    intercept[IllegalArgumentException] { SyncCli.parseArgs(Seq("--nope")) }
+    intercept[IllegalArgumentException] { SyncCli.parseArgs(Seq("stray")) }
+    // a value-taking flag at end-of-args is valueless -> same guidance path
+    intercept[IllegalArgumentException] { SyncCli.parseArgs(Seq("--select")) }
+  }
+
+  test("registry: compute/storage register only when their source is configured") {
+    val bare = SyncCli.registry(SyncCli.Config()).map(_.name)
+    assert(bare == Seq(SyncAssembly.IndexStage, "dns-zones", SyncAssembly.AnalysisStage))
+    val full = SyncCli.registry(SyncCli.Config(
+      computeJson = Some("/c"), storageJson = Some("/s"))).map(_.name)
+    assert(full == Seq(SyncAssembly.IndexStage, "accounts", "compute-instances",
+      "storage-buckets", "dns-zones", SyncAssembly.AnalysisStage))
+    // selecting an unconfigured module aborts like an unknown module name
+    intercept[IllegalArgumentException] {
+      SyncAssembly.buildSync(Seq("compute-instances"),
+        SyncCli.registry(SyncCli.Config()))
+    }
+  }
+
+  test("pinned stages reorder with a warning through the CLI registry") {
+    val plan = SyncAssembly.buildSync(
+      Seq(SyncAssembly.AnalysisStage, "dns-zones", SyncAssembly.IndexStage),
+      SyncCli.registry(SyncCli.Config()))
+    assert(plan.stageNames ==
+      Seq(SyncAssembly.IndexStage, "dns-zones", SyncAssembly.AnalysisStage))
+    assert(plan.warnings.nonEmpty)
+  }
+
+  test("main: full sync run over fixtures writes every loaded label") {
+    spark // force the shared session so main's getOrCreate joins it
+    val fx = Files.createTempFile("cli_compute", ".json")
+    Files.writeString(fx,
+      """{"ReservationId":"r-1","OwnerId":"acct-9","Instances":[{"InstanceId":"i-1","Type":"m1.small","State":"running","LaunchTime":"2026-01-05T10:00:00Z","MetadataOptions":{"HttpTokens":"optional"},"Tags":[{"Key":"team","Value":"core"}],"Nics":[{"NicId":"eni-1","SubnetId":"sub-1"}]}]}""")
+    val out = Files.createTempDirectory("cli_out").toString
+    SyncCli.main(Array("--select",
+      "accounts,compute-instances,dns-zones,analysis",
+      "--compute-json", fx.toString,
+      "--sf-dir", "/root/testdata/sf0.001",
+      "--update-tag", "7", "--out", out))
+    val accounts = spark.read.parquet(s"$out/nodes_Account")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(accounts.contains("acct-9"))
+    val instances = spark.read.parquet(s"$out/nodes_Instance")
+      .select("id", "lastupdated").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(instances == Set(("i-1", 7L)))
+    val meta = spark.read.parquet(s"$out/nodes_ModuleSyncMetadata").count()
+    assert(meta == 1L)
+  }
+}
