@@ -349,6 +349,17 @@ object ScaleSmoke {
         operators.Changelog.apply(base, changes, Seq("order_id"),
           "version", "op", Seq("price_x1e4")).count()
       }
+      time("intervals_coalesce", m) {
+        // multiply the KEY space (like scd2): per-key interval counts are
+        // the window-sort unit, so state per key stays constant and
+        // volume scales linearly
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+          .select(col("user_id"), col("event_id"),
+            floor(unix_timestamp(col("ts"))).cast("long").as("s"))
+          .withColumn("e", col("s") + 1800L)
+        operators.Temporal.coalesceIntervals(ev, Seq("user_id"), "s", "e",
+          Seq("event_id")).count()
+      }
       time("semantic_dedup", m) {
         dedup.Dedup.semanticDedup(
           similarity.Similarity.quantized(embs), 16, 350000L).count()
