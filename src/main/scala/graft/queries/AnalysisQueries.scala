@@ -9,7 +9,7 @@ import graft.drift.Drift
 import graft.graph.{Graph, GraphStore}
 import graft.permissions.Permissions
 import graft.permissions.Permissions.PolicyStatement
-import graft.rules.{Fact, Framework, FrameworkControl, Maturity, Rule, RulesRunner}
+import graft.rules.{CoreFrameworks, Fact, Framework, FrameworkControl, Maturity, Rule, RulesRunner}
 
 /** Analysis-job / rules / drift / permission operator battery
   * (SURVEY §2.8-2.9), driven through the typed DSLs.
@@ -217,6 +217,48 @@ object AnalysisQueries {
           s => sys.error("filtered rule must not execute"))))))
     RulesRunner.summary(spark,
       RulesRunner.filterByFramework(framework, shortName = Some("CIS")))
+  }
+
+  /** The PACKAGED rule library end-to-end (reference ships 37 rule files
+    * under cartography/rules/data/rules/; this gate runs the
+    * threat-exposure framework — public snapshots, exposed databases,
+    * EOL software, inactive-user/active-account, unmanaged accounts,
+    * plaintext listeners — over graph VIEWS registered from node/edge
+    * tables, the same surface `cartography rules run` queries). Node
+    * properties derive deterministically from TPC-H so every fact has a
+    * non-trivial hit set. */
+  def rulesLibraryFindings(spark: SparkSession, dir: String): DataFrame = {
+    val tag = 7000L
+    val now = 1500000000L
+    val g = Graph()
+      .withNodes("Snapshot", Tables.part(spark, dir)
+        .select(col("p_partkey").as("id"), (col("p_size") % 13 === 0).as("public")))
+      .withNodes("Database", Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("id"),
+          (col("s_acctbal") < 0).as("publicly_accessible"),
+          when(col("s_suppkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("db-"), col("s_suppkey").cast("string"),
+              lit(".internal:5432"))).as("endpoint")))
+      .withNodes("Software", Tables.part(spark, dir)
+        .select(col("p_partkey").as("id"),
+          ((col("p_partkey") % 30) * 100000000L).as("eol_epoch")))
+      .withNodes("User", Tables.customer(spark, dir)
+        .select(col("c_custkey").as("id"),
+          when(col("c_custkey") % 4 === 0, lit(6999L)).otherwise(lit(tag))
+            .as("lastupdated")))
+      .withNodes("Account", Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id"),
+          (col("n_regionkey") < 3).as("active"),
+          (col("n_nationkey") % 2 === 0).as("managed")))
+      .withNodes("Listener", Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("id"),
+          element_at(array(lit("HTTP"), lit("HTTPS"), lit("TLS")),
+            (col("s_suppkey") % 3 + 1).cast("int")).as("protocol")))
+      .withEdges(("User", "OWNS", "Account"), Tables.customer(spark, dir)
+        .select(col("c_custkey").as("src_id"),
+          col("c_nationkey").cast("long").as("dst_id")))
+    RulesRunner.registerGraphViews(g)
+    RulesRunner.run(spark, CoreFrameworks.threatExposure(tag, now))
   }
 
   /** Drift detection (driftdetect): states = (user, event_type) pairs with
@@ -479,6 +521,7 @@ object AnalysisQueries {
     "analysis_incremental" -> (analysisIncremental _),
     "rules_findings" -> (rulesFindings _),
     "rules_framework_summary" -> (rulesFrameworkSummary _),
+    "rules_library_findings" -> (rulesLibraryFindings _),
     "analysis_job_registry" -> (analysisJobRegistry _),
     "drift_detect" -> (driftDetect _),
     "permission_relationships" -> (permissionRelationships _),
@@ -617,6 +660,35 @@ object AnalysisQueries {
         |SELECT 'cis-demo', 'order-risk', 'urgent-open', 'Order',
         |  CAST(o_orderkey AS VARCHAR), o_orderpriority
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'""".stripMargin,
+    "rules_library_findings" ->
+      """SELECT 'threat-exposure' AS framework_id, 'snapshot-exposure' AS rule_id,
+        |  'public-snapshot' AS fact_id, 'Snapshot' AS asset_label,
+        |  CAST(p_partkey AS VARCHAR) AS asset_id, CAST(NULL AS VARCHAR) AS detail
+        |FROM part WHERE p_size % 13 = 0
+        |UNION ALL
+        |SELECT 'threat-exposure', 'database-exposure', 'database-exposed',
+        |  'Database', CAST(s_suppkey AS VARCHAR),
+        |  'db-' || CAST(s_suppkey AS VARCHAR) || '.internal:5432'
+        |FROM supplier WHERE s_acctbal < 0 AND s_suppkey % 5 <> 0
+        |UNION ALL
+        |SELECT 'threat-exposure', 'software-lifecycle', 'eol-software',
+        |  'Software', CAST(p_partkey AS VARCHAR),
+        |  CAST((p_partkey % 30) * 100000000 AS VARCHAR)
+        |FROM part WHERE (p_partkey % 30) * 100000000 < 1500000000
+        |UNION ALL
+        |SELECT 'threat-exposure', 'identity-lifecycle',
+        |  'inactive-user-active-account', 'User', CAST(c_custkey AS VARCHAR),
+        |  CAST(c_nationkey AS VARCHAR)
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 4 = 0 AND n_regionkey < 3
+        |UNION ALL
+        |SELECT 'threat-exposure', 'identity-lifecycle', 'unmanaged-account',
+        |  'Account', CAST(n_nationkey AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM nation WHERE n_nationkey % 2 <> 0
+        |UNION ALL
+        |SELECT 'threat-exposure', 'transport-encryption', 'plaintext-listener',
+        |  'Listener', CAST(s_suppkey AS VARCHAR), 'HTTP'
+        |FROM supplier WHERE s_suppkey % 3 = 0""".stripMargin,
     "analysis_job_registry" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id,
         |  c_acctbal < 0 AS negative,

@@ -263,4 +263,138 @@ object CoreFrameworks {
         "cross-tenant edges are boundary failures.",
       version = "1",
       frameworks = Seq(nist))))
+
+  private val iso = FrameworkControl("iso/iec 27001 annex a", "iso27001",
+    "a.8.9", scope = Some("core"), revision = Some("2022"))
+  private val mitre = FrameworkControl("mitre att&ck cloud", "mitre",
+    "t1530", scope = Some("cloud"), revision = Some("v15"))
+
+  /** Publicly shared snapshots (reference rule file
+    * public_snapshots.py: a shared block/database snapshot is an
+    * exfiltration channel that bypasses every access policy on the
+    * live resource). */
+  def publicSnapshots(label: String = "Snapshot"): Fact = Fact(
+    factId = s"public-${label.toLowerCase}",
+    name = s"$label shared publicly",
+    assetLabel = label,
+    query = _.sql(s"SELECT id AS asset_id FROM node_$label WHERE public = true"),
+    description = "A publicly shared snapshot exposes the full data of " +
+      "its source volume or database regardless of the source's policy.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(_.sql(s"SELECT count(*) AS count FROM node_$label")))
+
+  /** Internet-reachable database endpoints
+    * (database_instance_exposed.py). */
+  val databaseExposed: Fact = Fact(
+    factId = "database-exposed",
+    name = "Database instance reachable from the internet",
+    assetLabel = "Database",
+    query = _.sql(
+      """SELECT id AS asset_id, endpoint AS detail
+        |FROM node_Database
+        |WHERE publicly_accessible = true AND endpoint IS NOT NULL""".stripMargin),
+    description = "A database with a public endpoint is one credential " +
+      "leak away from full data exposure.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(_.sql("SELECT count(*) AS count FROM node_Database")))
+
+  /** Software past its end-of-life date (eol_software.py). */
+  def eolSoftware(nowEpoch: Long): Fact = Fact(
+    factId = "eol-software",
+    name = "Software past end-of-life",
+    assetLabel = "Software",
+    query = _.sql(
+      s"""SELECT id AS asset_id, CAST(eol_epoch AS STRING) AS detail
+         |FROM node_Software WHERE eol_epoch < $nowEpoch""".stripMargin),
+    description = "EOL software receives no security patches; every new " +
+      "CVE is permanent.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(_.sql("SELECT count(*) AS count FROM node_Software")))
+
+  /** Users absent from the current sync who still own active accounts
+    * (inactive_user_active_accounts.py). */
+  def inactiveUserActiveAccounts(tag: Long): Fact = Fact(
+    factId = "inactive-user-active-account",
+    name = "Inactive user still owns an active account",
+    assetLabel = "User",
+    query = _.sql(
+      s"""SELECT u.id AS asset_id, CAST(a.id AS STRING) AS detail
+         |FROM node_User u
+         |JOIN edge_User_OWNS_Account e ON u.id = e.src_id
+         |JOIN node_Account a ON e.dst_id = a.id
+         |WHERE u.lastupdated <> $tag AND a.active = true""".stripMargin),
+    description = "An account owned by a deprovisioned user keeps its " +
+      "access alive after the person is gone.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id", "detail"),
+    countQuery = Some(_.sql("SELECT count(*) AS count FROM node_User")))
+
+  /** Accounts outside the management plane (unmanaged_accounts.py). */
+  val unmanagedAccounts: Fact = Fact(
+    factId = "unmanaged-account",
+    name = "Account outside management",
+    assetLabel = "Account",
+    query = _.sql(
+      "SELECT id AS asset_id FROM node_Account WHERE managed = false"),
+    description = "Unmanaged accounts bypass central policy, rotation, " +
+      "and offboarding.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(_.sql("SELECT count(*) AS count FROM node_Account")))
+
+  /** Plaintext transport listeners (transport_encryption_gaps.py). */
+  val transportEncryptionGaps: Fact = Fact(
+    factId = "plaintext-listener",
+    name = "Listener accepts unencrypted transport",
+    assetLabel = "Listener",
+    query = _.sql(
+      """SELECT id AS asset_id, protocol AS detail
+        |FROM node_Listener WHERE protocol NOT IN ('HTTPS', 'TLS')""".stripMargin),
+    description = "Traffic on a plaintext listener is readable and " +
+      "modifiable on path.",
+    maturity = Maturity.Stable,
+    identityFields = Seq("asset_id"),
+    countQuery = Some(_.sql("SELECT count(*) AS count FROM node_Listener")))
+
+  /** Second packaged framework — the threat-and-exposure families of the
+    * reference rule library (public_snapshots, database_instance_exposed,
+    * eol_software, inactive_user_active_accounts, unmanaged_accounts,
+    * transport_encryption_gaps), mapped to ISO 27001 / MITRE / SOC 2
+    * controls like the reference's framework tables. */
+  def threatExposure(tag: Long, nowEpoch: Long): Framework =
+    Framework("threat-exposure", Seq(
+      Rule("snapshot-exposure", "Snapshots stay private",
+        facts = Seq(publicSnapshots()),
+        tags = Seq("storage", "exposure"),
+        description = "No snapshot may be shared publicly.",
+        version = "1",
+        frameworks = Seq(iso, mitre)),
+      Rule("database-exposure", "Databases stay off the internet",
+        facts = Seq(databaseExposed),
+        tags = Seq("database", "exposure"),
+        description = "Database endpoints must be private.",
+        version = "1",
+        frameworks = Seq(mitre)),
+      Rule("software-lifecycle", "No end-of-life software",
+        facts = Seq(eolSoftware(nowEpoch)),
+        tags = Seq("vulnerability"),
+        description = "EOL software must be upgraded or retired.",
+        version = "1",
+        frameworks = Seq(iso)),
+      Rule("identity-lifecycle", "Accounts tied to live, managed identities",
+        facts = Seq(inactiveUserActiveAccounts(tag), unmanagedAccounts),
+        tags = Seq("identity"),
+        description = "Active accounts require active owners under " +
+          "management.",
+        version = "1",
+        frameworks = Seq(iso, soc2)),
+      Rule("transport-encryption", "All transport encrypted",
+        facts = Seq(transportEncryptionGaps),
+        tags = Seq("network"),
+        description = "Every listener terminates TLS.",
+        version = "1",
+        frameworks = Seq(iso))))
 }
