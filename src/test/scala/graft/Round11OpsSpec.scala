@@ -54,6 +54,27 @@ class Round11OpsSpec extends AnyFunSuite {
     checkChain(200, ascending = false)
   }
 
+  test("Lineage.cut does not inherit parent-plan statistics (fixpoint driver-time guard)") {
+    import graft.Lineage._
+    val defaultSize = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    // a join whose localCheckpoint would inherit a product-of-children
+    // sizeInBytes; cut must reset to the session default instead — the
+    // compounding of inherited products across loop rounds is what made
+    // the driver spend minutes in BigInteger math past ~20 rounds
+    val a = spark.range(100).toDF("id")
+    val joined = a.join(a.withColumnRenamed("id", "id2"), col("id") === col("id2"))
+    val cutStats = joined.cut.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(cutStats == defaultSize,
+      s"cut inherited stats: $cutStats != default $defaultSize")
+    val inherited = joined.localCheckpoint(false)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(inherited != defaultSize,
+      "sanity: Dataset.localCheckpoint is expected to inherit stats — if " +
+        "this ever fails, Spark changed behavior and Lineage.cut can be retired")
+    // values survive the cut unchanged, lazily (materialized on first action)
+    assert(joined.cut.count() == 100L)
+  }
+
   test("ontology materialize: required fields gate creation, ineligible mappings only enrich") {
     import graft.graph.{Graph, GraphStore}
     import graft.ontology.Materialize
