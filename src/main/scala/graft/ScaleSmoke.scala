@@ -349,6 +349,20 @@ object ScaleSmoke {
         operators.Changelog.apply(base, changes, Seq("order_id"),
           "version", "op", Seq("price_x1e4")).count()
       }
+      time("permission_sync", m) {
+        // principals multiply; the statement/mask space is fixed, so the
+        // decision table stays K rows and only the expansion join scales
+        val sup = multiply(Tables.supplier(spark, sfDir), "s_suppkey", m)
+        val principals = sup.select(col("s_suppkey").as("id"), col("s_name").as("name"))
+        val resources = Tables.part(spark, sfDir)
+          .select(col("p_partkey").as("id"),
+            concat(lit("arn:part:"), col("p_brand"), lit(":"), col("p_type"),
+              lit(":"), col("p_partkey")).as("arn"))
+        permissions.Permissions.evaluate(principals, resources, Seq(
+          permissions.Permissions.PolicyStatement("s1", "Allow", "Supplier#*1", "arn:part:*"),
+          permissions.Permissions.PolicyStatement("s2", "Allow", "Supplier#*2", "*:PROMO*"),
+          permissions.Permissions.PolicyStatement("d1", "Deny", "*", "*:ECONOMY*"))).count()
+      }
       time("intervals_coalesce", m) {
         // multiply the KEY space (like scd2): per-key interval counts are
         // the window-sort unit, so state per key stays constant and
