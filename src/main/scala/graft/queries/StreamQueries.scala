@@ -161,15 +161,17 @@ object StreamQueries {
     * default. Each stateful partition pays a per-micro-batch commit (delta
     * file + fsync) regardless of row count, so oversized state partitioning
     * is pure fixed cost: measured at both sf0.001 and sf0.1, 32 partitions
-    * spend ~6-7s/gate against ~3.5s at 8 — the data volume is irrelevant,
-    * the commits dominate. At real scale the same sizing question applies
+    * spend ~6-7s/gate against ~3.5s at 8 and ~2s at 1-2 (tmpfs
+    * checkpoints) — the data volume is irrelevant, the commits dominate;
+    * gate-scale state fits one partition and the residual is streaming
+    * query start/stop. At real scale the same sizing question applies
     * in reverse: pick partitions from state size (keys × bytes / executor
     * memory), not from the cluster's default parallelism. `newSession`
     * shares the SparkContext but isolates the conf, so a batch query
     * planned concurrently on the parent session never sees the reduced
     * partition count (the previous in-place set/restore was a footgun for
     * parallel gate runs). */
-  private def withStateSession[A](spark: SparkSession, n: Int = 2)(body: SparkSession => A): A = {
+  private def withStateSession[A](spark: SparkSession, n: Int = 1)(body: SparkSession => A): A = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
