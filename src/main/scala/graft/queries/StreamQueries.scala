@@ -61,6 +61,22 @@ object StreamQueries {
     graft.graph.Centrality.pagerank(custEdges.unionByName(natEdges), iterations = 3)
   }
 
+  /** Weighted PageRank over the same DAG with deterministic positive
+    * weights (custkey%7+1, nationkey%3+1): rank splits by edge weight
+    * instead of out-degree — exact longs, unrolled-CTE oracle. */
+  def centralityPagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val custEdges = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("src"),
+      (col("c_nationkey").cast("long") + 1000000L).as("dst"),
+      (col("c_custkey") % 7 + 1).cast("long").as("w"))
+    val natEdges = Tables.nation(spark, dir).select(
+      (col("n_nationkey").cast("long") + 1000000L).as("src"),
+      (col("n_regionkey").cast("long") + 2000000L).as("dst"),
+      (col("n_nationkey") % 3 + 1).cast("long").as("w"))
+    graft.graph.Centrality.pagerankWeighted(
+      custEdges.unionByName(natEdges), iterations = 3)
+  }
+
   /** PageRank with dangling-mass redistribution over the same DAG: the
     * region nodes are pure sinks, so without the per-round S div N share
     * the graph leaks ~their whole rank mass each iteration. The oracle
@@ -539,6 +555,7 @@ object StreamQueries {
     "graph_sssp" -> (graphSssp _),
     "graph_bfs_distances" -> (graphBfsDistances _),
     "centrality_pagerank" -> (centralityPagerank _),
+    "centrality_pagerank_weighted" -> (centralityPagerankWeighted _),
     "centrality_pagerank_dangling" -> (centralityPagerankDangling _),
     "centrality_ppr" -> (centralityPpr _),
     "graph_triangles" -> (graphTriangles _),
@@ -894,6 +911,35 @@ object StreamQueries {
         |       FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
         |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // d.deg) AS BIGINT) AS m
         |       FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
+    "centrality_pagerank_weighted" ->
+      """WITH e0 AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS src,
+        |         CAST(1000000 + c_nationkey AS BIGINT) AS dst,
+        |         CAST(c_custkey % 7 + 1 AS BIGINT) AS w FROM customer
+        |  UNION ALL
+        |  SELECT CAST(1000000 + n_nationkey AS BIGINT),
+        |         CAST(2000000 + n_regionkey AS BIGINT),
+        |         CAST(n_nationkey % 3 + 1 AS BIGINT) FROM nation),
+        |e AS (SELECT src, dst, SUM(w) AS w FROM e0 GROUP BY src, dst),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM((r0.r * e.w) // o.ow) AS BIGINT) AS m
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN ow o ON e.src = o.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM((r1.r * e.w) // o.ow) AS BIGINT) AS m
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN ow o ON e.src = o.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM((r2.r * e.w) // o.ow) AS BIGINT) AS m
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN ow o ON e.src = o.src
         |       GROUP BY e.dst),
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)

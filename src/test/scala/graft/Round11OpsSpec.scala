@@ -110,6 +110,26 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerankWeighted: rank splits by edge weight, hand-computed round") {
+    import graft.graph.Centrality
+    // 1 -(3)-> 2, 1 -(1)-> 3, 2 -(1)-> 3: node 2 takes 3/4 of node 1's
+    // mass (unweighted it would take 1/2)
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val out = Centrality.pagerankWeighted(e, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 150000L,                          // no in-edges: teleport only
+      2L -> (150000L + 85L * 750000L / 100L), // (1e6*3) div 4 = 750000 in
+      3L -> (150000L + 85L * 1250000L / 100L) // 250000 + 1000000 in
+    ))
+    // parallel edges merge by weight sum before the split
+    val dup = Seq((1L, 2L, 1L), (1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val out2 = Centrality.pagerankWeighted(dup, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
   test("scc: 200-node single cycle (deep SCC, extraction side), default budgets") {
     val k = 200
     val e = (0 until k).map(i => (i.toLong, ((i + 1) % k).toLong)).toDF("src", "dst")
