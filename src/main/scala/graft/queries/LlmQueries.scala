@@ -181,6 +181,19 @@ object LlmQueries {
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Leakage-safe split over the same near-dup components: every LSH
+    * cluster lands whole in train or eval (80/20), so eval can never
+    * hold a near-copy of a training doc. */
+  def sampleComponentSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(
+        Dedup.shingleTable(docs, "doc_id", "text"), minJaccX1e6 = 800000L)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.text.Sampling.componentSplit(
+      docs.select(col("doc_id").cast("long").as("doc_id")), "doc_id", pairs,
+      Seq("train" -> 800000L, "eval" -> 200000L))
+  }
+
   /** Benchmark decontamination: eval set = every 10th doc; flag training
     * docs sharing any 3-gram shingle with it. */
   def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -712,6 +725,7 @@ object LlmQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_components" -> (dedupComponents _),
+    "sample_component_split" -> (sampleComponentSplit _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_hamming" -> (dedupSimhashHamming _),
     "dedup_cosine_neardup" -> (dedupCosineNearDup _),
@@ -1771,6 +1785,44 @@ object LlmQueries {
          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
          |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+    "sample_component_split" ->
+      s"""WITH RECURSIVE $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db),
+         |pairs AS (
+         |  SELECT da AS a, db AS b
+         |  FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |  WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000),
+         |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS reachable FROM und
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN und u ON r.reachable = u.a),
+         |comp AS (
+         |  SELECT node, least(node, min(reachable)) AS component
+         |  FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |    CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS grp
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+         |SELECT doc_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)),1,14)) AS BIGINT)
+         |         % 1000000 < 800000 THEN 'train' ELSE 'eval' END AS split
+         |FROM lab""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TextCtes,
          |tf AS (SELECT doc_id, wid, count(*) AS tf FROM seq GROUP BY doc_id, wid),

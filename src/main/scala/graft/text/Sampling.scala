@@ -105,6 +105,29 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe train/eval split: the hash key is the document's
+    * near-dup COMPONENT (canonical id), not the document itself — every
+    * near-duplicate cluster lands in ONE split by construction, so the
+    * eval set can never contain a near-copy of a training document (the
+    * contamination mode a per-document hash split cannot prevent).
+    * `pairs` is any near-dup pair set (MinHash-LSH, SimHash, semantic);
+    * documents in no pair key by their own id. Assignment keeps
+    * [[hashSplit]]'s stability (pure function of the canonical id), with
+    * one caveat the caller owns: corpus growth that MERGES two clusters
+    * can move the merged cluster's members to the surviving canonical
+    * id's split. Cost over [[hashSplit]]: the pair→component fixpoint
+    * (O(log diameter) rounds) + one join — no all-pairs anything. */
+  def componentSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     splits: Seq[(String, Long)]): DataFrame = {
+    val comp = graft.graph.Fixpoint.connectedComponents(pairs)
+    val keyed = docs
+      .join(comp.select(col("node").as(idCol), col("component").as("_cmp")),
+        Seq(idCol), "left")
+      .withColumn("_grp", coalesce(col("_cmp"), col(idCol).cast("long")))
+      .drop("_cmp")
+    hashSplit(keyed, "_grp", splits).drop("_grp")
+  }
+
   /** Deterministic contrastive negative sampling: for every anchor row,
     * `k` negatives drawn from OTHER label strata — the pair-generation
     * step of contrastive embedding training, reproducible anywhere (no

@@ -110,6 +110,30 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("componentSplit: near-dup clusters never straddle train/eval") {
+    import graft.text.Sampling
+    val docs = (1L to 200L).toDF("doc_id")
+    // chains of near-dup pairs: {1..5}, {10,11}, everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val out = Sampling.componentSplit(docs, "doc_id", pairs,
+        Seq("train" -> 800000L, "eval" -> 200000L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200)
+    // every cluster lands whole in one split
+    assert(Set(1L, 2L, 3L, 4L, 5L).map(out).size == 1)
+    assert(Set(10L, 11L).map(out).size == 1)
+    // both splits are non-empty at n=200 (sanity on the hash cut)
+    assert(out.values.toSet == Set("train", "eval"))
+    // singletons match the plain per-doc hashSplit (same key, same hash)
+    val plain = Sampling.hashSplit(docs, "doc_id",
+        Seq("train" -> 800000L, "eval" -> 200000L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ((12L to 200L) ++ Seq(6L, 7L, 8L, 9L)).foreach { id =>
+      assert(out(id) == plain(id), s"singleton $id moved")
+    }
+  }
+
   test("pagerankWeighted: rank splits by edge weight, hand-computed round") {
     import graft.graph.Centrality
     // 1 -(3)-> 2, 1 -(1)-> 3, 2 -(1)-> 3: node 2 takes 3/4 of node 1's
