@@ -147,6 +147,22 @@ object Centrality {
     r.select(col("node"), col("r").as("rank_x1e6"))
   }
 
+  /** Harmonic centrality from a SAMPLED seed set (Boldi–Vigna's
+    * recommended closeness variant — sums 1/d, so disconnected pairs
+    * contribute 0 instead of poisoning the mean): for every reached
+    * node, Σ_seeds floor(1e6 / d(seed, node)) over seeds at distance
+    * 1..maxDepth. Exact integers (per-term floor, order-independent
+    * sum) → SQL-oracle-reproducible. Built on [[Fixpoint.seedDistances]];
+    * at 100 TB the seed SAMPLE size is the cost knob (the standard
+    * landmark approximation), maxDepth bounds state like any k-hop
+    * operator. Pass a symmetrized edge set for the undirected form. */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+                         maxDepth: Int): DataFrame =
+    Fixpoint.seedDistances(edges, seeds, maxDepth)
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("1000000 div dist")).as("harmonic_x1e6"))
+
   /** Distinct co-occurrence edges: items sharing a group become (src <
     * dst) pairs — the co-purchase / co-citation graph constructor. ONE
     * shuffle (the groupBy); pairs expand IN-ROW from each group's sorted

@@ -152,6 +152,38 @@ object Fixpoint {
     labels
   }
 
+  /** PER-SEED hop distances — [[bfsDistances]] keyed by (seed, node), the
+    * primitive behind sampled-landmark centralities (harmonic, closeness)
+    * and landmark-distance embeddings: each seed's BFS runs in the same
+    * synchronized rounds, frontier rows keyed (seed, node). State is
+    * O(k·|V_reached|) — sample seeds at 100 TB; rounds = maxDepth. */
+  def seedDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("node").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    visited.count() // materialize the checkpoint before reuse
+    var frontier = visited.select(col("seed"), col("node"))
+    var d = 1L
+    var done = maxDepth == 0
+    while (!done) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"),
+          "left_anti")
+        .cut
+      val grew = next.count() > 0
+      if (grew) {
+        visited = visited.unionByName(next.withColumn("dist", lit(d))).cut
+        frontier = next
+      }
+      d += 1
+      done = !grew || d > maxDepth
+    }
+    visited
+  }
+
   /** Single-source (or multi-seed) shortest paths over positively
     * weighted edges (src, dst, w) — Bellman-Ford rounds as DataFrame
     * joins: each round relaxes every edge whose source is labeled and

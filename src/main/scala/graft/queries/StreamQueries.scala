@@ -61,6 +61,19 @@ object StreamQueries {
     graft.graph.Centrality.pagerank(custEdges.unionByName(natEdges), iterations = 3)
   }
 
+  /** Harmonic centrality over the UNDIRECTED div2 customer tree from
+    * every-250th-key seeds, depth 5 — sampled-landmark centrality with
+    * exact integer terms. */
+  def graphHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val tree = c.filter(col("k") >= 2L)
+      .select(expr("k div 2").as("src"), col("k").as("dst"))
+    val und = tree.unionByName(
+      tree.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = c.filter(col("k") % 250 === 0).select(col("k").as("node"))
+    graft.graph.Centrality.harmonicCentrality(und, seeds, maxDepth = 5)
+  }
+
   /** Weighted PageRank over the same DAG with deterministic positive
     * weights (custkey%7+1, nationkey%3+1): rank splits by edge weight
     * instead of out-degree — exact longs, unrolled-CTE oracle. */
@@ -556,6 +569,7 @@ object StreamQueries {
     "graph_bfs_distances" -> (graphBfsDistances _),
     "centrality_pagerank" -> (centralityPagerank _),
     "centrality_pagerank_weighted" -> (centralityPagerankWeighted _),
+    "graph_harmonic" -> (graphHarmonic _),
     "centrality_pagerank_dangling" -> (centralityPagerankDangling _),
     "centrality_ppr" -> (centralityPpr _),
     "graph_triangles" -> (graphTriangles _),
@@ -915,6 +929,22 @@ object StreamQueries {
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
+    "graph_harmonic" ->
+      """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |t AS (SELECT k // 2 AS src, k AS dst FROM c WHERE k >= 2),
+        |und AS MATERIALIZED (
+        |  SELECT src, dst FROM t UNION SELECT dst, src FROM t),
+        |seeds AS (SELECT k AS seed FROM c WHERE k % 250 = 0),
+        |walk(seed, node, dist) AS (
+        |  SELECT seed, seed, 0 FROM seeds
+        |  UNION
+        |  SELECT w.seed, u.dst, w.dist + 1
+        |  FROM walk w JOIN und u ON w.node = u.src WHERE w.dist < 5),
+        |md AS (SELECT seed, node, min(dist) AS d FROM walk
+        |       GROUP BY seed, node)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_x1e6
+        |FROM md WHERE d > 0 GROUP BY node""".stripMargin,
     "centrality_pagerank_weighted" ->
       """WITH e0 AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS src,
