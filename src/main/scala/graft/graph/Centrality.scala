@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Lineage._
 
@@ -162,6 +162,37 @@ object Centrality {
       .filter(col("dist") > 0)
       .groupBy(col("node"))
       .agg(sum(expr("1000000 div dist")).as("harmonic_x1e6"))
+
+  /** Degree-assortativity moment sums (Newman 2002): the exact integer
+    * components of the Pearson correlation between endpoint degrees over
+    * the undirected edge set — (m, Σx, Σy, Σxy, Σx², Σy²) with each
+    * undirected edge counted ONCE in each direction (the standard
+    * symmetric convention, so Σx = Σy). The final r = (m·Σxy − Σx·Σy) /
+    * √(m·Σx²−Σx²ᵗᵒᵗ)·√(m·Σy²−…) is irrational — computing it is the
+    * consumer's one float division; everything emitted here is
+    * order-independent exact integer arithmetic, reproducible in any
+    * engine. One shuffle for degrees + one broadcast-degree join over
+    * the edges; decimal(38,0) sums so a 10^12-edge graph cannot wrap. */
+  def degreeAssortativityMoments(edges: DataFrame): DataFrame = {
+    val und0 = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    sym
+      .join(deg.select(col("node").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("dx"))).cast("decimal(38,0)").as("sum_x"),
+        sum(dec(col("dy"))).cast("decimal(38,0)").as("sum_y"),
+        sum(dec(col("dx")) * dec(col("dy"))).cast("decimal(38,0)").as("sum_xy"),
+        sum(dec(col("dx")) * dec(col("dx"))).cast("decimal(38,0)").as("sum_x2"),
+        sum(dec(col("dy")) * dec(col("dy"))).cast("decimal(38,0)").as("sum_y2"))
+  }
 
   /** Distinct co-occurrence edges: items sharing a group become (src <
     * dst) pairs — the co-purchase / co-citation graph constructor. ONE

@@ -147,6 +147,22 @@ object FunctionQueries {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Degree-assortativity moments over the same co-occurrence graph:
+    * the exact integer Pearson components (the one float division is
+    * the consumer's); gate casts the decimal sums to BIGINT — they fit
+    * comfortably at any tested SF. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.graph.Centrality.coOccurrenceEdges(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    graft.graph.Centrality.degreeAssortativityMoments(e)
+      .select(col("m"),
+        col("sum_x").cast("long").as("sum_x"),
+        col("sum_y").cast("long").as("sum_y"),
+        col("sum_xy").cast("long").as("sum_xy"),
+        col("sum_x2").cast("long").as("sum_x2"),
+        col("sum_y2").cast("long").as("sum_y2"))
+  }
+
   /** CUBE over (lang, source): all four grouping combinations in one
     * pass — completes the super-aggregate quartet (rollup, pivot,
     * grouping sets, cube). */
@@ -161,6 +177,7 @@ object FunctionQueries {
     "corpus_cube" -> (corpusCube _),
     "funnel_3step" -> (funnel3Step _),
     "graph_degree_stats" -> (graphDegreeStats _),
+    "graph_assortativity" -> (graphAssortativity _),
     "func_arn_parse" -> (funcArnParse _),
     "func_date_casts" -> (funcDateCasts _),
     "window_lag_lead" -> (windowLagLead _),
@@ -204,6 +221,23 @@ object FunctionQueries {
         |  GROUP BY node)
         |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
         |FROM deg GROUP BY degree""".stripMargin,
+    "graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src)
+        |SELECT count(*) AS m,
+        |  CAST(SUM(dx.d) AS BIGINT) AS sum_x,
+        |  CAST(SUM(dy.d) AS BIGINT) AS sum_y,
+        |  CAST(SUM(dx.d * dy.d) AS BIGINT) AS sum_xy,
+        |  CAST(SUM(dx.d * dx.d) AS BIGINT) AS sum_x2,
+        |  CAST(SUM(dy.d * dy.d) AS BIGINT) AS sum_y2
+        |FROM sym s
+        |JOIN deg dx ON s.src = dx.node
+        |JOIN deg dy ON s.dst = dy.node""".stripMargin,
     "corpus_grouping_sets" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(grouping(lang) AS BIGINT) AS g_lang,
