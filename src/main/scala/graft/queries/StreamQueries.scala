@@ -133,6 +133,33 @@ object StreamQueries {
       .select(col("node").cast("long").as("node"), col("n_triangles"))
   }
 
+  /** Per-edge triangle support over the co-purchase graph restricted to
+    * every second part — the k-truss building block and edge-level
+    * cohesion signal ([[graft.graph.Centrality.edgeSupport]]: one
+    * oriented wedge join, edges with no triangles kept at support 0). */
+  def graphEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.graph.Centrality.coOccurrenceEdges(
+      Tables.lineitem(spark, dir).filter(col("l_partkey") % 2 === 0),
+      "l_orderkey", "l_partkey")
+    graft.graph.Centrality.edgeSupport(edges)
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+        col("support"))
+  }
+
+  /** Bounded 4-truss peel (2 rounds) over the co-purchase graph
+    * restricted to every third part: drop edges with < 2 supporting
+    * triangles, recompute support in the survivor subgraph, drop again —
+    * the community-core extractor one notch stricter than k-core. The
+    * oracle unrolls the identical two peel rounds as chained CTEs. */
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.graph.Centrality.coOccurrenceEdges(
+      Tables.lineitem(spark, dir).filter(col("l_partkey") % 3 === 0),
+      "l_orderkey", "l_partkey")
+    graft.graph.Centrality.ktruss(edges, k = 4, rounds = 2)
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+        col("support"))
+  }
+
   /** True Structured Streaming run inside the gate: the events parquet is
     * replayed through readStream → watermark → 1h tumbling window → memory
     * sink in APPEND mode, synchronously drained. Append means a window row
@@ -573,6 +600,8 @@ object StreamQueries {
     "centrality_pagerank_dangling" -> (centralityPagerankDangling _),
     "centrality_ppr" -> (centralityPpr _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_edge_support" -> (graphEdgeSupport _),
+    "graph_ktruss" -> (graphKtruss _),
     "graph_kcore" -> (graphKcore _),
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
@@ -1048,6 +1077,43 @@ object StreamQueries {
         |         (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
         |       FROM sd n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node, r AS rank_x1e6 FROM r3""".stripMargin,
+    "graph_edge_support" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_partkey % 2 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |adj AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        |s AS (
+        |  SELECT e.a, e.b, count(*) AS c
+        |  FROM e JOIN adj n1 ON n1.n = e.a
+        |         JOIN adj n2 ON n2.n = e.b AND n2.m = n1.m
+        |  GROUP BY e.a, e.b)
+        |SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+        |  CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+        |FROM e LEFT JOIN s ON e.a = s.a AND e.b = s.b""".stripMargin,
+    "graph_ktruss" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_partkey % 3 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |adj0 AS (SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b, a FROM e0),
+        |s1 AS (
+        |  SELECT e.a, e.b, count(*) AS c
+        |  FROM e0 e JOIN adj0 n1 ON n1.n = e.a
+        |            JOIN adj0 n2 ON n2.n = e.b AND n2.m = n1.m
+        |  GROUP BY e.a, e.b),
+        |e1 AS (SELECT a, b FROM s1 WHERE c >= 2),
+        |adj1 AS (SELECT a AS n, b AS m FROM e1 UNION ALL SELECT b, a FROM e1),
+        |s2 AS (
+        |  SELECT e.a, e.b, count(*) AS c
+        |  FROM e1 e JOIN adj1 n1 ON n1.n = e.a
+        |            JOIN adj1 n2 ON n2.n = e.b AND n2.m = n1.m
+        |  GROUP BY e.a, e.b)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS support
+        |FROM s2 WHERE c >= 2""".stripMargin,
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (
