@@ -212,6 +212,47 @@ object Centrality {
       .distinct()
   }
 
+  /** Weighted co-occurrence: like [[coOccurrenceEdges]] but counting HOW
+    * MANY groups each (src < dst) pair shares — the co-purchase /
+    * co-citation strength matrix (market-basket support counts, citation
+    * coupling). Same single-shuffle in-row k² expansion; the count agg
+    * replaces the distinct. `minCount` prunes the long tail of
+    * incidental pairs BEFORE the result materializes — at 100 TB the
+    * support floor is what keeps the output near-linear (pairs sharing
+    * ≥2 groups are a tiny fraction of all pairs), and oversized groups
+    * remain the documented skew knob to cap upstream. */
+  def coOccurrenceCounts(df: DataFrame, groupCol: String, itemCol: String,
+                         minCount: Long): DataFrame = {
+    val grouped = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy(col("g")).agg(array_sort(collect_set(col("i"))).as("is"))
+    grouped.select(explode(flatten(transform(col("is"), (x, i) =>
+        transform(slice(col("is"), i + lit(2), size(col("is"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+      .agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= minCount)
+  }
+
+  /** Closeness centrality of a SEED set (landmark closeness): for each
+    * seed, the count of nodes reached within `maxDepth` hops and the sum
+    * of their hop distances; closeness = reached·1e6 div Σdist (floor
+    * ppm — exact integers). The complement of [[harmonicCentrality]]:
+    * that scores every node from sampled seeds, this scores the seeds
+    * themselves — the "how central are these K candidate hubs" question.
+    * Built on [[Fixpoint.seedDistances]]; K seeds cost K parallel BFS
+    * frontiers in the same synchronized rounds, so seed count is the
+    * memory knob and maxDepth the round knob. Isolated seeds (nothing
+    * reached) emit zero closeness via the greatest(Σ,1) guard rather
+    * than a null or a division error. */
+  def closenessFromSeeds(edges: DataFrame, seeds: DataFrame,
+                         maxDepth: Int): DataFrame =
+    Fixpoint.seedDistances(edges, seeds, maxDepth)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+      .withColumn("closeness_x1e6",
+        expr("n_reached * 1000000 div greatest(sum_dist, 1)"))
+
   /** Per-node triangle participation count over an undirected simple
     * graph — the clustering/cohesion signal of community detection and
     * spam-farm flagging (link farms are triangle-dense; legitimate

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/ops analytics over event and fact tables — the read-side
+  * battery a sync'd asset graph or training-data lake feeds (reference
+  * read surface: cartography's drift/rules queries are point-in-time
+  * reports over the synced tables; these are the same shape generalized
+  * to cohorts, drift distances and leakage-safe feature prep).
+  *
+  * Every operator is exact-integer arithmetic (scaled longs, integer
+  * `div`) so a SQL oracle reproduces results bit-for-bit in any engine:
+  * no float sums whose value depends on reduction order.
+  */
+object Analytics {
+
+  /** Cohort retention matrix: users bucketed by their first-activity
+    * period, then distinct-user counts per (cohort, offset) cell — the
+    * standard "week-0 cohort, +N week retention" triangle.
+    *
+    * `periodCol` is any integral period index derived from the event
+    * row (epoch-week, epoch-day...). Two shuffles total: the distinct on
+    * (user, period) collapses raw event volume FIRST (at 100 TB events
+    * the distinct is the map-side-combinable mass reducer; everything
+    * after runs on |users|·|periods| rows), then one min-agg for the
+    * cohort and one count-distinct per cell. The cohort join is a
+    * self-equi-join on user — co-partitioned with the distinct's
+    * shuffle, so AQE reuses the exchange. */
+  def retentionCohorts(df: DataFrame, userCol: String,
+                       periodCol: Column): DataFrame = {
+    val up = df.select(col(userCol).as("u"), periodCol.cast("long").as("pd"))
+      .distinct()
+    val cohort = up.groupBy(col("u")).agg(min(col("pd")).as("cohort_pd"))
+    up.join(cohort, Seq("u"))
+      .groupBy(col("cohort_pd"), (col("pd") - col("cohort_pd")).as("offset_pd"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
+
+  /** Out-of-fold target encoding (leakage-safe categorical → numeric
+    * feature prep): the encoding a row sees for its category EXCLUDES
+    * its own fold's rows — `enc(cat, fold) = (Σ_cat target − Σ_{cat,fold}
+    * target) div (n_cat − n_{cat,fold})`. Emitting the (category, fold)
+    * grid (not per-row values) keeps the output a broadcastable
+    * dimension: the apply step is one map-side join, so the 100 TB fact
+    * table is scanned once here (the grid agg) and once at apply.
+    *
+    * `targetCol` must already be an integral scaled value (cents, ppm).
+    * One shuffle: the (cat, fold) agg; the per-category totals come from
+    * a window over the grid (grid = |cats|·|folds| rows, tiny). Cells
+    * where the category exists only in that fold encode NULL — the
+    * caller decides the prior to back-fill (emitting a fake global mean
+    * here would hide the leak). */
+  def targetEncodeOof(df: DataFrame, catCol: String, foldCol: Column,
+                      targetCol: Column): DataFrame = {
+    val grid = df
+      .select(col(catCol).as("cat"), foldCol.cast("long").as("fold"),
+        targetCol.cast("long").as("t"))
+      .groupBy(col("cat"), col("fold"))
+      .agg(sum(col("t")).as("fold_sum"), count(lit(1)).as("fold_n"))
+    val w = Window.partitionBy(col("cat"))
+    grid
+      .withColumn("_tot_sum", sum(col("fold_sum")).over(w))
+      .withColumn("_tot_n", sum(col("fold_n")).over(w))
+      .select(col("cat"), col("fold"), col("fold_n"),
+        when(col("_tot_n") > col("fold_n"),
+          expr("(_tot_sum - fold_sum) div (_tot_n - fold_n)"))
+          .as("oof_enc"))
+  }
+
+  /** Trailing-window anomaly flags: a point is anomalous when it sits
+    * more than `k` standard deviations from the mean of the previous
+    * `lookback` points in its series. The float-free form: with S = Σv,
+    * Q = Σv², c = count over the trailing window (current row EXCLUDED —
+    * the baseline must not contain the point under test),
+    * `(c·v − S)² > k²·(c·Q − S²)` is `(v−μ)² > k²σ²` cleared of
+    * denominators — exact in long arithmetic for |v| ≤ ~1e6 and
+    * lookback ≤ ~100 (document: (c·v)² bounds the magnitude).
+    *
+    * One shuffle (the window sort). `partCols` is the series key — at
+    * 100 TB partition by (series, day) so no single window partition
+    * holds a whole hot series; the seam rows lose at most `lookback`
+    * baseline points at each day boundary, the standard streaming
+    * trade. Rows with fewer than `minBaseline` trailing points are
+    * unjudgeable and emitted with NULL `is_anomaly`. */
+  def rollingAnomaly(df: DataFrame, partCols: Seq[Column],
+                     orderCols: Seq[Column], valueCol: Column,
+                     lookback: Int, minBaseline: Int, k: Int): DataFrame = {
+    require(lookback >= minBaseline && minBaseline >= 2,
+      "need lookback >= minBaseline >= 2")
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(-lookback.toLong, -1L)
+    df.withColumn("_v", valueCol.cast("long"))
+      .withColumn("_s", sum(col("_v")).over(w))
+      .withColumn("_q", sum(col("_v") * col("_v")).over(w))
+      .withColumn("_c", count(col("_v")).over(w))
+      .withColumn("is_anomaly",
+        when(col("_c") < minBaseline, lit(null).cast("boolean"))
+          .otherwise(
+            (col("_c") * col("_v") - col("_s")) * (col("_c") * col("_v") - col("_s")) >
+              lit(k.toLong * k) * (col("_c") * col("_q") - col("_s") * col("_s"))))
+  }
+
+  /** Equal-frequency binning summary: rows ranked inside each group
+    * under a TOTAL order (pass a tiebreaker in `orderCols` — ntile over
+    * a partial order is engine-dependent), dealt into `nBins` ntile
+    * bins, then one row per (group, bin) with count and value range —
+    * the discretization table a feature store materializes. One shuffle
+    * (the window sort), one map-side-combinable agg. At 100 TB swap the
+    * exact ntile for [[graft.text.Sketches]] histogram quantiles; this
+    * is the exact baseline the sketch is judged against. */
+  def quantileBinSummary(df: DataFrame, groupCol: String, valueCol: Column,
+                         orderCols: Seq[Column], nBins: Int): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.select(col(groupCol).as("g"), valueCol.cast("long").as("v"),
+        ntile(nBins).over(w).as("bin"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
+  /** Total-variation distance between two labeled distributions over a
+    * shared bin column: TVD = ½·Σ_bins |p_a − p_b| with per-bin masses
+    * as integer ppm (`cnt·1e6 div N_side`). The drift metric for "did
+    * this week's corpus mix / score distribution move" monitoring —
+    * chosen over PSI/KL because it needs no logarithm (transcendental
+    * functions are where engines disagree) and is bounded [0, 1e6 ppm].
+    *
+    * Input: `sideCol` boolean (true = side A / baseline). Two aggs
+    * (per-side totals broadcast as a 1-row plan, per-(side, bin)
+    * counts), one full-outer self-merge on bin via grouping — absent
+    * bins count 0. Output one row: bins per side, the ppm distance. */
+  def tvdDrift(df: DataFrame, binCol: Column, sideCol: Column): DataFrame = {
+    val binned = df.select(binCol.as("bin"), sideCol.as("is_a"))
+    val totals = binned.groupBy(col("is_a")).agg(count(lit(1)).as("n"))
+    val masses = binned.groupBy(col("bin"), col("is_a")).agg(count(lit(1)).as("c"))
+      .join(broadcast(totals), Seq("is_a"))
+      .select(col("bin"),
+        when(col("is_a"), expr("c * 1000000 div n")).otherwise(lit(0L)).as("pa"),
+        when(!col("is_a"), expr("c * 1000000 div n")).otherwise(lit(0L)).as("pb"),
+        when(col("is_a"), lit(1L)).otherwise(lit(0L)).as("na_bin"),
+        when(!col("is_a"), lit(1L)).otherwise(lit(0L)).as("nb_bin"))
+    masses.groupBy(col("bin"))
+      .agg(sum(col("pa")).as("pa"), sum(col("pb")).as("pb"),
+        max(col("na_bin")).as("na_bin"), max(col("nb_bin")).as("nb_bin"))
+      .agg(sum(col("na_bin")).as("n_bins_a"), sum(col("nb_bin")).as("n_bins_b"),
+        expr("sum(abs(pa - pb)) div 2").as("tvd_ppm"))
+  }
+
+  /** Token-budget allocation across sources (the corpus-mixing planning
+    * step): given per-source token counts T_s and a global budget B,
+    * allocate B proportionally to temperature-flattened weights
+    * w_s = floor(√T_s) — the α = 0.5 low-resource upweighting of
+    * [[graft.text.Sampling.temperatureResample]], here as a PLAN (how
+    * many tokens, i.e. how many epochs, to draw from each source)
+    * rather than a row filter. Integer sqrt floors keep the weight sum
+    * exact (a float Σ√T would be reduction-order-dependent);
+    * `alloc_s = B·w_s div W`, `epochs_ppm = alloc_s·1e6 div T_s` — an
+    * epochs value over 1e6 ppm means that source repeats. One agg +
+    * one broadcast of the 1-row weight total. */
+  def tokenBudget(df: DataFrame, sourceCol: String, tokensCol: Column,
+                  budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val perSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokensCol.cast("long")).as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens"))).cast("long"))
+    val totalW = perSource.agg(sum(col("w")).as("total_w"))
+    perSource.crossJoin(broadcast(totalW))
+      .select(col("source"), col("tokens"),
+        expr(s"$budget * w div total_w").as("alloc_tokens"))
+      .withColumn("epochs_ppm", expr("alloc_tokens * 1000000 div tokens"))
+  }
+}
