@@ -20,14 +20,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a
-    * timestamp. Read it as a long (ns since epoch) and truncate to micros —
-    * exactly what DuckDB does when it reads the same file (it surfaces the
-    * column as µs TIMESTAMP), so oracle comparisons line up. */
+  /** events.ts is parquet TIMESTAMP(NANOS). How Spark 4 surfaces it
+    * depends on the build: with `spark.sql.legacy.parquet.nanosAsLong`
+    * honored the column reads as LONG (ns since epoch); newer builds
+    * ignore that conf and read it natively as TIMESTAMP_NTZ (already
+    * micros-truncated). [[tsToMicros]] lands BOTH paths on the identical
+    * µs-precision TimestampType in the UTC session zone — exactly the
+    * value DuckDB surfaces for the same file, so oracle comparisons line
+    * up on either Spark behavior. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    tsToMicros(table(s, d, "events"))
+  }
+
+  /** Normalize a nanos-precision `ts` column to µs TimestampType no
+    * matter which of the two parquet-NANOS read behaviors this Spark
+    * build has (see [[events]]). Works on batch and streaming frames. */
+  def tsToMicros(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

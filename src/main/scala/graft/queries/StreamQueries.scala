@@ -180,10 +180,18 @@ object StreamQueries {
     // advances the watermark beyond every real window's end without
     // scanning the data for max(ts); its own window never closes so it is
     // never emitted
-    val sentinelNanos = java.time.Instant.parse("2100-01-01T00:00:00Z")
-      .getEpochSecond * 1000000000L
+    val sentinelInstant = java.time.Instant.parse("2100-01-01T00:00:00Z")
+    // the ts field's runtime type follows the build's NANOS read behavior
+    // (LONG ns under the legacy conf, TIMESTAMP_NTZ natively) — match it
+    val sentinelTs: Any = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        sentinelInstant.getEpochSecond * 1000000000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.ofInstant(sentinelInstant, java.time.ZoneOffset.UTC)
+      case _ => java.sql.Timestamp.from(sentinelInstant)
+    }
     val sentinelVals = rawSchema.fields.map {
-      case f if f.name == "ts" => sentinelNanos: Any
+      case f if f.name == "ts" => sentinelTs
       case f if f.name == "event_type" => "_flush": Any
       case _ => null: Any
     }
@@ -197,8 +205,7 @@ object StreamQueries {
       val eventsStream = scoped.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val flushStream = scoped.readStream.schema(rawSchema).parquet(sentinelDir)
-      val stream = eventsStream.union(flushStream)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = Tables.tsToMicros(eventsStream.union(flushStream))
       val agg = Streaming.windowedEventCounts(stream, "ts", "1 hour", "2 hours")
       val q = agg.writeStream
         .outputMode("append")
@@ -266,8 +273,7 @@ object StreamQueries {
     withStateSession(spark) { scoped =>
       def src = scoped.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val stream = src.union(src)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = Tables.tsToMicros(src.union(src))
       val dd = Streaming.dedupByKey(stream, "ts", "2 hours", Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"), col("ts"))
       val q = dd.writeStream
@@ -292,9 +298,8 @@ object StreamQueries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     withStateSession(spark) { scoped =>
-      def src = scoped.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      def src = Tables.tsToMicros(scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts").as("p_ts"))
@@ -369,9 +374,8 @@ object StreamQueries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     withStateSession(spark) { scoped =>
-      def src = scoped.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      def src = Tables.tsToMicros(scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts").as("p_ts"))
