@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalysisQueries, CoreQueries, FunctionQueries, JoinQueries, LlmQueries, PipelineQueries, StreamQueries}
+import graft.queries.{AnalysisQueries, CoreQueries, FunctionQueries, JoinQueries, LlmQueries, MetricsQueries, PipelineQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,7 @@ object SparkEntry {
     (StreamQueries.queries, StreamQueries.oracles),
     (FunctionQueries.queries, FunctionQueries.oracles),
     (PipelineQueries.queries, PipelineQueries.oracles),
+    (MetricsQueries.queries, MetricsQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

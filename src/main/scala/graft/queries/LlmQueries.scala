@@ -130,6 +130,15 @@ object LlmQueries {
       Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text"),
       minJaccX1e6 = 500000L)
 
+  /** Exact all-pairs Jaccard at the same 0.5 threshold as
+    * [[dedupNgramJaccard]], via prefix filtering — the lossless scale
+    * path: finds cross-block pairs the blocked baseline misses, with
+    * candidates bounded by prefix-token collisions, never O(n²). */
+  def dedupAllPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.allPairsJaccard(
+      Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text"),
+      minJaccX1e6 = 500000L)
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(
       Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text"),
@@ -722,6 +731,7 @@ object LlmQueries {
     "text_seq_pack" -> (textSeqPack _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_allpairs" -> (dedupAllPairs _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_components" -> (dedupComponents _),
@@ -1675,6 +1685,16 @@ object LlmQueries {
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_allpairs" ->
+      s"""WITH $TextCtes,
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(floor(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jacc_x1e6
+         |FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 500000""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $TextCtes,
          |blocks AS (

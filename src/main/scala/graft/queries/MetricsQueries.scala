@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Analytics
+
+/** Oracle gates for the [[graft.operators.Analytics]] battery — the
+  * read-side cohort/drift/feature-prep reports (SURVEY §2.9 read
+  * surface, generalized the way a training-data lake consumes a synced
+  * table: reference drift/rules queries are the same point-in-time
+  * report shape).
+  *
+  * Every gate uses exact integer arithmetic (cents, ppm, integer div)
+  * so DuckDB reproduces the numbers bit-for-bit.
+  */
+object MetricsQueries {
+
+  /** Event value in exact cents — the shared integral target column
+    * (double → DECIMAL(18,2) → ×100, the [[StreamQueries]] acctbal
+    * idiom; a float×100 floor would be off-by-one on .x5 values). */
+  private def cents: org.apache.spark.sql.Column =
+    (col("value").cast("decimal(18,2)") * 100).cast("long")
+
+  /** Cohort retention triangle over events: users bucketed by first
+    * active epoch-day, distinct-user counts per (cohort, day-offset). */
+  def analyticsRetention(spark: SparkSession, dir: String): DataFrame =
+    Analytics.retentionCohorts(Tables.events(spark, dir), "user_id",
+        datediff(to_date(col("ts")), lit("2024-01-01")))
+      .select(col("cohort_pd"), col("offset_pd"), col("n_users"))
+
+  /** Leakage-safe out-of-fold target encoding of event_type against the
+    * cents value, 5 folds keyed on user id. */
+  def analyticsTargetEncode(spark: SparkSession, dir: String): DataFrame =
+    Analytics.targetEncodeOof(Tables.events(spark, dir), "event_type",
+        col("user_id") % 5, cents)
+      .select(col("cat"), col("fold"), col("fold_n"), col("oof_enc"))
+
+  /** Trailing-window anomaly flags per user series: 20-point lookback,
+    * 5-point minimum baseline, k = 3 sigmas — all cleared-denominator
+    * long arithmetic, current row excluded from its own baseline. */
+  def analyticsRollingAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Analytics.rollingAnomaly(Tables.events(spark, dir),
+        partCols = Seq(col("user_id")),
+        orderCols = Seq(col("ts"), col("event_id")),
+        valueCol = cents, lookback = 20, minBaseline = 5, k = 3)
+      .select(col("event_id"), col("user_id"), col("_v").as("v_cents"),
+        col("is_anomaly"))
+
+  /** Equal-frequency binning summary: event cents dealt into 8 ntile
+    * bins per event type under a total order, (count, lo, hi) per bin. */
+  def analyticsQuantileBins(spark: SparkSession, dir: String): DataFrame =
+    Analytics.quantileBinSummary(Tables.events(spark, dir), "event_type",
+        cents, orderCols = Seq(cents, col("event_id")), nBins = 8)
+      .select(col("g"), col("bin").cast("long").as("bin"), col("n"),
+        col("lo"), col("hi"))
+
+  /** Total-variation drift between even- and odd-numbered sources over
+    * the doc-length distribution (bin = n_chars div 100): the "did this
+    * week's corpus mix move" monitoring metric, exact ppm. */
+  def analyticsTvdDrift(spark: SparkSession, dir: String): DataFrame =
+    Analytics.tvdDrift(Tables.documents(spark, dir),
+      binCol = expr("n_chars div 100"),
+      sideCol = substring(col("source"), 4, 10).cast("int") % 2 === 0)
+
+  /** Token-budget allocation plan across sources: 1M-token budget split
+    * by temperature-flattened (α = 0.5) per-source token mass. */
+  def analyticsTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Analytics.tokenBudget(Tables.documents(spark, dir), "source",
+      size(split(col("text"), " ")), budget = 1000000L)
+
+  /** Guaranteed heavy hitters over a geometrically-skewed key (lowest
+    * set bit of event_id: value 2^t carries n/2^(t+1) of the mass — the
+    * skew shape is SF-invariant), k = 6 counters: output is exactly the
+    * keys whose true frequency clears n/7, independently of which extra
+    * candidates the partitioning leaves in the sketch. */
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sketches.heavyHitters(
+      Tables.events(spark, dir)
+        .select(col("event_id").bitwiseAND(expr("-event_id")).as("lowbit")),
+      "lowbit", k = 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "analytics_retention" -> (analyticsRetention _),
+    "analytics_target_encode" -> (analyticsTargetEncode _),
+    "analytics_rolling_anomaly" -> (analyticsRollingAnomaly _),
+    "analytics_quantile_bins" -> (analyticsQuantileBins _),
+    "analytics_tvd_drift" -> (analyticsTvdDrift _),
+    "analytics_token_budget" -> (analyticsTokenBudget _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sketch_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT CAST(event_id & (-event_id) AS VARCHAR) AS lowbit FROM events),
+        |c AS (SELECT lowbit, count(*) AS n_key FROM t GROUP BY lowbit),
+        |tot AS (SELECT count(*) AS n_total FROM t)
+        |SELECT lowbit, n_key, CAST(n_total AS BIGINT) AS n_total
+        |FROM c CROSS JOIN tot WHERE n_key * 7 > n_total""".stripMargin,
+    "analytics_retention" ->
+      """WITH up AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS pd
+        |  FROM events),
+        |cohort AS (SELECT u, min(pd) AS cohort_pd FROM up GROUP BY u)
+        |SELECT c.cohort_pd, up.pd - c.cohort_pd AS offset_pd,
+        |  count(DISTINCT up.u) AS n_users
+        |FROM up JOIN cohort c ON up.u = c.u
+        |GROUP BY c.cohort_pd, up.pd - c.cohort_pd""".stripMargin,
+    "analytics_target_encode" ->
+      """WITH g AS (
+        |  SELECT event_type AS cat, user_id % 5 AS fold,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS fold_sum,
+        |    count(*) AS fold_n
+        |  FROM events GROUP BY event_type, user_id % 5),
+        |t AS (
+        |  SELECT cat, fold, fold_n, fold_sum,
+        |    sum(fold_sum) OVER (PARTITION BY cat) AS tot_sum,
+        |    sum(fold_n) OVER (PARTITION BY cat) AS tot_n
+        |  FROM g)
+        |SELECT cat, CAST(fold AS BIGINT) AS fold, fold_n,
+        |  CAST(CASE WHEN tot_n > fold_n
+        |       THEN (tot_sum - fold_sum) // (tot_n - fold_n) END AS BIGINT) AS oof_enc
+        |FROM t""".stripMargin,
+    "analytics_rolling_anomaly" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents, ts
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, v_cents,
+        |    sum(v_cents) OVER tw AS s,
+        |    sum(v_cents * v_cents) OVER tw AS q,
+        |    count(v_cents) OVER tw AS c
+        |  FROM v
+        |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, v_cents,
+        |  CASE WHEN c < 5 THEN NULL
+        |       ELSE (c * v_cents - s) * (c * v_cents - s) >
+        |            9 * (c * q - s * s) END AS is_anomaly
+        |FROM w""".stripMargin,
+    "analytics_quantile_bins" ->
+      """WITH v AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    event_id
+        |  FROM events),
+        |b AS (
+        |  SELECT g, v,
+        |    CAST(ntile(8) OVER (PARTITION BY g ORDER BY v, event_id) AS BIGINT) AS bin
+        |  FROM v)
+        |SELECT g, bin, count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM b GROUP BY g, bin""".stripMargin,
+    "analytics_tvd_drift" ->
+      """WITH binned AS (
+        |  SELECT n_chars // 100 AS bin,
+        |    CAST(substr(source, 4) AS INT) % 2 = 0 AS is_a
+        |  FROM documents),
+        |totals AS (SELECT is_a, count(*) AS n FROM binned GROUP BY is_a),
+        |masses AS (
+        |  SELECT b.bin,
+        |    CASE WHEN b.is_a THEN c * 1000000 // n ELSE 0 END AS pa,
+        |    CASE WHEN NOT b.is_a THEN c * 1000000 // n ELSE 0 END AS pb,
+        |    CASE WHEN b.is_a THEN 1 ELSE 0 END AS na_bin,
+        |    CASE WHEN NOT b.is_a THEN 1 ELSE 0 END AS nb_bin
+        |  FROM (SELECT bin, is_a, count(*) AS c FROM binned GROUP BY bin, is_a) b
+        |  JOIN totals t ON b.is_a = t.is_a),
+        |perbin AS (
+        |  SELECT bin, sum(pa) AS pa, sum(pb) AS pb,
+        |    max(na_bin) AS na_bin, max(nb_bin) AS nb_bin
+        |  FROM masses GROUP BY bin)
+        |SELECT CAST(sum(na_bin) AS BIGINT) AS n_bins_a,
+        |  CAST(sum(nb_bin) AS BIGINT) AS n_bins_b,
+        |  CAST(sum(abs(pa - pb)) // 2 AS BIGINT) AS tvd_ppm
+        |FROM perbin""".stripMargin,
+    "analytics_token_budget" ->
+      """WITH s AS (
+        |  SELECT source, sum(len(string_split(text, ' '))) AS tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, tokens,
+        |        CAST(floor(sqrt(tokens)) AS BIGINT) AS w FROM s),
+        |tot AS (SELECT sum(w) AS total_w FROM w)
+        |SELECT source, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(1000000 * w // total_w AS BIGINT) AS alloc_tokens,
+        |  CAST((1000000 * w // total_w) * 1000000 // tokens AS BIGINT) AS epochs_ppm
+        |FROM w CROSS JOIN tot""".stripMargin,
+  )
+}

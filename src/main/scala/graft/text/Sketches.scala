@@ -273,4 +273,76 @@ object Sketches {
         floor(lit(0.709) * lit(m.toDouble * m) * lit(math.pow(2.0, HllR)) /
           col("_hs")).cast("long").as(outCol))
   }
+
+  /** Per-partition Misra–Gries frequency summaries: at most `k` (key,
+    * weight) counters per partition, built in one bounded-memory
+    * streaming pass (Misra & Gries 1982) — the per-partition imperative
+    * loop is the one shape Columns cannot express, hence the repo's rare
+    * `mapPartitions`. When a new key arrives with all k counters busy,
+    * every counter decrements by one (zeros evicted): each decrement
+    * pays for one increment, so the total decrement work is bounded by
+    * the increments — amortized O(1) per row, O(k) memory, regardless
+    * of key cardinality. Guarantee: any key with partition frequency
+    * > n_p/(k+1) holds a counter when the pass ends.
+    *
+    * Output: (k: string key, w: long residual weight), ≤ k rows per
+    * partition. The residuals UNDERCOUNT by at most n_p/(k+1). */
+  def mgSummaries(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, "Misra-Gries needs 1 <= k <= 100000")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k")).as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { s =>
+          m.get(s) match {
+            case Some(c)              => m.update(s, c + 1L)
+            case None if m.size < k   => m.update(s, 1L)
+            case None =>
+              // decrement-all over a key snapshot (no removal mid-iteration)
+              val ks = m.keysIterator.toArray
+              var i = 0
+              while (i < ks.length) {
+                val c = m(ks(i))
+                if (c == 1L) m.remove(ks(i)) else m.update(ks(i), c - 1L)
+                i += 1
+              }
+          }
+        }
+        m.iterator
+      }.toDF("k", "w")
+  }
+
+  /** Guaranteed heavy hitters via a mergeable Misra–Gries reduction
+    * (Agarwal, Cormode, Huang, Phillips, Wei & Yi, "Mergeable
+    * Summaries", PODS 2012): per-partition summaries are key-summed,
+    * then cut back to ≤ k counters by subtracting the (k+1)-th largest
+    * merged weight — the reduced summary keeps the global MG guarantee,
+    * so every key with true frequency > n/(k+1) survives as a
+    * candidate. The ≤ k candidates broadcast into one exact re-count
+    * scan, and the final filter keeps exactly the keys whose TRUE count
+    * clears n/(k+1) — a deterministic output (partitioning moves which
+    * extra candidates appear, never which guaranteed-heavy rows pass),
+    * which is what lets a SQL oracle replicate it bit-for-bit.
+    *
+    * Scale shape: one narrow mapPartitions (k counters/partition), one
+    * ≤ k·partitions-row merge agg, a k+1-row TakeOrdered, one broadcast
+    * semi-join re-count scan. The full-cardinality groupBy this
+    * replaces is the thing that doesn't fit at 100 TB; candidates ≤ k
+    * always fit. Output: (keyCol, n_key, n_total). */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val cand = mgSummaries(df, keyCol, k)
+      .groupBy(col("k")).agg(sum(col("w")).as("w"))
+    val kth = cand.select(col("w"))
+      .orderBy(col("w").desc).limit(k + 1)
+      .agg(when(count(lit(1)) > k, min(col("w"))).otherwise(lit(0L)).as("cut"))
+    val kept = cand.crossJoin(broadcast(kth)).filter(col("w") > col("cut"))
+    val exact = df.select(col(keyCol).cast("string").as("k"))
+      .join(broadcast(kept.select(col("k"))), Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("n_key"))
+    val total = df.select(col(keyCol)).agg(count(lit(1)).as("n_total"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("n_key") * (k + 1) > col("n_total"))
+      .select(col("k").as(keyCol), col("n_key"), col("n_total"))
+  }
 }

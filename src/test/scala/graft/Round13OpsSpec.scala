@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.text.Sketches
+
+/** Round-13 additions: Misra–Gries heavy hitters and the Analytics gate
+  * battery edge cases — hand-sized inputs where counters and cohort
+  * cells are checkable by eye. */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("mgSummaries keeps at most k counters per partition") {
+    val df = (1 to 1000).map(i => s"key${i % 37}").toDF("k").repartition(3)
+    val perPart = Sketches.mgSummaries(df, "k", 5)
+    // 3 partitions × ≤5 counters
+    assert(perPart.count() <= 15)
+  }
+
+  test("heavyHitters finds exactly the keys above n/(k+1), with exact counts") {
+    // 16 a, 8 b, 4 c, 4 d; n = 32; k = 2 → threshold n/3 = 10.67:
+    // only a (16) clears it; b at 8 must NOT appear even if it stays a
+    // candidate.
+    val rows = Seq.fill(16)("a") ++ Seq.fill(8)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(4)("d")
+    val df = rows.toDF("k").repartition(4)
+    val hh = Sketches.heavyHitters(df, "k", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.toSeq == Seq(("a", 16L, 32L)))
+  }
+
+  test("heavyHitters guarantee survives adversarial partitioning") {
+    // single skewed key diluted by 60 distinct fillers, 8 partitions:
+    // hot carries 80 of 140 rows; k = 4 → threshold 28
+    val rows = Seq.fill(80)("hot") ++ (1 to 60).map(i => s"f$i")
+    val df = rows.toDF("k").repartition(8)
+    val hh = Sketches.heavyHitters(df, "k", 4).collect()
+    assert(hh.map(_.getString(0)).toSeq == Seq("hot"))
+    assert(hh.head.getLong(1) == 80L && hh.head.getLong(2) == 140L)
+  }
+
+  test("allPairsJaccard equals brute-force exact Jaccard at the threshold") {
+    // hand sets: A~B at 3/5 = 0.6, C disjoint, D == A (J = 1.0),
+    // E subset of A but too small to clear the length filter at t=0.5
+    val shingled = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L)),
+      (2L, Seq(1L, 2L, 3L, 5L)),
+      (3L, Seq(10L, 11L, 12L)),
+      (4L, Seq(1L, 2L, 3L, 4L)),
+      (5L, Seq(1L))).toDF("doc_id", "shingles")
+    val got = graft.dedup.Dedup.allPairsJaccard(shingled, 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 600000L, (1L, 4L) -> 1000000L,
+      (2L, 4L) -> 600000L))
+  }
+
+  test("allPairsJaccard finds cross-block pairs blockedJaccard misses") {
+    // same trailing content, different two leading tokens → different
+    // blocks for blockedJaccard; Jaccard of shingle sets still high
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "omega psi gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val shingled = graft.dedup.Dedup.shingleTable(docs, "doc_id", "text")
+    val blocked = graft.dedup.Dedup.blockedJaccard(shingled, 300000L).count()
+    val allp = graft.dedup.Dedup.allPairsJaccard(shingled, 300000L).count()
+    assert(blocked == 0L)
+    assert(allp == 1L)
+  }
+
+  test("retentionCohorts counts distinct users per (cohort, offset) cell") {
+    val ev = Seq((1L, 0L), (1L, 0L), (1L, 2L), (2L, 0L), (2L, 1L), (3L, 1L))
+      .toDF("u", "pd")
+    val r = Analytics.retentionCohorts(ev, "u", col("pd"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // cohort 0: users 1,2 at offset 0; user 1 at +2; user 2 at +1
+    assert(r((0L, 0L)) == 2L && r((0L, 1L)) == 1L && r((0L, 2L)) == 1L)
+    // cohort 1: user 3 only
+    assert(r((1L, 0L)) == 1L)
+    assert(r.size == 4)
+  }
+
+  test("targetEncodeOof excludes the row's own fold and nulls single-fold cats") {
+    val df = Seq(("x", 0L, 10L), ("x", 0L, 20L), ("x", 1L, 40L),
+      ("y", 0L, 7L)).toDF("cat", "fold", "t")
+    val enc = Analytics.targetEncodeOof(df, "cat", col("fold"), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(enc(("x", 0L)) == Some(40L)) // sees only fold 1's 40
+    assert(enc(("x", 1L)) == Some(15L)) // (10+20) div 2
+    assert(enc(("y", 0L)) == None)      // no other fold to learn from
+  }
+
+  test("rollingAnomaly flags a spike and leaves the baseline unjudged") {
+    val vals = Seq.fill(10)(100L) :+ 100000L
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("series", "seq", "v")
+    val out = Analytics.rollingAnomaly(df, Seq(col("series")), Seq(col("seq")),
+        col("v"), lookback = 10, minBaseline = 5, k = 3)
+      .orderBy(col("seq")).collect()
+    // first 5 rows: baseline too thin → NULL
+    assert(out.take(5).forall(_.isNullAt(out.head.fieldIndex("is_anomaly"))))
+    // flat middle: not anomalous
+    assert(out.slice(5, 10).forall(!_.getBoolean(out.head.fieldIndex("is_anomaly"))))
+    // the spike: anomalous
+    assert(out.last.getBoolean(out.head.fieldIndex("is_anomaly")))
+  }
+
+  test("tvdDrift is 0 for identical sides and 1e6 for disjoint sides") {
+    val same = Seq((1L, true), (1L, false), (2L, true), (2L, false))
+      .toDF("bin", "is_a")
+    val r1 = Analytics.tvdDrift(same, col("bin"), col("is_a")).collect().head
+    assert(r1.getLong(2) == 0L)
+    val disjoint = Seq((1L, true), (2L, false)).toDF("bin", "is_a")
+    val r2 = Analytics.tvdDrift(disjoint, col("bin"), col("is_a")).collect().head
+    assert(r2.getLong(2) == 1000000L)
+  }
+
+  test("tokenBudget allocates proportionally to sqrt mass") {
+    val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "tokens")
+    val out = Analytics.tokenBudget(df, "source", col("tokens"), budget = 300L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // weights 10 and 20 → 100 and 200 tokens
+    assert(out("a") == ((100L, 1000000L)))
+    assert(out("b") == ((200L, 500000L)))
+  }
+}
