@@ -569,6 +569,72 @@ object Centrality {
     out
   }
 
+  /** Four-cycle (rectangle) census by diagonal pair: for every unordered
+    * node pair (u, v) with w ≥ 2 common neighbors, the number of
+    * 4-cycles through (u, v) as a DIAGONAL is C(w, 2) — two distinct
+    * shared neighbors a ≠ b close the cycle u–a–v–b–u. Rectangles are
+    * the next motif up from triangles: a link farm shows up as a dense
+    * rectangle core long before its triangle count moves (bipartite-ish
+    * spam has no triangles at all), and C4 density is the standard
+    * bipartite cohesion proxy. Summing `rectangles` over all pairs
+    * counts every 4-cycle exactly twice (once per diagonal).
+    *
+    * Same wedge-generation shape as [[linkPrediction]]: each center's
+    * sorted adjacency array explodes its C(deg, 2) neighbor pairs
+    * in-row and all wedges meet in ONE groupBy on (u, v) — the pair
+    * space is Σ_w deg(w)², never |V|². The max degree is the skew knob;
+    * cap hub neighborhoods upstream on power-law graphs.
+    * Output: (u, v, common_neighbors, rectangles) with u < v, w ≥ 2. */
+  def rectangleCensus(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val centers = adj.groupBy(col("node"))
+      .agg(array_sort(collect_set(col("nbr"))).as("nbrs"))
+    val wedges = centers.select(
+      explode(flatten(transform(col("nbrs"), (x, i) =>
+        transform(slice(col("nbrs"), i + lit(2), size(col("nbrs"))),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= 2)
+      .withColumn("rectangles",
+        expr("common_neighbors * (common_neighbors - 1) div 2"))
+  }
+
+  /** Double-sweep diameter estimation (Magnien, Latapy & Habib 2009):
+    * BFS from the smallest node id, take the farthest node reached
+    * (ties → smallest id), BFS again from there; that second
+    * eccentricity is a certified LOWER bound on the component's
+    * diameter — exact on trees, and empirically tight on real graphs,
+    * at the cost of TWO BFS passes instead of all-pairs (which is the
+    * thing that can never run at 100 TB). Works on the component
+    * containing the seed; `maxDepth` budgets the level-synchronous
+    * rounds ([[Fixpoint.bfsDistances]] stops early when the frontier
+    * empties, so the budget only caps pathological chains).
+    * Output: one row (far_node, ecc_seed, diameter_lb). */
+  def doubleSweepDiameter(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(false)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val seed = sym.agg(min(col("src")).as("node"))
+    val d1 = Fixpoint.bfsDistances(sym, seed, maxDepth)
+    val far = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
+      .localCheckpoint(false)
+    val d2 = Fixpoint.bfsDistances(sym, far.select(col("node")), maxDepth)
+    far.select(col("node").as("far_node"), col("dist").as("ecc_seed"))
+      .crossJoin(broadcast(d2.agg(max(col("dist")).as("diameter_lb"))))
+  }
+
   /** Degree-ordered orientation of an undirected simple graph: each
     * distinct edge appears once as (u, v) with
     * (deg(u), u) < (deg(v), v). Library-private so the spec can assert

@@ -171,4 +171,32 @@ object Analytics {
         expr(s"$budget * w div total_w").as("alloc_tokens"))
       .withColumn("epochs_ppm", expr("alloc_tokens * 1000000 div tokens"))
   }
+
+  /** 2-D Pareto frontier (skyline), both axes maximized: rows no other
+    * row weakly dominates — the data-selection tradeoff curve ("longest
+    * doc at each quality level", "best quality at each length"). Rows
+    * tied on BOTH axes are mutually non-dominating and all kept.
+    *
+    * Scale shape: the classic sort-sweep needs a global order, but the
+    * sweep never has to see raw rows — `max(y) per x` first (one
+    * map-side-combinable agg collapsing n rows to |distinct x|; a row
+    * sharing its x with a higher y is dominated by definition), THEN the
+    * single-partition running-max sweep over that collapsed curve, and
+    * a semi-join back recovers the surviving rows. The global window
+    * touches |distinct x| rows, not the table — the same
+    * "aggregate-then-window" shape as [[quantileBinSummary]]'s sketch
+    * note. Integer axes only (exactness + RANGE-free frames). */
+  def paretoFrontier2d(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val pts = df.withColumn("_x", xCol.cast("long")).withColumn("_y", yCol.cast("long"))
+    val perX = pts.groupBy(col("_x")).agg(max(col("_y")).as("_y"))
+    // descending-x sweep: a point survives iff its y strictly exceeds
+    // every y at strictly larger x
+    val w = Window.orderBy(col("_x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX.withColumn("_my", max(col("_y")).over(w))
+      .filter(col("_my").isNull || col("_y") > col("_my"))
+      .select(col("_x"), col("_y"))
+    pts.join(frontier, Seq("_x", "_y"), "left_semi")
+      .withColumnRenamed("_x", "frontier_x").withColumnRenamed("_y", "frontier_y")
+  }
 }

@@ -254,4 +254,32 @@ object Temporal {
         count(lit(1)).as("n_intervals"))
       .drop("_island")
   }
+
+  /** Gap-based batch sessionization: within each key, events ordered by
+    * (timestamp, tiebreak) start a new session whenever the gap to the
+    * previous event exceeds `gapMicros` — the batch analogue of the
+    * streaming session window ([[graft.queries.StreamQueries]]'s
+    * session_window_agg gate), for the backfill/replay path a lakehouse
+    * pipeline runs next to its live stream. Emits every input row plus
+    * a per-key `session_idx` (1-based, in time order).
+    *
+    * One shuffle (the window sort). At 100 TB partition by (key, day)
+    * like [[graft.operators.Analytics.rollingAnomaly]] — sessions
+    * spanning a partition seam split at the boundary, the standard
+    * trade; keys are independent so nothing else crosses partitions.
+    * Comparisons run on exact epoch micros (no float time math). */
+  def sessionizeGaps(df: DataFrame, keys: Seq[String], tsCol: String,
+                     tieCols: Seq[String], gapMicros: Long): DataFrame = {
+    require(keys.nonEmpty, "sessionizeGaps needs at least one key column")
+    require(gapMicros > 0, "gapMicros must be positive")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(w)
+    df.withColumn("_new_sess",
+        when(prev.isNull || us - prev > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("_new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_new_sess")
+  }
 }

@@ -81,8 +81,52 @@ object MetricsQueries {
         .select(col("event_id").bitwiseAND(expr("-event_id")).as("lowbit")),
       "lowbit", k = 6)
 
+  /** Gap-based batch sessionization of the event stream (30-minute
+    * inactivity gap), rolled up per session: the backfill twin of the
+    * streaming session-window gate. */
+  def sessionizeGaps(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.sessionizeGaps(Tables.events(spark, dir),
+        keys = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"),
+        gapMicros = 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+
+  /** 2-D Pareto frontier over documents — length (n_chars) vs token
+    * density (tokens·1000 div chars), both maximized: the longest doc
+    * at each density level, a genuine selection tradeoff curve. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.paretoFrontier2d(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("n_chars")),
+        col("n_chars"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT) * 1000 div n_chars"))
+      .select(col("doc_id"), col("frontier_x"), col("frontier_y"))
+
+  /** Merkle-style block-pruned snapshot diff over two customer epochs:
+    * epoch B drops every 101st key, bumps every 97th balance, and adds
+    * shifted keys for every 500th — the replication anti-entropy check,
+    * resolved through 256 bucket checksums instead of a full rescan. */
+  def driftBlockDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), cents.as("bal"))
+    val b = base.filter(col("c_custkey") % 101 =!= 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("bal") + when(col("c_custkey") % 97 === 0, 100L).otherwise(0L)).as("bal"))
+      .unionByName(base.filter(col("c_custkey") % 500 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          col("c_name"), col("bal")))
+    graft.drift.Drift.blockDiff(base, b, "c_custkey", Seq("c_name", "bal"),
+      nBuckets = 256)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "sessionize_gaps" -> (sessionizeGaps _),
+    "pareto_frontier" -> (paretoFrontier _),
+    "drift_block_diff" -> (driftBlockDiff _),
     "analytics_retention" -> (analyticsRetention _),
     "analytics_target_encode" -> (analyticsTargetEncode _),
     "analytics_rolling_anomaly" -> (analyticsRollingAnomaly _),
@@ -92,6 +136,48 @@ object MetricsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "sessionize_gaps" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER tw IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER tw) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM w)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "pareto_frontier" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) * 1000 // n_chars AS y
+        |  FROM documents)
+        |SELECT doc_id, x AS frontier_x, y AS frontier_y FROM t r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM t s
+        |  WHERE s.x >= r.x AND s.y >= r.y AND (s.x > r.x OR s.y > r.y))""".stripMargin,
+    "drift_block_diff" ->
+      """WITH a AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |  FROM customer),
+        |b AS (
+        |  SELECT k, c_name,
+        |    bal + CASE WHEN k % 97 = 0 THEN 100 ELSE 0 END AS bal
+        |  FROM a WHERE k % 101 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000, c_name, bal FROM a WHERE k % 500 = 0),
+        |added AS (SELECT k, c_name, bal FROM b EXCEPT SELECT k, c_name, bal FROM a),
+        |removed AS (SELECT k, c_name, bal FROM a EXCEPT SELECT k, c_name, bal FROM b)
+        |SELECT CAST(k AS VARCHAR) AS key, 'added' AS direction FROM added
+        |UNION ALL
+        |SELECT CAST(k AS VARCHAR) AS key, 'removed' AS direction FROM removed""".stripMargin,
     "sketch_heavy_hitters" ->
       """WITH t AS (
         |  SELECT CAST(event_id & (-event_id) AS VARCHAR) AS lowbit FROM events),

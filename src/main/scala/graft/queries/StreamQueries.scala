@@ -550,6 +550,23 @@ object StreamQueries {
       .orderBy(desc("common_neighbors"), desc("ra_x1e12"), col("u"), col("v"))
       .limit(200)
 
+  /** Rectangle (4-cycle) census over the ornamented tree: sibling pairs
+    * under a shared parent plus triangle corners give pairs with 2+
+    * common neighbors — the bipartite-cohesion motif count next to the
+    * triangle gate. */
+  def graphRectangles(spark: SparkSession, dir: String): DataFrame =
+    Centrality.rectangleCensus(treeWithTriangles(spark, dir))
+
+  /** Double-sweep diameter lower bound over the octal customer tree
+    * (exact on trees): BFS from the smallest node, BFS again from the
+    * farthest node found — two passes, one certified bound. */
+  def graphDiameterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val tree = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    Centrality.doubleSweepDiameter(tree, maxDepth = 12)
+  }
+
   /** Deterministic label propagation over the ornamented tree, four
     * synchronous rounds: triangle ornaments anchor local label
     * majorities while the tree trunk floods toward small ids — the
@@ -611,6 +628,8 @@ object StreamQueries {
     "graph_hits" -> (graphHits _),
     "graph_link_pred" -> (graphLinkPred _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_rectangles" -> (graphRectangles _),
+    "graph_diameter_sweep" -> (graphDiameterSweep _),
     "graph_nearest_seed" -> (graphNearestSeed _),
     "graph_clustering" -> (graphClustering _),
     "graph_neighbor_agg" -> (graphNeighborAgg _),
@@ -683,7 +702,62 @@ object StreamQueries {
        |FROM v4""".stripMargin
   }
 
+  /** Unrolled double-sweep BFS oracle: two 12-round level-synchronous
+    * BFS phases over the symmetrized octal tree; phase 2 seeds from
+    * phase 1's (max dist, min node) row. */
+  private val DiameterOracleSql: String = {
+    val rounds = 12
+    def bfs(tag: String, seedSql: String): String = {
+      val rs = (1 to rounds).map { i =>
+        s"""${tag}f$i AS MATERIALIZED (
+           |  SELECT DISTINCT u.dst AS node FROM ${tag}v${i - 1} v
+           |  JOIN und u ON v.node = u.src
+           |  WHERE u.dst NOT IN (SELECT node FROM ${tag}v${i - 1})),
+           |${tag}v$i AS MATERIALIZED (SELECT node, dist FROM ${tag}v${i - 1}
+           |  UNION ALL SELECT node, $i FROM ${tag}f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""${tag}v0 AS MATERIALIZED (SELECT node, 0 AS dist FROM ($seedSql)),
+         |$rs""".stripMargin
+    }
+    s"""WITH c AS (SELECT c_custkey AS k FROM customer),
+       |t AS (SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8),
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM t WHERE src <> dst
+       |   UNION ALL SELECT dst, src FROM t WHERE src <> dst)),
+       |${bfs("a", "SELECT min(src) AS node FROM und")},
+       |far AS (SELECT node, dist FROM av$rounds
+       |        ORDER BY dist DESC, node ASC LIMIT 1),
+       |${bfs("b", "SELECT node FROM far")}
+       |SELECT CAST(f.node AS BIGINT) AS far_node,
+       |  CAST(f.dist AS BIGINT) AS ecc_seed,
+       |  (SELECT CAST(max(dist) AS BIGINT) FROM bv$rounds) AS diameter_lb
+       |FROM far f""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_rectangles" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |u0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e WHERE src <> dst
+        |   UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+        |w AS (
+        |  SELECT x.dst AS u, y.dst AS v, count(*) AS cn
+        |  FROM u0 x JOIN u0 y ON x.src = y.src AND x.dst < y.dst
+        |  GROUP BY x.dst, y.dst)
+        |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+        |  CAST(cn AS BIGINT) AS common_neighbors,
+        |  CAST(cn * (cn - 1) // 2 AS BIGINT) AS rectangles
+        |FROM w WHERE cn >= 2""".stripMargin,
+    "graph_diameter_sweep" -> DiameterOracleSql,
     "graph_scc" ->
       """WITH RECURSIVE n AS (SELECT c_custkey - 1 AS k FROM customer),
         |mx AS (SELECT (max(k) // 4) * 4 AS fuse_dst FROM n),

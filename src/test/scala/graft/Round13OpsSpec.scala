@@ -124,6 +124,70 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r2.getLong(2) == 1000000L)
   }
 
+  test("rectangleCensus counts K4's three 4-cycles twice each via diagonals") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = graft.graph.Centrality.rectangleCensus(k4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // every pair has exactly 2 common neighbors -> 1 rectangle per diagonal
+    assert(out.size == 6 && out.values.forall(_ == ((2L, 1L))))
+    // sum over diagonals = 6 = 2 x the 3 distinct 4-cycles of K4
+  }
+
+  test("rectangleCensus: pure star has no rectangles, 4-cycle has one") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(graft.graph.Centrality.rectangleCensus(star).count() == 0L)
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = graft.graph.Centrality.rectangleCensus(c4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, 3L, 2L, 1L), (2L, 4L, 2L, 1L)))
+  }
+
+  test("doubleSweepDiameter is exact on a path graph") {
+    // path 1-2-3-4-5-6: diameter 5; sweep from node 1 finds node 6
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = graft.graph.Centrality.doubleSweepDiameter(path, maxDepth = 10)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 5L, 5L)))
+  }
+
+  test("sessionizeGaps splits on gap and is contiguous within sessions") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:10:00", 2L),
+      (1L, "2024-01-01 01:10:00", 3L), // 60 min gap -> new session
+      (2L, "2024-01-01 00:00:00", 4L))
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.operators.Temporal.sessionizeGaps(ev, Seq("user_id"), "ts",
+        Seq("event_id"), gapMicros = 1800L * 1000000L)
+      .select(col("event_id"), col("session_idx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("paretoFrontier2d keeps non-dominated rows including ties on both axes") {
+    val df = Seq((1L, 5L, 1L), (2L, 3L, 3L), (3L, 1L, 5L),
+      (4L, 3L, 2L), // dominated by row 2
+      (5L, 3L, 3L)  // exact tie with row 2: both stay
+    ).toDF("id", "x", "y")
+    val got = graft.operators.Analytics.paretoFrontier2d(df, col("x"), col("y"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("blockDiff equals the plain content diff; equal snapshots diff empty") {
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L))
+      .toDF("k", "name", "bal")
+    val b = Seq((1L, "x", 10L), (2L, "y", 25L), (4L, "w", 40L))
+      .toDF("k", "name", "bal")
+    val got = graft.drift.Drift.blockDiff(a, b, "k", Seq("name", "bal"), 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("2", "added"), ("4", "added"), ("2", "removed"),
+      ("3", "removed")))
+    assert(graft.drift.Drift.blockDiff(a, a, "k", Seq("name", "bal"), 8)
+      .count() == 0L)
+  }
+
   test("tokenBudget allocates proportionally to sqrt mass") {
     val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "tokens")
     val out = Analytics.tokenBudget(df, "source", col("tokens"), budget = 300L)
