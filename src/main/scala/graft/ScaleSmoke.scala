@@ -197,6 +197,57 @@ object ScaleSmoke {
       time("phash_pairs", m) {
         multimodal.Multimodal.phashPairs(docs, "doc_id", "text", 3).count()
       }
+      time("allpairs_prefix", m) {
+        dedup.Dedup.allPairsJaccard(
+          dedup.Dedup.shingleTable(docs, "doc_id", "text"), 800000L).count()
+      }
+      time("heavy_hitters", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "event_id", m)
+        text.Sketches.heavyHitters(
+          ev.select(col("event_id").bitwiseAND(expr("-event_id")).as("lb")),
+          "lb", 6).count()
+      }
+      time("rectangles", m) {
+        // div2 tree + div4 shortcuts: (k, k div 2) pairs share k's children
+        // as common neighbors, so the census has real 4-cycles to count
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        val e = cust.filter(col("k") % 10000000L >= 2L)
+          .select(expr("k div 2").as("src"), col("k").as("dst"))
+          .unionByName(cust.filter(col("k") % 10000000L >= 4L)
+            .select(expr("k div 4").as("src"), col("k").as("dst")))
+        graph.Centrality.rectangleCensus(e).count()
+      }
+      time("block_diff", m) {
+        // bucket count scales with the key space (the anti-entropy sizing
+        // rule: fixed rows per bucket, not fixed buckets) so pruning skips
+        // the same fraction at every multiplier
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"), col("c_name"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal"))
+        val b = cust.filter(col("k") % 101 =!= 0)
+          .select(col("k"), col("c_name"),
+            (col("bal") + when(col("k") % 97 === 0, 100L).otherwise(0L)).as("bal"))
+        drift.Drift.blockDiff(cust, b, "k", Seq("c_name", "bal"), 256 * m).count()
+      }
+      time("block_diff_sparse", m) {
+        // ~100 changed rows regardless of scale: diverged buckets ≈
+        // changed-row count, so the row-level phase rescans a shrinking
+        // fraction — the case Merkle pruning exists for (the dense smoke
+        // above is the no-pruning worst case: changes ≫ buckets)
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"), col("c_name"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal"))
+        val b = cust.select(col("k"), col("c_name"),
+          (col("bal") + when(col("k") % (15013L * m) === 0L, 100L)
+            .otherwise(0L)).as("bal"))
+        drift.Drift.blockDiff(cust, b, "k", Seq("c_name", "bal"), 256 * m).count()
+      }
+      time("sessionize", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        operators.Temporal.sessionizeGaps(ev, Seq("user_id"), "ts",
+          Seq("event_id"), 1800L * 1000000L).count()
+      }
       time("zorder_values", m) {
         val p = multiply(Tables.part(spark, sfDir), "p_partkey", m)
         p.select(graph.Layout.zValue(col("p_size").cast("long"),
