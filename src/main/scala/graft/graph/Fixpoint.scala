@@ -363,6 +363,81 @@ object Fixpoint {
     labels
   }
 
+  /** SCAN structural clustering (Xu, Yuruk, Feng & Schweiger, KDD
+    * 2007): communities from STRUCTURAL similarity instead of label
+    * voting, with the hub/outlier distinction LPA can't make. Per edge,
+    * σ(u,v) = |Γ[u]∩Γ[v]| / √(|Γ[u]||Γ[v]|) over CLOSED neighborhoods
+    * (= edge triangle support + 2 over the degree product); an edge is
+    * ε-similar when σ ≥ ε — tested as
+    * (support+2)²·10⁶ ≥ eps²·(du+1)(dv+1), exact integers, no sqrt.
+    * A node is a CORE when its ε-neighborhood (itself included, σ(v,v)
+    * = 1) reaches `mu`; clusters are connected components of ε-edges
+    * between cores; a non-core ε-similar to a core joins as BORDER
+    * (smallest candidate cluster — the deterministic version of the
+    * paper's arbitrary choice); the rest split into HUBs (adjacent to
+    * ≥ 2 distinct clusters — the bridges curation wants kept) and
+    * OUTLIERs.
+    *
+    * Cost: one [[Centrality.edgeSupport]] wedge pass (O(E^1.5) via
+    * degree orientation), one degree agg, the ε filter, a CC fixpoint
+    * over the (sparse) core ε-edges, two attachment joins. Cluster id =
+    * smallest member core id. Output: (node, role, cluster), cluster
+    * null for hub/outlier. */
+  def scanClusters(edges: DataFrame, epsX1e3: Long, mu: Int): DataFrame = {
+    require(epsX1e3 >= 1 && epsX1e3 <= 1000, "eps is (0, 1] scaled by 1e3")
+    require(mu >= 2, "mu must be >= 2 (mu = 1 makes every node a core)")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(false)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val simEdges = graft.graph.Centrality.edgeSupport(
+        und.select(col("a").as("src"), col("b").as("dst")))
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .filter((col("support") + 2) * (col("support") + 2) * 1000000L >=
+        lit(epsX1e3 * epsX1e3) * (col("da") + 1) * (col("db") + 1))
+      .select(col("a"), col("b")).localCheckpoint(false)
+    val epsCnt = simEdges.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_eps"))
+    val cores = epsCnt.filter(col("n_eps") + 1 >= mu).select(col("node"))
+      .localCheckpoint(false)
+    val coreEdges = simEdges
+      .join(cores.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(cores.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+    val comps = connectedComponents(coreEdges.select(col("a"), col("b")))
+    val coreClusters = cores.join(comps, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
+      .localCheckpoint(false)
+    val simSym = simEdges.unionByName(
+      simEdges.select(col("b").as("a"), col("a").as("b")))
+    val borders = simSym
+      .join(coreClusters.select(col("node").as("b"), col("cluster")), Seq("b"))
+      .join(coreClusters.select(col("node").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a").as("node")).agg(min(col("cluster")).as("cluster"))
+    val clustered = coreClusters.select(col("node"), col("cluster"),
+        lit("core").as("role"))
+      .unionByName(borders.select(col("node"), col("cluster"),
+        lit("border").as("role")))
+    val undSym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val rest = undSym.select(col("node")).distinct()
+      .join(clustered.select(col("node")), Seq("node"), "left_anti")
+    val restRoles = rest
+      .join(undSym, Seq("node"), "left")
+      .join(clustered.select(col("node").as("_cn"), col("cluster").as("_cc"))
+        .distinct(), col("nbr") === col("_cn"), "left")
+      .groupBy(col("node"))
+      .agg(countDistinct(col("_cc")).as("_nadj"))
+      .select(col("node"), lit(null).cast("long").as("cluster"),
+        when(col("_nadj") >= 2, lit("hub")).otherwise(lit("outlier")).as("role"))
+    clustered.unionByName(restRoles)
+      .select(col("node"), col("role"), col("cluster"))
+  }
+
   /** Max-priority propagation to fixpoint along `edges` (src→dst):
     * every node ends with the (hash-priority, id) pair of the highest-
     * priority node that has a path to it (itself included); returns

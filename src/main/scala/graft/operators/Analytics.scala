@@ -172,6 +172,31 @@ object Analytics {
       .withColumn("epochs_ppm", expr("alloc_tokens * 1000000 div tokens"))
   }
 
+  /** Exact truncated EWMA with α = ½ over the trailing `lookback`
+    * points: ewma_i = Σ_{j<n} v_{i−j}·2^{n−1−j} / 2^n (n = points in
+    * window). The smoothing half of time-series feature prep, float-free:
+    * the numerator `ewma_num` and width `ewma_n` are exact longs — the
+    * one division (by 2^n) belongs to the consumer. Computed as
+    * X = Σ_j coalesce(lag_j, 0)·2^(L−1−j), then num = X >> (L−n):
+    * `lookback` lag terms SHARE one window sort (single shuffle), no
+    * array collection, fully codegen'd. |v|·2^L must fit a long —
+    * with cent-scaled values and L = 16 that is ~2^47 of headroom. */
+  def ewmaHalf(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+               valueCol: Column, lookback: Int = 16): DataFrame = {
+    require(lookback >= 1 && lookback <= 32, "need 1 <= lookback <= 32")
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    val x = (0 until lookback)
+      .map(j => coalesce(lag(valueCol.cast("long"), j).over(w), lit(0L)) *
+        lit(1L << (lookback - 1 - j)))
+      .reduce(_ + _)
+    df.withColumn("_x", x)
+      .withColumn("ewma_n",
+        count(valueCol).over(w.rowsBetween(-(lookback - 1).toLong, 0L)))
+      .withColumn("ewma_num",
+        expr(s"shiftright(_x, CAST($lookback - ewma_n AS INT))"))
+      .drop("_x")
+  }
+
   /** 2-D Pareto frontier (skyline), both axes maximized: rows no other
     * row weakly dominates — the data-selection tradeoff curve ("longest
     * doc at each quality level", "best quality at each length"). Rows

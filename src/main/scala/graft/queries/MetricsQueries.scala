@@ -122,8 +122,40 @@ object MetricsQueries {
       nBuckets = 256)
   }
 
+  /** CMS join-cardinality estimate: even- and odd-doc token multisets
+    * sketched separately (4×64), inner-product estimate vs the true
+    * word-join size — the planner's broadcast-vs-shuffle signal read
+    * from two KB summaries. */
+  def sketchJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sketches
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    def cnt(side: Int) = toks.filter(col("doc_id") % 2 === side)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val est = Sketches.cmsJoinCardinality(
+      Sketches.countMinSketch(cnt(0), "word", "n", depth = 4, width = 64),
+      Sketches.countMinSketch(cnt(1), "word", "n", depth = 4, width = 64))
+    val truth = cnt(0).withColumnRenamed("n", "na")
+      .join(cnt(1).withColumnRenamed("n", "nb"), Seq("word"))
+      .agg(sum(col("na").cast("decimal(38,0)") * col("nb")).cast("long")
+        .as("true_pairs"))
+    est.crossJoin(broadcast(truth))
+  }
+
+  /** Exact α = ½ EWMA over each user's event-value series (16-point
+    * lookback): scaled-integer smoothing next to the anomaly gate. */
+  def windowEwma(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.ewmaHalf(Tables.events(spark, dir),
+        partCols = Seq(col("user_id")),
+        orderCols = Seq(col("ts"), col("event_id")),
+        valueCol = cents, lookback = 16)
+      .select(col("event_id"), col("user_id"), cents.as("v_cents"),
+        col("ewma_n"), col("ewma_num"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "sketch_join_size" -> (sketchJoinSize _),
+    "window_ewma" -> (windowEwma _),
     "sessionize_gaps" -> (sessionizeGaps _),
     "pareto_frontier" -> (paretoFrontier _),
     "drift_block_diff" -> (driftBlockDiff _),
@@ -136,6 +168,51 @@ object MetricsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_join_size" -> {
+      val P = graft.text.TextFunctions.P
+      val rows = (0 until 4).map(j =>
+        s"($j, ${graft.text.TextFunctions.MinhashA(j)}, ${graft.text.TextFunctions.MinhashB(j)})")
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |ca AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks
+         |       WHERE doc_id % 2 = 0 GROUP BY word),
+         |cb AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks
+         |       WHERE doc_id % 2 = 1 GROUP BY word),
+         |ha AS (SELECT word, n,
+         |  CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) % $P AS h FROM ca),
+         |hb AS (SELECT word, n,
+         |  CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) % $P AS h FROM cb),
+         |sa AS (SELECT t.j, ((t.a * h + t.b) % $P) % 64 AS bucket, sum(n) AS c
+         |       FROM ha CROSS JOIN (VALUES $rows) t(j, a, b) GROUP BY 1, 2),
+         |sb AS (SELECT t.j, ((t.a * h + t.b) % $P) % 64 AS bucket, sum(n) AS c
+         |       FROM hb CROSS JOIN (VALUES $rows) t(j, a, b) GROUP BY 1, 2),
+         |ip AS (SELECT sa.j, sum(sa.c * sb.c) AS ip
+         |       FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+         |       GROUP BY sa.j),
+         |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_pairs FROM ip),
+         |tr AS (SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS true_pairs
+         |       FROM ca JOIN cb ON ca.word = cb.word)
+         |SELECT est_pairs, true_pairs FROM est CROSS JOIN tr""".stripMargin
+    },
+    "window_ewma" -> {
+      val terms = (0 until 16).map(j =>
+        s"coalesce(lag(vc, $j) OVER tw, 0) * ${1L << (15 - j)}").mkString("\n        |    + ")
+      s"""WITH v AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+         |  FROM events),
+         |w AS (
+         |  SELECT event_id, user_id, vc,
+         |    ($terms) AS x,
+         |    count(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS n
+         |  FROM v
+         |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id, vc AS v_cents, CAST(n AS BIGINT) AS ewma_n,
+         |  CAST(x // (1 << (16 - n)) AS BIGINT) AS ewma_num
+         |FROM w""".stripMargin
+    },
     "sessionize_gaps" ->
       """WITH w AS (
         |  SELECT user_id, event_id, ts,

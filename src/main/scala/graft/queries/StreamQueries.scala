@@ -567,6 +567,14 @@ object StreamQueries {
     Centrality.doubleSweepDiameter(tree, maxDepth = 12)
   }
 
+  /** SCAN structural clustering over the ornamented tree (ε = 0.6,
+    * μ = 3): leafy triangle corners become cores, their hinges stay
+    * unclustered (tree degree dilutes σ), and the role split
+    * core/border/hub/outlier is exactly the read curation wants — keep
+    * the bridges, drop the noise. */
+  def graphScanClusters(spark: SparkSession, dir: String): DataFrame =
+    Fixpoint.scanClusters(treeWithTriangles(spark, dir), epsX1e3 = 600L, mu = 3)
+
   /** Deterministic label propagation over the ornamented tree, four
     * synchronous rounds: triangle ornaments anchor local label
     * majorities while the tree trunk floods toward small ids — the
@@ -629,6 +637,7 @@ object StreamQueries {
     "graph_link_pred" -> (graphLinkPred _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_rectangles" -> (graphRectangles _),
+    "graph_scan_clusters" -> (graphScanClusters _),
     "graph_diameter_sweep" -> (graphDiameterSweep _),
     "graph_nearest_seed" -> (graphNearestSeed _),
     "graph_clustering" -> (graphClustering _),
@@ -734,7 +743,77 @@ object StreamQueries {
        |FROM far f""".stripMargin
   }
 
+  /** Full SCAN mirror over the ornamented tree: edge support via a
+    * three-way adjacency join, the integer ε-test, μ = 3 cores,
+    * recursive-CTE components over core ε-edges, min-cluster border
+    * attachment, hub/outlier split by distinct adjacent clusters. */
+  private val ScanOracleSql: String =
+    """WITH RECURSIVE c AS (SELECT c_custkey AS k FROM customer),
+      |mx AS (SELECT max(k) AS mx FROM c),
+      |e AS (
+      |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+      |  UNION ALL
+      |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+      |  UNION ALL
+      |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+      |  UNION ALL
+      |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e WHERE src <> dst),
+      |u0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM u0 GROUP BY src),
+      |supc AS MATERIALIZED (
+      |  SELECT e.a, e.b, count(y.dst) AS cn
+      |  FROM und e
+      |  LEFT JOIN u0 x ON x.src = e.a
+      |  LEFT JOIN u0 y ON y.src = e.b AND y.dst = x.dst
+      |  GROUP BY e.a, e.b),
+      |sim AS MATERIALIZED (
+      |  SELECT s.a, s.b
+      |  FROM supc s JOIN deg da ON s.a = da.node JOIN deg db ON s.b = db.node
+      |  WHERE (s.cn + 2) * (s.cn + 2) * 1000000 >= 360000 * (da.d + 1) * (db.d + 1)),
+      |nes AS (SELECT node, count(*) AS n FROM
+      |  (SELECT a AS node FROM sim UNION ALL SELECT b FROM sim) GROUP BY node),
+      |cores AS MATERIALIZED (SELECT node FROM nes WHERE n + 1 >= 3),
+      |ce AS MATERIALIZED (SELECT s.a, s.b FROM sim s
+      |  JOIN cores ca ON s.a = ca.node JOIN cores cb ON s.b = cb.node),
+      |ces AS MATERIALIZED (SELECT a AS u, b AS v FROM ce UNION ALL SELECT b, a FROM ce),
+      |reach AS (
+      |  SELECT u, v FROM ces
+      |  UNION
+      |  SELECT r.u, e2.v FROM reach r JOIN ces e2 ON r.v = e2.u),
+      |comp AS MATERIALIZED (
+      |  SELECT co.node, least(co.node, coalesce(min(r.v), co.node)) AS cluster
+      |  FROM cores co LEFT JOIN reach r ON co.node = r.u GROUP BY co.node),
+      |simsym AS (SELECT a AS u, b AS v FROM sim UNION ALL SELECT b, a FROM sim),
+      |border AS MATERIALIZED (
+      |  SELECT s.u AS node, min(cp.cluster) AS cluster
+      |  FROM simsym s JOIN comp cp ON s.v = cp.node
+      |  WHERE s.u NOT IN (SELECT node FROM cores)
+      |  GROUP BY s.u),
+      |clustered AS MATERIALIZED (
+      |  SELECT node, cluster, 'core' AS role FROM comp
+      |  UNION ALL SELECT node, cluster, 'border' AS role FROM border),
+      |rest AS (
+      |  SELECT n.node, count(DISTINCT cl.cluster) AS nadj
+      |  FROM (SELECT DISTINCT src AS node FROM u0) n
+      |  JOIN u0 u ON n.node = u.src
+      |  LEFT JOIN (SELECT DISTINCT node, cluster FROM clustered) cl
+      |    ON u.dst = cl.node
+      |  WHERE n.node NOT IN (SELECT node FROM clustered)
+      |  GROUP BY n.node)
+      |SELECT CAST(node AS BIGINT) AS node, role, CAST(cluster AS BIGINT) AS cluster
+      |FROM clustered
+      |UNION ALL
+      |SELECT CAST(node AS BIGINT),
+      |  CASE WHEN nadj >= 2 THEN 'hub' ELSE 'outlier' END,
+      |  CAST(NULL AS BIGINT)
+      |FROM rest""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_scan_clusters" -> ScanOracleSql,
     "graph_rectangles" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),
         |mx AS (SELECT max(k) AS mx FROM c),

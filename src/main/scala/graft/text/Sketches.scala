@@ -274,6 +274,25 @@ object Sketches {
           col("_hs")).cast("long").as(outCol))
   }
 
+  /** Equi-join cardinality estimate from two [[countMinSketch]]s over
+    * the join key (Cormode & Muthukrishnan 2005, the CM inner-product
+    * estimator): |A ⋈_k B| = Σ_k fA(k)·fB(k), and for every depth row
+    * Σ_buckets aC·bC equals that sum plus non-negative collision terms
+    * — so the MIN over depth rows is a certified OVERestimate of the
+    * true join size, computed from two KB-sized summaries without
+    * scanning either table. This is the planner's broadcast-vs-shuffle
+    * (and skew-alarm) signal at 100 TB: sketches are mergeable across
+    * shards and epochs, the estimate is a depth·width-row reduce.
+    * Decimal products keep the cell arithmetic exact under ANSI.
+    * Output: one row (est_pairs). */
+  def cmsJoinCardinality(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("j"), col("bucket"), col("c").as("ca"))
+      .join(b.select(col("j"), col("bucket"), col("c").as("cb")),
+        Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_pairs"))
+
   /** Per-partition Misra–Gries frequency summaries: at most `k` (key,
     * weight) counters per partition, built in one bounded-memory
     * streaming pass (Misra & Gries 1982) — the per-partition imperative

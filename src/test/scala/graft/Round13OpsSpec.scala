@@ -188,6 +188,63 @@ class Round13OpsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("scanClusters: two triangles bridged by a hub classify core/hub/outlier") {
+    // triangles {1,2,3} and {4,5,6}; node 10 bridges 1 and 4; pendant 11 on 10
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (10L, 1L), (10L, 4L), (10L, 11L)).toDF("src", "dst")
+    val out = graft.graph.Fixpoint.scanClusters(g, epsX1e3 = 600L, mu = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // triangle members: sigma within a triangle is high -> cores, two clusters
+    Seq(1L, 2L, 3L).foreach(n => assert(out(n) == (("core", 1L)), s"node $n"))
+    Seq(4L, 5L, 6L).foreach(n => assert(out(n) == (("core", 4L)), s"node $n"))
+    // 10 is adjacent to both clusters but similar to neither -> hub
+    assert(out(10L)._1 == "hub")
+    // 11 touches only the hub -> outlier
+    assert(out(11L)._1 == "outlier")
+    assert(out.size == 8)
+  }
+
+  test("scanClusters attaches a border node to its smallest candidate cluster") {
+    // K4 {1,2,3,4} plus node 9 linked to 1 and 2: sigma(9,1)^2 =
+    // (1+2)^2/(3*6) = 0.5 and sigma(1,3)^2 = (2+2)^2/36 = 0.444 — at
+    // eps = 0.65 (eps^2 = 0.4225) every edge is similar; K4 members
+    // reach mu = 4 eps-neighbors+self, node 9 only 3 -> border, attached
+    // to the K4 cluster
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (9L, 1L), (9L, 2L)).toDF("src", "dst")
+    val out = graft.graph.Fixpoint.scanClusters(g, epsX1e3 = 650L, mu = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(n => assert(out(n)._1 == "core"))
+    assert(out(9L) == (("border", 1L)))
+  }
+
+  test("ewmaHalf matches the closed form on a hand series") {
+    // series 4, 8, 12 with lookback 4: num_3 = 12*4 + 8*2 + 4*1 = 68, n=3
+    val df = Seq((1L, 1L, 4L), (1L, 2L, 8L), (1L, 3L, 12L))
+      .toDF("g", "seq", "v")
+    val out = graft.operators.Analytics.ewmaHalf(df, Seq(col("g")),
+        Seq(col("seq")), col("v"), lookback = 4)
+      .orderBy(col("seq")).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 4L), (2L, 20L), (3L, 68L)))
+    // ewma_3 = 68 / 2^3 = 8.5 = 12/2 + 8/4 + 4/8 exact
+  }
+
+  test("cmsJoinCardinality upper-bounds and approximates the true join size") {
+    val a = (1 to 200).map(i => (s"k${i % 50}", 1L)).toDF("k", "n")
+      .groupBy("k").agg(sum("n").as("n"))
+    val b = (1 to 100).map(i => (s"k${i % 25}", 1L)).toDF("k", "n")
+      .groupBy("k").agg(sum("n").as("n"))
+    val sa = graft.text.Sketches.countMinSketch(a, "k", "n", 4, 64)
+    val sb = graft.text.Sketches.countMinSketch(b, "k", "n", 4, 64)
+    val est = graft.text.Sketches.cmsJoinCardinality(sa, sb)
+      .collect().head.getLong(0)
+    // true: 25 shared keys x 4 x 4 = 400; CMS estimate never underestimates
+    assert(est >= 400L && est <= 800L)
+  }
+
   test("tokenBudget allocates proportionally to sqrt mass") {
     val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "tokens")
     val out = Analytics.tokenBudget(df, "source", col("tokens"), budget = 300L)
