@@ -451,6 +451,34 @@ object StreamQueries {
     }
   }
 
+  /** Multi-batch foreachBatch upsert: events re-sharded into 4 files,
+    * replayed one file per micro-batch through the commutative argmax
+    * sink ([[graft.streaming.Streaming.argmaxUpsertSink]]) — the final
+    * per-user table (count + latest event under the (ts, event_id)
+    * total order) must equal the batch argmax no matter how the files
+    * were sliced or ordered. This gates the streaming SINK leg: real
+    * incremental merges across 4 separate micro-batches, not one big
+    * batch in disguise. */
+  def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    withStateSession(spark) { scoped =>
+      val src = scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+      val q = graft.streaming.Streaming.argmaxUpsertSink(src, ref,
+        Seq("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type"))).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      ref.get().select(col("user_id"), col("n_rows").as("n_events"),
+        col("last.ts").as("last_ts"), col("last.event_type").as("last_type"))
+    }
+  }
+
   /** 2-core of the customer tree + triangle ornaments: the octal tree
     * alone peels to nothing, every 50th customer carries a triangle that
     * anchors itself (and pins parts of its ancestor chain) into the core
@@ -643,6 +671,7 @@ object StreamQueries {
     "graph_clustering" -> (graphClustering _),
     "graph_neighbor_agg" -> (graphNeighborAgg _),
     "stream_static_join" -> (streamStaticJoin _),
+    "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_static_left_join" -> (streamStaticLeftJoin _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
@@ -813,6 +842,15 @@ object StreamQueries {
       |FROM rest""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_upsert_sink" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT c.user_id, c.n_events, r.ts AS last_ts, r.event_type AS last_type
+        |FROM c JOIN r ON c.user_id = r.user_id AND r.rn = 1""".stripMargin,
     "graph_scan_clusters" -> ScanOracleSql,
     "graph_rectangles" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),

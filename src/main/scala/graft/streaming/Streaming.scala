@@ -113,6 +113,37 @@ object Streaming {
       ()
     }
 
+  /** Commutative micro-batch upsert sink: each batch reduces to per-key
+    * (additive row count, lexicographic-MAX payload struct) and merges
+    * into the table with the same two aggregates — an associative,
+    * commutative merge, so the final table is INDEPENDENT of how the
+    * source was sliced into micro-batches and of their arrival order.
+    * That is the property a replayed or backfilled stream needs to
+    * converge on the batch answer (raw last-writer-wins depends on
+    * arrival order by construction, which is why [[graphUpsertSink]]'s
+    * epoch semantics can't be oracle-gated under nondeterministic file
+    * ordering, and this can). Put the event-time total order (ts,
+    * unique id) first in the payload struct and "latest" is exact.
+    * At scale the lambda body is the identical MERGE INTO against a
+    * Delta/bucketed table; the AtomicReference-of-localCheckpoint is
+    * the in-process stand-in. */
+  def argmaxUpsertSink(stream: DataFrame,
+                       table: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                       keyCols: Seq[String],
+                       payload: org.apache.spark.sql.Column): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val b = batch.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"), max(payload).as("last"))
+      table.updateAndGet { cur =>
+        val merged =
+          if (cur == null) b
+          else cur.unionByName(b).groupBy(keyCols.map(col): _*)
+            .agg(sum(col("n_rows")).as("n_rows"), max(col("last")).as("last"))
+        merged.localCheckpoint(true) // materialize: batch input is transient
+      }
+      ()
+    }
+
   /** Streaming CDC apply: every micro-batch of changelog records
     * (key + version + op + values) compacts into the evolving snapshot
     * through [[graft.operators.Changelog.apply]] — the streaming form of

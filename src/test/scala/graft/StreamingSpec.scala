@@ -91,6 +91,28 @@ class StreamingSpec extends AnyFunSuite {
       (3L, 101L, 101L, "c")))  // created in batch 1
   }
 
+  test("argmaxUpsertSink is independent of micro-batch slicing and order") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, struct}
+    def run(batches: Seq[Seq[(Long, Long, String)]]): Set[(Long, Long, Long, String)] = {
+      val source = MemoryStream[(Long, Long, String)]
+      val table = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame](null)
+      val q = Streaming.argmaxUpsertSink(
+        source.toDF().toDF("user", "seq", "v"), table, Seq("user"),
+        struct(col("seq"), col("v"))).start()
+      try batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      table.get().select("user", "n_rows", "last.seq", "last.v")
+        .as[(Long, Long, Long, String)].collect().toSet
+    }
+    val rows = Seq((1L, 1L, "a"), (1L, 3L, "c"), (1L, 2L, "b"), (2L, 1L, "x"))
+    val sliced = run(Seq(rows.take(2), rows.drop(2)))
+    val reversed = run(Seq(rows.drop(2), rows.take(2)))
+    val oneShot = run(Seq(rows))
+    val expect = Set((1L, 3L, 3L, "c"), (2L, 1L, 1L, "x"))
+    assert(sliced == expect && reversed == expect && oneShot == expect)
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim table") {
     // the streaming form of the config-file broadcast source: a static
     // dimension joined into a live stream per micro-batch
