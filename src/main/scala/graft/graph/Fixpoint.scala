@@ -279,6 +279,50 @@ object Fixpoint {
     visited
   }
 
+  /** Shortest-path COUNTS from a seed set (the integer-exact forward
+    * pass of Brandes' betweenness algorithm, 2001): level-synchronous
+    * BFS where each newly discovered node's σ = Σ σ(parents at the
+    * previous level) — the number of distinct shortest paths from the
+    * seeds. The backward δ-accumulation needs per-level rational
+    * division (engine-dependent rounding), so the library gates the
+    * exact half and leaves the float weighting to the consumer; σ
+    * itself is the useful redundancy signal (σ = 1 along a route means
+    * a single point of failure, large σ means path diversity).
+    *
+    * Same shape and cost as [[bfsDistances]] — one join + one
+    * map-side-combinable sum + one anti-join per level, lineage cut per
+    * round. σ grows multiplicatively on braided DAGs; longs hold ~2^63
+    * path multiplicity, assert upstream when levels × branching could
+    * exceed it. Output: (node, dist, sigma). */
+  def bfsPathCounts(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).withColumn("sigma", lit(1L))
+      .localCheckpoint(false)
+    visited.count()
+    var frontier = visited.select(col("node"), col("sigma"))
+    var d = 1L
+    var done = maxDepth == 0
+    while (!done) {
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst"), col("sigma"))
+        .groupBy(col("dst").as("node")).agg(sum(col("sigma")).as("sigma"))
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .cut
+      val grew = next.count() > 0
+      if (grew) {
+        visited = visited.unionByName(
+          next.select(col("node"), lit(d).as("dist"), col("sigma"))).cut
+        frontier = next.select(col("node"), col("sigma"))
+      }
+      d += 1
+      done = !grew || d > maxDepth
+    }
+    visited
+  }
+
   /** Nearest-seed labeling: multi-source BFS that assigns every node
     * within `maxDepth` hops of a seed the LABEL of its nearest seed
     * (ties → smallest label). The propagation step of label spreading

@@ -603,6 +603,21 @@ object StreamQueries {
   def graphScanClusters(spark: SparkSession, dir: String): DataFrame =
     Fixpoint.scanClusters(treeWithTriangles(spark, dir), epsX1e3 = 600L, mu = 3)
 
+  /** Shortest-path counts from the root over the braided div2+div4
+    * digraph: every node's distance is ceil(bits/2) (a div4 hop covers
+    * two binary digits, a div2 hop one), and σ counts the distinct
+    * hop-mixes achieving it — Fibonacci-flavored path multiplicity, the
+    * exact integer half of Brandes betweenness. */
+  def graphPathCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val e = c.filter(col("k") >= 2L)
+      .select(expr("k div 2").as("src"), col("k").as("dst"))
+      .unionByName(c.filter(col("k") >= 4L)
+        .select(expr("k div 4").as("src"), col("k").as("dst")))
+    Fixpoint.bfsPathCounts(e,
+      c.filter(col("k") === 1L).select(col("k").as("node")), maxDepth = 10)
+  }
+
   /** Deterministic label propagation over the ornamented tree, four
     * synchronous rounds: triangle ornaments anchor local label
     * majorities while the tree trunk floods toward small ids — the
@@ -666,6 +681,7 @@ object StreamQueries {
     "graph_label_prop" -> (graphLabelProp _),
     "graph_rectangles" -> (graphRectangles _),
     "graph_scan_clusters" -> (graphScanClusters _),
+    "graph_path_counts" -> (graphPathCounts _),
     "graph_diameter_sweep" -> (graphDiameterSweep _),
     "graph_nearest_seed" -> (graphNearestSeed _),
     "graph_clustering" -> (graphClustering _),
@@ -841,7 +857,33 @@ object StreamQueries {
       |  CAST(NULL AS BIGINT)
       |FROM rest""".stripMargin
 
+  /** Unrolled σ-BFS oracle: 10 levels over the div2+div4 digraph,
+    * per-level σ = sum of parents' σ at the previous level only. */
+  private val PathCountsOracleSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(v.sigma) AS sigma
+         |  FROM v${i - 1} v JOIN e ON v.node = e.src
+         |  WHERE v.dist = ${i - 1}
+         |    AND e.dst NOT IN (SELECT node FROM v${i - 1})
+         |  GROUP BY e.dst),
+         |v$i AS MATERIALIZED (SELECT node, dist, sigma FROM v${i - 1}
+         |  UNION ALL SELECT node, $i, sigma FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+       |e AS MATERIALIZED (
+       |  SELECT k // 2 AS src, k AS dst FROM c WHERE k >= 2
+       |  UNION ALL
+       |  SELECT k // 4, k FROM c WHERE k >= 4),
+       |v0 AS MATERIALIZED (SELECT 1 AS node, 0 AS dist, 1 AS sigma),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist,
+       |  CAST(sigma AS BIGINT) AS sigma
+       |FROM v10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_path_counts" -> PathCountsOracleSql,
     "stream_upsert_sink" ->
       """WITH r AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -245,6 +245,23 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(est >= 400L && est <= 800L)
   }
 
+  test("bfsPathCounts sums parent sigmas per level on a braided diamond") {
+    // 1->{2,3}->4->5 plus direct 1->4: dist(4)=1 via the shortcut, so
+    // the two 2-hop routes do NOT count; 5 inherits sigma from 4 only
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.graph.Fixpoint.bfsPathCounts(e, seeds, maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((0L, 1L)), 2L -> ((1L, 1L)), 3L -> ((1L, 1L)),
+      4L -> ((1L, 1L)), 5L -> ((2L, 1L))))
+    // without the shortcut, 4 gets two shortest paths
+    val e2 = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out2 = graft.graph.Fixpoint.bfsPathCounts(e2, seeds, maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2(4L) == ((2L, 2L)))
+  }
+
   test("tokenBudget allocates proportionally to sqrt mass") {
     val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "tokens")
     val out = Analytics.tokenBudget(df, "source", col("tokens"), budget = 300L)
