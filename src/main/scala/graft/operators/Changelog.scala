@@ -57,4 +57,40 @@ object Changelog {
       .select(keys.map(col) ++
         (versionCol +: valueCols).map(c0 => col(s"_last.$c0").as(c0)): _*)
   }
+
+  /** Build the additive-aggregate snapshot [[maintainAgg]] maintains:
+    * per key, `n_rows` + one `sum_<m>` per measure. */
+  def aggregate(df: DataFrame, keys: Seq[String],
+                measures: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        measures.map(m => sum(col(m).cast("long")).as(s"sum_$m")): _*)
+
+  /** Incremental view maintenance for additive aggregates (Gupta &
+    * Mumick's self-maintainable views): update a (count, sums) groupBy
+    * snapshot from a row-level delta — `multCol` = +1 insert / −1
+    * delete — WITHOUT rescanning the base table. The whole update is
+    * one map-side-combinable aggregation over |delta| rows plus a merge
+    * on |touched groups|; at 100 TB that is the difference between a
+    * nightly full groupBy over the fact table and a minutes-long merge
+    * of the day's changes. Groups whose count reaches zero drop out.
+    *
+    * Additive only by design: count/sum (and avg = sum div count at
+    * read) are self-maintainable; min/max under deletes are NOT (a
+    * deleted extremum needs the base — recompute or keep a sketch).
+    * Deletes must refer to rows present in the base; a phantom delete
+    * drives a group count negative, which the zero-filter then hides —
+    * validate upstream ([[graft.drift.Drift.blockDiff]] is the audit). */
+  def maintainAgg(snapshot: DataFrame, delta: DataFrame, keys: Seq[String],
+                  multCol: String, measures: Seq[String]): DataFrame = {
+    val d = delta.groupBy(keys.map(col): _*)
+      .agg(sum(col(multCol).cast("long")).as("n_rows"),
+        measures.map(m =>
+          sum(col(multCol).cast("long") * col(m).cast("long")).as(s"sum_$m")): _*)
+    snapshot.unionByName(d)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        measures.map(m => sum(col(s"sum_$m")).as(s"sum_$m")): _*)
+      .filter(col("n_rows") =!= 0L)
+  }
 }

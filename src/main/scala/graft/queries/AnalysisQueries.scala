@@ -510,7 +510,30 @@ object AnalysisQueries {
       "version", "op", Seq("price_x1e4"))
   }
 
+  /** Incremental view maintenance: the per-customer (order count, spend
+    * cents) snapshot over epoch-1 orders updated from a delta — every
+    * 10th order inserted, every 7th epoch-1 order deleted — via
+    * [[graft.operators.Changelog.maintainAgg]]; the result must equal a
+    * full recompute over the final fact set, but the plan only touches
+    * the delta plus the touched groups. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Changelog
+    val cents = (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+    val all = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("long").as("cust"), cents.as("spend"),
+        col("o_orderkey"))
+    val epoch1 = all.filter(col("o_orderkey") % 10 =!= 0)
+    val snapshot = Changelog.aggregate(epoch1.select(col("cust"), col("spend")),
+      Seq("cust"), Seq("spend"))
+    val delta = all.filter(col("o_orderkey") % 10 === 0)
+      .select(col("cust"), col("spend"), lit(1L).as("mult"))
+      .unionByName(epoch1.filter(col("o_orderkey") % 7 === 0)
+        .select(col("cust"), col("spend"), lit(-1L).as("mult")))
+    Changelog.maintainAgg(snapshot, delta, Seq("cust"), "mult", Seq("spend"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_agg" -> (incrementalAgg _),
     "cdc_apply" -> (cdcApply _),
     "quality_suite" -> (qualitySuite _),
     "intel_dns_subzones" -> (intelDnsSubzones _),
@@ -530,6 +553,23 @@ object AnalysisQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full recompute over the final fact set: epoch-1 survivors
+    // (not deleted) plus the inserted rows — what the incremental
+    // merge must equal without ever rescanning the base
+    "incremental_agg" ->
+      """WITH o AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS spend,
+        |    o_orderkey AS k
+        |  FROM orders),
+        |final AS (
+        |  SELECT cust, spend FROM o
+        |  WHERE k % 10 <> 0 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT cust, spend FROM o WHERE k % 10 = 0)
+        |SELECT cust, count(*) AS n_rows,
+        |  CAST(sum(spend) AS BIGINT) AS sum_spend
+        |FROM final GROUP BY cust""".stripMargin,
     "cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS order_id, CAST(0 AS BIGINT) AS version,

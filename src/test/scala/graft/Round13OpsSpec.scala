@@ -291,6 +291,18 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r("lineitem_orders")._1 > 0L)
   }
 
+  test("maintainAgg equals full recompute and drops emptied groups") {
+    import graft.operators.Changelog
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
+    val snap = Changelog.aggregate(base, Seq("k"), Seq("v"))
+    // delete both of a's rows, insert one for c
+    val delta = Seq(("a", 10L, -1L), ("a", 20L, -1L), ("c", 7L, 1L))
+      .toDF("k", "v", "mult")
+    val out = Changelog.maintainAgg(snap, delta, Seq("k"), "mult", Seq("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("b" -> ((1L, 5L)), "c" -> ((1L, 7L))))
+  }
+
   test("tokenBudget allocates proportionally to sqrt mass") {
     val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "tokens")
     val out = Analytics.tokenBudget(df, "source", col("tokens"), budget = 300L)
