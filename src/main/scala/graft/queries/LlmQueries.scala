@@ -644,6 +644,17 @@ object LlmQueries {
     TextFunctions.collocations(Tables.documents(spark, dir), "doc_id", "text",
       minCount = 5L, k = 20)
 
+  /** Backoff LM coverage: even docs train the trigram/bigram/unigram
+    * id sets, odd docs are scored — per-token highest covering level,
+    * censused per doc. The train/test split makes it an honest
+    * coverage read, not memorization. */
+  def textBackoffCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextFunctions.backoffCoverage(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+  }
+
   /** Top-30 windowed co-occurrence PMI pairs (window 5, support ≥ 50):
     * the SGNS/embedding-prep association matrix next to the
     * adjacent-only collocation gate. */
@@ -709,6 +720,7 @@ object LlmQueries {
     "text_inverted_index" -> (textInvertedIndex _),
     "text_collocations" -> (textCollocations _),
     "text_cooccurrence_pmi" -> (textCooccurrencePmi _),
+    "text_backoff_coverage" -> (textBackoffCoverage _),
     "text_group_outliers" -> (textGroupOutliers _),
     "sample_hash_split" -> (sampleHashSplit _),
     "sketch_kmv" -> (sketchKmv _),
@@ -1693,6 +1705,59 @@ object LlmQueries {
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "text_backoff_coverage" -> {
+      val P = TextFunctions.P
+      def c3(m: Long) =
+        s"((((x.wid % $P) * $m + (y.wid % $P)) % $P) * $m + (z.wid % $P)) % $P"
+      def c2(m: Long) = s"((y.wid % $P) * $m + (z.wid % $P)) % $P"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+         |         generate_subscripts(string_split(text,' '),1) AS pos
+         |  FROM documents),
+         |sq AS (SELECT doc_id, pos,
+         |  CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) AS wid FROM toks),
+         |tri AS MATERIALIZED (
+         |  SELECT DISTINCT (${c3(TextFunctions.Mix)}) * $P + (${c3(TextFunctions.MixB)}) AS tid
+         |  FROM sq x JOIN sq y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+         |            JOIN sq z ON x.doc_id = z.doc_id AND z.pos = x.pos + 2
+         |  WHERE x.doc_id % 2 = 0),
+         |bi AS MATERIALIZED (
+         |  SELECT DISTINCT (${c2(TextFunctions.Mix)}) * $P + (${c2(TextFunctions.MixB)}) AS bid
+         |  FROM sq y JOIN sq z ON y.doc_id = z.doc_id AND z.pos = y.pos + 1
+         |  WHERE y.doc_id % 2 = 0),
+         |uni AS MATERIALIZED (
+         |  SELECT DISTINCT wid AS uid FROM sq WHERE doc_id % 2 = 0),
+         |tp AS MATERIALIZED (
+         |  SELECT z.doc_id,
+         |    (${c3(TextFunctions.Mix)}) * $P + (${c3(TextFunctions.MixB)}) AS tid,
+         |    (${c2(TextFunctions.Mix)}) * $P + (${c2(TextFunctions.MixB)}) AS bid,
+         |    z.wid AS uid
+         |  FROM sq x JOIN sq y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+         |            JOIN sq z ON x.doc_id = z.doc_id AND z.pos = x.pos + 2
+         |  WHERE z.doc_id % 2 = 1),
+         |lev AS (
+         |  SELECT tp.doc_id,
+         |    CASE WHEN tri.tid IS NOT NULL THEN 't'
+         |         WHEN bi.bid IS NOT NULL THEN 'b'
+         |         WHEN uni.uid IS NOT NULL THEN 'u' ELSE 'o' END AS l
+         |  FROM tp LEFT JOIN tri ON tp.tid = tri.tid
+         |          LEFT JOIN bi ON tp.bid = bi.bid
+         |          LEFT JOIN uni ON tp.uid = uni.uid),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_scored,
+         |    sum(CASE WHEN l = 't' THEN 1 ELSE 0 END) AS n_tri,
+         |    sum(CASE WHEN l = 'b' THEN 1 ELSE 0 END) AS n_bi,
+         |    sum(CASE WHEN l = 'u' THEN 1 ELSE 0 END) AS n_uni,
+         |    sum(CASE WHEN l = 'o' THEN 1 ELSE 0 END) AS n_oov
+         |  FROM lev GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_scored, 0) AS n_scored,
+         |  CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+         |  CAST(coalesce(a.n_uni, 0) AS BIGINT) AS n_uni,
+         |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
     "text_cooccurrence_pmi" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS w,

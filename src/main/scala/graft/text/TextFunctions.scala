@@ -929,6 +929,63 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Backoff LM coverage census (the stupid-backoff shape — Brants et
+    * al. 2007, "Large Language Models in Machine Translation"): for
+    * every test token at position ≥ 3, the highest model level that
+    * covers it — trigram context seen in training, else bigram, else
+    * unigram (word in vocab), else OOV. CCNet-style perplexity
+    * filtering reads this census next to the score: a slice scoring at
+    * unigram strength is noise no matter how good its number looks.
+    * Counts are exact; the 0.4^k backoff WEIGHTS are the consumer's
+    * (irrational products don't survive engine round-trips).
+    *
+    * Scale shape: the three models are DISTINCT hashed-id sets (one
+    * aggregation each over the training corpus); scoring is one
+    * position explode + three equi-joins on those ids + a per-doc
+    * count — no vocabulary broadcast assumed, no UDFs.
+    * Output: (doc_id, n_scored, n_tri, n_bi, n_uni, n_oov) per TEST
+    * doc; docs under 3 tokens score zero everywhere. */
+  def backoffCoverage(train: DataFrame, test: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val trainW = widArrays(train, idCol, textCol).localCheckpoint(false)
+    val tri = trainW.select(explode(gramIds(col("wids"), 3)).as("tid")).distinct()
+    val bi = trainW.select(explode(gramIds(col("wids"), 2)).as("bid")).distinct()
+    val uni = trainW.select(explode(col("wids")).as("uid")).distinct()
+    val testW = widArrays(test, idCol, textCol)
+      .withColumn("tids", gramIds(col("wids"), 3))
+      .withColumn("bids", gramIds(col("wids"), 2))
+    val pos = testW.select(col("doc_id"), explode(
+        when(size(col("wids")) >= 3,
+          transform(sequence(lit(2), size(col("wids")) - 1), i =>
+            struct(element_at(col("tids"), i - 1).as("tid"),
+              element_at(col("bids"), i).as("bid"),
+              element_at(col("wids"), i + 1).as("uid"))))
+          .otherwise(array().cast("array<struct<tid:bigint,bid:bigint,uid:bigint>>")))
+        .as("t"))
+      .select(col("doc_id"), col("t.tid").as("tid"), col("t.bid").as("bid"),
+        col("t.uid").as("uid"))
+    val leveled = pos
+      .join(tri.withColumn("_t", lit(1)), Seq("tid"), "left")
+      .join(bi.withColumn("_b", lit(1)), Seq("bid"), "left")
+      .join(uni.withColumn("_u", lit(1)), Seq("uid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("_t") === 1, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("_t").isNull && col("_b") === 1, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("_t").isNull && col("_b").isNull && col("_u") === 1, 1L)
+          .otherwise(0L)).as("n_uni"),
+        sum(when(col("_t").isNull && col("_b").isNull && col("_u").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+    test.select(col(idCol).cast("long").as("doc_id"))
+      .join(leveled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
   /** Windowed co-occurrence PMI matrix — the word-embedding prep step
     * (Church & Hanks 1990 pointwise mutual information; Levy & Goldberg
     * 2014: SGNS implicitly factorizes the shifted PMI matrix, so this

@@ -303,6 +303,22 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(out == Map("b" -> ((1L, 5L)), "c" -> ((1L, 7L))))
   }
 
+  test("backoffCoverage classifies tokens at the highest covering level") {
+    val train = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    // test doc "a b c x": pos3 'c' has trigram (a,b,c) in train -> tri;
+    // pos4 'x': trigram (b,c,x) absent, bigram (c,x) absent, 'x' OOV
+    // second test doc "b c d d": (b,c,d) tri hit; (c,d,d): no tri, no
+    // bigram (d,d), but 'd' in vocab -> uni
+    val test = Seq((1L, "a b c x"), (3L, "b c d d"), (5L, "a b"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextFunctions.backoffCoverage(train, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((2L, 1L, 0L, 0L, 1L)))
+    assert(out(3L) == ((2L, 1L, 0L, 1L, 0L)))
+    assert(out(5L) == ((0L, 0L, 0L, 0L, 0L))) // under 3 tokens: unscored
+  }
+
   test("tokenBudget allocates proportionally to sqrt mass") {
     val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "tokens")
     val out = Analytics.tokenBudget(df, "source", col("tokens"), budget = 300L)
