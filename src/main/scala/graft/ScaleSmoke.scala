@@ -230,6 +230,50 @@ object ScaleSmoke {
             (col("bal") + when(col("k") % 97 === 0, 100L).otherwise(0L)).as("bal"))
         drift.Drift.blockDiff(cust, b, "k", Seq("c_name", "bal"), 256 * m).count()
       }
+      time("scan_clusters", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        val tree = cust.filter(col("k") % 10000000L >= 8L)
+          .select(expr("k div 8").as("src"), col("k").as("dst"))
+        val tri = cust.filter(col("k") % 50 === 0)
+          .select(explode(array(
+            struct(col("k").as("src"), (col("k") + 1).as("dst")),
+            struct((col("k") + 1).as("src"), (col("k") + 2).as("dst")),
+            struct(col("k").as("src"), (col("k") + 2).as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        graph.Fixpoint.scanClusters(tree.unionByName(tri), 600L, 3).count()
+      }
+      time("path_counts", m) {
+        // per-replica tree arithmetic: parent ids must stay inside the
+        // replica's offset id space or only replica 0 stays connected
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+          .withColumn("r", expr("(k div 10000000) * 10000000"))
+          .withColumn("b", col("k") % 10000000L)
+        val e = cust.filter(col("b") >= 2L)
+          .select((col("r") + expr("b div 2")).as("src"), col("k").as("dst"))
+          .unionByName(cust.filter(col("b") >= 4L)
+            .select((col("r") + expr("b div 4")).as("src"), col("k").as("dst")))
+        val seeds = cust.filter(col("b") === 1L).select(col("k").as("node"))
+        graph.Fixpoint.bfsPathCounts(e, seeds, 16).count()
+      }
+      time("cooccurrence_pmi", m) {
+        text.TextFunctions.cooccurrencePmi(docs, "doc_id", "text", 5, 50L, 30)
+          .count()
+      }
+      time("incremental_agg", m) {
+        val o = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+          .select(col("o_custkey").cast("long").as("cust"),
+            (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long").as("v"),
+            col("o_orderkey").as("k"))
+        val snap = operators.Changelog.aggregate(
+          o.filter(col("k") % 10 =!= 0).select(col("cust"), col("v")),
+          Seq("cust"), Seq("v"))
+        val delta = o.filter(col("k") % 10 === 0)
+          .select(col("cust"), col("v"), lit(1L).as("mult"))
+        operators.Changelog.maintainAgg(snap, delta, Seq("cust"), "mult",
+          Seq("v")).count()
+      }
       time("block_diff_sparse", m) {
         // ~100 changed rows regardless of scale: diverged buckets ≈
         // changed-row count, so the row-level phase rescans a shrinking
