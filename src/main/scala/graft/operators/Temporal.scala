@@ -255,6 +255,32 @@ object Temporal {
       .drop("_island")
   }
 
+  /** Peak concurrency over half-open intervals [start, end) per key —
+    * the capacity/occupancy read (max simultaneous sessions, held
+    * leases, active connections): +1 at each start, −1 at each end,
+    * running sum in time order, max per key. Ends sort BEFORE starts
+    * at the same instant (the half-open contract: an interval ending
+    * at t does not overlap one starting at t). Ties within the same
+    * (instant, side) carry the same sign, so the running max is
+    * order-independent — deterministic without a full tiebreak.
+    * One shuffle (the per-key window sort); at 100 TB partition keys
+    * by (key, day) like the other window operators. */
+  def intervalMaxConcurrency(df: DataFrame, keys: Seq[String],
+                             startCol: String, endCol: String): DataFrame = {
+    require(keys.nonEmpty, "intervalMaxConcurrency needs at least one key")
+    val starts = df.select(keys.map(col) :+ col(startCol).as("_t") :+
+      lit(1L).as("_side") :+ lit(1L).as("_d"): _*)
+    val ends = df.select(keys.map(col) :+ col(endCol).as("_t") :+
+      lit(0L).as("_side") :+ lit(-1L).as("_d"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    starts.unionByName(ends)
+      .withColumn("_run", sum(col("_d")).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("_run")).as("peak_concurrency"))
+  }
+
   /** Gap-based batch sessionization: within each key, events ordered by
     * (timestamp, tiebreak) start a new session whenever the gap to the
     * previous event exceeds `gapMicros` — the batch analogue of the

@@ -188,11 +188,22 @@ object MetricsQueries {
     ).reduce(_ unionByName _)
   }
 
+  /** Peak concurrent 30-minute activity windows per event type: each
+    * event holds [ts, ts+30min); the max simultaneous count is the
+    * occupancy metric behind capacity planning. */
+  def intervalsPeak(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.intervalMaxConcurrency(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("e")),
+      Seq("event_type"), "s", "e")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "sketch_join_size" -> (sketchJoinSize _),
     "window_ewma" -> (windowEwma _),
     "quality_referential" -> (qualityReferential _),
+    "intervals_peak" -> (intervalsPeak _),
     "sessionize_gaps" -> (sessionizeGaps _),
     "pareto_frontier" -> (paretoFrontier _),
     "drift_block_diff" -> (driftBlockDiff _),
@@ -203,6 +214,21 @@ object MetricsQueries {
     "analytics_tvd_drift" -> (analyticsTvdDrift _),
     "analytics_token_budget" -> (analyticsTokenBudget _),
   )
+
+  private val IntervalsPeakOracleSql: String =
+    """WITH iv AS (
+      |  SELECT event_type, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+      |ev AS (
+      |  SELECT event_type, s AS t, 1 AS side, 1 AS d FROM iv
+      |  UNION ALL
+      |  SELECT event_type, e, 0, -1 FROM iv),
+      |run AS (
+      |  SELECT event_type,
+      |    sum(d) OVER (PARTITION BY event_type ORDER BY t, side
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      |  FROM ev)
+      |SELECT event_type, CAST(max(r) AS BIGINT) AS peak_concurrency
+      |FROM run GROUP BY event_type""".stripMargin
 
   private val ReferentialOracleSql: String = {
     val checks = Seq(
@@ -227,6 +253,7 @@ object MetricsQueries {
 
   val oracles: Map[String, String] = Map(
     "quality_referential" -> ReferentialOracleSql,
+    "intervals_peak" -> IntervalsPeakOracleSql,
     "sketch_join_size" -> {
       val P = graft.text.TextFunctions.P
       val rows = (0 until 4).map(j =>

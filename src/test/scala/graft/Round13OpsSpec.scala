@@ -319,6 +319,17 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 0L, 0L, 0L, 0L))) // under 3 tokens: unscored
   }
 
+  test("intervalMaxConcurrency honors half-open touch and counts overlap") {
+    // [0,10) [5,15) overlap -> 2; [15,20) starts exactly when [5,15)
+    // ends -> no overlap; key b single interval -> 1
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 15L), ("a", 15L, 20L),
+      ("b", 0L, 1L)).toDF("k", "s", "e")
+    val out = graft.operators.Temporal
+      .intervalMaxConcurrency(df, Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("tokenBudget allocates proportionally to sqrt mass") {
     val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "tokens")
     val out = Analytics.tokenBudget(df, "source", col("tokens"), budget = 300L)
