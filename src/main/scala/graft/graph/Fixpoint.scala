@@ -407,6 +407,140 @@ object Fixpoint {
     labels
   }
 
+  /** Weisfeiler–Lehman color refinement (the 1-WL graph-isomorphism
+    * test): every node starts with color 1; each round a node's new
+    * color is a 56-bit hash of (own color, SORTED MULTISET of neighbor
+    * colors). After k rounds two nodes share a color iff their
+    * k-hop unfolded neighborhoods are indistinguishable — the
+    * structural-role fingerprint behind graph dedup, role discovery
+    * and GNN expressiveness checks (Weisfeiler & Leman 1968; Shervashidze
+    * et al. 2011 WL kernels).
+    *
+    * Per round: one equi-join (colors onto edge endpoints) + one
+    * sorted-multiset agg + the hash — O(E) work, map-side combinable
+    * up to the sort; the signature string is bounded by
+    * max-degree × digits, never materialized beyond the agg. Colors are
+    * md5-prefix longs so a SQL oracle reproduces them exactly
+    * (`conv(substring(md5(sig),1,14),16,10)` — the [[graft.functions.Md5Prefix64]]
+    * contract). Lineage cut per round. Output: (node, wl_color). */
+  def wlRefine(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"wlRefine wants 1..8 refinement rounds, got $rounds")
+    val p = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var colors = nodes.select(col("node"), lit(1L).as("wl_color"))
+    for (_ <- 1 to rounds) {
+      val sigs = und
+        .join(colors.select(col("node").as("dst"), col("wl_color").as("nc")),
+          Seq("dst"))
+        .groupBy(col("src"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("nc"))), x => x.cast("string")))
+          .as("sig"))
+      colors = colors
+        .join(sigs.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          graft.functions.HashFunctions.md5_prefix64(
+            concat(col("wl_color").cast("string"), lit("|"),
+              coalesce(col("sig"), lit("")))).as("wl_color"))
+        .cut
+    }
+    colors
+  }
+
+  /** Minimum spanning forest by Borůvka contraction: each round every
+    * component selects its lightest incident inter-component edge under
+    * the TOTAL order (weight, min-endpoint, max-endpoint) — so ties are
+    * deterministic and the forest is unique even with equal weights —
+    * then the selected partner pointers contract via pointer-jump
+    * doubling. Component count at least halves per round: O(log V)
+    * rounds, each O(E) join work, the only MSF algorithm whose rounds
+    * don't grow with the diameter (Prim/Kruskal are driver-sequential
+    * by nature and can never run at 100 TB).
+    *
+    * Duplicate (a, b) edges collapse to their min weight first; self
+    * loops drop. Output: one row per forest edge (edge_u, edge_v,
+    * weight) with edge_u < edge_v. */
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        col("weight").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint(false)
+    val spark = canon.sparkSession
+    var comp = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(false)
+    var msf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("edge_u", "long").add("edge_v", "long").add("weight", "long"))
+    var round = 0
+    var live = true
+    while (live && round < maxRounds) {
+      round += 1
+      // inter-component candidates under current labels
+      val cand = canon
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+        .localCheckpoint(false)
+      if (cand.isEmpty) { live = false }
+      else {
+        // each component's lightest incident edge: explode both directions,
+        // min(struct) gives the (w, a, b) total order and carries the partner
+        val chosen = cand
+          .select(col("ca").as("c"), struct(col("w"), col("a"), col("b"),
+            col("cb").as("partner")).as("e"))
+          .unionByName(cand.select(col("cb").as("c"), struct(col("w"), col("a"),
+            col("b"), col("ca").as("partner")).as("e")))
+          .groupBy(col("c")).agg(min(col("e")).as("e"))
+          .select(col("c"), col("e.w").as("w"), col("e.a").as("a"),
+            col("e.b").as("b"), col("e.partner").as("p"))
+          .localCheckpoint(false)
+        msf = msf.unionByName(
+          chosen.select(col("a").as("edge_u"), col("b").as("edge_v"),
+            col("w").as("weight")).distinct())
+          .localCheckpoint(false)
+        // partner pointers; mutual pairs (a↔b) root at the smaller id
+        var parent = chosen
+          .join(chosen.select(col("c").as("p"), col("p").as("pp")), Seq("p"), "left")
+          .select(col("c"),
+            when(col("pp") === col("c") && col("c") < col("p"), col("c"))
+              .otherwise(col("p")).as("parent"))
+          .localCheckpoint(false)
+        // pointer-jump doubling to the star fixpoint
+        var jumping = true
+        while (jumping) {
+          val jumped = parent
+            .join(parent.select(col("c").as("parent"), col("parent").as("gp")),
+              Seq("parent"), "left")
+            .select(col("c"), coalesce(col("gp"), col("parent")).as("parent"))
+            .localCheckpoint(false)
+          val moved = jumped.join(parent.withColumnRenamed("parent", "old"),
+            Seq("c")).filter(col("parent") =!= col("old")).isEmpty
+          parent = jumped
+          jumping = !moved
+        }
+        comp = comp
+          .join(parent.select(col("c").as("c2"), col("parent")),
+            comp("comp") === col("c2"), "left")
+          .select(col("node"), coalesce(col("parent"), col("comp")).as("comp"))
+          .cut
+      }
+    }
+    require(!live || round < maxRounds,
+      s"minimumSpanningForest did not converge in $maxRounds rounds")
+    msf
+  }
+
   /** SCAN structural clustering (Xu, Yuruk, Feng & Schweiger, KDD
     * 2007): communities from STRUCTURAL similarity instead of label
     * voting, with the hub/outlier distinction LPA can't make. Per edge,

@@ -197,6 +197,139 @@ object Analytics {
       .drop("_x")
   }
 
+  /** First-order state-transition census (Markov chain estimate) over
+    * per-key ordered event sequences: count of each (from → to)
+    * consecutive pair plus the per-from transition probability in exact
+    * ppm. The user-journey / crawl-path summary every event lake wants.
+    *
+    * One window shuffle produces the pairs (lead over the key sort);
+    * the census agg is map-side combinable; the per-from totals come
+    * from a second window over the CENSUS (|states|² rows, tiny —
+    * never the event table). `orderCols` must be a TOTAL order within
+    * each key or the lead pairing is engine-dependent. */
+  def transitionCensus(df: DataFrame, keyCols: Seq[Column],
+                       orderCols: Seq[Column], stateCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    val census = df
+      .select(stateCol.as("from_state"), lead(stateCol, 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_state"))
+    census
+      .withColumn("_tot", sum(col("n")).over(wf))
+      .withColumn("p_ppm", expr("n * 1000000 div _tot"))
+      .drop("_tot")
+  }
+
+  /** Linear multi-touch attribution: each conversion's integral value is
+    * split EXACTLY across the touches that precede it within the
+    * lookback window — base share `v div n` per touch, with the
+    * `v mod n` remainder cents going to the EARLIEST touches, so the
+    * credit column sums to precisely the attributed conversion value
+    * (float splits never re-add to the total; this does, by
+    * construction). Conversions with no in-window touch are dropped —
+    * unattributed value is the caller's report, not a silent bucket.
+    *
+    * Join shape: equi-join on the entity key, THEN the window filter —
+    * per-key fan-out is bounded by touches-per-entity × conversions-per-
+    * entity inside one lookback, the same bound the oracle pays. At
+    * 100 TB pre-bucket both sides on (key, epoch-day) the way
+    * [[Temporal.rangeJoinBucketed]] does so a hot entity cannot pin one
+    * task; this direct form keeps the plan to one shuffle pair.
+    * Output: one row per (conversion, touch) with the exact credit. */
+  def linearAttribution(conversions: DataFrame, convKey: Column, convId: Column,
+                        convValue: Column, convTs: Column,
+                        touches: DataFrame, touchKey: Column, touchId: Column,
+                        touchChannel: Column, touchTs: Column,
+                        lookbackMicros: Long): DataFrame = {
+    require(lookbackMicros > 0, "lookbackMicros must be positive")
+    val c = conversions.select(convKey.cast("long").as("_k"),
+      convId.cast("long").as("conv_id"), convValue.cast("long").as("_v"),
+      convTs.cast("long").as("_cts"))
+    val t = touches.select(touchKey.cast("long").as("_k"),
+      touchId.cast("long").as("touch_id"), touchChannel.as("channel"),
+      touchTs.cast("long").as("_tts"))
+    val joined = c.join(t, Seq("_k"))
+      .filter(col("_tts") < col("_cts") &&
+        col("_tts") >= col("_cts") - lit(lookbackMicros))
+    val w = Window.partitionBy(col("conv_id"))
+    val wr = w.orderBy(col("_tts"), col("touch_id"))
+    joined
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_r", row_number().over(wr))
+      .select(col("conv_id"), col("touch_id"), col("channel"),
+        (expr("_v div _n") +
+          when(col("_r") <= col("_v") % col("_n"), 1L).otherwise(0L))
+          .as("credit"))
+  }
+
+  /** Per-column table profile: row count, null count, exact distinct
+    * count, native-order min/max stringified AFTER the agg (one report
+    * row shape covers every column type — restrict inputs to types
+    * whose string form is engine-portable: integers, strings). The
+    * post-load data-quality sweep, one report row per column.
+    *
+    * Each column profiles in its own single-column agg (scan pruned to
+    * that column; `count(DISTINCT)` stays exact) and the rows union —
+    * n columns = n narrow scans, each map-side combinable. At 100 TB
+    * swap the exact distinct for [[graft.text.Sketches]] HLL and keep
+    * this as the exactness baseline. */
+  def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    columns.map { name =>
+      val c = col(name)
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_str"),
+          max(c).cast("string").as("max_str"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Pairwise association rules over transactions (market-basket):
+    * support, confidence and lift for every unordered item pair that
+    * co-occurs in at least `minSupport` transactions. Confidence is
+    * exact ppm; lift is scaled ×1e6 with the cross-multiplication done
+    * in decimal(38,0) so the n_ab·N product can never wrap a long.
+    *
+    * Pair generation is IN-ROW from each transaction's sorted distinct
+    * item array (pair space Σ basket², never |items|²) — the
+    * [[graft.graph.Centrality.rectangleCensus]] wedge idiom; one agg
+    * per census. Item-frequency attach joins the pair census (small)
+    * against the item counts (smaller) — both sides post-aggregation,
+    * so the raw transaction table is scanned exactly once. Emits both
+    * orientations of each pair (a→b and b→a) since confidence is
+    * asymmetric. */
+  def associationRules(df: DataFrame, txnCol: Column, itemCol: Column,
+                       minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val ti = df.select(txnCol.as("_t"), itemCol.as("_i")).distinct()
+      .localCheckpoint(false)
+    val nTxn = ti.select(col("_t")).distinct().count()
+    val itemCounts = ti.groupBy(col("_i")).agg(count(lit(1)).as("n_item"))
+    val baskets = ti.groupBy(col("_t"))
+      .agg(array_sort(collect_set(col("_i"))).as("items"))
+    val pairs = baskets.select(
+        explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val both = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"),
+      col("n_ab")))
+    both
+      .join(itemCounts.select(col("_i").as("a"), col("n_item").as("n_a")), Seq("a"))
+      .join(itemCounts.select(col("_i").as("b"), col("n_item").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+        expr(s"CAST(n_ab AS DECIMAL(38,0)) * ${nTxn}L * 1000000L div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_x1e6"))
+  }
+
   /** 2-D Pareto frontier (skyline), both axes maximized: rows no other
     * row weakly dominates — the data-selection tradeoff curve ("longest
     * doc at each quality level", "best quality at each length"). Rows

@@ -198,7 +198,54 @@ object MetricsQueries {
           (col("ts") + expr("INTERVAL 30 MINUTES")).as("e")),
       Seq("event_type"), "s", "e")
 
+  /** First-order event-type transition census per user journey: counts
+    * and exact-ppm probabilities of each consecutive (from → to) pair —
+    * the Markov-chain estimate behind next-action modeling. */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
+    Analytics.transitionCensus(Tables.events(spark, dir),
+      keyCols = Seq(col("user_id")),
+      orderCols = Seq(col("ts"), col("event_id")),
+      stateCol = col("event_type"))
+
+  /** Linear multi-touch attribution: every purchase event's cents value
+    * split exactly over the same user's click/view/signup touches in the
+    * preceding 24 h (remainder cents to the earliest touches), rolled up
+    * per channel — the credit column re-sums to precisely the attributed
+    * purchase total. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val conv = ev.filter(col("event_type") === "purchase")
+    val touch = ev.filter(col("event_type").isin("click", "view", "signup"))
+    Analytics.linearAttribution(
+        conv, col("user_id"), col("event_id"), cents, unix_micros(col("ts")),
+        touch, col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")), lookbackMicros = 86400L * 1000000L)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("total_credit"))
+  }
+
+  /** Per-column profile of the orders table: rows, nulls, exact distinct
+    * count, stringified min/max — the post-load data-quality sweep. */
+  def qualityProfile(spark: SparkSession, dir: String): DataFrame =
+    Analytics.columnProfile(Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
+  /** Market-basket association rules over orders × part brands: support,
+    * exact-ppm confidence and ×1e6 lift for brand pairs co-ordered in at
+    * least 20 orders. */
+  def basketRules(spark: SparkSession, dir: String): DataFrame =
+    Analytics.associationRules(
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")),
+      col("l_orderkey"), col("p_brand"), minSupport = 20L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions" -> (eventsTransitions _),
+    "attribution_linear" -> (attributionLinear _),
+    "quality_profile" -> (qualityProfile _),
+    "basket_rules" -> (basketRules _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "sketch_join_size" -> (sketchJoinSize _),
     "window_ewma" -> (windowEwma _),
@@ -252,6 +299,73 @@ object MetricsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_state
+        |  FROM events),
+        |census AS (
+        |  SELECT from_state, to_state, count(*) AS n FROM p
+        |  WHERE to_state IS NOT NULL GROUP BY from_state, to_state)
+        |SELECT from_state, to_state, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_state) AS BIGINT)
+        |    AS p_ppm
+        |FROM census""".stripMargin,
+    "attribution_linear" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_id AS touch_id, event_type AS channel,
+        |    epoch_us(ts) AS tts
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |j AS (
+        |  SELECT c.conv_id, t.touch_id, t.channel, c.v, t.tts
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |  WHERE t.tts < c.cts AND t.tts >= c.cts - 86400000000),
+        |w AS (
+        |  SELECT conv_id, touch_id, channel, v,
+        |    count(*) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY tts, touch_id) AS r
+        |  FROM j)
+        |SELECT channel, count(*) AS n_touches,
+        |  CAST(sum(v // n + CASE WHEN r <= v % n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS total_credit
+        |FROM w GROUP BY channel""".stripMargin,
+    "quality_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    "basket_rules" ->
+      """WITH ti AS (
+        |  SELECT DISTINCT l.l_orderkey AS t, p.p_brand AS i
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |ntxn AS (SELECT count(DISTINCT t) AS n FROM ti),
+        |ic AS (SELECT i, count(*) AS n_item FROM ti GROUP BY i),
+        |pairs AS (
+        |  SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+        |  FROM ti x JOIN ti y ON x.t = y.t AND x.i < y.i
+        |  GROUP BY x.i, y.i HAVING count(*) >= 20),
+        |bo AS (
+        |  SELECT a, b, n_ab FROM pairs
+        |  UNION ALL SELECT b, a, n_ab FROM pairs)
+        |SELECT bo.a, bo.b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  CAST(n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_ppm,
+        |  CAST(CAST(n_ab AS HUGEINT) * ntxn.n * 1000000
+        |    // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_x1e6
+        |FROM bo
+        |JOIN ic ia ON bo.a = ia.i
+        |JOIN ic ib ON bo.b = ib.i
+        |CROSS JOIN ntxn""".stripMargin,
     "quality_referential" -> ReferentialOracleSql,
     "intervals_peak" -> IntervalsPeakOracleSql,
     "sketch_join_size" -> {

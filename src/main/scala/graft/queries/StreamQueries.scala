@@ -660,8 +660,54 @@ object StreamQueries {
     Fixpoint.sssp(e1.unionByName(e2), seeds, maxRounds = 40)
   }
 
+  /** Weisfeiler–Lehman color refinement over the ornamented tree, 4
+    * rounds: nodes sharing a color have indistinguishable 4-hop
+    * unfolded neighborhoods — tree levels, triangle corners and hinge
+    * nodes all separate. */
+  def graphWlColors(spark: SparkSession, dir: String): DataFrame =
+    Fixpoint.wlRefine(treeWithTriangles(spark, dir), rounds = 4)
+
+  /** Borůvka minimum spanning forest over the nation-flow graph: nodes
+    * are nations, edge weights encode the lineitem supplier→customer
+    * flow volume with the nation pair packed into the low bits so every
+    * weight is UNIQUE — the forest is the cheapest backbone connecting
+    * all trading partners, and the oracle checks it by the cut
+    * property (an edge is in the unique MSF iff its endpoints are not
+    * connected by strictly lighter edges). */
+  def graphMstForest(spark: SparkSession, dir: String): DataFrame = {
+    val flows = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .select(least(col("s_nationkey"), col("c_nationkey")).cast("long").as("a"),
+        greatest(col("s_nationkey"), col("c_nationkey")).cast("long").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    Fixpoint.minimumSpanningForest(
+      flows.select(col("a").as("src"), col("b").as("dst"),
+        (col("cnt") * 1024L + col("a") * 32L + col("b")).as("weight")))
+  }
+
+  /** Greedy densest-subgraph peel (ε = 1, 4-approximation) over the
+    * octal tree with a clique planted on every 100th customer: the
+    * tree fringe peels away round by round and the clique's density
+    * wins — the spam-cluster / mutual-admiration-core detection shape.
+    * Output is the best-density round's node set with its (V, E). */
+  def graphDensest(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val tree = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    val ck = c.filter(col("k") % 100 === 0)
+    val clique = ck.select(col("k").as("src"))
+      .join(ck.select(col("k").as("dst")), col("src") < col("dst"))
+    Centrality.densestSubgraph(tree.unionByName(clique))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_window_agg" -> (sessionWindowAgg _),
+    "graph_wl_colors" -> (graphWlColors _),
+    "graph_mst_forest" -> (graphMstForest _),
+    "graph_densest" -> (graphDensest _),
     "fixpoint_ancestors" -> (fixpointAncestors _),
     "fixpoint_reach2" -> (fixpointReach2 _),
     "graph_sssp" -> (graphSssp _),
@@ -882,7 +928,134 @@ object StreamQueries {
        |FROM v10""".stripMargin
   }
 
+  /** Unrolled WL color refinement (graph_wl_colors oracle): 4 rounds of
+    * color = md5-prefix56(own color || '|' || sorted neighbor colors)
+    * over the symmetrized ornamented tree — the exact [[graft.functions.Md5Prefix64]]
+    * value contract in DuckDB's `'0x' || substr(md5(s),1,14)` form. */
+  private val WlOracleSql: String = {
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |u0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e WHERE src <> dst
+        |   UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+        |c0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS color FROM u0)""".stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""g$i AS MATERIALIZED (
+         |  SELECT u.src AS node,
+         |    string_agg(CAST(c.color AS VARCHAR), ',' ORDER BY c.color) AS sig
+         |  FROM u0 u JOIN c${i - 1} c ON u.dst = c.node GROUP BY u.src),
+         |c$i AS MATERIALIZED (
+         |  SELECT c.node,
+         |    CAST(('0x' || substr(md5(CAST(c.color AS VARCHAR) || '|' ||
+         |      coalesce(g.sig, '')), 1, 14)) AS BIGINT) AS color
+         |  FROM c${i - 1} c LEFT JOIN g$i g ON c.node = g.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, color AS wl_color FROM c4""".stripMargin
+  }
+
+  /** Cut-property MSF oracle (graph_mst_forest): with globally unique
+    * weights an edge is in the unique minimum spanning forest iff its
+    * endpoints are NOT connected using strictly lighter edges — checked
+    * with one recursive lighter-edge reachability per edge (state space
+    * = |edges| × |nations|, tiny on the nation-flow graph). */
+  private val MstOracleSql: String =
+    """WITH RECURSIVE flows AS (
+      |  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+      |         greatest(s.s_nationkey, c.c_nationkey) AS b,
+      |         count(*) AS cnt
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE s.s_nationkey <> c.c_nationkey
+      |  GROUP BY 1, 2),
+      |e AS MATERIALIZED (
+      |  SELECT a, b, cnt * 1024 + a * 32 + b AS w FROM flows),
+      |rr AS (
+      |  SELECT e.w AS ew, e.a AS node FROM e
+      |  UNION
+      |  SELECT rr.ew, CASE WHEN g.a = rr.node THEN g.b ELSE g.a END
+      |  FROM rr JOIN e g
+      |    ON g.w < rr.ew AND (g.a = rr.node OR g.b = rr.node))
+      |SELECT CAST(e.a AS BIGINT) AS edge_u, CAST(e.b AS BIGINT) AS edge_v,
+      |  CAST(e.w AS BIGINT) AS weight
+      |FROM e
+      |WHERE NOT EXISTS (SELECT 1 FROM rr WHERE rr.ew = e.w AND rr.node = e.b)""".stripMargin
+
+  /** Unrolled densest-subgraph peel (graph_densest oracle): 14 rounds of
+    * "drop nodes with deg·V ≤ 4·E", per-round (V, E) stats, then the
+    * exact cross-multiplied argmax picks the densest round's node set
+    * (earliest round wins ties, mirroring the operator's strict
+    * improvement test). */
+  private val DensestOracleSql: String = {
+    val R = 14
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |ck AS (SELECT k FROM c WHERE k % 100 = 0),
+        |ed AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT x.k AS src, y.k AS dst FROM ck x JOIN ck y ON x.k < y.k),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed WHERE src <> dst),
+        |s0 AS MATERIALIZED (
+        |  SELECT a AS node FROM e0 UNION SELECT b FROM e0),
+        |st0 AS ( SELECT (SELECT count(*) FROM s0) AS v,
+        |         (SELECT count(*) FROM e0) AS e)""".stripMargin
+    val rounds = (1 to R).map { i =>
+      s"""d$i AS (
+         |  SELECT node, count(*) AS deg FROM
+         |    (SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY node),
+         |s$i AS MATERIALIZED (
+         |  SELECT s.node FROM s${i - 1} s
+         |  LEFT JOIN d$i d ON s.node = d.node
+         |  CROSS JOIN st${i - 1} t
+         |  WHERE CAST(coalesce(d.deg, 0) AS HUGEINT) * t.v > 4 * CAST(t.e AS HUGEINT)),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN s$i x ON e.a = x.node JOIN s$i y ON e.b = y.node),
+         |st$i AS ( SELECT (SELECT count(*) FROM s$i) AS v,
+         |          (SELECT count(*) FROM e$i) AS e)""".stripMargin
+    }.mkString(",\n")
+    val allst = (0 to R)
+      .map(i => s"SELECT $i AS r, v, e FROM st$i").mkString("\n  UNION ALL ")
+    val picks = (0 to R)
+      .map(i => s"SELECT node, b.v, b.e FROM s$i CROSS JOIN best b WHERE b.r = $i")
+      .mkString("\n  UNION ALL ")
+    s"""$base,
+       |$rounds,
+       |allst AS MATERIALIZED (
+       |  $allst),
+       |best AS MATERIALIZED (
+       |  SELECT r, v, e FROM allst a
+       |  WHERE v > 0 AND NOT EXISTS (
+       |    SELECT 1 FROM allst b WHERE b.v > 0 AND
+       |      (CAST(b.e AS HUGEINT) * a.v > CAST(a.e AS HUGEINT) * b.v
+       |       OR (CAST(b.e AS HUGEINT) * a.v = CAST(a.e AS HUGEINT) * b.v
+       |           AND b.r < a.r))))
+       |SELECT CAST(node AS BIGINT) AS node, CAST(v AS BIGINT) AS sub_v,
+       |  CAST(e AS BIGINT) AS sub_e
+       |FROM ($picks)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_wl_colors" -> WlOracleSql,
+    "graph_mst_forest" -> MstOracleSql,
+    "graph_densest" -> DensestOracleSql,
     "graph_path_counts" -> PathCountsOracleSql,
     "stream_upsert_sink" ->
       """WITH r AS (

@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Centrality, Fixpoint}
+import graft.operators.Analytics
+
+/** Round-14 additions: transition census, linear attribution, column
+  * profile, association rules, WL refinement, Borůvka MSF, densest
+  * subgraph — hand-sized inputs with answers checkable by eye. */
+class Round14OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---- transitionCensus ----
+
+  test("transitionCensus counts consecutive pairs with exact ppm") {
+    // user 1: A B A B → A→B, B→A, A→B; user 2: A A → A→A
+    val df = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "A")).toDF("u", "t", "s")
+    val out = Analytics.transitionCensus(df, Seq(col("u")), Seq(col("t")), col("s"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(("A", "B")) == (2L, 666666L))
+    assert(out(("A", "A")) == (1L, 333333L))
+    assert(out(("B", "A")) == (1L, 1000000L))
+    assert(out.size == 3)
+  }
+
+  // ---- linearAttribution ----
+
+  test("linearAttribution splits value exactly, remainder to earliest") {
+    val conv = Seq((7L, 100L, 100L, 1000L)).toDF("k", "cid", "v", "cts")
+    val touch = Seq(
+      (7L, 1L, "a", 500L),   // in window
+      (7L, 2L, "b", 700L),   // in window
+      (7L, 3L, "c", 900L),   // in window
+      (7L, 4L, "d", 1000L),  // AT conversion ts → excluded (strictly before)
+      (7L, 5L, "e", 10L),    // too old (lookback 600)
+      (8L, 6L, "f", 900L)    // other key
+    ).toDF("k", "tid", "ch", "tts")
+    val out = Analytics.linearAttribution(
+        conv, col("k"), col("cid"), col("v"), col("cts"),
+        touch, col("k"), col("tid"), col("ch"), col("tts"), 600L)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    // 100 over 3 touches: 34 to the earliest (tid 1), 33, 33
+    assert(out == Map(1L -> 34L, 2L -> 33L, 3L -> 33L))
+  }
+
+  test("linearAttribution credit re-sums to the conversion value") {
+    val conv = Seq((1L, 10L, 997L, 100000L)).toDF("k", "cid", "v", "cts")
+    val touch = (1 to 7).map(i => (1L, i.toLong, "ch", 1000L * i))
+      .toDF("k", "tid", "ch", "tts")
+    val total = Analytics.linearAttribution(
+        conv, col("k"), col("cid"), col("v"), col("cts"),
+        touch, col("k"), col("tid"), col("ch"), col("tts"), 1000000L)
+      .agg(sum("credit")).collect()(0).getLong(0)
+    assert(total == 997L)
+  }
+
+  // ---- columnProfile ----
+
+  test("columnProfile reports rows, nulls, distinct, min/max per column") {
+    val df = Seq(
+      (1L, Some("x")), (2L, None), (3L, Some("a")), (3L, Some("x"))
+    ).toDF("id", "tag")
+    val out = Analytics.columnProfile(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out("id") == (4L, 0L, 3L, "1", "3"))
+    assert(out("tag") == (4L, 1L, 2L, "a", "x"))
+  }
+
+  // ---- associationRules ----
+
+  test("associationRules computes support, confidence and lift exactly") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("t", "i")
+    val out = Analytics.associationRules(df, col("t"), col("i"), minSupport = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // only (a,b) clears support 2; both orientations emitted
+    assert(out.size == 2)
+    // a→b: n_ab=2, n_a=3, n_b=2, conf=666666, lift=2*3*1e6/(3*2)=1e6
+    assert(out(("a", "b")) == (2L, 3L, 2L, 666666L, 1000000L))
+    // b→a: conf = 2/2 = 1e6
+    assert(out(("b", "a")) == (2L, 2L, 3L, 1000000L, 1000000L))
+  }
+
+  test("associationRules dedups repeated items within a transaction") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("t", "i")
+    val out = Analytics.associationRules(df, col("t"), col("i"), 2L)
+      .filter(col("a") === "a" && col("b") === "b").collect()
+    assert(out.length == 1 && out(0).getLong(2) == 2L) // n_ab = 2, not 3
+  }
+
+  // ---- wlRefine ----
+
+  test("wlRefine separates structural roles on a path") {
+    // path 1-2-3: ends equivalent, middle distinct — at every round
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Fixpoint.wlRefine(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(3L))
+    assert(out(1L) != out(2L))
+  }
+
+  test("wlRefine distinguishes multiset-identical but count-different hoods") {
+    // star K1,3 vs star K1,2: centers differ (3 vs 2 neighbor colors),
+    // leaves of BOTH stars share a color (one neighbor that is a center
+    // of... no — centers have different colors at round 2, so leaves
+    // split at round 3; at round 1 all leaves agree)
+    val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (20L, 22L)).toDF("src", "dst")
+    val r1 = Fixpoint.wlRefine(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(11L) == r1(21L)) // all leaves alike after one round
+    assert(r1(10L) != r1(20L)) // centers differ: 3 vs 2 neighbors
+    val r2 = Fixpoint.wlRefine(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(11L) != r2(21L)) // leaves now see different center colors
+    assert(r2(11L) == r2(12L)) // same-star leaves always alike
+  }
+
+  // ---- minimumSpanningForest ----
+
+  private def msfSet(edges: DataFrame): Set[(Long, Long, Long)] =
+    Fixpoint.minimumSpanningForest(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("minimumSpanningForest drops the heaviest cycle edge") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 1L, 9L))
+      .toDF("src", "dst", "weight")
+    assert(msfSet(edges) == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+  }
+
+  test("minimumSpanningForest breaks ties by (weight, endpoints)") {
+    // equal-weight triangle: (1,2) and (1,3) beat (2,3) in the total order
+    val edges = Seq((2L, 3L, 5L), (1L, 3L, 5L), (1L, 2L, 5L))
+      .toDF("src", "dst", "weight")
+    assert(msfSet(edges) == Set((1L, 2L, 5L), (1L, 3L, 5L)))
+  }
+
+  test("minimumSpanningForest spans each component separately") {
+    val edges = Seq((1L, 2L, 4L), (2L, 3L, 1L),
+      (10L, 11L, 7L)).toDF("src", "dst", "weight")
+    assert(msfSet(edges) ==
+      Set((1L, 2L, 4L), (2L, 3L, 1L), (10L, 11L, 7L)))
+  }
+
+  test("minimumSpanningForest handles chained merges in one round") {
+    // a path with increasing weights: every edge is some component's
+    // minimum in round 1 → the pointer chain 1→2→3→…→8 must fully
+    // contract via pointer jumping, and the MSF is the whole path
+    val edges = (1L to 7L).map(i => (i, i + 1, 10L + i))
+      .toDF("src", "dst", "weight")
+    assert(msfSet(edges) == (1L to 7L).map(i => (i, i + 1, 10L + i)).toSet)
+    // a 16-node star-of-paths stress: two rounds needed
+    val e2 = ((1L to 15L).map(i => (i, i + 1, 100L - i)) ++
+      Seq((1L, 16L, 1L))).toDF("src", "dst", "weight")
+    assert(Fixpoint.minimumSpanningForest(e2).count() == 16L - 1)
+  }
+
+  test("minimumSpanningForest collapses duplicate edges to min weight") {
+    val edges = Seq((1L, 2L, 5L), (2L, 1L, 3L), (2L, 3L, 4L))
+      .toDF("src", "dst", "weight")
+    assert(msfSet(edges) == Set((1L, 2L, 3L), (2L, 3L, 4L)))
+  }
+
+  // ---- densestSubgraph ----
+
+  test("densestSubgraph finds a planted clique against a path fringe") {
+    // K8 on 1..8 (density 3.5) + a 30-node path hanging off node 8
+    val k8 = for (a <- 1L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val path = (8L until 38L).map(i => (i, i + 1))
+    val edges = (k8 ++ path).toDF("src", "dst")
+    val out = Centrality.densestSubgraph(edges).collect()
+    assert(out.map(_.getLong(0)).toSet == (1L to 8L).toSet)
+    assert(out.head.getLong(1) == 8L && out.head.getLong(2) == 28L)
+  }
+
+  test("densestSubgraph keeps round 0 when nothing beats the full graph") {
+    // a triangle peels whole in round 1 (deg·V = 9 ≤ 4·E = 12):
+    // best stays the full graph
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val out = Centrality.densestSubgraph(edges).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(out.head.getLong(1) == 3L && out.head.getLong(2) == 3L)
+  }
+}
