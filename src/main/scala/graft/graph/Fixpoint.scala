@@ -541,6 +541,109 @@ object Fixpoint {
     msf
   }
 
+  /** Deterministic Luby maximal independent set: each round every live
+    * node whose (hash, id) priority beats every live neighbor's joins
+    * the MIS, then winners AND their neighbors leave the live set —
+    * O(log V) expected rounds under the md5 priorities (Luby 1986 with
+    * the random bits replaced by a deterministic 56-bit hash so the
+    * result is reproducible run-to-run and in a SQL oracle). The
+    * conflict-free scheduling / landmark-selection primitive.
+    *
+    * Each round: one neighbor-min join + two semi/anti joins, O(E)
+    * work, lineage cut. A node with no live neighbor always wins.
+    * Throws past `maxRounds` (budget-throw, not silent truncation). */
+  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val p = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    def prio(c: Column): Column =
+      struct(graft.functions.HashFunctions.md5_prefix64(c.cast("string")).as("h"),
+        c.as("id"))
+    var live = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var cur = und
+    val spark = und.sparkSession
+    var mis = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType().add("node", "long"))
+    var round = 0
+    while (!live.isEmpty) {
+      round += 1
+      require(round <= maxRounds,
+        s"maximalIndependentSet did not converge in $maxRounds rounds")
+      val minNbr = cur.groupBy(col("src").as("node"))
+        .agg(min(prio(col("dst"))).as("mn"))
+      val winners = live.join(minNbr, Seq("node"), "left")
+        .filter(col("mn").isNull || prio(col("node")) < col("mn"))
+        .select(col("node")).localCheckpoint(false)
+      mis = mis.unionByName(winners).localCheckpoint(false)
+      val killed = winners.unionByName(
+        cur.join(winners.select(col("node").as("src")), Seq("src"), "left_semi")
+          .select(col("dst").as("node"))).distinct()
+      live = live.join(killed, Seq("node"), "left_anti").cut
+      cur = cur
+        .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).cut
+    }
+    mis
+  }
+
+  /** Greedy maximal matching by mutual-minimum edges: each round an
+    * edge whose (hash, endpoints) priority is the minimum for BOTH its
+    * endpoints joins the matching, matched nodes leave, repeat —
+    * deterministic O(log V) expected rounds (the Israeli–Itai shape
+    * with hash priorities; lexicographic order would serialize a path
+    * into O(V) rounds, which is why the hash is load-bearing). The
+    * conflict-free pairing primitive (co-scheduling, dedup pairing).
+    *
+    * Output: one row per matched edge (edge_u, edge_v), edge_u <
+    * edge_v. Throws past `maxRounds`. */
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .withColumn("ep", struct(
+        graft.functions.HashFunctions.md5_prefix64(
+          concat(col("a").cast("string"), lit(":"), col("b").cast("string")))
+          .as("h"),
+        col("a").as("pa"), col("b").as("pb")))
+      .localCheckpoint(false)
+    var cur = canon
+    val spark = canon.sparkSession
+    var matched = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("edge_u", "long").add("edge_v", "long"))
+    var round = 0
+    while (!cur.isEmpty) {
+      round += 1
+      require(round <= maxRounds,
+        s"maximalMatching did not converge in $maxRounds rounds")
+      val nodeMin = cur
+        .select(col("a").as("node"), col("ep"))
+        .unionByName(cur.select(col("b").as("node"), col("ep")))
+        .groupBy(col("node")).agg(min(col("ep")).as("mn"))
+      val winners = cur
+        .join(nodeMin.select(col("node").as("a"), col("mn").as("ma")), Seq("a"))
+        .join(nodeMin.select(col("node").as("b"), col("mn").as("mb")), Seq("b"))
+        .filter(col("ep") === col("ma") && col("ep") === col("mb"))
+        .select(col("a"), col("b")).localCheckpoint(false)
+      matched = matched.unionByName(
+        winners.select(col("a").as("edge_u"), col("b").as("edge_v")))
+        .localCheckpoint(false)
+      val touched = winners.select(col("a").as("node"))
+        .unionByName(winners.select(col("b").as("node"))).distinct()
+      cur = cur
+        .join(touched.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(touched.select(col("node").as("b")), Seq("b"), "left_anti")
+        .cut
+    }
+    matched
+  }
+
   /** SCAN structural clustering (Xu, Yuruk, Feng & Schweiger, KDD
     * 2007): communities from STRUCTURAL similarity instead of label
     * voting, with the hub/outlier distinction LPA can't make. Per edge,

@@ -330,6 +330,40 @@ object Analytics {
           "(CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_x1e6"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic: D = max over
+    * observed values of |F_a(x) − F_b(x)|, reported as the exact
+    * fraction (d_num, d_den) with d_num = max |cumA·nB − cumB·nA| and
+    * d_den = nA·nB — no float CDFs, so any engine reproduces it
+    * bit-for-bit, and `d_num/d_den` is the usual statistic. The
+    * distribution-drift test with provable sensitivity (TVD needs
+    * binning; KS does not).
+    *
+    * Shape: one per-(value, side) count agg collapses the raw table,
+    * one window sort over the |distinct values| census builds both
+    * running CDFs in a single pass, one max-agg. The global window
+    * touches distinct values only — same aggregate-then-window shape as
+    * [[paretoFrontier2d]]. Output one row: (n_a, n_b, d_num, d_den).
+    * d_num bounds: nA·nB ≤ ~9·10¹⁸ holds to ~3·10⁹ rows per side. */
+  def ksStatistic(df: DataFrame, valueCol: Column, sideCol: Column): DataFrame = {
+    val counted = df
+      .select(valueCol.cast("long").as("v"), sideCol.as("is_a"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(false)
+    val totals = counted.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .withColumn("_cuma", sum(col("ca")).over(w))
+      .withColumn("_cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
+          .as("d_num"),
+        max(col("n_a") * col("n_b")).as("d_den"))
+  }
+
   /** 2-D Pareto frontier (skyline), both axes maximized: rows no other
     * row weakly dominates — the data-selection tradeoff curve ("longest
     * doc at each quality level", "best quality at each length"). Rows

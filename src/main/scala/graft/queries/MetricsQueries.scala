@@ -241,7 +241,17 @@ object MetricsQueries {
         .select(col("l_orderkey"), col("p_brand")),
       col("l_orderkey"), col("p_brand"), minSupport = 20L)
 
+  /** Exact two-sample Kolmogorov–Smirnov: purchase vs click cents
+    * distributions as the exact fraction (d_num, d_den) — binning-free
+    * drift detection next to the TVD gate. */
+  def analyticsKsStat(spark: SparkSession, dir: String): DataFrame =
+    Analytics.ksStatistic(
+      Tables.events(spark, dir)
+        .filter(col("event_type").isin("purchase", "click")),
+      cents, col("event_type") === "purchase")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_ks_stat" -> (analyticsKsStat _),
     "events_transitions" -> (eventsTransitions _),
     "attribution_linear" -> (attributionLinear _),
     "quality_profile" -> (qualityProfile _),
@@ -299,6 +309,28 @@ object MetricsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "analytics_ks_stat" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    event_type = 'purchase' AS is_a
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |c AS (
+        |  SELECT v,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        |  FROM v GROUP BY v),
+        |t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM c),
+        |r AS (
+        |  SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM c)
+        |SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+        |  CAST(max(abs(r.cuma * t.n_b - r.cumb * t.n_a)) AS BIGINT) AS d_num,
+        |  CAST(max(t.n_a * t.n_b) AS BIGINT) AS d_den
+        |FROM r CROSS JOIN t GROUP BY t.n_a, t.n_b""".stripMargin,
     "events_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_state,

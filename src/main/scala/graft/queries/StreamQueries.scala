@@ -703,8 +703,22 @@ object StreamQueries {
     Centrality.densestSubgraph(tree.unionByName(clique))
   }
 
+  /** Deterministic Luby maximal independent set over the ornamented
+    * tree: hash-priority local minima join per round, winners plus
+    * neighbors retire — the conflict-free scheduling primitive. */
+  def graphMis(spark: SparkSession, dir: String): DataFrame =
+    Fixpoint.maximalIndependentSet(treeWithTriangles(spark, dir))
+
+  /** Greedy maximal matching over the ornamented tree: mutual-minimum
+    * edges under hash priorities match per round — the deterministic
+    * pairing primitive. */
+  def graphMatching(spark: SparkSession, dir: String): DataFrame =
+    Fixpoint.maximalMatching(treeWithTriangles(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_window_agg" -> (sessionWindowAgg _),
+    "graph_mis" -> (graphMis _),
+    "graph_matching" -> (graphMatching _),
     "graph_wl_colors" -> (graphWlColors _),
     "graph_mst_forest" -> (graphMstForest _),
     "graph_densest" -> (graphDensest _),
@@ -1052,7 +1066,110 @@ object StreamQueries {
        |FROM ($picks)""".stripMargin
   }
 
+  /** Unrolled deterministic-Luby MIS (graph_mis oracle): 10 rounds of
+    * hash-priority local minima over the symmetrized ornamented tree.
+    * Priorities pack (md5-prefix56, id) into one HUGEINT (h·2⁴⁰ + id)
+    * — order-identical to the operator's (h, id) struct for id < 2⁴⁰. */
+  private val MisOracleSql: String = {
+    val K = "1099511627776" // 2^40
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e WHERE src <> dst
+        |   UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+        |ph AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node,
+        |    CAST(CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 14))
+        |      AS BIGINT) AS HUGEINT) AS h
+        |  FROM e0),
+        |l0 AS MATERIALIZED (SELECT node FROM ph)""".stripMargin
+    val rounds = (1 to 10).map { i =>
+      s"""mn$i AS (
+         |  SELECT u.src AS node, min(p.h * $K + u.dst) AS mp
+         |  FROM e${i - 1} u JOIN ph p ON u.dst = p.node GROUP BY u.src),
+         |w$i AS MATERIALIZED (
+         |  SELECT l.node FROM l${i - 1} l
+         |  JOIN ph p ON l.node = p.node
+         |  LEFT JOIN mn$i m ON l.node = m.node
+         |  WHERE m.mp IS NULL OR p.h * $K + l.node < m.mp),
+         |k$i AS (
+         |  SELECT node FROM w$i
+         |  UNION
+         |  SELECT u.dst FROM e${i - 1} u JOIN w$i w ON u.src = w.node),
+         |l$i AS MATERIALIZED (
+         |  SELECT node FROM l${i - 1} WHERE node NOT IN (SELECT node FROM k$i)),
+         |e$i AS MATERIALIZED (
+         |  SELECT u.src, u.dst FROM e${i - 1} u
+         |  JOIN l$i x ON u.src = x.node JOIN l$i y ON u.dst = y.node)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to 10).map(i => s"SELECT node FROM w$i").mkString("\n  UNION ALL ")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node FROM ($picks)""".stripMargin
+  }
+
+  /** Unrolled mutual-minimum maximal matching (graph_matching oracle):
+    * 10 rounds over the canonical a<b edge set; edge priority packs
+    * (md5-prefix56 of 'a:b', a, b) into one HUGEINT (h·2⁷⁰ + a·2³⁵ + b)
+    * — order-identical to the operator's (h, a, b) struct for
+    * endpoints < 2³⁵. */
+  private val MatchingOracleSql: String = {
+    val K1 = "1180591620717411303424" // 2^70
+    val K2 = "34359738368"            // 2^35
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |c0 AS MATERIALIZED (
+        |  SELECT a, b,
+        |    CAST(CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ':' ||
+        |      CAST(b AS VARCHAR)), 1, 14)) AS BIGINT) AS HUGEINT)
+        |      * KONE + a * KTWO + b AS pe
+        |  FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e WHERE src <> dst))""".stripMargin
+        .replace("KONE", K1).replace("KTWO", K2)
+    val rounds = (1 to 10).map { i =>
+      s"""nm$i AS (
+         |  SELECT node, min(pe) AS mp FROM (
+         |    SELECT a AS node, pe FROM c${i - 1}
+         |    UNION ALL SELECT b, pe FROM c${i - 1})
+         |  GROUP BY node),
+         |w$i AS MATERIALIZED (
+         |  SELECT c.a, c.b FROM c${i - 1} c
+         |  JOIN nm$i x ON c.a = x.node AND c.pe = x.mp
+         |  JOIN nm$i y ON c.b = y.node AND c.pe = y.mp),
+         |t$i AS (SELECT a AS node FROM w$i UNION SELECT b FROM w$i),
+         |c$i AS MATERIALIZED (
+         |  SELECT c.a, c.b, c.pe FROM c${i - 1} c
+         |  WHERE c.a NOT IN (SELECT node FROM t$i)
+         |    AND c.b NOT IN (SELECT node FROM t$i))""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to 10).map(i => s"SELECT a, b FROM w$i").mkString("\n  UNION ALL ")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(a AS BIGINT) AS edge_u, CAST(b AS BIGINT) AS edge_v
+       |FROM ($picks)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_mis" -> MisOracleSql,
+    "graph_matching" -> MatchingOracleSql,
     "graph_wl_colors" -> WlOracleSql,
     "graph_mst_forest" -> MstOracleSql,
     "graph_densest" -> DensestOracleSql,

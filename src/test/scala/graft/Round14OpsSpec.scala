@@ -191,6 +191,84 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.head.getLong(1) == 8L && out.head.getLong(2) == 28L)
   }
 
+  // ---- ksStatistic ----
+
+  test("ksStatistic is 0 for identical samples and 1 for disjoint ones") {
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "is_a")
+    val r1 = Analytics.ksStatistic(same, col("v"), col("is_a")).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+      (2L, 2L, 0L, 4L))
+    val disj = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "is_a")
+    val r2 = Analytics.ksStatistic(disj, col("v"), col("is_a")).collect()(0)
+    assert(r2.getLong(2) == 4L && r2.getLong(3) == 4L) // D = 1
+  }
+
+  test("ksStatistic matches a hand-computed mixed case") {
+    // A = {1,3}, B = {2,3}: max gap at v=1 → |1·2 − 0·2| = 2, den = 4
+    val df = Seq((1L, true), (3L, true), (2L, false), (3L, false))
+      .toDF("v", "is_a")
+    val r = Analytics.ksStatistic(df, col("v"), col("is_a")).collect()(0)
+    assert((r.getLong(2), r.getLong(3)) == (2L, 4L))
+  }
+
+  // ---- maximalIndependentSet ----
+
+  private def checkMis(edges: Seq[(Long, Long)]): Set[Long] = {
+    val df = edges.toDF("src", "dst")
+    val mis = Fixpoint.maximalIndependentSet(df).collect()
+      .map(_.getLong(0)).toSet
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    // independence: no two MIS nodes adjacent
+    assert(!und.exists { case (a, b) => mis(a) && mis(b) })
+    // maximality: every non-MIS node has a MIS neighbor
+    val nodes = und.map(_._1)
+    for (n <- nodes if !mis(n))
+      assert(und.exists { case (a, b) => a == n && mis(b) },
+        s"node $n has no MIS neighbor")
+    mis
+  }
+
+  test("maximalIndependentSet is independent, maximal and deterministic") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(checkMis(tri).size == 1)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val m1 = checkMis(path)
+    assert(m1 == checkMis(path)) // deterministic run-to-run
+    // 40-node random-ish graph: property check only
+    val big = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1)))
+      .filter { case (a, b) => a != b }
+    checkMis(big)
+  }
+
+  // ---- maximalMatching ----
+
+  private def checkMatching(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val df = edges.toDF("src", "dst")
+    val m = Fixpoint.maximalMatching(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // disjointness: no node appears twice
+    val ends = m.toSeq.flatMap(e => Seq(e._1, e._2))
+    assert(ends.distinct.size == ends.size)
+    // maximality: every input edge touches a matched node
+    val matchedNodes = ends.toSet
+    for ((a, b) <- edges if a != b)
+      assert(matchedNodes(a) || matchedNodes(b), s"edge ($a,$b) unmatched")
+    m
+  }
+
+  test("maximalMatching is disjoint, maximal and deterministic") {
+    assert(checkMatching(Seq((1L, 2L))) == Set((1L, 2L)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val m1 = checkMatching(path)
+    assert(m1 == checkMatching(path))
+    // a path always matches ceil-half rounded down pairs at least 2
+    assert(m1.size >= 2)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(checkMatching(star).size == 1) // star matches exactly one edge
+  }
+
   test("densestSubgraph keeps round 0 when nothing beats the full graph") {
     // a triangle peels whole in round 1 (deg·V = 9 ≤ 4·E = 12):
     // best stays the full graph
