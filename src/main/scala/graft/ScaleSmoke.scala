@@ -473,6 +473,72 @@ object ScaleSmoke {
         dedup.Dedup.semanticDedup(
           similarity.Similarity.quantized(embs), 16, 350000L).count()
       }
+      // per-copy octal trees + triangles (the shared gate-graph shape,
+      // multiplied): structure per copy constant, volume scales
+      def copyTree(idCol: String = "c_custkey"): DataFrame = {
+        val cust = multiply(Tables.customer(spark, sfDir), idCol, m)
+          .select(col(idCol).cast("long").as("k"))
+        val tree = cust.filter(col("k") % 10000000L >= 8)
+          .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 8 AS BIGINT)").as("src"),
+            col("k").as("dst"))
+        val tri = cust.filter(col("k") % 50 === 0)
+          .select(explode(array(
+            struct(col("k").as("src"), (col("k") + 1).as("dst")),
+            struct((col("k") + 1).as("src"), (col("k") + 2).as("dst")),
+            struct(col("k").as("src"), (col("k") + 2).as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        tree.unionByName(tri)
+      }
+      time("wl_refine4", m) {
+        graph.Fixpoint.wlRefine(copyTree(), 4).count()
+      }
+      time("mis", m) {
+        graph.Fixpoint.maximalIndependentSet(copyTree()).count()
+      }
+      time("matching", m) {
+        graph.Fixpoint.maximalMatching(copyTree()).count()
+      }
+      time("mst_forest", m) {
+        // unique-ish weights from the child id; ties broken by (w, a, b)
+        val weighted = copyTree().withColumn("weight",
+          (col("dst") % 97) * 1048576L + col("dst") % 10000000L)
+        graph.Fixpoint.minimumSpanningForest(weighted).count()
+      }
+      time("densest", m) {
+        // per-copy planted cliques on every 100th node
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        val ck = cust.filter(col("k") % 100 === 0)
+        val clique = ck.select(col("k").as("src"))
+          .join(ck.select(col("k").as("dst")),
+            col("src") < col("dst") &&
+              expr("src div 10000000") === expr("dst div 10000000"))
+        graph.Centrality.densestSubgraph(copyTree().unionByName(clique)).count()
+      }
+      time("basket_rules", m) {
+        val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m)
+          .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand"))
+        operators.Analytics.associationRules(li, col("l_orderkey"),
+          col("p_brand"), minSupport = 20L * m).count()
+      }
+      time("attribution", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        val conv = ev.filter(col("event_type") === "purchase")
+        val touch = ev.filter(col("event_type").isin("click", "view", "signup"))
+        val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+        operators.Analytics.linearAttribution(
+          conv, col("user_id"), col("event_id"), cents, unix_micros(col("ts")),
+          touch, col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")), 86400L * 1000000L).count()
+      }
+      time("ks_stat", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "event_id", m)
+          .filter(col("event_type").isin("purchase", "click"))
+        operators.Analytics.ksStatistic(ev,
+          (col("value").cast("decimal(18,2)") * 100).cast("long"),
+          col("event_type") === "purchase").count()
+      }
       time("scc", m) {
         // per-copy rings-on-a-tree (the gate graph, multiplied): SCC
         // sizes and condensation depth stay constant, volume scales

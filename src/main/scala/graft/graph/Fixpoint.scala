@@ -552,7 +552,7 @@ object Fixpoint {
     * Each round: one neighbor-min join + two semi/anti joins, O(E)
     * work, lineage cut. A node with no live neighbor always wins.
     * Throws past `maxRounds` (budget-throw, not silent truncation). */
-  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
     val p = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
@@ -589,6 +589,67 @@ object Fixpoint {
     mis
   }
 
+  /** Jones–Plassmann greedy graph coloring: a node colors itself the
+    * round after every higher-priority neighbor has colored, taking the
+    * smallest color its already-colored neighbors don't use (mex) —
+    * with deterministic (hash, id) priorities the per-round color sets
+    * are independent sets, so no conflicts ever need repair, and
+    * expected rounds are O(log V) (Jones & Plassmann 1993). Colors are
+    * dense small ints ≤ max-degree — the register-allocation /
+    * conflict-scheduling / mutex-partitioning primitive.
+    *
+    * Each round: one blocked-neighbor semi-join + one colored-neighbor
+    * mex agg; mex computed in-row as
+    * `array_min(array_except(sequence(0, n), colors))` — exact, no UDF.
+    * Throws past `maxRounds`. Output: (node, color). */
+  def greedyColoring(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
+    val p = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    def prio(c: Column): Column =
+      struct(graft.functions.HashFunctions.md5_prefix64(c.cast("string")).as("h"),
+        c.as("id"))
+    var live = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var cur = und
+    val spark = und.sparkSession
+    var colored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("node", "long").add("color", "long"))
+    var round = 0
+    while (!live.isEmpty) {
+      round += 1
+      require(round <= maxRounds,
+        s"greedyColoring did not converge in $maxRounds rounds")
+      // ready = live nodes with no higher-priority LIVE neighbor
+      val blocked = cur
+        .filter(prio(col("dst")) > prio(col("src")))
+        .select(col("src").as("node")).distinct()
+      val ready = live.join(blocked, Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      // mex over already-colored neighbors (full adjacency, not cur —
+      // cur only keeps live-live edges)
+      val nbrColors = und
+        .join(ready.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(colored.select(col("node").as("dst"), col("color")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(array_sort(collect_set(col("color"))).as("arr"))
+      val newlyColored = ready.join(nbrColors, Seq("node"), "left")
+        .select(col("node"),
+          when(col("arr").isNull, lit(0L)).otherwise(
+            array_min(array_except(sequence(lit(0L), size(col("arr")).cast("long")),
+              col("arr")))).as("color"))
+      colored = colored.unionByName(newlyColored).localCheckpoint(false)
+      live = live.join(ready, Seq("node"), "left_anti").cut
+      cur = cur
+        .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).cut
+    }
+    colored
+  }
+
   /** Greedy maximal matching by mutual-minimum edges: each round an
     * edge whose (hash, endpoints) priority is the minimum for BOTH its
     * endpoints joins the matching, matched nodes leave, repeat —
@@ -599,7 +660,7 @@ object Fixpoint {
     *
     * Output: one row per matched edge (edge_u, edge_v), edge_u <
     * edge_v. Throws past `maxRounds`. */
-  def maximalMatching(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

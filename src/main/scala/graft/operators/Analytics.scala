@@ -364,6 +364,32 @@ object Analytics {
         max(col("n_a") * col("n_b")).as("d_den"))
   }
 
+  /** Per-key time-weighted average as the exact fraction (twa_num,
+    * twa_den): each observation's value holds until the NEXT observation
+    * of the same key, so num = Σ vᵢ·(tᵢ₊₁ − tᵢ) and den = Σ gaps — the
+    * right mean for sampled-state series (balances, gauge metrics,
+    * connection counts) where the plain row mean over-weights busy
+    * periods. The final observation of a key holds until nothing and
+    * contributes no weight; keys with one observation emit (0, 0).
+    *
+    * One window shuffle (the lead); the agg is map-side combinable.
+    * Exact for |v|·gap_µs within long range (cents × 30 days ≈ 2⁶¹/v —
+    * document per use). No division: the consumer divides, the engine
+    * stays integer-exact. */
+  def timeWeightedAverage(df: DataFrame, keyCols: Seq[Column],
+                          tsMicros: Column, valueCol: Column,
+                          orderTie: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy((tsMicros +: orderTie): _*)
+    df.withColumn("_t", tsMicros)
+      .withColumn("_v", valueCol.cast("long"))
+      .withColumn("_gap", lead(col("_t"), 1).over(w) - col("_t"))
+      .groupBy(keyCols: _*)
+      .agg(sum(when(col("_gap").isNotNull, col("_v") * col("_gap"))
+          .otherwise(0L)).as("twa_num"),
+        sum(coalesce(col("_gap"), lit(0L))).as("twa_den"))
+  }
+
   /** 2-D Pareto frontier (skyline), both axes maximized: rows no other
     * row weakly dominates — the data-selection tradeoff curve ("longest
     * doc at each quality level", "best quality at each length"). Rows

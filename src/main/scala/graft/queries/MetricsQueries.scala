@@ -250,7 +250,16 @@ object MetricsQueries {
         .filter(col("event_type").isin("purchase", "click")),
       cents, col("event_type") === "purchase")
 
+  /** Per-user time-weighted average of the event value (cents·µs exact
+    * fraction): each value holds until the user's next event — the
+    * sampled-state mean the plain row average gets wrong. */
+  def analyticsTwa(spark: SparkSession, dir: String): DataFrame =
+    Analytics.timeWeightedAverage(Tables.events(spark, dir),
+      Seq(col("user_id")), unix_micros(col("ts")), cents,
+      Seq(col("event_id")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_twa" -> (analyticsTwa _),
     "analytics_ks_stat" -> (analyticsKsStat _),
     "events_transitions" -> (eventsTransitions _),
     "attribution_linear" -> (attributionLinear _),
@@ -309,6 +318,20 @@ object MetricsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "analytics_twa" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, v,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS gap
+        |  FROM v)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN gap IS NOT NULL THEN v * gap ELSE 0 END)
+        |    AS BIGINT) AS twa_num,
+        |  CAST(sum(coalesce(gap, 0)) AS BIGINT) AS twa_den
+        |FROM w GROUP BY user_id""".stripMargin,
     "analytics_ks_stat" ->
       """WITH v AS (
         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,

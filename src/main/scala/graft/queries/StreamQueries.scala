@@ -172,14 +172,16 @@ object StreamQueries {
     * never closes, so it is never emitted — no filter needed (a filter
     * would be pushed below the watermark operator and defeat the flush).
     * Results must equal the batch tumbling window (same oracle). */
-  def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+  /** Runs `agg` over the events file-stream unioned with a far-future
+    * flush sentinel (2100-01-01: advances the watermark past every real
+    * window's end without scanning for max(ts); the sentinel's own
+    * window never closes so it is never emitted), replayed to a memory
+    * sink in append mode inside a state-sized scoped session. */
+  private def withFlushedEvents(spark: SparkSession, dir: String,
+      sinkName: String)(agg: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
-    // flush sentinel at a fixed far-future event time (2100-01-01, nanos):
-    // advances the watermark beyond every real window's end without
-    // scanning the data for max(ts); its own window never closes so it is
-    // never emitted
     val sentinelInstant = java.time.Instant.parse("2100-01-01T00:00:00Z")
     // the ts field's runtime type follows the build's NANOS read behavior
     // (LONG ns under the legacy conf, TIMESTAMP_NTZ natively) — match it
@@ -206,18 +208,31 @@ object StreamQueries {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val flushStream = scoped.readStream.schema(rawSchema).parquet(sentinelDir)
       val stream = Tables.tsToMicros(eventsStream.union(flushStream))
-      val agg = Streaming.windowedEventCounts(stream, "ts", "1 hour", "2 hours")
-      val q = agg.writeStream
+      val q = agg(stream).writeStream
         .outputMode("append")
         .format("memory")
-        .queryName("stream_windowed_agg_sink")
+        .queryName(sinkName)
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      scoped.table("stream_windowed_agg_sink")
-        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+      scoped.table(sinkName)
     }
   }
+
+  def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    withFlushedEvents(spark, dir, "stream_windowed_agg_sink") { stream =>
+      Streaming.windowedEventCounts(stream, "ts", "1 hour", "2 hours")
+    }.select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window (1 h length, 20 min hop) watermarked aggregation run
+    * as a live stream: every event lands in 3 overlapping windows, each
+    * emitted exactly once on close — the trailing-rate monitoring read
+    * next to the tumbling gate. */
+  def streamSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    withFlushedEvents(spark, dir, "stream_sliding_window_sink") { stream =>
+      Streaming.slidingWindowCounts(stream, "ts", "1 hour", "20 minutes",
+        "2 hours")
+    }.select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Run a streaming query on a cloned session whose state-store partition
     * count is sized to the state volume instead of the compute-shuffle
@@ -715,8 +730,16 @@ object StreamQueries {
   def graphMatching(spark: SparkSession, dir: String): DataFrame =
     Fixpoint.maximalMatching(treeWithTriangles(spark, dir))
 
+  /** Jones–Plassmann greedy coloring over the ornamented tree:
+    * hash-priority scheduling, per-round independent sets, mex colors —
+    * the conflict-partitioning primitive next to the MIS gate. */
+  def graphColoring(spark: SparkSession, dir: String): DataFrame =
+    Fixpoint.greedyColoring(treeWithTriangles(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_window_agg" -> (sessionWindowAgg _),
+    "stream_sliding_window" -> (streamSlidingWindow _),
+    "graph_coloring" -> (graphColoring _),
     "graph_mis" -> (graphMis _),
     "graph_matching" -> (graphMatching _),
     "graph_wl_colors" -> (graphWlColors _),
@@ -1167,7 +1190,82 @@ object StreamQueries {
        |FROM ($picks)""".stripMargin
   }
 
+  /** Unrolled Jones–Plassmann coloring (graph_coloring oracle): 12
+    * rounds; a node is ready when no LIVE neighbor outranks it under the
+    * HUGEINT-packed (md5-prefix56, id) priority, and takes the mex of
+    * its already-colored neighbors' colors
+    * (`list_min(list_filter(generate_series(0, n), not-in))`). */
+  private val ColoringOracleSql: String = {
+    val K = "1099511627776" // 2^40
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e WHERE src <> dst
+        |   UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+        |ph AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node,
+        |    CAST(CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 14))
+        |      AS BIGINT) AS HUGEINT) * KAY + src AS p
+        |  FROM e0),
+        |l0 AS MATERIALIZED (SELECT node FROM ph),
+        |col0 AS MATERIALIZED (
+        |  SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS color
+        |  WHERE FALSE)""".stripMargin.replace("KAY", K)
+    val rounds = (1 to 12).map { i =>
+      s"""blk$i AS (
+         |  SELECT DISTINCT u.src AS node FROM e0 u
+         |  JOIN l${i - 1} a ON u.src = a.node
+         |  JOIN l${i - 1} b ON u.dst = b.node
+         |  JOIN ph pa ON u.src = pa.node JOIN ph pb ON u.dst = pb.node
+         |  WHERE pb.p > pa.p),
+         |r$i AS MATERIALIZED (
+         |  SELECT node FROM l${i - 1}
+         |  WHERE node NOT IN (SELECT node FROM blk$i)),
+         |nc$i AS (
+         |  SELECT u.src AS node, list_sort(list(DISTINCT c.color)) AS arr
+         |  FROM e0 u JOIN col${i - 1} c ON u.dst = c.node
+         |  WHERE u.src IN (SELECT node FROM r$i) GROUP BY u.src),
+         |col$i AS MATERIALIZED (
+         |  SELECT node, color FROM col${i - 1}
+         |  UNION ALL
+         |  SELECT r.node, coalesce(
+         |    list_min(list_filter(generate_series(0, len(n.arr)),
+         |      x -> NOT list_contains(n.arr, x))), 0) AS color
+         |  FROM r$i r LEFT JOIN nc$i n ON r.node = n.node),
+         |l$i AS MATERIALIZED (
+         |  SELECT node FROM l${i - 1}
+         |  WHERE node NOT IN (SELECT node FROM r$i))""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, CAST(color AS BIGINT) AS color
+       |FROM col12""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_coloring" -> ColoringOracleSql,
+    "stream_sliding_window" ->
+      """WITH off AS (SELECT CAST(k AS BIGINT) AS k
+        |  FROM (VALUES (0), (1), (2)) t(k)),
+        |w AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 1200000000) * 1200000000
+        |           - k * 1200000000) AS window_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN off
+        |  WHERE (epoch_us(ts) // 1200000000) * 1200000000 - k * 1200000000
+        |        + 3600000000 > epoch_us(ts))
+        |SELECT window_start, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "graph_mis" -> MisOracleSql,
     "graph_matching" -> MatchingOracleSql,
     "graph_wl_colors" -> WlOracleSql,

@@ -30,6 +30,24 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding (hopping) window event aggregation with a watermark: every
+    * event lands in windowLen/slide overlapping windows, each emitted
+    * once on close under append mode — the smoothed-rate / trailing-
+    * window monitoring read that tumbling windows quantize away. Same
+    * state-eviction contract as [[windowedEventCounts]]; state volume
+    * scales by the overlap factor, which is why slide is a parameter
+    * and not hardcoded fine-grained. */
+  def slidingWindowCounts(events: DataFrame, eventTimeCol: String,
+                          windowLen: String, slide: String,
+                          watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Incremental checkpoint feed (CVE-feed analog,
     * cartography/intel/cve/feed.py:41-66,156-199): emit only rows newer
     * than the persisted checkpoint, plus the new checkpoint value. The

@@ -269,6 +269,70 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(checkMatching(star).size == 1) // star matches exactly one edge
   }
 
+  // ---- timeWeightedAverage ----
+
+  test("timeWeightedAverage holds each value until the next observation") {
+    val df = Seq(
+      (1L, 0L, 10L), (1L, 100L, 20L), (1L, 300L, 5L), // gaps 100, 200
+      (2L, 50L, 99L)                                   // lone observation
+    ).toDF("u", "t", "v")
+    val out = Analytics.timeWeightedAverage(df, Seq(col("u")), col("t"),
+        col("v")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (10L * 100 + 20L * 200, 300L))
+    assert(out(2L) == (0L, 0L))
+  }
+
+  // ---- greedyColoring ----
+
+  private def checkColoring(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val cols = Fixpoint.greedyColoring(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((a, b) <- edges if a != b)
+      assert(cols(a) != cols(b), s"edge ($a,$b) same color ${cols(a)}")
+    val deg = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.size).max
+    assert(cols.values.max <= deg, "more than maxdeg+1 colors used")
+    cols
+  }
+
+  test("greedyColoring is proper, bounded and deterministic") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(checkColoring(tri).values.toSet == Set(0L, 1L, 2L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val c1 = checkColoring(path)
+    assert(c1 == checkColoring(path))
+    // star: center one color, all leaves another
+    val star = (2L to 9L).map(i => (1L, i))
+    val cs = checkColoring(star)
+    assert(cs.filterNot(_._1 == 1L).values.toSet.size == 1)
+    // denser random-ish graph: property check only
+    val big = (1L to 40L).flatMap(i =>
+      Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1), (i, (i * 13) % 40 + 1)))
+      .filter { case (a, b) => a != b }
+    checkColoring(big)
+  }
+
+  // ---- slidingWindowCounts (batch semantics) ----
+
+  test("slidingWindowCounts lands each event in windowLen/slide windows") {
+    val df = Seq(
+      ("2024-01-01 10:25:00", "click", 1.0),
+      ("2024-01-01 10:45:00", "click", 2.0)
+    ).toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+    val out = graft.streaming.Streaming
+      .slidingWindowCounts(df, "ts", "1 hour", "20 minutes", "2 hours")
+      .collect()
+    // event 1 → windows starting 09:40, 10:00, 10:20;
+    // event 2 → 10:00, 10:20, 10:40 → 10:00/10:20 hold both
+    assert(out.map(_.getLong(2)).sum == 6L) // 3 window memberships each
+    val both = out.filter(_.getLong(2) == 2L)
+    assert(both.length == 2)
+  }
+
   test("densestSubgraph keeps round 0 when nothing beats the full graph") {
     // a triangle peels whole in round 1 (deg·V = 9 ≤ 4·E = 12):
     // best stays the full graph
