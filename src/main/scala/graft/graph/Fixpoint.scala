@@ -589,6 +589,24 @@ object Fixpoint {
     mis
   }
 
+  /** Condensation DAG: the quotient graph over strongly connected
+    * components — one node per SCC (labeled by its max member, the
+    * [[stronglyConnectedComponents]] canon), one distinct edge per
+    * inter-component dependency. THE cycle-free view dependency
+    * planners walk (topological processing order, impact analysis);
+    * always acyclic by construction. Cost: the SCC fixpoint + two
+    * component-label equi-joins + one distinct. */
+  def condensationEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val comp = stronglyConnectedComponents(e)
+    e.join(comp.select(col("node").as("src"), col("component").as("comp_src")),
+        Seq("src"))
+      .join(comp.select(col("node").as("dst"), col("component").as("comp_dst")),
+        Seq("dst"))
+      .filter(col("comp_src") =!= col("comp_dst"))
+      .select(col("comp_src"), col("comp_dst")).distinct()
+  }
+
   /** Jones–Plassmann greedy graph coloring: a node colors itself the
     * round after every higher-priority neighbor has colored, taking the
     * smallest color its already-colored neighbors don't use (mex) —

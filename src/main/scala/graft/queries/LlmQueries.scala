@@ -715,6 +715,12 @@ object LlmQueries {
       .select(col("g").as("lang"), col("est_merged"), col("est_direct"))
   }
 
+  /** Hashing-trick bag-of-words: 64-dim signed feature triples per doc
+    * with no vocabulary pass — exactly-canceled dims dropped. */
+  def textFeatureHash(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.featureHash(Tables.documents(spark, dir), "doc_id",
+      "text", dims = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_curation" -> (e2eCuration _),
     "text_inverted_index" -> (textInvertedIndex _),
@@ -772,6 +778,7 @@ object LlmQueries {
     "sample_temperature" -> (sampleTemperature _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_line_dedup" -> (textLineDedup _),
+    "text_feature_hash" -> (textFeatureHash _),
     "text_url_census" -> (textUrlCensus _),
     "dedup_url_canonical" -> (dedupUrlCanonical _),
     "sample_contrastive" -> (sampleContrastive _),
@@ -1500,6 +1507,19 @@ object LlmQueries {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,14)) AS BIGINT)
         |      % 1000000 < r.rate""".stripMargin,
+    "text_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 64 AS dim,
+        |    CASE WHEN CAST(('0x' || substr(md5('s:' || tok), 1, 14))
+        |           AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM toks WHERE tok <> '')
+        |SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+        |FROM t2 GROUP BY doc_id, dim HAVING sum(s) <> 0""".stripMargin,
     "text_line_dedup" ->
       """WITH lined AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -551,7 +551,7 @@ object StreamQueries {
     * small cyclic SCCs, chain singletons, AND a composite SCC spanning
     * several blocks in one graph. Component id = max member
     * ([[graft.graph.Fixpoint.stronglyConnectedComponents]]'s canon). */
-  def graphScc(spark: SparkSession, dir: String): DataFrame = {
+  private def sccDigraph(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.customer(spark, dir)
       .select((col("c_custkey") - 1).cast("long").as("k"))
     val mx = n.agg(((max(col("k")).cast("long")) / 4).cast("long").as("_mb"))
@@ -565,10 +565,18 @@ object StreamQueries {
     val tree = n.filter(col("k") % 4 === 0 && col("k") > 0)
       .select(col("k").as("src"), expr("(k div 256) * 4").as("dst"))
     val fuse = mx.select(lit(0L).as("src"), col("fuse_dst").as("dst"))
-    val edges = ring.unionByName(tree).unionByName(fuse)
+    ring.unionByName(tree).unionByName(fuse)
       .join(n.select(col("k").as("dst")), Seq("dst"), "left_semi")
-    Fixpoint.stronglyConnectedComponents(edges)
   }
+
+  def graphScc(spark: SparkSession, dir: String): DataFrame =
+    Fixpoint.stronglyConnectedComponents(sccDigraph(spark, dir))
+
+  /** Condensation DAG over the rings-on-a-tree digraph: the SCC
+    * quotient's distinct inter-component edges — rings collapse to
+    * single DAG nodes, the chain/tree skeleton survives. */
+  def graphCondensation(spark: SparkSession, dir: String): DataFrame =
+    Fixpoint.condensationEdges(sccDigraph(spark, dir))
 
   /** HITS over the div2 customer tree plus div4 shortcut edges (the
     * SSSP graph shape, unweighted): interior nodes are both hubs
@@ -759,6 +767,7 @@ object StreamQueries {
     "graph_ktruss" -> (graphKtruss _),
     "graph_kcore" -> (graphKcore _),
     "graph_scc" -> (graphScc _),
+    "graph_condensation" -> (graphCondensation _),
     "graph_hits" -> (graphHits _),
     "graph_link_pred" -> (graphLinkPred _),
     "graph_label_prop" -> (graphLabelProp _),
@@ -1305,6 +1314,36 @@ object StreamQueries {
         |  CAST(cn * (cn - 1) // 2 AS BIGINT) AS rectangles
         |FROM w WHERE cn >= 2""".stripMargin,
     "graph_diameter_sweep" -> DiameterOracleSql,
+    "graph_condensation" ->
+      """WITH RECURSIVE n AS (SELECT c_custkey - 1 AS k FROM customer),
+        |mx AS (SELECT (max(k) // 4) * 4 AS fuse_dst FROM n),
+        |cand AS (
+        |  SELECT k AS src,
+        |    CASE WHEN (k // 4) % 2 = 0 THEN (k // 4) * 4 + ((k % 4 + 1) % 4)
+        |         ELSE k + 1 END AS dst
+        |  FROM n WHERE (k // 4) % 2 = 0 OR k % 4 < 3
+        |  UNION ALL
+        |  SELECT k, (k // 256) * 4 FROM n WHERE k % 4 = 0 AND k > 0
+        |  UNION ALL
+        |  SELECT 0, fuse_dst FROM mx),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT c.src, c.dst FROM cand c JOIN n ON c.dst = n.k),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |mutual AS MATERIALIZED (
+        |  SELECT a.src AS u, a.dst AS v
+        |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        |vx AS (SELECT src AS u FROM e UNION SELECT dst FROM e),
+        |comp AS MATERIALIZED (
+        |  SELECT v.u AS node,
+        |    greatest(v.u, coalesce(max(m.v), v.u)) AS component
+        |  FROM vx v LEFT JOIN mutual m ON v.u = m.u GROUP BY v.u)
+        |SELECT DISTINCT CAST(a.component AS BIGINT) AS comp_src,
+        |  CAST(b.component AS BIGINT) AS comp_dst
+        |FROM e JOIN comp a ON e.src = a.node JOIN comp b ON e.dst = b.node
+        |WHERE a.component <> b.component""".stripMargin,
     "graph_scc" ->
       """WITH RECURSIVE n AS (SELECT c_custkey - 1 AS k FROM customer),
         |mx AS (SELECT (max(k) // 4) * 4 AS fuse_dst FROM n),

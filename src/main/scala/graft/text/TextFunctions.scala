@@ -782,6 +782,33 @@ object TextFunctions {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009): each
+    * token maps to dimension `md5₅₆(token) mod dims` with a ±1 sign from
+    * an independent hash, occurrences sum per (doc, dim) — unbiased
+    * fixed-width bag-of-words features with NO vocabulary pass, the
+    * dictionary-free vectorizer linear models and dedup-sketch inputs
+    * want at corpus scale. Exactly-canceled dimensions (weight 0) are
+    * dropped: the sparse triple contract is "absent = 0".
+    *
+    * One explode + one map-side-combinable agg; both hashes are the
+    * codegen'd [[graft.functions.Md5Prefix64]] kernel. Output:
+    * (doc_id, dim, weight) triples. */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= (1 << 24), "need 2 <= dims <= 2^24")
+    import graft.functions.HashFunctions.md5_prefix64
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        (md5_prefix64(col("tok")) % dims).as("dim"),
+        when(md5_prefix64(concat(lit("s:"), col("tok"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("s"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("s")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
   /** Sequence packing: assign token chunks to fixed-capacity bins the
     * way a pretraining pipeline packs documents into context windows —
     * concatenate the stream in a deterministic order and split every

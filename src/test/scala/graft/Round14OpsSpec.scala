@@ -333,6 +333,33 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(both.length == 2)
   }
 
+  // ---- condensationEdges ----
+
+  test("condensationEdges collapses cycles and keeps the DAG skeleton") {
+    // ring {1,2,3} → comp 3; ring {4,5} → comp 5; two edges 3→4 and
+    // 3→5 collapse to ONE quotient edge (3, 5)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 4L), (3L, 4L), (3L, 5L)).toDF("src", "dst")
+    val out = Fixpoint.condensationEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((3L, 5L)))
+  }
+
+  // ---- featureHash ----
+
+  test("featureHash is deterministic and occurrence-additive") {
+    val docs = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextFunctions.featureHash(docs, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d1 = out.filter(_._1._1 == 1L)
+    assert(d1.size == 1 && math.abs(d1.head._2) == 1L)
+    val (dim, w) = (d1.head._1._2, d1.head._2)
+    assert(out((2L, dim)) == 2 * w) // two occurrences double the weight
+    assert(out((3L, dim)) == w)     // beta lands in its own dim (w.h.p.)
+    assert(out.count(_._1._1 == 3L) == 2)
+  }
+
   test("densestSubgraph keeps round 0 when nothing beats the full graph") {
     // a triangle peels whole in round 1 (deg·V = 9 ≤ 4·E = 12):
     // best stays the full graph
