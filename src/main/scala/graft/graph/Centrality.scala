@@ -607,6 +607,55 @@ object Centrality {
         expr("common_neighbors * (common_neighbors - 1) div 2"))
   }
 
+  /** Neighborhood-function estimation in the HyperANF shape (Boldi,
+    * Rosa & Vigna, WWW 2011 — Flajolet–Martin registers instead of
+    * HyperLogLog so every value is a small exact integer): each node
+    * carries `nRegisters` FM registers sketching the set of nodes
+    * within t hops; one round merges every node's registers with its
+    * out-neighbors' by elementwise max. After t rounds register
+    * (v, i) = max ρ(h_i(u)) over u reachable in ≤ t — the ball-size
+    * sketch behind effective-diameter and average-distance estimation
+    * on graphs where all-pairs BFS can never run.
+    *
+    * State stays LONG format (node, register, value): the merge is a
+    * plain (node, i) max-agg — map-side combinable, skew-free, no
+    * array-column shuffles — at |V|·m rows per round. ρ comes from the
+    * shared md5-prefix kernel as `length(bin(x & −x))` (trailing-zero
+    * rank, engine-portable). Output: one row per round t = 0..rounds
+    * with Σ registers — the exact-integer monotone curve a consumer
+    * turns into ball-size estimates (the 2^ρ̄ estimator itself is float
+    * and stays out of the engine). */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int,
+                           nRegisters: Int = 32): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "need 1 <= rounds <= 16")
+    require(nRegisters >= 4 && nRegisters <= 64, "need 4 <= nRegisters <= 64")
+    import graft.functions.HashFunctions.md5_prefix64
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var sk = nodes
+      .select(col("node"), explode(sequence(lit(0), lit(nRegisters - 1))).as("i"))
+      .withColumn("_h", md5_prefix64(
+        concat(col("i").cast("string"), lit(":"), col("node").cast("string"))))
+      .select(col("node"), col("i"),
+        length(bin(col("_h").bitwiseAND(-col("_h")))).cast("long").as("r"))
+      .localCheckpoint(false)
+    def sumRow(t: Int, s: DataFrame): DataFrame =
+      s.agg(sum(col("r")).as("sum_registers"))
+        .select(lit(t.toLong).as("t"), col("sum_registers"))
+    var out = sumRow(0, sk)
+    for (t <- 1 to rounds) {
+      sk = sk.unionByName(
+          e.join(sk.withColumnRenamed("node", "dst"), Seq("dst"))
+            .select(col("src").as("node"), col("i"), col("r")))
+        .groupBy(col("node"), col("i")).agg(max(col("r")).as("r"))
+        .cut
+      out = out.unionByName(sumRow(t, sk))
+    }
+    out
+  }
+
   /** Greedy densest-subgraph peel (Charikar 2000 parallelized as
     * Bahmani, Kumar & Vassilvitskii, VLDB 2012): repeatedly delete
     * EVERY node whose degree is at most 2(1+ε) times the current

@@ -744,9 +744,20 @@ object StreamQueries {
   def graphColoring(spark: SparkSession, dir: String): DataFrame =
     Fixpoint.greedyColoring(treeWithTriangles(spark, dir))
 
+  /** HyperANF-shape neighborhood function over the symmetrized
+    * ornamented tree: 16 FM registers per node, 6 merge rounds, the
+    * exact Σ-registers curve per round — ball-size sketching where
+    * all-pairs BFS can never run. */
+  def graphAnf(spark: SparkSession, dir: String): DataFrame = {
+    val e = treeWithTriangles(spark, dir)
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    Centrality.neighborhoodFunction(sym, rounds = 6, nRegisters = 16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_window_agg" -> (sessionWindowAgg _),
     "stream_sliding_window" -> (streamSlidingWindow _),
+    "graph_anf" -> (graphAnf _),
     "graph_coloring" -> (graphColoring _),
     "graph_mis" -> (graphMis _),
     "graph_matching" -> (graphMatching _),
@@ -1260,7 +1271,53 @@ object StreamQueries {
        |FROM col12""".stripMargin
   }
 
+  /** Unrolled FM-register neighborhood function (graph_anf oracle): 6
+    * elementwise-max merge rounds over the symmetrized ornamented tree,
+    * ρ = length(bin(h & −h)) from the shared md5-prefix hash — DuckDB's
+    * bin() matches Spark's exactly ('1000' for 8, '0' for 0). */
+  private val AnfOracleSql: String = {
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e WHERE src <> dst
+        |   UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+        |sk0 AS MATERIALIZED (
+        |  SELECT node, i,
+        |    CAST(length(bin(h & -h)) AS BIGINT) AS r
+        |  FROM (
+        |    SELECT n.node, g.i,
+        |      CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+        |        CAST(n.node AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        |    FROM (SELECT DISTINCT src AS node FROM e0) n
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g))""".stripMargin
+    val rounds = (1 to 6).map { t =>
+      s"""sk$t AS MATERIALIZED (
+         |  SELECT node, i, max(r) AS r FROM (
+         |    SELECT node, i, r FROM sk${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS node, s.i, s.r
+         |    FROM e0 e JOIN sk${t - 1} s ON e.dst = s.node)
+         |  GROUP BY node, i)""".stripMargin
+    }.mkString(",\n")
+    val picks = (0 to 6).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS t, CAST(sum(r) AS BIGINT) AS sum_registers FROM sk$t")
+      .mkString("\n  UNION ALL ")
+    s"""$base,
+       |$rounds
+       |$picks""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_anf" -> AnfOracleSql,
     "graph_coloring" -> ColoringOracleSql,
     "stream_sliding_window" ->
       """WITH off AS (SELECT CAST(k AS BIGINT) AS k

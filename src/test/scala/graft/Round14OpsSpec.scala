@@ -333,6 +333,23 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(both.length == 2)
   }
 
+  // ---- neighborhoodFunction ----
+
+  test("neighborhoodFunction is monotone and converges at the diameter") {
+    // path 1-2-3-4 symmetrized: diameter 3 → the register sum stops
+    // growing after round 3 (every ball is the whole component)
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val sym = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val out = Centrality.neighborhoodFunction(sym, rounds = 5, nRegisters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 to 4).forall(t => out(t.toLong) <= out(t.toLong + 1)))
+    assert(out(0L) < out(3L))         // balls genuinely grow
+    assert(out(3L) == out(5L))        // converged at the diameter
+    // at convergence every node holds the same (global-max) registers:
+    // the sum must be divisible by the node count
+    assert(out(5L) % 4 == 0)
+  }
+
   // ---- condensationEdges ----
 
   test("condensationEdges collapses cycles and keeps the DAG skeleton") {
