@@ -589,6 +589,41 @@ object Fixpoint {
     mis
   }
 
+  /** Deterministic hash-driven random walks (the DeepWalk/node2vec
+    * corpus-generation step, Perozzi et al. 2014, with the RNG replaced
+    * by a per-(walk, step) md5 pick so the corpus is reproducible
+    * run-to-run and in a SQL oracle): each walk at step s moves to
+    * `sorted_neighbors[h(walk, s) mod degree]`. A walk reaching a node
+    * with no out-neighbor stops (emits no further rows).
+    *
+    * Adjacency materializes once as sorted arrays (degree-bounded rows
+    * — at 100 TB cap hub degree upstream or the hub row IS the skew);
+    * each step is one equi-join + in-row element pick, `steps` total
+    * joins. Output: (walk_id, step, node), step 0 = the start. */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 32, "need 1 <= steps <= 32")
+    import graft.functions.HashFunctions.md5_prefix64
+    val adj = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .groupBy(col("src")).agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+      .localCheckpoint(false)
+    var cur = starts.select(col("walk_id"), col("node"))
+      .withColumn("step", lit(0L))
+    var out = cur
+    for (s <- 1 to steps) {
+      cur = cur
+        .join(adj.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("walk_id"), lit(s.toLong).as("step"),
+          element_at(col("nbrs"),
+            (md5_prefix64(concat(col("walk_id").cast("string"), lit("@"),
+              lit(s).cast("string"))) % size(col("nbrs")) + 1).cast("int"))
+            .as("node"))
+        .localCheckpoint(false)
+      out = out.unionByName(cur.select(col("walk_id"), col("node"), col("step")))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
+
   /** Condensation DAG: the quotient graph over strongly connected
     * components — one node per SCC (labeled by its max member, the
     * [[stronglyConnectedComponents]] canon), one distinct edge per

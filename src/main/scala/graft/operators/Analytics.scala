@@ -390,6 +390,32 @@ object Analytics {
         sum(coalesce(col("_gap"), lit(0L))).as("twa_den"))
   }
 
+  /** One-sided CUSUM change-point alarm per key, exact integers: the
+    * classic recursion S_i = max(0, S_{i-1} + (v_i − μ)) is not a
+    * window function, but its closed form IS — S_i = P_i − min(0,
+    * min_{j≤i} P_j) with P the running sum of deviations — so the whole
+    * detector is one window pass (running sum + running min), no
+    * sequential scan, no UDAF. μ is the key's floor-mean (one agg,
+    * joined back co-partitioned); rows where S crosses `threshold`
+    * flag `is_alarm` — the upward-drift alarm for rates/latencies.
+    * (Page 1954; the prefix-min identity is the standard max-subarray
+    * duality.) */
+  def cusumAlarm(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+                 valueCol: Column, threshold: Long): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val keyCols = keys.map(col)
+    val base = df.withColumn("_v", valueCol.cast("long"))
+    val mean = base.groupBy(keyCols: _*)
+      .agg(expr("sum(_v) div count(_v)").as("_mu"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(mean, keys)
+      .withColumn("_p", sum(col("_v") - col("_mu")).over(w))
+      .withColumn("cusum", col("_p") - least(lit(0L), min(col("_p")).over(w)))
+      .withColumn("is_alarm", col("cusum") > threshold)
+      .drop("_p")
+  }
+
   /** 2-D Pareto frontier (skyline), both axes maximized: rows no other
     * row weakly dominates — the data-selection tradeoff curve ("longest
     * doc at each quality level", "best quality at each length"). Rows

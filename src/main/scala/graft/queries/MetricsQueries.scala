@@ -258,7 +258,29 @@ object MetricsQueries {
       Seq(col("user_id")), unix_micros(col("ts")), cents,
       Seq(col("event_id")))
 
+  /** One-sided CUSUM drift alarm per event type (threshold 5000 cents
+    * of cumulative positive deviation from the type's floor-mean): the
+    * closed-form window pass — running sum minus running min — so no
+    * sequential recursion. */
+  def analyticsCusum(spark: SparkSession, dir: String): DataFrame =
+    Analytics.cusumAlarm(Tables.events(spark, dir), Seq("event_type"),
+        Seq(col("ts"), col("event_id")), cents, threshold = 5000L)
+      .select(col("event_id"), col("event_type"), col("cusum"), col("is_alarm"))
+
+  /** k-anonymity / l-diversity audit over customers: quasi-identifier
+    * (nation, market segment), sensitive account balance — lists the
+    * equivalence classes under k = 8 members or l = 3 distinct values. */
+  def qualityKAnon(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.DataQuality.kAnonymityViolations(
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal")),
+      Seq("c_nationkey", "c_mktsegment"), "bal", k = 8L, l = 3L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_cusum" -> (analyticsCusum _),
+    "quality_k_anon" -> (qualityKAnon _),
     "analytics_twa" -> (analyticsTwa _),
     "analytics_ks_stat" -> (analyticsKsStat _),
     "events_transitions" -> (eventsTransitions _),
@@ -318,6 +340,38 @@ object MetricsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "analytics_cusum" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |mu AS (
+        |  SELECT event_type, sum(v) // count(v) AS mu FROM v GROUP BY event_type),
+        |p1 AS (
+        |  SELECT v.event_id, v.event_type, v.ts,
+        |    sum(v.v - mu.mu) OVER tw AS p
+        |  FROM v JOIN mu ON v.event_type = mu.event_type
+        |  WINDOW tw AS (PARTITION BY v.event_type ORDER BY v.ts, v.event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p2 AS (
+        |  SELECT event_id, event_type, p,
+        |    min(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp
+        |  FROM p1)
+        |SELECT event_id, event_type,
+        |  CAST(p - least(0, minp) AS BIGINT) AS cusum,
+        |  p - least(0, minp) > 5000 AS is_alarm
+        |FROM p2""".stripMargin,
+    "quality_k_anon" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |  count(*) AS class_size,
+        |  count(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS n_sensitive
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(*) < 8
+        |  OR count(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |       AS BIGINT)) < 3""".stripMargin,
     "analytics_twa" ->
       """WITH v AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t,

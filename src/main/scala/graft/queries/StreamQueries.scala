@@ -754,10 +754,24 @@ object StreamQueries {
     Centrality.neighborhoodFunction(sym, rounds = 6, nRegisters = 16)
   }
 
+  /** Deterministic hash-driven random walks over the symmetrized
+    * ornamented tree: 4 steps from every 100th customer — the
+    * reproducible DeepWalk corpus-generation step. */
+  def graphRandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val e = treeWithTriangles(spark, dir)
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val starts = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey").cast("long").as("walk_id"),
+        col("c_custkey").cast("long").as("node"))
+    Fixpoint.randomWalks(sym, starts, steps = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_window_agg" -> (sessionWindowAgg _),
     "stream_sliding_window" -> (streamSlidingWindow _),
     "graph_anf" -> (graphAnf _),
+    "graph_random_walks" -> (graphRandomWalks _),
     "graph_coloring" -> (graphColoring _),
     "graph_mis" -> (graphMis _),
     "graph_matching" -> (graphMatching _),
@@ -1316,8 +1330,48 @@ object StreamQueries {
        |$picks""".stripMargin
   }
 
+  /** Unrolled hash-walk oracle (graph_random_walks): 4 steps, each one
+    * adjacency-array index pick `nbrs[h(walk@'step') mod degree + 1]`
+    * over the sorted-distinct neighbor lists. */
+  private val RandomWalksOracleSql: String = {
+    val base =
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+        |  UNION ALL
+        |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+        |u0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e WHERE src <> dst
+        |   UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+        |adj AS MATERIALIZED (
+        |  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs
+        |  FROM u0 GROUP BY src),
+        |w0 AS MATERIALIZED (
+        |  SELECT k AS walk_id, k AS node FROM c WHERE k % 100 = 0)""".stripMargin
+    val steps = (1 to 4).map { s =>
+      s"""w$s AS MATERIALIZED (
+         |  SELECT w.walk_id,
+         |    a.nbrs[CAST(CAST(('0x' || substr(md5(concat(
+         |      CAST(w.walk_id AS VARCHAR), '@', '$s')), 1, 14))
+         |      AS BIGINT) % len(a.nbrs) AS INT) + 1] AS node
+         |  FROM w${s - 1} w JOIN adj a ON w.node = a.src)""".stripMargin
+    }.mkString(",\n")
+    val picks = (0 to 4).map(s =>
+      s"SELECT walk_id, CAST($s AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM w$s")
+      .mkString("\n  UNION ALL ")
+    s"""$base,
+       |$steps
+       |$picks""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_anf" -> AnfOracleSql,
+    "graph_random_walks" -> RandomWalksOracleSql,
     "graph_coloring" -> ColoringOracleSql,
     "stream_sliding_window" ->
       """WITH off AS (SELECT CAST(k AS BIGINT) AS k

@@ -83,4 +83,22 @@ object DataQuality {
       .select(col("r.check_name").as("check_name"), col("r.metric").as("metric"),
         col("r.value").as("value"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007): one row per quasi-identifier equivalence class that
+    * VIOLATES either floor — fewer than `k` members, or fewer than `l`
+    * distinct sensitive values. An empty result certifies the release;
+    * a non-empty one lists exactly the classes to suppress or
+    * generalize. One aggregation over the quasi-identifier tuple
+    * (map-side combinable; the class census is tiny next to the
+    * table). */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, k: Long,
+                           l: Long = 1L): DataFrame = {
+    require(k >= 2 && l >= 1, "need k >= 2 and l >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("class_size") < k || col("n_sensitive") < l)
+  }
 }

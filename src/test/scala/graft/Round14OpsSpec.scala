@@ -333,6 +333,70 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(both.length == 2)
   }
 
+  // ---- cusumAlarm ----
+
+  test("cusumAlarm matches the closed-form prefix identity by hand") {
+    // mean 5; deviations -5,-5,-5,+5,+5,+5 → S = 0,0,0,5,10,15
+    val df = (1 to 6).map(i => ("a", i.toLong, if (i <= 3) 0L else 10L))
+      .toDF("k", "t", "v")
+    val out = Analytics.cusumAlarm(df, Seq("k"), Seq(col("t")), col("v"), 8L)
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("cusum"), r.getAs[Boolean]("is_alarm")))
+    assert(out.map(_._1).toSeq == Seq(0L, 0L, 0L, 5L, 10L, 15L))
+    assert(out.map(_._2).toSeq == Seq(false, false, false, false, true, true))
+  }
+
+  test("cusumAlarm resets after a dip (max(0, ...) semantics)") {
+    // mean 0; values 4,-9,4,4: P = 4,-5,-1,3; minP = 4?→ no: running
+    // min of P = 4,-5,-5,-5 → S = P - min(0, minP) = 4,0,4,8
+    val df = Seq(("a", 1L, 4L), ("a", 2L, -9L), ("a", 3L, 4L), ("a", 4L, 1L))
+      .toDF("k", "t", "v")
+    val out = Analytics.cusumAlarm(df, Seq("k"), Seq(col("t")), col("v"), 100L)
+      .orderBy("t").collect().map(_.getAs[Long]("cusum")).toSeq
+    assert(out == Seq(4L, 0L, 4L, 5L))
+  }
+
+  // ---- randomWalks ----
+
+  test("randomWalks stay on edges, are deterministic, stop at dead ends") {
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val starts = Seq((100L, 1L), (200L, 3L)).toDF("walk_id", "node")
+    val run1 = Fixpoint.randomWalks(sym, starts, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val run2 = Fixpoint.randomWalks(sym, starts, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run1 == run2)                       // deterministic
+    assert(run1.count(_._1 == 100L) == 5)      // full-length walk
+    val edgeSet = Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    for (w <- Seq(100L, 200L)) {
+      val path = run1.filter(_._1 == w).toSeq.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet((a, b)), s"walk $w jumped $a->$b")
+        case _ =>
+      }
+    }
+    // directed dead end: 1→2, nothing out of 2 → walk emits 2 rows
+    val dir = Seq((1L, 2L)).toDF("src", "dst")
+    val one = Fixpoint.randomWalks(dir, Seq((9L, 1L)).toDF("walk_id", "node"), 4)
+    assert(one.count() == 2)
+  }
+
+  // ---- kAnonymityViolations ----
+
+  test("kAnonymityViolations lists exactly the violating classes") {
+    val df = Seq(
+      ("US", "A", 1L), ("US", "A", 2L), ("US", "A", 3L), // size 3, 3 values → OK
+      ("US", "B", 5L), ("US", "B", 5L), ("US", "B", 5L), // size 3, 1 value → l-violation
+      ("DE", "A", 7L)                                     // size 1 → k-violation
+    ).toDF("country", "seg", "salary")
+    val out = graft.stats.DataQuality.kAnonymityViolations(
+        df, Seq("country", "seg"), "salary", k = 2L, l = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("US", "B", 3L, 1L), ("DE", "A", 1L, 1L)))
+  }
+
   // ---- neighborhoodFunction ----
 
   test("neighborhoodFunction is monotone and converges at the diameter") {
