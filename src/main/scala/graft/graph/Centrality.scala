@@ -607,6 +607,64 @@ object Centrality {
         expr("common_neighbors * (common_neighbors - 1) div 2"))
   }
 
+  /** Full core decomposition: coreness(v) = the largest k with v in the
+    * k-core, computed by escalating synchronous peels — at level k,
+    * every cascade round deletes ALL nodes whose current degree is
+    * below k, and a node removed at level k has coreness k − 1
+    * (Batagelj–Zaveršnik 2003, the parallel-cascade variant of their
+    * sequential min-heap). The graph-wide density fingerprint behind
+    * "keep the cohesive core, drop the fringe" curation and degeneracy
+    * ordering.
+    *
+    * Cost: Σ_k (cascade rounds at level k) degree aggs — bounded by
+    * degeneracy + total cascade depth, both small on real graphs; every
+    * round is one agg + two semi-joins, lineage cut. `maxK` caps the
+    * escalation (budget-throw, not silent truncation); isolated input
+    * nodes never appear (edges define the node set), and every node is
+    * eventually removed at some level ≤ degeneracy + 1, so the loop
+    * always terminates before k exceeds max-degree + 1. */
+  def coreness(edges: DataFrame, maxK: Int = 64,
+               maxRoundsPerLevel: Int = 40): DataFrame = {
+    val p = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    var cur = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var live = cur.select(col("src").as("node")).distinct().localCheckpoint(false)
+    val spark = cur.sparkSession
+    var out = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("node", "long").add("coreness", "long"))
+    var k = 1L
+    while (!live.isEmpty) {
+      require(k <= maxK, s"coreness escalated past maxK = $maxK")
+      var cascading = true
+      var round = 0
+      while (cascading) {
+        round += 1
+        require(round <= maxRoundsPerLevel,
+          s"coreness cascade at level $k passed $maxRoundsPerLevel rounds")
+        val deg = cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        val removed = live.join(deg, Seq("node"), "left")
+          .filter(coalesce(col("deg"), lit(0L)) < k)
+          .select(col("node")).localCheckpoint(false)
+        if (removed.isEmpty) { cascading = false }
+        else {
+          out = out.unionByName(
+            removed.select(col("node"), lit(k - 1).as("coreness")))
+            .localCheckpoint(false)
+          live = live.join(removed, Seq("node"), "left_anti").cut
+          cur = cur
+            .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")).cut
+        }
+      }
+      k += 1
+    }
+    out
+  }
+
   /** Neighborhood-function estimation in the HyperANF shape (Boldi,
     * Rosa & Vigna, WWW 2011 — Flajolet–Martin registers instead of
     * HyperLogLog so every value is a small exact integer): each node

@@ -767,11 +767,31 @@ object StreamQueries {
     Fixpoint.randomWalks(sym, starts, steps = 4)
   }
 
+  /** Full core decomposition over the octal tree with a K5 planted on
+    * every 100th customer: tree fringe coreness 1, clique members
+    * coreness 4 — the density-fingerprint read behind degeneracy
+    * ordering and cohesive-core curation. */
+  def graphCoreness(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val mx = c.agg(max(col("k")).as("mx"))
+    val tree = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    val offs = for (i <- 0 to 4; j <- (i + 1) to 4) yield (i, j)
+    val clique = c.filter(col("k") % 100 === 0).crossJoin(broadcast(mx))
+      .filter(col("k") + 4 <= col("mx"))
+      .select(explode(array(offs.map { case (i, j) =>
+        struct((col("k") + i).as("src"), (col("k") + j).as("dst"))
+      }: _*)).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    Centrality.coreness(tree.unionByName(clique))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_window_agg" -> (sessionWindowAgg _),
     "stream_sliding_window" -> (streamSlidingWindow _),
     "graph_anf" -> (graphAnf _),
     "graph_random_walks" -> (graphRandomWalks _),
+    "graph_coreness" -> (graphCoreness _),
     "graph_coloring" -> (graphColoring _),
     "graph_mis" -> (graphMis _),
     "graph_matching" -> (graphMatching _),
@@ -1369,9 +1389,59 @@ object StreamQueries {
        |$picks""".stripMargin
   }
 
+  /** Coreness oracle (graph_coreness): cores are nested, so
+    * coreness(v) = 1 + Σ_{k=2..5} [v survives the k-peel]; each peel is
+    * 8 unrolled cascade rounds over the tree + K5 graph. Max coreness
+    * is 5, NOT 4: a planted clique at node 8m together with its tree
+    * parent m (also a clique anchor when m % 100 = 0) forms a K6 —
+    * every multiple of 100 has 8m ≡ 0 (mod 800), so these K6s exist at
+    * every scale factor. */
+  private val CorenessOracleSql: String = {
+    val offs = (for (i <- 0 to 4; j <- (i + 1) to 4) yield s"($i, $j)")
+      .mkString(", ")
+    val base =
+      s"""WITH c AS (SELECT c_custkey AS k FROM customer),
+         |mx AS (SELECT max(k) AS mx FROM c),
+         |ed AS (
+         |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+         |  UNION ALL
+         |  SELECT c.k + o.i, c.k + o.j
+         |  FROM c CROSS JOIN mx CROSS JOIN (VALUES $offs) o(i, j)
+         |  WHERE c.k % 100 = 0 AND c.k + 4 <= mx.mx),
+         |u0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM ed WHERE src <> dst
+         |   UNION ALL SELECT dst, src FROM ed WHERE src <> dst))""".stripMargin
+    val peels = (2 to 5).map { k =>
+      val rounds = (1 to 8).map { r =>
+        s"""s${k}_$r AS MATERIALIZED (SELECT src AS node FROM u${k}_${r - 1}
+           |  GROUP BY src HAVING count(*) >= $k),
+           |u${k}_$r AS MATERIALIZED (SELECT u.src, u.dst FROM u${k}_${r - 1} u
+           |  JOIN s${k}_$r a ON u.src = a.node
+           |  JOIN s${k}_$r b ON u.dst = b.node)""".stripMargin
+      }.mkString(",\n")
+      s"""u${k}_0 AS MATERIALIZED (SELECT src, dst FROM u0),
+         |$rounds,
+         |core$k AS MATERIALIZED (SELECT DISTINCT src AS node FROM u${k}_8)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$peels
+       |SELECT CAST(n.node AS BIGINT) AS node,
+       |  CAST(1 + (CASE WHEN c2.node IS NULL THEN 0 ELSE 1 END)
+       |     + (CASE WHEN c3.node IS NULL THEN 0 ELSE 1 END)
+       |     + (CASE WHEN c4.node IS NULL THEN 0 ELSE 1 END)
+       |     + (CASE WHEN c5.node IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS coreness
+       |FROM (SELECT DISTINCT src AS node FROM u0) n
+       |LEFT JOIN core2 c2 ON n.node = c2.node
+       |LEFT JOIN core3 c3 ON n.node = c3.node
+       |LEFT JOIN core4 c4 ON n.node = c4.node
+       |LEFT JOIN core5 c5 ON n.node = c5.node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_anf" -> AnfOracleSql,
     "graph_random_walks" -> RandomWalksOracleSql,
+    "graph_coreness" -> CorenessOracleSql,
     "graph_coloring" -> ColoringOracleSql,
     "stream_sliding_window" ->
       """WITH off AS (SELECT CAST(k AS BIGINT) AS k

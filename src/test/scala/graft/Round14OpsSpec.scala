@@ -397,6 +397,25 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out == Set(("US", "B", 3L, 1L), ("DE", "A", 1L, 1L)))
   }
 
+  // ---- coreness ----
+
+  test("coreness labels fringe, clique and bridge levels exactly") {
+    // path 1-2-3 (coreness 1) + K4 {10,11,12,13} (coreness 3), bridged
+    // 3-10: the bridge changes nothing (degree-1 attachment)
+    val k4 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 10L)) ++ k4).toDF("src", "dst")
+    val out = Centrality.coreness(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert((10L to 13L).forall(out(_) == 3L))
+    // a triangle-with-tail: triangle 2-core, tail 1-core
+    val t = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val o2 = Centrality.coreness(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
   // ---- neighborhoodFunction ----
 
   test("neighborhoodFunction is monotone and converges at the diameter") {
