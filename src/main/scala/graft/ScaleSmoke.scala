@@ -539,6 +539,40 @@ object ScaleSmoke {
           (col("value").cast("decimal(18,2)") * 100).cast("long"),
           col("event_type") === "purchase").count()
       }
+      time("anf6", m) {
+        val t = copyTree()
+        val sym = t.unionByName(t.select(col("dst").as("src"), col("src").as("dst")))
+        graph.Centrality.neighborhoodFunction(sym, 6, 16).count()
+      }
+      time("coreness", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        val offs = for (i <- 0 to 4; j <- (i + 1) to 4) yield (i, j)
+        val clique = cust.filter(col("k") % 100 === 0)
+          .select(explode(array(offs.map { case (i, j) =>
+            struct((col("k") + i).as("src"), (col("k") + j).as("dst"))
+          }: _*)).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        graph.Centrality.coreness(copyTree().unionByName(clique)).count()
+      }
+      time("random_walks8", m) {
+        val t = copyTree()
+        val sym = t.unionByName(t.select(col("dst").as("src"), col("src").as("dst")))
+        val starts = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey").cast("long").as("walk_id"),
+            col("c_custkey").cast("long").as("node"))
+        graph.Fixpoint.randomWalks(sym, starts, 8).count()
+      }
+      time("coloring", m) {
+        graph.Fixpoint.greedyColoring(copyTree()).count()
+      }
+      time("cusum", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        operators.Analytics.cusumAlarm(ev, Seq("event_type"),
+          Seq(col("ts"), col("event_id"), col("user_id")),
+          (col("value").cast("decimal(18,2)") * 100).cast("long"), 5000L).count()
+      }
       time("scc", m) {
         // per-copy rings-on-a-tree (the gate graph, multiplied): SCC
         // sizes and condensation depth stay constant, volume scales

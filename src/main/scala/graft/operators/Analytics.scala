@@ -416,6 +416,63 @@ object Analytics {
       .drop("_p")
   }
 
+  /** Parallel largest-triangle downsampling (the LTTB shape, Steinarsson
+    * 2013, with the sequential prev-SELECTED anchor replaced by the
+    * previous bucket's centroid so every bucket decides independently —
+    * the fully-parallel variant): per series, points fall into
+    * `nBuckets` equal-time buckets and each bucket keeps the point
+    * maximizing the doubled triangle area against the neighboring
+    * buckets' floor-centroids — the dashboard/chart decimation that
+    * preserves spikes where uniform sampling flattens them. First and
+    * last buckets keep their earliest / latest point (the endpoint
+    * rule). All arithmetic exact: areas in decimal(38,0) (µs × cents
+    * cross products pass a long), centroids floor-div, ties to the
+    * earliest point.
+    *
+    * Two aggs (span, centroids) + one argmax over a window-free
+    * max(struct) — no per-series recursion, unlike true LTTB. */
+  def downsampleLttb(df: DataFrame, keys: Seq[String], tsCol: Column,
+                     valueCol: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 3, "need nBuckets >= 3")
+    val keyCols = keys.map(col)
+    val pts = df.select(keyCols :+ tsCol.cast("long").as("t")
+      :+ valueCol.cast("long").as("v"): _*)
+      .localCheckpoint(false)
+    val span = pts.groupBy(keyCols: _*)
+      .agg(min(col("t")).as("_mn"), max(col("t")).as("_mx"))
+    val bucketed = pts.join(span, keys)
+      .withColumn("bucket",
+        expr(s"(t - _mn) * $nBuckets div (_mx - _mn + 1)"))
+      .localCheckpoint(false)
+    val cent = bucketed.groupBy(keyCols :+ col("bucket"): _*)
+      .agg(expr("sum(t) div count(t)").as("cx"),
+        expr("sum(v) div count(v)").as("cy"))
+    val withNbrs = bucketed
+      .join(cent.select(keyCols :+ (col("bucket") + 1).as("bucket")
+        :+ col("cx").as("pcx") :+ col("cy").as("pcy"): _*),
+        keys :+ "bucket", "left")
+      .join(cent.select(keyCols :+ (col("bucket") - 1).as("bucket")
+        :+ col("cx").as("ncx") :+ col("cy").as("ncy"): _*),
+        keys :+ "bucket", "left")
+    val dec = "decimal(38,0)"
+    val area2 = abs(
+      (col("pcx") - col("t")).cast(dec) * (col("ncy") - col("v")).cast(dec) -
+        (col("ncx") - col("t")).cast(dec) * (col("pcy") - col("v")).cast(dec))
+    // selection key: endpoint buckets rank by time alone; interior by
+    // (area, earliest). The mode is uniform within a bucket, so the
+    // lexicographic max stays within one mode.
+    val x = when(col("pcx").isNull, (-col("t")).cast(dec))
+      .when(col("ncx").isNull, col("t").cast(dec))
+      .otherwise(area2)
+    val y = when(col("pcx").isNull || col("ncx").isNull, lit(0L))
+      .otherwise(-col("t"))
+    withNbrs
+      .groupBy(keyCols :+ col("bucket"): _*)
+      .agg(max(struct(x.as("x"), y.as("y"), col("t"), col("v"))).as("sel"))
+      .select(keyCols :+ col("bucket") :+ col("sel.t").as("t")
+        :+ col("sel.v").as("v"): _*)
+  }
+
   /** 2-D Pareto frontier (skyline), both axes maximized: rows no other
     * row weakly dominates — the data-selection tradeoff curve ("longest
     * doc at each quality level", "best quality at each length"). Rows

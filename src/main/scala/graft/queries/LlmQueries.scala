@@ -721,6 +721,14 @@ object LlmQueries {
     TextFunctions.featureHash(Tables.documents(spark, dir), "doc_id",
       "text", dims = 64)
 
+  /** RAKE keyword extraction: top-20 stopword-bounded phrases by the
+    * exact degree/frequency word-score sum — corpus-global, ×1e6
+    * integer ratios. */
+  def textRakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.rakeKeywords(Tables.documents(spark, dir), "doc_id",
+      "text", stopwords = Seq("a", "the", "and", "of", "to", "in", "is"),
+      topK = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_curation" -> (e2eCuration _),
     "text_inverted_index" -> (textInvertedIndex _),
@@ -779,6 +787,7 @@ object LlmQueries {
     "text_pii_scrub" -> (textPiiScrub _),
     "text_line_dedup" -> (textLineDedup _),
     "text_feature_hash" -> (textFeatureHash _),
+    "text_rake_keywords" -> (textRakeKeywords _),
     "text_url_census" -> (textUrlCensus _),
     "dedup_url_canonical" -> (dedupUrlCanonical _),
     "sample_contrastive" -> (sampleContrastive _),
@@ -1507,6 +1516,41 @@ object LlmQueries {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,14)) AS BIGINT)
         |      % 1000000 < r.rate""".stripMargin,
+    "text_rake_keywords" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, pos, lower(tok) AS w FROM raw WHERE tok <> ''),
+        |content AS (
+        |  SELECT doc_id, pos, w FROM toks
+        |  WHERE w NOT IN ('a', 'the', 'and', 'of', 'to', 'in', 'is')),
+        |runs AS (
+        |  SELECT doc_id, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS island
+        |  FROM content),
+        |pt AS (
+        |  SELECT doc_id, pos, w, island,
+        |    count(*) OVER (PARTITION BY doc_id, island) AS plen
+        |  FROM runs),
+        |ws AS (
+        |  SELECT w, sum(plen) * 1000000 // count(*) AS wscore
+        |  FROM pt GROUP BY w),
+        |ph AS (
+        |  SELECT pt.doc_id, pt.island,
+        |    string_agg(pt.w, ' ' ORDER BY pt.pos) AS phrase,
+        |    count(*) AS n_words,
+        |    sum(ws.wscore) AS score
+        |  FROM pt JOIN ws USING (w) GROUP BY pt.doc_id, pt.island),
+        |agg AS (
+        |  SELECT phrase, count(*) AS n_occurrences,
+        |    CAST(max(n_words) AS BIGINT) AS n_words,
+        |    CAST(max(score) AS BIGINT) AS score_x1e6
+        |  FROM ph GROUP BY phrase)
+        |SELECT phrase, n_occurrences, n_words, score_x1e6 FROM agg
+        |ORDER BY score_x1e6 DESC, phrase LIMIT 20""".stripMargin,
     "text_feature_hash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -278,7 +278,16 @@ object MetricsQueries {
           (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal")),
       Seq("c_nationkey", "c_mktsegment"), "bal", k = 8L, l = 3L)
 
+  /** Parallel-LTTB downsampling of each event-type series into 16
+    * equal-time buckets: per bucket the spike-preserving point by exact
+    * decimal triangle area against neighbor centroids, endpoints kept. */
+  def analyticsDownsample(spark: SparkSession, dir: String): DataFrame =
+    Analytics.downsampleLttb(Tables.events(spark, dir)
+        .select(col("event_type"), col("ts"), col("value")),
+      Seq("event_type"), unix_micros(col("ts")), cents, nBuckets = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_downsample" -> (analyticsDownsample _),
     "analytics_cusum" -> (analyticsCusum _),
     "quality_k_anon" -> (qualityKAnon _),
     "analytics_twa" -> (analyticsTwa _),
@@ -340,6 +349,38 @@ object MetricsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "analytics_downsample" ->
+      """WITH pts AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |span AS (SELECT k, min(t) AS mn, max(t) AS mx FROM pts GROUP BY k),
+        |b AS (
+        |  SELECT p.k, p.t, p.v,
+        |    (p.t - s.mn) * 16 // (s.mx - s.mn + 1) AS bucket
+        |  FROM pts p JOIN span s ON p.k = s.k),
+        |cent AS (
+        |  SELECT k, bucket, sum(t) // count(t) AS cx, sum(v) // count(v) AS cy
+        |  FROM b GROUP BY k, bucket),
+        |n AS (
+        |  SELECT b.k, b.bucket, b.t, b.v,
+        |    p.cx AS pcx, p.cy AS pcy, x.cx AS ncx, x.cy AS ncy
+        |  FROM b
+        |  LEFT JOIN cent p ON b.k = p.k AND b.bucket = p.bucket + 1
+        |  LEFT JOIN cent x ON b.k = x.k AND b.bucket = x.bucket - 1),
+        |ranked AS (
+        |  SELECT k, bucket, t, v, row_number() OVER (
+        |    PARTITION BY k, bucket ORDER BY
+        |      (CASE WHEN pcx IS NULL THEN CAST(-t AS HUGEINT)
+        |            WHEN ncx IS NULL THEN CAST(t AS HUGEINT)
+        |            ELSE abs(CAST(pcx - t AS HUGEINT) * (ncy - v)
+        |                   - CAST(ncx - t AS HUGEINT) * (pcy - v)) END) DESC,
+        |      (CASE WHEN pcx IS NULL OR ncx IS NULL THEN 0 ELSE -t END) DESC,
+        |      t DESC, v DESC) AS rn
+        |  FROM n)
+        |SELECT k AS event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(t AS BIGINT) AS t, v
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "analytics_cusum" ->
       """WITH v AS (
         |  SELECT event_id, event_type, ts,

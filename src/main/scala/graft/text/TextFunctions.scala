@@ -809,6 +809,54 @@ object TextFunctions {
       .filter(col("weight") =!= 0)
   }
 
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010):
+    * candidate phrases are maximal stopword-free token runs; each
+    * word's score is degree/frequency (degree = Σ lengths of the
+    * phrases it appears in — co-occurrence credit), a phrase scores the
+    * sum of its words, and the corpus's top-k phrases come out. All
+    * ratios are ×1e6 integer div — engine-exact.
+    *
+    * Phrase runs are the classic gaps-and-islands
+    * (pos − row_number over content tokens), fully relational — no
+    * per-row recursion; word stats are corpus-global aggs over the
+    * phrase-token table; the final top-k is one TakeOrderedAndProject
+    * under the total order (score desc, phrase asc). Output:
+    * (phrase, n_occurrences, n_words, score_x1e6). */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], topK: Int): DataFrame = {
+    require(topK >= 1 && stopwords.nonEmpty, "need topK >= 1 and stopwords")
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("pos"), lower(col("tok")).as("w"))
+    val content = toks.filter(!col("w").isInCollection(stopwords))
+    val wIsland = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = content
+      .withColumn("island", col("pos") - row_number().over(wIsland))
+      .localCheckpoint(false)
+    val wPhrase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("island"))
+    val phraseToks = runs.withColumn("plen", count(lit(1)).over(wPhrase))
+    val wordStats = phraseToks.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("wscore", expr("degree * 1000000 div freq"))
+    val phrases = phraseToks
+      .join(wordStats.select(col("w"), col("wscore")), Seq("w"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(
+          struct(col("pos"), col("w")))), x => x.getField("w"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore")).as("score_x1e6"))
+    phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("n_words")).as("n_words"),
+        max(col("score_x1e6")).as("score_x1e6"))
+      .orderBy(col("score_x1e6").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Sequence packing: assign token chunks to fixed-capacity bins the
     * way a pretraining pipeline packs documents into context windows —
     * concatenate the stream in a deterministic order and split every

@@ -397,6 +397,37 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out == Set(("US", "B", 3L, 1L), ("DE", "A", 1L, 1L)))
   }
 
+  // ---- rakeKeywords ----
+
+  test("rakeKeywords scores phrases by exact degree/frequency sums") {
+    // "red fox | red fox jumps": freq red=2 fox=2 jumps=1;
+    // degree red=5 fox=5 jumps=3 → wscores 2.5M, 2.5M, 3M;
+    // "red fox jumps" = 8M beats "red fox" = 5M
+    val docs = Seq((1L, "red fox the red fox jumps")).toDF("doc_id", "text")
+    val out = graft.text.TextFunctions.rakeKeywords(docs, "doc_id", "text",
+        Seq("the"), topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("red fox jumps", 1L, 3L, 8000000L),
+      ("red fox", 1L, 2L, 5000000L)))
+  }
+
+  // ---- downsampleLttb ----
+
+  test("downsampleLttb keeps endpoints and spikes") {
+    // 100 flat points with one spike at t=55: bucket 0 keeps t=0,
+    // bucket 3 keeps t=99, bucket 2 keeps the spike, bucket 1 keeps the
+    // point farthest from the centroid line (t=49 by the exact area)
+    val pts = (0L until 100L).map(t => ("s", t, if (t == 55L) 1000L else 0L))
+      .toDF("k", "t", "v")
+    val out = Analytics.downsampleLttb(pts, Seq("k"), col("t"), col("v"), 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(0L) == 0L)   // first bucket → earliest point
+    assert(out(3L) == 99L)  // last bucket → latest point
+    assert(out(2L) == 55L)  // spike survives
+    assert(out(1L) == 49L)  // max |12−t|·40 area in the flat bucket
+  }
+
   // ---- coreness ----
 
   test("coreness labels fringe, clique and bridge levels exactly") {
