@@ -786,9 +786,38 @@ object StreamQueries {
     Centrality.coreness(tree.unionByName(clique))
   }
 
+  /** Arbitrary-state streaming pattern detection run live: every
+    * purchase matched to the key's earliest click in the preceding
+    * hour through an explicit flatMapGroupsWithState click buffer with
+    * event-time TTL — oracle = the equivalent batch window join. */
+  def streamPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    withStateSession(spark) { scoped =>
+      import scoped.implicits._
+      val src = Tables.tsToMicros(scoped.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val typed = src.filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          col("event_type").as("eventType"), col("ts").as("eventTime"),
+          unix_micros(col("ts")).as("tsMicros"))
+        .as[graft.streaming.Streaming.PatternEvent]
+      val q = graft.streaming.Streaming.patternDetect(typed, 3600L * 1000000L)
+        .toDF()
+        .select(col("userId").as("user_id"), col("purchaseId").as("purchase_id"),
+          col("clickId").as("click_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_pattern_match_sink").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      scoped.table("stream_pattern_match_sink")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_window_agg" -> (sessionWindowAgg _),
     "stream_sliding_window" -> (streamSlidingWindow _),
+    "stream_pattern_match" -> (streamPatternMatch _),
     "graph_anf" -> (graphAnf _),
     "graph_random_walks" -> (graphRandomWalks _),
     "graph_coreness" -> (graphCoreness _),
@@ -1439,6 +1468,20 @@ object StreamQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "stream_pattern_match" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, p.purchase_id, c.click_id,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.t, c.click_id) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.t < p.t AND c.t >= p.t - 3600000000)
+        |SELECT user_id, purchase_id, click_id FROM j WHERE rn = 1""".stripMargin,
     "graph_anf" -> AnfOracleSql,
     "graph_random_walks" -> RandomWalksOracleSql,
     "graph_coreness" -> CorenessOracleSql,

@@ -197,6 +197,52 @@ object Streaming {
       ()
     }
 
+  final case class PatternEvent(userId: Long, eventId: Long, eventType: String,
+                                eventTime: java.sql.Timestamp, tsMicros: Long)
+  final case class PatternMatch(userId: Long, purchaseId: Long, clickId: Long)
+
+  /** Per-key conversion→first-touch pattern detection as an arbitrary
+    * state machine: for every `purchase` event emit the EARLIEST
+    * `click` of the same key inside the preceding lookback window
+    * (ties to the smaller click id) — the streaming sessionless
+    * attribution join expressed with flatMapGroupsWithState rather
+    * than a stream-stream join, because the state we need (the click
+    * buffer, pruned to the lookback) is tiny and explicit where the
+    * join's state store would buffer both sides.
+    *
+    * State per key: the (tsMicros, clickId) pairs still inside the
+    * lookback of the newest event seen; event-time timeout drops idle
+    * keys. Exact when each key's batches arrive in event-time order
+    * (single-batch replay always is); out-of-order ACROSS micro-batches
+    * can miss a late click the way any watermarked stream op can. */
+  def patternDetect(events: Dataset[PatternEvent],
+                    lookbackMicros: Long): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("eventTime", "0 seconds")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Seq[(Long, Long)], PatternMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, it, state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evs = it.toSeq
+            val clicks = state.getOption.getOrElse(Seq.empty) ++
+              evs.filter(_.eventType == "click")
+                .map(e => (e.tsMicros, e.eventId))
+            val matches = evs.filter(_.eventType == "purchase").flatMap { p =>
+              val cands = clicks.filter(c =>
+                c._1 < p.tsMicros && c._1 >= p.tsMicros - lookbackMicros)
+              if (cands.isEmpty) None
+              else Some(PatternMatch(key, p.eventId, cands.min._2))
+            }
+            val maxTs = evs.map(_.tsMicros).max
+            state.update(clicks.filter(_._1 > maxTs - lookbackMicros))
+            state.setTimeoutTimestamp(maxTs / 1000 + lookbackMicros / 1000 + 1)
+            matches.iterator
+          }
+      }
+  }
+
   final case class KeyedEvent(key: Long, eventType: String, eventTime: java.sql.Timestamp)
   final case class FirstSeen(key: Long, firstTsMillis: Long, nSeen: Long)
 

@@ -71,6 +71,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("patternDetect matches purchases to the earliest in-window click across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{PatternEvent, PatternMatch}
+    def ev(id: Long, typ: String, s: String): PatternEvent = {
+      val t = Timestamp.valueOf(s)
+      PatternEvent(1L, id, typ, t, t.getTime * 1000L)
+    }
+    val source = MemoryStream[PatternEvent]
+    val out = Streaming.patternDetect(source.toDS(), 3600L * 1000000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pattern_test").start()
+    try {
+      // batch 1: two clicks then a purchase → earliest in-window click wins
+      source.addData(
+        ev(10L, "click", "2024-01-01 10:00:00"),
+        ev(11L, "click", "2024-01-01 10:20:00"),
+        ev(20L, "purchase", "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // batch 2 (later event time): click 10 has aged out of the hour by
+      // 11:10, click 11 is still in window — STATE carried it over
+      source.addData(ev(21L, "purchase", "2024-01-01 11:10:00"))
+      q.processAllAvailable()
+      // batch 3: purchase with no click in its window emits nothing
+      source.addData(ev(22L, "purchase", "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("pattern_test").as[PatternMatch].collect()
+        .map(m => m.purchaseId -> m.clickId).toMap
+      assert(got == Map(20L -> 10L, 21L -> 11L))
+    } finally q.stop()
+  }
+
   test("graphUpsertSink merges each micro-batch with full merge semantics") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
