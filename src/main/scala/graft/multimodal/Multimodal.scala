@@ -194,6 +194,38 @@ object Multimodal {
 
   /** Lift a text table into media records (payload = utf-8 bytes) — the
     * test harness for the binary plumbing. */
+  final case class AudioFeatures(media_id: Long, n_samples: Long, sum_abs: Long,
+                                 n_sign_changes: Long, peak_abs: Long)
+
+  /** Audio feature extraction over opaque payloads: the payload is read
+    * as centered 8-bit PCM (sample = unsigned byte − 96 — the
+    * deterministic STUB standing in for a real codec, like
+    * [[decodeImageHeader]]'s fake dims; a production build swaps the
+    * sample decode and keeps this plumbing). Per clip: sample count,
+    * Σ|s| (energy surrogate), sign changes (zero-crossing rate
+    * numerator — the classic voiced/unvoiced discriminator), peak.
+    * All exact integers; one mapPartitions pass over the bytes (the
+    * right tool here — this is byte slicing, not Column algebra). */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      var n = 0L; var sumAbs = 0L; var changes = 0L; var peak = 0L
+      var prevNonNeg = true; var first = true
+      m.payload.foreach { b =>
+        val s = (b & 0xff) - 96
+        n += 1
+        val a = math.abs(s).toLong
+        sumAbs += a
+        if (a > peak) peak = a
+        val nonNeg = s >= 0
+        if (!first && nonNeg != prevNonNeg) changes += 1
+        prevNonNeg = nonNeg
+        first = false
+      }
+      AudioFeatures(m.media_id, n, sumAbs, changes, peak)
+    }
+  }
+
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long").as("media_id"),

@@ -492,6 +492,12 @@ object LlmQueries {
     Multimodal.extractFeatures(
       Multimodal.fromDocuments(Tables.documents(spark, dir))).toDF()
 
+  /** Audio features over the stub PCM payloads: exact sample count,
+    * energy surrogate, zero-crossing numerator and peak per clip. */
+  def multimodalAudioFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(
+      Multimodal.fromDocuments(Tables.documents(spark, dir))).toDF()
+
   /** Frame sampling: 16-byte windows, every 2nd kept, per-frame size +
     * byte checksum. */
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
@@ -795,6 +801,7 @@ object LlmQueries {
     "corpus_percentiles" -> (corpusPercentiles _),
     "corpus_percentiles_cont" -> (corpusPercentilesCont _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_audio_features" -> (multimodalAudioFeatures _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
     "text_quality_filter" -> (textQualityFilter _),
@@ -2186,6 +2193,23 @@ object LlmQueries {
         |SELECT doc_a, doc_b,
         |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "multimodal_audio_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(c) - 96 AS s, i FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '')) AS c,
+        |      generate_subscripts(string_split_regex(text, ''), 1) AS i
+        |    FROM documents)),
+        |f AS (
+        |  SELECT doc_id, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM chars)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, count(*) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |         AND ((s >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sign_changes,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak_abs
+        |FROM f GROUP BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH sized AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),

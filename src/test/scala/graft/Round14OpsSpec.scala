@@ -397,6 +397,22 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out == Set(("US", "B", 3L, 1L), ("DE", "A", 1L, 1L)))
   }
 
+  // ---- audioFeatures ----
+
+  test("audioFeatures computes exact PCM-stub statistics") {
+    import graft.multimodal.Multimodal
+    // bytes 100, 90, 100 → samples +4, −6, +4: two sign changes,
+    // sum |s| = 14, peak 6
+    val media = Seq(Multimodal.MediaRecord(1L, Array[Byte](100, 90, 100), "t"),
+      Multimodal.MediaRecord(2L, Array[Byte](96), "t")) // sample 0 → non-negative
+      .toDS()
+    val out = Multimodal.audioFeatures(media).collect()
+      .map(f => f.media_id -> (f.n_samples, f.sum_abs, f.n_sign_changes,
+        f.peak_abs)).toMap
+    assert(out(1L) == (3L, 14L, 2L, 6L))
+    assert(out(2L) == (1L, 0L, 0L, 0L))
+  }
+
   // ---- rakeKeywords ----
 
   test("rakeKeywords scores phrases by exact degree/frequency sums") {
