@@ -735,6 +735,16 @@ object LlmQueries {
       "text", stopwords = Seq("a", "the", "and", "of", "to", "in", "is"),
       topK = 20)
 
+  /** Content-defined chunking census: rolling-hash chunk boundaries,
+    * md5 chunk signatures, per-length chunk and distinct-signature
+    * counts — duplicated passages show as n_chunks > n_distinct_sigs. */
+  def textCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.cdcChunks(Tables.documents(spark, dir), "doc_id", "text",
+        cutMod = 8)
+      .groupBy(col("n_words"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("sig")).as("n_distinct_sigs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_curation" -> (e2eCuration _),
     "text_inverted_index" -> (textInvertedIndex _),
@@ -794,6 +804,7 @@ object LlmQueries {
     "text_line_dedup" -> (textLineDedup _),
     "text_feature_hash" -> (textFeatureHash _),
     "text_rake_keywords" -> (textRakeKeywords _),
+    "text_cdc_chunks" -> (textCdcChunks _),
     "text_url_census" -> (textUrlCensus _),
     "dedup_url_canonical" -> (dedupUrlCanonical _),
     "sample_contrastive" -> (sampleContrastive _),
@@ -1523,6 +1534,37 @@ object LlmQueries {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,14)) AS BIGINT)
         |      % 1000000 < r.rate""".stripMargin,
+    "text_cdc_chunks" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 256 AS wh
+        |  FROM raw WHERE tok <> ''),
+        |r AS (
+        |  SELECT doc_id, pos, tok,
+        |    (wh + coalesce(lag(wh, 1) OVER tw, 0) * 256
+        |        + coalesce(lag(wh, 2) OVER tw, 0) * 65536
+        |        + coalesce(lag(wh, 3) OVER tw, 0) * 16777216) % 8 AS hm
+        |  FROM toks
+        |  WINDOW tw AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    coalesce(sum(CASE WHEN hm = 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_idx
+        |  FROM r),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx, count(*) AS n_words,
+        |    CAST(('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)),
+        |      1, 14)) AS BIGINT) AS sig
+        |  FROM c GROUP BY doc_id, chunk_idx)
+        |SELECT CAST(n_words AS BIGINT) AS n_words, count(*) AS n_chunks,
+        |  count(DISTINCT sig) AS n_distinct_sigs
+        |FROM ch GROUP BY n_words""".stripMargin,
     "text_rake_keywords" ->
       """WITH raw AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

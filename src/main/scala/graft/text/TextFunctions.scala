@@ -857,6 +857,49 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** Content-defined chunking at word granularity (the rolling-hash cut
+    * rule of LBFS/rsync applied to token streams): a chunk boundary
+    * falls after any word where the rolling hash of the last 4 word
+    * hashes is ≡ 0 (mod `cutMod`) — so chunk boundaries move WITH the
+    * content, and an insertion early in a document re-chunks only its
+    * neighborhood instead of shifting every downstream chunk the way
+    * fixed-width windows do. THE substring-level dedup primitive:
+    * identical passages yield identical chunk signatures wherever they
+    * sit.
+    *
+    * The rolling hash is a positional closed form over 4 shared-sort
+    * lag terms (the [[graft.operators.Analytics.ewmaHalf]] idiom) — one
+    * window pass, no per-row recursion; chunk ids are a running cut-flag
+    * sum; signatures are md5-prefix56 of the chunk's words. Output: one
+    * row per (doc_id, chunk_idx) with n_words and sig. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                cutMod: Int = 8): DataFrame = {
+    require(cutMod >= 2 && cutMod <= 4096, "need 2 <= cutMod <= 4096")
+    import graft.functions.HashFunctions.md5_prefix64
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("wh", md5_prefix64(col("tok")) % 256)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val rolling = (0 until 4)
+      .map(j => coalesce(lag(col("wh"), j).over(w), lit(0L)) *
+        lit(1L << (8 * j)))
+      .reduce(_ + _)
+    val flagged = toks
+      .withColumn("cut", (rolling % cutMod === 0).cast("long"))
+      .withColumn("chunk_idx",
+        coalesce(sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    flagged.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), x => x.getField("tok"))).as("_c"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_words"),
+        md5_prefix64(col("_c")).as("sig"))
+  }
+
   /** Sequence packing: assign token chunks to fixed-capacity bins the
     * way a pretraining pipeline packs documents into context windows —
     * concatenate the stream in a deterministic order and split every

@@ -397,6 +397,29 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out == Set(("US", "B", 3L, 1L), ("DE", "A", 1L, 1L)))
   }
 
+  // ---- cdcChunks ----
+
+  test("cdcChunks boundaries move with content: shared passage re-syncs") {
+    val passage = (1 to 40).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta " + passage),
+      (2L, "x y z w q r s t u v " + passage)).toDF("doc_id", "text")
+    val chunks = graft.text.TextFunctions.cdcChunks(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every token lands in exactly one chunk
+    assert(chunks.filter(_._1 == 1L).map(_._3).sum == 42L)
+    assert(chunks.filter(_._1 == 2L).map(_._3).sum == 50L)
+    // the defining CDC property: despite different offsets, the two docs
+    // share chunk signatures once the rolling hash re-syncs inside the
+    // common passage (fixed-width windows would share nothing)
+    val sigs1 = chunks.filter(_._1 == 1L).map(_._4).toSet
+    val sigs2 = chunks.filter(_._1 == 2L).map(_._4).toSet
+    assert((sigs1 & sigs2).nonEmpty)
+    // chunk ids are dense from 0
+    val idx1 = chunks.filter(_._1 == 1L).map(_._2).sorted.toSeq
+    assert(idx1 == (0L until idx1.length).toSeq)
+  }
+
   // ---- audioFeatures ----
 
   test("audioFeatures computes exact PCM-stub statistics") {
