@@ -178,4 +178,28 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(explodedRight, Seq(key, "_salt"), "inner").drop("_salt")
   }
+
+  /** Skew diagnosis report — the measurement that DECIDES when
+    * [[saltedJoin]] is worth its replication cost: the `topK` heaviest
+    * join-key values with exact ppm share and the salt factor that
+    * would spread each across `parallelism` tasks
+    * (`ceil(cnt · parallelism / total)`, floor 1 — a key under 1/Pth
+    * of the table needs no salt). One census agg + a top-k under the
+    * total order (count desc, key asc); run it on the key census, not
+    * the advice of a sampled guess. */
+  def skewReport(df: DataFrame, keyCol: Column, parallelism: Int,
+                 topK: Int): DataFrame = {
+    require(parallelism >= 1 && topK >= 1, "need parallelism, topK >= 1")
+    val census = df.groupBy(keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val total = census.agg(sum(col("cnt")).as("_total"))
+    census.crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000 div _total").as("share_ppm"),
+        greatest(lit(1L),
+          expr(s"(cnt * $parallelism + _total - 1) div _total")).as("salt"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -331,7 +331,18 @@ object JoinQueries {
           .as("overlap_secs"))
   }
 
+  /** Skew advisor over the geometrically-skewed lowbit key (value 2^t
+    * carries n/2^(t+1) of the mass): the 8 heaviest keys with exact ppm
+    * share and the salt factor that spreads each across 32 tasks —
+    * the measurement that decides when saltedJoin earns its cost. */
+  def joinSkewAdvisor(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.Skew.skewReport(
+      Tables.events(spark, dir)
+        .select(col("event_id").bitwiseAND(expr("-event_id")).as("lowbit")),
+      col("lowbit"), parallelism = 32, topK = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_advisor" -> (joinSkewAdvisor _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "intervals_coalesce" -> (intervalsCoalesce _),
     "join_edit_distance" -> (joinEditDistance _),
@@ -353,6 +364,15 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_skew_advisor" ->
+      """WITH t AS (
+        |  SELECT CAST(event_id & (-event_id) AS VARCHAR) AS key FROM events),
+        |c AS (SELECT key, count(*) AS cnt FROM t GROUP BY key),
+        |tot AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT key, cnt, CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(greatest(1, (cnt * 32 + total - 1) // total) AS BIGINT) AS salt
+        |FROM c CROSS JOIN tot
+        |ORDER BY cnt DESC, key LIMIT 8""".stripMargin,
     "join_interval_overlap" ->
       """WITH base AS (
         |  SELECT c_nationkey AS nk, o_custkey AS ck, o_orderkey AS okey,

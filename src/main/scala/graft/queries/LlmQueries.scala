@@ -745,6 +745,13 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("sig")).as("n_distinct_sigs"))
 
+  /** Embedding-space similarity histogram: signed squared-cosine ppm of
+    * N deterministic hash pairs bucketed by 1e5 ppm — collapse piles
+    * mass into the top buckets. */
+  def embedSimHistogram(spark: SparkSession, dir: String): DataFrame =
+    Similarity.similarityHistogram(
+      Similarity.quantized(Tables.embeddings(spark, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_curation" -> (e2eCuration _),
     "text_inverted_index" -> (textInvertedIndex _),
@@ -798,6 +805,7 @@ object LlmQueries {
     "sim_ann_ivfpq" -> (simAnnIvfPq _),
     "sim_knn_join" -> (simKnnJoin _),
     "embed_pq_encode" -> (embedPqEncode _),
+    "embed_sim_histogram" -> (embedSimHistogram _),
     "sample_cap_per_group" -> (sampleCapPerGroup _),
     "sample_temperature" -> (sampleTemperature _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -2178,6 +2186,31 @@ object LlmQueries {
          |FROM qs a JOIN qs b ON a.sig = b.sig AND a.vec_id < b.vec_id
          |WHERE floor(1000000.0 * $pairDot /
          |      sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) >= 350000""".stripMargin,
+    "embed_sim_histogram" ->
+      s"""WITH $QuantCte,
+         |nn AS (SELECT count(*) AS n FROM qn),
+         |pairs AS (
+         |  SELECT a.vec_id, a.q AS qa, a.norm2 AS na, b.q AS qb,
+         |    b.norm2 AS nb
+         |  FROM (SELECT qn.*,
+         |          CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))
+         |            AS BIGINT) % (SELECT n FROM nn) AS partner
+         |        FROM qn) a
+         |  JOIN qn b ON a.partner = b.vec_id
+         |  WHERE a.partner <> a.vec_id AND a.norm2 > 0 AND b.norm2 > 0),
+         |scored AS (
+         |  SELECT CAST(list_sum(list_transform(list_zip(qa, qb),
+         |      p -> p[1]*p[2])) AS BIGINT) AS dot, na, nb
+         |  FROM pairs),
+         |b AS (
+         |  SELECT dot,
+         |    CAST(CAST(dot AS HUGEINT) * dot * 1000000
+         |      // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS c2
+         |  FROM scored)
+         |SELECT CAST(CASE WHEN dot < 0 THEN -(c2 // 100000)
+         |            ELSE c2 // 100000 END AS BIGINT) AS bucket,
+         |  count(*) AS n_pairs
+         |FROM b GROUP BY 1""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH $QuantCte,
          |scored AS (

@@ -20,6 +20,38 @@ import graft.text.TextFunctions.Mix
   */
 object Similarity {
 
+  /** Pairwise-similarity histogram over deterministic hash pairs — the
+    * embedding-space health check (anisotropy / collapse shows as mass
+    * piling into the high-cosine buckets): each vector pairs with the
+    * vector whose id is md5₅₆(own id) mod N, and the SIGNED squared
+    * cosine in exact ppm (`sign(dot)·dot²·1e6 div (‖a‖²‖b‖²)` — no
+    * square root, so any engine reproduces it) buckets into
+    * `1e6/width`-ppm cells. O(N) pairs — the diagnostic cost of one
+    * extra scan, not an all-pairs join. Input = [[quantized]] output.
+    * Output: (bucket, n_pairs). */
+  def similarityHistogram(q: DataFrame, widthPpm: Long = 100000L): DataFrame = {
+    require(widthPpm >= 1000 && widthPpm <= 1000000, "widthPpm in [1e3, 1e6]")
+    val n = q.count()
+    require(n >= 2, "need at least 2 vectors")
+    val pairs = q
+      .withColumn("partner",
+        graft.functions.HashFunctions.md5_prefix64(
+          col("vec_id").cast("string")) % n)
+      .filter(col("partner") =!= col("vec_id"))
+      .join(q.select(col("vec_id").as("partner"), col("q").as("qb"),
+        col("norm2").as("nb")), Seq("partner"))
+      .filter(col("norm2") > 0 && col("nb") > 0)
+      .withColumn("dot", vec_dot(col("q"), col("qb")))
+    pairs
+      .withColumn("_c2", expr(
+        "CAST(dot AS DECIMAL(38,0)) * dot * 1000000 div " +
+          "(CAST(norm2 AS DECIMAL(38,0)) * nb)"))
+      .withColumn("bucket",
+        when(col("dot") < 0, -expr(s"_c2 div $widthPpm"))
+          .otherwise(expr(s"_c2 div $widthPpm")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Quantize: (vec_id, q array<long>, norm2) — fused array expressions,
     * no shuffle. */
   def quantized(embeddings: DataFrame, idCol: String = "vec_id",

@@ -397,6 +397,35 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out == Set(("US", "B", 3L, 1L), ("DE", "A", 1L, 1L)))
   }
 
+  // ---- skewReport ----
+
+  test("skewReport ranks heavy keys with exact shares and salt factors") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = graft.graph.Skew.skewReport(df, col("k"), parallelism = 5,
+        topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 6L, 600000L, 3L),  // ceil(6·5/10) = 3-way salt
+      ("b", 3L, 300000L, 2L)))
+  }
+
+  // ---- similarityHistogram ----
+
+  test("similarityHistogram lands identical/orthogonal/opposite pairs in ±10/0") {
+    import graft.similarity.Similarity
+    // ids 0..3: two identical, one orthogonal, one opposite of vec 0
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.similarityHistogram(Similarity.quantized(emb))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair's squared cosine is exactly 0 or 1e6: only buckets
+    // -10, 0, 10 can appear, and the counts cover all non-self pairs
+    assert(out.keySet.subsetOf(Set(-10L, 0L, 10L)))
+    assert(out.values.sum >= 2)
+  }
+
   // ---- cdcChunks ----
 
   test("cdcChunks boundaries move with content: shared passage re-syncs") {
