@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalysisQueries, CoreQueries, FunctionQueries, JoinQueries, LlmQueries, MetricsQueries, PipelineQueries, StreamQueries}
+import graft.queries.{AdvancedQueries, AnalysisQueries, CoreQueries, FunctionQueries, JoinQueries, LlmQueries, MetricsQueries, PipelineQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
     (FunctionQueries.queries, FunctionQueries.oracles),
     (PipelineQueries.queries, PipelineQueries.oracles),
     (MetricsQueries.queries, MetricsQueries.oracles),
+    (AdvancedQueries.queries, AdvancedQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,137 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Lineage._
+
+/** Path-structure operators over edge lists: s–t betweenness counts,
+  * DAG critical-path layering, and bipartite co-occurrence projection.
+  *
+  * Reference shape: cartography answers "which assets sit on every
+  * shortest attack path between an exposed entry point and a crown
+  * jewel" with per-pair Cypher path queries (e.g. the shortestPath
+  * patterns its read surface encourages over synced AWS graphs); these
+  * are the same questions as whole-graph DataFrame programs — every
+  * round is one join + one combinable aggregation, so the plans scale
+  * with |E| per round, not with the number of paths (path COUNTS are
+  * aggregated, never enumerated).
+  */
+object Paths {
+
+  /** Per-node count of shortest s→t paths passing through each node —
+    * the exact integer numerator of Brandes' pair dependency
+    * (Brandes 2001, §3: sigma_st(v) = sigma_s(v)·sigma_t^rev(v) when
+    * dist_s(v) + dist_rev_t(v) = dist_s(t)).
+    *
+    * Two level-synchronous BFS path-count passes ([[Fixpoint.bfsPathCounts]]):
+    * forward from `s` over the edges, backward from `t` over reversed
+    * edges, then one equi-join keeps the nodes on SOME shortest path and
+    * multiplies the two path counts. Endpoints are included and both
+    * carry the total s→t path count (sigma_st·1) — a built-in
+    * consistency check the spec asserts.
+    *
+    * Scale: cost is two BFS fixpoints (O(diameter) rounds of one join +
+    * one sum each) + one join; counts are exact longs (sum overflow
+    * throws under ANSI rather than wrapping). Returns empty when t is
+    * unreachable from s. Output: (node, dist_s, through_paths). */
+  def stBetweenness(edges: DataFrame, s: Long, t: Long, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val fwd = Fixpoint.bfsPathCounts(edges,
+      Seq(s).toDF("node"), maxDepth).cut
+    val bwd = Fixpoint.bfsPathCounts(
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      Seq(t).toDF("node"), maxDepth).cut
+    // 1-row broadcast of d(s,t); empty when t was never reached
+    val dT = fwd.filter(col("node") === t).select(col("dist").as("d_st"))
+    fwd.select(col("node"), col("dist").as("dist_s"), col("sigma").as("sf"))
+      .join(bwd.select(col("node"), col("dist").as("db"), col("sigma").as("sb")),
+        Seq("node"))
+      .crossJoin(broadcast(dT))
+      .filter(col("dist_s") + col("db") === col("d_st"))
+      .select(col("node"), col("dist_s"),
+        (col("sf") * col("sb")).as("through_paths"))
+  }
+
+  /** Longest-path layering of a DAG — level(v) = length of the longest
+    * path from any source to v (critical-path depth; the topological
+    * stage at which v can first be scheduled when every edge is a
+    * dependency). The classic build/dependency-graph question over the
+    * condensation DAG [[Fixpoint.sccCondensation]] produces.
+    *
+    * Frontier-relaxed fixpoint: a node re-propagates only in the round
+    * after its level grew, so each round is one (frontier ⋈ edges) join
+    * + one max-combine + one join against the current levels; total work
+    * is O(E · depth) worst case but proportional to actual level churn.
+    * Cycles never converge — the `maxRounds` budget throws rather than
+    * spinning (a DAG of depth ≤ maxRounds is the documented contract).
+    * Output: (node, level). */
+  def topoLevels(edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val e = edges.select(col("src"), col("dst"))
+    var levels = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().withColumn("level", lit(0L)).cut
+    levels.count()
+    var frontier = levels
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .groupBy(e("dst").as("node"))
+        .agg(max(col("level") + 1L).as("cand"))
+      val grew = cand.join(levels, Seq("node"))
+        .filter(col("cand") > col("level"))
+        .select(col("node"), col("cand").as("level")).cut
+      val n = grew.count()
+      if (n == 0) done = true
+      else {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"topoLevels did not converge in $maxRounds rounds - " +
+              "cycle in the input or depth past the budget; raise maxRounds")
+        levels = levels.join(grew.select(col("node").as("gn"), col("level").as("gl")),
+            col("node") === col("gn"), "left")
+          .select(col("node"),
+            coalesce(col("gl"), col("level")).as("level")).cut
+        frontier = grew
+      }
+    }
+    levels
+  }
+
+  /** Bipartite co-occurrence projection: from (left, right) associations
+    * to a weighted right–right graph where the weight is the number of
+    * shared lefts (co-purchase graphs from order lines, co-access graphs
+    * from principal→resource edges — the permission-graph shape the
+    * reference's RPR data feeds).
+    *
+    * The pair generation is IN-ROW over each left's sorted distinct
+    * right-set — O(degree²) per left with zero join fan-out — so the
+    * only shuffles are the distinct and the final pair count. That makes
+    * per-left degree the scale knob: `maxDegree` fails loudly (in-plan
+    * `raise_error`, no driver action) instead of silently exploding a
+    * hot left into millions of pairs; cap or pre-sample hub lefts
+    * upstream, the same dominance guard as `Sampling.capPerGroup`.
+    * Output: (r_a, r_b, n_shared) with r_a < r_b, filtered to
+    * n_shared >= minShared. */
+  def bipartiteProject(assoc: DataFrame, leftCol: String, rightCol: String,
+                       minShared: Long, maxDegree: Int): DataFrame = {
+    val pairs = assoc
+      .select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
+      .groupBy(col("l")).agg(sort_array(collect_list(col("r"))).as("rs"))
+      .withColumn("rs", when(size(col("rs")) > maxDegree,
+        expr(s"raise_error(concat('bipartiteProject: left degree ', " +
+          s"cast(size(rs) as string), " +
+          s"' exceeds maxDegree $maxDegree - cap hub lefts upstream'))"))
+        .otherwise(col("rs")))
+      .select(explode(expr(
+        "flatten(transform(rs, (x, i) -> " +
+          "transform(slice(rs, i + 2, size(rs) - i - 1), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+    pairs.groupBy(col("p.a").as("r_a"), col("p.b").as("r_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

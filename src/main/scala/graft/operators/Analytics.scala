@@ -500,4 +500,73 @@ object Analytics {
     pts.join(frontier, Seq("_x", "_y"), "left_semi")
       .withColumnRenamed("_x", "frontier_x").withColumnRenamed("_y", "frontier_y")
   }
+
+  /** Chi-squared contingency table: per-cell observed counts and the
+    * exact-integer chi² contribution in ppm — the independence test
+    * behind "is event mix drifting across segments" (the categorical
+    * sibling of [[tvdDrift]]).
+    *
+    * Exactness without floats: with O the cell count, R/C the marginal
+    * totals and N the grand total, the per-cell contribution
+    * (O − RC/N)²/(RC/N) multiplies through to (O·N − R·C)² / (R·C·N).
+    * The squared numerator exceeds long range past ~10^5 rows, so the
+    * ratio is computed in decimal(38,0) with division emulated as
+    * (num − num % den) / den — subtracting the exact decimal remainder
+    * first makes the decimal division exact (no scale rounding to trust)
+    * and the quotient collapses back to a BIGINT. Past ~10^16 rows even
+    * decimal(38,0) saturates — at that point Spark's ANSI decimal
+    * overflow throws rather than wrapping.
+    *
+    * Plan: one (r,c) count shuffle; marginals are derived aggregations
+    * of it; the grand total rides as a 1-row broadcast. The chi²
+    * statistic itself is `sum(contrib_ppm)` over this output. */
+  def chiSquareCells(df: DataFrame, rCol: Column, cCol: Column): DataFrame = {
+    val obs = df.select(rCol.as("rk"), cCol.as("ck"))
+      .groupBy(col("rk"), col("ck")).agg(count(lit(1)).as("observed"))
+    val rt = obs.groupBy(col("rk")).agg(sum(col("observed")).as("rtot"))
+    val ct = obs.groupBy(col("ck")).agg(sum(col("observed")).as("ctot"))
+    val n = obs.agg(sum(col("observed")).as("n"))
+    obs.join(rt, Seq("rk")).join(ct, Seq("ck")).crossJoin(broadcast(n))
+      .withColumn("num", expr(
+        "cast((observed * n - rtot * ctot) as decimal(38,0)) " +
+          "* (observed * n - rtot * ctot) * 1000000"))
+      .withColumn("den", expr("cast(rtot as decimal(38,0)) * ctot * n"))
+      .select(col("rk"), col("ck"), col("observed"),
+        expr("cast((num - num % den) / den as bigint)").as("contrib_ppm"))
+  }
+
+  /** Per-group Gini coefficient in exact ppm — the inequality /
+    * concentration measure for "how dominated is this source/domain by
+    * its heaviest members" (corpus-mixing diagnostics; the scalar twin
+    * of [[paretoFrontier2d]]'s curve).
+    *
+    * Closed form over the sorted values: with x_(1..n) ascending and
+    * S = Σx, G = (2·Σ i·x_(i) − (n+1)·S) / (n·S). One window rank per
+    * group (ties broken by `tieCol` so the rank — and therefore the
+    * ppm — is deterministic; Σ i·x_i is invariant under tie order
+    * anyway) + one aggregate. Values must be non-negative — enforced
+    * in-plan with raise_error, since a negative value silently breaks
+    * the [0,1] range. Numerator ×1e6 runs in decimal(38,0) with the
+    * same exact remainder-subtract division as [[chiSquareCells]].
+    * Output: (group, n, total, gini_ppm); groups with total = 0 emit 0. */
+  def giniByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+                  tieCol: Column): DataFrame = {
+    val v = df.select(groupCol.as("g"),
+      when(valueCol.cast("long") < 0, expr(
+        "raise_error('giniByGroup: negative value - shift or clamp upstream')"))
+        .otherwise(valueCol.cast("long")).as("v"),
+      tieCol.as("tie"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc, col("tie").asc)
+    v.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+        sum(col("i") * col("v")).as("s1"))
+      .withColumn("num", expr(
+        "cast(2 * s1 - (n + 1) * total as decimal(38,0)) * 1000000"))
+      .withColumn("den", expr("cast(n as decimal(38,0)) * total"))
+      .select(col("g"), col("n"), col("total"),
+        when(col("total") === 0, lit(0L))
+          .otherwise(expr("cast((num - num % den) / den as bigint)"))
+          .as("gini_ppm"))
+  }
 }

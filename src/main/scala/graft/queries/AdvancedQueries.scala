@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.Paths
+import graft.operators.{Analytics, Spatial}
+import graft.text.{Sketches, TextFunctions}
+
+/** Round-7 fourth-session battery: path structure (s–t betweenness,
+  * DAG layering, bipartite projection), exact-integer statistics
+  * (chi², Gini), KMV set-operation estimates, postings-join cosine,
+  * Heaps-law vocabulary growth, and grid-bucketed spatial nearest.
+  *
+  * Graph gates run on the deterministic binary-ancestry graph the
+  * path_counts/WL gates established: customers are nodes, `k div 2 → k`
+  * and `k div 4 → k` are edges (every edge goes binary-prefix ancestor
+  * → descendant, so the graph doubles as a DAG for the layering gate).
+  */
+object AdvancedQueries {
+
+  /** The shared ancestor graph: k div 2 → k (k ≥ 2) ∪ k div 4 → k (k ≥ 4). */
+  private def ancestryEdges(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+    c.filter(col("k") >= 2L)
+      .select(expr("k div 2").as("src"), col("k").as("dst"))
+      .unionByName(c.filter(col("k") >= 4L)
+        .select(expr("k div 4").as("src"), col("k").as("dst")))
+  }
+
+  private val AncestryEdgesSql =
+    """c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+      |e AS MATERIALIZED (
+      |  SELECT k // 2 AS src, k AS dst FROM c WHERE k >= 2
+      |  UNION ALL
+      |  SELECT k // 4, k FROM c WHERE k >= 4)""".stripMargin
+
+  /** 3-gram shingle occurrences (doc_id, term) — zip_with over shifted
+    * slices (linear; never element_at over a recomputed array). */
+  private def shingleTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextFunctions.tokens(col("text")).as("a"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(
+          |  zip_with(slice(a, 1, greatest(size(a) - 2, 0)),
+          |           slice(a, 2, greatest(size(a) - 2, 0)),
+          |           (x, y) -> concat(x, '_', y)),
+          |  slice(a, 3, greatest(size(a) - 2, 0)),
+          |  (xy, z) -> concat(xy, '_', z))""".stripMargin)).as("term"))
+
+  private val ShingleTermsSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |nums AS (SELECT i FROM generate_series(1, 4000) g(i)),
+      |dt AS MATERIALIZED (
+      |  SELECT doc_id, toks[i] || '_' || toks[i+1] || '_' || toks[i+2] AS term
+      |  FROM t JOIN nums ON nums.i <= len(toks) - 2)""".stripMargin
+
+  // ---------------------------------------------------------------- graph
+
+  /** Count of shortest 1→1000 paths through each node of the ancestry
+    * graph — Brandes' pair-dependency numerator, exact integers. */
+  def betweennessSt(spark: SparkSession, dir: String): DataFrame =
+    Paths.stBetweenness(ancestryEdges(spark, dir), s = 1L, t = 1000L, maxDepth = 12)
+      .orderBy(col("node"))
+
+  /** Critical-path layering of the ancestry DAG. */
+  def topoLevels(spark: SparkSession, dir: String): DataFrame =
+    Paths.topoLevels(ancestryEdges(spark, dir), maxRounds = 25)
+      .orderBy(col("node"))
+
+  /** Part co-purchase graph: parts sharing >= 2 orders. */
+  def bipartitePartPairs(spark: SparkSession, dir: String): DataFrame =
+    Paths.bipartiteProject(
+      Tables.lineitem(spark, dir).select(col("l_orderkey").as("l"),
+        col("l_partkey").cast("long").as("r")),
+      leftCol = "l", rightCol = "r", minShared = 2L, maxDegree = 32)
+      .orderBy(col("r_a"), col("r_b"))
+
+  // ------------------------------------------------------------ analytics
+
+  /** Chi² independence cells: market segment × (nationkey mod 5). */
+  def chi2Segments(spark: SparkSession, dir: String): DataFrame =
+    Analytics.chiSquareCells(Tables.customer(spark, dir),
+        col("c_mktsegment"), pmod(col("c_nationkey"), lit(5)).cast("long"))
+      .orderBy(col("rk"), col("ck"))
+
+  /** Order-value concentration per priority class (Gini, exact ppm). */
+  def giniOrderValue(spark: SparkSession, dir: String): DataFrame =
+    Analytics.giniByGroup(Tables.orders(spark, dir),
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long"),
+        col("o_orderkey"))
+      .orderBy(col("g"))
+
+  /** KMV union/intersection estimate: customer keys vs ordering keys. */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame =
+    Sketches.kmvSetOps(
+      Tables.customer(spark, dir).select(col("c_custkey").as("v")),
+      Tables.orders(spark, dir).select(col("o_custkey").as("v")),
+      valueCol = "v", k = 64)
+
+  // ------------------------------------------------------------------ text
+
+  /** Top-50 most cosine-similar document pairs via the shingle postings
+    * join (exact cos² in ppm, df-capped index). */
+  def cosinePostings(spark: SparkSession, dir: String): DataFrame = {
+    val tf = shingleTerms(spark, dir)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    TextFunctions.cosinePostingsTopK(tf, dfCap = 25L, k = 50)
+  }
+
+  /** Heaps-law shingle-vocabulary growth over hash-ordered deciles. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.vocabGrowth(shingleTerms(spark, dir))
+      .orderBy(col("decile"))
+
+  // ------------------------------------------------------------------ join
+
+  /** Nearest supplier within Euclidean radius 64 for every customer, on
+    * deterministic key-derived coordinates in a 4096² grid. */
+  def spatialGridNearest(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"),
+      expr("(c_custkey * 2654435761) % 4096").as("x"),
+      expr("(c_custkey * 972663749) % 4096").as("y"))
+    val r = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("id"),
+      expr("(s_suppkey * 1914874583) % 4096").as("x"),
+      expr("(s_suppkey * 517419103) % 4096").as("y"))
+    Spatial.gridNearest(l, r, radius = 64L, cell = 64L).orderBy(col("lid"))
+  }
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_betweenness_st" -> (betweennessSt _),
+    "graph_topo_levels" -> (topoLevels _),
+    "graph_bipartite" -> (bipartitePartPairs _),
+    "analytics_chi2" -> (chi2Segments _),
+    "analytics_gini" -> (giniOrderValue _),
+    "sketch_kmv_setops" -> (kmvSetOps _),
+    "text_cosine_postings" -> (cosinePostings _),
+    "text_vocab_growth" -> (vocabGrowth _),
+    "join_spatial_grid" -> (spatialGridNearest _),
+  )
+
+  /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
+    * unvisited) — the PathCountsOracleSql shape, parameterized. */
+  private def bfsSigmaRounds(p: String, edgeRel: String, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""${p}f$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(v.sigma) AS sigma
+         |  FROM ${p}v${i - 1} v JOIN $edgeRel e ON v.node = e.src
+         |  WHERE v.dist = ${i - 1}
+         |    AND e.dst NOT IN (SELECT node FROM ${p}v${i - 1})
+         |  GROUP BY e.dst),
+         |${p}v$i AS MATERIALIZED (SELECT node, dist, sigma FROM ${p}v${i - 1}
+         |  UNION ALL SELECT node, $i, sigma FROM ${p}f$i)""".stripMargin
+    }.mkString(",\n")
+
+  private val BetweennessStOracle: String =
+    s"""WITH $AncestryEdgesSql,
+       |er AS MATERIALIZED (SELECT dst AS src, src AS dst FROM e),
+       |fv0 AS MATERIALIZED (SELECT 1 AS node, 0 AS dist, 1 AS sigma),
+       |${bfsSigmaRounds("f", "e", 12)},
+       |bv0 AS MATERIALIZED (SELECT 1000 AS node, 0 AS dist, 1 AS sigma),
+       |${bfsSigmaRounds("b", "er", 12)},
+       |dst AS (SELECT dist AS d_st FROM fv12 WHERE node = 1000)
+       |SELECT CAST(f.node AS BIGINT) AS node,
+       |  CAST(f.dist AS BIGINT) AS dist_s,
+       |  CAST(f.sigma * b.sigma AS BIGINT) AS through_paths
+       |FROM fv12 f JOIN bv12 b ON f.node = b.node CROSS JOIN dst
+       |WHERE f.dist + b.dist = dst.d_st
+       |ORDER BY node""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_betweenness_st" -> BetweennessStOracle,
+    "graph_topo_levels" ->
+      s"""WITH RECURSIVE $AncestryEdgesSql,
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |lv AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS l FROM nodes
+         |  UNION
+         |  SELECT e.dst, lv.l + 1 FROM lv JOIN e ON lv.node = e.src
+         |)
+         |SELECT CAST(node AS BIGINT) AS node, CAST(max(l) AS BIGINT) AS level
+         |FROM lv GROUP BY node ORDER BY node""".stripMargin,
+    "graph_bipartite" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey AS l, CAST(l_partkey AS BIGINT) AS r
+        |  FROM lineitem)
+        |SELECT x.r AS r_a, y.r AS r_b, count(*) AS n_shared
+        |FROM a x JOIN a y ON x.l = y.l AND x.r < y.r
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY r_a, r_b""".stripMargin,
+    "analytics_chi2" ->
+      """WITH obs AS (SELECT c_mktsegment AS rk, CAST(c_nationkey % 5 AS BIGINT) AS ck,
+        |    count(*) AS observed FROM customer GROUP BY 1, 2),
+        |rt AS (SELECT rk, sum(observed) AS rtot FROM obs GROUP BY rk),
+        |ct AS (SELECT ck, sum(observed) AS ctot FROM obs GROUP BY ck),
+        |n AS (SELECT sum(observed) AS n FROM obs)
+        |SELECT o.rk, o.ck, o.observed,
+        |  CAST((CAST(o.observed * n.n - rt.rtot * ct.ctot AS HUGEINT)
+        |        * (o.observed * n.n - rt.rtot * ct.ctot) * 1000000)
+        |       // (CAST(rt.rtot AS HUGEINT) * ct.ctot * n.n) AS BIGINT) AS contrib_ppm
+        |FROM obs o JOIN rt USING (rk) JOIN ct USING (ck) CROSS JOIN n
+        |ORDER BY rk, ck""".stripMargin,
+    "analytics_gini" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v, o_orderkey AS tie
+        |  FROM orders),
+        |r AS (SELECT g, v, CAST(row_number() OVER
+        |    (PARTITION BY g ORDER BY v, tie) AS BIGINT) AS i FROM v),
+        |a AS (SELECT g, count(*) AS n, sum(v) AS total, sum(i * v) AS s1
+        |  FROM r GROUP BY g)
+        |SELECT g, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+        |  CAST(CASE WHEN total = 0 THEN 0 ELSE
+        |    (CAST(2 * s1 - (n + 1) * total AS HUGEINT) * 1000000)
+        |      // (CAST(n AS HUGEINT) * total) END AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY g""".stripMargin,
+    "sketch_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h FROM customer),
+        |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h FROM orders),
+        |sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |m AS (SELECT h, count(*) AS n_sides
+        |  FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+        |  GROUP BY h ORDER BY h LIMIT 64),
+        |ag AS (SELECT count(*) AS n_seen, max(h) AS kth,
+        |    sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS n_both FROM m)
+        |SELECT CAST(64 AS BIGINT) AS k,
+        |  CAST(CASE WHEN n_seen < 64 THEN n_seen
+        |    ELSE 4539628424389459968 // greatest(kth, 1) END AS BIGINT) AS est_union,
+        |  CAST(CASE WHEN n_seen < 64 THEN n_both
+        |    ELSE (n_both * (4539628424389459968 // greatest(kth, 1))) // 64
+        |  END AS BIGINT) AS est_inter
+        |FROM ag""".stripMargin,
+    "text_cosine_postings" ->
+      s"""WITH $ShingleTermsSql,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+         |  HAVING count(*) <= 25),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         |w AS (SELECT t.doc_id, t.term, t.tf * ((100 * nd.n_docs) // d.df) AS w
+         |  FROM tf t JOIN dfq d USING (term) CROSS JOIN nd),
+         |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+         |dots AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    sum(x.w * y.w) AS dot
+         |  FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+         |  CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+         |       // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
+         |FROM dots JOIN nrm na ON na.doc_id = dots.doc_a
+         |          JOIN nrm nb ON nb.doc_id = dots.doc_b
+         |ORDER BY cos2_ppm DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "text_vocab_growth" ->
+      s"""WITH $ShingleTermsSql,
+         |pd AS (SELECT doc_id, count(*) AS toks FROM dt GROUP BY doc_id),
+         |rk AS (SELECT doc_id, toks, CAST(row_number() OVER (ORDER BY
+         |    CAST(('0x' || substr(md5('vg:' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT),
+         |    doc_id) AS BIGINT) AS rank FROM pd),
+         |nn AS (SELECT count(*) AS n FROM pd),
+         |dec AS (SELECT CAST(g.d AS BIGINT) AS decile, (nn.n * g.d) // 10 AS cutoff
+         |  FROM generate_series(1, 10) g(d), nn),
+         |fs AS (SELECT dt.term, min(rk.rank) AS first_rank
+         |  FROM dt JOIN rk USING (doc_id) GROUP BY dt.term),
+         |voc AS (SELECT decile, count(*) AS vocab FROM fs, dec
+         |  WHERE first_rank <= cutoff GROUP BY decile),
+         |mass AS (SELECT decile, count(*) AS n_docs, sum(toks) AS n_tokens
+         |  FROM rk, dec WHERE rank <= cutoff GROUP BY decile)
+         |SELECT m.decile, CAST(m.n_docs AS BIGINT) AS n_docs,
+         |  CAST(m.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab
+         |FROM mass m LEFT JOIN voc v ON v.decile = m.decile
+         |ORDER BY m.decile""".stripMargin,
+    "join_spatial_grid" ->
+      """WITH l AS (SELECT c_custkey AS lid,
+        |    (c_custkey * 2654435761) % 4096 AS lx,
+        |    (c_custkey * 972663749) % 4096 AS ly FROM customer),
+        |r AS (SELECT s_suppkey AS rid,
+        |    (s_suppkey * 1914874583) % 4096 AS rx,
+        |    (s_suppkey * 517419103) % 4096 AS ry FROM supplier),
+        |cand AS (SELECT lid, rid,
+        |    (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) AS d2
+        |  FROM l, r
+        |  WHERE (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= 4096),
+        |best AS (SELECT lid, rid, d2, row_number() OVER
+        |    (PARTITION BY lid ORDER BY d2, rid) AS rn FROM cand)
+        |SELECT lid, rid, CAST(d2 AS BIGINT) AS d2 FROM best WHERE rn = 1
+        |ORDER BY lid""".stripMargin,
+  )
+}

@@ -1212,4 +1212,95 @@ object TextFunctions {
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Sparse tf-idf document-pair similarity via the inverted index —
+    * the postings-join ("DISCO" / Elsayed et al. 2008) alternative to
+    * the dense-embedding paths in `similarity/Similarity`: dot products
+    * decompose over terms, so pairs materialize ONLY through shared
+    * terms, never a doc×doc join.
+    *
+    * Input is a generic (doc_id, term, tf) table — words, shingles,
+    * hashed features, whatever the caller indexes. Weights are the
+    * exact-integer tf·idf surrogate `tf · ((100·N) div df)`
+    * ([[tfidfTopK]]'s reasoning). `dfCap` is THE scale knob: a term in
+    * df docs contributes df² candidate pairs, so hot terms (df > dfCap)
+    * are dropped from the index — the standard stop-postings prune;
+    * they carry ~zero idf weight anyway. Per-pair dots then
+    * length-normalize WITHOUT sqrt: cos² in ppm =
+    * (dot²·10^6) div (Σw_a²·Σw_b²), exact in decimal(38,0) with the
+    * remainder-subtract division (bound: dot < ~10^16, documented, far
+    * above the dfCap'd weights here).
+    *
+    * Output: top-k pairs (doc_a, doc_b, dot, cos2_ppm) under the total
+    * order (cos2_ppm desc, doc_a, doc_b). */
+  def cosinePostingsTopK(termTf: DataFrame, dfCap: Long, k: Int): DataFrame = {
+    val tf = termTf.select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val wts = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+      .select(col("term"), col("doc_id"),
+        expr("tf * ((100 * n_docs) div df)").as("w"))
+    val norms = wts.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val dots = wts.as("x").join(wts.as("y"),
+        col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(col("x.w") * col("y.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")), Seq("doc_b"))
+      .withColumn("num", expr("cast(dot as decimal(38,0)) * dot * 1000000"))
+      .withColumn("den", expr("cast(na as decimal(38,0)) * nb"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        expr("cast((num - num % den) / den as bigint)").as("cos2_ppm"))
+      .orderBy(col("cos2_ppm").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+  }
+
+  /** Heaps-law vocabulary growth curve: distinct-vocabulary size at 10%,
+    * 20%, … 100% of the corpus under a DETERMINISTIC hash order of the
+    * documents — "is the vocabulary saturating or still growing", the
+    * measure-don't-guess input to tokenizer-vocab sizing and
+    * more-data-vs-more-epochs decisions. A random order would make the
+    * curve a property of the shuffle; the [[wordId]]-style hash order
+    * makes it a property of the corpus.
+    *
+    * Input is a generic (doc_id, term) occurrence table WITH repetition
+    * (a "token" here = one term occurrence — words, shingles, subwords).
+    * One global rank over |docs| rows (a total-order sort of doc ids
+    * only — fine even at 10^10 docs; the TOKENS never sort), one min-rank
+    * agg per term (first occurrence), then both curves read off with a
+    * 10-row broadcast threshold join. Output: (decile, n_docs, n_tokens,
+    * vocab), cumulative. */
+  def vocabGrowth(docTerms: DataFrame): DataFrame = {
+    val spark = docTerms.sparkSession
+    import spark.implicits._
+    val perDoc = docTerms
+      .groupBy(col("doc_id").cast("long").as("doc_id"))
+      .agg(count(lit(1)).as("toks"))
+      .withColumn("h", wordId(concat(lit("vg:"), col("doc_id").cast("string"))))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+      .cut
+    val nDocs = perDoc.agg(count(lit(1)).as("n"))
+    val deciles = (1 to 10).toDF("decile")
+      .crossJoin(broadcast(nDocs))
+      .select(col("decile").cast("long").as("decile"),
+        expr("(n * decile) div 10").as("cutoff"))
+    val firstSeen = docTerms
+      .select(col("doc_id").cast("long").as("doc_id"), col("term"))
+      .join(perDoc.select(col("doc_id"), col("rank")), Seq("doc_id"))
+      .groupBy(col("term")).agg(min(col("rank")).as("first_rank"))
+    val vocab = firstSeen.crossJoin(broadcast(deciles))
+      .filter(col("first_rank") <= col("cutoff"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("vocab"))
+    val mass = perDoc.crossJoin(broadcast(deciles))
+      .filter(col("rank") <= col("cutoff"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    mass.join(vocab, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
 }

@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Paths
+import graft.operators.{Analytics, Spatial}
+import graft.text.{Sketches, TextFunctions}
+
+/** Round-15 additions: s–t betweenness counts, DAG layering, bipartite
+  * projection, chi², Gini, KMV set ops, postings cosine, vocab growth,
+  * grid nearest — hand-sized inputs with answers checkable by eye. */
+class Round15OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---- stBetweenness ----
+
+  test("stBetweenness multiplies forward and backward path counts") {
+    // diamond + tail: 1→{2,3}→4→5; two shortest 1→5 paths share 1,4,5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Paths.stBetweenness(e, 1L, 5L, maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (0L, 2L)) // endpoints carry total path count
+    assert(out(2L) == (1L, 1L))
+    assert(out(3L) == (1L, 1L))
+    assert(out(4L) == (2L, 2L))
+    assert(out(5L) == (3L, 2L))
+    assert(out.size == 5)
+  }
+
+  test("stBetweenness drops nodes off every shortest path") {
+    // 1→2→4 (short) vs 1→3→5→4 (long): 3 and 5 are off-path
+    val e = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 5L), (5L, 4L))
+      .toDF("src", "dst")
+    val nodes = Paths.stBetweenness(e, 1L, 4L, maxDepth = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(nodes == Set(1L, 2L, 4L))
+  }
+
+  test("stBetweenness is empty when t is unreachable") {
+    val e = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(Paths.stBetweenness(e, 1L, 4L, maxDepth = 4).count() == 0L)
+  }
+
+  // ---- topoLevels ----
+
+  test("topoLevels takes the LONGEST path, not the shortest") {
+    // 1→2→3 plus shortcut 1→3: level(3) = 2
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val out = Paths.topoLevels(e, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("topoLevels throws on a cycle instead of spinning") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Paths.topoLevels(e, maxRounds = 5)
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  // ---- bipartiteProject ----
+
+  test("bipartiteProject counts shared lefts, ordered pairs only") {
+    val a = Seq(("L1", "a"), ("L1", "b"), ("L1", "c"),
+      ("L2", "a"), ("L2", "b"), ("L3", "b"), ("L3", "c"),
+      ("L2", "a") /* duplicate association collapses */)
+      .toDF("l", "r")
+    val out = Paths.bipartiteProject(a, "l", "r", minShared = 2L, maxDegree = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 2L, ("b", "c") -> 2L)) // (a,c) has 1
+  }
+
+  test("bipartiteProject fails loudly past maxDegree") {
+    val a = (1 to 5).map(i => ("hub", s"r$i")).toDF("l", "r")
+    val ex = intercept[Exception] {
+      Paths.bipartiteProject(a, "l", "r", 1L, maxDegree = 4).collect()
+    }
+    assert(ex.getMessage.contains("maxDegree"))
+  }
+
+  // ---- chiSquareCells ----
+
+  test("chiSquareCells matches the hand-computed 2x2 contingency") {
+    // observed: (r1,c1)=10 (r1,c2)=20 (r2,c1)=30 (r2,c2)=40; N=100
+    val rows =
+      Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+        Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val out = Analytics.chiSquareCells(rows.toDF("r", "c"), col("r"), col("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // r1 tot 30, r2 tot 70, c1 tot 40, c2 tot 60
+    // (10*100-30*40)^2*1e6/(30*40*100)  = 200^2*1e6/120000  = 333333
+    assert(out(("r1", "c1")) == (10L, 333333L))
+    // (20*100-30*60)^2*1e6/(30*60*100)  = 200^2*1e6/180000  = 222222
+    assert(out(("r1", "c2")) == (20L, 222222L))
+    // (30*100-70*40)^2*1e6/(70*40*100)  = 200^2*1e6/280000  = 142857
+    assert(out(("r2", "c1")) == (30L, 142857L))
+    // (40*100-70*60)^2*1e6/(70*60*100)  = 200^2*1e6/420000  = 95238
+    assert(out(("r2", "c2")) == (40L, 95238L))
+  }
+
+  // ---- giniByGroup ----
+
+  test("giniByGroup: hand values, uniform group, zero-total group") {
+    val df = Seq(
+      ("g1", 1L, 1L), ("g1", 2L, 2L), ("g1", 3L, 3L), ("g1", 4L, 4L),
+      ("g2", 5L, 1L), ("g2", 5L, 2L),
+      ("g3", 0L, 1L), ("g3", 0L, 2L)).toDF("g", "v", "id")
+    val out = Analytics.giniByGroup(df, col("g"), col("v"), col("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // g1: S=10, Σi·x=30 → (60-50)*1e6/(4*10) = 250000
+    assert(out("g1") == (4L, 10L, 250000L))
+    assert(out("g2") == (2L, 10L, 0L)) // perfectly equal
+    assert(out("g3") == (2L, 0L, 0L))  // vacuous, not NULL/crash
+  }
+
+  test("giniByGroup refuses negative values") {
+    val df = Seq(("g", -1L, 1L)).toDF("g", "v", "id")
+    val ex = intercept[Exception] {
+      Analytics.giniByGroup(df, col("g"), col("v"), col("id")).collect()
+    }
+    assert(ex.getMessage.contains("negative"))
+  }
+
+  // ---- kmvSetOps ----
+
+  test("kmvSetOps is exact when both sides fit in the sample") {
+    val a = (1 to 10).map(_.toString).toDF("v")
+    val b = (6 to 15).map(_.toString).toDF("v")
+    val r = Sketches.kmvSetOps(a, b, "v", k = 64).collect().head
+    assert(r.getLong(1) == 15L) // union 1..15
+    assert(r.getLong(2) == 5L)  // intersection 6..10
+  }
+
+  test("kmvSetOps estimates within 3x at k=64 on 2000-element sets") {
+    val a = (1 to 2000).map(_.toString).toDF("v")
+    val b = (1001 to 3000).map(_.toString).toDF("v")
+    val r = Sketches.kmvSetOps(a, b, "v", k = 64).collect().head
+    val (u, i) = (r.getLong(1), r.getLong(2))
+    assert(u > 1000 && u < 9000, s"union est $u vs true 3000")
+    assert(i >= 0 && i < 3000, s"inter est $i vs true 1000")
+  }
+
+  // ---- cosinePostingsTopK ----
+
+  test("cosinePostingsTopK: identical docs score exactly 1e6 ppm") {
+    val tf = Seq(
+      (1L, "x", 2L), (1L, "y", 1L),
+      (2L, "x", 2L), (2L, "y", 1L), // doc 2 ≡ doc 1
+      (3L, "z", 5L)).toDF("doc_id", "term", "tf")
+    val out = TextFunctions.cosinePostingsTopK(tf, dfCap = 10L, k = 5).collect()
+    assert(out.length == 1) // doc 3 shares no term with anyone
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(3) == 1000000L)
+  }
+
+  test("cosinePostingsTopK drops terms above dfCap from the index") {
+    // "hot" is in all 3 docs; with dfCap=2 only "rare" links 1 and 2
+    val tf = Seq(
+      (1L, "hot", 1L), (2L, "hot", 1L), (3L, "hot", 1L),
+      (1L, "rare", 1L), (2L, "rare", 1L)).toDF("doc_id", "term", "tf")
+    val out = TextFunctions.cosinePostingsTopK(tf, dfCap = 2L, k = 10).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getLong(3) == 1000000L) // both vectors = {rare: w}
+  }
+
+  // ---- vocabGrowth ----
+
+  test("vocabGrowth: monotone curve, exact totals at decile 10") {
+    val terms = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),
+      (2L, "b"), (2L, "c"),
+      (3L, "d")).toDF("doc_id", "term")
+    val rows = TextFunctions.vocabGrowth(terms)
+      .orderBy("decile").collect()
+    val last = rows.last
+    assert(last.getLong(0) == 10L)
+    assert(last.getLong(1) == 3L) // all docs
+    assert(last.getLong(2) == 6L) // all occurrences
+    assert(last.getLong(3) == 4L) // vocab {a,b,c,d}
+    // cumulative: n_docs, n_tokens, vocab all non-decreasing in decile
+    val trip = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(trip.sliding(2).forall {
+      case Array((d1, t1, v1), (d2, t2, v2)) => d1 <= d2 && t1 <= t2 && v1 <= v2
+      case _ => true
+    })
+  }
+
+  // ---- gridNearest ----
+
+  test("gridNearest finds the argmin inside the radius, ties to min id") {
+    val l = Seq((0L, 10L, 10L), (9L, 3000L, 3000L)).toDF("id", "x", "y")
+    val r = Seq(
+      (1L, 12L, 10L),   // d2 = 4  → winner for left 0
+      (2L, 10L, 13L),   // d2 = 9
+      (3L, 200L, 200L)) // far from everything
+      .toDF("id", "x", "y")
+    val out = Spatial.gridNearest(l, r, radius = 64L, cell = 64L)
+      .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    assert(out == Map(0L -> (1L, 4L))) // left 9 has no neighbor → absent
+  }
+
+  test("gridNearest crosses cell boundaries (9-cell claim)") {
+    // (63,63) and (65,65) are in different 64-cells but d2=8
+    val l = Seq((0L, 63L, 63L)).toDF("id", "x", "y")
+    val r = Seq((1L, 65L, 65L)).toDF("id", "x", "y")
+    val out = Spatial.gridNearest(l, r, 64L, 64L).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 8L)
+  }
+
+  test("gridNearest breaks distance ties to the smaller right id") {
+    val l = Seq((0L, 100L, 100L)).toDF("id", "x", "y")
+    val r = Seq((7L, 103L, 100L), (5L, 97L, 100L)).toDF("id", "x", "y")
+    val out = Spatial.gridNearest(l, r, 64L, 64L).collect().head
+    assert(out.getLong(1) == 5L && out.getLong(2) == 9L)
+  }
+
+  test("gridNearest rejects cell < radius") {
+    val p = Seq((0L, 0L, 0L)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Spatial.gridNearest(p, p, radius = 65L, cell = 64L)
+    }
+  }
+}
