@@ -596,6 +596,84 @@ object ScaleSmoke {
           .join(nodes, Seq("dst"), "left_semi")
         graph.Fixpoint.stronglyConnectedComponents(edges).count()
       }
+      // per-copy binary-ancestry trees (the betweenness/layering gate
+      // graph, multiplied): structure per copy constant, volume scales
+      def binTree(): DataFrame = {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        cust.filter(col("k") % 10000000L >= 2)
+          .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 2 AS BIGINT)").as("src"),
+            col("k").as("dst"))
+          .unionByName(cust.filter(col("k") % 10000000L >= 4)
+            .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 4 AS BIGINT)").as("src"),
+              col("k").as("dst")))
+      }
+      time("st_betweenness", m) {
+        // s/t in copy 0; every BFS round still joins the FULL edge table
+        graph.Paths.stBetweenness(binTree(), 1L, 1000L, 12).count()
+      }
+      time("topo_levels", m) {
+        // all copies layered at once; depth (= round count) is constant
+        graph.Paths.topoLevels(binTree(), 25).count()
+      }
+      time("bipartite", m) {
+        val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m)
+        graph.Paths.bipartiteProject(
+          li.select(col("l_orderkey").as("l"), col("l_partkey").cast("long").as("r")),
+          "l", "r", 2L * m, 32).count()
+      }
+      time("chi2", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+        operators.Analytics.chiSquareCells(cust,
+          col("c_mktsegment"), pmod(col("c_custkey"), lit(5)).cast("long")).count()
+      }
+      time("gini", m) {
+        // group count fixed: per-group window rank is the documented
+        // bottleneck shape (one sort partition per group)
+        val ords = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+        operators.Analytics.giniByGroup(ords, col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long"), col("o_orderkey")).count()
+      }
+      time("kmv_setops", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+        val ords = multiply(Tables.orders(spark, sfDir), "o_custkey", m)
+        text.Sketches.kmvSetOps(
+          cust.select(col("c_custkey").as("v")),
+          ords.select(col("o_custkey").as("v")), "v", 64).count()
+      }
+      time("cosine_postings", m) {
+        // duplicated corpora inflate every shingle's df by m: the fixed
+        // dfCap prunes the hot tail harder, bounding the postings join —
+        // the prune IS the scale behavior being measured
+        val sh = docs.select(col("doc_id"),
+            text.TextFunctions.tokens(col("text")).as("a"))
+          .select(col("doc_id"), explode(expr(
+            """zip_with(zip_with(slice(a, 1, greatest(size(a) - 2, 0)),
+              |  slice(a, 2, greatest(size(a) - 2, 0)), (x, y) -> concat(x, '_', y)),
+              |  slice(a, 3, greatest(size(a) - 2, 0)),
+              |  (xy, z) -> concat(xy, '_', z))""".stripMargin)).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        text.TextFunctions.cosinePostingsTopK(sh, 25L, 50).count()
+      }
+      time("vocab_growth", m) {
+        val sh = docs.select(col("doc_id"),
+            explode(text.TextFunctions.tokens(col("text"))).as("term"))
+        text.TextFunctions.vocabGrowth(sh).count()
+      }
+      time("grid_nearest", m) {
+        // the coordinate SPACE grows with m (4096·m per axis) so density
+        // per 64-cell stays constant — the realistic spatial scale-up
+        val span = 4096L * m
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").as("id"),
+            expr(s"(c_custkey * 2654435761) % $span").as("x"),
+            expr(s"(c_custkey * 972663749) % $span").as("y"))
+        val sup = multiply(Tables.supplier(spark, sfDir), "s_suppkey", m)
+          .select(col("s_suppkey").as("id"),
+            expr(s"(s_suppkey * 1914874583) % $span").as("x"),
+            expr(s"(s_suppkey * 517419103) % $span").as("y"))
+        operators.Spatial.gridNearest(cust, sup, 64L, 64L).count()
+      }
     }
     if (ran == 0)
       System.err.println(

@@ -134,4 +134,65 @@ object Paths {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Upward accumulation over a forest: for every node the sum of
+    * `value` over its whole subtree (self included) plus the subtree
+    * node count — rollups over org/ownership/dependency hierarchies
+    * (the reference's sub-resource ownership chains read upward).
+    *
+    * Level-synchronous from the deepest level: [[topoLevels]] gives each
+    * node's depth, then one (level-slice ⋈ edges) join + sum per level
+    * pushes child subtotals into parents — O(E) state per round, never
+    * the ancestor closure (whose Σ-depth size is the scale trap on deep
+    * hierarchies). Edges are parent→child (src, dst). On a DAG a node's
+    * value is counted once per distinct path into it (path semantics);
+    * subtree sums in the usual sense require each node to have at most
+    * one parent. The level count is one driver scalar read — bounded by
+    * depth, not data. Output: (node, level, subtree_sum, n_nodes). */
+  def subtreeAggregate(edges: DataFrame, values: DataFrame,
+                       maxRounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val levels = topoLevels(e, maxRounds)
+    var acc = levels
+      .join(values.select(col("node"), col("value")), Seq("node"), "left")
+      .select(col("node"), col("level"),
+        coalesce(col("value").cast("long"), lit(0L)).as("subtree_sum"),
+        lit(1L).as("n_nodes")).cut
+    val maxLevel = Option(acc.agg(max(col("level"))).collect().head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var d = maxLevel
+    while (d >= 1) {
+      val contrib = acc.filter(col("level") === d)
+        .join(e, acc("node") === e("dst"))
+        .groupBy(e("src").as("node"))
+        .agg(sum(col("subtree_sum")).as("cs"), sum(col("n_nodes")).as("cn"))
+      acc = acc.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("level"),
+          (col("subtree_sum") + coalesce(col("cs"), lit(0L))).as("subtree_sum"),
+          (col("n_nodes") + coalesce(col("cn"), lit(0L))).as("n_nodes")).cut
+      d -= 1
+    }
+    acc
+  }
+
+  /** Edge reciprocity: the fraction of directed edges whose reverse
+    * edge also exists (Garlaschelli & Loffredo 2004) — "is this follow
+    * graph mutual or broadcast-shaped". Self-loops are excluded and
+    * duplicate edges collapse first. One distinct + one self-semi-join
+    * on the swapped key + one count — the semi join shuffles on
+    * (src, dst)/(dst, src), map-side combinable. Output one row:
+    * (n_edges, n_reciprocal, reciprocity_ppm). */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cut
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        when(col("n_edges") === 0, lit(0L))
+          .otherwise(expr("(n_reciprocal * 1000000) div n_edges"))
+          .as("reciprocity_ppm"))
+  }
 }

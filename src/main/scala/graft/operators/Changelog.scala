@@ -93,4 +93,40 @@ object Changelog {
         measures.map(m => sum(col(s"sum_$m")).as(s"sum_$m")): _*)
       .filter(col("n_rows") =!= 0L)
   }
+
+  /** Incremental equi-join view maintenance — the bilinear delta rule
+    * Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB (bag algebra with signed
+    * multiplicities; Griffin & Libkin 1995) — so a materialized join of
+    * two 100 TB tables updates by joining the DELTAS against the bases,
+    * never recomputing |A ⋈ B|.
+    *
+    * `view` is the maintained join with a signed `mult` column; `aOld`/
+    * `bOld` the pre-delta snapshots (multiplicity-collapsed: duplicate
+    * rows pre-aggregated upstream); `dA`/`dB` carry `mult` = +k / −k.
+    * Non-key column names must be disjoint across the two sides.
+    *
+    * Scale shape: the two base⋈delta joins broadcast the (small) delta
+    * side — one scan of each base, no |A⋈B|-sized shuffle; the final
+    * merge is one full-outer join of the view against the aggregated
+    * delta on the view's payload — shuffle-free when the stored view is
+    * bucketed on those columns (the layout [[graft.graph.Layout]]
+    * provides). Rows whose multiplicity reaches 0 drop out. */
+  def maintainJoin(view: DataFrame, aOld: DataFrame, bOld: DataFrame,
+                   dA: DataFrame, dB: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = view.columns.filterNot(_ == "mult").toSeq
+    val t1 = dA.join(bOld, keys)
+    val t2 = aOld.join(dB, keys)
+    val t3 = dA.withColumnRenamed("mult", "_ma")
+      .join(dB.withColumnRenamed("mult", "_mb"), keys)
+      .withColumn("mult", col("_ma") * col("_mb")).drop("_ma", "_mb")
+    val delta = t1.select(view.columns.map(col): _*)
+      .unionByName(t2.select(view.columns.map(col): _*))
+      .unionByName(t3.select(view.columns.map(col): _*))
+      .groupBy(payload.map(col): _*).agg(sum(col("mult")).as("_dm"))
+    view.join(delta, payload, "full_outer")
+      .select(payload.map(col) :+
+        (coalesce(col("mult"), lit(0L)) + coalesce(col("_dm"), lit(0L)))
+          .as("mult"): _*)
+      .filter(col("mult") =!= 0L)
+  }
 }

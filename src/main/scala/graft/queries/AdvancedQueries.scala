@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.graph.Paths
-import graft.operators.{Analytics, Spatial}
+import graft.operators.{Analytics, Changelog, Spatial}
 import graft.text.{Sketches, TextFunctions}
 
 /** Round-7 fourth-session battery: path structure (s–t betweenness,
@@ -133,6 +133,55 @@ object AdvancedQueries {
     Spatial.gridNearest(l, r, radius = 64L, cell = 64L).orderBy(col("lid"))
   }
 
+  /** Incremental equi-join maintenance: the orders⋈customer view updated
+    * with order adds/removals and late customer arrivals via the
+    * bilinear delta rule — result must equal the final-state join. */
+  def incrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(spark, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"), col("o_orderpriority"))
+    val cust = Tables.customer(spark, dir).select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val aOld = ords.filter(col("o_orderkey") % 7 =!= 0)
+    val bOld = cust.filter(col("custkey") % 10 =!= 0)
+    val dA = ords.filter(col("o_orderkey") % 7 === 0).withColumn("mult", lit(1L))
+      .unionByName(ords.filter(col("o_orderkey") % 7 =!= 0 &&
+        col("o_orderkey") % 5 === 0).withColumn("mult", lit(-1L)))
+    val dB = cust.filter(col("custkey") % 10 === 0).withColumn("mult", lit(1L))
+    val view = aOld.join(bOld, Seq("custkey")).withColumn("mult", lit(1L))
+    Changelog.maintainJoin(view, aOld, bOld, dA, dB, Seq("custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Subtree account-balance rollup over the binary customer forest. */
+  def subtreeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"),
+        floor(col("c_acctbal") * 100).cast("long").as("v"))
+    val tree = c.filter(col("k") >= 2L)
+      .select(expr("k div 2").as("src"), col("k").as("dst"))
+    Paths.subtreeAggregate(tree,
+      c.select(col("k").as("node"), col("v").as("value")), maxRounds = 25)
+      .orderBy(col("node"))
+  }
+
+  /** Reciprocity of the customer tree with back-edges planted on every
+    * third child. */
+  def reciprocityGate(spark: SparkSession, dir: String): DataFrame = {
+    val tree = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") >= 2L)
+      .select(expr("k div 2").as("src"), col("k").as("dst"))
+    val back = tree.filter(col("dst") % 3 === 0)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    Paths.reciprocity(tree.unionByName(back))
+  }
+
+  /** Zipf rank–frequency curve of the top-30 words. */
+  def textZipf(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.zipfRanks(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term")), k = 30)
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,6 +194,10 @@ object AdvancedQueries {
     "text_cosine_postings" -> (cosinePostings _),
     "text_vocab_growth" -> (vocabGrowth _),
     "join_spatial_grid" -> (spatialGridNearest _),
+    "incremental_join" -> (incrementalJoin _),
+    "graph_subtree_agg" -> (subtreeAgg _),
+    "graph_reciprocity" -> (reciprocityGate _),
+    "text_zipf" -> (textZipf _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -291,5 +344,51 @@ object AdvancedQueries {
         |    (PARTITION BY lid ORDER BY d2, rid) AS rn FROM cand)
         |SELECT lid, rid, CAST(d2 AS BIGINT) AS d2 FROM best WHERE rn = 1
         |ORDER BY lid""".stripMargin,
+    "incremental_join" ->
+      """WITH a AS (SELECT o_custkey AS custkey, o_orderkey, o_orderpriority
+        |  FROM orders
+        |  WHERE (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0) OR o_orderkey % 7 = 0),
+        |b AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer)
+        |SELECT a.custkey, o_orderkey, o_orderpriority, c_mktsegment,
+        |  CAST(1 AS BIGINT) AS mult
+        |FROM a JOIN b ON a.custkey = b.custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "graph_subtree_agg" ->
+      """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |e AS (SELECT k // 2 AS src, k AS dst FROM c WHERE k >= 2),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e)),
+        |anc AS (
+        |  SELECT n AS anc, n AS node FROM nodes
+        |  UNION ALL
+        |  SELECT e.src, a.node FROM anc a JOIN e ON a.anc = e.dst
+        |)
+        |SELECT a.anc AS node, CAST(length(bin(a.anc)) - 1 AS BIGINT) AS level,
+        |  CAST(sum(c.v) AS BIGINT) AS subtree_sum,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM anc a JOIN c ON c.k = a.node
+        |GROUP BY a.anc ORDER BY node""".stripMargin,
+    "graph_reciprocity" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |t AS (SELECT k // 2 AS src, k AS dst FROM c WHERE k >= 2),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM t
+        |  UNION ALL SELECT dst, src FROM t WHERE dst % 3 = 0)
+        |  WHERE src <> dst),
+        |r AS (SELECT count(*) AS n FROM e x
+        |  WHERE EXISTS (SELECT 1 FROM e y WHERE y.src = x.dst AND y.dst = x.src)),
+        |n AS (SELECT count(*) AS n FROM e)
+        |SELECT CAST(n.n AS BIGINT) AS n_edges, CAST(r.n AS BIGINT) AS n_reciprocal,
+        |  CAST((r.n * 1000000) // n.n AS BIGINT) AS reciprocity_ppm
+        |FROM n, r""".stripMargin,
+    "text_zipf" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS freq FROM w GROUP BY term
+        |  ORDER BY freq DESC, term LIMIT 30),
+        |rk AS (SELECT term, freq, CAST(row_number() OVER
+        |    (ORDER BY freq DESC, term) AS BIGINT) AS rank FROM cnt)
+        |SELECT rank, term, freq, CAST(rank * freq AS BIGINT) AS rank_x_freq
+        |FROM rk""".stripMargin,
   )
 }

@@ -494,6 +494,34 @@ object StreamQueries {
     }
   }
 
+  /** Streaming count-distinct via mergeable sketch state: events
+    * re-sharded into 4 files, replayed one per micro-batch through
+    * [[graft.streaming.Streaming.sketchMergeSink]] — each batch ships
+    * only its HLL registers and the state merges by register max, so
+    * the final estimate equals the batch [[graft.text.Sketches]] HLL
+    * under ANY slicing and even under duplicate replay (max is
+    * idempotent where the upsert sink's counts are not). Output:
+    * distinct-user estimate per event type. */
+  def streamHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll_src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    withStateSession(spark) { scoped =>
+      val src = scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+      val q = graft.streaming.Streaming.sketchMergeSink(
+        src, ref, "event_type", "user_id").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      graft.text.Sketches.hllEstimateFromRegisters(ref.get(),
+          ev.select(col("event_type").as("g")), "est_distinct")
+        .select(col("g").as("event_type"), col("est_distinct"))
+        .orderBy(col("event_type"))
+    }
+  }
+
   /** 2-core of the customer tree + triangle ornaments: the octal tree
     * alone peels to nothing, every 50th customer carries a triangle that
     * anchors itself (and pins parts of its ancestor chain) into the core
@@ -854,6 +882,7 @@ object StreamQueries {
     "graph_neighbor_agg" -> (graphNeighborAgg _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_upsert_sink" -> (streamUpsertSink _),
+    "stream_hll_distinct" -> (streamHllDistinct _),
     "stream_static_left_join" -> (streamStaticLeftJoin _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
@@ -1505,6 +1534,33 @@ object StreamQueries {
     "graph_mst_forest" -> MstOracleSql,
     "graph_densest" -> DensestOracleSql,
     "graph_path_counts" -> PathCountsOracleSql,
+    "stream_hll_distinct" ->
+      """WITH parts AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 64 AS bucket,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) // 64 AS rem
+        |  FROM events),
+        |regs AS (
+        |  SELECT event_type, bucket,
+        |    max(51 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS r
+        |  FROM parts GROUP BY event_type, bucket),
+        |grid AS (
+        |  SELECT event_type, b.bucket
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) b),
+        |filled AS (
+        |  SELECT g.event_type, coalesce(regs.r, 0) AS r
+        |  FROM grid g LEFT JOIN regs
+        |    ON g.event_type = regs.event_type AND g.bucket = regs.bucket),
+        |sums AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (51 - r)) AS BIGINT) AS hs
+        |  FROM filled GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(floor(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |             * CAST(2251799813685248 AS DOUBLE) / hs) AS BIGINT)
+        |    AS est_distinct
+        |FROM sums ORDER BY event_type""".stripMargin,
     "stream_upsert_sink" ->
       """WITH r AS (
         |  SELECT user_id, ts, event_id, event_type,

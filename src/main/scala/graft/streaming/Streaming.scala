@@ -279,4 +279,26 @@ object Streaming {
           }
       }
   }
+
+  /** Mergeable-sketch state sink: each micro-batch reduces to its HLL
+    * registers ([[graft.text.Sketches.hllRegisters]] — 64 small ints
+    * per group, never values) and merges into the state registers by
+    * element-wise max. Register max is associative, commutative and
+    * idempotent, so the final state is independent of micro-batch
+    * slicing AND of duplicate replay — strictly stronger than the
+    * additive [[argmaxUpsertSink]] guarantee (which replay would
+    * double-count). The streaming form of distributed count-distinct:
+    * state is O(groups·64) forever, regardless of stream volume. Read
+    * the estimate off with [[graft.text.Sketches.hllEstimateFromRegisters]]. */
+  def sketchMergeSink(stream: DataFrame,
+                      regs: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                      groupCol: String, valueCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val b = graft.text.Sketches.hllRegisters(batch, groupCol, valueCol)
+      regs.updateAndGet { cur =>
+        val merged = if (cur == null) b else graft.text.Sketches.hllMerge(cur, b)
+        merged.localCheckpoint(true) // materialize: batch input is transient
+      }
+      ()
+    }
 }

@@ -1303,4 +1303,25 @@ object TextFunctions {
       .select(col("decile"), col("n_docs"), col("n_tokens"),
         coalesce(col("vocab"), lit(0L)).as("vocab"))
   }
+
+  /** Zipf rank–frequency diagnostic: the top-k terms with their rank and
+    * the rank·frequency product — flat products ≈ Zipfian corpus, a
+    * product collapsing at low ranks flags boilerplate domination (the
+    * scalar twin of [[vocabGrowth]]'s curve; Zipf 1949). Input is a
+    * (doc_id, term) occurrence table with repetition.
+    *
+    * One corpus count shuffle, then TakeOrderedAndProject keeps k rows
+    * before the single-partition rank window ever runs — the window
+    * touches k rows, not the vocabulary. Total order (freq desc, term
+    * asc) makes ranks deterministic. Output: (rank, term, freq,
+    * rank_x_freq). */
+  def zipfRanks(docTerms: DataFrame, k: Int): DataFrame = {
+    val counts = docTerms.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(k)
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)).cast("long"))
+      .select(col("rank"), col("term"), col("freq"),
+        (col("rank") * col("freq")).as("rank_x_freq"))
+  }
 }

@@ -232,4 +232,104 @@ class Round15OpsSpec extends AnyFunSuite {
       Spatial.gridNearest(p, p, radius = 65L, cell = 64L)
     }
   }
+
+  // ---- subtreeAggregate ----
+
+  test("subtreeAggregate rolls values up a forest, self included") {
+    //      1(10)          7(5)
+    //     /    \
+    //   2(20)  3(30)
+    //   /
+    // 4(40)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (7L, 8L)).toDF("src", "dst")
+    val v = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (7L, 5L), (8L, 2L))
+      .toDF("node", "value")
+    val out = graft.graph.Paths.subtreeAggregate(e, v, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (0L, 100L, 4L))
+    assert(out(2L) == (1L, 60L, 2L))
+    assert(out(3L) == (1L, 30L, 1L))
+    assert(out(4L) == (2L, 40L, 1L))
+    assert(out(7L) == (0L, 7L, 2L))
+    assert(out(8L) == (1L, 2L, 1L))
+  }
+
+  test("subtreeAggregate treats nodes without a value row as zero") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val v = Seq((2L, 9L)).toDF("node", "value")
+    val out = graft.graph.Paths.subtreeAggregate(e, v, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 9L, 2L -> 9L))
+  }
+
+  // ---- reciprocity ----
+
+  test("reciprocity counts mutual edges; self-loops and dups excluded") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = graft.graph.Paths.reciprocity(e).collect().head
+    // distinct non-loop edges: (1,2),(2,1),(1,3) → 2 reciprocal
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 2L, 666666L))
+  }
+
+  // ---- maintainJoin ----
+
+  test("maintainJoin equals the recomputed join under adds and removals") {
+    val a0 = Seq((1L, "o1"), (1L, "o2"), (2L, "o3")).toDF("k", "oa")
+    val b0 = Seq((1L, "x"), (3L, "y")).toDF("k", "ob")
+    val view = a0.join(b0, Seq("k")).withColumn("mult", lit(1L))
+    // remove o2, add o4 under key 3; add key-2 right row "z"
+    val dA = Seq((1L, "o2", -1L), (3L, "o4", 1L)).toDF("k", "oa", "mult")
+    val dB = Seq((2L, "z", 1L)).toDF("k", "ob", "mult")
+    val out = graft.operators.Changelog.maintainJoin(view, a0, b0, dA, dB, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // final A = {o1@1, o3@2, o4@3}, final B = {x@1, y@3, z@2}
+    assert(out == Set((1L, "o1", "x", 1L), (2L, "o3", "z", 1L), (3L, "o4", "y", 1L)))
+  }
+
+  test("maintainJoin cancels multiplicities to zero exactly") {
+    val a0 = Seq((1L, "o1")).toDF("k", "oa")
+    val b0 = Seq((1L, "x")).toDF("k", "ob")
+    val view = a0.join(b0, Seq("k")).withColumn("mult", lit(1L))
+    val dA = Seq((1L, "o1", -1L)).toDF("k", "oa", "mult")
+    val dB = Seq((1L, "w", 0L)).toDF("k", "ob", "mult").filter(col("mult") =!= 0)
+    assert(graft.operators.Changelog.maintainJoin(
+      view, a0, b0, dA, dB, Seq("k")).count() == 0L)
+  }
+
+  // ---- zipfRanks ----
+
+  test("zipfRanks orders by frequency then term, exact products") {
+    val t = Seq((1L, "b"), (1L, "b"), (1L, "b"), (1L, "a"), (1L, "a"),
+      (2L, "c"), (2L, "a")).toDF("doc_id", "term")
+    val out = TextFunctions.zipfRanks(t, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", 3L, 3L), (2L, "b", 3L, 6L)))
+  }
+
+  // ---- sketchMergeSink ----
+
+  test("sketchMergeSink registers equal the batch registers, replay-proof") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val df = source.toDF().toDF("g", "v")
+    val ref = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame](null)
+    val q = graft.streaming.Streaming.sketchMergeSink(df, ref, "g", "v").start()
+    try {
+      source.addData(("a", 1L), ("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      source.addData(("a", 3L), ("a", 1L)) // 1 replayed — max is idempotent
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)).toDF("g", "v")
+    val want = graft.text.Sketches.hllRegisters(batch, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val got = ref.get()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == want)
+  }
 }
