@@ -569,4 +569,82 @@ object Analytics {
           .otherwise(expr("cast((num - num % den) / den as bigint)"))
           .as("gini_ppm"))
   }
+
+  /** Seasonal decomposition by period index: per (group, season) the
+    * floor-mean seasonal component and the mean absolute residual around
+    * it — "what does a normal Tuesday-9am look like, and how noisy is
+    * it", the baseline table an anomaly alert compares against (the
+    * seasonal sibling of [[rollingAnomaly]]).
+    *
+    * Two passes, both map-side combinable: one agg builds the seasonal
+    * index, one join-back + agg measures the residuals against it.
+    * Everything integer: seasonal = Σv div n, residual = v − seasonal.
+    * Output: (group, season, n, seasonal, mean_abs_resid). */
+  def seasonalDecompose(df: DataFrame, groupCol: Column, seasonCol: Column,
+                        valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), seasonCol.cast("long").as("season"),
+      valueCol.cast("long").as("v"))
+    val idx = base.groupBy(col("g"), col("season"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .withColumn("seasonal", expr("s div n"))
+    base.join(idx, Seq("g", "season"))
+      .groupBy(col("g"), col("season"))
+      .agg(max(col("n")).as("n"), max(col("seasonal")).as("seasonal"),
+        sum(abs(col("v") - col("seasonal"))).as("ar"))
+      .select(col("g"), col("season"), col("n"), col("seasonal"),
+        expr("ar div n").as("mean_abs_resid"))
+  }
+
+  /** Robust per-group outlier census via the median absolute deviation:
+    * med = lower median, MAD = lower median of |v − med|, outlier =
+    * |v − med| > 3·MAD — the estimator a heavy-tailed metric needs where
+    * mean/stddev z-scores chase their own outliers (Hampel 1974).
+    *
+    * Lower-median semantics are spelled out (value at row (n+1) div 2
+    * under (v, then v again) order) so any engine reproduces the exact
+    * integer; two window ranks + three aggs, one shuffle per pass.
+    * Output: (group, n, median, mad, n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(vCol).asc)
+      in.withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("_rn") === expr("(_n + 1) div 2"))
+        .select(col("g"), col(vCol).as(out))
+    }
+    val med = lowerMedian(base, "v", "median")
+    val dev = base.join(med, Seq("g"))
+      .withColumn("d", abs(col("v") - col("median")))
+    val mad = lowerMedian(dev.select(col("g"), col("d")), "d", "mad")
+    dev.join(mad, Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("d") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Benford first-digit deviation: observed leading-digit mix of a
+    * positive integral measure against the Benford expectation
+    * (Newcomb 1881 / Benford 1938, log10(1 + 1/d) in exact ppm
+    * literals — no runtime log, no float drift), the classic
+    * fabricated-data / corrupted-feed screen over financial measures.
+    * One count aggregate; non-positive values are excluded (they have
+    * no Benford digit). Output per digit 1..9: (digit, n, observed_ppm,
+    * expected_ppm, dev_ppm). */
+  def benfordDeviation(df: DataFrame, valueCol: Column): DataFrame = {
+    val expected = typedLit(Seq(301030L, 176091L, 124939L, 96910L,
+      79181L, 66947L, 57992L, 51153L, 45757L))
+    val digits = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(expr("cast(substring(cast(v as string), 1, 1) as bigint)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("t"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("observed_ppm", expr("(n * 1000000) div t"))
+      .withColumn("expected_ppm", element_at(expected, col("digit").cast("int")))
+      .select(col("digit"), col("n"), col("observed_ppm"), col("expected_ppm"),
+        abs(col("observed_ppm") - col("expected_ppm")).as("dev_ppm"))
+  }
 }

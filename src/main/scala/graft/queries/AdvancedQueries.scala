@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.graph.Paths
 import graft.operators.{Analytics, Changelog, Spatial}
+import graft.similarity.Similarity
 import graft.text.{Sketches, TextFunctions}
 
 /** Round-7 fourth-session battery: path structure (s–t betweenness,
@@ -182,6 +183,43 @@ object AdvancedQueries {
       Tables.documents(spark, dir).select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term")), k = 30)
 
+  /** Hour-of-day seasonal index + residual noise per event type. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    Analytics.seasonalDecompose(Tables.events(spark, dir),
+        col("event_type"), hour(col("ts")),
+        floor(col("value") * 100).cast("long"))
+      .orderBy(col("g"), col("season"))
+
+  /** Robust MAD outlier census of event values per type. */
+  def madRobust(spark: SparkSession, dir: String): DataFrame =
+    Analytics.madOutliers(Tables.events(spark, dir),
+        col("event_type"), floor(col("value") * 100).cast("long"))
+      .orderBy(col("g"))
+
+  /** Benford first-digit screen over order totals (cents). */
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    Analytics.benfordDeviation(Tables.orders(spark, dir),
+        floor(col("o_totalprice") * 100).cast("long"))
+      .orderBy(col("digit"))
+
+  /** Matryoshka-truncation recall: brute-force top-3 on the first 32
+    * quantized dims vs the full-dimension ground truth. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val full = Similarity.quantized(Tables.embeddings(spark, dir))
+    val queries = full.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(queries, full, k = 3)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+    val half = Similarity.truncated(full, dims = 32)
+    val got = Similarity.bruteForceTopK(
+        half.filter(col("vec_id") < 10), half, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_truth"), col("n_hit"),
+        expr("(1000000 * n_hit) div n_truth").as("recall_x1e6"))
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -198,6 +236,10 @@ object AdvancedQueries {
     "graph_subtree_agg" -> (subtreeAgg _),
     "graph_reciprocity" -> (reciprocityGate _),
     "text_zipf" -> (textZipf _),
+    "analytics_seasonal" -> (seasonalDecompose _),
+    "analytics_mad_robust" -> (madRobust _),
+    "quality_benford" -> (benford _),
+    "sim_matryoshka_recall" -> (matryoshkaRecall _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -390,5 +432,84 @@ object AdvancedQueries {
         |    (ORDER BY freq DESC, term) AS BIGINT) AS rank FROM cnt)
         |SELECT rank, term, freq, CAST(rank * freq AS BIGINT) AS rank_x_freq
         |FROM rk""".stripMargin,
+    "analytics_seasonal" ->
+      """WITH b AS (SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS season,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |idx AS (SELECT g, season, count(*) AS n, sum(v) AS s FROM b GROUP BY 1, 2),
+        |ix AS (SELECT g, season, n, CAST(s // n AS BIGINT) AS seasonal FROM idx)
+        |SELECT b.g, b.season, CAST(ix.n AS BIGINT) AS n, ix.seasonal,
+        |  CAST(sum(abs(b.v - ix.seasonal)) // ix.n AS BIGINT) AS mean_abs_resid
+        |FROM b JOIN ix ON b.g = ix.g AND b.season = ix.season
+        |GROUP BY b.g, b.season, ix.n, ix.seasonal
+        |ORDER BY b.g, b.season""".stripMargin,
+    "analytics_mad_robust" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |r1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM b),
+        |med AS (SELECT g, v AS median FROM r1 WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT b.g, abs(b.v - med.median) AS d, med.median
+        |  FROM b JOIN med ON b.g = med.g),
+        |r2 AS (SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM dev),
+        |mad AS (SELECT g, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT dev.g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(dev.median) AS BIGINT) AS median,
+        |  CAST(max(mad.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad ON dev.g = mad.g
+        |GROUP BY dev.g ORDER BY dev.g""".stripMargin,
+    "quality_benford" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE floor(o_totalprice * 100) > 0),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n FROM v GROUP BY 1),
+        |t AS (SELECT sum(n) AS t FROM d),
+        |exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) e(digit, expected_ppm))
+        |SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+        |  CAST((d.n * 1000000) // t.t AS BIGINT) AS observed_ppm,
+        |  CAST(exp.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(abs((d.n * 1000000) // t.t - exp.expected_ppm) AS BIGINT) AS dev_ppm
+        |FROM d CROSS JOIN t JOIN exp ON exp.digit = d.digit
+        |ORDER BY d.digit""".stripMargin,
+    "sim_matryoshka_recall" ->
+      """WITH qv AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qn AS (SELECT vec_id, q,
+        |  CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS norm2 FROM qv),
+        |qh AS (SELECT vec_id, list_slice(q, 1, 32) AS q FROM qv),
+        |qhn AS (SELECT vec_id, q,
+        |  CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS norm2 FROM qh),
+        |bscored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(floor(1000000.0 *
+        |      CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS BIGINT)
+        |      / sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+        |  FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank FROM bscored)
+        |  WHERE rank <= 3),
+        |hscored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(floor(1000000.0 *
+        |      CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS BIGINT)
+        |      / sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cos_x1e6
+        |  FROM qhn a JOIN qhn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |got AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank FROM hscored)
+        |  WHERE rank <= 3),
+        |hit AS (SELECT t.query_id, t.neighbor_id
+        |  FROM truth t JOIN got USING (query_id, neighbor_id))
+        |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+        |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+        |  CAST((1000000 * (SELECT count(*) FROM hit)) //
+        |       (SELECT count(*) FROM truth) AS BIGINT) AS recall_x1e6""".stripMargin,
   )
 }

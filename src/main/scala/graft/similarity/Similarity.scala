@@ -61,6 +61,17 @@ object Similarity {
       transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
       .withColumn("norm2", vec_norm2(col("q")))
 
+  /** Matryoshka truncation: keep the first `dims` quantized components
+    * and recompute the norm — the "use a prefix of the embedding" trick
+    * (Kusupati et al. 2022) that trades recall for a dims-fold cut in
+    * dot-product and storage cost. Measure the trade with the
+    * [[bruteForceTopK]]-vs-truncated recall gate, never assume it. */
+  def truncated(quantized: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    quantized.select(col("vec_id"), expr(s"slice(q, 1, $dims)").as("q"))
+      .withColumn("norm2", vec_norm2(col("q")))
+  }
+
   private def cosX1e6 = floor(lit(1000000.0) * col("dot") /
     sqrt((col("na") * col("nb")).cast("double"))).cast("long")
 

@@ -309,6 +309,54 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a", 3L, 3L), (2L, "b", 3L, 6L)))
   }
 
+  // ---- seasonalDecompose ----
+
+  test("seasonalDecompose: floor-mean index and mean abs residual") {
+    val df = Seq(("g", 0L, 10L), ("g", 0L, 20L), ("g", 1L, 7L))
+      .toDF("t", "hr", "cents")
+    val out = Analytics.seasonalDecompose(df, col("t"), col("hr"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("g", 0L)) == (2L, 15L, 5L)) // |10-15|,|20-15| → mean 5
+    assert(out(("g", 1L)) == (1L, 7L, 0L))
+  }
+
+  // ---- madOutliers ----
+
+  test("madOutliers: lower medians, 3-MAD census ignores the tail") {
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("g", _)) ++ Seq(("h", 5L)))
+      .toDF("t", "v")
+    val out = Analytics.madOutliers(df, col("t"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // g: median 3, d = [2,1,0,1,97] → mad 1, outliers d > 3: only 97
+    assert(out("g") == (5L, 3L, 1L, 1L))
+    assert(out("h") == (1L, 5L, 0L, 0L)) // singleton: mad 0, no outliers
+  }
+
+  // ---- benfordDeviation ----
+
+  test("benfordDeviation: leading digits, ppm vs literal expectation") {
+    val df = Seq(1L, 10L, 123L, 2L, 250L, 9L, 0L, -5L).toDF("v")
+    val out = Analytics.benfordDeviation(df, col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (3L, 500000L, 301030L, 198970L))
+    assert(out(2L) == (2L, 333333L, 176091L, 157242L))
+    assert(out(9L) == (1L, 166666L, 45757L, 120909L))
+    assert(out.size == 3) // 0 and negatives carry no Benford digit
+  }
+
+  // ---- Similarity.truncated ----
+
+  test("truncated slices the quantized prefix and renorms exactly") {
+    val q = Seq((1L, Seq(1000L, 2000L, 3000L))).toDF("vec_id", "q")
+      .withColumn("norm2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+    val t = graft.similarity.Similarity.truncated(q, dims = 2).collect().head
+    assert(t.getSeq[Long](1) == Seq(1000L, 2000L))
+    assert(t.getLong(2) == 5000000L)
+  }
+
   // ---- sketchMergeSink ----
 
   test("sketchMergeSink registers equal the batch registers, replay-proof") {
