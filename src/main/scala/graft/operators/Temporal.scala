@@ -62,6 +62,44 @@ object Temporal {
       .select(left.columns.map(col).toSeq ++ payload.map(col): _*)
   }
 
+  /** As-of join with a staleness bound: like [[asofJoin]] but a match
+    * older than `tolerance` (in the time columns' own units) is treated
+    * as NO match — the feature-store read rule "use the latest feature
+    * value, unless it is too stale to trust" (and the guard against the
+    * silent antiquity bug where a key's last update was months ago).
+    *
+    * Same single-shuffle sort-merge shape: the matched right TIMESTAMP
+    * rides along as one more carried column, and payload columns blank
+    * where `leftTime − matchedTime > tolerance`. Output adds `match_age`
+    * (= that difference, null when no fresh match). Time columns must be
+    * numeric (epoch micros/seconds) so the age arithmetic is exact. */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTime: String, rightTime: String, payload: Seq[String],
+                     tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    require(!left.columns.exists(Set("_t", "_m", "_rt", "match_age")),
+      "asofJoinWithin reserves _t/_m/_rt/match_age; rename them on the left input")
+    require(payload.forall(right.columns.contains),
+      "payload columns missing on the right input")
+    require(!payload.exists(left.columns.contains),
+      "payload column names collide with left columns; rename before joining")
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_m", lit(1))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_m") :+
+        col(rightTime).as("_rt")) ++ payload.map(col): _*)
+    val merged = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc +: col("_m").asc +: payload.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (payload :+ "_rt").foldLeft(merged)((df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    val fresh = col("_rt").isNotNull && col("_t") - col("_rt") <= tolerance
+    filled.filter(col("_m") === 1)
+      .select(left.columns.map(col).toSeq ++
+        payload.map(p => when(fresh, col(p)).as(p)) :+
+        when(fresh, col("_t") - col("_rt")).as("match_age"): _*)
+  }
+
   /** Forward fill over a dense grid: left-join observations onto the
     * (key, time) grid, then carry the last non-null value forward within
     * each key — the gap-filling/resampling step of time-series feature

@@ -202,6 +202,12 @@ object AdvancedQueries {
         floor(col("o_totalprice") * 100).cast("long"))
       .orderBy(col("digit"))
 
+  /** Per-document shingle novelty under the deterministic hash order —
+    * the marginal-contribution dedup-prioritization signal. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.ngramNovelty(shingleTerms(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** Matryoshka-truncation recall: brute-force top-3 on the first 32
     * quantized dims vs the full-dimension ground truth. */
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -240,6 +246,7 @@ object AdvancedQueries {
     "analytics_mad_robust" -> (madRobust _),
     "quality_benford" -> (benford _),
     "sim_matryoshka_recall" -> (matryoshkaRecall _),
+    "text_ngram_novelty" -> (ngramNovelty _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -475,6 +482,22 @@ object AdvancedQueries {
         |  CAST(abs((d.n * 1000000) // t.t - exp.expected_ppm) AS BIGINT) AS dev_ppm
         |FROM d CROSS JOIN t JOIN exp ON exp.digit = d.digit
         |ORDER BY d.digit""".stripMargin,
+    "text_ngram_novelty" ->
+      s"""WITH $ShingleTermsSql,
+         |dd AS (SELECT DISTINCT doc_id, term FROM dt),
+         |rk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY
+         |    CAST(('0x' || substr(md5('nv:' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT),
+         |    doc_id) AS BIGINT) AS rank
+         |  FROM (SELECT DISTINCT doc_id FROM dd)),
+         |wr AS (SELECT dd.doc_id, dd.term, rk.rank FROM dd JOIN rk USING (doc_id)),
+         |fs AS (SELECT term, min(rank) AS fr FROM wr GROUP BY term)
+         |SELECT CAST(wr.doc_id AS BIGINT) AS doc_id, wr.rank,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(CASE WHEN fs.fr = wr.rank THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST((sum(CASE WHEN fs.fr = wr.rank THEN 1 ELSE 0 END) * 1000000)
+         |       // count(*) AS BIGINT) AS novelty_ppm
+         |FROM wr JOIN fs USING (term)
+         |GROUP BY wr.doc_id, wr.rank ORDER BY wr.doc_id""".stripMargin,
     "sim_matryoshka_recall" ->
       """WITH qv AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,

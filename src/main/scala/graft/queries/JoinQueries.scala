@@ -202,6 +202,22 @@ object JoinQueries {
       leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"))
   }
 
+  /** As-of join with a 1-hour staleness bound: purchases take the latest
+    * same-user click ONLY if it is at most an hour old — stale matches
+    * blank and `match_age` reports the fresh ones
+    * ([[graft.operators.Temporal.asofJoinWithin]]). */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"),
+        col("event_id").as("click_id"))
+    graft.operators.Temporal.asofJoinWithin(purchases, clicks, Seq("user_id"),
+      leftTime = "tus", rightTime = "cus", payload = Seq("click_id"),
+      tolerance = 3600000000L)
+  }
+
   /** Bucketed range join: 45-minute attribution windows (anchored at every
     * 200th event) counting the events they contain — bucket equi-join +
     * residual filter, never |L|×|R|. */
@@ -355,6 +371,7 @@ object JoinQueries {
     "join_one_to_many" -> (joinOneToMany _),
     "join_salted_skew" -> (joinSaltedSkew _),
     "join_asof" -> (joinAsof _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_range_bucketed" -> (joinRangeBucketed _),
     "matchlink_supplies" -> (matchlinkSupplies _),
     "crosslink_pairs" -> (crosslinkPairs _),
@@ -485,6 +502,23 @@ object JoinQueries {
         |  CAST(xd | (yd << 1) AS BIGINT) AS zvalue,
         |  CAST((xd | (yd << 1)) >> 24 AS BIGINT) AS file_id
         |FROM s4""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT l.event_id, r.click_id, r.cus,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.cus DESC, r.click_id DESC) AS rk
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.cus <= l.tus)
+        |SELECT l.event_id, l.user_id, l.tus,
+        |  CASE WHEN c.cus >= l.tus - 3600000000 THEN c.click_id END AS click_id,
+        |  CASE WHEN c.cus >= l.tus - 3600000000 THEN l.tus - c.cus END AS match_age
+        |FROM l LEFT JOIN (SELECT event_id, click_id, cus FROM cand WHERE rk = 1) c
+        |  USING (event_id)""".stripMargin,
     "join_asof" ->
       """WITH l AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

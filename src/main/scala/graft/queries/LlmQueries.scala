@@ -30,6 +30,23 @@ object LlmQueries {
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.langId(Tables.documents(spark, dir), "doc_id", "text", Markers)
 
+  /** Lang-ID confusion matrix: marker-based prediction cross-tabulated
+    * against the labeled `lang` column, with per-true-label row ppm —
+    * the accuracy read-out any classifier-in-the-pipeline needs before
+    * its output drives filtering. */
+  def textLangIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = TextFunctions.langId(docs, "doc_id", "text", Markers)
+    val cells = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+    cells.join(tot, Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("(n * 1000000) div t").as("row_ppm"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id").cast("long").as("doc_id"),
@@ -766,6 +783,7 @@ object LlmQueries {
     "sketch_hll_merge" -> (sketchHllMerge _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
+    "text_langid_confusion" -> (textLangIdConfusion _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
@@ -1101,6 +1119,30 @@ object LlmQueries {
          |  coalesce(b.lang, 'unknown') AS pred_lang
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
          |  ON d.doc_id = b.doc_id""".stripMargin
+    },
+    "text_langid_confusion" -> {
+      val markerRows = Markers.toSeq.sortBy(_._1).flatMap { case (l, ws) =>
+        ws.map(w => s"('$l','$w')")
+      }.mkString(", ")
+      s"""WITH markers(lang, word) AS (VALUES $markerRows),
+         |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |hits AS (
+         |  SELECT doc_id, lang, count(*) AS n
+         |  FROM toks JOIN markers USING(word) GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rk
+         |  FROM hits),
+         |pred AS (
+         |  SELECT d.doc_id, d.lang, coalesce(b.lang, 'unknown') AS pred_lang
+         |  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+         |    ON d.doc_id = b.doc_id),
+         |cells AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(n) AS t FROM cells GROUP BY lang)
+         |SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+         |  CAST((c.n * 1000000) // t.t AS BIGINT) AS row_ppm
+         |FROM cells c JOIN tot t ON c.lang = t.lang
+         |ORDER BY c.lang, c.pred_lang""".stripMargin
     },
     "text_token_count" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

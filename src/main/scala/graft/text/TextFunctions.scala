@@ -1315,6 +1315,37 @@ object TextFunctions {
     * touches k rows, not the vocabulary. Total order (freq desc, term
     * asc) makes ranks deterministic. Output: (rank, term, freq,
     * rank_x_freq). */
+  /** Per-document n-gram novelty under the deterministic hash order of
+    * [[vocabGrowth]]: the fraction of a document's DISTINCT terms that
+    * no earlier-ranked document contains — the marginal-contribution
+    * signal dedup prioritization ranks by (a doc whose shingles are all
+    * already covered adds nothing; Lee et al. 2022's dedup-improves-LMs
+    * argument, measured per document).
+    *
+    * One global doc rank (ids only), one min-rank agg per term, one
+    * join-back + per-doc reduce. A term first seen at rank r counts as
+    * novel for the rank-r document ONLY. Output: (doc_id, rank,
+    * n_terms, n_novel, novelty_ppm). */
+  def ngramNovelty(docTerms: DataFrame): DataFrame = {
+    val dt = docTerms
+      .select(col("doc_id").cast("long").as("doc_id"), col("term"))
+      .distinct()
+    val ranked = dt.select(col("doc_id")).distinct()
+      .withColumn("h", wordId(concat(lit("nv:"), col("doc_id").cast("string"))))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+      .drop("h").cut
+    val withRank = dt.join(ranked, Seq("doc_id"))
+    val firstSeen = withRank.groupBy(col("term"))
+      .agg(min(col("rank")).as("fr"))
+    withRank.join(firstSeen, Seq("term"))
+      .groupBy(col("doc_id"), col("rank"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("fr") === col("rank"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("rank"), col("n_terms"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_terms").as("novelty_ppm"))
+  }
+
   def zipfRanks(docTerms: DataFrame, k: Int): DataFrame = {
     val counts = docTerms.groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term").asc).limit(k)

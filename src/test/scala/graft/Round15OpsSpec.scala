@@ -357,6 +357,42 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(t.getLong(2) == 5000000L)
   }
 
+  // ---- asofJoinWithin ----
+
+  test("asofJoinWithin blanks stale matches instead of falling back") {
+    val l = Seq((1L, 100L), (2L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 90L, "a"), (1L, 50L, "b"), (2L, 100L, "c"))
+      .toDF("k", "rt", "p")
+    def run(tol: Long) = graft.operators.Temporal
+      .asofJoinWithin(l, r, Seq("k"), "t", "rt", Seq("p"), tol)
+      .collect().map(row => row.getLong(0) ->
+        (Option(row.getString(2)), Option(row.get(3)))).toMap
+    val wide = run(20L)
+    assert(wide(1L) == (Some("a"), Some(10L))) // latest click, age 10
+    assert(wide(2L) == (Some("c"), Some(0L)))  // equal time is inclusive
+    val tight = run(5L)
+    // the latest match is stale → NO match; never falls back to older "b"
+    assert(tight(1L) == (None, None))
+    assert(tight(2L) == (Some("c"), Some(0L)))
+  }
+
+  // ---- ngramNovelty ----
+
+  test("ngramNovelty: rank-1 doc is all-novel, totals partition vocab") {
+    val dt = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // dup occurrence collapses
+      (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "z"), (3L, "w")).toDF("doc_id", "term")
+    val rows = TextFunctions.ngramNovelty(dt).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val byRank = rows.values.toSeq.sortBy(_._1)
+    assert(byRank.head._3 == byRank.head._2) // rank 1: every term novel
+    assert(byRank.head._4 == 1000000L)
+    assert(rows.values.map(_._3).sum == 4L)  // novel counts partition {w,x,y,z}
+    assert(rows(1L)._2 == 2L && rows(2L)._2 == 2L && rows(3L)._2 == 3L)
+  }
+
   // ---- sketchMergeSink ----
 
   test("sketchMergeSink registers equal the batch registers, replay-proof") {
