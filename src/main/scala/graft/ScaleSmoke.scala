@@ -674,6 +674,75 @@ object ScaleSmoke {
             expr(s"(s_suppkey * 517419103) % $span").as("y"))
         operators.Spatial.gridNearest(cust, sup, 64L, 64L).count()
       }
+      time("subtree_agg", m) {
+        // per-copy binary FOREST (div2 only: one parent per node)
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("v"))
+        val tree = cust.filter(col("k") % 10000000L >= 2)
+          .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 2 AS BIGINT)").as("src"),
+            col("k").as("dst"))
+        graph.Paths.subtreeAggregate(tree,
+          cust.select(col("k").as("node"), col("v").as("value")), 30).count()
+      }
+      time("reciprocity", m) {
+        val t = binTree()
+        val back = t.filter(col("dst") % 3 === 0)
+          .select(col("dst").as("src"), col("src").as("dst"))
+        graph.Paths.reciprocity(t.unionByName(back)).count()
+      }
+      time("incremental_join", m) {
+        val ords = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+          .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+            col("o_orderpriority"))
+        val cust = Tables.customer(spark, sfDir)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val aOld = ords.filter(col("o_orderkey") % 7 =!= 0)
+        val dA = ords.filter(col("o_orderkey") % 7 === 0).withColumn("mult", lit(1L))
+          .unionByName(ords.filter(col("o_orderkey") % 7 =!= 0 &&
+            col("o_orderkey") % 5 === 0).withColumn("mult", lit(-1L)))
+        val dB = cust.limit(0).withColumn("mult", lit(1L))
+        val view = aOld.join(cust, Seq("custkey")).withColumn("mult", lit(1L))
+        operators.Changelog.maintainJoin(view, aOld, cust, dA, dB,
+          Seq("custkey")).count()
+      }
+      time("seasonal", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "event_id", m)
+        operators.Analytics.seasonalDecompose(ev, col("event_type"),
+          hour(col("ts")), floor(col("value") * 100).cast("long")).count()
+      }
+      time("mad_robust", m) {
+        // group count fixed: the per-group median windows are the
+        // documented single-partition-per-group bottleneck shape
+        val ev = multiply(Tables.events(spark, sfDir), "event_id", m)
+        operators.Analytics.madOutliers(ev, col("event_type"),
+          floor(col("value") * 100).cast("long")).count()
+      }
+      time("benford", m) {
+        val ords = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+        operators.Analytics.benfordDeviation(ords,
+          floor(col("o_totalprice") * 100).cast("long")).count()
+      }
+      time("asof_within", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("cus"),
+            col("event_id").as("click_id"))
+        operators.Temporal.asofJoinWithin(p, c, Seq("user_id"),
+          "tus", "cus", Seq("click_id"), 3600000000L).count()
+      }
+      time("ngram_novelty", m) {
+        text.TextFunctions.ngramNovelty(docs.select(col("doc_id"),
+          explode(text.TextFunctions.tokens(col("text"))).as("term"))).count()
+      }
+      time("matryoshka_recall32", m) {
+        val full = similarity.Similarity.quantized(embs)
+        val half = similarity.Similarity.truncated(full, 32)
+        similarity.Similarity.bruteForceTopK(
+          half.filter(col("vec_id") % 10000000L < 10), half, 3).count()
+      }
     }
     if (ran == 0)
       System.err.println(

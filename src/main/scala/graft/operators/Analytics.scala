@@ -625,6 +625,86 @@ object Analytics {
           .as("n_outliers"))
   }
 
+  /** OHLC bars: per (group, bucket) the first/highest/lowest/last value
+    * under the (time, tie) total order — the universal downsampled view
+    * of any metric stream (price bars, latency bars, balance bars).
+    *
+    * One aggregation, no window: open/close are min/max over
+    * (time, tie, value) STRUCTS (lexicographic min = earliest row,
+    * deterministic because the tie column completes the order), high/low
+    * plain min/max. Map-side combinable — the 100 TB stream reduces in
+    * one pass. Output: (group, bucket, n, open, high, low, close). */
+  def ohlcBars(df: DataFrame, groupCol: Column, bucketCol: Column,
+               timeCol: Column, tieCol: Column, valueCol: Column): DataFrame =
+    df.select(groupCol.as("g"), bucketCol.cast("long").as("bucket"),
+        timeCol.as("t"), tieCol.as("tie"), valueCol.cast("long").as("v"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("t"), col("tie"), col("v"))).as("_o"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(struct(col("t"), col("tie"), col("v"))).as("_c"))
+      .select(col("g"), col("bucket"), col("n"), col("_o.v").as("open"),
+        col("high"), col("low"), col("_c.v").as("close"))
+
+  /** Per-group percent-rank normalization in exact ppm:
+    * (rank − 1)·10^6 div (n − 1) under the (value, tie) total order —
+    * the rank-based feature scaling that survives any monotone
+    * transformation and any outlier (the robust sibling of z-scores;
+    * singleton groups emit 0). One window per group. At 100 TB prefer
+    * binning via the mergeable histogram sketch; this is the exact
+    * form for group sizes that sort within an executor. */
+  def rankNormalize(df: DataFrame, groupCol: Column, valueCol: Column,
+                    tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc, col("tie").asc)
+    df.select(groupCol.as("g"), valueCol.cast("long").as("v"), tieCol.as("tie"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("tie"), col("v"), col("rank"),
+        when(col("n") === 1, lit(0L))
+          .otherwise(expr("((rank - 1) * 1000000) div (n - 1)"))
+          .as("pct_ppm"))
+  }
+
+  /** Pairwise Pearson correlation components over small-scaled integral
+    * measures, sqrt-free: per measure pair the exact integer moments
+    * plus signed corr² in ppm — `corr2 = (n·Σxy − ΣxΣy)² · 10^6 div
+    * ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))`, sign carried separately (the
+    * [[graft.graph.Centrality]] assortativity identity generalized to a
+    * measure matrix). decimal(38,0) with the remainder-subtract division;
+    * the documented bound is |n·Σxy| < ~10^16 — rescale heavy measures
+    * (cents → dollars) before calling, which changes corr not at all
+    * (Pearson is scale-invariant; integer truncation of the rescale is
+    * the only care point and belongs to the caller).
+    *
+    * One aggregation over the cross-multiplied moment columns — a single
+    * scan of the fact table no matter how many measures. Output per
+    * (i < j) pair: (m_a, m_b, n, corr2_ppm, corr_sign). */
+  def corrMatrix(df: DataFrame, measures: Seq[(String, Column)]): DataFrame = {
+    val base = df.select(measures.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      measures.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+      (for ((a, i) <- measures.zipWithIndex; (b, j) <- measures.zipWithIndex
+            if i <= j)
+        yield sum(col(a._1) * col(b._1)).as(s"p_${a._1}_${b._1}"))
+    val mom = base.agg(aggs.head, aggs.tail: _*)
+    val pairs = for ((a, i) <- measures.zipWithIndex;
+                     (b, j) <- measures.zipWithIndex if i < j) yield (a._1, b._1)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("m_a"), lit(b).as("m_b"), col("n").as("n"),
+        expr(s"cast(n as decimal(38,0)) * p_${a}_${b} - cast(s_$a as decimal(38,0)) * s_$b").as("num"),
+        expr(s"cast(n as decimal(38,0)) * p_${a}_${a} - cast(s_$a as decimal(38,0)) * s_$a").as("d1"),
+        expr(s"cast(n as decimal(38,0)) * p_${b}_${b} - cast(s_$b as decimal(38,0)) * s_$b").as("d2"))
+    }
+    mom.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.m_a").as("m_a"), col("r.m_b").as("m_b"), col("r.n").as("n"),
+        col("r.num").as("num"), (col("r.d1") * col("r.d2")).as("den"))
+      .select(col("m_a"), col("m_b"), col("n"),
+        when(col("den") === 0, lit(0L)).otherwise(
+          expr("cast((num * num * 1000000 - (num * num * 1000000) % den) / den as bigint)"))
+          .as("corr2_ppm"),
+        signum(col("num")).cast("long").as("corr_sign"))
+  }
+
   /** Benford first-digit deviation: observed leading-digit mix of a
     * positive integral measure against the Benford expectation
     * (Newcomb 1881 / Benford 1938, log10(1 + 1/d) in exact ppm

@@ -226,6 +226,44 @@ object AdvancedQueries {
         expr("(1000000 * n_hit) div n_truth").as("recall_x1e6"))
   }
 
+  /** Hourly OHLC value bars per event type. */
+  def ohlc(spark: SparkSession, dir: String): DataFrame =
+    Analytics.ohlcBars(Tables.events(spark, dir),
+        col("event_type"), expr("unix_micros(ts) div 3600000000"),
+        unix_micros(col("ts")), col("event_id"),
+        floor(col("value") * 100).cast("long"))
+      .orderBy(col("g"), col("bucket"))
+
+  /** Percent-rank normalization of event values per type (exact ppm). */
+  def rankNormalize(spark: SparkSession, dir: String): DataFrame =
+    Analytics.rankNormalize(Tables.events(spark, dir),
+        col("event_type"), floor(col("value") * 100).cast("long"),
+        col("event_id"))
+      .orderBy(col("g"), col("tie"))
+
+  /** Exact shingle-set Jaccard between document sources. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("source").as("g"), TextFunctions.tokens(col("text")).as("a"))
+      .select(col("g"), explode(expr(
+        """zip_with(
+          |  zip_with(slice(a, 1, greatest(size(a) - 2, 0)),
+          |           slice(a, 2, greatest(size(a) - 2, 0)),
+          |           (x, y) -> concat(x, '_', y)),
+          |  slice(a, 3, greatest(size(a) - 2, 0)),
+          |  (xy, z) -> concat(xy, '_', z))""".stripMargin)).as("term"))
+    TextFunctions.setOverlapPairs(terms).orderBy(col("g_a"), col("g_b"))
+  }
+
+  /** Pairwise Pearson corr² (ppm, signed) over small-scaled lineitem
+    * measures — one scan builds the whole moment matrix. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    Analytics.corrMatrix(Tables.lineitem(spark, dir), Seq(
+        ("qty", col("l_quantity").cast("long")),
+        ("disc_x1e3", floor(col("l_discount") * 1000).cast("long")),
+        ("tax_x1e3", floor(col("l_tax") * 1000).cast("long"))))
+      .orderBy(col("m_a"), col("m_b"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -247,6 +285,10 @@ object AdvancedQueries {
     "quality_benford" -> (benford _),
     "sim_matryoshka_recall" -> (matryoshkaRecall _),
     "text_ngram_novelty" -> (ngramNovelty _),
+    "analytics_ohlc" -> (ohlc _),
+    "analytics_rank_normalize" -> (rankNormalize _),
+    "corpus_source_overlap" -> (sourceOverlap _),
+    "analytics_corr_matrix" -> (corrMatrix _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -482,6 +524,70 @@ object AdvancedQueries {
         |  CAST(abs((d.n * 1000000) // t.t - exp.expected_ppm) AS BIGINT) AS dev_ppm
         |FROM d CROSS JOIN t JOIN exp ON exp.digit = d.digit
         |ORDER BY d.digit""".stripMargin,
+    "analytics_ohlc" ->
+      """WITH b AS (SELECT event_type AS g, epoch_us(ts) // 3600000000 AS bucket,
+        |    epoch_us(ts) AS t, event_id AS tie,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |o AS (SELECT g, bucket, v,
+        |    row_number() OVER (PARTITION BY g, bucket ORDER BY t, tie) AS rn_o,
+        |    row_number() OVER (PARTITION BY g, bucket ORDER BY t DESC, tie DESC) AS rn_c
+        |  FROM b),
+        |ag AS (SELECT g, bucket, count(*) AS n, max(v) AS high, min(v) AS low
+        |  FROM b GROUP BY 1, 2)
+        |SELECT ag.g, CAST(ag.bucket AS BIGINT) AS bucket, CAST(ag.n AS BIGINT) AS n,
+        |  oo.v AS open, ag.high, ag.low, cc.v AS close
+        |FROM ag
+        |JOIN (SELECT g, bucket, v FROM o WHERE rn_o = 1) oo USING (g, bucket)
+        |JOIN (SELECT g, bucket, v FROM o WHERE rn_c = 1) cc USING (g, bucket)
+        |ORDER BY ag.g, ag.bucket""".stripMargin,
+    "analytics_rank_normalize" ->
+      """WITH b AS (SELECT event_type AS g, event_id AS tie,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT g, tie, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, tie) AS BIGINT) AS rank,
+        |    count(*) OVER (PARTITION BY g) AS n FROM b)
+        |SELECT g, tie, v, rank,
+        |  CAST(CASE WHEN n = 1 THEN 0
+        |    ELSE ((rank - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_ppm
+        |FROM r ORDER BY g, tie""".stripMargin,
+    "corpus_source_overlap" ->
+      s"""WITH $ShingleTermsSql,
+         |gt AS (SELECT DISTINCT d.source AS g, dt.term
+         |  FROM dt JOIN documents d USING (doc_id)),
+         |sizes AS (SELECT g, count(*) AS sz FROM gt GROUP BY g),
+         |inter AS (SELECT x.g AS g_a, y.g AS g_b, count(*) AS n_shared
+         |  FROM gt x JOIN gt y ON x.term = y.term AND x.g < y.g GROUP BY 1, 2)
+         |SELECT g_a, g_b, CAST(a.sz AS BIGINT) AS n_a, CAST(b.sz AS BIGINT) AS n_b,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST((n_shared * 1000000) // (a.sz + b.sz - n_shared) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM inter JOIN sizes a ON a.g = inter.g_a
+         |           JOIN sizes b ON b.g = inter.g_b
+         |ORDER BY g_a, g_b""".stripMargin,
+    "analytics_corr_matrix" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 1000) AS BIGINT) AS d,
+        |    CAST(floor(l_tax * 1000) AS BIGINT) AS x FROM lineitem),
+        |mom AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(d) AS HUGEINT) AS sd,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(q*q) AS HUGEINT) AS pqq, CAST(sum(q*d) AS HUGEINT) AS pqd,
+        |    CAST(sum(q*x) AS HUGEINT) AS pqx, CAST(sum(d*d) AS HUGEINT) AS pdd,
+        |    CAST(sum(d*x) AS HUGEINT) AS pdx, CAST(sum(x*x) AS HUGEINT) AS pxx
+        |  FROM b),
+        |p AS (
+        |  SELECT 'qty' AS m_a, 'disc_x1e3' AS m_b, n,
+        |    n*pqd - sq*sd AS num, n*pqq - sq*sq AS d1, n*pdd - sd*sd AS d2 FROM mom
+        |  UNION ALL SELECT 'qty', 'tax_x1e3', n,
+        |    n*pqx - sq*sx, n*pqq - sq*sq, n*pxx - sx*sx FROM mom
+        |  UNION ALL SELECT 'disc_x1e3', 'tax_x1e3', n,
+        |    n*pdx - sd*sx, n*pdd - sd*sd, n*pxx - sx*sx FROM mom)
+        |SELECT m_a, m_b, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN d1 * d2 = 0 THEN 0
+        |    ELSE (num * num * 1000000) // (d1 * d2) END AS BIGINT) AS corr2_ppm,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |    AS corr_sign
+        |FROM p ORDER BY m_a, m_b""".stripMargin,
     "text_ngram_novelty" ->
       s"""WITH $ShingleTermsSql,
          |dd AS (SELECT DISTINCT doc_id, term FROM dt),

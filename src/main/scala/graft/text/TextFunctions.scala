@@ -1304,6 +1304,30 @@ object TextFunctions {
         coalesce(col("vocab"), lit(0L)).as("vocab"))
   }
 
+  /** Pairwise set overlap between groups of terms — Jaccard of the
+    * DISTINCT term sets of each (source, corpus slice, epoch): "how much
+    * does source A's content overlap source B's", the corpus-composition
+    * sibling of [[graft.text.Sketches.kmvSetOps]] when groups are few
+    * enough for the exact answer.
+    *
+    * One distinct collapse, then a postings-style self-join on the term
+    * (per-term fan-out ≤ |groups|², never |docs|²) and one count per
+    * pair. Pairs sharing nothing are absent (their Jaccard is 0).
+    * Output: (g_a, g_b, n_a, n_b, n_shared, jaccard_ppm), g_a < g_b. */
+  def setOverlapPairs(groupTerms: DataFrame): DataFrame = {
+    val gt = groupTerms.select(col("g"), col("term")).distinct()
+    val sizes = gt.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+    val inter = gt.as("x").join(gt.as("y"),
+        col("x.term") === col("y.term") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("g_a"), col("y.g").as("g_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("g_a"), col("sz").as("n_a"))), Seq("g_a"))
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("sz").as("n_b"))), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"), col("n_shared"),
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)").as("jaccard_ppm"))
+  }
+
   /** Zipf rank–frequency diagnostic: the top-k terms with their rank and
     * the rank·frequency product — flat products ≈ Zipfian corpus, a
     * product collapsing at low ranks flags boilerplate domination (the

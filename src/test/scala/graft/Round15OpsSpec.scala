@@ -357,6 +357,56 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(t.getLong(2) == 5000000L)
   }
 
+  // ---- ohlcBars ----
+
+  test("ohlcBars: open at earliest (t, tie), close at latest, exact hi/lo") {
+    val df = Seq(("g", 0L, 1L, 1L, 10L), ("g", 0L, 2L, 1L, 30L),
+      ("g", 0L, 2L, 2L, 5L), ("g", 1L, 9L, 1L, 7L))
+      .toDF("ty", "bk", "t", "tie", "cents")
+    val out = Analytics.ohlcBars(df, col("ty"), col("bk"), col("t"),
+        col("tie"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out(("g", 0L)) == (3L, 10L, 30L, 5L, 5L))
+    assert(out(("g", 1L)) == (1L, 7L, 7L, 7L, 7L))
+  }
+
+  // ---- rankNormalize ----
+
+  test("rankNormalize: endpoints at 0 and 1e6, singleton at 0") {
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L), ("s", 9L, 4L))
+      .toDF("ty", "cents", "id")
+    val out = Analytics.rankNormalize(df, col("ty"), col("cents"), col("id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L, 4L -> 0L))
+  }
+
+  // ---- setOverlapPairs ----
+
+  test("setOverlapPairs: exact Jaccard, non-overlapping pairs absent") {
+    val gt = Seq(("A", "x"), ("A", "y"), ("A", "z"), ("A", "x"),
+      ("B", "y"), ("B", "z"), ("C", "w")).toDF("g", "term")
+    val out = TextFunctions.setOverlapPairs(gt)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out == Map(("A", "B") -> (3L, 2L, 2L, 666666L)))
+  }
+
+  // ---- corrMatrix ----
+
+  test("corrMatrix: perfect pair hits 1e6 ppm, hand values elsewhere") {
+    val df = Seq((1L, 2L, 1L), (2L, 4L, 1L), (3L, 6L, 2L)).toDF("x", "y", "z")
+    val out = Analytics.corrMatrix(df, Seq(
+        ("x", col("x")), ("y", col("y")), ("z", col("z"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out(("x", "y")) == (1000000L, 1L)) // y = 2x exactly
+    // x vs z: num=3, d1=6, d2=2 → 9e6 // 12 = 750000
+    assert(out(("x", "z")) == (750000L, 1L))
+    assert(out(("y", "z")) == (750000L, 1L))
+  }
+
   // ---- asofJoinWithin ----
 
   test("asofJoinWithin blanks stale matches instead of falling back") {
