@@ -705,6 +705,59 @@ object Analytics {
         signum(col("num")).cast("long").as("corr_sign"))
   }
 
+  /** Two-by-two difference-in-differences: cell means (scaled ×10^4,
+    * floor-truncated — documented, identical in any engine) for
+    * (treated?, post?) and the DiD estimate
+    * `(m11 − m10) − (m01 − m00)` — the before/after×treatment/control
+    * read-out of a rollout or holdout experiment. One aggregation.
+    * Output one row: (n00..n11, m00_x1e4..m11_x1e4, did_x1e4). Empty
+    * cells make the estimate undefined → those means emit 0 and the
+    * caller must check the counts (loud zeros beat silent NULL maths). */
+  def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
+                 valueCol: Column): DataFrame = {
+    val base = df.select(treatedCol.cast("int").as("tr"),
+      postCol.cast("int").as("po"), valueCol.cast("long").as("v"))
+    val cells = Seq((0, 0, "00"), (0, 1, "01"), (1, 0, "10"), (1, 1, "11"))
+    val aggs = cells.flatMap { case (t, p, c) => Seq(
+      sum(when(col("tr") === t && col("po") === p, 1L).otherwise(0L)).as(s"n$c"),
+      sum(when(col("tr") === t && col("po") === p, col("v")).otherwise(0L)).as(s"s$c"))
+    }
+    val means = cells.map { case (_, _, c) =>
+      when(col(s"n$c") === 0, lit(0L))
+        .otherwise(expr(s"(s$c * 10000) div n$c")).as(s"m${c}_x1e4")
+    }
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(cells.map { case (_, _, c) => col(s"n$c") } ++ means: _*)
+      .withColumn("did_x1e4",
+        (col("m11_x1e4") - col("m10_x1e4")) - (col("m01_x1e4") - col("m00_x1e4")))
+  }
+
+  /** RFM segmentation: each customer coded by the quintile of their
+    * Recency (latest activity), Frequency (distinct activity count) and
+    * Monetary value, then the 125-cell census — the classic
+    * behavior-segmentation cross-tab, all exact (quintile =
+    * ((rank−1)·5) div n + 1 under a spelled-out total order, ties by
+    * customer id). One customer-level aggregation + three rank windows
+    * over |customers| rows. Output: (r_q, f_q, m_q, n_customers). */
+  def rfmSegments(df: DataFrame, custCol: Column, timeCol: Column,
+                  valueCol: Column): DataFrame = {
+    val per = df.select(custCol.as("c"), timeCol.cast("long").as("t"),
+        valueCol.cast("long").as("v"))
+      .groupBy(col("c"))
+      .agg(max(col("t")).as("r"), count(lit(1)).as("f"), sum(col("v")).as("m"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    def quintile(metric: String): Column =
+      expr(s"((rank_$metric - 1) * 5) div n + 1")
+    Seq("r", "f", "m").foldLeft(per)((d, metric) =>
+        d.withColumn(s"rank_$metric", row_number().over(
+          Window.orderBy(col(metric).asc, col("c").asc)).cast("long")))
+      .withColumn("r_q", quintile("r"))
+      .withColumn("f_q", quintile("f"))
+      .withColumn("m_q", quintile("m"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Benford first-digit deviation: observed leading-digit mix of a
     * positive integral measure against the Benford expectation
     * (Newcomb 1881 / Benford 1938, log10(1 + 1/d) in exact ppm

@@ -100,6 +100,30 @@ object Temporal {
         when(fresh, col("_t") - col("_rt")).as("match_age"): _*)
   }
 
+  /** Validity-chain audit over interval histories (SCD2 tables, lease
+    * ledgers): per key the counts of OVERLAPS (next interval starts
+    * before this one ends), GAPS (next starts after this one ends) and
+    * OPEN-MID rows (a null `to` that is not the chain's last row) — the
+    * three ways a temporal table silently lies to its as-of readers.
+    * One lead window per key; every key reports (zeros = clean chain),
+    * so the result doubles as the denominator for violation rates.
+    * Output: (keys..., n_rows, n_overlaps, n_gaps, n_open_mid). */
+  def scd2Audit(hist: DataFrame, keys: Seq[String],
+                fromCol: String, toCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(fromCol).asc, col(toCol).asc_nulls_last)
+    hist
+      .withColumn("_nf", lead(col(fromCol), 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_nf").isNotNull && col(toCol).isNotNull &&
+          col("_nf") < col(toCol), 1L).otherwise(0L)).as("n_overlaps"),
+        sum(when(col("_nf").isNotNull && col(toCol).isNotNull &&
+          col("_nf") > col(toCol), 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col("_nf").isNotNull && col(toCol).isNull, 1L)
+          .otherwise(0L)).as("n_open_mid"))
+  }
+
   /** Forward fill over a dense grid: left-join observations onto the
     * (key, time) grid, then carry the last non-null value forward within
     * each key — the gap-filling/resampling step of time-series feature

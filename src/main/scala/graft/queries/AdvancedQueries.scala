@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.graph.Paths
-import graft.operators.{Analytics, Changelog, Spatial}
+import graft.operators.{Analytics, Changelog, Spatial, Temporal}
 import graft.similarity.Similarity
 import graft.text.{Sketches, TextFunctions}
 
@@ -264,6 +264,40 @@ object AdvancedQueries {
         ("tax_x1e3", floor(col("l_tax") * 1000).cast("long"))))
       .orderBy(col("m_a"), col("m_b"))
 
+  /** Validity-chain audit of per-user 30-minute activity leases (every
+    * 97th lease left open to exercise the open-mid detector). */
+  def scd2Audit(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir).select(col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("s"), col("event_id"))
+      .withColumn("e", when(col("event_id") % 97 === 0, lit(null).cast("long"))
+        .otherwise(col("s") + 1800L))
+    Temporal.scd2Audit(iv.select(col("user_id"), col("s"), col("e")),
+      Seq("user_id"), "s", "e").orderBy(col("user_id"))
+  }
+
+  /** Smooth weighted round-robin epoch schedule over document sources
+    * (weights derived deterministically from the source name). */
+  def mixtureSchedule(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.mixtureSchedule(
+        Tables.documents(spark, dir).select(col("source").as("g"),
+          col("doc_id").as("id"),
+          (pmod(ascii(expr("right(source, 1)")), lit(3)) + 1).cast("long").as("w")))
+      .orderBy(col("epoch_rank"))
+
+  /** Difference-in-differences over event values: odd users treated,
+    * afternoon hours post. */
+  def did(spark: SparkSession, dir: String): DataFrame =
+    Analytics.diffInDiff(Tables.events(spark, dir),
+      col("user_id") % 2 === 1, hour(col("ts")) >= 12,
+      floor(col("value") * 100).cast("long"))
+
+  /** RFM quintile segmentation census over orders. */
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    Analytics.rfmSegments(Tables.orders(spark, dir), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        floor(col("o_totalprice") * 100).cast("long"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -289,6 +323,10 @@ object AdvancedQueries {
     "analytics_rank_normalize" -> (rankNormalize _),
     "corpus_source_overlap" -> (sourceOverlap _),
     "analytics_corr_matrix" -> (corrMatrix _),
+    "scd2_audit" -> (scd2Audit _),
+    "sample_mixture_schedule" -> (mixtureSchedule _),
+    "analytics_did" -> (did _),
+    "analytics_rfm" -> (rfm _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -588,6 +626,75 @@ object AdvancedQueries {
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
         |    AS corr_sign
         |FROM p ORDER BY m_a, m_b""".stripMargin,
+    "scd2_audit" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) // 1000000 AS s,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL
+        |         ELSE epoch_us(ts) // 1000000 + 1800 END AS e
+        |  FROM events),
+        |led AS (SELECT user_id, s, e,
+        |    lead(s, 1) OVER (PARTITION BY user_id
+        |      ORDER BY s, e NULLS LAST) AS nf
+        |  FROM iv)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN nf IS NOT NULL AND e IS NOT NULL AND nf < e
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(CASE WHEN nf IS NOT NULL AND e IS NOT NULL AND nf > e
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(sum(CASE WHEN nf IS NOT NULL AND e IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_open_mid
+        |FROM led GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sample_mixture_schedule" ->
+      """WITH d AS (SELECT source AS g, doc_id AS id,
+        |    CAST((ascii(right(source, 1)) % 3) + 1 AS BIGINT) AS w FROM documents),
+        |wg AS (SELECT g, max(w) AS w FROM d GROUP BY g),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wg),
+        |p AS (SELECT d.g, d.id, CAST(row_number() OVER (PARTITION BY d.g
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(d.id AS VARCHAR)), 1, 14)) AS BIGINT),
+        |    d.id) AS BIGINT) AS pos_in_group FROM d),
+        |v AS (SELECT p.g, p.id, p.pos_in_group,
+        |    CAST(((2 * p.pos_in_group - 1) * tw.tw) // (2 * wg.w) AS BIGINT)
+        |      AS virtual_pos
+        |  FROM p JOIN wg ON wg.g = p.g CROSS JOIN tw)
+        |SELECT g, id, pos_in_group, virtual_pos,
+        |  CAST(row_number() OVER (ORDER BY virtual_pos, g, pos_in_group)
+        |    AS BIGINT) AS epoch_rank
+        |FROM v ORDER BY epoch_rank""".stripMargin,
+    "analytics_did" ->
+      """WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS po,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |a AS (SELECT
+        |  sum(CASE WHEN tr=0 AND po=0 THEN 1 ELSE 0 END) AS n00,
+        |  sum(CASE WHEN tr=0 AND po=0 THEN v ELSE 0 END) AS s00,
+        |  sum(CASE WHEN tr=0 AND po=1 THEN 1 ELSE 0 END) AS n01,
+        |  sum(CASE WHEN tr=0 AND po=1 THEN v ELSE 0 END) AS s01,
+        |  sum(CASE WHEN tr=1 AND po=0 THEN 1 ELSE 0 END) AS n10,
+        |  sum(CASE WHEN tr=1 AND po=0 THEN v ELSE 0 END) AS s10,
+        |  sum(CASE WHEN tr=1 AND po=1 THEN 1 ELSE 0 END) AS n11,
+        |  sum(CASE WHEN tr=1 AND po=1 THEN v ELSE 0 END) AS s11 FROM b),
+        |m AS (SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+        |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+        |  CAST(CASE WHEN n00=0 THEN 0 ELSE (s00*10000)//n00 END AS BIGINT) AS m00_x1e4,
+        |  CAST(CASE WHEN n01=0 THEN 0 ELSE (s01*10000)//n01 END AS BIGINT) AS m01_x1e4,
+        |  CAST(CASE WHEN n10=0 THEN 0 ELSE (s10*10000)//n10 END AS BIGINT) AS m10_x1e4,
+        |  CAST(CASE WHEN n11=0 THEN 0 ELSE (s11*10000)//n11 END AS BIGINT) AS m11_x1e4
+        |  FROM a)
+        |SELECT *, CAST((m11_x1e4 - m10_x1e4) - (m01_x1e4 - m00_x1e4) AS BIGINT)
+        |  AS did_x1e4 FROM m""".stripMargin,
+    "analytics_rfm" ->
+      """WITH per AS (SELECT o_custkey AS c, max(epoch_us(o_orderdate)) AS r,
+        |    count(*) AS f, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT c, count(*) OVER () AS n,
+        |    CAST(row_number() OVER (ORDER BY r, c) AS BIGINT) AS rank_r,
+        |    CAST(row_number() OVER (ORDER BY f, c) AS BIGINT) AS rank_f,
+        |    CAST(row_number() OVER (ORDER BY m, c) AS BIGINT) AS rank_m
+        |  FROM per)
+        |SELECT CAST(((rank_r - 1) * 5) // n + 1 AS BIGINT) AS r_q,
+        |  CAST(((rank_f - 1) * 5) // n + 1 AS BIGINT) AS f_q,
+        |  CAST(((rank_m - 1) * 5) // n + 1 AS BIGINT) AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM w GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
     "text_ngram_novelty" ->
       s"""WITH $ShingleTermsSql,
          |dd AS (SELECT DISTINCT doc_id, term FROM dt),

@@ -201,4 +201,36 @@ object Sampling {
       .filter(col("_cap_rk") <= cap)
       .drop("_cap_rk")
   }
+
+  /** Deterministic mixture schedule: interleave groups into ONE epoch
+    * stream so that after any prefix each group's share tracks its
+    * weight — smooth weighted round-robin (the SMT/WRR position rule:
+    * item i of a weight-w group lands at virtual position
+    * ((2i−1)·W) div (2w), W = Σ weights), the exact-integer epoch
+    * scheduler training-data mixing needs instead of random draws
+    * (reproducible, no variance, no seed bookkeeping).
+    *
+    * Input: (g, id, w) with one weight per group (enforced by taking
+    * max(w) per group; within-group order = the [[capPerGroup]] hash
+    * order). The final epoch rank is one global sort of ids only —
+    * vocabGrowth's scale note applies. Output: (g, id, pos_in_group,
+    * virtual_pos, epoch_rank). */
+  def mixtureSchedule(df: DataFrame): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(md5_prefix64(col("id").cast("string")).asc, col("id").asc)
+    val weights = df.groupBy(col("g")).agg(max(col("w")).as("w"))
+    val totalW = weights.agg(sum(col("w")).as("tw"))
+    df.select(col("g"), col("id"))
+      .withColumn("pos_in_group", row_number().over(wg).cast("long"))
+      .join(broadcast(weights), Seq("g"))
+      .crossJoin(broadcast(totalW))
+      .withColumn("virtual_pos",
+        expr("((2 * pos_in_group - 1) * tw) div (2 * w)"))
+      .withColumn("epoch_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("virtual_pos").asc, col("g").asc, col("pos_in_group").asc))
+        .cast("long"))
+      .select(col("g"), col("id"), col("pos_in_group"), col("virtual_pos"),
+        col("epoch_rank"))
+  }
 }

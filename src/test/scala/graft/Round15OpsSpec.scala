@@ -443,6 +443,59 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(rows(1L)._2 == 2L && rows(2L)._2 == 2L && rows(3L)._2 == 3L)
   }
 
+  // ---- scd2Audit ----
+
+  test("scd2Audit counts overlaps, gaps and open-mid rows per key") {
+    val iv = Seq(
+      ("k", 0L, Some(10L)), ("k", 5L, Some(15L)),   // overlap
+      ("k", 20L, Some(30L)), ("k", 40L, Some(50L)), // two gaps (15→20, 30→40)
+      ("o", 0L, None), ("o", 5L, Some(9L)),          // open interval mid-chain
+      ("c", 0L, Some(5L)), ("c", 5L, Some(9L)))      // clean
+      .toDF("k", "s", "e")
+    val out = graft.operators.Temporal.scd2Audit(iv, Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("k") == (4L, 1L, 2L, 0L))
+    assert(out("o") == (2L, 0L, 0L, 1L))
+    assert(out("c") == (2L, 0L, 0L, 0L))
+  }
+
+  // ---- mixtureSchedule ----
+
+  test("mixtureSchedule interleaves smoothly by weight") {
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 2L), ("b", 9L, 1L))
+      .toDF("g", "id", "w")
+    val out = graft.text.Sampling.mixtureSchedule(df)
+      .orderBy("epoch_rank").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    // W=3: a at virtual 0 and 2, b at 1 → epoch order a, b, a
+    assert(out.map(_._1).toSeq == Seq("a", "b", "a"))
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  // ---- diffInDiff ----
+
+  test("diffInDiff: hand cell means and estimate") {
+    val df = Seq((0, 0, 10L), (0, 1, 20L), (1, 0, 30L), (1, 1, 60L))
+      .toDF("tr", "po", "v")
+    val r = Analytics.diffInDiff(df, col("tr") === 1, col("po") === 1, col("v"))
+      .collect().head
+    assert(r.getAs[Long]("m00_x1e4") == 100000L)
+    assert(r.getAs[Long]("m11_x1e4") == 600000L)
+    assert(r.getAs[Long]("did_x1e4") == 200000L) // (60-30)-(20-10) scaled
+  }
+
+  // ---- rfmSegments ----
+
+  test("rfmSegments: aligned quintiles land on the diagonal") {
+    val orders = (1L to 5L).map(i => (i, i, i * 10L)).toDF("c", "t", "v")
+    val out = Analytics.rfmSegments(orders, col("c"), col("t"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(out == (1L to 5L).map(i => (i, i, i) -> 1L).toMap)
+  }
+
   // ---- sketchMergeSink ----
 
   test("sketchMergeSink registers equal the batch registers, replay-proof") {
