@@ -1238,9 +1238,14 @@ object TextFunctions {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    // materialize the weighted postings ONCE: the self-join and the norm
+    // aggregation would otherwise each re-run the tf/df subtree (4 scans
+    // of the corpus in the physical plan); at 100 TB this is the persisted
+    // postings table the index serves from
     val wts = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
       .select(col("term"), col("doc_id"),
         expr("tf * ((100 * n_docs) div df)").as("w"))
+      .cut
     val norms = wts.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("n2"))
     val dots = wts.as("x").join(wts.as("y"),
