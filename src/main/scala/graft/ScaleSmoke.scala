@@ -743,6 +743,32 @@ object ScaleSmoke {
         similarity.Similarity.bruteForceTopK(
           half.filter(col("vec_id") % 10000000L < 10), half, 3).count()
       }
+      time("scd2_audit", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        val iv = ev.select(col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("s"), col("event_id"))
+          .withColumn("e", when(col("event_id") % 97 === 0,
+            lit(null).cast("long")).otherwise(col("s") + 1800L))
+        operators.Temporal.scd2Audit(iv.select(col("user_id"), col("s"),
+          col("e")), Seq("user_id"), "s", "e").count()
+      }
+      time("mixture_schedule", m) {
+        text.Sampling.mixtureSchedule(docs.select(col("source").as("g"),
+          col("doc_id").as("id"),
+          (pmod(ascii(expr("right(source, 1)")), lit(3)) + 1).cast("long")
+            .as("w"))).count()
+      }
+      time("did", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "event_id", m)
+        operators.Analytics.diffInDiff(ev, col("user_id") % 2 === 1,
+          hour(col("ts")) >= 12, floor(col("value") * 100).cast("long")).count()
+      }
+      time("rfm", m) {
+        val ords = multiply(Tables.orders(spark, sfDir), "o_custkey", m)
+        operators.Analytics.rfmSegments(ords, col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")),
+          floor(col("o_totalprice") * 100).cast("long")).count()
+      }
     }
     if (ran == 0)
       System.err.println(
