@@ -238,6 +238,53 @@ object Fixpoint {
     dist
   }
 
+  /** Time-respecting earliest-arrival reachability over a temporal edge
+    * list (src, dst, t): a path is valid only if edge times are
+    * non-decreasing along it (Holme & Saramäki 2012) — the attack-chain
+    * / information-flow question a static reachability silently
+    * overstates (an edge that fired BEFORE you arrived cannot carry
+    * you). Seeds start at arrival 0; returns (node, arrival) = the
+    * earliest time each reachable node can be reached.
+    *
+    * Keeping only the minimum arrival per node is lossless: a smaller
+    * arrival satisfies `t >= arrival` for a superset of outgoing edges,
+    * so the greedy min-relaxation converges to the true fixpoint — the
+    * same monotonicity argument as [[sssp]], whose frontier-relaxation
+    * shape (and convergence budget-throw) this reuses. */
+  def temporalReach(edges: DataFrame, seeds: DataFrame,
+                    maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("t")).localCheckpoint(false)
+    var arr = seeds.select(col("node")).distinct()
+      .withColumn("arrival", lit(0L)).localCheckpoint(false)
+    var frontier = arr
+    def improvements(front: DataFrame): DataFrame =
+      e.join(front.select(col("node").as("src"), col("arrival").as("_a")), Seq("src"))
+        .filter(col("t") >= col("_a"))
+        .groupBy(col("dst").as("node")).agg(min(col("t")).as("_cand"))
+        .join(arr.withColumnRenamed("arrival", "_old"), Seq("node"), "left")
+        .filter(col("_old").isNull || col("_cand") < col("_old"))
+        .select(col("node"), col("_cand").as("arrival"))
+    var round = 0
+    var settled = false
+    while (!settled && round < maxRounds) {
+      val improved = improvements(frontier).cut
+      if (improved.isEmpty) settled = true
+      else {
+        arr = arr
+          .join(improved.withColumnRenamed("arrival", "_new"), Seq("node"), "full")
+          .select(col("node"), coalesce(col("_new"), col("arrival")).as("arrival"))
+          .cut
+        frontier = improved
+      }
+      round += 1
+    }
+    if (!settled && !improvements(frontier).isEmpty)
+      throw new IllegalStateException(
+        s"temporalReach did not converge in $maxRounds rounds; raise maxRounds " +
+          "(arrivals would be silently non-minimal otherwise)")
+    arr
+  }
+
   /** Hop-distance labeling from a seed set: level-synchronous BFS
     * (the Pregel shape) — each round expands the current frontier one
     * hop, anti-joins away everything already labeled, and stamps the

@@ -298,6 +298,24 @@ object AdvancedQueries {
         floor(col("o_totalprice") * 100).cast("long"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
 
+  /** Time-respecting earliest arrival from node 1 over the ancestry
+    * graph with deterministic edge times — static reachability finds
+    * all 1499 nodes; the temporal constraint prunes the chains whose
+    * edge times run backwards. */
+  def temporalReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ancestryEdges(spark, dir)
+      .withColumn("t", (col("dst") * 37) % 100)
+    graft.graph.Fixpoint.temporalReach(e, Seq(1L).toDF("node"), maxRounds = 40)
+      .orderBy(col("node"))
+  }
+
+  /** Hashed linear quality-classifier inference over the corpus. */
+  def linearClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.linearClassifierScore(Tables.documents(spark, dir),
+        "doc_id", "text", dims = 4096, threshold = 0L)
+      .orderBy(col("doc_id"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -327,6 +345,8 @@ object AdvancedQueries {
     "sample_mixture_schedule" -> (mixtureSchedule _),
     "analytics_did" -> (did _),
     "analytics_rfm" -> (rfm _),
+    "graph_temporal_reach" -> (temporalReach _),
+    "text_linear_classifier" -> (linearClassifier _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -695,6 +715,28 @@ object AdvancedQueries {
         |  CAST(((rank_m - 1) * 5) // n + 1 AS BIGINT) AS m_q,
         |  CAST(count(*) AS BIGINT) AS n_customers
         |FROM w GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+    "graph_temporal_reach" ->
+      s"""WITH RECURSIVE $AncestryEdgesSql,
+         |et AS MATERIALIZED (SELECT src, dst, (dst * 37) % 100 AS t FROM e),
+         |r AS (
+         |  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS a
+         |  UNION
+         |  SELECT et.dst, CAST(et.t AS BIGINT)
+         |  FROM r JOIN et ON r.node = et.src AND et.t >= r.a
+         |)
+         |SELECT node, CAST(min(a) AS BIGINT) AS arrival
+         |FROM r GROUP BY node ORDER BY node""".stripMargin,
+    "text_linear_classifier" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    ((CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 4096)
+        |     * 2654435761) % 2001 - 1000 AS wt
+        |  FROM w WHERE tok <> '')
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(wt) AS BIGINT) AS margin, sum(wt) > 0 AS keep
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_ngram_novelty" ->
       s"""WITH $ShingleTermsSql,
          |dd AS (SELECT DISTINCT doc_id, term FROM dt),

@@ -1333,6 +1333,31 @@ object TextFunctions {
         expr("(n_shared * 1000000) div (n_a + n_b - n_shared)").as("jaccard_ppm"))
   }
 
+  /** Linear text-classifier inference — the fastText/DCLM-style quality
+    * filter applied at corpus scale: every token hashes into a `dims`-
+    * sized weight table and the document margin is the plain sum
+    * `Σ w[h(token)]`. The weight table here is a deterministic
+    * hash-derived stand-in (`((h·Knuth) mod 2001) − 1000`, uniform on
+    * [−1000, 1000]) so the oracle reproduces it bit-for-bit; swap
+    * `weightOf` for a broadcast-joined trained table and the plan shape
+    * is identical — one explode, one combinable sum, zero shuffles
+    * beyond the per-doc reduce, the margin monotone in the real model's
+    * logit so thresholding semantics carry over. Output: (doc_id,
+    * n_tokens, margin, keep). */
+  def linearClassifierScore(docs: DataFrame, idCol: String, textCol: String,
+                            dims: Int, threshold: Long): DataFrame = {
+    require(dims >= 2 && dims <= (1 << 24), "need 2 <= dims <= 2^24")
+    val h = pmod(wordId(col("tok")), lit(dims.toLong))
+    val weight = pmod(h * lit(Mix), lit(2001L)) - lit(1000L)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), weight.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("margin"))
+      .withColumn("keep", col("margin") > threshold)
+  }
+
   /** Zipf rank–frequency diagnostic: the top-k terms with their rank and
     * the rank·frequency product — flat products ≈ Zipfian corpus, a
     * product collapsing at low ranks flags boilerplate domination (the

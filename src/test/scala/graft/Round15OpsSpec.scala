@@ -496,6 +496,43 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out == (1L to 5L).map(i => (i, i, i) -> 1L).toMap)
   }
 
+  // ---- temporalReach ----
+
+  test("temporalReach: edges that fired before arrival cannot carry you") {
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 3L), (1L, 3L, 1L), (3L, 4L, 2L),
+      (5L, 6L, 9L)).toDF("src", "dst", "t")
+    val out = graft.graph.Fixpoint.temporalReach(e, Seq(1L).toDF("node"), 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 arrives at 1 (direct); the 2→3 edge at t=3 < arrival(2)=5 is dead
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("temporalReach: an improved arrival reopens later edges") {
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (3L, 2L, 2L), (2L, 5L, 3L))
+      .toDF("src", "dst", "t")
+    val out = graft.graph.Fixpoint.temporalReach(e, Seq(1L).toDF("node"), 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 first lands at 9 (blocking 2→5@3), then improves to 2 via 3,
+    // which reopens the t=3 edge
+    assert(out(2L) == 2L && out(5L) == 3L)
+  }
+
+  // ---- linearClassifierScore ----
+
+  test("linearClassifierScore: margins are additive over tokens") {
+    val docs = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, "alpha beta"),
+      (4L, "beta")).toDF("doc_id", "text")
+    val out = TextFunctions.linearClassifierScore(docs, "doc_id", "text",
+        dims = 64, threshold = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val wA = out(1L)._2
+    val wB = out(4L)._2
+    assert(out(2L) == (2L, 2 * wA, 2 * wA > 0))
+    assert(out(3L) == (2L, wA + wB, wA + wB > 0))
+    assert(wA >= -1000 && wA <= 1000)
+  }
+
   // ---- sketchMergeSink ----
 
   test("sketchMergeSink registers equal the batch registers, replay-proof") {
