@@ -769,6 +769,17 @@ object ScaleSmoke {
           unix_micros(col("o_orderdate").cast("timestamp")),
           floor(col("o_totalprice") * 100).cast("long")).count()
       }
+      time("temporal_reach", m) {
+        val e = binTree().withColumn("t", (col("dst") * 37) % 100)
+        val seeds = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .filter(col("c_custkey") % 10000000L === 1)
+          .select(col("c_custkey").cast("long").as("node"))
+        graph.Fixpoint.temporalReach(e, seeds, 40).count()
+      }
+      time("linear_classifier", m) {
+        text.TextFunctions.linearClassifierScore(docs, "doc_id", "text",
+          4096, 0L).count()
+      }
     }
     if (ran == 0)
       System.err.println(
