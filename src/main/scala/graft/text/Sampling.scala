@@ -219,6 +219,9 @@ object Sampling {
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
       .orderBy(md5_prefix64(col("id").cast("string")).asc, col("id").asc)
     val weights = df.groupBy(col("g")).agg(max(col("w")).as("w"))
+      .withColumn("w", when(col("w") <= 0, expr(
+        "raise_error('mixtureSchedule: non-positive group weight - " +
+          "drop zero-weight groups upstream')")).otherwise(col("w")))
     val totalW = weights.agg(sum(col("w")).as("tw"))
     df.select(col("g"), col("id"))
       .withColumn("pos_in_group", row_number().over(wg).cast("long"))

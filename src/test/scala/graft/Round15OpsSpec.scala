@@ -474,6 +474,14 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mixtureSchedule refuses non-positive weights") {
+    val df = Seq(("a", 1L, 0L)).toDF("g", "id", "w")
+    val ex = intercept[Exception] {
+      graft.text.Sampling.mixtureSchedule(df).collect()
+    }
+    assert(ex.getMessage.contains("non-positive"))
+  }
+
   // ---- diffInDiff ----
 
   test("diffInDiff: hand cell means and estimate") {
