@@ -175,6 +175,41 @@ object Paths {
     acc
   }
 
+  /** Percolation robustness sweep: connectivity structure of the graph
+    * under deterministic edge sampling at several survival rates — "how
+    * fast does this network shatter as links fail", the resilience curve
+    * (Albert–Barabási error tolerance) read as one summary row per rate:
+    * (rate_ppm, n_nodes, n_components, max_component). Nodes whose every
+    * edge was dropped count as singleton components (the node universe is
+    * the ORIGINAL graph's).
+    *
+    * Edge survival is a portable content hash of "src:dst" — the same
+    * sweep on any engine keeps the same edges, so curves are comparable
+    * across runs and systems, and sweeping more rates reuses nothing but
+    * adds one CC fixpoint each ([[Fixpoint.connectedComponents]],
+    * O(log d) pointer-jump rounds per rate). */
+  def robustnessSweep(edges: DataFrame, ratesPpm: Seq[Long]): DataFrame = {
+    require(ratesPpm.nonEmpty && ratesPpm.forall(r => r >= 0 && r <= 1000000),
+      "rates must be ppm in [0, 1000000]")
+    val e = edges.select(col("src"), col("dst")).cut
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cut
+    val h = graft.functions.HashFunctions.md5_prefix64(
+      concat(col("src").cast("string"), lit(":"), col("dst").cast("string")))
+    ratesPpm.map { r =>
+      val kept = e.filter(pmod(h, lit(1000000L)) < r)
+      val cc = Fixpoint.connectedComponents(
+        kept.select(col("src").as("a"), col("dst").as("b")))
+      val lab = nodes.join(cc, Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      lab.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_nodes"),
+          max(col("sz")).as("max_component"))
+        .select(lit(r).as("rate_ppm"), col("n_nodes"), col("n_components"),
+          col("max_component"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Edge reciprocity: the fraction of directed edges whose reverse
     * edge also exists (Garlaschelli & Loffredo 2004) — "is this follow
     * graph mutual or broadcast-shaped". Self-loops are excluded and

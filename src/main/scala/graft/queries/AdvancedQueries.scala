@@ -310,6 +310,14 @@ object AdvancedQueries {
       .orderBy(col("node"))
   }
 
+  /** Percolation curve of the k<800 ancestry graph at 40% / 70% edge
+    * survival. */
+  def robustness(spark: SparkSession, dir: String): DataFrame =
+    Paths.robustnessSweep(
+        ancestryEdges(spark, dir).filter(col("dst") < 800),
+        Seq(400000L, 700000L))
+      .orderBy(col("rate_ppm"))
+
   /** Hashed linear quality-classifier inference over the corpus. */
   def linearClassifier(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.linearClassifierScore(Tables.documents(spark, dir),
@@ -347,6 +355,7 @@ object AdvancedQueries {
     "analytics_rfm" -> (rfm _),
     "graph_temporal_reach" -> (temporalReach _),
     "text_linear_classifier" -> (linearClassifier _),
+    "graph_robustness_sweep" -> (robustness _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -362,6 +371,27 @@ object AdvancedQueries {
          |${p}v$i AS MATERIALIZED (SELECT node, dist, sigma FROM ${p}v${i - 1}
          |  UNION ALL SELECT node, $i, sigma FROM ${p}f$i)""".stripMargin
     }.mkString(",\n")
+
+  /** One percolation rate's sampled-CC summary block (recursive closure
+    * over the sampled undirected edges; singletons from the n8 node
+    * universe). */
+  private def percolationBlock(r: Long): String =
+    s"""k$r AS MATERIALIZED (SELECT src, dst FROM e8
+       |  WHERE CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT) % 1000000 < $r),
+       |u$r AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM k$r UNION ALL SELECT dst, src FROM k$r)),
+       |re$r AS (
+       |  SELECT a AS node, b AS reachable FROM u$r
+       |  UNION
+       |  SELECT rr.node, u.b FROM re$r rr JOIN u$r u ON rr.reachable = u.a),
+       |cp$r AS (SELECT n.node,
+       |    least(n.node, coalesce(min(rr.reachable), n.node)) AS component
+       |  FROM n8 n LEFT JOIN re$r rr ON rr.node = n.node GROUP BY n.node),
+       |sz$r AS (SELECT component, count(*) AS sz FROM cp$r GROUP BY component),
+       |sm$r AS (SELECT CAST($r AS BIGINT) AS rate_ppm,
+       |  CAST(sum(sz) AS BIGINT) AS n_nodes,
+       |  CAST(count(*) AS BIGINT) AS n_components,
+       |  CAST(max(sz) AS BIGINT) AS max_component FROM sz$r)""".stripMargin
 
   private val BetweennessStOracle: String =
     s"""WITH $AncestryEdgesSql,
@@ -715,6 +745,15 @@ object AdvancedQueries {
         |  CAST(((rank_m - 1) * 5) // n + 1 AS BIGINT) AS m_q,
         |  CAST(count(*) AS BIGINT) AS n_customers
         |FROM w GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+    "graph_robustness_sweep" ->
+      s"""WITH RECURSIVE $AncestryEdgesSql,
+         |e8 AS MATERIALIZED (SELECT src, dst FROM e WHERE dst < 800),
+         |n8 AS MATERIALIZED (SELECT DISTINCT n AS node FROM (
+         |  SELECT src AS n FROM e8 UNION ALL SELECT dst AS n FROM e8)),
+         |${percolationBlock(400000L)},
+         |${percolationBlock(700000L)}
+         |SELECT * FROM sm400000 UNION ALL SELECT * FROM sm700000
+         |ORDER BY rate_ppm""".stripMargin,
     "graph_temporal_reach" ->
       s"""WITH RECURSIVE $AncestryEdgesSql,
          |et AS MATERIALIZED (SELECT src, dst, (dst * 37) % 100 AS t FROM e),

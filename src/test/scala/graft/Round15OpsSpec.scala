@@ -525,6 +525,17 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(2L) == 2L && out(5L) == 3L)
   }
 
+  // ---- robustnessSweep ----
+
+  test("robustnessSweep: full survival keeps components, zero shatters") {
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val out = graft.graph.Paths.robustnessSweep(e, Seq(0L, 1000000L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1000000L) == (5L, 2L, 3L)) // {1,2,3} and {4,5}
+    assert(out(0L) == (5L, 5L, 1L))       // every node a singleton
+  }
+
   // ---- linearClassifierScore ----
 
   test("linearClassifierScore: margins are additive over tokens") {
