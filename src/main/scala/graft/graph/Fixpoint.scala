@@ -238,6 +238,55 @@ object Fixpoint {
     dist
   }
 
+  /** Regular path query evaluation: reachability over labeled edges
+    * constrained to paths whose label word is accepted by an NFA — the
+    * engine form of Cypher's `-[:X*]->(:B)-[:Y]` variable-length typed
+    * patterns (the reference's read surface runs these on Neo4j;
+    * product-automaton BFS is the classic distributed evaluation:
+    * Mendelzon & Wood 1995).
+    *
+    * State = (graph node, automaton state) pairs; one round expands the
+    * frontier over edges joined with the (tiny, broadcast) transition
+    * table on the label, anti-joins the visited set, repeats to
+    * fixpoint — O(V·|states|) visited entries, O(diameter·|states|)
+    * rounds, the budget-throw convention of the other fixpoints.
+    * `nfa` columns: (s_from, label, s_to); `starts` seeds every listed
+    * node in automaton state 0. Returns ALL visited (node, state)
+    * pairs — filter `state` to the accepting set for the answer, keep
+    * the rest for explain/debug ("how far did the pattern get"). */
+  def regularPathQuery(edges: DataFrame, nfa: DataFrame, starts: DataFrame,
+                       maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("label"))
+      .localCheckpoint(false)
+    val t = broadcast(nfa.select(col("s_from"), col("label"), col("s_to")))
+    var visited = starts.select(col("node")).distinct()
+      .withColumn("state", lit(0L)).localCheckpoint(false)
+    visited.count()
+    var frontier = visited
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .join(t, frontier("state") === t("s_from") && e("label") === t("label"))
+        .select(e("dst").as("node"), t("s_to").as("state"))
+        .distinct()
+        .join(visited, Seq("node", "state"), "left_anti")
+        .cut
+      if (next.isEmpty) done = true
+      else {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"regularPathQuery did not converge in $maxRounds rounds; " +
+              "raise maxRounds (results would be silently incomplete)")
+        visited = visited.unionByName(next).cut
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** Time-respecting earliest-arrival reachability over a temporal edge
     * list (src, dst, t): a path is valid only if edge times are
     * non-decreasing along it (Holme & Saramäki 2012) — the attack-chain

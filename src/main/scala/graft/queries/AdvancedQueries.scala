@@ -318,6 +318,39 @@ object AdvancedQueries {
         Seq(400000L, 700000L))
       .orderBy(col("rate_ppm"))
 
+  /** Regular path query over the labeled ancestry graph: nodes
+    * reachable from 1 along paths with AT LEAST ONE quarter edge
+    * (NFA product-automaton reachability). */
+  def rpq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val labeled = c.filter(col("k") >= 2L)
+      .select(expr("k div 2").as("src"), col("k").as("dst"), lit("half").as("label"))
+      .unionByName(c.filter(col("k") >= 4L)
+        .select(expr("k div 4").as("src"), col("k").as("dst"),
+          lit("quarter").as("label")))
+    val nfa = Seq((0L, "half", 0L), (0L, "quarter", 1L),
+      (1L, "half", 1L), (1L, "quarter", 1L)).toDF("s_from", "label", "s_to")
+    graft.graph.Fixpoint.regularPathQuery(labeled, nfa, Seq(1L).toDF("node"),
+        maxRounds = 30)
+      .filter(col("state") === 1L).select(col("node")).distinct()
+      .orderBy(col("node"))
+  }
+
+  /** Trigram-pruned substring search for "merge hash". */
+  def trigram(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.trigramSearch(Tables.documents(spark, dir),
+      "doc_id", "text", "merge hash").orderBy(col("doc_id"))
+
+  /** Per-dimension embedding drift between even- and odd-label vectors. */
+  def dimDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.dimDrift(
+        Similarity.quantized(emb.filter(pmod(col("label"), lit(2)) === 0)),
+        Similarity.quantized(emb.filter(pmod(col("label"), lit(2)) === 1)))
+      .orderBy(col("dim"))
+  }
+
   /** Hashed linear quality-classifier inference over the corpus. */
   def linearClassifier(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.linearClassifierScore(Tables.documents(spark, dir),
@@ -356,6 +389,9 @@ object AdvancedQueries {
     "graph_temporal_reach" -> (temporalReach _),
     "text_linear_classifier" -> (linearClassifier _),
     "graph_robustness_sweep" -> (robustness _),
+    "graph_rpq" -> (rpq _),
+    "text_trigram_search" -> (trigram _),
+    "embed_dim_drift" -> (dimDrift _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -754,6 +790,41 @@ object AdvancedQueries {
          |${percolationBlock(700000L)}
          |SELECT * FROM sm400000 UNION ALL SELECT * FROM sm700000
          |ORDER BY rate_ppm""".stripMargin,
+    "graph_rpq" ->
+      """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |le AS MATERIALIZED (
+        |  SELECT k // 2 AS src, k AS dst, 'half' AS label FROM c WHERE k >= 2
+        |  UNION ALL
+        |  SELECT k // 4, k, 'quarter' FROM c WHERE k >= 4),
+        |nfa(s_from, label, s_to) AS (VALUES (0, 'half', 0), (0, 'quarter', 1),
+        |  (1, 'half', 1), (1, 'quarter', 1)),
+        |v AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS state
+        |  UNION
+        |  SELECT le.dst, CAST(t.s_to AS BIGINT)
+        |  FROM v JOIN le ON v.node = le.src
+        |         JOIN nfa t ON t.s_from = v.state AND t.label = le.label
+        |)
+        |SELECT DISTINCT node FROM v WHERE state = 1 ORDER BY node""".stripMargin,
+    "text_trigram_search" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(strpos(text, 'merge hash') AS BIGINT) AS pos
+        |FROM documents WHERE strpos(text, 'merge hash') > 0
+        |ORDER BY doc_id""".stripMargin,
+    "embed_dim_drift" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) % 2 AS par,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim
+        |  FROM embeddings),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(floor(1000000.0 * sum(qx) / count(*)) AS BIGINT) AS mean_a_x1e6
+        |  FROM q WHERE par = 0 GROUP BY dim),
+        |b AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(floor(1000000.0 * sum(qx) / count(*)) AS BIGINT) AS mean_b_x1e6
+        |  FROM q WHERE par = 1 GROUP BY dim)
+        |SELECT a.dim, a.n_a, b.n_b, a.mean_a_x1e6, b.mean_b_x1e6,
+        |  CAST(abs(a.mean_a_x1e6 - b.mean_b_x1e6) AS BIGINT) AS delta_x1e6
+        |FROM a JOIN b ON a.dim = b.dim ORDER BY a.dim""".stripMargin,
     "graph_temporal_reach" ->
       s"""WITH RECURSIVE $AncestryEdgesSql,
          |et AS MATERIALIZED (SELECT src, dst, (dst * 37) % 100 AS t FROM e),

@@ -72,6 +72,27 @@ object Similarity {
       .withColumn("norm2", vec_norm2(col("q")))
   }
 
+  /** Per-dimension embedding drift between two vector populations (two
+    * epochs, two encoder versions, two sources): component means in
+    * exact-chain ×10^6 (floor of a double division — the
+    * embed_label_centroid determinism contract) and their absolute
+    * delta — the cheap first-line monitor that catches an encoder
+    * regression or a source shift before any ANN index is rebuilt. One
+    * posexplode + one agg per side. Output: (dim, n_a, n_b, mean_a_x1e6,
+    * mean_b_x1e6, delta_x1e6). */
+  def dimDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def stats(df: DataFrame, suffix: String) = df
+      .select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as(s"n_$suffix"),
+        floor(lit(1000000.0) * sum(col("x")) / count(lit(1)))
+          .cast("long").as(s"mean_${suffix}_x1e6"))
+    stats(a, "a").join(stats(b, "b"), Seq("dim"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        col("mean_a_x1e6"), col("mean_b_x1e6"),
+        abs(col("mean_a_x1e6") - col("mean_b_x1e6")).as("delta_x1e6"))
+  }
+
   private def cosX1e6 = floor(lit(1000000.0) * col("dot") /
     sqrt((col("na") * col("nb")).cast("double"))).cast("long")
 

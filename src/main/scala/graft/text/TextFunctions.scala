@@ -1358,6 +1358,35 @@ object TextFunctions {
       .withColumn("keep", col("margin") > threshold)
   }
 
+  /** Trigram-accelerated substring search (the pg_trgm shape): a
+    * `LIKE '%pattern%'` over 100 TB of text must not scan every
+    * document — candidates come from the conjunctive intersection of
+    * the pattern's character trigrams against the per-doc trigram set
+    * (an equi-joinable inverted index at scale; computed inline here),
+    * and only candidates pay the exact `instr` verify. A document
+    * missing ANY pattern trigram cannot contain the pattern, so the
+    * prune is lossless. Patterns shorter than 3 chars have no trigram
+    * to prune on — rejected loudly rather than silently scanning.
+    * Output: (doc_id, pos) — 1-based first occurrence, matches only. */
+  def trigramSearch(docs: DataFrame, idCol: String, textCol: String,
+                    pattern: String): DataFrame = {
+    require(pattern.length >= 3,
+      "trigramSearch needs a pattern of at least 3 chars (no trigram to prune on)")
+    val pats = pattern.sliding(3).toSeq.distinct
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("t"))
+    val cand = base
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(t) - 2, 0)), " +
+          "i -> substr(t, i, 3)))")).as("tri"))
+      .filter(col("tri").isin(pats: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === pats.size)
+    base.join(cand.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), instr(col("t"), pattern).cast("long").as("pos"))
+      .filter(col("pos") > 0)
+  }
+
   /** Zipf rank–frequency diagnostic: the top-k terms with their rank and
     * the rank·frequency product — flat products ≈ Zipfian corpus, a
     * product collapsing at low ranks flags boilerplate domination (the

@@ -525,6 +525,46 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(2L) == 2L && out(5L) == 3L)
   }
 
+  // ---- regularPathQuery ----
+
+  test("regularPathQuery walks the product automaton, not the graph") {
+    val e = Seq((1L, 2L, "a"), (2L, 3L, "b"), (1L, 4L, "b"))
+      .toDF("src", "dst", "label")
+    val nfa = Seq((0L, "a", 1L), (1L, "b", 2L)).toDF("s_from", "label", "s_to")
+    val visited = graft.graph.Fixpoint.regularPathQuery(
+        e, nfa, Seq(1L).toDF("node"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 is graph-reachable but 'b' has no transition from state 0
+    assert(visited == Set((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
+  // ---- trigramSearch ----
+
+  test("trigramSearch: lossless prune, exact verify, short-pattern guard") {
+    val docs = Seq((1L, "hello world"), (2L, "world peace"), (3L, "help"),
+      (4L, "worxorlxrld") /* all of wor/orl/rld but not the pattern */)
+      .toDF("doc_id", "text")
+    val out = TextFunctions.trigramSearch(docs, "doc_id", "text", "world")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 7L, 2L -> 1L)) // 4 survives the prune, dies in verify
+    intercept[IllegalArgumentException] {
+      TextFunctions.trigramSearch(docs, "doc_id", "text", "ab")
+    }
+  }
+
+  // ---- dimDrift ----
+
+  test("dimDrift: per-dimension means and deltas, exact chain") {
+    val a = Seq((1L, Seq(100L, 200L)), (2L, Seq(300L, 200L))).toDF("vec_id", "q")
+    val b = Seq((3L, Seq(100L, 0L))).toDF("vec_id", "q")
+    val out = graft.similarity.Similarity.dimDrift(a, b)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(0L) == (2L, 1L, 200000000L, 100000000L, 100000000L))
+    assert(out(1L) == (2L, 1L, 200000000L, 0L, 200000000L))
+  }
+
   // ---- robustnessSweep ----
 
   test("robustnessSweep: full survival keeps components, zero shatters") {
