@@ -22,6 +22,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     def multiply(df: DataFrame, idCol: String, m: Int): DataFrame = {
       val n = 10000000L
@@ -779,6 +780,34 @@ object ScaleSmoke {
       time("linear_classifier", m) {
         text.TextFunctions.linearClassifierScore(docs, "doc_id", "text",
           4096, 0L).count()
+      }
+      time("rpq", m) {
+        // per-copy labeled trees; every copy's root seeds state 0
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        val labeled = cust.filter(col("k") % 10000000L >= 2)
+          .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 2 AS BIGINT)").as("src"),
+            col("k").as("dst"), lit("half").as("label"))
+          .unionByName(cust.filter(col("k") % 10000000L >= 4)
+            .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 4 AS BIGINT)").as("src"),
+              col("k").as("dst"), lit("quarter").as("label")))
+        val nfa = Seq((0L, "half", 0L), (0L, "quarter", 1L),
+          (1L, "half", 1L), (1L, "quarter", 1L)).toDF("s_from", "label", "s_to")
+        val seeds = cust.filter(col("k") % 10000000L === 1)
+          .select(col("k").as("node"))
+        graph.Fixpoint.regularPathQuery(labeled, nfa, seeds, 30).count()
+      }
+      time("trigram_search", m) {
+        text.TextFunctions.trigramSearch(docs, "doc_id", "text", "merge hash")
+          .count()
+      }
+      time("dim_drift", m) {
+        similarity.Similarity.dimDrift(
+          similarity.Similarity.quantized(embs.filter(pmod(col("label"), lit(2)) === 0)),
+          similarity.Similarity.quantized(embs.filter(pmod(col("label"), lit(2)) === 1))).count()
+      }
+      time("robustness_sweep", m) {
+        graph.Paths.robustnessSweep(binTree(), Seq(400000L, 700000L)).count()
       }
     }
     if (ran == 0)
