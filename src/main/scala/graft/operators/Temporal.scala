@@ -124,6 +124,31 @@ object Temporal {
           .otherwise(0L)).as("n_open_mid"))
   }
 
+  /** Bitemporal as-of read: the state of a (valid time × transaction
+    * time) table as it was KNOWN at `txAsOf`, for facts IN EFFECT at
+    * `validAsOf` — "what did we believe on June 1 about the May
+    * contract" (Snodgrass's two-dimensional time; the audit-proof read
+    * SCD2 alone can't answer because corrections overwrite knowledge).
+    *
+    * Contract: a row is one assertion (keys, valid_from, valid_to,
+    * tx_from, payload…); a correction re-asserts the SAME (keys,
+    * valid_from) with a later tx_from, which replaces it; (keys,
+    * valid_from, tx_from) must be unique or the winner is ambiguous.
+    * One window per (keys, valid_from) picks the latest assertion known
+    * at txAsOf, then the valid-interval containment filter (null
+    * valid_to = open) keeps the in-effect fact. */
+  def bitemporalAsOf(hist: DataFrame, keys: Seq[String], txFromCol: String,
+                     validFromCol: String, validToCol: String,
+                     txAsOf: Column, validAsOf: Column): DataFrame = {
+    val w = Window.partitionBy((keys :+ validFromCol).map(col): _*)
+      .orderBy(col(txFromCol).desc)
+    hist.filter(col(txFromCol) <= txAsOf)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+      .filter(col(validFromCol) <= validAsOf &&
+        (col(validToCol).isNull || validAsOf < col(validToCol)))
+  }
+
   /** Forward fill over a dense grid: left-join observations onto the
     * (key, time) grid, then carry the last non-null value forward within
     * each key — the gap-filling/resampling step of time-series feature

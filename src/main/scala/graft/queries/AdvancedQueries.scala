@@ -357,6 +357,32 @@ object AdvancedQueries {
         "doc_id", "text", dims = 4096, threshold = 0L)
       .orderBy(col("doc_id"))
 
+  /** Bitemporal as-of read over corrected order assertions: as known on
+    * 1995-06-01, in effect on 1995-06-01 (every third order carries a
+    * later-transaction correction with a longer validity). */
+  def bitemporalRead(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").as("vs"),
+      floor(col("o_totalprice") * 100).cast("long").as("p"))
+    val v1 = o.select(col("o_orderkey"), col("vs").as("valid_from"),
+      (col("vs") + 2592000L).as("valid_to"), col("vs").as("tx_from"),
+      col("p").as("price_x100"))
+    val v2 = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("vs").as("valid_from"),
+        (col("vs") + 5184000L).as("valid_to"), (col("vs") + 864000L).as("tx_from"),
+        (col("p") + 500L).as("price_x100"))
+    Temporal.bitemporalAsOf(v1.unionByName(v2), Seq("o_orderkey"),
+        "tx_from", "valid_from", "valid_to", lit(801964800L), lit(801964800L))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Trailing-3-hour distinct-user estimates per event type, every hour,
+    * from time-bucketed HLL registers merged by max. */
+  def hllWindowed(spark: SparkSession, dir: String): DataFrame =
+    Sketches.hllWindowed(Tables.events(spark, dir), "event_type", "user_id",
+        expr("unix_micros(ts) div 3600000000"), windowBuckets = 3)
+      .orderBy(col("g"), col("bucket"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,6 +418,8 @@ object AdvancedQueries {
     "graph_rpq" -> (rpq _),
     "text_trigram_search" -> (trigram _),
     "embed_dim_drift" -> (dimDrift _),
+    "bitemporal_read" -> (bitemporalRead _),
+    "sketch_hll_windowed" -> (hllWindowed _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -790,6 +818,45 @@ object AdvancedQueries {
          |${percolationBlock(700000L)}
          |SELECT * FROM sm400000 UNION ALL SELECT * FROM sm700000
          |ORDER BY rate_ppm""".stripMargin,
+    "bitemporal_read" ->
+      """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS vs,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS p FROM orders),
+        |h AS (SELECT o_orderkey, vs AS valid_from, vs + 2592000 AS valid_to,
+        |    vs AS tx_from, p AS price_x100 FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey, vs, vs + 5184000, vs + 864000, p + 500
+        |  FROM o WHERE o_orderkey % 3 = 0),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey, valid_from
+        |    ORDER BY tx_from DESC) AS rn
+        |  FROM h WHERE tx_from <= 801964800)
+        |SELECT o_orderkey, CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to, CAST(tx_from AS BIGINT) AS tx_from,
+        |  price_x100
+        |FROM f WHERE rn = 1 AND valid_from <= 801964800 AND 801964800 < valid_to
+        |ORDER BY o_orderkey""".stripMargin,
+    "sketch_hll_windowed" ->
+      """WITH parts AS (SELECT event_type AS g, epoch_us(ts) // 3600000000 AS b,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 64 AS bucket,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) // 64 AS rem
+        |  FROM events),
+        |anchors AS (SELECT DISTINCT g, b FROM parts),
+        |regs AS (SELECT a.g, a.b, p.bucket,
+        |    max(51 - CASE WHEN p.rem = 0 THEN 0 ELSE length(bin(p.rem)) END) AS r
+        |  FROM anchors a JOIN parts p ON p.g = a.g AND p.b BETWEEN a.b - 2 AND a.b
+        |  GROUP BY a.g, a.b, p.bucket),
+        |grid AS (SELECT a.g, a.b, gb.bucket FROM anchors a
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) gb),
+        |filled AS (SELECT g2.g, g2.b, coalesce(regs.r, 0) AS r
+        |  FROM grid g2 LEFT JOIN regs
+        |    ON regs.g = g2.g AND regs.b = g2.b AND regs.bucket = g2.bucket),
+        |sums AS (SELECT g, b,
+        |    CAST(sum(CAST(1 AS BIGINT) << (51 - r)) AS BIGINT) AS hs
+        |  FROM filled GROUP BY g, b)
+        |SELECT g, CAST(b AS BIGINT) AS bucket,
+        |  CAST(floor(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |             * CAST(2251799813685248 AS DOUBLE) / hs) AS BIGINT)
+        |    AS est_distinct
+        |FROM sums ORDER BY g, bucket""".stripMargin,
     "graph_rpq" ->
       """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
         |le AS MATERIALIZED (

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -384,6 +384,41 @@ object Sketches {
     * merged sample holds fewer than k hashes both sides were sampled
     * exhaustively and the estimates ARE the exact counts. Output one
     * row: (k, est_union, est_inter). */
+  /** Trailing-window distinct estimate from time-bucketed HLL registers:
+    * registers are built once per (group, time bucket) — the KB-sized
+    * mergeable state a streaming/warehouse pipeline stores per hour —
+    * and every trailing window of `windowBuckets` buckets is answered by
+    * register-max MERGE, never by touching raw rows again ("distinct
+    * users in the trailing 3 h, every hour" over arbitrary history).
+    *
+    * The window merge is a constant explode of each register row to the
+    * `windowBuckets` target anchors plus one max-combine — shuffle keys
+    * (g, anchor, register) stay uniform; no range join, no re-scan.
+    * Anchors emitted are the bucket values present in the data. Output:
+    * (g, bucket, est_distinct). */
+  def hllWindowed(df: DataFrame, groupCol: String, valueCol: String,
+                  bucketCol: Column, windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1 && windowBuckets <= 1024,
+      "need 1 <= windowBuckets <= 1024")
+    val h = md5_prefix64(col(valueCol).cast("string"))
+    val parts = df.select(col(groupCol).as("g"), bucketCol.cast("long").as("b"),
+      (h % HllBuckets).as("bucket"), shiftright(h, HllBucketBits).as("rem"))
+    val bitlen = when(col("rem") === 0L, lit(0))
+      .otherwise(length(conv(col("rem"), 10, 2)))
+    val regs = parts.withColumn("rho", lit(HllR) - bitlen)
+      .groupBy(col("g"), col("b"), col("bucket")).agg(max(col("rho")).as("r"))
+    val anchors = parts.select(col("g"), col("b")).distinct()
+    val shifted = regs
+      .withColumn("_off", explode(sequence(lit(0), lit(windowBuckets - 1))))
+      .select(col("g"), (col("b") + col("_off")).as("b"), col("bucket"), col("r"))
+      .join(anchors, Seq("g", "b"), "left_semi")
+      .groupBy(col("g"), col("b"), col("bucket")).agg(max(col("r")).as("r"))
+    hllEstimateFromRegisters(
+        shifted.select(struct(col("g"), col("b")).as("g"), col("bucket"), col("r")),
+        anchors.select(struct(col("g"), col("b")).as("g")), "est_distinct")
+      .select(col("g.g").as("g"), col("g.b").as("bucket"), col("est_distinct"))
+  }
+
   def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2 && k <= 4096, "KMV set ops need 2 <= k <= 4096")
     val estNumerator = (k - 1).toLong * MaxHash

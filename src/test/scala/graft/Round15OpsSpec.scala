@@ -525,6 +525,41 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(2L) == 2L && out(5L) == 3L)
   }
 
+  // ---- bitemporalAsOf ----
+
+  test("bitemporalAsOf: corrections visible only after their tx time") {
+    val hist = Seq(
+      (1L, 0L, 10L, 0L, 100L),  // original: valid [0,10)
+      (1L, 0L, 20L, 5L, 150L),  // correction at tx 5: valid [0,20)
+      (2L, 0L, 10L, 0L, 7L))
+      .toDF("k", "valid_from", "valid_to", "tx_from", "p")
+    def read(tx: Long, v: Long) = graft.operators.Temporal
+      .bitemporalAsOf(hist, Seq("k"), "tx_from", "valid_from", "valid_to",
+        lit(tx), lit(v))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // before the correction was known, validity ended at 10
+    assert(read(3L, 12L) == Map.empty)
+    // after tx 5 the correction extends validity and changes the value
+    assert(read(7L, 12L) == Map(1L -> 150L))
+    // both keys in effect at v=3; key 1 reads the corrected value
+    assert(read(7L, 3L) == Map(1L -> 150L, 2L -> 7L))
+  }
+
+  // ---- hllWindowed ----
+
+  test("hllWindowed: trailing merge equals the whole-range estimate") {
+    val df = Seq(("g", 1L, "u1"), ("g", 1L, "u2"), ("g", 2L, "u2"),
+      ("g", 2L, "u3"), ("g", 3L, "u4")).toDF("g", "hr", "u")
+    val win = graft.text.Sketches.hllWindowed(df, "g", "u", col("hr"), 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    def whole(buckets: Seq[Long]) = graft.text.Sketches
+      .hllEstimate(df.filter(col("hr").isin(buckets: _*)), "g", "u")
+      .collect().head.getAs[Long]("est_distinct")
+    assert(win(3L) == whole(Seq(1L, 2L, 3L))) // full trailing window
+    assert(win(1L) == whole(Seq(1L)))          // nothing earlier to merge
+    assert(win(2L) == whole(Seq(1L, 2L)))
+  }
+
   // ---- regularPathQuery ----
 
   test("regularPathQuery walks the product automaton, not the graph") {
