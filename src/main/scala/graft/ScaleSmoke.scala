@@ -809,6 +809,27 @@ object ScaleSmoke {
       time("robustness_sweep", m) {
         graph.Paths.robustnessSweep(binTree(), Seq(400000L, 700000L)).count()
       }
+      time("bitemporal_read", m) {
+        val o = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+          .select(col("o_orderkey"),
+            expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").as("vs"),
+            floor(col("o_totalprice") * 100).cast("long").as("p"))
+        val v1 = o.select(col("o_orderkey"), col("vs").as("valid_from"),
+          (col("vs") + 2592000L).as("valid_to"), col("vs").as("tx_from"),
+          col("p").as("price_x100"))
+        val v2 = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("vs").as("valid_from"),
+            (col("vs") + 5184000L).as("valid_to"),
+            (col("vs") + 864000L).as("tx_from"), (col("p") + 500L).as("price_x100"))
+        operators.Temporal.bitemporalAsOf(v1.unionByName(v2), Seq("o_orderkey"),
+          "tx_from", "valid_from", "valid_to",
+          lit(801964800L), lit(801964800L)).count()
+      }
+      time("hll_windowed3", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        text.Sketches.hllWindowed(ev, "event_type", "user_id",
+          expr("unix_micros(ts) div 3600000000"), 3).count()
+      }
     }
     if (ran == 0)
       System.err.println(
