@@ -238,6 +238,49 @@ object Fixpoint {
     dist
   }
 
+  /** Widest-path (bottleneck) routing: for every node the maximum over
+    * paths from the seeds of the MINIMUM edge capacity along the path —
+    * the max-min semiring twin of [[sssp]] ("how much bandwidth/trust
+    * survives the best route", Pollack 1960). Seeds start at
+    * `sourceWidth` (pick it above every edge capacity for "unlimited at
+    * the source"). Same frontier-relaxation shape and budget-throw as
+    * sssp; keeping only the max width per node is lossless because a
+    * wider arrival dominates for every downstream min. Output:
+    * (node, width). */
+  def widestPath(edges: DataFrame, seeds: DataFrame, sourceWidth: Long,
+                 maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("cap")).localCheckpoint(false)
+    var width = seeds.select(col("node")).distinct()
+      .withColumn("width", lit(sourceWidth)).localCheckpoint(false)
+    var frontier = width
+    def improvements(front: DataFrame): DataFrame =
+      e.join(front.select(col("node").as("src"), col("width").as("_w")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(least(col("_w"), col("cap"))).as("_cand"))
+        .join(width.withColumnRenamed("width", "_old"), Seq("node"), "left")
+        .filter(col("_old").isNull || col("_cand") > col("_old"))
+        .select(col("node"), col("_cand").as("width"))
+    var round = 0
+    var settled = false
+    while (!settled && round < maxRounds) {
+      val improved = improvements(frontier).cut
+      if (improved.isEmpty) settled = true
+      else {
+        width = width
+          .join(improved.withColumnRenamed("width", "_new"), Seq("node"), "full")
+          .select(col("node"), coalesce(col("_new"), col("width")).as("width"))
+          .cut
+        frontier = improved
+      }
+      round += 1
+    }
+    if (!settled && !improvements(frontier).isEmpty)
+      throw new IllegalStateException(
+        s"widestPath did not converge in $maxRounds rounds; raise maxRounds " +
+          "(widths would be silently non-maximal otherwise)")
+    width
+  }
+
   /** Regular path query evaluation: reachability over labeled edges
     * constrained to paths whose label word is accepted by an NFA — the
     * engine form of Cypher's `-[:X*]->(:B)-[:Y]` variable-length typed

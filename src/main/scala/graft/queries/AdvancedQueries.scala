@@ -383,6 +383,22 @@ object AdvancedQueries {
         expr("unix_micros(ts) div 3600000000"), windowBuckets = 3)
       .orderBy(col("g"), col("bucket"))
 
+  /** Widest (bottleneck) path widths from node 1 over the ancestry graph
+    * with deterministic edge capacities. */
+  def widestPath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ancestryEdges(spark, dir)
+      .withColumn("cap", (col("dst") * 7) % 20 + 1)
+    graft.graph.Fixpoint.widestPath(e, Seq(1L).toDF("node"),
+        sourceWidth = 1000000L, maxRounds = 40)
+      .orderBy(col("node"))
+  }
+
+  /** Greedy 5-document maximum-coverage selection over shingles. */
+  def coverageSelect(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.greedyCoverage(shingleTerms(spark, dir), k = 5)
+      .orderBy(col("round"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -420,6 +436,8 @@ object AdvancedQueries {
     "embed_dim_drift" -> (dimDrift _),
     "bitemporal_read" -> (bitemporalRead _),
     "sketch_hll_windowed" -> (hllWindowed _),
+    "graph_widest_path" -> (widestPath _),
+    "e2e_coverage_select" -> (coverageSelect _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -456,6 +474,34 @@ object AdvancedQueries {
        |  CAST(sum(sz) AS BIGINT) AS n_nodes,
        |  CAST(count(*) AS BIGINT) AS n_components,
        |  CAST(max(sz) AS BIGINT) AS max_component FROM sz$r)""".stripMargin
+
+  /** Five unrolled greedy max-coverage rounds (e2e_coverage_select
+    * oracle): winner = (count of uncovered terms DESC, doc_id ASC),
+    * covered set accumulated per round. */
+  private val GreedyCoverageOracle: String = {
+    val rounds = (2 to 5).map { i =>
+      s"""s$i AS (SELECT d.doc_id, count(*) AS n
+         |  FROM d0 d ANTI JOIN c${i - 1} USING (term) GROUP BY d.doc_id),
+         |w$i AS MATERIALIZED (SELECT doc_id, n FROM s$i
+         |  ORDER BY n DESC, doc_id LIMIT 1),
+         |c$i AS MATERIALIZED (SELECT term FROM c${i - 1}
+         |  UNION SELECT term FROM d0 JOIN w$i USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(n AS BIGINT) AS n_new,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$i) AS n_covered FROM w$i"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ShingleTermsSql,
+       |d0 AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM dt),
+       |s1 AS (SELECT doc_id, count(*) AS n FROM d0 GROUP BY doc_id),
+       |w1 AS MATERIALIZED (SELECT doc_id, n FROM s1 ORDER BY n DESC, doc_id LIMIT 1),
+       |c1 AS MATERIALIZED (SELECT DISTINCT term FROM d0 JOIN w1 USING (doc_id)),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 
   private val BetweennessStOracle: String =
     s"""WITH $AncestryEdgesSql,
@@ -818,6 +864,18 @@ object AdvancedQueries {
          |${percolationBlock(700000L)}
          |SELECT * FROM sm400000 UNION ALL SELECT * FROM sm700000
          |ORDER BY rate_ppm""".stripMargin,
+    "graph_widest_path" ->
+      s"""WITH RECURSIVE $AncestryEdgesSql,
+         |ec AS MATERIALIZED (SELECT src, dst, (dst * 7) % 20 + 1 AS cap FROM e),
+         |w AS (
+         |  SELECT CAST(1 AS BIGINT) AS node, CAST(1000000 AS BIGINT) AS wd
+         |  UNION
+         |  SELECT ec.dst, CAST(least(w.wd, ec.cap) AS BIGINT)
+         |  FROM w JOIN ec ON w.node = ec.src
+         |)
+         |SELECT node, CAST(max(wd) AS BIGINT) AS width
+         |FROM w GROUP BY node ORDER BY node""".stripMargin,
+    "e2e_coverage_select" -> GreedyCoverageOracle,
     "bitemporal_read" ->
       """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS vs,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS p FROM orders),

@@ -1387,6 +1387,50 @@ object TextFunctions {
       .filter(col("pos") > 0)
   }
 
+  /** Greedy maximum-coverage selection: pick `k` documents one at a
+    * time, each maximizing the count of terms no earlier pick covers —
+    * the classic (1 − 1/e)-approximate diverse-subset selection
+    * (Nemhauser et al. 1978; facility-location data pruning picks
+    * training subsets exactly this way). Ties break to the smallest
+    * doc id.
+    *
+    * k driver rounds, each one anti-join of the term table against the
+    * covered set + one combinable count + a 1-row argmax — the covered
+    * set grows by one doc's terms per round and rides as a checkpointed
+    * table, so round cost is O(|docTerms|) scans with the anti-join's
+    * pushable hash lookup, never O(k·|docs|²). Output one row per
+    * round: (round, doc_id, n_new, n_covered). */
+  def greedyCoverage(docTerms: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "need 1 <= k <= 1000 greedy rounds")
+    val dt = docTerms
+      .select(col("doc_id").cast("long").as("doc_id"), col("term"))
+      .distinct().cut
+    var covered = dt.select(col("term")).limit(0).cut
+    var total = 0L
+    val picks = Seq.newBuilder[(Long, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best = dt.join(covered, Seq("term"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .agg(max(struct(col("n"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("m.n").as("n"), (-col("m.nid")).as("doc_id"))
+        .collect()
+      if (best.isEmpty || best.head.isNullAt(0)) exhausted = true
+      else {
+        val (n, id) = (best.head.getLong(0), best.head.getLong(1))
+        total += n
+        picks += ((r.toLong, id, n, total))
+        covered = covered.unionByName(
+          dt.filter(col("doc_id") === id).select(col("term"))).cut
+        r += 1
+      }
+    }
+    val spark = docTerms.sparkSession
+    import spark.implicits._
+    picks.result().toDF("round", "doc_id", "n_new", "n_covered")
+  }
+
   /** Zipf rank–frequency diagnostic: the top-k terms with their rank and
     * the rank·frequency product — flat products ≈ Zipfian corpus, a
     * product collapsing at low ranks flags boilerplate domination (the

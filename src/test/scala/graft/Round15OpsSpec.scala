@@ -525,6 +525,29 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(2L) == 2L && out(5L) == 3L)
   }
 
+  // ---- widestPath ----
+
+  test("widestPath takes the max-min bottleneck, not the shortest route") {
+    val e = Seq((1L, 2L, 10L), (2L, 4L, 3L), (1L, 3L, 5L), (3L, 4L, 5L))
+      .toDF("src", "dst", "cap")
+    val out = graft.graph.Fixpoint.widestPath(e, Seq(1L).toDF("node"),
+        sourceWidth = 100L, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // to 4: min(10,3)=3 via 2, min(5,5)=5 via 3 → widest 5
+    assert(out == Map(1L -> 100L, 2L -> 10L, 3L -> 5L, 4L -> 5L))
+  }
+
+  // ---- greedyCoverage ----
+
+  test("greedyCoverage picks marginal-max docs and stops when dry") {
+    val dt = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "c"), (2L, "d"), (3L, "a"), (3L, "b")).toDF("doc_id", "term")
+    val out = TextFunctions.greedyCoverage(dt, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d3 never adds anything once d1 is in; selection stops after d2
+    assert(out.toSeq == Seq((1L, 1L, 3L, 3L), (2L, 2L, 1L, 4L)))
+  }
+
   // ---- bitemporalAsOf ----
 
   test("bitemporalAsOf: corrections visible only after their tx time") {
