@@ -830,6 +830,23 @@ object ScaleSmoke {
         text.Sketches.hllWindowed(ev, "event_type", "user_id",
           expr("unix_micros(ts) div 3600000000"), 3).count()
       }
+      time("widest_path", m) {
+        val e = binTree().withColumn("cap", (col("dst") * 7) % 20 + 1)
+        val seeds = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .filter(col("c_custkey") % 10000000L === 1)
+          .select(col("c_custkey").cast("long").as("node"))
+        graph.Fixpoint.widestPath(e, seeds, 1000000L, 40).count()
+      }
+      time("greedy_coverage5", m) {
+        val sh = docs.select(col("doc_id"),
+            text.TextFunctions.tokens(col("text")).as("a"))
+          .select(col("doc_id"), explode(expr(
+            """zip_with(zip_with(slice(a, 1, greatest(size(a) - 2, 0)),
+              |  slice(a, 2, greatest(size(a) - 2, 0)), (x, y) -> concat(x, '_', y)),
+              |  slice(a, 3, greatest(size(a) - 2, 0)),
+              |  (xy, z) -> concat(xy, '_', z))""".stripMargin)).as("term"))
+        text.TextFunctions.greedyCoverage(sh, 5).count()
+      }
     }
     if (ran == 0)
       System.err.println(
