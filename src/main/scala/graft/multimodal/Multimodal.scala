@@ -226,6 +226,28 @@ object Multimodal {
     }
   }
 
+  /** ViT-style patch plan over opaque byte payloads: for each media row
+    * the (patch_idx, offset, len) grid that a patch-embedding stage
+    * would read — the partitioning/plumbing half of image tokenization
+    * (the decode itself stays a stub per the repo's multimodal
+    * contract). The last patch is short when the payload length is not
+    * a multiple of `patchBytes`; empty payloads produce no patches.
+    * Pure in-row sequence explode — no shuffle, linear scan. Output:
+    * (doc_id, patch_idx, byte_offset, len). */
+  def patchPlan(media: DataFrame, idCol: String, lenCol: String,
+                patchBytes: Int): DataFrame = {
+    require(patchBytes >= 1, "patchBytes must be positive")
+    media.select(col(idCol).cast("long").as("doc_id"),
+        col(lenCol).cast("long").as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("_n"),
+        explode(expr(s"sequence(0L, (_n - 1) div $patchBytes)")).as("patch_idx"))
+      .select(col("doc_id"), col("patch_idx"),
+        (col("patch_idx") * patchBytes).as("byte_offset"),
+        least(lit(patchBytes.toLong), col("_n") - col("patch_idx") * patchBytes)
+          .as("len"))
+  }
+
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long").as("media_id"),

@@ -38,6 +38,35 @@ object Analytics {
       .agg(countDistinct(col("u")).as("n_users"))
   }
 
+  /** Cohort lifetime-value curve: users bucketed by first-activity
+    * period, then the CUMULATIVE value per (cohort, age) cell and its
+    * per-user rate — [[retentionCohorts]]'s triangle with money instead
+    * of presence ("how much has the March cohort spent by month 3").
+    *
+    * Same two-shuffle shape as the retention matrix (per-user min, cell
+    * agg); the cumulative sum is a window over the tiny cohort×offset
+    * grid, not the fact table. Integer throughout: per-user LTV =
+    * cum div cohort size (floor). Output: (cohort_pd, offset_pd,
+    * n_users_cohort, cum_value, ltv_per_user). */
+  def cohortLtv(df: DataFrame, userCol: String, periodCol: Column,
+                valueCol: Column): DataFrame = {
+    val up = df.select(col(userCol).as("u"), periodCol.cast("long").as("pd"),
+      valueCol.cast("long").as("v"))
+    val cohort = up.groupBy(col("u")).agg(min(col("pd")).as("cohort_pd"))
+    val size = cohort.groupBy(col("cohort_pd"))
+      .agg(count(lit(1)).as("n_users_cohort"))
+    val cells = up.join(cohort, Seq("u"))
+      .groupBy(col("cohort_pd"), (col("pd") - col("cohort_pd")).as("offset_pd"))
+      .agg(sum(col("v")).as("cell_v"))
+    val w = Window.partitionBy(col("cohort_pd")).orderBy(col("offset_pd").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_value", sum(col("cell_v")).over(w))
+      .join(broadcast(size), Seq("cohort_pd"))
+      .select(col("cohort_pd"), col("offset_pd"), col("n_users_cohort"),
+        col("cum_value"),
+        expr("cum_value div n_users_cohort").as("ltv_per_user"))
+  }
+
   /** Out-of-fold target encoding (leakage-safe categorical → numeric
     * feature prep): the encoding a row sees for its category EXCLUDES
     * its own fold's rows — `enc(cat, fold) = (Σ_cat target − Σ_{cat,fold}

@@ -399,6 +399,28 @@ object AdvancedQueries {
     TextFunctions.greedyCoverage(shingleTerms(spark, dir), k = 5)
       .orderBy(col("round"))
 
+  /** Weekly-cohort cumulative LTV triangle over event values. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    Analytics.cohortLtv(Tables.events(spark, dir), "user_id",
+        expr("unix_micros(ts) div 604800000000"),
+        floor(col("value") * 100).cast("long"))
+      .orderBy(col("cohort_pd"), col("offset_pd"))
+
+  /** Importance weights bending the full corpus's language mix toward
+    * the doc_id%3 subsample's mix. */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.text.Sampling.importanceWeights(docs,
+        docs.filter(col("doc_id") % 3 === 0), "lang")
+      .orderBy(col("cat"))
+  }
+
+  /** ViT-style 32-byte patch plan over document payload lengths. */
+  def patchGrid(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.patchPlan(Tables.documents(spark, dir),
+        "doc_id", "n_chars", patchBytes = 32)
+      .orderBy(col("doc_id"), col("patch_idx"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -438,6 +460,9 @@ object AdvancedQueries {
     "sketch_hll_windowed" -> (hllWindowed _),
     "graph_widest_path" -> (widestPath _),
     "e2e_coverage_select" -> (coverageSelect _),
+    "analytics_cohort_ltv" -> (cohortLtv _),
+    "sample_importance_weights" -> (importanceWeights _),
+    "multimodal_patch_grid" -> (patchGrid _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -864,6 +889,47 @@ object AdvancedQueries {
          |${percolationBlock(700000L)}
          |SELECT * FROM sm400000 UNION ALL SELECT * FROM sm700000
          |ORDER BY rate_ppm""".stripMargin,
+    "analytics_cohort_ltv" ->
+      """WITH up AS (SELECT user_id AS u, epoch_us(ts) // 604800000000 AS pd,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |co AS (SELECT u, min(pd) AS cohort_pd FROM up GROUP BY u),
+        |sz AS (SELECT cohort_pd, count(*) AS n_users_cohort FROM co GROUP BY 1),
+        |cells AS (SELECT co.cohort_pd, up.pd - co.cohort_pd AS offset_pd,
+        |    sum(v) AS cell_v FROM up JOIN co USING (u) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_pd, offset_pd,
+        |    sum(cell_v) OVER (PARTITION BY cohort_pd ORDER BY offset_pd
+        |      ROWS UNBOUNDED PRECEDING) AS cum_value FROM cells)
+        |SELECT CAST(c.cohort_pd AS BIGINT) AS cohort_pd,
+        |  CAST(c.offset_pd AS BIGINT) AS offset_pd,
+        |  CAST(s.n_users_cohort AS BIGINT) AS n_users_cohort,
+        |  CAST(c.cum_value AS BIGINT) AS cum_value,
+        |  CAST(c.cum_value // s.n_users_cohort AS BIGINT) AS ltv_per_user
+        |FROM cum c JOIN sz s USING (cohort_pd)
+        |ORDER BY cohort_pd, offset_pd""".stripMargin,
+    "sample_importance_weights" ->
+      """WITH s AS (SELECT lang AS cat, count(*) AS n_source FROM documents GROUP BY 1),
+        |t AS (SELECT lang AS cat, count(*) AS n_target FROM documents
+        |  WHERE doc_id % 3 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(n_source) FROM s) AS ns,
+        |  (SELECT sum(n_target) FROM t) AS nt)
+        |SELECT coalesce(s.cat, t.cat) AS cat,
+        |  CAST(coalesce(s.n_source, 0) AS BIGINT) AS n_source,
+        |  CAST(coalesce(t.n_target, 0) AS BIGINT) AS n_target,
+        |  CAST(CASE WHEN s.n_source IS NULL THEN NULL
+        |    ELSE (coalesce(t.n_target, 0) * tot.ns * 1000000)
+        |         // (s.n_source * tot.nt) END AS BIGINT) AS weight_x1e6
+        |FROM s FULL OUTER JOIN t ON s.cat = t.cat CROSS JOIN tot
+        |ORDER BY cat""".stripMargin,
+    "multimodal_patch_grid" ->
+      """WITH m AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+        |nums AS (SELECT i FROM generate_series(0, 4000) g(i)),
+        |p AS (SELECT doc_id, n_chars, i AS patch_idx FROM m
+        |  JOIN nums ON nums.i <= (n_chars - 1) // 32)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(patch_idx AS BIGINT) AS patch_idx,
+        |  CAST(patch_idx * 32 AS BIGINT) AS byte_offset,
+        |  CAST(least(32, n_chars - patch_idx * 32) AS BIGINT) AS len
+        |FROM p ORDER BY doc_id, patch_idx""".stripMargin,
     "graph_widest_path" ->
       s"""WITH RECURSIVE $AncestryEdgesSql,
          |ec AS MATERIALIZED (SELECT src, dst, (dst * 7) % 20 + 1 AS cap FROM e),

@@ -202,6 +202,35 @@ object Sampling {
       .drop("_cap_rk")
   }
 
+  /** Importance-resampling weights: per category the ratio of the
+    * TARGET distribution's share to the SOURCE's, as an exact ×10^6
+    * integer — `w_c = (n_target_c · N_source · 10^6) div
+    * (n_source_c · N_target)` — the domain-reweighting table that bends
+    * a source corpus toward a reference mix (weights multiply into
+    * sampling rates or loss weights downstream; the apply is one
+    * broadcast join). Categories absent from the target weigh 0;
+    * categories absent from the source are REPORTED with weight NULL
+    * (unreachable mass — silently dropping them would hide the gap).
+    * Output: (cat, n_source, n_target, weight_x1e6). */
+  def importanceWeights(source: DataFrame, target: DataFrame,
+                        catCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) = df
+      .select(col(catCol).as("cat")).groupBy(col("cat"))
+      .agg(count(lit(1)).as(n))
+    val s = counts(source, "n_source")
+    val t = counts(target, "n_target")
+    val totals = s.agg(sum(col("n_source")).as("ns"))
+      .crossJoin(t.agg(sum(col("n_target")).as("nt")))
+    s.join(t, Seq("cat"), "full_outer").crossJoin(broadcast(totals))
+      .select(col("cat"),
+        coalesce(col("n_source"), lit(0L)).as("n_source"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"),
+        when(col("n_source").isNull, lit(null).cast("long"))
+          .otherwise(expr(
+            "(coalesce(n_target, 0) * ns * 1000000) div (n_source * nt)"))
+          .as("weight_x1e6"))
+  }
+
   /** Deterministic mixture schedule: interleave groups into ONE epoch
     * stream so that after any prefix each group's share tracks its
     * weight — smooth weighted round-robin (the SMT/WRR position rule:

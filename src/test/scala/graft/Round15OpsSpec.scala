@@ -525,6 +525,43 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(2L) == 2L && out(5L) == 3L)
   }
 
+  // ---- cohortLtv ----
+
+  test("cohortLtv: cumulative value and per-user floor rates") {
+    val ev = Seq(("A", 0L, 10L), ("A", 1L, 20L), ("B", 0L, 5L), ("C", 1L, 7L))
+      .toDF("u", "pd", "cents")
+    val out = Analytics.cohortLtv(ev, "u", col("pd"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((0L, 0L)) == (2L, 15L, 7L))
+    assert(out((0L, 1L)) == (2L, 35L, 17L))
+    assert(out((1L, 0L)) == (1L, 7L, 7L))
+  }
+
+  // ---- importanceWeights ----
+
+  test("importanceWeights: exact share ratios, loud unreachable mass") {
+    val src = Seq("a", "a", "b", "b").toDF("lang")
+    val tgt = Seq("a", "c").toDF("lang")
+    val out = graft.text.Sampling.importanceWeights(src, tgt, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out("a") == (2L, 1L, Some(1000000L))) // (1·4·1e6)/(2·2)
+    assert(out("b") == (2L, 0L, Some(0L)))
+    assert(out("c") == (0L, 1L, None)) // in target, absent from source
+  }
+
+  // ---- patchPlan ----
+
+  test("patchPlan: full patches plus the short tail, empty payloads skip") {
+    val m = Seq((1L, 70L), (2L, 32L), (3L, 0L)).toDF("id", "n")
+    val out = graft.multimodal.Multimodal.patchPlan(m, "id", "n", 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map((1L, 0L) -> (0L, 32L), (1L, 1L) -> (32L, 32L),
+      (1L, 2L) -> (64L, 6L), (2L, 0L) -> (0L, 32L)))
+  }
+
   // ---- widestPath ----
 
   test("widestPath takes the max-min bottleneck, not the shortest route") {
