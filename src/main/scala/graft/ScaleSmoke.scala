@@ -837,6 +837,19 @@ object ScaleSmoke {
           .select(col("c_custkey").cast("long").as("node"))
         graph.Fixpoint.widestPath(e, seeds, 1000000L, 40).count()
       }
+      time("cohort_ltv", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        operators.Analytics.cohortLtv(ev, "user_id",
+          expr("unix_micros(ts) div 604800000000"),
+          floor(col("value") * 100).cast("long")).count()
+      }
+      time("importance_weights", m) {
+        text.Sampling.importanceWeights(docs,
+          docs.filter(col("doc_id") % 3 === 0), "lang").count()
+      }
+      time("patch_grid", m) {
+        multimodal.Multimodal.patchPlan(docs, "doc_id", "n_chars", 32).count()
+      }
       time("greedy_coverage5", m) {
         val sh = docs.select(col("doc_id"),
             text.TextFunctions.tokens(col("text")).as("a"))
