@@ -238,6 +238,41 @@ object Fixpoint {
     dist
   }
 
+  /** Incremental connected-components maintenance: fold NEW edges into
+    * an existing (node, component) labeling WITHOUT re-running CC on the
+    * full graph — the edge-arrival form of the incremental-view family
+    * ([[graft.operators.Changelog.maintainJoin]] for joins, this for
+    * connectivity). New edges project onto component ids (nodes never
+    * seen before label themselves), and [[connectedComponents]] runs on
+    * that QUOTIENT graph — |affected components| super-nodes, not |V| —
+    * then one join relabels. Because stored labels are component-minimum
+    * node ids and the quotient fixpoint again takes minima, the result
+    * is IDENTICAL to a full recompute over old ∪ new edges (the property
+    * the gate checks). Deletions are out of scope by design — removing
+    * an edge can split a component, which needs a full (or
+    * spanning-tree-assisted) recompute. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val lab = labels.select(col("node"), col("component")).cut
+    val ends = newEdges.select(col("a"), col("b"))
+    def proj(k: String) = lab.select(col("node").as(k), col("component").as(s"_c$k"))
+    val superEdges = ends
+      .join(proj("a"), Seq("a"), "left")
+      .join(proj("b"), Seq("b"), "left")
+      .select(coalesce(col("_ca"), col("a")).as("a"),
+        coalesce(col("_cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val quotient = connectedComponents(superEdges)
+      .select(col("node").as("old_component"), col("component").as("merged"))
+    val newNodes = ends.select(col("a").as("node"))
+      .unionByName(ends.select(col("b").as("node"))).distinct()
+      .join(lab.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    lab.unionByName(newNodes)
+      .join(quotient, col("component") === col("old_component"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("component")).as("component"))
+  }
+
   /** Widest-path (bottleneck) routing: for every node the maximum over
     * paths from the seeds of the MINIMUM edge capacity along the path —
     * the max-min semiring twin of [[sssp]] ("how much bandwidth/trust

@@ -787,6 +787,31 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** Ranking quality without logarithms: harmonic-discounted cumulative
+    * gain — `hdcg = Σ rel_i · (10^6 div rank_i)`, normalized by the
+    * ideal ordering (relevance desc, id asc) of the SAME result set —
+    * the NDCG shape with the 1/rank discount replacing 1/log2(rank+1)
+    * so every number is an exact integer any engine reproduces (the
+    * monotone-surrogate rule of the BM25/tf-idf family: same ordering
+    * semantics, no float drift). One window over the k-row result list.
+    * Output one row: (n_results, hdcg, ideal_hdcg, nhdcg_ppm). */
+  def rankingQualityHdcg(ranked: DataFrame, relevance: DataFrame): DataFrame = {
+    val joined = ranked.select(col("rank").cast("long").as("rank"),
+        col("doc_id"))
+      .join(relevance.select(col("doc_id"), col("rel").cast("long").as("rel")),
+        Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val ideal = joined
+      .withColumn("irank", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
+    ideal.agg(count(lit(1)).as("n_results"),
+      sum(expr("rel * (1000000 div rank)")).as("hdcg"),
+      sum(expr("rel * (1000000 div irank)")).as("ideal_hdcg"))
+      .select(col("n_results"), col("hdcg"), col("ideal_hdcg"),
+        when(col("ideal_hdcg") === 0, lit(0L))
+          .otherwise(expr("(hdcg * 1000000) div ideal_hdcg")).as("nhdcg_ppm"))
+  }
+
   /** Benford first-digit deviation: observed leading-digit mix of a
     * positive integral measure against the Benford expectation
     * (Newcomb 1881 / Benford 1938, log10(1 + 1/d) in exact ppm

@@ -421,6 +421,23 @@ object AdvancedQueries {
         "doc_id", "n_chars", patchBytes = 32)
       .orderBy(col("doc_id"), col("patch_idx"))
 
+  /** Incremental CC maintenance: components of the fragmented k<1000
+    * ancestry forest (every fifth child edge dropped), then bridge edges
+    * folded in through the quotient-graph fixpoint — must equal the full
+    * recompute over old ∪ new. */
+  def incrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val base = ancestryEdges(spark, dir)
+      .filter(col("dst") < 1000 && col("dst") % 5 =!= 0)
+      .select(col("src").as("a"), col("dst").as("b"))
+    val labels = graft.graph.Fixpoint.connectedComponents(base)
+    val newEdges = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") % 97 === 0 && col("k") + 1 < 1000 && col("k") > 0)
+      .select(col("k").as("a"), (col("k") + 1).as("b"))
+    graft.graph.Fixpoint.incrementalComponents(labels, newEdges)
+      .orderBy(col("node"))
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -463,6 +480,7 @@ object AdvancedQueries {
     "analytics_cohort_ltv" -> (cohortLtv _),
     "sample_importance_weights" -> (importanceWeights _),
     "multimodal_patch_grid" -> (patchGrid _),
+    "graph_incremental_cc" -> (incrementalCc _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -889,6 +907,27 @@ object AdvancedQueries {
          |${percolationBlock(700000L)}
          |SELECT * FROM sm400000 UNION ALL SELECT * FROM sm700000
          |ORDER BY rate_ppm""".stripMargin,
+    "graph_incremental_cc" ->
+      """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |be AS MATERIALIZED (
+        |  SELECT k // 2 AS a, k AS b FROM c WHERE k >= 2 AND k < 1000 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k // 4, k FROM c WHERE k >= 4 AND k < 1000 AND k % 5 <> 0),
+        |ne AS MATERIALIZED (SELECT k AS a, k + 1 AS b FROM c
+        |  WHERE k % 97 = 0 AND k + 1 < 1000 AND k > 0),
+        |ae AS MATERIALIZED (SELECT a, b FROM be UNION ALL SELECT a, b FROM ne),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+        |  SELECT a AS n FROM ae UNION ALL SELECT b AS n FROM ae)),
+        |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        |  SELECT a, b FROM ae UNION ALL SELECT b, a FROM ae) WHERE a <> b),
+        |reach AS (
+        |  SELECT a AS node, b AS reachable FROM und
+        |  UNION
+        |  SELECT rr.node, u.b FROM reach rr JOIN und u ON rr.reachable = u.a)
+        |SELECT n.n AS node,
+        |  CAST(least(n.n, coalesce(min(rr.reachable), n.n)) AS BIGINT) AS component
+        |FROM nodes n LEFT JOIN reach rr ON rr.node = n.n
+        |GROUP BY n.n ORDER BY node""".stripMargin,
     "analytics_cohort_ltv" ->
       """WITH up AS (SELECT user_id AS u, epoch_us(ts) // 604800000000 AS pd,
         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),

@@ -295,6 +295,21 @@ object LlmQueries {
     TextFunctions.searchRanked(Tables.documents(spark, dir), "doc_id", "text",
       Seq("join", "window", "hash"), k = 10)
 
+  /** Ranking-quality read-out of the conjunctive BM25 search: harmonic-
+    * discounted cumulative gain vs the ideal ordering under a
+    * deterministic relevance assignment
+    * ([[graft.operators.Analytics.rankingQualityHdcg]]). */
+  def textRankingHdcg(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = textSearchRanked(spark, dir)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("score_x1e6").desc, col("doc_id").asc)))
+    val rel = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (col("doc_id") % 4).as("rel"))
+    graft.operators.Analytics.rankingQualityHdcg(ranked, rel)
+  }
+
   /** Winsorize per-language doc lengths into the [p05, p95] band — the
     * outlier APPLY step (clamp, don't drop). */
   def textWinsorize(spark: SparkSession, dir: String): DataFrame =
@@ -847,6 +862,7 @@ object LlmQueries {
     "sketch_quantile_merge" -> (sketchQuantileMerge _),
     "text_bm25" -> (textBm25 _),
     "text_search_ranked" -> (textSearchRanked _),
+    "text_ranking_hdcg" -> (textRankingHdcg _),
     "sim_ann_recall" -> (simAnnRecall _),
     "text_winsorize" -> (textWinsorize _),
   )
@@ -2651,6 +2667,33 @@ object LlmQueries {
          |  GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, CAST(score AS BIGINT) AS score_x1e6
          |FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "text_ranking_hdcg" ->
+      s"""WITH $TextCtes,
+         |$Bm25Ctes,
+         |q AS (SELECT unnest([
+         |  CAST(('0x' || substr(md5('join'),1,14)) AS BIGINT),
+         |  CAST(('0x' || substr(md5('window'),1,14)) AS BIGINT),
+         |  CAST(('0x' || substr(md5('hash'),1,14)) AS BIGINT)]) AS wid),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_terms_hit, sum(bm25_x1e6) AS score
+         |  FROM sc2 JOIN q USING (wid)
+         |  GROUP BY doc_id HAVING count(*) = 3),
+         |topk AS MATERIALIZED (SELECT doc_id, score FROM hits
+         |  ORDER BY score DESC, doc_id ASC LIMIT 10),
+         |rk AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+         |      AS rank,
+         |    CAST(doc_id % 4 AS BIGINT) AS rel FROM topk),
+         |ir AS (SELECT rank, rel,
+         |    CAST(row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS BIGINT)
+         |      AS irank FROM rk)
+         |SELECT CAST(count(*) AS BIGINT) AS n_results,
+         |  CAST(sum(rel * (1000000 // rank)) AS BIGINT) AS hdcg,
+         |  CAST(sum(rel * (1000000 // irank)) AS BIGINT) AS ideal_hdcg,
+         |  CAST(CASE WHEN sum(rel * (1000000 // irank)) = 0 THEN 0
+         |    ELSE (sum(rel * (1000000 // rank)) * 1000000)
+         |         // sum(rel * (1000000 // irank)) END AS BIGINT) AS nhdcg_ppm
+         |FROM ir""".stripMargin,
   )
 
 }

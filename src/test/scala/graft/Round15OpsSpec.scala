@@ -525,6 +525,34 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(2L) == 2L && out(5L) == 3L)
   }
 
+  // ---- incrementalComponents ----
+
+  test("incrementalComponents equals a full recompute after new edges") {
+    val base = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val labels = graft.graph.Fixpoint.connectedComponents(base)
+    val newEdges = Seq((2L, 3L), (7L, 8L)).toDF("a", "b")
+    val got = graft.graph.Fixpoint.incrementalComponents(labels, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    val full = graft.graph.Fixpoint.connectedComponents(
+        base.unionByName(newEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+  }
+
+  // ---- rankingQualityHdcg ----
+
+  test("rankingQualityHdcg: exact harmonic gains vs the ideal order") {
+    val ranked = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("rank", "doc_id")
+    val rel = Seq((10L, 1L), (20L, 3L)).toDF("doc_id", "rel") // 30 missing → 0
+    val r = Analytics.rankingQualityHdcg(ranked, rel).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 2500000L) // 1·1e6 + 3·5e5
+    assert(r.getLong(2) == 3500000L) // ideal: 3·1e6 + 1·5e5
+    assert(r.getLong(3) == 714285L)
+  }
+
   // ---- cohortLtv ----
 
   test("cohortLtv: cumulative value and per-user floor rates") {
