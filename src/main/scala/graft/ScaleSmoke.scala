@@ -850,6 +850,16 @@ object ScaleSmoke {
       time("patch_grid", m) {
         multimodal.Multimodal.patchPlan(docs, "doc_id", "n_chars", 32).count()
       }
+      time("incremental_cc", m) {
+        val base = binTree().filter(col("dst") % 5 =!= 0)
+          .select(col("src").as("a"), col("dst").as("b"))
+        val labels = graph.Fixpoint.connectedComponents(base)
+        val newE = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+          .filter(col("k") % 97 === 0 && col("k") > 0)
+          .select(col("k").as("a"), (col("k") + 1).as("b"))
+        graph.Fixpoint.incrementalComponents(labels, newE).count()
+      }
       time("greedy_coverage5", m) {
         val sh = docs.select(col("doc_id"),
             text.TextFunctions.tokens(col("text")).as("a"))

@@ -812,6 +812,39 @@ object Analytics {
           .otherwise(expr("(hdcg * 1000000) div ideal_hdcg")).as("nhdcg_ppm"))
   }
 
+  /** Pareto concentration point: how many top entities carry
+    * `thresholdPpm` of the total — the "does 20% of the corpus carry
+    * 80% of the tokens" read-out (the scalar twin of [[giniByGroup]];
+    * same sorted-prefix machinery, answering the planning question
+    * directly). One per-entity aggregation, then a running sum over the
+    * ENTITY list (not raw rows) under the (value desc, entity asc)
+    * total order. Output one row: (n_entities, total, k_threshold,
+    * k_share_ppm) — k_threshold = smallest k whose top-k sum reaches
+    * the threshold (0 when total = 0). */
+  def paretoPoint(df: DataFrame, entityCol: Column, valueCol: Column,
+                  thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      "thresholdPpm must be in [0, 1e6]")
+    val per = df.select(entityCol.as("e"), valueCol.cast("long").as("v"))
+      .groupBy(col("e")).agg(sum(col("v")).as("v"))
+    val w = Window.orderBy(col("v").desc, col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("total", sum(col("v")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("v")).over(w))
+      .withColumn("k", row_number().over(Window.orderBy(col("v").desc, col("e").asc))
+        .cast("long"))
+      .agg(count(lit(1)).as("n_entities"), max(col("total")).as("total"),
+        min(when(col("cum") * 1000000 >= lit(thresholdPpm) * col("total"),
+          col("k"))).as("_kt"))
+      .withColumn("total", coalesce(col("total"), lit(0L)))
+      .select(col("n_entities"), col("total"),
+        coalesce(col("_kt"), lit(0L)).as("k_threshold"),
+        when(col("n_entities") === 0, lit(0L))
+          .otherwise(expr("(coalesce(_kt, 0) * 1000000) div n_entities"))
+          .as("k_share_ppm"))
+  }
+
   /** Benford first-digit deviation: observed leading-digit mix of a
     * positive integral measure against the Benford expectation
     * (Newcomb 1881 / Benford 1938, log10(1 + 1/d) in exact ppm

@@ -438,6 +438,23 @@ object AdvancedQueries {
       .orderBy(col("node"))
   }
 
+  /** IP-in-CIDR containment join on key-derived addresses and networks. */
+  def cidrContain(spark: SparkSession, dir: String): DataFrame = {
+    val ips = Tables.customer(spark, dir).select(col("c_custkey").as("id"),
+      expr("(c_custkey * 2654435761) % 4294967296").as("ip"))
+    val nets = Tables.supplier(spark, dir).select(col("s_suppkey").as("net_id"),
+      expr("((s_suppkey * 40503) % 65536) * 65536").as("base"),
+      (lit(8) + col("s_suppkey") % 9).as("prefix_len"))
+    graft.operators.Network.cidrContainJoin(ips, nets)
+      .withColumn("prefix_len", col("prefix_len").cast("long"))
+      .orderBy(col("id"), col("net_id"))
+  }
+
+  /** Pareto concentration: how many customers carry 80% of order value. */
+  def paretoPoint(spark: SparkSession, dir: String): DataFrame =
+    Analytics.paretoPoint(Tables.orders(spark, dir), col("o_custkey"),
+      floor(col("o_totalprice") * 100).cast("long"), thresholdPpm = 800000L)
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -481,6 +498,8 @@ object AdvancedQueries {
     "sample_importance_weights" -> (importanceWeights _),
     "multimodal_patch_grid" -> (patchGrid _),
     "graph_incremental_cc" -> (incrementalCc _),
+    "join_cidr_contain" -> (cidrContain _),
+    "analytics_pareto_point" -> (paretoPoint _),
   )
 
   /** Unrolled BFS-with-path-counts rounds (sigma sums, frontier =
@@ -907,6 +926,33 @@ object AdvancedQueries {
          |${percolationBlock(700000L)}
          |SELECT * FROM sm400000 UNION ALL SELECT * FROM sm700000
          |ORDER BY rate_ppm""".stripMargin,
+    "join_cidr_contain" ->
+      """WITH i AS (SELECT c_custkey AS id,
+        |    (c_custkey * 2654435761) % 4294967296 AS ip FROM customer),
+        |n AS (SELECT s_suppkey AS net_id,
+        |    ((s_suppkey * 40503) % 65536) * 65536 AS base,
+        |    8 + (s_suppkey % 9) AS prefix_len FROM supplier)
+        |SELECT id, CAST(ip AS BIGINT) AS ip, net_id, CAST(base AS BIGINT) AS base,
+        |  CAST(prefix_len AS BIGINT) AS prefix_len
+        |FROM i, n
+        |WHERE ip >= base AND ip < base + (CAST(1 AS BIGINT) << (32 - prefix_len))
+        |ORDER BY id, net_id""".stripMargin,
+    "analytics_pareto_point" ->
+      """WITH per AS (SELECT o_custkey AS e,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT e, v,
+        |    sum(v) OVER () AS total,
+        |    sum(v) OVER (ORDER BY v DESC, e ASC ROWS UNBOUNDED PRECEDING) AS cum,
+        |    CAST(row_number() OVER (ORDER BY v DESC, e ASC) AS BIGINT) AS k
+        |  FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(max(total) AS BIGINT) AS total,
+        |  CAST(coalesce(min(CASE WHEN cum * 1000000 >= 800000 * total
+        |    THEN k END), 0) AS BIGINT) AS k_threshold,
+        |  CAST((coalesce(min(CASE WHEN cum * 1000000 >= 800000 * total
+        |    THEN k END), 0) * 1000000) // count(*) AS BIGINT) AS k_share_ppm
+        |FROM r""".stripMargin,
     "graph_incremental_cc" ->
       """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
         |be AS MATERIALIZED (

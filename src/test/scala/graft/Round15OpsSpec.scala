@@ -525,6 +525,32 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(2L) == 2L && out(5L) == 3L)
   }
 
+  // ---- cidrContainJoin ----
+
+  test("cidrContainJoin: mask containment across /16 buckets, loud guard") {
+    val ips = Seq((1L, 167772160L + 200L * 65536 + 1), // 10.200.0.1
+      (2L, 3232235521L)).toDF("id", "ip")              // 192.168.0.1
+    val nets = Seq((10L, 167772160L, 8), (20L, 3232235520L, 30))
+      .toDF("net_id", "base", "prefix_len")            // 10/8, 192.168.0.0/30
+    val out = graft.operators.Network.cidrContainJoin(ips, nets)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == Set((1L, 10L), (2L, 20L))) // the /8 match crosses buckets
+    val bad = Seq((1L, 0L, 7)).toDF("net_id", "base", "prefix_len")
+    intercept[Exception] {
+      graft.operators.Network.cidrContainJoin(ips, bad).collect()
+    }
+  }
+
+  // ---- paretoPoint ----
+
+  test("paretoPoint: smallest top-k reaching the threshold share") {
+    val df = Seq(("a", 80L), ("b", 10L), ("c", 10L)).toDF("e", "v")
+    val r = Analytics.paretoPoint(df, col("e"), col("v"), 800000L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 100L, 1L, 333333L))
+  }
+
   // ---- incrementalComponents ----
 
   test("incrementalComponents equals a full recompute after new edges") {
