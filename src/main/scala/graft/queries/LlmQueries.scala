@@ -295,6 +295,32 @@ object LlmQueries {
     TextFunctions.searchRanked(Tables.documents(spark, dir), "doc_id", "text",
       Seq("join", "window", "hash"), k = 10)
 
+  /** Blocking-quality report for the LSH candidate generation: reduction
+    * ratio (how much of the O(n²) pair space the bands prune away) and
+    * pair completeness (the fraction of TRUE near-dup pairs the
+    * candidates retain, vs the exact [[Dedup.allPairsJaccard]] ground
+    * truth) — the two numbers every entity-resolution blocking scheme
+    * must report before anyone trusts its output (Christen 2012). */
+  def dedupBlockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val cand = Dedup.lshCandidates(sh).localCheckpoint(false)
+    val truth = Dedup.allPairsJaccard(sh, 500000L)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_docs"),
+        expr("(n_docs * (n_docs - 1)) div 2").as("n_possible"),
+        col("n_candidates"), col("n_truth"), col("n_hit"),
+        expr("1000000 - (n_candidates * 1000000) div " +
+          "((n_docs * (n_docs - 1)) div 2)").as("reduction_ppm"),
+        expr("case when n_truth = 0 then 1000000 " +
+          "else (n_hit * 1000000) div n_truth end").as("completeness_ppm"))
+  }
+
   /** Ranking-quality read-out of the conjunctive BM25 search: harmonic-
     * discounted cumulative gain vs the ideal ordering under a
     * deterministic relevance assignment
@@ -863,6 +889,7 @@ object LlmQueries {
     "text_bm25" -> (textBm25 _),
     "text_search_ranked" -> (textSearchRanked _),
     "text_ranking_hdcg" -> (textRankingHdcg _),
+    "dedup_blocking_quality" -> (dedupBlockingQuality _),
     "sim_ann_recall" -> (simAnnRecall _),
     "text_winsorize" -> (textWinsorize _),
   )
@@ -2667,6 +2694,43 @@ object LlmQueries {
          |  GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, CAST(score AS BIGINT) AS score_x1e6
          |FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "dedup_blocking_quality" ->
+      s"""WITH $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |truth AS MATERIALIZED (
+         |  SELECT da, db
+         |  FROM inter JOIN shsize na ON da = na.doc_id
+         |             JOIN shsize nb ON db = nb.doc_id
+         |  WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 500000),
+         |hit AS (SELECT t.da, t.db FROM truth t
+         |  JOIN cand c ON t.da = c.da AND t.db = c.db),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT n AS n_docs,
+         |  CAST((n * (n - 1)) // 2 AS BIGINT) AS n_possible,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CAST(1000000 - ((SELECT count(*) FROM cand) * 1000000)
+         |       // ((n * (n - 1)) // 2) AS BIGINT) AS reduction_ppm,
+         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
+         |    ELSE ((SELECT count(*) FROM hit) * 1000000)
+         |         // (SELECT count(*) FROM truth) END AS BIGINT)
+         |    AS completeness_ppm
+         |FROM nd""".stripMargin,
     "text_ranking_hdcg" ->
       s"""WITH $TextCtes,
          |$Bm25Ctes,
