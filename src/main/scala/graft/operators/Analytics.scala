@@ -835,7 +835,10 @@ object Analytics {
       .withColumn("k", row_number().over(Window.orderBy(col("v").desc, col("e").asc))
         .cast("long"))
       .agg(count(lit(1)).as("n_entities"), max(col("total")).as("total"),
-        min(when(col("cum") * 1000000 >= lit(thresholdPpm) * col("total"),
+        // ×1e6 threshold comparison in decimal(38,0): cum·1e6 and ppm·total
+        // overflow bigint past ~9.2e12 grand totals (same guard as giniByGroup).
+        min(when(col("cum").cast("decimal(38,0)") * 1000000 >=
+            lit(thresholdPpm).cast("decimal(38,0)") * col("total"),
           col("k"))).as("_kt"))
       .withColumn("total", coalesce(col("total"), lit(0L)))
       .select(col("n_entities"), col("total"),

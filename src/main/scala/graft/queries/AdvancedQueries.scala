@@ -54,10 +54,10 @@ object AdvancedQueries {
 
   private val ShingleTermsSql =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |nums AS (SELECT i FROM generate_series(1, 4000) g(i)),
       |dt AS MATERIALIZED (
-      |  SELECT doc_id, toks[i] || '_' || toks[i+1] || '_' || toks[i+2] AS term
-      |  FROM t JOIN nums ON nums.i <= len(toks) - 2)""".stripMargin
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+      |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS term
+      |  FROM t)""".stripMargin
 
   // ---------------------------------------------------------------- graph
 
@@ -1007,9 +1007,8 @@ object AdvancedQueries {
         |ORDER BY cat""".stripMargin,
     "multimodal_patch_grid" ->
       """WITH m AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
-        |nums AS (SELECT i FROM generate_series(0, 4000) g(i)),
-        |p AS (SELECT doc_id, n_chars, i AS patch_idx FROM m
-        |  JOIN nums ON nums.i <= (n_chars - 1) // 32)
+        |p AS (SELECT doc_id, n_chars,
+        |  unnest(range(0, (n_chars - 1) // 32 + 1)) AS patch_idx FROM m)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(patch_idx AS BIGINT) AS patch_idx,
         |  CAST(patch_idx * 32 AS BIGINT) AS byte_offset,

@@ -365,25 +365,6 @@ object Sketches {
       .select(col("k").as(keyCol), col("n_key"), col("n_total"))
   }
 
-  /** KMV set-operation estimates: union AND intersection cardinality of
-    * two key sets from two k-sized hash samples (Beyer et al. 2007 —
-    * the "distinct-value synopses" the KMV family exists for). The
-    * anti-entropy question ("how much do these two epochs/sources
-    * overlap") answered from two KB-sized summaries instead of a
-    * distinct-join over both tables.
-    *
-    *   - each side keeps its k smallest distinct hashes (one sort-limit
-    *     each — TakeOrderedAndProject, no global shuffle of the data);
-    *   - the union KMV = k smallest of the merged samples, giving
-    *     `est_union = (k-1)·2^56 div h_k` exactly as [[kmvDistinct]];
-    *   - intersection via the Jaccard of the union sample:
-    *     `est_inter = |union-sample ∩ both sides| · est_union div k`.
-    *
-    * Everything after the two per-side scans runs on ≤ 2k rows on the
-    * driver-free plan; deterministic because the hash is. When the
-    * merged sample holds fewer than k hashes both sides were sampled
-    * exhaustively and the estimates ARE the exact counts. Output one
-    * row: (k, est_union, est_inter). */
   /** Trailing-window distinct estimate from time-bucketed HLL registers:
     * registers are built once per (group, time bucket) — the KB-sized
     * mergeable state a streaming/warehouse pipeline stores per hour —
@@ -419,9 +400,32 @@ object Sketches {
       .select(col("g.g").as("g"), col("g.b").as("bucket"), col("est_distinct"))
   }
 
+  /** KMV set-operation estimates: union AND intersection cardinality of
+    * two key sets from two k-sized hash samples (Beyer et al. 2007 —
+    * the "distinct-value synopses" the KMV family exists for). The
+    * anti-entropy question ("how much do these two epochs/sources
+    * overlap") answered from two KB-sized summaries instead of a
+    * distinct-join over both tables.
+    *
+    *   - each side keeps its k smallest distinct hashes (one sort-limit
+    *     each — TakeOrderedAndProject, no global shuffle of the data);
+    *   - the union KMV = k smallest of the merged samples, giving
+    *     `est_union = (k-1)·2^56 div h_k` exactly as [[kmvDistinct]];
+    *   - intersection via the Jaccard of the union sample:
+    *     `est_inter = |union-sample ∩ both sides| · est_union div k`.
+    *
+    * Everything after the two per-side scans runs on ≤ 2k rows on the
+    * driver-free plan; deterministic because the hash is. When the
+    * merged sample holds fewer than k hashes both sides were sampled
+    * exhaustively and the estimates ARE the exact counts. Output one
+    * row: (k, est_union, est_inter). */
   def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2 && k <= 4096, "KMV set ops need 2 <= k <= 4096")
-    val estNumerator = (k - 1).toLong * MaxHash
+    // (k-1)·2^56 overflows signed 64-bit for k >= 129, so the estimator is
+    // computed exactly driver-side as BigInt and carried into the plan as a
+    // decimal(38,0) literal; `div` (integral divide) still yields a long.
+    val estNumerator = BigInt(k - 1) * BigInt(MaxHash)
+    val estNum = s"cast('$estNumerator' as decimal(38,0))"
     def sample(df: DataFrame, side: String) = df
       .select(md5_prefix64(col(valueCol).cast("string")).as("h")).distinct()
       .orderBy(col("h").asc).limit(k)
@@ -435,11 +439,11 @@ object Sketches {
         sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("n_both"))
       .select(lit(k.toLong).as("k"),
         when(col("n_seen") < k, col("n_seen"))
-          .otherwise(expr(s"$estNumerator div greatest(kth_hash, 1)"))
+          .otherwise(expr(s"$estNum div greatest(kth_hash, 1)"))
           .as("est_union"),
         when(col("n_seen") < k, col("n_both"))
           .otherwise(expr(
-            s"(n_both * ($estNumerator div greatest(kth_hash, 1))) div $k"))
+            s"(cast(n_both as decimal(38,0)) * ($estNum div greatest(kth_hash, 1))) div $k"))
           .as("est_inter"))
   }
 }

@@ -1431,17 +1431,6 @@ object TextFunctions {
     picks.result().toDF("round", "doc_id", "n_new", "n_covered")
   }
 
-  /** Zipf rank–frequency diagnostic: the top-k terms with their rank and
-    * the rank·frequency product — flat products ≈ Zipfian corpus, a
-    * product collapsing at low ranks flags boilerplate domination (the
-    * scalar twin of [[vocabGrowth]]'s curve; Zipf 1949). Input is a
-    * (doc_id, term) occurrence table with repetition.
-    *
-    * One corpus count shuffle, then TakeOrderedAndProject keeps k rows
-    * before the single-partition rank window ever runs — the window
-    * touches k rows, not the vocabulary. Total order (freq desc, term
-    * asc) makes ranks deterministic. Output: (rank, term, freq,
-    * rank_x_freq). */
   /** Per-document n-gram novelty under the deterministic hash order of
     * [[vocabGrowth]]: the fraction of a document's DISTINCT terms that
     * no earlier-ranked document contains — the marginal-contribution
@@ -1473,6 +1462,17 @@ object TextFunctions {
         expr("(n_novel * 1000000) div n_terms").as("novelty_ppm"))
   }
 
+  /** Zipf rank–frequency diagnostic: the top-k terms with their rank and
+    * the rank·frequency product — flat products ≈ Zipfian corpus, a
+    * product collapsing at low ranks flags boilerplate domination (the
+    * scalar twin of [[vocabGrowth]]'s curve; Zipf 1949). Input is a
+    * (doc_id, term) occurrence table with repetition.
+    *
+    * One corpus count shuffle, then TakeOrderedAndProject keeps k rows
+    * before the single-partition rank window ever runs — the window
+    * touches k rows, not the vocabulary. Total order (freq desc, term
+    * asc) makes ranks deterministic. Output: (rank, term, freq,
+    * rank_x_freq). */
   def zipfRanks(docTerms: DataFrame, k: Int): DataFrame = {
     val counts = docTerms.groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term").asc).limit(k)
