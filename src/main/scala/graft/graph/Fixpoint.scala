@@ -807,13 +807,39 @@ object Fixpoint {
     * component-label equi-joins + one distinct. */
   def condensationEdges(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val comp = stronglyConnectedComponents(e)
-    e.join(comp.select(col("node").as("src"), col("component").as("comp_src")),
+    condensationEdges(stronglyConnectedComponents(e), e)
+  }
+
+  /** Condensation from PRECOMPUTED component labels — the quotient step
+    * alone (two label equi-joins + one distinct), for pipelines that
+    * already ran [[stronglyConnectedComponents]] (or read its persisted
+    * assignment via [[sccArtifact]]) and must not pay the multi-fixpoint
+    * a second time. `labels` is the (node, component) assignment. */
+  def condensationEdges(labels: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .join(labels.select(col("node").as("src"), col("component").as("comp_src")),
         Seq("src"))
-      .join(comp.select(col("node").as("dst"), col("component").as("comp_dst")),
+      .join(labels.select(col("node").as("dst"), col("component").as("comp_dst")),
         Seq("dst"))
       .filter(col("comp_src") =!= col("comp_dst"))
       .select(col("comp_src"), col("comp_dst")).distinct()
+
+  /** Build-or-load a persisted SCC assignment, exactly like
+    * [[graft.similarity.Similarity.kmeansArtifact]] persists the Lloyd
+    * clustering: the FW-BW fixpoint runs once per graph version and
+    * every consumer (the condensation quotient, topo processing over
+    * it, impact analysis) reads the KB-to-GB-sized (node, component)
+    * parquet back. [[stronglyConnectedComponents]] is deterministic, so
+    * a cached artifact is byte-identical to a fresh run — callers key
+    * `artifactDir` by a fingerprint of the edge source so a regenerated
+    * graph at the same path can never serve stale labels. */
+  def sccArtifact(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+                  artifactDir: String): DataFrame = {
+    val marker = new java.io.File(artifactDir, "_SUCCESS")
+    if (!marker.exists())
+      stronglyConnectedComponents(edges)
+        .write.mode("overwrite").parquet(artifactDir)
+    spark.read.parquet(artifactDir)
   }
 
   /** Jones–Plassmann greedy graph coloring: a node colors itself the

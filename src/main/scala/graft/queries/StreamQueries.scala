@@ -597,14 +597,32 @@ object StreamQueries {
       .join(n.select(col("k").as("dst")), Seq("dst"), "left_semi")
   }
 
+  /** Shared SCC assignment for the rings-on-a-tree digraph, persisted
+    * via [[graft.graph.Fixpoint.sccArtifact]] so the multi-fixpoint
+    * runs once per corpus version and both the SCC gate and the
+    * condensation quotient read the labels back (artifact key =
+    * size+mtime fingerprint of the customer parquet the digraph is
+    * derived from — a regenerated corpus can never serve stale labels). */
+  private def sccLabels(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/customer.parquet")
+    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+    val fp = java.lang.Long.toHexString(
+      files.map(f => f.length() * 31L + f.lastModified()).sum)
+    val art = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_scc_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_$fp").toString
+    Fixpoint.sccArtifact(spark, sccDigraph(spark, dir), art)
+  }
+
   def graphScc(spark: SparkSession, dir: String): DataFrame =
-    Fixpoint.stronglyConnectedComponents(sccDigraph(spark, dir))
+    sccLabels(spark, dir)
 
   /** Condensation DAG over the rings-on-a-tree digraph: the SCC
     * quotient's distinct inter-component edges — rings collapse to
-    * single DAG nodes, the chain/tree skeleton survives. */
+    * single DAG nodes, the chain/tree skeleton survives. Reuses the
+    * persisted [[sccLabels]] assignment; only the two-join quotient
+    * runs here. */
   def graphCondensation(spark: SparkSession, dir: String): DataFrame =
-    Fixpoint.condensationEdges(sccDigraph(spark, dir))
+    Fixpoint.condensationEdges(sccLabels(spark, dir), sccDigraph(spark, dir))
 
   /** HITS over the div2 customer tree plus div4 shortcut edges (the
     * SSSP graph shape, unweighted): interior nodes are both hubs
