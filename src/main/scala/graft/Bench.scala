@@ -16,6 +16,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Janino's generated-class cache is JVM-static and capped at 100
+      // entries by default (StaticSQLConf.CODEGEN_CACHE_MAX_ENTRIES) — a
+      // 260-query battery holds far more than 100 distinct codegen'd plans,
+      // so BOTH min-of-2 passes kept paying recompilation on whichever
+      // queries the LRU evicted (measured: graph_triangles 3.25s ↔ 9.87s on
+      // identical code). Sizing the cache past the battery's plan count
+      // makes pass 2 pure cache hits and the per-query min reproducible.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
