@@ -33,7 +33,10 @@ object SyncCli {
                           listModules: Boolean = false,
                           out: Option[String] = None,
                           computeJson: Option[String] = None,
-                          storageJson: Option[String] = None)
+                          storageJson: Option[String] = None,
+                          driftRegistry: Option[String] = None,
+                          driftAdd: Seq[String] = Nil,
+                          driftDiff: Option[String] = None)
 
   /** Pure flag parser — unknown flags and missing values throw with the
     * reference's abort-with-guidance shape (cli.py raises through
@@ -50,11 +53,16 @@ object SyncCli {
       case "--out" :: v :: t => loop(t, c.copy(out = Some(v)))
       case "--compute-json" :: v :: t => loop(t, c.copy(computeJson = Some(v)))
       case "--storage-json" :: v :: t => loop(t, c.copy(storageJson = Some(v)))
+      case "--drift-registry" :: v :: t => loop(t, c.copy(driftRegistry = Some(v)))
+      case "--drift-add" :: v :: t =>
+        loop(t, c.copy(driftAdd = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      case "--drift-diff" :: v :: t => loop(t, c.copy(driftDiff = Some(v)))
       case flag :: _ if flag.startsWith("--") =>
         throw new IllegalArgumentException(
           s"unknown or valueless flag $flag; valid: --select --sf-dir " +
             "--update-tag --best-effort --dry-run --list-modules --out " +
-            "--compute-json --storage-json")
+            "--compute-json --storage-json --drift-registry --drift-add " +
+            "--drift-diff")
       case other :: _ =>
         throw new IllegalArgumentException(s"unexpected positional argument $other")
     }
@@ -99,11 +107,45 @@ object SyncCli {
         SyncMetadata.record(g, "SyncRun", "cli", "all-modules", t)))).flatten
   }
 
+  /** Record the synced graph's node tables as drift states — the
+    * reference drift CLI's get-state leg (driftdetect/cli.py get-state →
+    * run_get_states): one state per selected label under the registry,
+    * named by the sync tag. */
+  def recordDriftStates(g: Graph, cfg: Config): Unit =
+    for {
+      reg <- cfg.driftRegistry.toSeq
+      label <- cfg.driftAdd
+    } graft.drift.Drift.addState(g.nodeTable(label), reg, label, cfg.tag)
+
+  /** The get-drift leg (driftdetect/cli.py get-drift →
+    * run_drift_detection, default = the two most recent states): the
+    * latest-pair diff for one recorded query, sorted for stable output. */
+  def driftDiffRows(spark: SparkSession, cfg: Config): Seq[String] = {
+    val reg = cfg.driftRegistry.getOrElse(
+      throw new IllegalArgumentException("--drift-diff requires --drift-registry"))
+    val label = cfg.driftDiff.get
+    val d = graft.drift.Drift.diffLatest(spark, reg, label)
+    d.collect().map(_.mkString("\t")).sorted.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args.toSeq)
     val reg = registry(cfg)
     if (cfg.listModules) {
       reg.foreach(s => println(s.name))
+      return
+    }
+    if (cfg.driftDiff.isDefined) {
+      // pure read path: no sync runs, like the reference's standalone
+      // cartography-detectdrift entry point
+      val preEx = SparkSession.getDefaultSession.isDefined
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      driftDiffRows(spark, cfg).foreach(println)
+      if (!preEx) spark.stop()
       return
     }
     require(cfg.select.nonEmpty, "--select is required (or use --list-modules)")
@@ -133,6 +175,7 @@ object SyncCli {
     g.nodes.toSeq.sortBy(_._1).foreach { case (label, df) =>
       println(s"$label ${df.count()}")
     }
+    recordDriftStates(g, cfg)
     cfg.out.foreach { dir =>
       g.nodes.foreach { case (label, df) =>
         df.write.mode("overwrite").parquet(s"$dir/nodes_$label")

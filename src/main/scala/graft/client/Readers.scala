@@ -46,6 +46,22 @@ object Readers {
   def listOfTuples(df: DataFrame, maxRows: Int = DefaultMaxRows): Seq[Seq[Any]] =
     bounded(df, maxRows).toSeq.map(_.toSeq)
 
+  /** Streaming escape hatch for genuinely-large read-backs: rows as a
+    * lazy iterator of maps via `toLocalIterator`, which holds AT MOST ONE
+    * PARTITION on the driver at a time instead of the whole result (the
+    * reference's read helpers stream unbounded through the Bolt cursor,
+    * tx.py:367-533 — this is the Spark analog, so callers past the
+    * [[DefaultMaxRows]] cap aren't pushed to raw collects). The driver
+    * triggers one job per partition as the iterator advances; order is
+    * the DataFrame's partition order. Bound memory by sizing partitions
+    * upstream, not by this helper. */
+  def iterateDicts(df: DataFrame): Iterator[Map[String, Any]] = {
+    val cols = df.columns
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+      .map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
   /** First value of the first row, or None (read_single_value_tx). */
   def singleValue(df: DataFrame, column: String): Option[Any] =
     df.select(col(column)).limit(1).collect().headOption.map(_.get(0))

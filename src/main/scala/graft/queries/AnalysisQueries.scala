@@ -9,7 +9,7 @@ import graft.drift.Drift
 import graft.graph.{Graph, GraphStore}
 import graft.permissions.Permissions
 import graft.permissions.Permissions.PolicyStatement
-import graft.rules.{CoreFrameworks, Fact, Framework, FrameworkControl, Maturity, Rule, RulesRunner}
+import graft.rules.{CoreFrameworks, Fact, Framework, FrameworkControl, Maturity, ReferenceLibrary, Rule, RulesRunner}
 
 /** Analysis-job / rules / drift / permission operator battery
   * (SURVEY §2.8-2.9), driven through the typed DSLs.
@@ -259,6 +259,27 @@ object AnalysisQueries {
           col("c_nationkey").cast("long").as("dst_id")))
     RulesRunner.registerGraphViews(g)
     RulesRunner.run(spark, CoreFrameworks.threatExposure(tag, now))
+  }
+
+  /** The four reference compliance frameworks end-to-end
+    * ([[graft.rules.ReferenceLibrary]]: CIS AWS 6.0.0, SOC 2 TSC 2022,
+    * ISO/IEC 27001:2022, NIST AI RMF 1.0 — frameworks/cis.py, soc2.py,
+    * iso27001.py, nist_ai_rmf.py): 14 SQL-as-data facts in 8 rules over
+    * asset views derived from TPC-H, fanned out to every mapped control
+    * by [[graft.rules.RulesRunner.controlSummary]]. The oracle runs the
+    * IDENTICAL view + fact SQL text in DuckDB. */
+  def rulesControlCoverage(spark: SparkSession, dir: String): DataFrame = {
+    Seq("region" -> Tables.region _, "supplier" -> Tables.supplier _,
+      "part" -> Tables.part _, "nation" -> Tables.nation _,
+      "customer" -> Tables.customer _, "orders" -> Tables.orders _)
+      .foreach { case (n, t) => t(spark, dir).createOrReplaceTempView(s"rf_base_$n") }
+    ReferenceLibrary.viewSql.foreach { case (n, sql) =>
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n AS $sql") }
+    val fw = ReferenceLibrary.framework
+    val problems = RulesRunner.validate(spark, fw)
+    require(problems.isEmpty, s"reference library invalid: ${problems.mkString("; ")}")
+    RulesRunner.controlSummary(spark, fw)
+      .orderBy(col("framework"), col("requirement"), col("rule_id"), col("fact_id"))
   }
 
   /** Drift detection (driftdetect): states = (user, event_type) pairs with
@@ -544,6 +565,7 @@ object AnalysisQueries {
     "analysis_incremental" -> (analysisIncremental _),
     "rules_findings" -> (rulesFindings _),
     "rules_framework_summary" -> (rulesFrameworkSummary _),
+    "rules_control_coverage" -> (rulesControlCoverage _),
     "rules_library_findings" -> (rulesLibraryFindings _),
     "analysis_job_registry" -> (analysisJobRegistry _),
     "drift_detect" -> (driftDetect _),
@@ -746,6 +768,7 @@ object AnalysisQueries {
         |  (SELECT count(DISTINCT o_orderkey) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |   WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'),
         |  (SELECT count(*) FROM orders)""".stripMargin,
+    "rules_control_coverage" -> ReferenceLibrary.oracleSql,
     "drift_detect" ->
       """WITH older AS (
         |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_type

@@ -97,6 +97,91 @@ object PipelineQueries {
         coalesce(col("n_mdm_sources"), lit(0L)).as("n_mdm_sources"))
   }
 
+  /** AWS EC2 InstanceState.Name → canonical lifecycle state
+    * (mapping/data/computeinstance.py:12-19 _AWS_EC2_STATE). */
+  private val AwsEc2State = Map(
+    "pending" -> "pending", "running" -> "running",
+    "shutting-down" -> "stopping", "stopping" -> "stopping",
+    "stopped" -> "stopped", "terminated" -> "terminated")
+
+  /** GCP Instance.status → canonical state (computeinstance.py:22-33
+    * _GCP_INSTANCE_STATE; GCP TERMINATED means powered off). */
+  private val GcpInstanceState = Map(
+    "PROVISIONING" -> "pending", "STAGING" -> "starting",
+    "RUNNING" -> "running", "STOPPING" -> "stopping",
+    "SUSPENDING" -> "stopping", "SUSPENDED" -> "suspended",
+    "REPAIRING" -> "error", "TERMINATED" -> "stopped",
+    "DEPROVISIONING" -> "stopping")
+
+  /** Third canonical label end-to-end: ComputeInstance across an EC2-style
+    * and a GCP-style feed plus an ENRICH-ONLY monitoring feed
+    * (mapping/data/computeinstance.py maps 6 provider modules with
+    * heterogeneous state vocabularies onto one canonical label). The gate
+    * exercises every mapping strategy the label uses: per-provider `mapping`
+    * state normalization (unmapped provider values become NULL — both feeds
+    * emit one unmapped vocab value), a REQUIRED name field (every 11th EC2
+    * row lacks it and cannot create canon nodes), priority field resolution
+    * (EC2 wins over the VM feed on shared ids), and
+    * `eligible_for_source = false` (the monitoring feed only links
+    * HAS_SOURCE to canon others created). */
+  def ontologyMaterializeCompute(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.Ontology
+    def nodes(df: DataFrame, id: String, cols: (String, String)*) = {
+      val b = df.select((col(id).as("id") +: cols.map { case (f, t) => col(f).as(t) }): _*)
+      GraphStore.initialLoad(b, Seq(GraphStore.ID), TAG)
+    }
+    val g0 = Graph()
+      .withNodes("Ec2Instance", nodes(Tables.customer(spark, dir), "c_custkey",
+        "c_nationkey" -> "nationkey"))
+      .withNodes("CloudVm", nodes(Tables.supplier(spark, dir), "s_suppkey",
+        "s_nationkey" -> "nationkey"))
+      .withNodes("MonitoringAgent", nodes(Tables.nation(spark, dir), "n_nationkey"))
+    val awsRaw = element_at(
+      array(lit("pending"), lit("running"), lit("shutting-down"), lit("stopping"),
+        lit("stopped"), lit("terminated"), lit("impaired")),
+      (col("id").cast("long") % 7 + 1).cast("int"))
+    val gcpRaw = element_at(
+      array(lit("PROVISIONING"), lit("STAGING"), lit("RUNNING"), lit("STOPPING"),
+        lit("SUSPENDING"), lit("SUSPENDED"), lit("REPAIRING"), lit("TERMINATED"),
+        lit("DEPROVISIONING"), lit("UNKNOWN_STATE"), lit("UNKNOWN_STATE")),
+      (col("id").cast("long") % 11 + 1).cast("int"))
+    val g = Materialize.materialize(g0, "ComputeInstance", Seq(
+      ProviderMapping("Ec2Instance", priority = 1, df => df.select(
+        (col("id").cast("long") % 400L).as("id"), col("id").as("_src_id"),
+        when(col("id").cast("long") % 11L === 0L, lit(null).cast("string"))
+          .otherwise(concat(lit("i-"), (col("id").cast("long") % 400L).cast("string")))
+          .as("name"),
+        Ontology.valueMapping(awsRaw, AwsEc2State).as("state"),
+        element_at(array(lit("t3.micro"), lit("t3.large"), lit("t3.xlarge")),
+          (col("id").cast("long") % 3 + 1).cast("int")).as("vm_type"),
+        concat(lit("r"), (col("nationkey").cast("long") % 5).cast("string"))
+          .as("region")),
+        requiredFields = Seq("name")),
+      ProviderMapping("CloudVm", priority = 2, df => df.select(
+        (col("id").cast("long") % 400L).as("id"), col("id").as("_src_id"),
+        concat(lit("vm-"), (col("id").cast("long") % 400L).cast("string")).as("name"),
+        Ontology.valueMapping(gcpRaw, GcpInstanceState).as("state"),
+        concat(lit("n2-standard-"), (col("id").cast("long") % 4).cast("string"))
+          .as("vm_type"),
+        concat(lit("zone-"), (col("nationkey").cast("long") % 5).cast("string"))
+          .as("region"))),
+      ProviderMapping("MonitoringAgent", priority = 3, df => df.select(
+        (col("id").cast("long") % 400L).as("id"), col("id").as("_src_id")),
+        eligibleForSource = false)), TAG)
+    def srcCount(provider: String, as: String) =
+      g.edgeTable("ComputeInstance", "HAS_SOURCE", provider)
+        .groupBy(col("src_id").as("id")).agg(count(lit(1)).as(as))
+    g.nodeTable("ComputeInstance")
+      .join(srcCount("Ec2Instance", "n_ec2_sources"), Seq("id"), "left")
+      .join(srcCount("CloudVm", "n_vm_sources"), Seq("id"), "left")
+      .join(srcCount("MonitoringAgent", "n_monitor_sources"), Seq("id"), "left")
+      .select(col("id"), col("name"), col("state"), col("vm_type"), col("region"),
+        col("_ont_source"),
+        coalesce(col("n_ec2_sources"), lit(0L)).as("n_ec2_sources"),
+        coalesce(col("n_vm_sources"), lit(0L)).as("n_vm_sources"),
+        coalesce(col("n_monitor_sources"), lit(0L)).as("n_monitor_sources"))
+  }
+
   /** End-to-end sync composition: tenant-scoped schema load → analysis
     * effect flags exposed customers → rules framework emits findings —
     * the full reference lifecycle assembled through
@@ -217,12 +302,62 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ontology_materialize" -> (ontologyMaterialize _),
     "ontology_materialize_device" -> (ontologyMaterializeDevice _),
+    "ontology_materialize_compute" -> (ontologyMaterializeCompute _),
     "e2e_full_sync" -> (e2eFullSync _),
     "e2e_entity_resolution" -> (e2eEntityResolution _),
     "motif_two_hop" -> (motifTwoHop _),
   )
 
   val oracles: Map[String, String] = Map(
+    "ontology_materialize_compute" ->
+      """WITH ec2 AS (
+        |  SELECT CAST(c_custkey % 400 AS BIGINT) AS id,
+        |         CAST(c_custkey AS BIGINT) AS srcid,
+        |         CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |              ELSE 'i-' || CAST(c_custkey % 400 AS VARCHAR) END AS name,
+        |         CASE c_custkey % 7 WHEN 0 THEN 'pending' WHEN 1 THEN 'running'
+        |              WHEN 2 THEN 'stopping' WHEN 3 THEN 'stopping'
+        |              WHEN 4 THEN 'stopped' WHEN 5 THEN 'terminated'
+        |              ELSE NULL END AS state,
+        |         CASE c_custkey % 3 WHEN 0 THEN 't3.micro' WHEN 1 THEN 't3.large'
+        |              ELSE 't3.xlarge' END AS vm_type,
+        |         'r' || CAST(c_nationkey % 5 AS VARCHAR) AS region
+        |  FROM customer),
+        |vm AS (
+        |  SELECT CAST(s_suppkey % 400 AS BIGINT) AS id,
+        |         CAST(s_suppkey AS BIGINT) AS srcid,
+        |         'vm-' || CAST(s_suppkey % 400 AS VARCHAR) AS name,
+        |         CASE s_suppkey % 11 WHEN 0 THEN 'pending' WHEN 1 THEN 'starting'
+        |              WHEN 2 THEN 'running' WHEN 3 THEN 'stopping'
+        |              WHEN 4 THEN 'stopping' WHEN 5 THEN 'suspended'
+        |              WHEN 6 THEN 'error' WHEN 7 THEN 'stopped'
+        |              WHEN 8 THEN 'stopping' ELSE NULL END AS state,
+        |         'n2-standard-' || CAST(s_suppkey % 4 AS VARCHAR) AS vm_type,
+        |         'zone-' || CAST(s_nationkey % 5 AS VARCHAR) AS region
+        |  FROM supplier),
+        |uni AS (
+        |  SELECT *, 1 AS prio, 'Ec2Instance' AS src FROM ec2 WHERE name IS NOT NULL
+        |  UNION ALL
+        |  SELECT *, 2 AS prio, 'CloudVm' AS src FROM vm),
+        |winners AS MATERIALIZED (
+        |  SELECT id, name, state, vm_type, region, src FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY prio, srcid) AS rk
+        |    FROM uni) WHERE rk = 1),
+        |ec2_links AS (SELECT e.id, count(*) AS n FROM ec2 e
+        |              JOIN winners w ON e.id = w.id GROUP BY e.id),
+        |vm_links AS (SELECT v.id, count(*) AS n FROM vm v
+        |             JOIN winners w ON v.id = w.id GROUP BY v.id),
+        |mon AS (SELECT CAST(n_nationkey % 400 AS BIGINT) AS id FROM nation),
+        |mon_links AS (SELECT m.id, count(*) AS n FROM mon m
+        |              JOIN winners w ON m.id = w.id GROUP BY m.id)
+        |SELECT w.id, w.name, w.state, w.vm_type, w.region, w.src AS _ont_source,
+        |  CAST(coalesce(e.n, 0) AS BIGINT) AS n_ec2_sources,
+        |  CAST(coalesce(v.n, 0) AS BIGINT) AS n_vm_sources,
+        |  CAST(coalesce(m.n, 0) AS BIGINT) AS n_monitor_sources
+        |FROM winners w
+        |LEFT JOIN ec2_links e ON w.id = e.id
+        |LEFT JOIN vm_links v ON w.id = v.id
+        |LEFT JOIN mon_links m ON w.id = m.id""".stripMargin,
     "ontology_materialize_device" ->
       """WITH ep AS (
         |  SELECT CAST(c_custkey % 500 AS BIGINT) AS id,

@@ -172,6 +172,37 @@ object RulesRunner {
     parts.reduce(_ unionByName _)
   }
 
+  /** Per-control compliance coverage: one row per (rule, fact, mapped
+    * framework control) with finding and distinct-failing-asset counts —
+    * the "show me CIS 2.x / SOC 2 CC6.x / ISO A.8.x / NIST AI RMF status"
+    * table `cartography rules run --framework` answers per framework,
+    * here across every mapped framework in one pass. Each fact executes
+    * once; its one-row aggregate fans out to the rule's control mappings
+    * as literal columns. */
+  def controlSummary(spark: SparkSession, framework: Framework): DataFrame = {
+    val parts = for {
+      rule <- framework.rules
+      fact <- rule.facts
+      if rule.frameworks.nonEmpty
+    } yield {
+      val agg = fact.query(spark).agg(
+        count(lit(1)).as("n_findings"),
+        count_distinct(col(fact.assetIdField)).as("n_failing_assets"))
+      rule.frameworks.map { c =>
+        agg.select(
+          lit(c.shortName).cast("string").as("framework"),
+          lit(c.scope.orNull).cast("string").as("scope"),
+          lit(c.revision.orNull).cast("string").as("revision"),
+          lit(c.requirement).cast("string").as("requirement"),
+          lit(c.controlTitle.orNull).cast("string").as("control_title"),
+          lit(rule.ruleId).cast("string").as("rule_id"),
+          lit(fact.factId).cast("string").as("fact_id"),
+          col("n_findings"), col("n_failing_assets"))
+      }
+    }
+    parts.flatten.reduce(_ unionByName _)
+  }
+
   private val Reserved = Set("framework_id", "rule_id", "fact_id", "asset_label")
 
   /** Static fact validation (reference model.py:32-123 parses the final

@@ -74,4 +74,35 @@ class SyncCliSpec extends AnyFunSuite {
     val meta = spark.read.parquet(s"$out/nodes_ModuleSyncMetadata").count()
     assert(meta == 1L)
   }
+
+  test("parseArgs: drift flags parse and bad combos abort") {
+    val c = SyncCli.parseArgs(Seq("--drift-registry", "/reg",
+      "--drift-add", "DNSZone, Account", "--drift-diff", "DNSZone"))
+    assert(c.driftRegistry.contains("/reg"))
+    assert(c.driftAdd == Seq("DNSZone", "Account"))
+    assert(c.driftDiff.contains("DNSZone"))
+    // --drift-diff without a registry aborts with guidance
+    intercept[IllegalArgumentException] {
+      SyncCli.driftDiffRows(spark, SyncCli.Config(driftDiff = Some("DNSZone")))
+    }
+  }
+
+  test("drift lifecycle: two recorded syncs diff through the CLI legs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val reg = Files.createTempDirectory("cli_drift").toString
+    def graphWith(rows: Seq[(Long, String)]) =
+      graft.graph.Graph().withNodes("Asset", rows.toDF("id", "name"))
+    // epoch 1 and epoch 2 recorded via the get-state leg
+    SyncCli.recordDriftStates(graphWith(Seq((1L, "a"), (2L, "b"))),
+      SyncCli.Config(driftRegistry = Some(reg), driftAdd = Seq("Asset"), tag = 100L))
+    SyncCli.recordDriftStates(graphWith(Seq((2L, "b"), (3L, "c"))),
+      SyncCli.Config(driftRegistry = Some(reg), driftAdd = Seq("Asset"), tag = 200L))
+    // get-drift leg: latest pair => 1 removed, 3 added
+    val rows = SyncCli.driftDiffRows(spark,
+      SyncCli.Config(driftRegistry = Some(reg), driftDiff = Some("Asset")))
+    assert(rows.size == 2)
+    assert(rows.exists(r => r.contains("3") && r.contains("added")))
+    assert(rows.exists(r => r.contains("1") && r.contains("removed")))
+  }
 }
