@@ -1,0 +1,121 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Changelog, Network, Temporal}
+
+/** Property tests for the round-16 batch: incremental join maintenance,
+  * bitemporal reads, and CIDR containment checked against independent
+  * sequential references over seeded random inputs. */
+class Round16PropertiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---- maintainJoin vs full recompute ----
+
+  test("maintainJoin equals the full recompute of the post-delta join") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      def randSide(): Set[(Long, Long)] =
+        (1 to 12).map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(4).toLong)).toSet
+      val a0 = randSide()
+      val b0 = randSide()
+      // random signed deltas: delete a present row, insert an absent one
+      def randDelta(base: Set[(Long, Long)]): Seq[(Long, Long, Long)] =
+        (1 to 6).map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(4).toLong))
+          .distinct.map { case (k, v) =>
+            if (base.contains((k, v))) (k, v, -1L) else (k, v, 1L) }
+      val dA = randDelta(a0)
+      val dB = randDelta(b0)
+      def applied(base: Set[(Long, Long)], d: Seq[(Long, Long, Long)]) =
+        d.foldLeft(base) { case (s, (k, v, m)) =>
+          if (m > 0) s + ((k, v)) else s - ((k, v)) }
+      val a1 = applied(a0, dA)
+      val b1 = applied(b0, dB)
+      val want = (for {
+        (ka, av) <- a1; (kb, bv) <- b1 if ka == kb
+      } yield (ka, av, bv, 1L)).toSet
+      val view0 = (for {
+        (ka, av) <- a0; (kb, bv) <- b0 if ka == kb
+      } yield (ka, av, bv, 1L)).toSeq.toDF("k", "a_val", "b_val", "mult")
+      val got = Changelog.maintainJoin(view0,
+          a0.toSeq.toDF("k", "a_val"), b0.toSeq.toDF("k", "b_val"),
+          dA.toDF("k", "a_val", "mult"), dB.toDF("k", "b_val", "mult"),
+          Seq("k"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  // ---- bitemporalAsOf vs sequential two-dimensional filter ----
+
+  test("bitemporalAsOf equals the sequential latest-assertion read") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 20)
+      // (key, valid_from, valid_to(nullable), tx_from, value) with
+      // (key, valid_from, tx_from) unique
+      val hist = (for {
+        key <- 1L to 4L
+        vf <- Seq(0L, 10L, 20L, 30L)
+        tx <- 1L to 5L
+        if rnd.nextBoolean()
+      } yield {
+        val vt: java.lang.Long =
+          if (rnd.nextInt(4) == 0) null else java.lang.Long.valueOf(vf + 10L)
+        (key, vf, vt, tx, rnd.nextInt(100).toLong)
+      }).toSeq
+      val txAsOf = 1L + rnd.nextInt(5)
+      val validAsOf = rnd.nextInt(45).toLong
+      val want = hist
+        .filter(_._4 <= txAsOf)
+        .groupBy(h => (h._1, h._2)).values
+        .map(_.maxBy(_._4))
+        .filter(h => h._2 <= validAsOf && (h._3 == null || validAsOf < h._3))
+        .map(h => (h._1, h._2, h._4, h._5)).toSet
+      val got = Temporal.bitemporalAsOf(
+          hist.toDF("key", "valid_from", "valid_to", "tx_from", "value"),
+          Seq("key"), "tx_from", "valid_from", "valid_to",
+          lit(txAsOf), lit(validAsOf))
+        .select(col("key"), col("valid_from"), col("tx_from"), col("value"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"seed $seed txAsOf=$txAsOf validAsOf=$validAsOf")
+    }
+  }
+
+  // ---- cidrContainJoin vs brute-force containment ----
+
+  test("cidrContainJoin equals brute-force interval containment") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 40)
+      val ips = (1 to 40).map(i =>
+        (i.toLong, rnd.nextLong(1L << 32)))
+      val nets = (1 to 15).map { i =>
+        val plen = 8 + rnd.nextInt(25) // [8, 32]
+        val span = 1L << (32 - plen)
+        (i.toLong, rnd.nextLong(1L << 32), plen.toLong, span)
+      }
+      val want = (for {
+        (id, ip) <- ips
+        (nid, base, plen, span) <- nets
+        if ip >= base && ip < base + span
+      } yield (id, ip, nid, base, plen)).toSet
+      val got = Network.cidrContainJoin(
+          ips.toDF("id", "ip"),
+          nets.map(n => (n._1, n._2, n._3)).toDF("net_id", "base", "prefix_len"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getInt(4).toLong)).toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+}
