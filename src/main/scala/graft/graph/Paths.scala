@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Lineage._
 
@@ -175,6 +175,80 @@ object Paths {
     acc
   }
 
+  /** Upward accumulation over a FOREST in O(log depth) driver rounds:
+    * the same (node, level, subtree_sum, n_nodes) as [[subtreeAggregate]]
+    * but via binary-lifting ancestor closure instead of the level-by-level
+    * sweep — jump pointers double (child → 2^k-th ancestor, one
+    * self-compose per round), the closure accumulates distance-disjoint
+    * slices (no dedup needed), and one aggregation per direction reads
+    * levels (= ancestor count) and subtree sums (each node's value flows
+    * to every ancestor) off the closure.
+    *
+    * The trade is explicit: ceil(log2 depth) rounds of two frontier-sized
+    * joins against a Σ-depth = O(V·depth) closure — linear in V when the
+    * depth cap holds (org trees, ownership chains: depth ≤ ~32), which is
+    * when this variant wins; unbounded-depth DAGs or path-multiplicity
+    * semantics stay on [[subtreeAggregate]]'s O(E)-per-round sweep.
+    * Forest contract: at most one parent per node (checked in-plan,
+    * raise_error on violation). Output: (node, level, subtree_sum,
+    * n_nodes). */
+  def subtreeAggregateLifted(edges: DataFrame, values: DataFrame,
+                             maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, "need 1 <= maxDepth <= 64")
+    // parent pointer child v -> parent a; >1 parent breaks subtree
+    // semantics, fail loudly inside the same aggregation that builds it
+    val parent = edges.select(col("src"), col("dst"))
+      .groupBy(col("dst").as("v"))
+      .agg(min(col("src")).as("a"), count(lit(1)).as("_np"))
+      .select(col("v"),
+        when(col("_np") > 1, expr(
+          "raise_error('subtreeAggregateLifted: node has multiple parents - " +
+            "use subtreeAggregate for DAG path semantics')"))
+          .otherwise(col("a")).as("a")).cut
+    // invariant after round r: closure = distances 1..2^r - 1 (starts
+    // EMPTY), jump = distance exactly 2^r — each round unions three
+    // DISJOINT distance slices (1..2^r-1, 2^r, 2^r+1..2^(r+1)-1), so the
+    // closure holds every (descendant, proper ancestor) pair exactly once
+    // with no dedup shuffle. Fixed ceil(log2(maxDepth+1)) rounds — no
+    // per-round convergence job; exhausted jumps make later rounds empty
+    // joins.
+    var jump = parent
+    var closure = parent.limit(0)
+    var covered = 0L
+    while (covered < maxDepth) {
+      val j = jump.select(col("v").as("jv"), col("a").as("ja"))
+      val viaClosure = j
+        .join(closure.select(col("v").as("ja"), col("a").as("b")), Seq("ja"))
+        .select(col("jv").as("v"), col("b").as("a"))
+      val nextJump = j
+        .join(jump.select(col("v").as("ja"), col("a").as("b")), Seq("ja"))
+        .select(col("jv").as("v"), col("b").as("a")).cut
+      closure = closure.unionByName(jump.select(col("v"), col("a")))
+        .unionByName(viaClosure)
+        .select(col("v"), col("a")).cut
+      jump = nextJump
+      covered = covered * 2 + 1
+    }
+    val anc = closure
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val vals = nodes.join(
+        values.select(col("node"), col("value")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("value").cast("long"), lit(0L)).as("value"))
+      .cut
+    val levels = anc.groupBy(col("v").as("node")).agg(count(lit(1)).as("_lvl"))
+    val sums = anc.join(vals.select(col("node").as("v"), col("value")), Seq("v"))
+      .groupBy(col("a").as("node"))
+      .agg(sum(col("value")).as("_ds"), count(lit(1)).as("_dn"))
+    vals
+      .join(levels, Seq("node"), "left")
+      .join(sums, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("_lvl"), lit(0L)).as("level"),
+        (col("value") + coalesce(col("_ds"), lit(0L))).as("subtree_sum"),
+        (lit(1L) + coalesce(col("_dn"), lit(0L))).as("n_nodes"))
+  }
+
   /** Percolation robustness sweep: connectivity structure of the graph
     * under deterministic edge sampling at several survival rates — "how
     * fast does this network shatter as links fail", the resilience curve
@@ -191,23 +265,45 @@ object Paths {
   def robustnessSweep(edges: DataFrame, ratesPpm: Seq[Long]): DataFrame = {
     require(ratesPpm.nonEmpty && ratesPpm.forall(r => r >= 0 && r <= 1000000),
       "rates must be ppm in [0, 1000000]")
+    require(ratesPpm.size < (1 << 20), "too many rates")
     val e = edges.select(col("src"), col("dst")).cut
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cut
     val h = graft.functions.HashFunctions.md5_prefix64(
       concat(col("src").cast("string"), lit(":"), col("dst").cast("string")))
-    ratesPpm.map { r =>
-      val kept = e.filter(pmod(h, lit(1000000L)) < r)
-      val cc = Fixpoint.connectedComponents(
-        kept.select(col("src").as("a"), col("dst").as("b")))
-      val lab = nodes.join(cc, Seq("node"), "left")
-        .select(col("node"), coalesce(col("component"), col("node")).as("component"))
-      lab.groupBy(col("component")).agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_nodes"),
-          max(col("sz")).as("max_component"))
-        .select(lit(r).as("rate_ppm"), col("n_nodes"), col("n_components"),
-          col("max_component"))
-    }.reduce(_ unionByName _)
+    // ONE pointer-jump fixpoint for the whole sweep: every rate's survivor
+    // graph lives in a disjoint id range (node' = rate_index·2^40 + node),
+    // so the per-rate component structures never interact and the driver
+    // pays the O(log d) CC rounds ONCE instead of once per rate — the
+    // sweep's round count is max-over-rates, its volume the union (≤
+    // |rates|·|E|, each row a frontier-sized shuffle key). Node ids must
+    // fit 40 bits; wider ids belong in a dictionary-encoded id space
+    // upstream (in-plan raise_error keeps the failure loud, not silent).
+    val rateRows = explode(array(ratesPpm.zipWithIndex.map { case (r, i) =>
+      struct(lit(i.toLong).as("rix"), lit(r).as("rate_ppm")) }: _*))
+    val Off = 1L << 40
+    def composite(rix: Column, node: Column): Column =
+      when(node >= Off || node < 0, expr(
+        "raise_error('robustnessSweep: node ids must fit 40 bits - " +
+          "dictionary-encode ids upstream')"))
+        .otherwise(rix * Off + node)
+    val tagged = e.select(col("src"), col("dst"), rateRows.as("rt"))
+      .filter(pmod(h, lit(1000000L)) < col("rt.rate_ppm"))
+    val cc = Fixpoint.connectedComponents(tagged.select(
+      composite(col("rt.rix"), col("src")).as("a"),
+      composite(col("rt.rix"), col("dst")).as("b")))
+    val nodeRates = nodes.select(col("node"), rateRows.as("rt"))
+      .select(col("node"), col("rt.rix").as("rix"), col("rt.rate_ppm").as("rate_ppm"))
+    nodeRates.withColumn("cn", composite(col("rix"), col("node")))
+      .join(cc.select(col("node").as("cn"), col("component")), Seq("cn"), "left")
+      .select(col("rate_ppm"),
+        coalesce(col("component"), col("cn")).as("component"))
+      .groupBy(col("rate_ppm"), col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("rate_ppm"))
+      .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_nodes"),
+        max(col("sz")).as("max_component"))
+      .select(col("rate_ppm"), col("n_nodes"), col("n_components"),
+        col("max_component"))
   }
 
   /** Edge reciprocity: the fraction of directed edges whose reverse

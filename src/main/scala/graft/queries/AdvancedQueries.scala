@@ -160,8 +160,8 @@ object AdvancedQueries {
         floor(col("c_acctbal") * 100).cast("long").as("v"))
     val tree = c.filter(col("k") >= 2L)
       .select(expr("k div 2").as("src"), col("k").as("dst"))
-    Paths.subtreeAggregate(tree,
-      c.select(col("k").as("node"), col("v").as("value")), maxRounds = 25)
+    Paths.subtreeAggregateLifted(tree,
+      c.select(col("k").as("node"), col("v").as("value")), maxDepth = 25)
       .orderBy(col("node"))
   }
 

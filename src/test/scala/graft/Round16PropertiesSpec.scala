@@ -92,6 +92,38 @@ class Round16PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- subtreeAggregateLifted vs the level-synchronous sweep ----
+
+  test("subtreeAggregateLifted matches subtreeAggregate on random forests") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 60)
+      // random forest: each node 2..N picks a parent with a smaller id
+      // (sometimes none -> multiple roots)
+      val edges = (2 to 40).flatMap { k =>
+        if (rnd.nextInt(5) == 0) None
+        else Some((1L + rnd.nextInt(k - 1).toLong, k.toLong))
+      }
+      val values = (1 to 40).map(k => (k.toLong, rnd.nextInt(50).toLong))
+      val e = edges.toDF("src", "dst")
+      val v = values.toDF("node", "value")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val sweep = toMap(graft.graph.Paths.subtreeAggregate(e, v, maxRounds = 50))
+      val lifted = toMap(graft.graph.Paths.subtreeAggregateLifted(e, v, maxDepth = 50))
+      assert(lifted == sweep, s"seed $seed")
+    }
+  }
+
+  test("subtreeAggregateLifted rejects multi-parent nodes loudly") {
+    val e = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val v = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "value")
+    val ex = intercept[Exception] {
+      graft.graph.Paths.subtreeAggregateLifted(e, v, maxDepth = 8).collect()
+    }
+    assert(ex.getMessage.contains("multiple parents"))
+  }
+
   // ---- cidrContainJoin vs brute-force containment ----
 
   test("cidrContainJoin equals brute-force interval containment") {
