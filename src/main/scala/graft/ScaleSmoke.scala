@@ -614,8 +614,9 @@ object ScaleSmoke {
         graph.Paths.stBetweenness(binTree(), 1L, 1000L, 12).count()
       }
       time("topo_levels", m) {
-        // all copies layered at once; depth (= round count) is constant
-        graph.Paths.topoLevels(binTree(), 25).count()
+        // the gate path (max-plus doubling): rounds constant (log depth),
+        // closure volume scales as V·depth — linear in copies at fixed depth
+        graph.Paths.topoLevelsLifted(binTree(), 25).count()
       }
       time("bipartite", m) {
         val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m)
@@ -683,7 +684,9 @@ object ScaleSmoke {
         val tree = cust.filter(col("k") % 10000000L >= 2)
           .select(expr("CAST(k - k % 10000000 + (k % 10000000) div 2 AS BIGINT)").as("src"),
             col("k").as("dst"))
-        graph.Paths.subtreeAggregate(tree,
+        // the gate path (binary lifting): ancestor closure is V·depth rows,
+        // linear in copies at fixed depth; rounds stay log-depth constant
+        graph.Paths.subtreeAggregateLifted(tree,
           cust.select(col("k").as("node"), col("v").as("value")), 30).count()
       }
       time("reciprocity", m) {

@@ -871,7 +871,10 @@ object Fixpoint {
       new org.apache.spark.sql.types.StructType()
         .add("node", "long").add("color", "long"))
     var round = 0
-    while (!live.isEmpty) {
+    // live-count bookkeeping: the count comes from the round's own `live`
+    // materialization, so loop control costs no extra isEmpty job
+    var nLive = live.count()
+    while (nLive > 0) {
       round += 1
       require(round <= maxRounds,
         s"greedyColoring did not converge in $maxRounds rounds")
@@ -895,6 +898,7 @@ object Fixpoint {
               col("arr")))).as("color"))
       colored = colored.unionByName(newlyColored).localCheckpoint(false)
       live = live.join(ready, Seq("node"), "left_anti").cut
+      nLive = live.count()
       cur = cur
         .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")

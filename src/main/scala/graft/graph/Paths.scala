@@ -101,6 +101,55 @@ object Paths {
     levels
   }
 
+  /** Longest-path layering in O(log depth) driver rounds via max-plus
+    * path doubling (the tropical-semiring closure — matrix squaring over
+    * (max, +)): D_r(v, a) = longest upward path v→a of length ≤ 2^r;
+    * one self-compose join + one max-combine per round squares the
+    * reachable length, so a depth-D DAG layers in ceil(log2 D) rounds
+    * instead of [[topoLevels]]'s D frontier rounds. level(v) = the max
+    * distance to a SOURCE ancestor (every DAG node has one).
+    *
+    * The trade is the closure size: O(Σ ancestors · depth) intermediate
+    * pairs (V·D² worst case) versus the sweep's O(E) per round — the
+    * right variant when depth is capped (dependency DAGs, org chains,
+    * condensations of bounded diameter) and the round-scheduling fixed
+    * cost dominates, i.e. exactly when the per-level sweep crawls.
+    * Unbounded or unknown depth stays on [[topoLevels]]. Identical
+    * output: (node, level). */
+  def topoLevelsLifted(edges: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, "need 1 <= maxDepth <= 64")
+    val e = edges.select(col("src"), col("dst")).cut
+    // D: (v, a, d) = longest path from ancestor a down to v, length <= 2^r.
+    // A (v, v, ·) pair can only arise from a cycle — the in-plan guard
+    // rides the round's aggregation projection, no extra driver action.
+    var d = e.select(col("dst").as("v"), col("src").as("a"), lit(1L).as("d")).cut
+    var covered = 1L
+    while (covered < maxDepth) {
+      val lower = d.select(col("v"), col("a").as("m"), col("d").as("d1"))
+      val upper = d.select(col("v").as("m"), col("a"), col("d").as("d2"))
+      val composed = lower.join(upper, Seq("m"))
+        .select(col("v"), col("a"), (col("d1") + col("d2")).as("d"))
+      d = d.unionByName(composed)
+        .groupBy(col("v"), col("a")).agg(max(col("d")).as("d"))
+        .select(col("v"), col("a"),
+          when(col("v") === col("a"), expr(
+            "raise_error('topoLevelsLifted: cycle in the input')"))
+            .otherwise(col("d")).as("d")).cut
+      covered *= 2
+    }
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val sources = nodes.join(e.select(col("dst").as("node")).distinct(),
+      Seq("node"), "left_anti")
+    val lev = d.join(sources.select(col("node").as("a")), Seq("a"), "left_semi")
+      .groupBy(col("v").as("node")).agg(max(col("d")).as("level"))
+    nodes.join(lev, Seq("node"), "left")
+      .select(col("node"),
+        when(col("level") > maxDepth, expr(
+          s"raise_error('topoLevelsLifted: depth past the $maxDepth budget')"))
+          .otherwise(coalesce(col("level"), lit(0L))).as("level"))
+  }
+
   /** Bipartite co-occurrence projection: from (left, right) associations
     * to a weighted right–right graph where the weight is the number of
     * shared lefts (co-purchase graphs from order lines, co-access graphs

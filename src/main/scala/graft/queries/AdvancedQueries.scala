@@ -69,7 +69,7 @@ object AdvancedQueries {
 
   /** Critical-path layering of the ancestry DAG. */
   def topoLevels(spark: SparkSession, dir: String): DataFrame =
-    Paths.topoLevels(ancestryEdges(spark, dir), maxRounds = 25)
+    Paths.topoLevelsLifted(ancestryEdges(spark, dir), maxDepth = 25)
       .orderBy(col("node"))
 
   /** Part co-purchase graph: parts sharing >= 2 orders. */

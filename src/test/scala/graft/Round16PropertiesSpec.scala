@@ -92,6 +92,33 @@ class Round16PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- topoLevelsLifted vs the frontier sweep ----
+
+  test("topoLevelsLifted matches topoLevels on random DAGs") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 80)
+      // orient small->large: guaranteed DAG, multi-parent allowed
+      val edges = (1 to 70).map(_ =>
+        (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val e = edges.toDF("src", "dst")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sweep = toMap(graft.graph.Paths.topoLevels(e, maxRounds = 40))
+      val lifted = toMap(graft.graph.Paths.topoLevelsLifted(e, maxDepth = 40))
+      assert(lifted == sweep, s"seed $seed")
+    }
+  }
+
+  test("topoLevelsLifted detects cycles in-plan") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      graft.graph.Paths.topoLevelsLifted(e, maxDepth = 8).collect()
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
   // ---- subtreeAggregateLifted vs the level-synchronous sweep ----
 
   test("subtreeAggregateLifted matches subtreeAggregate on random forests") {
