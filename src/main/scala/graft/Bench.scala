@@ -64,9 +64,13 @@ object Bench {
     // identical data (measured: graph_triangles 2.9s/4.5s/6.9s/9.7s
     // across four runs of the same jar). The min over two passes is the
     // reproducible steady-state number; pass 1 doubles as whole-battery
-    // warmup. Override with SPARK_GRAFT_BENCH_PASSES=1 for quick local
-    // iteration.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // warmup. Three passes since round 8: with the codegen cache sized
+    // past the plan count (below) the dominant systematic swing is gone,
+    // and the residual is one-off ambient spikes (a measured 2.8s query
+    // hitting 15s in exactly one pass) — min-of-3 heals a single-pass
+    // spike on every query, min-of-2 cannot. Override with
+    // SPARK_GRAFT_BENCH_PASSES=1 for quick local iteration.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val ordered = selected.toSeq.sortBy(_._1)
     val timed: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
       ordered.map { case (name, fn) =>

@@ -36,7 +36,8 @@ object SyncCli {
                           storageJson: Option[String] = None,
                           driftRegistry: Option[String] = None,
                           driftAdd: Seq[String] = Nil,
-                          driftDiff: Option[String] = None)
+                          driftDiff: Option[String] = None,
+                          analysisJobDir: Option[String] = None)
 
   /** Pure flag parser — unknown flags and missing values throw with the
     * reference's abort-with-guidance shape (cli.py raises through
@@ -57,12 +58,14 @@ object SyncCli {
       case "--drift-add" :: v :: t =>
         loop(t, c.copy(driftAdd = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case "--drift-diff" :: v :: t => loop(t, c.copy(driftDiff = Some(v)))
+      case "--analysis-job-directory" :: v :: t =>
+        loop(t, c.copy(analysisJobDir = Some(v)))
       case flag :: _ if flag.startsWith("--") =>
         throw new IllegalArgumentException(
           s"unknown or valueless flag $flag; valid: --select --sf-dir " +
             "--update-tag --best-effort --dry-run --list-modules --out " +
             "--compute-json --storage-json --drift-registry --drift-add " +
-            "--drift-diff")
+            "--drift-diff --analysis-job-directory")
       case other :: _ =>
         throw new IllegalArgumentException(s"unexpected positional argument $other")
     }
@@ -103,8 +106,26 @@ object SyncCli {
       cfg.storageJson.map(src =>
         SyncAssembly.stageFor(StorageBuckets, src, wants = Seq("accounts"))),
       Some(SyncAssembly.stageFor(DnsZones, cfg.sfDir)),
-      Some(SyncStage(SyncAssembly.AnalysisStage, (g, _, t) =>
-        SyncMetadata.record(g, "SyncRun", "cli", "all-modules", t)))).flatten
+      Some(SyncStage(SyncAssembly.AnalysisStage, (g, s, t) => {
+        // user-supplied JSON analysis/cleanup jobs run in the analysis
+        // slot before the metadata marker, exactly the reference's
+        // --analysis-job-directory semantics (intel/analysis.py:12-45);
+        // jobs see the graph as node_/edge_ SQL views and materialize
+        // back into them, so the post-job graph is read back from the
+        // views each job may have re-pointed
+        val g2 = cfg.analysisJobDir match {
+          case None => g
+          case Some(dir) =>
+            graft.rules.RulesRunner.registerGraphViews(g)
+            graft.analysis.JobRegistry.runDirectory(s, dir,
+              Map("UPDATE_TAG" -> t))
+            val withNodes = g.nodes.keys.foldLeft(g)((acc, l) =>
+              acc.withNodes(l, s.table(s"node_$l")))
+            g.edges.keys.foldLeft(withNodes) { case (acc, (sl, r, d)) =>
+              acc.withEdges((sl, r, d), s.table(s"edge_${sl}_${r}_$d")) }
+        }
+        SyncMetadata.record(g2, "SyncRun", "cli", "all-modules", t)
+      }))).flatten
   }
 
   /** Record the synced graph's node tables as drift states — the

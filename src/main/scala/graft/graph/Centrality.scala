@@ -294,6 +294,38 @@ object Centrality {
       .select(col("node"), coalesce(col("n"), lit(0L)).as("n_triangles"))
   }
 
+  /** 4-clique (K4) census over an undirected simple graph — the
+    * next-order cohesion motif after triangles and rectangles: K4
+    * density separates genuinely dense communities from triangle-rich
+    * but shallow link farms (a K4 needs all six pairwise ties).
+    *
+    * Same compact-forward discipline as [[triangleCount]], one order
+    * higher: orient by (degree, id) rank, close each oriented triangle
+    * u≺v≺w, then intersect the out-neighborhoods — a K4 u≺v≺w≺x is a
+    * triangle (u,v,w) plus x adjacent to all three, found by joining
+    * the triangle's (v,w) corner against oriented wedges and closing
+    * (u,x). Every K4 counted exactly once under the total order. The
+    * degree orientation keeps out-degrees O(√E), so the candidate
+    * volume is Σ deg⁺² per closure level — the O(E^1.5)-flavored bound,
+    * not Σ deg². Output one row: (n_k4). */
+  def cliqueCensusK4(edges: DataFrame): DataFrame = {
+    val o = orientByDegree(edges).localCheckpoint(false)
+    val tris = o.as("e1")
+      .join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .join(o.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    tris.as("t")
+      // x adjacent beyond z in oriented order: close z≺w via (z, w) ...
+      .join(o.as("e4"), col("t.z") === col("e4.u"))
+      // ... and require the two remaining ties (y, w) and (x, w)
+      .join(o.as("e5"),
+        col("t.y") === col("e5.u") && col("e4.v") === col("e5.v"), "left_semi")
+      .join(o.as("e6"),
+        col("t.x") === col("e6.u") && col("e4.v") === col("e6.v"), "left_semi")
+      .agg(count(lit(1)).as("n_k4"))
+  }
+
   /** Local clustering coefficient per node: 2·triangles / (deg·(deg−1))
     * in exact millionths — how close each node's neighborhood is to a
     * clique (Watts & Strogatz 1998). The link-farm/cohesion signal read

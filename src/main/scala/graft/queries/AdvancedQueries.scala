@@ -103,6 +103,86 @@ object AdvancedQueries {
       Tables.orders(spark, dir).select(col("o_custkey").as("v")),
       valueCol = "v", k = 64)
 
+  // --------------------------------------------------- privacy / linkage
+
+  /** t-closeness release audit over customers: quasi-identifier classes
+    * (segment, nation mod 4) whose phone-country-code distribution sits
+    * > 25% total-variation from the table-wide one. */
+  def privacyTCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.DataQuality.tClosenessViolations(
+      Tables.customer(spark, dir).select(
+        col("c_mktsegment").as("seg"),
+        (col("c_nationkey") % 4).cast("long").as("nk"),
+        (floor(col("c_acctbal") * 100).cast("long") % 25).as("cc")),
+      Seq("seg", "nk"), "cc", tPpm = 250000L)
+      .orderBy(col("seg"), col("nk"))
+
+  /** Labeled record-linkage pairs from the customer table: each record
+    * paired with a perturbed duplicate (match — every 4th name truncated
+    * past the edit-distance gate, every 5th segment swapped) and with its
+    * neighbor record (non-match). Agreement vector = (name edit distance
+    * ≤ 2, segment equal, balance-derived code equal); balance-cent strings
+    * stand in for names because this corpus's names differ only in
+    * digits. */
+  private def fsLabeledPairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("k"),
+      floor(col("c_acctbal") * 100).cast("long").cast("string").as("name"),
+      col("c_mktsegment").as("seg"),
+      (floor(col("c_acctbal") * 100).cast("long") % 25).as("cc"))
+    val dup = c.select(col("k"),
+      when(col("k") % 4 === 0,
+          substring(col("name"), 1, 3))
+        .otherwise(col("name")).as("name2"),
+      when(col("k") % 5 === 0, lit("OTHER")).otherwise(col("seg")).as("seg2"),
+      col("cc").as("cc2"))
+    val matches = c.join(dup, Seq("k")).withColumn("is_match", lit(true))
+    val next = c.select((col("k") - 1).as("k"), col("name").as("name2"),
+      col("seg").as("seg2"), col("cc").as("cc2"))
+    val unmatches = c.join(next, Seq("k")).withColumn("is_match", lit(false))
+    matches.unionByName(unmatches)
+      .select(col("k"), col("is_match"),
+        (levenshtein(col("name"), col("name2")) <= 2).as("name_agree"),
+        (col("seg") === col("seg2")).as("seg_agree"),
+        (col("cc") === col("cc2")).as("cc_agree"))
+  }
+
+  private val FsAgree = Seq("name_agree", "seg_agree", "cc_agree")
+
+  /** Fellegi–Sunter agreement-pattern table with exact ppm likelihood
+    * ratios ([[graft.operators.EntityResolution.patternTable]]). */
+  def erFellegiSunter(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution
+      .patternTable(fsLabeledPairs(spark, dir), FsAgree, "is_match")
+      .orderBy(FsAgree.map(col): _*)
+
+  /** Three-way FS decisions over the same candidate pairs: per decision,
+    * pair count and how many are true matches (the clerical-review
+    * queue's precision read-out). */
+  def erFsClassify(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = fsLabeledPairs(spark, dir)
+    val table = graft.operators.EntityResolution
+      .patternTable(pairs, FsAgree, "is_match")
+    graft.operators.EntityResolution
+      .classify(pairs, table, FsAgree, lowerPpm = 100000L, upperPpm = 10000000L)
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true_match"))
+      .orderBy(col("decision"))
+  }
+
+  /** K4 census over 5-clique blocks of customers plus a cross-block
+    * chain (which adds no K4): blocks of five contribute C(5,4) each. */
+  def graphK4(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val blockPairs = c.as("a").join(c.as("b"),
+        expr("(a.k div 5) = (b.k div 5)") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("src"), col("b.k").as("dst"))
+    val chain = c.select(col("k").as("src"), (col("k") + 5).as("dst"))
+      .join(c.select(col("k").as("dst")), Seq("dst"), "left_semi")
+    graft.graph.Centrality.cliqueCensusK4(blockPairs.unionByName(chain))
+  }
+
   // ------------------------------------------------------------------ text
 
   /** Top-50 most cosine-similar document pairs via the shingle postings
@@ -464,6 +544,10 @@ object AdvancedQueries {
     "analytics_chi2" -> (chi2Segments _),
     "analytics_gini" -> (giniOrderValue _),
     "sketch_kmv_setops" -> (kmvSetOps _),
+    "privacy_t_closeness" -> (privacyTCloseness _),
+    "er_fellegi_sunter" -> (erFellegiSunter _),
+    "er_fs_classify" -> (erFsClassify _),
+    "graph_k4_census" -> (graphK4 _),
     "text_cosine_postings" -> (cosinePostings _),
     "text_vocab_growth" -> (vocabGrowth _),
     "join_spatial_grid" -> (spatialGridNearest _),
@@ -624,6 +708,108 @@ object AdvancedQueries {
         |    (CAST(2 * s1 - (n + 1) * total AS HUGEINT) * 1000000)
         |      // (CAST(n AS HUGEINT) * total) END AS BIGINT) AS gini_ppm
         |FROM a ORDER BY g""".stripMargin,
+    "privacy_t_closeness" ->
+      """WITH d AS (SELECT c_mktsegment AS seg,
+        |  CAST(c_nationkey % 4 AS BIGINT) AS nk,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) % 25 AS cc
+        |  FROM customer),
+        |cls AS (SELECT seg, nk, count(*) AS class_size FROM d GROUP BY 1, 2),
+        |cell AS (SELECT seg, nk, cc, count(*) AS n_cs FROM d GROUP BY 1, 2, 3),
+        |gdist AS (SELECT cc, count(*) AS g_s FROM d GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM d),
+        |dev AS (SELECT cls.seg, cls.nk, cls.class_size, tot.n_total,
+        |    abs(CAST(coalesce(cell.n_cs, 0) AS HUGEINT) * tot.n_total
+        |      - CAST(gdist.g_s AS HUGEINT) * cls.class_size) AS dv
+        |  FROM cls CROSS JOIN gdist CROSS JOIN tot
+        |  LEFT JOIN cell ON cell.seg = cls.seg AND cell.nk = cls.nk
+        |    AND cell.cc = gdist.cc),
+        |s AS (SELECT seg, nk, CAST(class_size AS BIGINT) AS class_size,
+        |  CAST((sum(dv) * 1000000)
+        |    // (2 * CAST(class_size AS HUGEINT) * n_total) AS BIGINT)
+        |    AS tvd_ppm
+        |  FROM dev GROUP BY seg, nk, class_size, n_total)
+        |SELECT seg, nk, class_size, tvd_ppm FROM s
+        |WHERE tvd_ppm > 250000 ORDER BY seg, nk""".stripMargin,
+    "er_fellegi_sunter" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS name,
+        |  c_mktsegment AS seg,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) % 25 AS cc FROM customer),
+        |dup AS (SELECT k, CASE WHEN k % 4 = 0 THEN substr(name, 1, 3) ELSE name END AS name2,
+        |  CASE WHEN k % 5 = 0 THEN 'OTHER' ELSE seg END AS seg2, cc AS cc2 FROM c),
+        |mm AS (SELECT c.k, TRUE AS is_match,
+        |  levenshtein(c.name, d.name2) <= 2 AS name_agree,
+        |  c.seg = d.seg2 AS seg_agree, c.cc = d.cc2 AS cc_agree
+        |  FROM c JOIN dup d ON c.k = d.k),
+        |nx AS (SELECT k - 1 AS k, name AS name2, seg AS seg2, cc AS cc2 FROM c),
+        |uu AS (SELECT c.k, FALSE AS is_match,
+        |  levenshtein(c.name, nx.name2) <= 2 AS name_agree,
+        |  c.seg = nx.seg2 AS seg_agree, c.cc = nx.cc2 AS cc_agree
+        |  FROM c JOIN nx ON c.k = nx.k),
+        |lab AS MATERIALIZED (SELECT * FROM mm UNION ALL SELECT * FROM uu),
+        |pat AS MATERIALIZED (SELECT name_agree, seg_agree, cc_agree,
+        |  sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+        |  sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS n_unmatch
+        |  FROM lab GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(n_match) AS tm, sum(n_unmatch) AS tu FROM pat),
+        |lr AS (SELECT p.name_agree, p.seg_agree, p.cc_agree,
+        |  CAST(p.n_match AS BIGINT) AS n_match,
+        |  CAST(p.n_unmatch AS BIGINT) AS n_unmatch,
+        |  CASE WHEN tot.tm = 0 OR p.n_unmatch = 0 THEN NULL
+        |    ELSE CAST((CAST(p.n_match AS HUGEINT) * tot.tu * 1000000)
+        |      // (CAST(p.n_unmatch AS HUGEINT) * tot.tm) AS BIGINT)
+        |  END AS lr_ppm FROM pat p CROSS JOIN tot)
+        |SELECT * FROM lr ORDER BY name_agree, seg_agree, cc_agree""".stripMargin,
+    "er_fs_classify" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS name,
+        |  c_mktsegment AS seg,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) % 25 AS cc FROM customer),
+        |dup AS (SELECT k, CASE WHEN k % 4 = 0 THEN substr(name, 1, 3) ELSE name END AS name2,
+        |  CASE WHEN k % 5 = 0 THEN 'OTHER' ELSE seg END AS seg2, cc AS cc2 FROM c),
+        |mm AS (SELECT c.k, TRUE AS is_match,
+        |  levenshtein(c.name, d.name2) <= 2 AS name_agree,
+        |  c.seg = d.seg2 AS seg_agree, c.cc = d.cc2 AS cc_agree
+        |  FROM c JOIN dup d ON c.k = d.k),
+        |nx AS (SELECT k - 1 AS k, name AS name2, seg AS seg2, cc AS cc2 FROM c),
+        |uu AS (SELECT c.k, FALSE AS is_match,
+        |  levenshtein(c.name, nx.name2) <= 2 AS name_agree,
+        |  c.seg = nx.seg2 AS seg_agree, c.cc = nx.cc2 AS cc_agree
+        |  FROM c JOIN nx ON c.k = nx.k),
+        |lab AS MATERIALIZED (SELECT * FROM mm UNION ALL SELECT * FROM uu),
+        |pat AS MATERIALIZED (SELECT name_agree, seg_agree, cc_agree,
+        |  sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+        |  sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS n_unmatch
+        |  FROM lab GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(n_match) AS tm, sum(n_unmatch) AS tu FROM pat),
+        |lr AS (SELECT p.name_agree, p.seg_agree, p.cc_agree,
+        |  CAST(p.n_match AS BIGINT) AS n_match,
+        |  CAST(p.n_unmatch AS BIGINT) AS n_unmatch,
+        |  CASE WHEN tot.tm = 0 OR p.n_unmatch = 0 THEN NULL
+        |    ELSE CAST((CAST(p.n_match AS HUGEINT) * tot.tu * 1000000)
+        |      // (CAST(p.n_unmatch AS HUGEINT) * tot.tm) AS BIGINT)
+        |  END AS lr_ppm FROM pat p CROSS JOIN tot)
+        |SELECT CASE WHEN lr.lr_ppm IS NULL OR lr.lr_ppm >= 10000000 THEN 'link'
+        |    WHEN lr.lr_ppm < 100000 THEN 'non-link' ELSE 'possible' END AS decision,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN lab.is_match THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true_match
+        |FROM lab JOIN lr ON lab.name_agree = lr.name_agree
+        |  AND lab.seg_agree = lr.seg_agree AND lab.cc_agree = lr.cc_agree
+        |GROUP BY 1 ORDER BY decision""".stripMargin,
+    "graph_k4_census" ->
+      """WITH n AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |e0 AS (SELECT a.k AS u, b.k AS v FROM n a JOIN n b
+        |    ON a.k // 5 = b.k // 5 AND a.k < b.k
+        |  UNION SELECT n.k AS u, n.k + 5 AS v FROM n
+        |    WHERE EXISTS (SELECT 1 FROM n m WHERE m.k = n.k + 5)),
+        |e AS MATERIALIZED (SELECT DISTINCT u, v FROM e0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_k4
+        |FROM e ab JOIN e ac ON ab.u = ac.u AND ab.v < ac.v
+        |  JOIN e ad ON ab.u = ad.u AND ac.v < ad.v
+        |  JOIN e bc ON bc.u = ab.v AND bc.v = ac.v
+        |  JOIN e bd ON bd.u = ab.v AND bd.v = ad.v
+        |  JOIN e cd ON cd.u = ac.v AND cd.v = ad.v""".stripMargin,
     "sketch_kmv_setops" ->
       """WITH ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h FROM customer),
         |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h FROM orders),

@@ -34,6 +34,8 @@ object ReferenceLibrary {
 
   def cisAws(req: String, title: String): Control = Control(
     "cis aws foundations benchmark", "cis", "aws", "6.0.0", req, title)
+  def cisK8s(req: String, title: String): Control = Control(
+    "cis kubernetes benchmark", "cis", "kubernetes", "1.12", req, title)
   def soc2Tsc(req: String, title: String): Control = Control(
     "soc 2 trust services criteria", "soc2", "tsc", "2022", req, title)
   def iso27001(req: String, title: String): Control = Control(
@@ -118,6 +120,34 @@ object ReferenceLibrary {
       """SELECT CAST(o_custkey AS BIGINT) AS user_id,
         |  CAST(o_orderkey % 1000 + 1 AS BIGINT) AS app_id
         |FROM rf_base_orders""".stripMargin,
+    "rf_role_binding" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS id,
+        |  'user-' || CAST(s_nationkey AS STRING) AS subject,
+        |  CASE s_suppkey % 9 WHEN 0 THEN 'cluster-admin' WHEN 1 THEN 'admin'
+        |    ELSE 'view' END AS role
+        |FROM rf_base_supplier""".stripMargin,
+    "rf_k8s_cluster" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  n_nationkey % 4 = 0 AS endpoint_public
+        |FROM rf_base_nation""".stripMargin,
+    "rf_workflow_step" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |  CASE p_partkey % 4
+        |    WHEN 0 THEN 'actions/checkout@v4'
+        |    WHEN 1 THEN 'actions/checkout@8f6b0cfa7c2b28b0f0b0b1a0d1f7a9d3c4e5f6a7'
+        |    WHEN 2 THEN 'internal/build@main'
+        |    ELSE 'actions/cache@5a3ec84eff668545956fd18022155c47e93e2684' END
+        |    AS uses_ref
+        |FROM rf_base_part""".stripMargin,
+    "rf_guardduty_finding" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  CAST(o_orderkey % 10 AS BIGINT) AS severity,
+        |  o_orderkey % 3 = 0 AS archived
+        |FROM rf_base_orders""".stripMargin,
+    "rf_db_backup" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS id,
+        |  CAST(s_suppkey % 8 AS BIGINT) AS retention_days
+        |FROM rf_base_supplier""".stripMargin,
     "rf_provider_api_key" ->
       s"""SELECT CAST(s_suppkey AS BIGINT) AS id,
          |  CASE s_suppkey % 6 WHEN 0 THEN 'openai' WHEN 1 THEN 'anthropic'
@@ -275,6 +305,63 @@ object ReferenceLibrary {
         nistAiRmf("govern 5", "Engagement with relevant AI actors"),
         iso27001("5.23", "Information security for use of cloud services"),
         soc2Tsc("cc6.3", "Role-based access management"))),
+    SqlRule("k8s-rbac", "Cluster RBAC stays least-privilege",
+      "cluster-admin bindings are the cluster blast-radius maximum " +
+        "(cis_kubernetes_rbac.py).",
+      facts = Seq(
+        SqlFact("cluster-admin-binding", "Subject bound to cluster-admin",
+          "RoleBinding",
+          """SELECT id AS asset_id, subject AS detail
+            |FROM rf_role_binding WHERE role = 'cluster-admin'""".stripMargin)),
+      controls = Seq(
+        cisK8s("5.1.1", "Cluster-admin role usage minimized"),
+        iso27001("8.2", "Privileged access rights"),
+        soc2Tsc("cc6.3", "Role-based access management"))),
+    SqlRule("k8s-exposure", "Control planes stay private",
+      "A public API endpoint exposes the cluster's full control surface " +
+        "(kubernetes_control_plane_exposed.py).",
+      facts = Seq(
+        SqlFact("control-plane-public", "Cluster API endpoint public",
+          "KubernetesCluster",
+          "SELECT id AS asset_id FROM rf_k8s_cluster WHERE endpoint_public")),
+      controls = Seq(
+        cisK8s("5.4.2", "API server not publicly reachable"),
+        iso27001("8.20", "Network security"))),
+    SqlRule("supply-chain-pinning", "CI dependencies pinned by digest",
+      "A workflow step referencing a mutable tag can be repointed by the " +
+        "upstream at any time (unpinned_github_actions.py): pinned means " +
+        "the ref after '@' is a full 40-hex commit SHA.",
+      facts = Seq(
+        SqlFact("unpinned-action", "Workflow step not pinned to a SHA",
+          "WorkflowStep",
+          """SELECT id AS asset_id, uses_ref AS detail
+            |FROM rf_workflow_step
+            |WHERE instr(uses_ref, '@') > 0
+            |  AND length(substr(uses_ref, instr(uses_ref, '@') + 1)) <> 40""".stripMargin)),
+      controls = Seq(
+        iso27001("5.21", "ICT supply chain security"),
+        soc2Tsc("cc8.1", "Change management"))),
+    SqlRule("threat-response", "Active detections triaged",
+      "Unarchived high-severity detections are live incidents " +
+        "(guardduty_active_threat.py).",
+      facts = Seq(
+        SqlFact("active-high-severity-finding", "Unarchived finding, severity >= 7",
+          "SecurityFinding",
+          """SELECT id AS asset_id, CAST(severity AS STRING) AS detail
+            |FROM rf_guardduty_finding
+            |WHERE severity >= 7 AND NOT archived""".stripMargin)),
+      controls = Seq(
+        soc2Tsc("cc7.2", "Monitoring for anomalies"),
+        iso27001("8.16", "Monitoring activities"))),
+    SqlRule("backup-resilience", "Databases keep restorable backups",
+      "Zero-retention databases cannot be restored (database_backup_gaps.py).",
+      facts = Seq(
+        SqlFact("db-backup-gap", "Database with zero backup retention",
+          "DbInstance",
+          "SELECT id AS asset_id FROM rf_db_backup WHERE retention_days = 0")),
+      controls = Seq(
+        soc2Tsc("a1.2", "Backup and recovery infrastructure"),
+        iso27001("8.13", "Information backup"))),
     SqlRule("ai-credential-hygiene", "AI provider keys rotated",
       "API keys for AI providers rotate within 180 days " +
         "(nist_ai_rmf.py ai_provider_api_key_hygiene).",

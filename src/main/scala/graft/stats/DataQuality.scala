@@ -101,4 +101,43 @@ object DataQuality {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .filter(col("class_size") < k || col("n_sensitive") < l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007): one row per
+    * quasi-identifier class whose sensitive-value distribution sits
+    * farther than `tPpm` from the table-wide distribution — the release
+    * gate l-diversity can't provide when values are distinct but skewed
+    * (a class that is 90% one diagnosis "has 3 distinct values" and
+    * still leaks). Distance = total variation (the categorical EMD
+    * under unit ground distance), exact in ppm:
+    * tvd = Σ_s |n_cs·N − g_s·n_c| · 1e6 div (2·n_c·N), decimal(38,0)
+    * throughout so petabyte-count products can't wrap.
+    *
+    * Plan shape: one class census + one cell census + one global census,
+    * then classes × sensitive-domain (the domain is the SMALL dimension
+    * — broadcast) with absent cells counted at zero. Output:
+    * (quasi..., class_size, tvd_ppm) for violators only, empty =
+    * certified. */
+  def tClosenessViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, tPpm: Long): DataFrame = {
+    require(tPpm >= 0 && tPpm <= 1000000, "tPpm must be in [0, 1e6]")
+    val cls = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val cell = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n_cs"))
+    val glob = df.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("g_s"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    cls.crossJoin(broadcast(glob)).crossJoin(broadcast(total))
+      .join(cell, quasiCols :+ sensitiveCol, "left")
+      .select((quasiCols.map(col) :+ col("class_size") :+ col("n_total") :+
+        abs(coalesce(col("n_cs"), lit(0L)).cast("decimal(38,0)") * col("n_total")
+          - col("g_s").cast("decimal(38,0)") * col("class_size")).as("_dev")): _*)
+      .groupBy((quasiCols.map(col) :+ col("class_size") :+ col("n_total")): _*)
+      .agg(sum(col("_dev")).as("_sumdev"))
+      .select((quasiCols.map(col) :+ col("class_size") :+
+        expr("CAST((_sumdev * 1000000) div " +
+          "(2 * CAST(class_size AS DECIMAL(38,0)) * n_total) AS BIGINT)")
+          .as("tvd_ppm")): _*)
+      .filter(col("tvd_ppm") > tPpm)
+  }
 }

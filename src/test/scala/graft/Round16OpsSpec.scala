@@ -55,7 +55,7 @@ class Round16OpsSpec extends AnyFunSuite {
       assert(r.facts.nonEmpty && r.controls.nonEmpty)
       r.controls.foreach(c => assert(c.title.nonEmpty && c.revision.nonEmpty))
     }
-    assert(ReferenceLibrary.rules.flatMap(_.facts).map(_.factId).distinct.size >= 14)
+    assert(ReferenceLibrary.rules.flatMap(_.facts).map(_.factId).distinct.size >= 19)
   }
 
   test("controlSummary fans each fact out to every mapped control") {
@@ -86,6 +86,87 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(got("running").contains("running"))
     assert(got("impaired").isEmpty)
     assert(got("stopped").contains("stopped"))
+  }
+
+  // ---- tClosenessViolations ----
+
+  test("tCloseness flags the skewed class and passes the balanced one") {
+    // global: 4×a, 4×b. class q=1 balanced (2a,2b): tvd=0.
+    // class q=2 skewed (2a,0b): tvd = 1/2(|1/2-1/2... ) = |2/2-4/8| etc.
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "b"), (2L, "b")).toDF("q", "s")
+    assert(graft.stats.DataQuality
+      .tClosenessViolations(df, Seq("q"), "s", 100000L).isEmpty)
+    val skew = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "a")).toDF("q", "s")
+    // global: 3a,1b. class 2 = (2a, 0b): tvd = 1/2(|1 - 3/4| + |0 - 1/4|)
+    // = 1/4 -> 250000 ppm; class 1 = (1a,1b): tvd = 1/4 too
+    val out = graft.stats.DataQuality
+      .tClosenessViolations(skew, Seq("q"), "s", 200000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 250000L, 2L -> 250000L))
+  }
+
+  // ---- Fellegi–Sunter ----
+
+  test("patternTable computes exact ppm likelihood ratios") {
+    import graft.operators.EntityResolution
+    // pattern (true): 3 matches, 1 unmatch; pattern (false): 1 match,
+    // 3 unmatches. totals: tm=4, tu=4 -> lr(true) = (3*4e6)/(1*4) = 3e6
+    val lab = Seq(
+      (true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .toDF("name_agree", "is_match")
+    val rows = EntityResolution.patternTable(lab, Seq("name_agree"), "is_match")
+      .collect().map(r => r.getBoolean(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(rows(true) == (3L, 1L, 3000000L))
+    assert(rows(false) == (1L, 3L, 333333L))
+    // match-only pattern -> null lr (infinite evidence)
+    val lab2 = Seq((true, true), (false, false)).toDF("a", "is_match")
+    val r2 = EntityResolution.patternTable(lab2, Seq("a"), "is_match")
+      .filter(col("a")).collect().head
+    assert(r2.isNullAt(3))
+  }
+
+  test("classify thresholds into link / possible / non-link") {
+    import graft.operators.EntityResolution
+    val lab = Seq(
+      (true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .toDF("a", "is_match")
+    val table = EntityResolution.patternTable(lab, Seq("a"), "is_match")
+    val out = EntityResolution.classify(
+        Seq((1L, true), (2L, false)).toDF("id", "a"), table, Seq("a"),
+        lowerPpm = 500000L, upperPpm = 2000000L)
+      .select(col("id"), col("decision"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "link", 2L -> "non-link"))
+    // unseen pattern -> possible
+    val out2 = EntityResolution.classify(
+        Seq((3L, true)).toDF("id", "a"),
+        table.filter(!col("a")), Seq("a"), 500000L, 2000000L)
+      .select(col("id"), col("decision"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(3L -> "possible"))
+  }
+
+  // ---- cliqueCensusK4 ----
+
+  test("cliqueCensusK4 counts each K4 exactly once") {
+    import graft.graph.Centrality
+    // K5 on {1..5} -> C(5,4)=5; plus a dangling triangle {6,7,8} -> 0
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val extra = Seq((6L, 7L), (7L, 8L), (6L, 8L), (5L, 6L))
+    val n = Centrality.cliqueCensusK4((k5 ++ extra).toDF("src", "dst"))
+      .collect().head.getLong(0)
+    assert(n == 5L)
+    // empty graph -> 0
+    val n0 = Centrality.cliqueCensusK4(Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().head.getLong(0)
+    assert(n0 == 0L)
   }
 
   // ---- sccArtifact ----

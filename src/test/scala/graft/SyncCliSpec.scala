@@ -105,4 +105,22 @@ class SyncCliSpec extends AnyFunSuite {
     assert(rows.exists(r => r.contains("3") && r.contains("added")))
     assert(rows.exists(r => r.contains("1") && r.contains("removed")))
   }
+
+  test("--analysis-job-directory runs JSON jobs in the analysis slot") {
+    import spark.implicits._
+    val jobs = Files.createTempDirectory("cli_jobs")
+    Files.writeString(jobs.resolve("10_flag.json"),
+      """{"name": "flag even survivors", "statements": [
+        |  {"query": "SELECT *, id % 2 = 0 AS even FROM node_Thing WHERE lastupdated = $UPDATE_TAG",
+        |   "materialize": "node_Thing"}]}""".stripMargin)
+    val cfg = SyncCli.parseArgs(Seq("--analysis-job-directory", jobs.toString))
+    assert(cfg.analysisJobDir.contains(jobs.toString))
+    val stage = SyncCli.registry(cfg).find(_.name == SyncAssembly.AnalysisStage).get
+    val g0 = graft.graph.Graph().withNodes("Thing",
+      Seq((1L, 9L), (2L, 9L), (3L, 8L)).toDF("id", "lastupdated"))
+    val g1 = stage.run(g0, spark, 9L)
+    val got = g1.nodeTable("Thing").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true)) // stale id 3 cleaned up
+  }
 }
