@@ -395,4 +395,90 @@ object Temporal {
         sum(col("_new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("_new_sess")
   }
+  /** Allen interval-relation census between two interval sets (Allen
+    * 1983, CACM 26: the 13 mutually exclusive, jointly exhaustive
+    * relations two intervals can stand in) — the temporal-reasoning
+    * fingerprint of a schedule: how many (a, b) ordered pairs are
+    * BEFORE / MEETS / OVERLAPS / STARTS / DURING / FINISHES / EQUALS
+    * and the six inverses.
+    *
+    * The scale design splits by contact: the two DISJOINT relations
+    * (before, after) are O(|A|·|B|)-sized pair sets that are never
+    * enumerated — each is ONE order-statistic pass (union endpoints,
+    * sort, running count: for every b.start the number of a.end
+    * strictly below it, ties ordered so boundary equality lands in
+    * MEETS, not BEFORE). Every relation with boundary contact or
+    * overlap requires a candidate pair, generated by the same bucketed
+    * interval join as [[intervalOverlapJoin]] (bucket span bounds the
+    * fan-out) and classified in-row with one CASE. Intervals are
+    * closed-start open-thought-of as (s, e) with s < e; pairs, not
+    * intervals, are counted, and the 13 counts partition |A|·|B|
+    * exactly (property-tested). Output: (relation, n_pairs), all 13
+    * rows present. */
+  def allenCensus(a: DataFrame, b: DataFrame, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val spark = a.sparkSession
+    val av = a.select(col("s").cast("long").as("as_"), col("e").cast("long").as("ae"))
+      .filter(col("as_") < col("ae")).localCheckpoint(false)
+    val bv = b.select(col("s").cast("long").as("bs"), col("e").cast("long").as("be"))
+      .filter(col("bs") < col("be")).localCheckpoint(false)
+    // ---- disjoint relations by order statistics (never enumerated) ----
+    // before-count = Σ_v nb(v) · |{a.e < v}|: aggregate endpoint counts
+    // per DISTINCT value first (map-side combinable), then one running
+    // sum over the distinct-value axis with a RANGE frame to -1 so the
+    // a.e == b.s boundary (MEETS) is excluded. The single-partition
+    // window runs over distinct endpoint values, not rows — the
+    // timestamp-domain cardinality, the same knob every histogram
+    // shares; products and the final sum are decimal(38,0) so
+    // |A|·|B|-sized counts cannot wrap.
+    def disjointCount(ends: DataFrame, starts: DataFrame): DataFrame = {
+      val na = ends.groupBy(col("v")).agg(count(lit(1)).as("na"))
+      val nb = starts.groupBy(col("v")).agg(count(lit(1)).as("nb"))
+      val merged = na.join(nb, Seq("v"), "full_outer")
+        .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      merged.withColumn("_cum", coalesce(sum(col("na")).over(w), lit(0L)))
+        .agg(coalesce(sum(col("nb").cast("decimal(38,0)") * col("_cum")),
+          lit(0)).cast("bigint").as("n"))
+    }
+    val beforeN = disjointCount(av.select(col("ae").as("v")),
+      bv.select(col("bs").as("v")))
+    val afterN = disjointCount(bv.select(col("be").as("v")),
+      av.select(col("as_").as("v")))
+    // ---- contact relations via the bucketed candidate join ----
+    def buckets(s: Column, e: Column) = sequence(
+      floor(s / bucketSeconds).cast("long"), floor(e / bucketSeconds).cast("long"))
+    val ab = av.withColumn("_bkt", explode(buckets(col("as_"), col("ae"))))
+    val bb = bv.withColumn("_bkt", explode(buckets(col("bs"), col("be"))))
+    val contact = ab.join(bb, Seq("_bkt"))
+      // touching or overlapping: a.s <= b.e AND b.s <= a.e
+      .filter(col("as_") <= col("be") && col("bs") <= col("ae"))
+      .filter(col("_bkt") ===
+        floor(greatest(col("as_"), col("bs")) / bucketSeconds).cast("long"))
+      .select(col("as_"), col("ae"), col("bs"), col("be"))
+    val classified = contact.select(
+      when(col("as_") === col("bs") && col("ae") === col("be"), "equals")
+        .when(col("ae") === col("bs"), "meets")
+        .when(col("be") === col("as_"), "met_by")
+        .when(col("as_") === col("bs") && col("ae") < col("be"), "starts")
+        .when(col("as_") === col("bs"), "started_by")
+        .when(col("ae") === col("be") && col("as_") > col("bs"), "finishes")
+        .when(col("ae") === col("be"), "finished_by")
+        .when(col("as_") > col("bs") && col("ae") < col("be"), "during")
+        .when(col("as_") < col("bs") && col("ae") > col("be"), "contains")
+        .when(col("as_") < col("bs"), "overlaps")
+        .otherwise("overlapped_by").as("relation"))
+      .groupBy(col("relation")).agg(count(lit(1)).as("n_pairs"))
+    import spark.implicits._
+    val all = (Seq("before", "after") ++ Seq("meets", "met_by", "overlaps",
+      "overlapped_by", "starts", "started_by", "during", "contains",
+      "finishes", "finished_by", "equals")).toDF("relation")
+    val disjoint = beforeN.select(lit("before").as("relation"), col("n").as("n_pairs"))
+      .unionByName(afterN.select(lit("after").as("relation"), col("n").as("n_pairs")))
+    all.join(classified.unionByName(disjoint), Seq("relation"), "left")
+      .select(col("relation"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
 }

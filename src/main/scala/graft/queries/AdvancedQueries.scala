@@ -183,6 +183,41 @@ object AdvancedQueries {
     graft.graph.Centrality.cliqueCensusK4(blockPairs.unionByName(chain))
   }
 
+
+  /** Multi-touch attribution over the events stream: click/view/signup
+    * touches credit their next purchase within 3 days under all four
+    * standard models at once, exact ppm shares
+    * ([[graft.operators.Attribution.multiTouch]]). */
+  def attributionMultiTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), expr("unix_micros(ts)").as("ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        expr("unix_micros(ts)").as("ts"),
+        coalesce(floor(col("value") * 100).cast("long"), lit(0L)).as("value_cents"))
+    graft.operators.Attribution
+      .multiTouch(touches, conv, lookbackSec = 3L * 86400L * 1000000L)
+      .orderBy(col("model"), col("channel"))
+  }
+
+  /** Allen interval-relation census between two order-interval samples
+    * ([[graft.operators.Temporal.allenCensus]]): disjoint relations by
+    * order statistics, contact relations by the bucketed join. */
+  def allenCensusGate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("k"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("d"))
+    def iv(df: DataFrame) = df.select(col("d").as("s"),
+      (col("d") + col("k") % 20 + 1).as("e"))
+    Temporal.allenCensus(
+      iv(o.filter(col("k") % 40 === 1)), iv(o.filter(col("k") % 40 === 2)),
+      bucketSeconds = 32L)
+      .orderBy(col("relation"))
+  }
+
   // ------------------------------------------------------------------ text
 
   /** Top-50 most cosine-similar document pairs via the shingle postings
@@ -548,6 +583,8 @@ object AdvancedQueries {
     "er_fellegi_sunter" -> (erFellegiSunter _),
     "er_fs_classify" -> (erFsClassify _),
     "graph_k4_census" -> (graphK4 _),
+    "attribution_multi_touch" -> (attributionMultiTouch _),
+    "temporal_allen_census" -> (allenCensusGate _),
     "text_cosine_postings" -> (cosinePostings _),
     "text_vocab_growth" -> (vocabGrowth _),
     "join_spatial_grid" -> (spatialGridNearest _),
@@ -708,6 +745,64 @@ object AdvancedQueries {
         |    (CAST(2 * s1 - (n + 1) * total AS HUGEINT) * 1000000)
         |      // (CAST(n AS HUGEINT) * total) END AS BIGINT) AS gini_ppm
         |FROM a ORDER BY g""".stripMargin,
+    "attribution_multi_touch" ->
+      """WITH t AS (SELECT user_id, event_id AS touch_id,
+        |    event_type AS channel, epoch_us(ts) AS t_ts
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |c AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_ts,
+        |    CAST(coalesce(floor(value * 100), 0) AS BIGINT) AS value_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |asg AS MATERIALIZED (SELECT * FROM (
+        |  SELECT t.*, c.conv_id, c.c_ts, c.value_cents,
+        |    row_number() OVER (PARTITION BY t.user_id, t.touch_id
+        |      ORDER BY c.c_ts, c.conv_id) AS rk
+        |  FROM t JOIN c ON t.user_id = c.user_id AND t.t_ts <= c.c_ts
+        |    AND c.c_ts - t.t_ts <= 259200000000) WHERE rk = 1),
+        |pos AS MATERIALIZED (SELECT *,
+        |  row_number() OVER (PARTITION BY conv_id ORDER BY t_ts, touch_id) AS pos,
+        |  count(*) OVER (PARTITION BY conv_id) AS n FROM asg),
+        |sh AS (
+        |  SELECT channel, value_cents, 'first_touch' AS model,
+        |    CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS share FROM pos
+        |  UNION ALL SELECT channel, value_cents, 'last_touch',
+        |    CASE WHEN pos = n THEN 1000000 ELSE 0 END FROM pos
+        |  UNION ALL SELECT channel, value_cents, 'linear',
+        |    CASE WHEN pos = n THEN 1000000 - (1000000 // n) * (n - 1)
+        |      ELSE 1000000 // n END FROM pos
+        |  UNION ALL SELECT channel, value_cents, 'u_shaped',
+        |    CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+        |      WHEN pos = 1 THEN 400000
+        |      WHEN pos = n THEN 600000 - (200000 // (n - 2)) * (n - 2)
+        |      ELSE 200000 // greatest(n - 2, 1) END FROM pos)
+        |SELECT model, channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CAST(share AS HUGEINT) * value_cents) AS BIGINT)
+        |    AS credit_ppm_cents
+        |FROM sh WHERE share > 0 GROUP BY model, channel
+        |ORDER BY model, channel""".stripMargin,
+    "temporal_allen_census" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d FROM orders),
+        |a AS (SELECT d AS as_, d + k % 20 + 1 AS ae FROM o WHERE k % 40 = 1),
+        |b AS (SELECT d AS bs, d + k % 20 + 1 AS be FROM o WHERE k % 40 = 2),
+        |p AS (SELECT CASE
+        |    WHEN ae < bs THEN 'before' WHEN as_ > be THEN 'after'
+        |    WHEN as_ = bs AND ae = be THEN 'equals'
+        |    WHEN ae = bs THEN 'meets' WHEN be = as_ THEN 'met_by'
+        |    WHEN as_ = bs AND ae < be THEN 'starts'
+        |    WHEN as_ = bs THEN 'started_by'
+        |    WHEN ae = be AND as_ > bs THEN 'finishes'
+        |    WHEN ae = be THEN 'finished_by'
+        |    WHEN as_ > bs AND ae < be THEN 'during'
+        |    WHEN as_ < bs AND ae > be THEN 'contains'
+        |    WHEN as_ < bs THEN 'overlaps' ELSE 'overlapped_by' END AS relation
+        |  FROM a CROSS JOIN b),
+        |r AS (SELECT relation, count(*) AS n FROM p GROUP BY 1),
+        |rels AS (SELECT unnest(['before', 'after', 'meets', 'met_by',
+        |  'overlaps', 'overlapped_by', 'starts', 'started_by', 'during',
+        |  'contains', 'finishes', 'finished_by', 'equals']) AS relation)
+        |SELECT rels.relation, CAST(coalesce(r.n, 0) AS BIGINT) AS n_pairs
+        |FROM rels LEFT JOIN r ON rels.relation = r.relation
+        |ORDER BY rels.relation""".stripMargin,
     "privacy_t_closeness" ->
       """WITH d AS (SELECT c_mktsegment AS seg,
         |  CAST(c_nationkey % 4 AS BIGINT) AS nk,

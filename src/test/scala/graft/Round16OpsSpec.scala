@@ -153,6 +153,35 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(out2 == Map(3L -> "possible"))
   }
 
+  // ---- Attribution.multiTouch ----
+
+  test("multiTouch credits models exactly and shares sum to 1e6") {
+    import graft.operators.Attribution
+    // user 1: touches at t=1 (ads), 2 (email), 3 (ads); conversion at t=5
+    // value 1000c. user 2: one touch outside the lookback -> no credit.
+    val touches = Seq(
+      (1L, 101L, "ads", 1L), (1L, 102L, "email", 2L), (1L, 103L, "ads", 3L),
+      (2L, 201L, "ads", 1L)).toDF("user_id", "touch_id", "channel", "ts")
+    val convs = Seq((1L, 900L, 5L, 1000L), (2L, 901L, 100L, 500L))
+      .toDF("user_id", "conv_id", "ts", "value_cents")
+    val out = Attribution.multiTouch(touches, convs, lookbackSec = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // first: ads@1; last: ads@3; linear: 333333/333333/333334 with the
+    // remainder on the LAST touch (ads); u-shaped: 400000/200000/400000
+    assert(out(("first_touch", "ads")) == (1L, 1000000L * 1000L))
+    assert(out(("last_touch", "ads")) == (1L, 1000000L * 1000L))
+    assert(out(("linear", "ads")) == (2L, (333333L + 333334L) * 1000L))
+    assert(out(("linear", "email")) == (1L, 333333L * 1000L))
+    assert(out(("u_shaped", "ads")) == (2L, 800000L * 1000L))
+    assert(out(("u_shaped", "email")) == (1L, 200000L * 1000L))
+    // every model's total credit = 1e6 x value
+    Attribution.Models.foreach { m =>
+      val tot = out.collect { case ((`m`, _), (_, c)) => c }.sum
+      assert(tot == 1000000L * 1000L, m)
+    }
+  }
+
   // ---- cliqueCensusK4 ----
 
   test("cliqueCensusK4 counts each K4 exactly once") {

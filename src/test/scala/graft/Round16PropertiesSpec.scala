@@ -151,6 +151,39 @@ class Round16PropertiesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("multiple parents"))
   }
 
+  // ---- allenCensus vs brute-force classification ----
+
+  private def allenRel(as: Long, ae: Long, bs: Long, be: Long): String =
+    if (ae < bs) "before" else if (as > be) "after"
+    else if (as == bs && ae == be) "equals"
+    else if (ae == bs) "meets" else if (be == as) "met_by"
+    else if (as == bs && ae < be) "starts" else if (as == bs) "started_by"
+    else if (ae == be && as > bs) "finishes" else if (ae == be) "finished_by"
+    else if (as > bs && ae < be) "during"
+    else if (as < bs && ae > be) "contains"
+    else if (as < bs) "overlaps" else "overlapped_by"
+
+  test("allenCensus partitions |A|x|B| and matches brute classification") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 100)
+      def ivs(n: Int) = (1 to n).map { _ =>
+        val s = rnd.nextInt(60).toLong
+        (s, s + 1 + rnd.nextInt(12).toLong)
+      }
+      val a = ivs(25)
+      val b = ivs(20)
+      val want = (for ((as_, ae) <- a; (bs, be) <- b)
+        yield allenRel(as_, ae, bs, be))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = Temporal.allenCensus(
+          a.toDF("s", "e"), b.toDF("s", "e"), bucketSeconds = 7L)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"seed $seed")
+      assert(got.values.sum == a.size.toLong * b.size)
+    }
+  }
+
   // ---- cidrContainJoin vs brute-force containment ----
 
   test("cidrContainJoin equals brute-force interval containment") {
