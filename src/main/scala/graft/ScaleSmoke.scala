@@ -689,6 +689,49 @@ object ScaleSmoke {
         graph.Paths.subtreeAggregateLifted(tree,
           cust.select(col("k").as("node"), col("v").as("value")), 30).count()
       }
+      time("allen_census", m) {
+        // interval count scales with m; before/after stay order-statistic
+        // passes (distinct-endpoint axis), contact pairs scale with
+        // per-bucket density — the bucketed-join knob
+        val o = multiply(Tables.orders(spark, sfDir), "o_orderkey", m)
+          .select(col("o_orderkey").cast("long").as("k"),
+            datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+              .cast("long").as("d"))
+        def iv(df: DataFrame) = df.select(col("d").as("s"),
+          (col("d") + col("k") % 20 + 1).as("e"))
+        operators.Temporal.allenCensus(
+          iv(o.filter(col("k") % 40 === 1)), iv(o.filter(col("k") % 40 === 2)),
+          bucketSeconds = 32L).count()
+      }
+      time("attribution", m) {
+        // touches x conversions per user is the volume; user count scales
+        // with m so per-user candidate size stays constant
+        val evm = (0 until m).map(i =>
+            Tables.events(spark, sfDir)
+              .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+              .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+        val touches = evm.filter(col("event_type").isin("click", "view", "signup"))
+          .select(col("user_id"), col("event_id").as("touch_id"),
+            col("event_type").as("channel"), expr("unix_micros(ts)").as("ts"))
+        val conv = evm.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            expr("unix_micros(ts)").as("ts"),
+            coalesce(floor(col("value") * 100).cast("long"), lit(0L))
+              .as("value_cents"))
+        operators.Attribution
+          .multiTouch(touches, conv, 3L * 86400L * 1000000L).count()
+      }
+      time("k4_census", m) {
+        // per-copy 5-clique blocks: K4 volume linear in copies, oriented
+        // out-degrees stay O(block size)
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").cast("long").as("k"))
+        val pairs = cust.as("a").join(cust.as("b"),
+            expr("(a.k div 5) = (b.k div 5)") && col("a.k") < col("b.k"))
+          .select(col("a.k").as("src"), col("b.k").as("dst"))
+        graph.Centrality.cliqueCensusK4(pairs).count()
+      }
       time("reciprocity", m) {
         val t = binTree()
         val back = t.filter(col("dst") % 3 === 0)
