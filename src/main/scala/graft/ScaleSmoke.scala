@@ -703,7 +703,7 @@ object ScaleSmoke {
           iv(o.filter(col("k") % 40 === 1)), iv(o.filter(col("k") % 40 === 2)),
           bucketSeconds = 32L).count()
       }
-      time("attribution", m) {
+      time("attribution_multi", m) {
         // touches x conversions per user is the volume; user count scales
         // with m so per-user candidate size stays constant
         val evm = (0 until m).map(i =>

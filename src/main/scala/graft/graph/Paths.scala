@@ -122,7 +122,15 @@ object Paths {
     // D: (v, a, d) = longest path from ancestor a down to v, length <= 2^r.
     // A (v, v, ·) pair can only arise from a cycle — the in-plan guard
     // rides the round's aggregation projection, no extra driver action.
-    var d = e.select(col("dst").as("v"), col("src").as("a"), lit(1L).as("d")).cut
+    var d = e.select(col("dst").as("v"), col("src").as("a"), lit(1L).as("d"))
+      .select(col("v"),
+        // a self-loop is a cycle the compose-round guard would only see
+        // after the first squaring (never, when maxDepth = 1) — reject at
+        // the seed
+        when(col("v") === col("a"), expr(
+          "raise_error('topoLevelsLifted: cycle in the input')"))
+          .otherwise(col("a")).as("a"),
+        col("d")).cut
     var covered = 1L
     while (covered < maxDepth) {
       val lower = d.select(col("v"), col("a").as("m"), col("d").as("d1"))
@@ -253,6 +261,10 @@ object Paths {
         when(col("_np") > 1, expr(
           "raise_error('subtreeAggregateLifted: node has multiple parents - " +
             "use subtreeAggregate for DAG path semantics')"))
+          // a self-parent is a cycle, not a forest — fail as loudly as
+          // the sweep variant's round budget would
+          .when(col("v") === col("a"), expr(
+            "raise_error('subtreeAggregateLifted: self-loop in the input')"))
           .otherwise(col("a")).as("a")).cut
     // invariant after round r: closure = distances 1..2^r - 1 (starts
     // EMPTY), jump = distance exactly 2^r — each round unions three

@@ -29,8 +29,9 @@ object Attribution {
   val Models: Seq[String] = Seq("first_touch", "last_touch", "linear", "u_shaped")
 
   /** `touches`: (user_id, touch_id, channel, ts). `conversions`:
-    * (user_id, conv_id, ts, value_cents). Timestamps are epoch seconds
-    * (longs). */
+    * (user_id, conv_id, ts, value_cents). Timestamps are epoch longs in
+    * ANY consistent unit — `lookbackSec` is interpreted in the same unit
+    * as `ts` (the gates pass microseconds). */
   def multiTouch(touches: DataFrame, conversions: DataFrame,
                  lookbackSec: Long): DataFrame = {
     require(lookbackSec > 0, "lookbackSec must be positive")

@@ -129,4 +129,54 @@ object Changelog {
           .as("mult"): _*)
       .filter(col("mult") =!= 0L)
   }
+  /** Changelog health audit: per key, the integrity signals a CDC
+    * consumer checks BEFORE applying a feed — version gaps (a missing
+    * range means lost changes; applying around a gap silently diverges
+    * the replica) and out-of-order arrivals (fine for the argmax
+    * compaction above, fatal for append-only consumers). The audit the
+    * reference's sync loop implicitly trusts its update tags to make
+    * unnecessary, surfaced as data.
+    *
+    * One shuffle on the key: gap statistics ride a lag window over the
+    * DISTINCT versions, arrival statistics a running max over arrival
+    * order — both windows share the key partitioning, one exchange.
+    * `n_gaps` counts missing RUNS (not missing versions),
+    * `max_gap_len` the longest missing run, `n_out_of_order` the rows
+    * whose version is below a strictly earlier arrival's running max.
+    * Output: keys ++ (n_changes, n_versions, version_lo, version_hi,
+    * n_gaps, max_gap_len, n_out_of_order). */
+  def sequenceAudit(changes: DataFrame, keys: Seq[String],
+                    versionCol: String, arrivalCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val k = keys.map(col)
+    val distinctV = changes
+      .select((k :+ col(versionCol).cast("long").as("_v")): _*).distinct()
+      .withColumn("_gap",
+        col("_v") - lag(col("_v"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(k: _*).orderBy(col("_v").asc)) - 1L)
+    val gaps = distinctV.groupBy(k: _*)
+      .agg(count(lit(1)).as("n_versions"),
+        min(col("_v")).as("version_lo"), max(col("_v")).as("version_hi"),
+        sum(when(col("_gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("_gap") > 0, col("_gap"))), lit(0L))
+          .as("max_gap_len"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(k: _*)
+      .orderBy(col("_a").asc, col("_v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ooo = changes
+      .select((k :+ col(versionCol).cast("long").as("_v") :+
+        col(arrivalCol).as("_a")): _*)
+      .withColumn("_prevmax", max(col("_v")).over(wa))
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n_changes"),
+        sum(when(col("_v") < col("_prevmax"), 1L).otherwise(0L))
+          .as("n_out_of_order"))
+    ooo.join(gaps, keys)
+      .select((k :+ col("n_changes") :+ col("n_versions") :+
+        col("version_lo") :+ col("version_hi") :+ col("n_gaps") :+
+        col("max_gap_len") :+ col("n_out_of_order")): _*)
+  }
+
 }

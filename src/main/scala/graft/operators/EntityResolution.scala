@@ -54,7 +54,8 @@ object EntityResolution {
     * between → possible (clerical review); null lr (match-only pattern)
     * → link; a pattern absent from the training table → possible.
     * The table side broadcasts (≤ 2^|fields| rows); the pair side never
-    * shuffles. */
+    * shuffles. Output columns: the agreement columns first (the join
+    * key), then the pair's remaining columns, `lr_ppm`, `decision`. */
   def classify(pairs: DataFrame, table: DataFrame, agreeCols: Seq[String],
                lowerPpm: Long, upperPpm: Long): DataFrame = {
     require(lowerPpm <= upperPpm, "need lowerPpm <= upperPpm")

@@ -283,6 +283,22 @@ object AnalysisQueries {
       .orderBy(col("framework"), col("requirement"), col("rule_id"), col("fact_id"))
   }
 
+
+  /** CDC feed integrity audit ([[graft.operators.Changelog.sequenceAudit]]):
+    * per order, version gaps and out-of-order arrivals of a synthetic
+    * line-item changelog (every 4th supplier's lines shifted +3 versions
+    * → gaps and collisions; part key as arrival order). */
+  def cdcSequenceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").cast("long").as("order_id"),
+      (col("l_linenumber").cast("long") +
+        when(col("l_suppkey") % 4 === 0, 3L).otherwise(0L)).as("version"),
+      col("l_partkey").cast("long").as("arrival"))
+    graft.operators.Changelog
+      .sequenceAudit(changes, Seq("order_id"), "version", "arrival")
+      .orderBy(col("order_id"))
+  }
+
   /** Drift detection (driftdetect): states = (user, event_type) pairs with
     * ≥3 events in each half of the month; diff both directions. */
   def driftDetect(spark: SparkSession, dir: String): DataFrame = {
@@ -567,6 +583,7 @@ object AnalysisQueries {
     "rules_findings" -> (rulesFindings _),
     "rules_framework_summary" -> (rulesFrameworkSummary _),
     "rules_control_coverage" -> (rulesControlCoverage _),
+    "cdc_sequence_audit" -> (cdcSequenceAudit _),
     "rules_library_findings" -> (rulesLibraryFindings _),
     "analysis_job_registry" -> (analysisJobRegistry _),
     "drift_detect" -> (driftDetect _),
@@ -769,6 +786,29 @@ object AnalysisQueries {
         |  (SELECT count(DISTINCT o_orderkey) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |   WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'),
         |  (SELECT count(*) FROM orders)""".stripMargin,
+    "cdc_sequence_audit" ->
+      """WITH ch AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |  CAST(l_linenumber + CASE WHEN l_suppkey % 4 = 0 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS v,
+        |  CAST(l_partkey AS BIGINT) AS a FROM lineitem),
+        |dv AS (SELECT DISTINCT k, v FROM ch),
+        |g AS (SELECT k, v,
+        |  v - lag(v) OVER (PARTITION BY k ORDER BY v) - 1 AS gap FROM dv),
+        |gs AS (SELECT k, CAST(count(*) AS BIGINT) AS n_versions,
+        |  min(v) AS version_lo, max(v) AS version_hi,
+        |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |    AS max_gap_len
+        |  FROM g GROUP BY k),
+        |om AS (SELECT k, v, max(v) OVER (PARTITION BY k ORDER BY a, v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM ch),
+        |os AS (SELECT k, CAST(count(*) AS BIGINT) AS n_changes,
+        |  CAST(sum(CASE WHEN v < pm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out_of_order FROM om GROUP BY k)
+        |SELECT os.k AS order_id, os.n_changes, gs.n_versions,
+        |  gs.version_lo, gs.version_hi, gs.n_gaps, gs.max_gap_len,
+        |  os.n_out_of_order
+        |FROM os JOIN gs ON os.k = gs.k ORDER BY order_id""".stripMargin,
     "rules_control_coverage" -> ReferenceLibrary.oracleSql,
     "drift_detect" ->
       """WITH older AS (

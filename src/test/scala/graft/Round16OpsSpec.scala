@@ -182,6 +182,25 @@ class Round16OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Changelog.sequenceAudit ----
+
+  test("sequenceAudit reports gaps and out-of-order arrivals") {
+    import graft.operators.Changelog
+    // key 1: versions 1,2,5,6 arriving as 2,1,5,6 -> one gap (3..4, len 2),
+    // one out-of-order row (v=1 arrives after v=2).
+    // key 2: clean 1,2,3 in order -> all zeros.
+    val ch = Seq(
+      (1L, 2L, 10L), (1L, 1L, 20L), (1L, 5L, 30L), (1L, 6L, 40L),
+      (2L, 1L, 10L), (2L, 2L, 20L), (2L, 3L, 30L))
+      .toDF("k", "version", "arrival")
+    val out = Changelog.sequenceAudit(ch, Seq("k"), "version", "arrival")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out(1L) == (4L, 4L, 1L, 6L, 1L, 2L, 1L))
+    assert(out(2L) == (3L, 3L, 1L, 3L, 0L, 0L, 0L))
+  }
+
   // ---- cliqueCensusK4 ----
 
   test("cliqueCensusK4 counts each K4 exactly once") {
