@@ -148,6 +148,17 @@ object ReferenceLibrary {
       """SELECT CAST(s_suppkey AS BIGINT) AS id,
         |  CAST(s_suppkey % 8 AS BIGINT) AS retention_days
         |FROM rf_base_supplier""".stripMargin,
+    "rf_device" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  c_custkey % 6 <> 0 AS disk_encrypted,
+        |  c_custkey % 9 <> 0 AS os_current
+        |FROM rf_base_customer""".stripMargin,
+    "rf_security_product" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CASE n_nationkey % 3 WHEN 0 THEN 'edr' WHEN 1 THEN 'av'
+        |    ELSE 'dlp' END AS product,
+        |  n_nationkey % 4 <> 0 AS enabled
+        |FROM rf_base_nation""".stripMargin,
     "rf_provider_api_key" ->
       s"""SELECT CAST(s_suppkey AS BIGINT) AS id,
          |  CASE s_suppkey % 6 WHEN 0 THEN 'openai' WHEN 1 THEN 'anthropic'
@@ -362,6 +373,30 @@ object ReferenceLibrary {
       controls = Seq(
         soc2Tsc("a1.2", "Backup and recovery infrastructure"),
         iso27001("8.13", "Information backup"))),
+    SqlRule("device-posture", "Endpoints encrypted and patched",
+      "Unencrypted disks and stale OS builds are the endpoint loss/exploit " +
+        "pair (device_security_posture_gaps.py).",
+      facts = Seq(
+        SqlFact("device-disk-unencrypted", "Device without disk encryption",
+          "Device",
+          "SELECT id AS asset_id FROM rf_device WHERE NOT disk_encrypted"),
+        SqlFact("device-os-outdated", "Device on an outdated OS build",
+          "Device",
+          "SELECT id AS asset_id FROM rf_device WHERE NOT os_current")),
+      controls = Seq(
+        iso27001("8.1", "User endpoint devices"),
+        soc2Tsc("cc6.1", "Logical access security over protected assets"))),
+    SqlRule("security-product-coverage", "Protection products stay enabled",
+      "A deactivated EDR/AV/DLP product is silent coverage loss " +
+        "(cloud_security_product_deactivated.py).",
+      facts = Seq(
+        SqlFact("security-product-deactivated", "Security product disabled",
+          "SecurityProduct",
+          """SELECT id AS asset_id, product AS detail
+            |FROM rf_security_product WHERE NOT enabled""".stripMargin)),
+      controls = Seq(
+        soc2Tsc("cc7.2", "Monitoring for anomalies"),
+        iso27001("8.16", "Monitoring activities"))),
     SqlRule("ai-credential-hygiene", "AI provider keys rotated",
       "API keys for AI providers rotate within 180 days " +
         "(nist_ai_rmf.py ai_provider_api_key_hygiene).",
