@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contract tests: the properties the 100 TB design
+  * review checks by hand — filters reaching the parquet scan, small
+  * sides broadcast, rank-filters becoming WindowGroupLimit, and NO
+  * nested-loop/cartesian fallbacks where an equi-join is intended —
+  * pinned as assertions so a refactor that silently degrades a plan
+  * fails CI instead of a benchmark much later. Markers are stable
+  * physical-operator names, not fragile plan text. */
+class PlanContractsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    DriverHygiene.releasePersisted(spark, gc = false)
+    p
+  }
+
+  test("attribution: filters push to the scan, conversions broadcast, rank-filter is a group limit") {
+    val p = plan("attribution_multi_touch")
+    assert(p.contains("PushedFilters: [In(event_type"), "touch filter must reach parquet")
+    assert(p.contains("EqualTo(event_type,purchase)"), "conversion filter must reach parquet")
+    assert(p.contains("BroadcastHashJoin"), "user join must broadcast the small side")
+    assert(p.contains("WindowGroupLimit"), "rk = 1 must plan as a group limit, not a full sort-rank")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("core aggregation: projection pruning reaches the scan") {
+    val p = plan("core_agg_events")
+    assert(p.contains("ReadSchema"), "formatted plan should expose the scan schema")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("graph triangles: equi-joins only, no nested-loop fallback") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("k4 census: the two closing ties are semi-joins") {
+    val p = plan("graph_k4_census")
+    assert(p.contains("LeftSemi"), "tie checks must stay semi-joins (no payload fan-out)")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("fellegi-sunter classify: the pattern table broadcasts") {
+    val pairs = AdvancedQueriesTestHook.fsPairs(spark, dir)
+    val table = graft.operators.EntityResolution
+      .patternTable(pairs, Seq("name_agree", "seg_agree", "cc_agree"), "is_match")
+    val p = graft.operators.EntityResolution
+      .classify(pairs, table, Seq("name_agree", "seg_agree", "cc_agree"),
+        100000L, 10000000L)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), "classification must broadcast the table side")
+  }
+
+  test("t-closeness: sensitive-domain sides broadcast into the class census") {
+    val p = plan("privacy_t_closeness")
+    assert(p.contains("BroadcastExchange"), "global distribution + total must broadcast")
+    assert(!p.contains("SortMergeJoin ") || p.contains("BroadcastExchange"))
+  }
+
+  test("tenant attach: the dimension side broadcasts") {
+    val p = plan("core_edge_attach_subresource")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("as-of join: no cartesian fallback, group limit applies") {
+    val p = plan("join_asof")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
+
+/** Test-only accessor for the private labeled-pair builder. */
+object AdvancedQueriesTestHook {
+  def fsPairs(spark: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions._
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("k"),
+      floor(col("c_acctbal") * 100).cast("long").cast("string").as("name"),
+      col("c_mktsegment").as("seg"),
+      (floor(col("c_acctbal") * 100).cast("long") % 25).as("cc"))
+    val dup = c.select(col("k"),
+      when(col("k") % 4 === 0, substring(col("name"), 1, 3))
+        .otherwise(col("name")).as("name2"),
+      when(col("k") % 5 === 0, lit("OTHER")).otherwise(col("seg")).as("seg2"),
+      col("cc").as("cc2"))
+    c.join(dup, Seq("k")).withColumn("is_match", lit(true))
+      .select(col("k"), col("is_match"),
+        (levenshtein(col("name"), col("name2")) <= 2).as("name_agree"),
+        (col("seg") === col("seg2")).as("seg_agree"),
+        (col("cc") === col("cc2")).as("cc_agree"))
+  }
+}
