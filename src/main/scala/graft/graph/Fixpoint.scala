@@ -832,15 +832,18 @@ object Fixpoint {
     * parquet back. [[stronglyConnectedComponents]] is deterministic, so
     * a cached artifact is byte-identical to a fresh run — callers key
     * `artifactDir` by a fingerprint of the edge source so a regenerated
-    * graph at the same path can never serve stale labels. */
+    * graph at the same path can never serve stale labels. Marker probe
+    * and publication go through [[graft.sources.Artifacts]]: the
+    * `_SUCCESS` check resolves the path's own FileSystem (HDFS/S3
+    * artifactDirs are seen, not just local disk) and the write is
+    * staged-then-renamed so concurrent readers never observe a
+    * half-written directory. */
   def sccArtifact(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
-                  artifactDir: String): DataFrame = {
-    val marker = new java.io.File(artifactDir, "_SUCCESS")
-    if (!marker.exists())
+                  artifactDir: String): DataFrame =
+    graft.sources.Artifacts.buildOrLoad(spark, artifactDir) { staging =>
       stronglyConnectedComponents(edges)
-        .write.mode("overwrite").parquet(artifactDir)
-    spark.read.parquet(artifactDir)
-  }
+        .write.mode("overwrite").parquet(staging)
+    }
 
   /** Jones–Plassmann greedy graph coloring: a node colors itself the
     * round after every higher-priority neighbor has colored, taking the

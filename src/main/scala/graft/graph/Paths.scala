@@ -132,7 +132,12 @@ object Paths {
           .otherwise(col("a")).as("a"),
         col("d")).cut
     var covered = 1L
-    while (covered < maxDepth) {
+    // `<=` (not `<`): when maxDepth is a power of two the closure must
+    // still strictly exceed the budget, or no discovered level could ever
+    // be > maxDepth and the over-depth guard below would be dead — an
+    // over-deep input would return silently wrong levels instead of
+    // raising. One extra squaring round in the power-of-two case only.
+    while (covered <= maxDepth) {
       val lower = d.select(col("v"), col("a").as("m"), col("d").as("d1"))
       val upper = d.select(col("v").as("m"), col("a"), col("d").as("d2"))
       val composed = lower.join(upper, Seq("m"))
@@ -290,7 +295,18 @@ object Paths {
       jump = nextJump
       covered = covered * 2 + 1
     }
-    val anc = closure
+    // overflow marker: a surviving 2^k jump pointer proves some node has
+    // an ancestor past the covered 1..covered range — without this the
+    // variant would silently under-count levels and drop descendant
+    // contributions (the sweep sibling raises 'did not converge'; this
+    // must be as loud). Unioned in-plan: evaluated only if jump has rows,
+    // no extra driver job.
+    val overflow = jump.select(
+      expr(s"raise_error('subtreeAggregateLifted: tree deeper than the " +
+        s"$maxDepth budget - raise maxDepth or use subtreeAggregate')")
+        .cast(closure.schema("v").dataType).as("v"),
+      col("a"))
+    val anc = closure.unionByName(overflow)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
     val vals = nodes.join(

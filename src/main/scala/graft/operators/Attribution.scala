@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * bot-grade hot user is the documented skew (cap touches per user
   * upstream, the `Sampling.capPerGroup` guard). Credit totals are
   * decimal(38,0) sums of share_ppm × value_cents, so petabyte-scale
-  * credit cannot wrap silently; the final BIGINT cast fails loudly past
-  * 2^63.
+  * credit cannot wrap silently; the BIGINT step is guarded in-plan
+  * (raise_error past ±(2^63−1) — a bare cast under non-ANSI mode would
+  * return NULL silently, which is exactly the failure this guard
+  * forbids).
   *
   * Output: (model, channel, n_touches, credit_ppm_cents) — divide by
   * 1e6 for cents; one row per model×channel that received any credit.
@@ -82,6 +84,13 @@ object Attribution {
     shares.groupBy(col("model"), col("channel"))
       .agg(count(lit(1)).as("n_touches"),
         sum(col("share").cast("decimal(38,0)") * col("value_cents"))
-          .cast("bigint").as("credit_ppm_cents"))
+          .as("_credit"))
+      .select(col("model"), col("channel"), col("n_touches"),
+        // non-ANSI decimal→bigint overflow is a silent NULL; guard so an
+        // overflowed credit total raises instead
+        when(abs(col("_credit")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+          expr("raise_error('Attribution.multiTouch: credit total " +
+            "overflows bigint - report in larger units upstream')"))
+          .otherwise(col("_credit").cast("bigint")).as("credit_ppm_cents"))
   }
 }

@@ -294,15 +294,15 @@ object Similarity {
   /** Build-or-load: run [[kmeansAssign]] and [[kmeansSave]] it only when
     * the artifact for this (corpus version, K, iterations) is absent;
     * otherwise read it back. [[kmeansAssign]] is deterministic end to
-    * end, so a cached artifact is byte-identical to a fresh build. */
+    * end, so a cached artifact is byte-identical to a fresh build.
+    * Probe + publish ride [[graft.sources.Artifacts]] (scheme-aware
+    * `_SUCCESS` check, staged atomic rename). */
   def kmeansArtifact(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                      artifactDir: String, nCentroids: Int = 16,
-                     iterations: Int = 1): DataFrame = {
-    val marker = new java.io.File(artifactDir, "_SUCCESS")
-    if (!marker.exists())
-      kmeansSave(kmeansAssign(corpus, nCentroids, iterations), artifactDir)
-    kmeansLoad(spark, artifactDir)
-  }
+                     iterations: Int = 1): DataFrame =
+    graft.sources.Artifacts.buildOrLoad(spark, artifactDir) { staging =>
+      kmeansSave(kmeansAssign(corpus, nCentroids, iterations), staging)
+    }
 
   /** Corpus-wide k-NN JOIN: every vector's top-k neighbors, searched only
     * within its block (an IVF cell id, an LSH signature, a cluster label —

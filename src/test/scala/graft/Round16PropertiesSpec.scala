@@ -142,6 +142,29 @@ class Round16PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("topoLevelsLifted raises past a power-of-two depth budget") {
+    // chain of depth 20 with maxDepth=16: the doubling loop must close
+    // STRICTLY past the budget, or nodes 17..20 silently level to 0 —
+    // the regression the round-8 review verified
+    val e = (1 to 20).map(k => (k.toLong, k.toLong + 1L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      graft.graph.Paths.topoLevelsLifted(e, maxDepth = 16).collect()
+    }
+    assert(ex.getMessage.contains("depth past the 16 budget"))
+  }
+
+  test("subtreeAggregateLifted raises when the tree outruns maxDepth") {
+    // chain of depth 20 with maxDepth=15: without the surviving-jump
+    // overflow marker this under-counted levels and dropped descendant
+    // sums silently (root subtree_sum 16 instead of 21)
+    val e = (1 to 20).map(k => (k.toLong, k.toLong + 1L)).toDF("src", "dst")
+    val v = (1 to 21).map(k => (k.toLong, 1L)).toDF("node", "value")
+    val ex = intercept[Exception] {
+      graft.graph.Paths.subtreeAggregateLifted(e, v, maxDepth = 15).collect()
+    }
+    assert(ex.getMessage.contains("deeper than the 15 budget"))
+  }
+
   test("subtreeAggregateLifted rejects multi-parent nodes loudly") {
     val e = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
     val v = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "value")
