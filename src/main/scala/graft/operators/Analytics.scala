@@ -368,10 +368,11 @@ object Analytics {
     * binning; KS does not).
     *
     * Shape: one per-(value, side) count agg collapses the raw table,
-    * one window sort over the |distinct values| census builds both
-    * running CDFs in a single pass, one max-agg. The global window
-    * touches distinct values only — same aggregate-then-window shape as
-    * [[paretoFrontier2d]]. Output one row: (n_a, n_b, d_num, d_den).
+    * then both running CDFs build over the |distinct values| census via
+    * [[GlobalOrder]]'s range-partitioned two-pass prefix-sum — with
+    * real timestamps the distinct-value axis is ~O(rows), so the
+    * cumulative must distribute, not funnel through one sort task —
+    * then one max-agg. Output one row: (n_a, n_b, d_num, d_den).
     * d_num bounds: nA·nB ≤ ~9·10¹⁸ holds to ~3·10⁹ rows per side. */
   def ksStatistic(df: DataFrame, valueCol: Column, sideCol: Column): DataFrame = {
     val counted = df
@@ -381,11 +382,8 @@ object Analytics {
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
       .localCheckpoint(false)
     val totals = counted.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counted
-      .withColumn("_cuma", sum(col("ca")).over(w))
-      .withColumn("_cumb", sum(col("cb")).over(w))
+    GlobalOrder.withRunningAggs(counted, col("v"), Nil,
+        Seq((col("ca"), "_cuma"), (col("cb"), "_cumb")))
       .crossJoin(broadcast(totals))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
@@ -511,19 +509,19 @@ object Analytics {
     * sweep never has to see raw rows — `max(y) per x` first (one
     * map-side-combinable agg collapsing n rows to |distinct x|; a row
     * sharing its x with a higher y is dominated by definition), THEN the
-    * single-partition running-max sweep over that collapsed curve, and
-    * a semi-join back recovers the surviving rows. The global window
-    * touches |distinct x| rows, not the table — the same
-    * "aggregate-then-window" shape as [[quantileBinSummary]]'s sketch
-    * note. Integer axes only (exactness + RANGE-free frames). */
+    * running-max sweep over that collapsed curve via [[GlobalOrder]]'s
+    * distributed exclusive max (descending x = ascending −x), and a
+    * semi-join back recovers the surviving rows. No single-partition
+    * window even when |distinct x| is data-sized. Integer axes only
+    * (exactness + RANGE-free frames; −x wraps only at the Long.MinValue
+    * edge of the axis domain). */
   def paretoFrontier2d(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val pts = df.withColumn("_x", xCol.cast("long")).withColumn("_y", yCol.cast("long"))
     val perX = pts.groupBy(col("_x")).agg(max(col("_y")).as("_y"))
     // descending-x sweep: a point survives iff its y strictly exceeds
     // every y at strictly larger x
-    val w = Window.orderBy(col("_x").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perX.withColumn("_my", max(col("_y")).over(w))
+    val frontier = GlobalOrder.withRunningAggs(perX, -col("_x"), Nil,
+        exclMaxes = Seq((col("_y"), "_my")))
       .filter(col("_my").isNull || col("_y") > col("_my"))
       .select(col("_x"), col("_y"))
     pts.join(frontier, Seq("_x", "_y"), "left_semi")
@@ -766,20 +764,23 @@ object Analytics {
     * Monetary value, then the 125-cell census — the classic
     * behavior-segmentation cross-tab, all exact (quintile =
     * ((rank−1)·5) div n + 1 under a spelled-out total order, ties by
-    * customer id). One customer-level aggregation + three rank windows
-    * over |customers| rows. Output: (r_q, f_q, m_q, n_customers). */
+    * customer id). One customer-level aggregation + three
+    * [[GlobalOrder]] distributed ranks over |customers| rows — the
+    * customer axis is data-sized, so no single-partition rank window
+    * anywhere; n arrives as a broadcast scalar, not a global window.
+    * Output: (r_q, f_q, m_q, n_customers). */
   def rfmSegments(df: DataFrame, custCol: Column, timeCol: Column,
                   valueCol: Column): DataFrame = {
-    val per = df.select(custCol.as("c"), timeCol.cast("long").as("t"),
+    val per0 = df.select(custCol.as("c"), timeCol.cast("long").as("t"),
         valueCol.cast("long").as("v"))
       .groupBy(col("c"))
       .agg(max(col("t")).as("r"), count(lit(1)).as("f"), sum(col("v")).as("m"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .localCheckpoint(false)
+    val per = per0.crossJoin(broadcast(per0.agg(count(lit(1)).as("n"))))
     def quintile(metric: String): Column =
       expr(s"((rank_$metric - 1) * 5) div n + 1")
     Seq("r", "f", "m").foldLeft(per)((d, metric) =>
-        d.withColumn(s"rank_$metric", row_number().over(
-          Window.orderBy(col(metric).asc, col("c").asc)).cast("long")))
+        GlobalOrder.rank(d, col(metric), Seq(col("c").asc), s"rank_$metric"))
       .withColumn("r_q", quintile("r"))
       .withColumn("f_q", quintile("f"))
       .withColumn("m_q", quintile("m"))
@@ -803,7 +804,8 @@ object Analytics {
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
     val ideal = joined
       .withColumn("irank", row_number().over(
-        Window.orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
+        GlobalOrder.boundedWindow(col("rel"),
+          col("rel").desc, col("doc_id").asc)).cast("long"))
     ideal.agg(count(lit(1)).as("n_results"),
       sum(expr("rel * (1000000 div rank)")).as("hdcg"),
       sum(expr("rel * (1000000 div irank)")).as("ideal_hdcg"))
@@ -827,13 +829,13 @@ object Analytics {
       "thresholdPpm must be in [0, 1e6]")
     val per = df.select(entityCol.as("e"), valueCol.cast("long").as("v"))
       .groupBy(col("e")).agg(sum(col("v")).as("v"))
-    val w = Window.orderBy(col("v").desc, col("e").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
-      .withColumn("total", sum(col("v")).over(Window.partitionBy()))
-      .withColumn("cum", sum(col("v")).over(w))
-      .withColumn("k", row_number().over(Window.orderBy(col("v").desc, col("e").asc))
-        .cast("long"))
+    // running sum + rank under (v desc, e asc) via GlobalOrder
+    // (descending v = ascending −v) — the entity axis is data-sized, so
+    // the sweep must distribute; the grand total is a broadcast scalar,
+    // not a partition-less window
+    GlobalOrder.withRunningAggs(per, -col("v"), Seq(col("e").asc),
+        Seq((col("v"), "cum")), Some("k"))
+      .crossJoin(broadcast(per.agg(sum(col("v")).as("total"))))
       .agg(count(lit(1)).as("n_entities"), max(col("total")).as("total"),
         // ×1e6 threshold comparison in decimal(38,0): cum·1e6 and ppm·total
         // overflow bigint past ~9.2e12 grand totals (same guard as giniByGroup).

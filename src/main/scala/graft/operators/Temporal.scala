@@ -425,21 +425,23 @@ object Temporal {
     // ---- disjoint relations by order statistics (never enumerated) ----
     // before-count = Σ_v nb(v) · |{a.e < v}|: aggregate endpoint counts
     // per DISTINCT value first (map-side combinable), then one running
-    // sum over the distinct-value axis with a RANGE frame to -1 so the
-    // a.e == b.s boundary (MEETS) is excluded. The single-partition
-    // window runs over distinct endpoint values, not rows — the
-    // timestamp-domain cardinality, the same knob every histogram
-    // shares; products and the final sum are decimal(38,0) so
-    // |A|·|B|-sized counts cannot wrap.
+    // sum over the distinct-value axis — distributed via
+    // [[graft.operators.GlobalOrder]]'s range-partitioned two-pass
+    // prefix-sum, because with real timestamps the distinct-endpoint
+    // axis is ~O(rows) and must never land on one sort task. The merged
+    // census has one row per distinct v, so "strictly below v"
+    // (excluding the a.e == b.s MEETS boundary) = inclusive running sum
+    // minus the value's own na. Products and the final sum are
+    // decimal(38,0) so |A|·|B|-sized counts cannot wrap.
     def disjointCount(ends: DataFrame, starts: DataFrame): DataFrame = {
       val na = ends.groupBy(col("v")).agg(count(lit(1)).as("na"))
       val nb = starts.groupBy(col("v")).agg(count(lit(1)).as("nb"))
       val merged = na.join(nb, Seq("v"), "full_outer")
         .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
           coalesce(col("nb"), lit(0L)).as("nb"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      merged.withColumn("_cum", coalesce(sum(col("na")).over(w), lit(0L)))
+      graft.operators.GlobalOrder
+        .runningSum(merged, col("v"), Nil, col("na"), "_cumincl")
+        .withColumn("_cum", col("_cumincl") - col("na"))
         .agg(coalesce(sum(col("nb").cast("decimal(38,0)") * col("_cum")),
           lit(0)).cast("bigint").as("n"))
     }

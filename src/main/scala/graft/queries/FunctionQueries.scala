@@ -82,10 +82,13 @@ object FunctionQueries {
   def windowForwardFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val users = ev.select(col("user_id")).distinct()
+    // .limit(72) is a no-op (3 days x 24 h) that bakes the constant grid
+    // bound into maxRows so the plan sweep can prove the cross side tiny
     val grid = users.crossJoin(
       spark.range(1).select(explode(expr(
         "sequence(timestamp'2024-01-01 00:00:00', " +
-          "timestamp'2024-01-03 23:00:00', interval 1 hour)")).as("hour")))
+          "timestamp'2024-01-03 23:00:00', interval 1 hour)")).as("hour"))
+        .limit(72))
     val obs = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("value_filled"))
     graft.operators.Temporal.forwardFill(grid, obs, Seq("user_id"), "hour",

@@ -328,7 +328,7 @@ object LlmQueries {
   def textRankingHdcg(spark: SparkSession, dir: String): DataFrame = {
     val ranked = textSearchRanked(spark, dir)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
+        graft.operators.GlobalOrder.boundedWindow(col("score_x1e6"),
           col("score_x1e6").desc, col("doc_id").asc)))
     val rel = Tables.documents(spark, dir)
       .select(col("doc_id").cast("long").as("doc_id"),

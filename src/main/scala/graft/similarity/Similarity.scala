@@ -195,8 +195,12 @@ object Similarity {
     * an equi-join on cell id — the corpus is never self-joined. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    // .limit is a no-op (vec_id unique => <= nCentroids rows) that bakes
+    // the K-row bound into the plan's maxRows, so the broadcast pass is
+    // PROVABLY tiny - the battery plan sweep keys on it
     val cents = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("q").as("qc"), col("norm2").as("nc"))
+      .limit(nCentroids)
     def centCos(qCol: String, nCol: String) =
       floor(lit(1000000.0) * vec_dot(col(qCol), col("qc")) /
         sqrt((col(nCol) * col("nc")).cast("double"))).cast("long")
@@ -252,8 +256,10 @@ object Similarity {
   def kmeansAssign(corpus: DataFrame, nCentroids: Int = 16,
                    iterations: Int = 1): DataFrame = {
     def withNorm(c: DataFrame): DataFrame = c.withColumn("nc", vec_norm2(col("qc")))
+    // no-op K-row bound stamp (see ivfTopK): proves the broadcast side
     var cents = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("q").as("qc"), col("norm2").as("nc"))
+      .limit(nCentroids)
     def assign(c: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_x1e6").desc, col("cid").asc)
@@ -274,8 +280,12 @@ object Similarity {
           .withColumn("v", floor(col("sx").cast("double") / col("n")).cast("long"))
           .groupBy(col("cid"))
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
-            s => s.getField("v")).as("qc")))
+            s => s.getField("v")).as("qc"))
+          .limit(nCentroids))
         .cutEager
+        // the checkpoint erases maxRows; re-stamp the (no-op) K-row
+        // bound so the next round's broadcast pass stays provably tiny
+        .limit(nCentroids)
     }
     assign(cents)
   }
@@ -426,8 +436,10 @@ object Similarity {
     * explode the corpus twice). */
   def ivfPqBuild(corpus: DataFrame, nCentroids: Int = 16, nSub: Int = 8,
                  nCodes: Int = 16, dims: Int = 64): IvfPqIndex = {
+    // no-op K-row bound stamp (see ivfTopK): proves the broadcast side
     val cents = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("q").as("qc"), col("norm2").as("nc"))
+      .limit(nCentroids)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("_ccos").desc, col("cid").asc)
     val assign = corpus.crossJoin(broadcast(cents))

@@ -161,7 +161,8 @@ object Sampling {
     // the one table small enough for an unpartitioned window
     val labels = ranked.groupBy(col("label")).agg(count(lit(1)).as("n"))
       .withColumn("lidx",
-        row_number().over(Window.orderBy(col("label"))) - 1)
+        row_number().over(graft.operators.GlobalOrder.boundedWindow(
+          col("label"), col("label"))) - 1)
       .localCheckpoint(false)
     val nLabels = labels.count()
     require(k < nLabels,
@@ -241,9 +242,13 @@ object Sampling {
     *
     * Input: (g, id, w) with one weight per group (enforced by taking
     * max(w) per group; within-group order = the [[capPerGroup]] hash
-    * order). The final epoch rank is one global sort of ids only —
-    * vocabGrowth's scale note applies. Output: (g, id, pos_in_group,
-    * virtual_pos, epoch_rank). */
+    * order). The final epoch rank is THE operator whose whole job is to
+    * order the corpus — computed with
+    * [[graft.operators.GlobalOrder.rank]]'s range-partitioned two-pass
+    * prefix-sum, so the rank is distributed across the cluster instead
+    * of funneling every row through one sort task (the round-8 review's
+    * clearest 100×-scale chokepoint, now removed). Output: (g, id,
+    * pos_in_group, virtual_pos, epoch_rank). */
   def mixtureSchedule(df: DataFrame): DataFrame = {
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
       .orderBy(md5_prefix64(col("id").cast("string")).asc, col("id").asc)
@@ -252,16 +257,14 @@ object Sampling {
         "raise_error('mixtureSchedule: non-positive group weight - " +
           "drop zero-weight groups upstream')")).otherwise(col("w")))
     val totalW = weights.agg(sum(col("w")).as("tw"))
-    df.select(col("g"), col("id"))
+    val positioned = df.select(col("g"), col("id"))
       .withColumn("pos_in_group", row_number().over(wg).cast("long"))
       .join(broadcast(weights), Seq("g"))
       .crossJoin(broadcast(totalW))
       .withColumn("virtual_pos",
         expr("((2 * pos_in_group - 1) * tw) div (2 * w)"))
-      .withColumn("epoch_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          col("virtual_pos").asc, col("g").asc, col("pos_in_group").asc))
-        .cast("long"))
+    graft.operators.GlobalOrder.rank(positioned, col("virtual_pos"),
+        Seq(col("g").asc, col("pos_in_group").asc), "epoch_rank")
       .select(col("g"), col("id"), col("pos_in_group"), col("virtual_pos"),
         col("epoch_rank"))
   }

@@ -1273,20 +1273,22 @@ object TextFunctions {
     *
     * Input is a generic (doc_id, term) occurrence table WITH repetition
     * (a "token" here = one term occurrence — words, shingles, subwords).
-    * One global rank over |docs| rows (a total-order sort of doc ids
-    * only — fine even at 10^10 docs; the TOKENS never sort), one min-rank
-    * agg per term (first occurrence), then both curves read off with a
-    * 10-row broadcast threshold join. Output: (decile, n_docs, n_tokens,
+    * One global rank over |docs| rows — distributed via
+    * [[graft.operators.GlobalOrder]]'s range-partitioned two-pass
+    * prefix-sum, so even 10^10 doc ids never funnel through one sort
+    * task (the TOKENS never sort at all) — one min-rank agg per term
+    * (first occurrence), then both curves read off with a 10-row
+    * broadcast threshold join. Output: (decile, n_docs, n_tokens,
     * vocab), cumulative. */
   def vocabGrowth(docTerms: DataFrame): DataFrame = {
     val spark = docTerms.sparkSession
     import spark.implicits._
-    val perDoc = docTerms
-      .groupBy(col("doc_id").cast("long").as("doc_id"))
-      .agg(count(lit(1)).as("toks"))
-      .withColumn("h", wordId(concat(lit("vg:"), col("doc_id").cast("string"))))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+    val perDoc = graft.operators.GlobalOrder.rank(
+      docTerms
+        .groupBy(col("doc_id").cast("long").as("doc_id"))
+        .agg(count(lit(1)).as("toks"))
+        .withColumn("h", wordId(concat(lit("vg:"), col("doc_id").cast("string")))),
+      col("h"), Seq(col("doc_id").asc), "rank")
       .cut
     val nDocs = perDoc.agg(count(lit(1)).as("n"))
     val deciles = (1 to 10).toDF("decile")
@@ -1438,18 +1440,19 @@ object TextFunctions {
     * already covered adds nothing; Lee et al. 2022's dedup-improves-LMs
     * argument, measured per document).
     *
-    * One global doc rank (ids only), one min-rank agg per term, one
-    * join-back + per-doc reduce. A term first seen at rank r counts as
+    * One global doc rank (ids only, distributed via
+    * [[graft.operators.GlobalOrder]] — no single-partition sort), one
+    * min-rank agg per term, one join-back + per-doc reduce. A term first seen at rank r counts as
     * novel for the rank-r document ONLY. Output: (doc_id, rank,
     * n_terms, n_novel, novelty_ppm). */
   def ngramNovelty(docTerms: DataFrame): DataFrame = {
     val dt = docTerms
       .select(col("doc_id").cast("long").as("doc_id"), col("term"))
       .distinct()
-    val ranked = dt.select(col("doc_id")).distinct()
-      .withColumn("h", wordId(concat(lit("nv:"), col("doc_id").cast("string"))))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+    val ranked = graft.operators.GlobalOrder.rank(
+      dt.select(col("doc_id")).distinct()
+        .withColumn("h", wordId(concat(lit("nv:"), col("doc_id").cast("string")))),
+      col("h"), Seq(col("doc_id").asc), "rank")
       .drop("h").cut
     val withRank = dt.join(ranked, Seq("doc_id"))
     val firstSeen = withRank.groupBy(col("term"))
@@ -1478,7 +1481,8 @@ object TextFunctions {
       .orderBy(col("freq").desc, col("term").asc).limit(k)
     counts
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("term").asc)).cast("long"))
+        graft.operators.GlobalOrder.boundedWindow(col("freq"),
+          col("freq").desc, col("term").asc)).cast("long"))
       .select(col("rank"), col("term"), col("freq"),
         (col("rank") * col("freq")).as("rank_x_freq"))
   }

@@ -82,6 +82,88 @@ class PlanContractsSpec extends AnyFunSuite {
     val p = plan("join_asof")
     assert(!p.contains("CartesianProduct"))
   }
+
+  // ---- battery-wide sweep ----------------------------------------------
+  //
+  // Every SparkEntry query plan is audited for the three 100 TB
+  // anti-patterns:
+  //  * CartesianProduct — never acceptable;
+  //  * BroadcastNestedLoopJoin — acceptable ONLY when every cross /
+  //    non-equi join in the query has a provably tiny side (logical
+  //    maxRows ≤ 1000: broadcast scalars, decile tables, bounded mask
+  //    tuples) or the query is on the named theta-join allowlist;
+  //  * partition-less Window — acceptable only on the named allowlist of
+  //    bounded-domain windows (the "aggregate-then-window" shape where
+  //    the windowed axis is a constant, never data-sized).
+
+  /** Theta/cross joins that are nested-loop by design, each with the
+    * documented bound that keeps them sane at scale. */
+  private val thetaJoinAllow: Map[String, String] = Map(
+    "join_fuzzy_contains" -> "fuzzy containment is a documented BNLJ over a capped dimension side",
+    "dedup_cosine_neardup" -> "exact all-pairs cosine is the declared EXACTNESS BASELINE the bucketed/LSH variants are judged against (Dedup.cosineNearDup scaladoc)",
+    "crosslink_pairs" -> "matchlink cartesian is the reference's explicit cross-product semantics over deduped tiny sides",
+    "permission_mapping_file" -> "decision table = distinct (p_masks, r_masks) combos, config-sized by the bitmask design (Permissions.evaluate scaladoc)",
+    "permission_relationships" -> "same bounded mask-combo decision table",
+    "permission_relationships_sync" -> "same bounded mask-combo decision table",
+    "privacy_t_closeness" -> "broadcast global sensitive-value distribution - t-closeness is defined over a small categorical sensitive domain",
+    "sim_ann_ivfpq" -> "serving-side coarse-centroid broadcast read back from the persisted K-row index (localCheckpoint erases the maxRows bound)",
+    "sim_ann_recall" -> "recall gate joins the K-row centroid table on both legs; bound erased by the checkpoint"
+  )
+
+  /** Global windows over provably bounded domains (NOT data-sized) that
+    * the maxRows auto-allowance below cannot prove. Empty today: every
+    * bounded-domain site went through GlobalOrder.boundedWindow, which
+    * carries an explicit constant partition key. */
+  private val globalWindowAllow: Map[String, String] = Map.empty
+
+  test("battery sweep: no cartesian, nested-loop, or data-sized global window") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, dir)
+      val opt = df.queryExecution.optimizedPlan
+      val physical = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      if (physical.contains("CartesianProduct"))
+        violations += s"$name: CartesianProduct"
+      def hasEqui(j: logical.Join): Boolean = j.condition.exists(_.exists {
+        case EqualTo(l, r) =>
+          (l.references.subsetOf(j.left.outputSet) &&
+            r.references.subsetOf(j.right.outputSet)) ||
+            (l.references.subsetOf(j.right.outputSet) &&
+              r.references.subsetOf(j.left.outputSet))
+        case EqualNullSafe(l, r) =>
+          (l.references.subsetOf(j.left.outputSet) &&
+            r.references.subsetOf(j.right.outputSet)) ||
+            (l.references.subsetOf(j.right.outputSet) &&
+              r.references.subsetOf(j.left.outputSet))
+        case _ => false
+      })
+      def hasSmallSide(j: logical.Join): Boolean =
+        Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 1000L))
+      if (physical.contains("BroadcastNestedLoopJoin") &&
+          !thetaJoinAllow.contains(name)) {
+        val risky = opt.collect {
+          case j: logical.Join if !hasEqui(j) && !hasSmallSide(j) => j
+        }
+        if (risky.nonEmpty)
+          violations += s"$name: data-sized nested-loop join (${risky.size} risky join(s))"
+      }
+      // a partition-less window whose CHILD is provably tiny (a LIMIT
+      // upstream survives into maxRows) is the honest "top-k then rank"
+      // shape, not the data-sized anti-pattern
+      val globalWins = opt.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty &&
+          !w.child.maxRows.exists(_ <= 1000L) => w
+      }
+      if (globalWins.nonEmpty && !globalWindowAllow.contains(name))
+        violations += s"$name: ${globalWins.size} partition-less Window(s)"
+      DriverHygiene.releasePersisted(spark, gc = false)
+    }
+    assert(violations.isEmpty,
+      "plan-contract violations:\n  " + violations.mkString("\n  "))
+  }
 }
 
 /** Test-only accessor for the private labeled-pair builder. */
