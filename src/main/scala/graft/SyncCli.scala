@@ -37,6 +37,9 @@ object SyncCli {
                           driftRegistry: Option[String] = None,
                           driftAdd: Seq[String] = Nil,
                           driftDiff: Option[String] = None,
+                          driftShortcut: Option[(String, String, String)] = None,
+                          driftPair: Option[(String, String)] = None,
+                          driftReport: Boolean = false,
                           analysisJobDir: Option[String] = None)
 
   /** Pure flag parser — unknown flags and missing values throw with the
@@ -58,6 +61,24 @@ object SyncCli {
       case "--drift-add" :: v :: t =>
         loop(t, c.copy(driftAdd = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case "--drift-diff" :: v :: t => loop(t, c.copy(driftDiff = Some(v)))
+      // reference driftdetect add-shortcut subcommand: query:alias=target
+      case "--drift-shortcut" :: v :: t =>
+        v.split("[:=]", 3) match {
+          case Array(q, a, tgt) if q.nonEmpty && a.nonEmpty && tgt.nonEmpty =>
+            loop(t, c.copy(driftShortcut = Some((q, a, tgt))))
+          case _ => throw new IllegalArgumentException(
+            s"--drift-shortcut expects query:alias=target, got '$v'")
+        }
+      // explicit state pair (tags or aliases) for --drift-diff; default
+      // without it stays the latest-pair diff
+      case "--drift-states" :: v :: t =>
+        v.split(",", 2) match {
+          case Array(o, n) if o.nonEmpty && n.nonEmpty =>
+            loop(t, c.copy(driftPair = Some((o.trim, n.trim))))
+          case _ => throw new IllegalArgumentException(
+            s"--drift-states expects older,newer — got '$v'")
+        }
+      case "--drift-report" :: t => loop(t, c.copy(driftReport = true))
       case "--analysis-job-directory" :: v :: t =>
         loop(t, c.copy(analysisJobDir = Some(v)))
       case flag :: _ if flag.startsWith("--") =>
@@ -65,7 +86,8 @@ object SyncCli {
           s"unknown or valueless flag $flag; valid: --select --sf-dir " +
             "--update-tag --best-effort --dry-run --list-modules --out " +
             "--compute-json --storage-json --drift-registry --drift-add " +
-            "--drift-diff --analysis-job-directory")
+            "--drift-diff --drift-states --drift-shortcut --drift-report " +
+            "--analysis-job-directory")
       case other :: _ =>
         throw new IllegalArgumentException(s"unexpected positional argument $other")
     }
@@ -145,8 +167,24 @@ object SyncCli {
     val reg = cfg.driftRegistry.getOrElse(
       throw new IllegalArgumentException("--drift-diff requires --drift-registry"))
     val label = cfg.driftDiff.get
-    val d = graft.drift.Drift.diffLatest(spark, reg, label)
-    d.collect().map(_.mkString("\t")).sorted.toSeq
+    val d = cfg.driftPair match {
+      case Some((older, newer)) =>
+        graft.drift.Drift.diffNamed(spark, reg, label, older, newer)
+      case None => graft.drift.Drift.diffLatest(spark, reg, label)
+    }
+    if (cfg.driftReport)
+      graft.drift.Drift.report(d, label).linesIterator.toSeq
+    else d.collect().map(_.mkString("\t")).sorted.toSeq
+  }
+
+  /** The add-shortcut leg (driftdetect/cli.py add-shortcut →
+    * run_add_shortcut): registers a named alias for a recorded state. */
+  def driftAddShortcut(spark: SparkSession, cfg: Config): Unit = {
+    val reg = cfg.driftRegistry.getOrElse(
+      throw new IllegalArgumentException(
+        "--drift-shortcut requires --drift-registry"))
+    val (query, alias, target) = cfg.driftShortcut.get
+    graft.drift.Drift.addShortcut(spark, reg, query, alias, target)
   }
 
   def main(args: Array[String]): Unit = {
@@ -156,16 +194,17 @@ object SyncCli {
       reg.foreach(s => println(s.name))
       return
     }
-    if (cfg.driftDiff.isDefined) {
-      // pure read path: no sync runs, like the reference's standalone
-      // cartography-detectdrift entry point
+    if (cfg.driftDiff.isDefined || cfg.driftShortcut.isDefined) {
+      // pure read/registry path: no sync runs, like the reference's
+      // standalone cartography-detectdrift entry point
       val preEx = SparkSession.getDefaultSession.isDefined
       val spark = SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
-      driftDiffRows(spark, cfg).foreach(println)
+      if (cfg.driftShortcut.isDefined) driftAddShortcut(spark, cfg)
+      if (cfg.driftDiff.isDefined) driftDiffRows(spark, cfg).foreach(println)
       if (!preEx) spark.stop()
       return
     }

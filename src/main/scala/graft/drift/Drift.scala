@@ -142,4 +142,94 @@ object Drift {
       .unionByName(rows(a).join(rows(b), Seq("key", "sig"), "left_anti")
         .select(col("key"), lit("removed").as("direction")))
   }
+
+  // --- shortcuts: named aliases for recorded states (reference
+  // driftdetect/add_shortcut.py + shortcut.py: a per-query shortcut
+  // file maps alias -> state filename; adding resolves the target
+  // through existing shortcuts ONE level, rejects an alias that names a
+  // real state file, and replaces an existing alias) ---
+
+  private def shortcutsPath(registryDir: String, query: String) =
+    s"$registryDir/$query/_shortcuts"
+
+  /** The alias → tag map recorded for `query` (empty when none). Stored
+    * as a two-column parquet beside the states; the leading underscore
+    * keeps it out of [[listStates]]' numeric-tag listing. */
+  def shortcuts(spark: org.apache.spark.sql.SparkSession, registryDir: String,
+                query: String): Map[String, String] = {
+    val path = new org.apache.hadoop.fs.Path(shortcutsPath(registryDir, query))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Map.empty
+    else spark.read.parquet(path.toString).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Register `alias` for `target` on `query`'s state registry. `target`
+    * is a recorded tag or an existing alias (resolved one level at write
+    * time, like the reference's `shortcuts.get(filename, filename)` —
+    * chains never form, so reads are a single map lookup). Fails loudly
+    * when the alias shadows a real state tag or the resolved target
+    * doesn't exist; re-adding an alias replaces it. */
+  def addShortcut(spark: org.apache.spark.sql.SparkSession, registryDir: String,
+                  query: String, alias: String, target: String): Unit = {
+    require(scala.util.Try(alias.toLong).isFailure,
+      s"alias '$alias' would shadow a numeric state tag")
+    val existing = shortcuts(spark, registryDir, query)
+    val resolved = existing.getOrElse(target, target)
+    val tags = listStates(spark, registryDir, query).map(_.toString).toSet
+    require(tags.contains(resolved),
+      s"state '$resolved' not found for query '$query' (have: ${tags.toSeq.sorted.mkString(", ")})")
+    val merged = (existing + (alias -> resolved)).toSeq
+    import spark.implicits._
+    merged.toDF("alias", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(shortcutsPath(registryDir, query))
+  }
+
+  /** Resolve a state name through the shortcut map: aliases map to their
+    * tag, anything else passes through untouched. */
+  def resolveState(spark: org.apache.spark.sql.SparkSession, registryDir: String,
+                   query: String, name: String): String =
+    shortcuts(spark, registryDir, query).getOrElse(name, name)
+
+  /** Diff two recorded states of `query` BY NAME, aliases welcome on
+    * either side — the reference get-drift path once shortcuts exist. */
+  def diffNamed(spark: org.apache.spark.sql.SparkSession, registryDir: String,
+                query: String, older: String, newer: String): DataFrame =
+    diffStates(spark, s"$registryDir/$query",
+      resolveState(spark, registryDir, query, older),
+      resolveState(spark, registryDir, query, newer))
+
+  // --- reporter (reference driftdetect/reporter.py: the human-readable
+  // drift summary — query name, then each deviation as "field : value"
+  // lines, additions under "New Query Results:", removals under
+  // "Missing Query Results:") ---
+
+  /** Render a [[diff]] result in the reference reporter's format. The
+    * collect is BOUNDED: at most `maxRows` deviations per direction are
+    * rendered (a drift report is for humans; the full set stays in the
+    * DataFrame), with a truncation line when the cap bites. */
+  def report(diffed: DataFrame, stateName: String, maxRows: Int = 1000): String = {
+    require(maxRows >= 1, "maxRows must be positive")
+    val props = diffed.columns.filterNot(_ == "direction")
+    def section(direction: String, title: String): Seq[String] = {
+      val rows = diffed.filter(col("direction") === direction)
+        .select(props.map(col).toSeq: _*)
+        .orderBy(props.map(col).toSeq: _*)
+        .limit(maxRows + 1).collect()
+      if (rows.isEmpty) Nil
+      else {
+        val shown = rows.take(maxRows).toSeq.flatMap { r =>
+          props.zipWithIndex.map { case (p, i) =>
+            s"$p :  ${Option(r.get(i)).map(_.toString).getOrElse("null")}"
+          } :+ ""
+        }
+        val trunc = if (rows.length > maxRows)
+          Seq(s"... (truncated at $maxRows results)") else Nil
+        (title +: "" +: shown) ++ trunc
+      }
+    }
+    ((s"Query Name:  $stateName" +: "" +:
+      section("added", "New Query Results:")) ++
+      section("removed", "Missing Query Results:")).mkString("\n")
+  }
 }

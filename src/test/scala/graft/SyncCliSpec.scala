@@ -106,6 +106,79 @@ class SyncCliSpec extends AnyFunSuite {
     assert(rows.exists(r => r.contains("1") && r.contains("removed")))
   }
 
+  test("drift shortcuts: aliases register, resolve, and drive named diffs") {
+    import spark.implicits._
+    val reg = Files.createTempDirectory("cli_shortcut").toString
+    def graphWith(rows: Seq[(Long, String)]) =
+      graft.graph.Graph().withNodes("Asset", rows.toDF("id", "name"))
+    SyncCli.recordDriftStates(graphWith(Seq((1L, "a"), (2L, "b"))),
+      SyncCli.Config(driftRegistry = Some(reg), driftAdd = Seq("Asset"), tag = 100L))
+    SyncCli.recordDriftStates(graphWith(Seq((2L, "b"), (3L, "c"))),
+      SyncCli.Config(driftRegistry = Some(reg), driftAdd = Seq("Asset"), tag = 200L))
+    SyncCli.recordDriftStates(graphWith(Seq((3L, "c"))),
+      SyncCli.Config(driftRegistry = Some(reg), driftAdd = Seq("Asset"), tag = 300L))
+    // add-shortcut leg: flag parses, alias lands in the registry
+    val c = SyncCli.parseArgs(Seq("--drift-registry", reg,
+      "--drift-shortcut", "Asset:baseline=100"))
+    assert(c.driftShortcut.contains(("Asset", "baseline", "100")))
+    SyncCli.driftAddShortcut(spark, c)
+    assert(graft.drift.Drift.shortcuts(spark, reg, "Asset") ==
+      Map("baseline" -> "100"))
+    // alias-of-alias resolves ONE level at write time (reference
+    // add_shortcut semantics), and re-adding replaces
+    graft.drift.Drift.addShortcut(spark, reg, "Asset", "golden", "baseline")
+    assert(graft.drift.Drift.shortcuts(spark, reg, "Asset")("golden") == "100")
+    // bad inputs fail loudly: numeric alias, missing target
+    intercept[IllegalArgumentException] {
+      graft.drift.Drift.addShortcut(spark, reg, "Asset", "400", "100")
+    }
+    intercept[IllegalArgumentException] {
+      graft.drift.Drift.addShortcut(spark, reg, "Asset", "nope", "999")
+    }
+    // shortcuts never pollute the numeric state listing
+    assert(graft.drift.Drift.listStates(spark, reg, "Asset") ==
+      Seq(100L, 200L, 300L))
+    // named diff through the CLI leg: baseline..300 => 1,2 removed, 3 added
+    val rows = SyncCli.driftDiffRows(spark, SyncCli.Config(
+      driftRegistry = Some(reg), driftDiff = Some("Asset"),
+      driftPair = Some(("baseline", "300"))))
+    assert(rows.size == 3)
+    assert(rows.count(_.contains("removed")) == 2)
+  }
+
+  test("drift report renders the reference reporter format") {
+    import spark.implicits._
+    val d = graft.drift.Drift.diff(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      Seq((2L, "b"), (3L, "c")).toDF("id", "name"))
+    val report = graft.drift.Drift.report(d, "Asset")
+    val lines = report.linesIterator.toSeq
+    assert(lines.head == "Query Name:  Asset")
+    assert(lines.contains("New Query Results:"))
+    assert(lines.contains("Missing Query Results:"))
+    assert(lines.contains("id :  3") && lines.contains("name :  c"))
+    assert(lines.contains("id :  1") && lines.contains("name :  a"))
+    assert(lines.indexOf("New Query Results:") <
+      lines.indexOf("Missing Query Results:"))
+    // truncation cap bites and says so
+    val big = graft.drift.Drift.diff(
+      Seq.empty[(Long, String)].toDF("id", "name"),
+      (1L to 20L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val capped = graft.drift.Drift.report(big, "Asset", maxRows = 5)
+    assert(capped.contains("... (truncated at 5 results)"))
+    // --drift-report leg routes through the renderer
+    val reg = Files.createTempDirectory("cli_report").toString
+    def graphWith(rows: Seq[(Long, String)]) =
+      graft.graph.Graph().withNodes("Asset", rows.toDF("id", "name"))
+    SyncCli.recordDriftStates(graphWith(Seq((1L, "a"))),
+      SyncCli.Config(driftRegistry = Some(reg), driftAdd = Seq("Asset"), tag = 1L))
+    SyncCli.recordDriftStates(graphWith(Seq((2L, "b"))),
+      SyncCli.Config(driftRegistry = Some(reg), driftAdd = Seq("Asset"), tag = 2L))
+    val out = SyncCli.driftDiffRows(spark, SyncCli.Config(
+      driftRegistry = Some(reg), driftDiff = Some("Asset"), driftReport = true))
+    assert(out.head == "Query Name:  Asset")
+  }
+
   test("--analysis-job-directory runs JSON jobs in the analysis slot") {
     import spark.implicits._
     val jobs = Files.createTempDirectory("cli_jobs")
