@@ -697,6 +697,59 @@ object Centrality {
     out
   }
 
+  /** Full core decomposition by h-index iteration (Lü, Chen, Ren, Zhang,
+    * Zhou & Stanley, "The H-index of a network node and its relation to
+    * degree and coreness", Nature Communications 7:10168, 2016):
+    * h₀(v) = deg(v), then hₙ₊₁(v) = H{ hₙ(u) : u ∈ N(v) } where H is
+    * the Hirsch operator (largest k with ≥ k neighbor values ≥ k); the
+    * iterates are monotone non-increasing and converge exactly to
+    * coreness. Identical output to [[coreness]] — property-tested — but
+    * a DIFFERENT round structure: one whole-graph value-refinement pass
+    * per round with no per-level escalation, which on graphs whose
+    * degeneracy forces many peel levels cuts the driver-round count
+    * several-fold (each peel level is its own cascade loop there).
+    *
+    * Per round: one values-to-neighbors equi-join + one per-node
+    * collect + the in-row Hirsch count over the sorted neighbor values
+    * (`x_i ≥ i+1` prefix of the descending sort — exact, no UDF). The
+    * per-node state is O(degree): a 10⁸-degree hub would materialize
+    * its value list in one row, so hub-heavy graphs at the extreme tail
+    * stay on [[coreness]]'s degree-only cascade peel — the same
+    * state-shape trade [[greedyColoring]]'s scaladoc documents for its
+    * neighbor-color lists. Worst-case round count is the graph's
+    * h-index convergence time (a path converges one hop per round —
+    * budget-thrown at `maxRounds`, the same loud contract as the peel's
+    * per-level cascade budget). */
+  def corenessHIndex(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val p = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var h = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("h"))
+      .localCheckpoint(false)
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds,
+        s"corenessHIndex passed $maxRounds rounds without converging - " +
+          "raise maxRounds or use coreness (cascade peel)")
+      val next = und
+        .join(h.select(col("node").as("dst"), col("h").as("hu")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sort_array(collect_list(col("hu")), asc = false).as("_hs"))
+        .select(col("node"), expr(
+          "size(filter(transform(_hs, (x, i) -> x >= i + 1), b -> b))")
+          .cast("long").as("h"))
+        .localCheckpoint(false)
+      converged = next
+        .join(h.select(col("node"), col("h").as("_prev")), Seq("node"))
+        .filter(col("h") =!= col("_prev")).isEmpty
+      h = next
+    }
+    h.select(col("node"), col("h").as("coreness"))
+  }
+
   /** Neighborhood-function estimation in the HyperANF shape (Boldi,
     * Rosa & Vigna, WWW 2011 — Flajolet–Martin registers instead of
     * HyperLogLog so every value is a small exact integer): each node

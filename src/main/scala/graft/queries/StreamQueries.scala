@@ -816,7 +816,10 @@ object StreamQueries {
   /** Full core decomposition over the octal tree with a K5 planted on
     * every 100th customer: tree fringe coreness 1, clique members
     * coreness 4 — the density-fingerprint read behind degeneracy
-    * ordering and cohesive-core curation. */
+    * ordering and cohesive-core curation. Served by the h-index
+    * fixpoint ([[Centrality.corenessHIndex]], one refinement pass per
+    * round instead of per-level cascade escalation — hash-identical to
+    * the peel, property-tested in Round18PropertiesSpec). */
   def graphCoreness(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
     val mx = c.agg(max(col("k")).as("mx"))
@@ -829,7 +832,7 @@ object StreamQueries {
         struct((col("k") + i).as("src"), (col("k") + j).as("dst"))
       }: _*)).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    Centrality.coreness(tree.unionByName(clique))
+    Centrality.corenessHIndex(tree.unionByName(clique))
   }
 
   /** Arbitrary-state streaming pattern detection run live: every

@@ -1,0 +1,139 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Attribution, Changelog, EntityResolution}
+
+/** Round-18 property batch: the h-index coreness fixpoint against the
+  * cascade peel, and the round-8 analytics (multi-touch attribution,
+  * Fellegi–Sunter classification, CDC sequence audit) against
+  * independent sequential references over seeded random inputs. */
+class Round18PropertiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---- corenessHIndex vs the cascade peel ----
+
+  test("corenessHIndex equals the cascade peel on random graphs") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 300)
+      val n = 30
+      val edges = (1 to 120).map(_ =>
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }.distinct
+      val e = edges.toDF("src", "dst")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val peel = toMap(graft.graph.Centrality.coreness(e))
+      val hIdx = toMap(graft.graph.Centrality.corenessHIndex(e))
+      assert(hIdx == peel, s"seed $seed")
+    }
+  }
+
+  // ---- multiTouch credit conservation ----
+
+  test("multiTouch: every model's credit total is sum(value) x 1e6 over credited conversions") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 310)
+      val lookback = 50L
+      val touches = (1 to 40).map(i => (
+        1L + rnd.nextInt(5),            // user
+        i.toLong,                        // touch_id
+        s"ch${rnd.nextInt(4)}",          // channel
+        rnd.nextInt(200).toLong))        // ts
+      val convs = (1 to 12).map(i => (
+        1L + rnd.nextInt(5),             // user
+        100L + i,                        // conv_id
+        rnd.nextInt(220).toLong,         // ts
+        1L + rnd.nextInt(1000)))         // value_cents
+      // sequential assignment: a touch credits the EARLIEST conversion
+      // at/after it within the lookback for the same user
+      val credited = touches.flatMap { case (u, _, _, ts) =>
+        convs.filter(c => c._1 == u && c._3 >= ts && c._3 - ts <= lookback)
+          .sortBy(c => (c._3, c._2)).headOption.map(_._2)
+      }.toSet
+      val want = convs.filter(c => credited(c._2)).map(_._4).sum *
+        BigInt(1000000)
+      val out = Attribution.multiTouch(
+        touches.toDF("user_id", "touch_id", "channel", "ts"),
+        convs.toDF("user_id", "conv_id", "ts", "value_cents"), lookback)
+        .collect()
+      for (model <- Attribution.Models) {
+        val got = out.filter(_.getString(0) == model)
+          .map(r => BigInt(r.getLong(3))).sum
+        assert(got == want, s"seed $seed model $model")
+      }
+    }
+  }
+
+  // ---- classify decisions monotone in the thresholds ----
+
+  test("classify: raising thresholds only moves decisions toward non-link") {
+    val rank = Map("link" -> 2, "possible" -> 1, "non-link" -> 0)
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 320)
+      val cols = Seq("a1", "a2", "a3")
+      val labeled = (1 to 200).map(i => (i.toLong, rnd.nextBoolean(),
+        rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextInt(3) > 0))
+        .toDF("k", "a1", "a2", "a3", "is_match")
+      val table = EntityResolution.patternTable(labeled, cols, "is_match")
+      def decisions(lower: Long, upper: Long): Map[Long, String] =
+        EntityResolution.classify(labeled, table, cols, lower, upper)
+          .select(col("k"), col("decision")).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val loose = decisions(100000L, 1000000L)
+      val strict = decisions(500000L, 20000000L)
+      loose.keys.foreach { k =>
+        assert(rank(strict(k)) <= rank(loose(k)),
+          s"seed $seed pair $k: ${loose(k)} -> ${strict(k)} under stricter thresholds")
+      }
+    }
+  }
+
+  // ---- sequenceAudit vs a sequential replay ----
+
+  test("sequenceAudit: gap and out-of-order counts match a sequential replay") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 330)
+      val rows = (1 to 3).flatMap { key =>
+        val versions = (1 to 20).map(_ => 1L + rnd.nextInt(15)).distinct
+        versions.zipWithIndex.flatMap { case (v, i) =>
+          // occasional duplicate arrival of the same version
+          val arrivals = 1 + rnd.nextInt(2)
+          (0 until arrivals).map(a => (key.toLong, v, (i * 3 + a).toLong))
+        }
+      }
+      val got = Changelog.sequenceAudit(
+        rows.toDF("key", "version", "arrival"), Seq("key"), "version", "arrival")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+      rows.groupBy(_._1).foreach { case (key, rs) =>
+        val vs = rs.map(_._2).distinct.sorted
+        val diffs = vs.zip(vs.drop(1)).map { case (a, b) => b - a - 1 }
+        val nGaps = diffs.count(_ > 0)
+        val maxGap = if (diffs.exists(_ > 0)) diffs.max else 0L
+        // arrival replay ordered by (arrival, version): count versions
+        // strictly below the running max of PRIOR rows
+        val ordered = rs.sortBy(r => (r._3, r._2))
+        var prevMax = Long.MinValue
+        var ooo = 0L
+        ordered.foreach { r =>
+          if (prevMax != Long.MinValue && r._2 < prevMax) ooo += 1
+          prevMax = math.max(prevMax, r._2)
+        }
+        val (hi, gGaps, gMaxGap, gOoo) = got(key)
+        assert(hi == vs.max && gGaps == nGaps && gMaxGap == maxGap &&
+          gOoo == ooo, s"seed $seed key $key: got ${got(key)}, " +
+          s"want (${vs.max}, $nGaps, $maxGap, $ooo)")
+      }
+    }
+  }
+}
