@@ -722,6 +722,62 @@ object ScaleSmoke {
         operators.Attribution
           .multiTouch(touches, conv, 3L * 86400L * 1000000L).count()
       }
+      time("attribution_skew_raw", m) {
+        // the documented worst case: ONE bot user with 10^4 touches and
+        // 10^2 conversions in-window — the per-user touch x conversion
+        // candidate volume (10^6 pairs from a single key) that the
+        // scaladoc warns about, measured raw
+        val bot = 424242424242L
+        val botTouches = spark.range(10000L * m).select(
+          lit(bot).as("user_id"), col("id").as("touch_id"),
+          concat(lit("ch"), (col("id") % 5).cast("string")).as("channel"),
+          (col("id") % 86400L).as("ts"))
+        val botConvs = spark.range(100L).select(
+          lit(bot).as("user_id"), (col("id") + 1000000L).as("conv_id"),
+          (lit(86400L) + col("id")).as("ts"), lit(100L).as("value_cents"))
+        val touches = Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id").as("touch_id"),
+            col("event_type").as("channel"), expr("unix_micros(ts)").as("ts"))
+          .unionByName(botTouches)
+        val conv = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            expr("unix_micros(ts)").as("ts"),
+            coalesce(floor(col("value") * 100).cast("long"), lit(0L))
+              .as("value_cents"))
+          .unionByName(botConvs)
+        operators.Attribution.multiTouch(touches, conv, 200000L).count()
+      }
+      time("attribution_skew_capped", m) {
+        // same corpus through the documented guard: capPerGroup bounds
+        // any user's touches to 200 BEFORE the join, so the bot's pair
+        // volume collapses from 10^6·m to 2·10^4 and the curve should
+        // go flat
+        val bot = 424242424242L
+        val botTouches = spark.range(10000L * m).select(
+          lit(bot).as("user_id"), col("id").as("touch_id"),
+          concat(lit("ch"), (col("id") % 5).cast("string")).as("channel"),
+          (col("id") % 86400L).as("ts"))
+        val botConvs = spark.range(100L).select(
+          lit(bot).as("user_id"), (col("id") + 1000000L).as("conv_id"),
+          (lit(86400L) + col("id")).as("ts"), lit(100L).as("value_cents"))
+        val touches = Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id").as("touch_id"),
+            col("event_type").as("channel"), expr("unix_micros(ts)").as("ts"))
+          .unionByName(botTouches)
+        val capped = text.Sampling.capPerGroup(touches, "touch_id",
+          col("user_id"), 200)
+        val conv = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            expr("unix_micros(ts)").as("ts"),
+            coalesce(floor(col("value") * 100).cast("long"), lit(0L))
+              .as("value_cents"))
+          .unionByName(botConvs)
+        operators.Attribution.multiTouch(capped, conv, 200000L).count()
+      }
       time("k4_census", m) {
         // per-copy 5-clique blocks: K4 volume linear in copies, oriented
         // out-degrees stay O(block size)
