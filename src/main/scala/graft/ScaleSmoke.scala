@@ -722,6 +722,23 @@ object ScaleSmoke {
         operators.Attribution
           .multiTouch(touches, conv, 3L * 86400L * 1000000L).count()
       }
+      time("exact_quantiles", m) {
+        // data-sized order column through GlobalOrder's two-pass rank
+        val li = multiply(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").cast("long").as("l_orderkey"),
+            floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+          "l_orderkey", m)
+        operators.Analytics.exactQuantiles(li, col("cents"),
+          Seq(10000L, 500000L, 990000L)).count()
+      }
+      time("good_turing", m) {
+        val docs = multiply(Tables.documents(spark, sfDir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+          "doc_id", m)
+        val terms = docs.select(col("doc_id"),
+          explode(text.TextFunctions.tokens(col("text"))).as("term"))
+        text.TextFunctions.goodTuring(terms, maxR = 1000000).count()
+      }
       time("attribution_skew_raw", m) {
         // the documented worst case: ONE bot user with 10^4 touches and
         // 10^2 conversions in-window — the per-user touch x conversion

@@ -391,6 +391,37 @@ object Analytics {
         max(col("n_a") * col("n_b")).as("d_den"))
   }
 
+  /** Exact global quantiles of a DATA-SIZED numeric column — the exact
+    * baseline the mergeable quantile-histogram sketch
+    * ([[graft.text.Sketches]]) is judged against, distributed via
+    * [[GlobalOrder]] so no single-task sort ever materializes the
+    * column. Quantile q_ppm maps to 1-based rank
+    * ceil(q·n / 10⁶) (discrete lower-element semantics, the
+    * quantile_disc convention); among tied values any tie order yields
+    * the same VALUE at a given rank, so the emitted quantiles are
+    * deterministic without a tiebreak column. One rank pass + one
+    * broadcast of the |qs|-row target table. Output: (q_ppm, value,
+    * rank, n_rows). */
+  def exactQuantiles(df: DataFrame, valueCol: Column,
+                     qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
+      "quantiles are ppm ranks in [1, 1e6]")
+    require(qsPpm.distinct.size == qsPpm.size, "duplicate quantiles")
+    val v = df.select(valueCol.cast("long").as("v"))
+    val ranked = GlobalOrder.rank(v, col("v"), Nil, "rk")
+    val n = v.agg(count(lit(1)).as("n_rows"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = qsPpm.toDF("q_ppm").crossJoin(broadcast(n))
+      .select(col("q_ppm"), col("n_rows"),
+        greatest(lit(1L), expr(
+          "cast((cast(q_ppm as decimal(38,0)) * n_rows + 999999) div 1000000 as bigint)"))
+          .as("rk"))
+    ranked.join(broadcast(targets), Seq("rk"))
+      .select(col("q_ppm"), col("v").as("value"), col("rk").as("rank"),
+        col("n_rows"))
+  }
+
   /** Per-key time-weighted average as the exact fraction (twa_num,
     * twa_den): each observation's value holds until the NEXT observation
     * of the same key, so num = Σ vᵢ·(tᵢ₊₁ − tᵢ) and den = Σ gaps — the

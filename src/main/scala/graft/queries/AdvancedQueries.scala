@@ -298,6 +298,24 @@ object AdvancedQueries {
       Tables.documents(spark, dir).select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term")), k = 30)
 
+  /** Good–Turing frequency-of-frequencies over the 3-gram shingles
+    * (the word vocabulary is synthetic-dense — every word repeats past
+    * any small r — while shingles keep the singleton tail the estimator
+    * reads): the r = 1 row's mass_ppm is the unseen-mass (coverage)
+    * estimate p₀ × 10⁶. */
+  def goodTuringGate(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.goodTuring(shingleTerms(spark, dir), maxR = 12)
+      .orderBy(col("r"))
+
+  /** Exact global quantiles of line-item price cents — the data-sized
+    * exact baseline for the quantile-histogram sketch, distributed via
+    * GlobalOrder (no single-task sort). */
+  def exactQuantilesGate(spark: SparkSession, dir: String): DataFrame =
+    Analytics.exactQuantiles(Tables.lineitem(spark, dir),
+      floor(col("l_extendedprice") * 100).cast("long"),
+      Seq(10000L, 250000L, 500000L, 750000L, 990000L))
+      .orderBy(col("q_ppm"))
+
   /** Hour-of-day seasonal index + residual noise per event type. */
   def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
     Analytics.seasonalDecompose(Tables.events(spark, dir),
@@ -592,6 +610,8 @@ object AdvancedQueries {
     "graph_subtree_agg" -> (subtreeAgg _),
     "graph_reciprocity" -> (reciprocityGate _),
     "text_zipf" -> (textZipf _),
+    "text_good_turing" -> (goodTuringGate _),
+    "analytics_exact_quantiles" -> (exactQuantilesGate _),
     "analytics_seasonal" -> (seasonalDecompose _),
     "analytics_mad_robust" -> (madRobust _),
     "quality_benford" -> (benford _),
@@ -1022,6 +1042,28 @@ object AdvancedQueries {
         |    (ORDER BY freq DESC, term) AS BIGINT) AS rank FROM cnt)
         |SELECT rank, term, freq, CAST(rank * freq AS BIGINT) AS rank_x_freq
         |FROM rk""".stripMargin,
+    "text_good_turing" ->
+      s"""WITH $ShingleTermsSql,
+        |c AS (SELECT term, count(*) AS r FROM dt GROUP BY term),
+        |ff AS (SELECT r, count(*) AS n_r FROM c GROUP BY r),
+        |tot AS (SELECT sum(r * n_r) AS n_tok FROM ff)
+        |SELECT CAST(ff.r AS BIGINT) AS r, CAST(ff.n_r AS BIGINT) AS n_r,
+        |  CAST((ff.r + 1) * f2.n_r * 1000000 // ff.n_r AS BIGINT) AS r_star_x1e6,
+        |  CAST(ff.r * ff.n_r * 1000000 // tot.n_tok AS BIGINT) AS mass_ppm
+        |FROM ff LEFT JOIN ff f2 ON f2.r = ff.r + 1, tot
+        |WHERE ff.r <= 12 ORDER BY ff.r""".stripMargin,
+    "analytics_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rank
+        |  FROM v),
+        |n AS (SELECT count(*) AS n_rows FROM v),
+        |q(q_ppm) AS (VALUES (10000), (250000), (500000), (750000), (990000))
+        |SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm, r.v AS value, r.rank AS rank,
+        |  CAST(n.n_rows AS BIGINT) AS n_rows
+        |FROM r, n, q
+        |WHERE r.rank = greatest(1, (q.q_ppm * n.n_rows + 999999) // 1000000)
+        |ORDER BY q_ppm""".stripMargin,
     "analytics_seasonal" ->
       """WITH b AS (SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS season,
         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),

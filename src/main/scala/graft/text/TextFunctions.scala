@@ -1311,6 +1311,43 @@ object TextFunctions {
         coalesce(col("vocab"), lit(0L)).as("vocab"))
   }
 
+  /** Good–Turing frequency-of-frequencies diagnostic (Good 1953; the
+    * unsmoothed simple estimator of Gale & Sampson 1995): N_r = the
+    * number of distinct terms occurring exactly r times, the smoothed
+    * expected count r* = (r+1)·N_{r+1}/N_r as an exact ×10⁶ integer,
+    * and each count class's share of corpus mass in ppm. The singleton
+    * row (r = 1) IS the unseen-mass estimate — mass_ppm at r = 1 is
+    * Good–Turing's p₀·10⁶, the standard "how much of the distribution
+    * has this corpus not seen yet" coverage read-out that decides
+    * more-data-vs-more-epochs alongside [[vocabGrowth]]'s curve.
+    *
+    * Classes where N_{r+1} = 0 emit NULL r* (the raw estimator is
+    * undefined there; smoothing choices belong to the caller, and a
+    * fake 0 would read as "vanishing mass"). Shape: one term-count agg,
+    * one frequency-of-frequencies agg (|distinct counts| rows — the
+    * windowless census the whole estimator runs on), one broadcast
+    * total; decimal(38,0) intermediates so 10¹⁰-term vocabularies
+    * cannot wrap. Output: (r, n_r, r_star_x1e6, mass_ppm), r ≤ maxR. */
+  def goodTuring(docTerms: DataFrame, maxR: Int): DataFrame = {
+    require(maxR >= 1, "maxR must be positive")
+    val ff = docTerms.groupBy(col("term")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(false)
+    val tot = ff.agg(sum(col("r").cast("decimal(38,0)") * col("n_r"))
+      .as("n_tok"))
+    ff.filter(col("r") <= maxR)
+      .join(ff.select((col("r") - 1).as("r"), col("n_r").as("_n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        when(col("_n_r1").isNull, lit(null).cast("long"))
+          .otherwise(expr(
+            "cast(((r + 1) * cast(_n_r1 as decimal(38,0)) * 1000000) div n_r as bigint)"))
+          .as("r_star_x1e6"),
+        expr("cast((r * cast(n_r as decimal(38,0)) * 1000000) div n_tok as bigint)")
+          .as("mass_ppm"))
+  }
+
   /** Pairwise set overlap between groups of terms — Jaccard of the
     * DISTINCT term sets of each (source, corpus slice, epoch): "how much
     * does source A's content overlap source B's", the corpus-composition

@@ -98,6 +98,43 @@ class Round18PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- goodTuring on a hand-checked corpus ----
+
+  test("goodTuring: frequency-of-frequencies, smoothed counts, unseen mass") {
+    // a x3, d x2, b x1, c x1  =>  N_1 = 2, N_2 = 1, N_3 = 1, N = 7
+    val dt = Seq((1L, "a"), (1L, "a"), (2L, "a"), (1L, "d"), (2L, "d"),
+      (1L, "b"), (2L, "c")).toDF("doc_id", "term")
+    val got = graft.text.TextFunctions.goodTuring(dt, maxR = 12)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(3))).toMap
+    // r* x1e6: r=1 -> 2*N_2/N_1 = 2*1/2 = 1.0; r=2 -> 3*N_3/N_2 = 3.0;
+    // r=3 -> N_4 = 0 -> NULL. mass_ppm: r*N_r*1e6 div 7.
+    assert(got(1L) == ((2L, Some(1000000L), 285714L)))
+    assert(got(2L) == ((1L, Some(3000000L), 285714L)))
+    assert(got(3L) == ((1L, None, 428571L)))
+    assert(got.size == 3)
+  }
+
+  // ---- exactQuantiles vs a sorted-sequence reference ----
+
+  test("exactQuantiles matches the sorted-multiset reference") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 340)
+      val vals = (1 to 500).map(_ => rnd.nextInt(40).toLong)
+      val qs = Seq(1L, 10000L, 250000L, 500000L, 750000L, 990000L, 1000000L)
+      val sorted = vals.sorted
+      val want = qs.map { q =>
+        val rank = math.max(1L, (q * vals.size + 999999L) / 1000000L)
+        q -> sorted((rank - 1).toInt)
+      }.toMap
+      val got = graft.operators.Analytics.exactQuantiles(
+        vals.toDF("x"), col("x"), qs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   // ---- sequenceAudit vs a sequential replay ----
 
   test("sequenceAudit: gap and out-of-order counts match a sequential replay") {
