@@ -722,6 +722,10 @@ object ScaleSmoke {
         operators.Attribution
           .multiTouch(touches, conv, 3L * 86400L * 1000000L).count()
       }
+      time("shared_runs", m) {
+        dedup.Dedup.sharedRuns(docs, "doc_id", "text",
+          minRun = 4, dfCap = 64L).count()
+      }
       time("exact_quantiles", m) {
         // data-sized order column through GlobalOrder's two-pass rank
         val li = multiply(Tables.lineitem(spark, sfDir)

@@ -147,6 +147,13 @@ object LlmQueries {
       Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text"),
       minJaccX1e6 = 500000L)
 
+  /** Exact cross-document shared token runs — longest exact span per
+    * pair via diagonal islands over positional 4-gram anchors. */
+  def dedupSharedRuns(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sharedRuns(Tables.documents(spark, dir), "doc_id", "text",
+      minRun = 4, dfCap = 64L)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Exact all-pairs Jaccard at the same 0.5 threshold as
     * [[dedupNgramJaccard]], via prefix filtering — the lossless scale
     * path: finds cross-block pairs the blocked baseline misses, with
@@ -838,6 +845,7 @@ object LlmQueries {
     "corpus_stats" -> (corpusStats _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_shared_runs" -> (dedupSharedRuns _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
@@ -1911,6 +1919,40 @@ object LlmQueries {
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_shared_runs" -> {
+      val P = TextFunctions.P
+      // the 4-gram mix chain over mod-P-reduced wids, exactly
+      // TextFunctions.gramIds(wids, 4)'s fold
+      def c4(m: Long) =
+        s"((((((a.w * $m + b.w) % $P) * $m + c.w) % $P) * $m + d.w) % $P)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+         |         generate_subscripts(string_split(text,' '),1) AS pos
+         |  FROM documents),
+         |sq AS MATERIALIZED (SELECT doc_id, pos,
+         |  CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) % $P AS w FROM toks),
+         |anch AS MATERIALIZED (
+         |  SELECT a.doc_id, a.pos,
+         |    (${c4(TextFunctions.Mix)}) * $P + (${c4(TextFunctions.MixB)}) AS gid
+         |  FROM sq a JOIN sq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |            JOIN sq c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |            JOIN sq d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
+         |keep AS (SELECT gid FROM anch GROUP BY gid
+         |  HAVING count(*) >= 2 AND count(*) <= 64),
+         |k AS MATERIALIZED (SELECT anch.* FROM anch JOIN keep USING (gid)),
+         |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
+         |        x.pos - y.pos AS diag
+         |      FROM k x JOIN k y ON x.gid = y.gid AND x.doc_id < y.doc_id),
+         |isl AS (SELECT doc_a, doc_b, diag,
+         |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+         |          ORDER BY pa) AS i
+         |        FROM m),
+         |runs AS (SELECT doc_a, doc_b, diag, i, count(*) + 3 AS run
+         |         FROM isl GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |  CAST(max(run) AS BIGINT) AS max_run, count(*) AS n_runs
+         |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+    },
     "text_backoff_coverage" -> {
       val P = TextFunctions.P
       def c3(m: Long) =

@@ -135,6 +135,37 @@ class Round18PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- sharedRuns vs brute-force longest common substring ----
+
+  test("sharedRuns: max_run equals the brute-force longest shared token run") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 350)
+      // small alphabet forces real shared runs; dfCap high so the cap
+      // never bites and the exact contract is testable
+      val docs = (1 to 8).map(i =>
+        (i.toLong, (1 to 30).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")))
+      val minRun = 3
+      def lcsRun(a: Array[String], b: Array[String]): Int = {
+        var best = 0
+        for (i <- a.indices; j <- b.indices) {
+          var k = 0
+          while (i + k < a.length && j + k < b.length && a(i + k) == b(j + k))
+            k += 1
+          best = math.max(best, k)
+        }
+        best
+      }
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        run = lcsRun(ta.split(" "), tb.split(" ")) if run >= minRun
+      } yield (ia, ib) -> run.toLong).toMap
+      val got = graft.dedup.Dedup.sharedRuns(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minRun, dfCap = 100000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   // ---- sequenceAudit vs a sequential replay ----
 
   test("sequenceAudit: gap and out-of-order counts match a sequential replay") {
