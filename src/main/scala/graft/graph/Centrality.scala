@@ -163,6 +163,48 @@ object Centrality {
       .groupBy(col("node"))
       .agg(sum(expr("1000000 div dist")).as("harmonic_x1e6"))
 
+  /** Newman modularity of a GIVEN partition (Newman & Girvan 2004):
+    * Q = Σ_c [ e_c/m − (d_c / 2m)² ] where e_c = intra-community edge
+    * count, d_c = total degree inside community c, m = undirected edge
+    * count — the standard "is this clustering better than chance"
+    * score for any community assignment (connected components, label
+    * propagation, an attribute partition). Emitted as the exact ppm
+    * integer Q·10⁶ = (10⁶·(4m·Σe_c − Σd_c²)) div (4m²) in
+    * decimal(38,0) — no float accumulation, any engine reproduces it.
+    *
+    * One degree agg + one broadcast assignment join per endpoint + two
+    * community aggs; nodes absent from `assignment` count as singleton
+    * communities of their own id (their d² still enters the null
+    * model — silently dropping them would inflate Q). Output one row:
+    * (n_communities, m_edges, q_ppm). */
+  def modularity(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    val asg = assignment.select(col("node"), col("community"))
+    def lab(end: Column) = coalesce(col("community"), end)
+    val aLab = und.join(asg.withColumnRenamed("node", "a"), Seq("a"), "left")
+      .select(col("a"), col("b"), lab(col("a")).as("ca")).drop("community")
+    val both = aLab.join(asg.withColumnRenamed("node", "b"), Seq("b"), "left")
+      .select(col("ca"), lab(col("b")).as("cb"))
+      .localCheckpoint(false)
+    val m = both.count()
+    require(m > 0, "modularity needs at least one non-loop edge")
+    val intra = both.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+    val degree = both.select(col("ca").as("c"))
+      .unionByName(both.select(col("cb").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("d_c"))
+    degree.join(intra, Seq("c"), "left")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(coalesce(col("e_c"), lit(0L))).as("_se"),
+        sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("_sd2"))
+      .select(col("n_communities"), lit(m).as("m_edges"),
+        expr(s"cast((1000000 * (4 * $m * cast(_se as decimal(38,0)) - _sd2)) " +
+          s"div (4 * cast($m as decimal(38,0)) * $m) as bigint)").as("q_ppm"))
+  }
+
   /** Degree-assortativity moment sums (Newman 2002): the exact integer
     * components of the Pearson correlation between endpoint degrees over
     * the undirected edge set — (m, Σx, Σy, Σxy, Σx², Σy²) with each

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.graph.Paths
+import graft.graph.{Centrality, Paths}
 import graft.operators.{Analytics, Changelog, Spatial, Temporal}
 import graft.similarity.Similarity
 import graft.text.{Sketches, TextFunctions}
@@ -306,6 +306,19 @@ object AdvancedQueries {
   def goodTuringGate(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.goodTuring(shingleTerms(spark, dir), maxR = 12)
       .orderBy(col("r"))
+
+  /** Newman modularity of the octal customer ancestry tree under the
+    * div-64 block partition — blocks align with subtrees, so Q is
+    * positive; the "is this clustering better than chance" read for
+    * any community assignment, exact ppm. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+    val edges = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    val asg = c.select(col("k").as("node"), expr("k div 64").as("community"))
+    Centrality.modularity(edges, asg)
+  }
 
   /** Exact global quantiles of line-item price cents — the data-sized
     * exact baseline for the quantile-histogram sketch, distributed via
@@ -612,6 +625,7 @@ object AdvancedQueries {
     "text_zipf" -> (textZipf _),
     "text_good_turing" -> (goodTuringGate _),
     "analytics_exact_quantiles" -> (exactQuantilesGate _),
+    "graph_modularity" -> (graphModularity _),
     "analytics_seasonal" -> (seasonalDecompose _),
     "analytics_mad_robust" -> (madRobust _),
     "quality_benford" -> (benford _),
@@ -1052,6 +1066,28 @@ object AdvancedQueries {
         |  CAST(ff.r * ff.n_r * 1000000 // tot.n_tok AS BIGINT) AS mass_ppm
         |FROM ff LEFT JOIN ff f2 ON f2.r = ff.r + 1, tot
         |WHERE ff.r <= 12 ORDER BY ff.r""".stripMargin,
+    "graph_modularity" ->
+      """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |e0 AS (SELECT k // 8 AS src, k AS dst FROM k WHERE k >= 8),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |lab AS (SELECT a, b, a // 64 AS ca, b // 64 AS cb FROM und),
+        |mm AS (SELECT count(*) AS m FROM und),
+        |intra AS (SELECT ca AS c, count(*) AS e_c FROM lab
+        |  WHERE ca = cb GROUP BY 1),
+        |deg AS (SELECT c, count(*) AS d_c FROM (
+        |  SELECT ca AS c FROM lab UNION ALL SELECT cb AS c FROM lab) GROUP BY 1),
+        |agg AS (SELECT count(*) AS n_communities,
+        |  sum(coalesce(e_c, 0)) AS se, sum(d_c * d_c) AS sd2
+        |  FROM deg LEFT JOIN intra USING (c)),
+        |q AS (SELECT n_communities,
+        |  1000000 * (4 * mm.m * se - sd2) AS num, 4 * mm.m * mm.m AS den,
+        |  mm.m AS m_edges FROM agg, mm)
+        |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+        |  CAST(m_edges AS BIGINT) AS m_edges,
+        |  CAST(CASE WHEN num < 0 THEN -((-num) // den)
+        |            ELSE num // den END AS BIGINT) AS q_ppm
+        |FROM q""".stripMargin,
     "analytics_exact_quantiles" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
         |  FROM lineitem),

@@ -302,6 +302,27 @@ object LlmQueries {
     TextFunctions.searchRanked(Tables.documents(spark, dir), "doc_id", "text",
       Seq("join", "window", "hash"), k = 10)
 
+  /** Reciprocal-rank fusion of the conjunctive BM25 list (precision
+    * leg) and the disjunctive tf·idf list (recall leg) over the same
+    * query — the standard multi-retriever combine, rank-only so the
+    * incomparable score scales never touch. */
+  def textRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("join", "window", "hash")
+    def withRank(df: DataFrame, score: String) = df.withColumn("rank",
+      row_number().over(graft.operators.GlobalOrder.boundedWindow(
+        col("doc_id"), col(score).desc, col("doc_id").asc)).cast("long"))
+    val conjunctive = withRank(
+      TextFunctions.searchRanked(docs, "doc_id", "text", terms, 10),
+      "score_x1e6")
+    val disjunctive = withRank(
+      TextFunctions.searchRankedAny(docs, "doc_id", "text", terms, 10),
+      "score_x1e3")
+    TextFunctions.rankFusion(
+      Seq(conjunctive.select(col("doc_id"), col("rank")),
+        disjunctive.select(col("doc_id"), col("rank"))), k0 = 60L, k = 10)
+  }
+
   /** Blocking-quality report for the LSH candidate generation: reduction
     * ratio (how much of the O(n²) pair space the bands prune away) and
     * pair completeness (the fraction of TRUE near-dup pairs the
@@ -896,6 +917,7 @@ object LlmQueries {
     "sketch_quantile_merge" -> (sketchQuantileMerge _),
     "text_bm25" -> (textBm25 _),
     "text_search_ranked" -> (textSearchRanked _),
+    "text_rank_fusion" -> (textRankFusion _),
     "text_ranking_hdcg" -> (textRankingHdcg _),
     "dedup_blocking_quality" -> (dedupBlockingQuality _),
     "sim_ann_recall" -> (simAnnRecall _),
@@ -2736,6 +2758,33 @@ object LlmQueries {
          |  GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, CAST(score AS BIGINT) AS score_x1e6
          |FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "text_rank_fusion" ->
+      s"""WITH $TextCtes,
+         |$Bm25Ctes,
+         |q AS (SELECT unnest([
+         |  CAST(('0x' || substr(md5('join'),1,14)) AS BIGINT),
+         |  CAST(('0x' || substr(md5('window'),1,14)) AS BIGINT),
+         |  CAST(('0x' || substr(md5('hash'),1,14)) AS BIGINT)]) AS wid),
+         |conj AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, sum(bm25_x1e6) AS score
+         |    FROM sc2 JOIN q USING (wid) GROUP BY doc_id HAVING count(*) = 3
+         |    ORDER BY score DESC, doc_id LIMIT 10)),
+         |disj AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT t.doc_id,
+         |      sum(t.tf * ((1000 * o.n_docs) // d.df)) AS score
+         |    FROM tf t JOIN dfreq d USING (wid) JOIN q USING (wid)
+         |    CROSS JOIN tot o
+         |    GROUP BY t.doc_id ORDER BY score DESC, doc_id LIMIT 10)),
+         |u AS (SELECT * FROM conj UNION ALL SELECT * FROM disj),
+         |f AS (SELECT doc_id, sum(1000000 // (60 + rank)) AS rrf,
+         |    count(*) AS nl
+         |  FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         |    AS rank,
+         |  doc_id, CAST(rrf AS BIGINT) AS rrf_x1e6, CAST(nl AS BIGINT) AS n_lists
+         |FROM f""".stripMargin,
     "dedup_blocking_quality" ->
       s"""WITH $TextCtes,
          |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),

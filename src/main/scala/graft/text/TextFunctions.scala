@@ -571,6 +571,62 @@ object TextFunctions {
       .select(col("doc_id"), col("score_x1e6"))
   }
 
+  /** Disjunctive tf·idf retrieval — documents containing ANY query
+    * term, scored Σ_matched tf · idf_x1e3 with idf_x1e3 =
+    * (1000·N) div df: the RECALL leg of a two-ranker stack (a
+    * conjunctive BM25 list is precision-heavy and misses docs lacking
+    * one term), built to be fused with [[searchRanked]] under
+    * [[rankFusion]]. Same monotone-integer-surrogate contract as the
+    * BM25 family; the top-k is a TakeOrderedAndProject. Output:
+    * (doc_id, score_x1e3, n_terms_hit). */
+  def searchRankedAny(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchRankedAny needs at least one query term")
+    val qwids = array(terms.distinct.map(t => wordId(lit(t))): _*)
+    val tf = termFreq(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("wid")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    tf.filter(array_contains(qwids, col("wid")))
+      .join(dfreq, Seq("wid"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("_s", expr("tf * ((1000 * n_docs) div df)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("_s")).as("score_x1e3"))
+      .orderBy(col("score_x1e3").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score_x1e3"), col("n_terms_hit"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse K ranked lists into one by rank alone —
+    * rrf(d) = Σ_lists 10⁶ div (k0 + rank_d) — the standard way to
+    * combine retrievers whose SCORES are incomparable (BM25 sums vs
+    * tf·idf vs embedding cosine) without normalization heuristics;
+    * k0 = 60 is the paper's constant. Exact integers, so any engine
+    * reproduces the fused order bit-for-bit.
+    *
+    * Inputs are (doc_id, rank) TOP-N lists — bounded by construction
+    * (every ranker here ends in a LIMIT), which is what licenses the
+    * single-group [[graft.operators.GlobalOrder.boundedWindow]] final
+    * rank. Output: (rank, doc_id, rrf_x1e6, n_lists), top `k` under
+    * (rrf desc, doc_id asc). */
+  def rankFusion(lists: Seq[DataFrame], k0: Long, k: Int): DataFrame = {
+    require(lists.size >= 2, "rank fusion needs at least two lists")
+    require(k0 >= 1, "k0 must be positive")
+    val u = lists.map(_.select(col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank"))).reduce(_ unionByName _)
+    u.withColumn("_c", expr(s"1000000 div ($k0 + rank)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("rrf_x1e6"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_x1e6").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        graft.operators.GlobalOrder.boundedWindow(col("doc_id"),
+          col("rrf_x1e6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf_x1e6"), col("n_lists"))
+  }
+
   /** Positional fingerprint: sum over tokens of (wid mod [[FpMod]]) *
     * (1-based position) — a deterministic rolling-hash document signature.
     * Computed entirely in-row (no explode, no shuffle). */

@@ -135,6 +135,39 @@ class Round18PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- rank fusion on hand-checked lists ----
+
+  test("rankFusion: exact RRF contributions and consensus ordering") {
+    val l1 = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val l2 = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = graft.text.TextFunctions.rankFusion(Seq(l1, l2), 60L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rrf: d2 = 1e6 div 61 + 1e6 div 62 = 16393 + 16129 = 32522;
+    //      d1 = 16393; d3 = 16129 — the both-lists doc wins
+    assert(got.toSeq == Seq((1L, 2L, 32522L, 2L), (2L, 1L, 16393L, 1L),
+      (3L, 3L, 16129L, 1L)))
+  }
+
+  // ---- modularity on a hand-checked graph ----
+
+  test("modularity: two bridged triangles under the triangle partition") {
+    // m = 7; e_A = e_B = 3; d_A = d_B = 7
+    // Q = 2*(3/7 - (7/14)^2) = 5/14 -> 357142 ppm (truncated)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("node", "community")
+    val r = graft.graph.Centrality.modularity(e, asg).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 7L, 357142L)))
+    // nodes absent from the assignment are singleton communities: with
+    // an EMPTY assignment every node is its own community, e_c = 0, so
+    // Q = -sum(d_c^2)/4m^2 = -(2*4 + 2*9 + 2*4)/196 = -34/196
+    // -> -173469 ppm (truncated toward zero, the div contract)
+    val empty = Seq.empty[(Long, Long)].toDF("node", "community")
+    val r2 = graft.graph.Centrality.modularity(e, empty).collect().head
+    assert(r2.getLong(0) == 6L && r2.getLong(2) == -173469L)
+  }
+
   // ---- sharedRuns vs brute-force longest common substring ----
 
   test("sharedRuns: max_run equals the brute-force longest shared token run") {
