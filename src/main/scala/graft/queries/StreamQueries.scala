@@ -694,6 +694,17 @@ object StreamQueries {
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame =
     Fixpoint.labelPropagation(treeWithTriangles(spark, dir), rounds = 4)
 
+  /** Community quality end-to-end: Newman modularity of the 4-round
+    * label-propagation partition over the same ornamented tree — the
+    * detector and its scorer composed ("did LPA find structure better
+    * than chance"). */
+  def graphCommunityQuality(spark: SparkSession, dir: String): DataFrame = {
+    val e = treeWithTriangles(spark, dir)
+    val asg = Fixpoint.labelPropagation(e, rounds = 4)
+      .select(col("node"), col("label").as("community"))
+    graft.graph.Centrality.modularity(e, asg)
+  }
+
   /** Nearest-seed labeling over the undirected customer tree: every
     * 1000th customer is a labeled hub; nodes within 4 hops take the
     * nearest hub's label (ties to the smallest label). */
@@ -894,6 +905,7 @@ object StreamQueries {
     "graph_hits" -> (graphHits _),
     "graph_link_pred" -> (graphLinkPred _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_community_quality" -> (graphCommunityQuality _),
     "graph_rectangles" -> (graphRectangles _),
     "graph_scan_clusters" -> (graphScanClusters _),
     "graph_path_counts" -> (graphPathCounts _),
@@ -912,6 +924,44 @@ object StreamQueries {
     "stream_stream_left_join" -> (streamStreamLeftJoin _),
     "source_json_events" -> (sourceJsonEvents _),
   )
+
+  /** Shared 4-round label-propagation CTE chain (graph_label_prop and
+    * graph_community_quality oracles): the ornamented-tree edge set,
+    * its symmetrized form, and l0..l4 — each round a (node, label)
+    * vote census incl. the self-vote, argmax (count desc, label asc). */
+  private val LabelPropCtes: String = {
+    def round(r: Int): String = {
+      val prev = s"l${r - 1}"
+      s"""v$r AS (
+         |  SELECT node, lab, count(*) AS c FROM (
+         |    SELECT u.dst AS node, l.lab
+         |    FROM und u JOIN $prev l ON u.src = l.node
+         |    UNION ALL SELECT node, lab FROM $prev)
+         |  GROUP BY node, lab),
+         |l$r AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab, row_number() OVER
+         |      (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+         |    FROM v$r) WHERE rn = 1)""".stripMargin
+    }
+    s"""c AS (SELECT c_custkey AS k FROM customer),
+       |mx AS (SELECT max(k) AS mx FROM c),
+       |e AS (
+       |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+       |  UNION ALL
+       |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+       |  UNION ALL
+       |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
+       |  UNION ALL
+       |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e WHERE src <> dst
+       |    UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lab FROM und),
+       |${(1 to 4).map(round).mkString(",\n")}""".stripMargin
+  }
 
   /** Unrolled k-core peel rounds (graph_kcore oracle): each round keeps
     * edges whose BOTH endpoints still have degree >= 2. Empirically the
@@ -1730,41 +1780,35 @@ object StreamQueries {
         |SELECT h3.node, CAST(h3.hub AS BIGINT) AS hub,
         |  CAST(a3.auth AS BIGINT) AS auth
         |FROM h3 JOIN a3 USING (node)""".stripMargin,
-    "graph_label_prop" -> {
-      def round(r: Int): String = {
-        val prev = s"l${r - 1}"
-        s"""v$r AS (
-           |  SELECT node, lab, count(*) AS c FROM (
-           |    SELECT u.dst AS node, l.lab
-           |    FROM und u JOIN $prev l ON u.src = l.node
-           |    UNION ALL SELECT node, lab FROM $prev)
-           |  GROUP BY node, lab),
-           |l$r AS MATERIALIZED (
-           |  SELECT node, lab FROM (
-           |    SELECT node, lab, row_number() OVER
-           |      (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
-           |    FROM v$r) WHERE rn = 1)""".stripMargin
-      }
-      s"""WITH c AS (SELECT c_custkey AS k FROM customer),
-         |mx AS (SELECT max(k) AS mx FROM c),
-         |e AS (
-         |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
-         |  UNION ALL
-         |  SELECT k, k + 1 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
-         |  UNION ALL
-         |  SELECT k + 1, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx
-         |  UNION ALL
-         |  SELECT k, k + 2 FROM c, mx WHERE k % 50 = 0 AND k + 2 <= mx),
-         |und AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM e WHERE src <> dst
-         |    UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
-         |l0 AS MATERIALIZED (
-         |  SELECT DISTINCT src AS node, src AS lab FROM und),
-         |${(1 to 4).map(round).mkString(",\n")}
+    "graph_label_prop" ->
+      s"""WITH $LabelPropCtes
          |SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label
-         |FROM l4""".stripMargin
-    },
+         |FROM l4""".stripMargin,
+    "graph_community_quality" ->
+      s"""WITH $LabelPropCtes,
+         |undm AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |lab2 AS (SELECT u.a, u.b, coalesce(x.lab, u.a) AS ca,
+         |    coalesce(y.lab, u.b) AS cb
+         |  FROM undm u LEFT JOIN l4 x ON u.a = x.node
+         |              LEFT JOIN l4 y ON u.b = y.node),
+         |mm AS (SELECT count(*) AS m FROM undm),
+         |intra AS (SELECT ca AS c, count(*) AS e_c FROM lab2
+         |  WHERE ca = cb GROUP BY 1),
+         |deg AS (SELECT c, count(*) AS d_c FROM (
+         |  SELECT ca AS c FROM lab2 UNION ALL SELECT cb AS c FROM lab2)
+         |  GROUP BY 1),
+         |agg AS (SELECT count(*) AS n_communities,
+         |  sum(coalesce(e_c, 0)) AS se, sum(d_c * d_c) AS sd2
+         |  FROM deg LEFT JOIN intra USING (c)),
+         |q AS (SELECT n_communities,
+         |  1000000 * (4 * mm.m * se - sd2) AS num, 4 * mm.m * mm.m AS den,
+         |  mm.m AS m_edges FROM agg, mm)
+         |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+         |  CAST(m_edges AS BIGINT) AS m_edges,
+         |  CAST(CASE WHEN num < 0 THEN -((-num) // den)
+         |            ELSE num // den END AS BIGINT) AS q_ppm
+         |FROM q""".stripMargin,
     "graph_link_pred" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),
         |mx AS (SELECT max(k) AS mx FROM c),
