@@ -323,6 +323,24 @@ object LlmQueries {
         disjunctive.select(col("doc_id"), col("rank"))), k0 = 60L, k = 10)
   }
 
+  /** Hybrid retrieval end-to-end (the RAG read path): the conjunctive
+    * BM25 keyword list and the embedding-cosine neighbor list of query
+    * vector 0 fused by reciprocal rank — keyword precision and vector
+    * recall combined without comparing their incomparable scores. */
+  def e2eHybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bm = TextFunctions.searchRanked(docs, "doc_id", "text",
+        Seq("join", "window", "hash"), 10)
+      .withColumn("rank", row_number().over(
+        graft.operators.GlobalOrder.boundedWindow(col("doc_id"),
+          col("score_x1e6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank"))
+    val q = Similarity.quantized(Tables.embeddings(spark, dir))
+    val vec = Similarity.bruteForceTopK(q.filter(col("vec_id") === 0), q, 10)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank"))
+    TextFunctions.rankFusion(Seq(bm, vec), k0 = 60L, k = 10)
+  }
+
   /** Blocking-quality report for the LSH candidate generation: reduction
     * ratio (how much of the O(n²) pair space the bands prune away) and
     * pair completeness (the fraction of TRUE near-dup pairs the
@@ -918,6 +936,7 @@ object LlmQueries {
     "text_bm25" -> (textBm25 _),
     "text_search_ranked" -> (textSearchRanked _),
     "text_rank_fusion" -> (textRankFusion _),
+    "e2e_hybrid_retrieval" -> (e2eHybridRetrieval _),
     "text_ranking_hdcg" -> (textRankingHdcg _),
     "dedup_blocking_quality" -> (dedupBlockingQuality _),
     "sim_ann_recall" -> (simAnnRecall _),
@@ -2758,6 +2777,34 @@ object LlmQueries {
          |  GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, CAST(score AS BIGINT) AS score_x1e6
          |FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "e2e_hybrid_retrieval" ->
+      s"""WITH $TextCtes,
+         |$Bm25Ctes,
+         |$QuantCte,
+         |qt AS (SELECT unnest([
+         |  CAST(('0x' || substr(md5('join'),1,14)) AS BIGINT),
+         |  CAST(('0x' || substr(md5('window'),1,14)) AS BIGINT),
+         |  CAST(('0x' || substr(md5('hash'),1,14)) AS BIGINT)]) AS wid),
+         |conj AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, sum(bm25_x1e6) AS score
+         |    FROM sc2 JOIN qt USING (wid) GROUP BY doc_id HAVING count(*) = 3
+         |    ORDER BY score DESC, doc_id LIMIT 10)),
+         |vrank AS (SELECT b.vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY
+         |      CAST(floor(1000000.0 * $pairDot /
+         |        sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) DESC,
+         |      b.vec_id ASC) AS rank
+         |  FROM qn a JOIN qn b ON a.vec_id = 0 AND b.vec_id <> 0
+         |  ORDER BY rank LIMIT 10),
+         |u AS (SELECT * FROM conj UNION ALL SELECT * FROM vrank),
+         |f AS (SELECT doc_id, sum(1000000 // (60 + rank)) AS rrf,
+         |    count(*) AS nl
+         |  FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         |    AS rank,
+         |  doc_id, CAST(rrf AS BIGINT) AS rrf_x1e6, CAST(nl AS BIGINT) AS n_lists
+         |FROM f""".stripMargin,
     "text_rank_fusion" ->
       s"""WITH $TextCtes,
          |$Bm25Ctes,
