@@ -422,6 +422,37 @@ object Analytics {
         col("n_rows"))
   }
 
+  /** Exact two-sample Mann–Whitney U (Wilcoxon rank-sum), DOUBLED so
+    * midrank ties stay integral: u2 = Σ_v n_a(v)·(2·cum_b(<v) + n_b(v))
+    * = 2·U_A — the rank-based distribution-shift test that complements
+    * [[ksStatistic]] (KS reads the max CDF gap; U reads stochastic
+    * dominance: u2/u2_max is P(a > b) + ½P(a = b), the common-language
+    * effect size, with u2_max = 2·n_a·n_b). Same shape as the KS pass:
+    * one per-(value, side) count agg collapses the raw table, then ONE
+    * distributed running sum over the distinct-value census
+    * ([[GlobalOrder]] — the value axis is ~O(rows) for real
+    * measurements). decimal(38,0) products so ~3·10⁹ rows per side
+    * cannot wrap the bigint result. Output one row:
+    * (n_a, n_b, u2, u2_max). */
+  def mannWhitneyU2(df: DataFrame, valueCol: Column,
+                    sideCol: Column): DataFrame = {
+    val counted = df
+      .select(valueCol.cast("long").as("v"), sideCol.as("is_a"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(false)
+    GlobalOrder.runningSum(counted, col("v"), Nil, col("cb"), "_cumb")
+      .withColumn("_below", col("_cumb") - col("cb"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca").cast("decimal(38,0)") *
+          (lit(2) * col("_below") + col("cb"))).as("_u2"))
+      .select(col("n_a"), col("n_b"),
+        coalesce(col("_u2"), lit(0)).cast("bigint").as("u2"),
+        expr("cast(2 * cast(n_a as decimal(38,0)) * n_b as bigint)")
+          .as("u2_max"))
+  }
+
   /** Per-key time-weighted average as the exact fraction (twa_num,
     * twa_den): each observation's value holds until the NEXT observation
     * of the same key, so num = Σ vᵢ·(tᵢ₊₁ − tᵢ) and den = Σ gaps — the

@@ -430,6 +430,13 @@ object AdvancedQueries {
           (pmod(ascii(expr("right(source, 1)")), lit(3)) + 1).cast("long").as("w")))
       .orderBy(col("epoch_rank"))
 
+  /** Exact Mann-Whitney U (doubled) between odd- and even-user event
+    * values - the rank-based shift test beside the KS gate; u2/u2_max
+    * is the common-language effect size. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    Analytics.mannWhitneyU2(Tables.events(spark, dir),
+      floor(col("value") * 100).cast("long"), col("user_id") % 2 === 1)
+
   /** Difference-in-differences over event values: odd users treated,
     * afternoon hours post. */
   def did(spark: SparkSession, dir: String): DataFrame =
@@ -638,6 +645,7 @@ object AdvancedQueries {
     "scd2_audit" -> (scd2Audit _),
     "sample_mixture_schedule" -> (mixtureSchedule _),
     "analytics_did" -> (did _),
+    "analytics_mann_whitney" -> (mannWhitney _),
     "analytics_rfm" -> (rfm _),
     "graph_temporal_reach" -> (temporalReach _),
     "text_linear_classifier" -> (linearClassifier _),
@@ -1066,6 +1074,21 @@ object AdvancedQueries {
         |  CAST(ff.r * ff.n_r * 1000000 // tot.n_tok AS BIGINT) AS mass_ppm
         |FROM ff LEFT JOIN ff f2 ON f2.r = ff.r + 1, tot
         |WHERE ff.r <= 12 ORDER BY ff.r""".stripMargin,
+    "analytics_mann_whitney" ->
+      """WITH b AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+        |    user_id % 2 = 1 AS is_a FROM events),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        |  FROM b GROUP BY v),
+        |w AS (SELECT v, ca, cb,
+        |    coalesce(sum(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM c)
+        |SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |  CAST(sum(ca * (2 * below + cb)) AS BIGINT) AS u2,
+        |  CAST(2 * sum(ca) * sum(cb) AS BIGINT) AS u2_max
+        |FROM w""".stripMargin,
     "graph_modularity" ->
       """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
         |e0 AS (SELECT k // 8 AS src, k AS dst FROM k WHERE k >= 8),

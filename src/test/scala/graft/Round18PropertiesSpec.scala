@@ -135,6 +135,26 @@ class Round18PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Mann-Whitney U2 vs brute-force pair comparison ----
+
+  test("mannWhitneyU2 equals the brute-force pairwise comparison count") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 360)
+      val rows = (1 to 200).map(i =>
+        (rnd.nextInt(12).toLong, i % 3 == 0))
+      val as = rows.filter(_._2).map(_._1)
+      val bs = rows.filterNot(_._2).map(_._1)
+      // u2 = sum over (a, b) pairs of 2*[a > b] + [a == b]
+      val want = (for (a <- as; b <- bs)
+        yield (if (a > b) 2L else if (a == b) 1L else 0L)).sum
+      val r = graft.operators.Analytics.mannWhitneyU2(
+        rows.toDF("v", "s"), col("v"), col("s")).collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((as.size.toLong, bs.size.toLong, want, 2L * as.size * bs.size)),
+        s"seed $seed")
+    }
+  }
+
   // ---- rank fusion on hand-checked lists ----
 
   test("rankFusion: exact RRF contributions and consensus ordering") {
