@@ -199,6 +199,39 @@ object Drift {
       resolveState(spark, registryDir, query, older),
       resolveState(spark, registryDir, query, newer))
 
+  // --- retention policy over recorded states ---
+
+  /** Snapshot retention marks for a state registry: per query keep the
+    * `keepLast` most recent tags ("recent") plus the newest tag of
+    * every epoch week ("weekly"), drop the rest — the standard
+    * recent-fine/older-coarse GC ladder a drift registry needs once
+    * every sync appends a state (the reference keeps state files
+    * forever; at one state per sync per query that is unbounded
+    * storage). Tags are epoch seconds. Pure function of the input —
+    * marks are advisory; the caller deletes.
+    *
+    * All windows are PARTITIONED (by query / by (query, week)):
+    * nothing data-sized crosses a single task. Output: (query, tag,
+    * keep, reason ∈ recent | weekly | drop), reason priority
+    * recent > weekly. */
+  def retentionPolicy(states: DataFrame, keepLast: Int): DataFrame = {
+    require(keepLast >= 1, "keepLast must be positive")
+    val wRecent = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("tag").desc)
+    val wWeek = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"), expr("tag div 604800"))
+      .orderBy(col("tag").desc)
+    states.select(col("query"), col("tag").cast("long").as("tag"))
+      .withColumn("_rn", row_number().over(wRecent))
+      .withColumn("_wn", row_number().over(wWeek))
+      .select(col("query"), col("tag"),
+        when(col("_rn") <= keepLast, lit("recent"))
+          .when(col("_wn") === 1, lit("weekly"))
+          .otherwise(lit("drop")).as("reason"))
+      .withColumn("keep", col("reason") =!= "drop")
+      .select(col("query"), col("tag"), col("keep"), col("reason"))
+  }
+
   // --- reporter (reference driftdetect/reporter.py: the human-readable
   // drift summary — query name, then each deviation as "field : value"
   // lines, additions under "New Query Results:", removals under

@@ -299,6 +299,18 @@ object AnalysisQueries {
       .orderBy(col("order_id"))
   }
 
+  /** Retention marks over a synthetic state registry: one state per
+    * (event_type, epoch day with any event) - keep the 5 most recent
+    * per query plus the newest of every epoch week, drop the rest. */
+  def driftRetention(spark: SparkSession, dir: String): DataFrame =
+    Drift.retentionPolicy(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("query"),
+          expr("unix_micros(ts) div 86400000000 * 86400").as("tag"))
+        .distinct(),
+      keepLast = 5)
+      .orderBy(col("query"), col("tag"))
+
   /** Drift detection (driftdetect): states = (user, event_type) pairs with
     * ≥3 events in each half of the month; diff both directions. */
   def driftDetect(spark: SparkSession, dir: String): DataFrame = {
@@ -587,6 +599,7 @@ object AnalysisQueries {
     "rules_library_findings" -> (rulesLibraryFindings _),
     "analysis_job_registry" -> (analysisJobRegistry _),
     "drift_detect" -> (driftDetect _),
+    "drift_retention" -> (driftRetention _),
     "permission_relationships" -> (permissionRelationships _),
     "permission_relationships_sync" -> (permissionRelationshipsSync _),
     "permission_mapping_file" -> (permissionMappingFile _),
@@ -810,6 +823,20 @@ object AnalysisQueries {
         |  os.n_out_of_order
         |FROM os JOIN gs ON os.k = gs.k ORDER BY order_id""".stripMargin,
     "rules_control_coverage" -> ReferenceLibrary.oracleSql,
+    "drift_retention" ->
+      """WITH st AS (SELECT DISTINCT event_type AS query,
+        |    (epoch_us(ts) // 86400000000) * 86400 AS tag FROM events),
+        |r AS (SELECT query, tag,
+        |    row_number() OVER (PARTITION BY query ORDER BY tag DESC) AS rn,
+        |    row_number() OVER (PARTITION BY query, tag // 604800
+        |      ORDER BY tag DESC) AS wn
+        |  FROM st),
+        |m AS (SELECT query, CAST(tag AS BIGINT) AS tag,
+        |    CASE WHEN rn <= 5 THEN 'recent'
+        |         WHEN wn = 1 THEN 'weekly' ELSE 'drop' END AS reason
+        |  FROM r)
+        |SELECT query, tag, reason <> 'drop' AS keep, reason
+        |FROM m ORDER BY query, tag""".stripMargin,
     "drift_detect" ->
       """WITH older AS (
         |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_type
