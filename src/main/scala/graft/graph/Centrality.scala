@@ -205,6 +205,51 @@ object Centrality {
           s"div (4 * cast($m as decimal(38,0)) * $m) as bigint)").as("q_ppm"))
   }
 
+  /** Per-community conductance: φ(c) = cut(c) / min(vol(c), vol(V∖c))
+    * as exact ppm — the cut-quality read [[modularity]]'s single global
+    * score can't give (a partition can score well overall while one
+    * community leaks half its edges; conductance names it). cut(c) =
+    * undirected edges with exactly one endpoint in c; vol(c) = Σ member
+    * degrees; vol(V∖c) = 2m − vol(c). Nodes absent from `assignment`
+    * are singleton communities, mirroring [[modularity]].
+    *
+    * Two endpoint-label joins + two community aggs + a 1-row broadcast
+    * total — nothing data-sized in one task. Output: (community,
+    * n_nodes, volume, cut_edges, conductance_ppm); a community owning
+    * ALL volume has an empty complement and emits NULL conductance
+    * (the ratio is undefined, not 0 — a 0 would read as a perfect
+    * cluster). */
+  def conductance(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    val asg = assignment.select(col("node"), col("community"))
+    def lab(end: Column) = coalesce(col("community"), end)
+    val both = und
+      .join(asg.withColumnRenamed("node", "a"), Seq("a"), "left")
+      .select(col("a"), col("b"), lab(col("a")).as("ca")).drop("community")
+      .join(asg.withColumnRenamed("node", "b"), Seq("b"), "left")
+      .select(col("a"), col("b"), col("ca"), lab(col("b")).as("cb"))
+      .localCheckpoint(false)
+    val m2 = both.count() * 2
+    val vol = both.select(col("ca").as("c"), col("a").as("node"))
+      .unionByName(both.select(col("cb").as("c"), col("b").as("node")))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("volume"), countDistinct(col("node")).as("n_nodes"))
+    val cut = both.filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("cut_edges"))
+    vol.join(cut, Seq("c"), "left")
+      .select(col("c").as("community"), col("n_nodes"), col("volume"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+      .withColumn("conductance_ppm",
+        when(least(col("volume"), lit(m2) - col("volume")) === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            s"(cut_edges * 1000000) div least(volume, $m2 - volume)")))
+  }
+
   /** Degree-assortativity moment sums (Newman 2002): the exact integer
     * components of the Pearson correlation between endpoint degrees over
     * the undirected edge set — (m, Σx, Σy, Σxy, Σx², Σy²) with each

@@ -320,6 +320,17 @@ object AdvancedQueries {
     Centrality.modularity(edges, asg)
   }
 
+  /** Per-community conductance of the octal tree's div-64 blocks —
+    * which blocks leak edges across their boundary, exact ppm. */
+  def graphConductance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+    val edges = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    val asg = c.select(col("k").as("node"), expr("k div 64").as("community"))
+    Centrality.conductance(edges, asg).orderBy(col("community"))
+  }
+
   /** Exact global quantiles of line-item price cents — the data-sized
     * exact baseline for the quantile-histogram sketch, distributed via
     * GlobalOrder (no single-task sort). */
@@ -633,6 +644,7 @@ object AdvancedQueries {
     "text_good_turing" -> (goodTuringGate _),
     "analytics_exact_quantiles" -> (exactQuantilesGate _),
     "graph_modularity" -> (graphModularity _),
+    "graph_conductance" -> (graphConductance _),
     "analytics_seasonal" -> (seasonalDecompose _),
     "analytics_mad_robust" -> (madRobust _),
     "quality_benford" -> (benford _),
@@ -1089,6 +1101,27 @@ object AdvancedQueries {
         |  CAST(sum(ca * (2 * below + cb)) AS BIGINT) AS u2,
         |  CAST(2 * sum(ca) * sum(cb) AS BIGINT) AS u2_max
         |FROM w""".stripMargin,
+    "graph_conductance" ->
+      """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |e0 AS (SELECT k // 8 AS src, k AS dst FROM k WHERE k >= 8),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |lab AS (SELECT a, b, a // 64 AS ca, b // 64 AS cb FROM und),
+        |mm AS (SELECT 2 * count(*) AS m2 FROM und),
+        |vol AS (SELECT c, count(*) AS volume, count(DISTINCT node) AS n_nodes
+        |  FROM (SELECT ca AS c, a AS node FROM lab
+        |        UNION ALL SELECT cb AS c, b AS node FROM lab) GROUP BY c),
+        |cut AS (SELECT c, count(*) AS cut_edges FROM (
+        |  SELECT ca AS c FROM lab WHERE ca <> cb
+        |  UNION ALL SELECT cb AS c FROM lab WHERE ca <> cb) GROUP BY c)
+        |SELECT vol.c AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(volume AS BIGINT) AS volume,
+        |  CAST(coalesce(cut_edges, 0) AS BIGINT) AS cut_edges,
+        |  CASE WHEN least(volume, mm.m2 - volume) = 0 THEN NULL
+        |    ELSE CAST((coalesce(cut_edges, 0) * 1000000) //
+        |      least(volume, mm.m2 - volume) AS BIGINT) END AS conductance_ppm
+        |FROM vol LEFT JOIN cut ON vol.c = cut.c, mm
+        |ORDER BY community""".stripMargin,
     "graph_modularity" ->
       """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
         |e0 AS (SELECT k // 8 AS src, k AS dst FROM k WHERE k >= 8),

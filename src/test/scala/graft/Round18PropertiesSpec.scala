@@ -188,6 +188,26 @@ class Round18PropertiesSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 6L && r2.getLong(2) == -173469L)
   }
 
+  // ---- conductance on the bridged triangles ----
+
+  test("conductance: bridged triangles cut exactly one edge each side") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("node", "community")
+    val got = graft.graph.Centrality.conductance(e, asg)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // vol = 7 each (2m = 14), cut = 1 each -> 1e6 div 7 = 142857 ppm
+    assert(got == Map(10L -> ((3L, 7L, 1L, 142857L)),
+      20L -> ((3L, 7L, 1L, 142857L))))
+    // a community owning ALL volume has an undefined ratio -> NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("node", "community")
+    val r2 = graft.graph.Centrality.conductance(tri, one).collect().head
+    assert(r2.getLong(3) == 0L && r2.isNullAt(4))
+  }
+
   // ---- sharedRuns vs brute-force longest common substring ----
 
   test("sharedRuns: max_run equals the brute-force longest shared token run") {
