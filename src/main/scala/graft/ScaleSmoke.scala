@@ -722,6 +722,10 @@ object ScaleSmoke {
         operators.Attribution
           .multiTouch(touches, conv, 3L * 86400L * 1000000L).count()
       }
+      time("token_packing", m) {
+        text.Sampling.tokenPack(docs, "doc_id", "text", 512L)
+          .groupBy(col("bin")).agg(count(lit(1))).count()
+      }
       time("shared_runs", m) {
         dedup.Dedup.sharedRuns(docs, "doc_id", "text",
           minRun = 4, dfCap = 64L).count()

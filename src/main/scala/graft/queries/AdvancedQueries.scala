@@ -441,6 +441,17 @@ object AdvancedQueries {
           (pmod(ascii(expr("right(source, 1)")), lit(3)) + 1).cast("long").as("w")))
       .orderBy(col("epoch_rank"))
 
+  /** Token-budget packing census: documents packed contiguously into
+    * 512-token bins under the canonical hash order; per-bin doc count,
+    * token total, and fill ppm (oversized docs overfill visibly). */
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.tokenPack(Tables.documents(spark, dir),
+        "doc_id", "text", budgetTokens = 512L)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill_ppm", expr("(n_tokens * 1000000) div 512"))
+      .orderBy(col("bin"))
+
   /** Exact Mann-Whitney U (doubled) between odd- and even-user event
     * values - the rank-based shift test beside the KS gate; u2/u2_max
     * is the common-language effect size. */
@@ -656,6 +667,7 @@ object AdvancedQueries {
     "analytics_corr_matrix" -> (corrMatrix _),
     "scd2_audit" -> (scd2Audit _),
     "sample_mixture_schedule" -> (mixtureSchedule _),
+    "sample_token_packing" -> (tokenPacking _),
     "analytics_did" -> (did _),
     "analytics_mann_whitney" -> (mannWhitney _),
     "analytics_rfm" -> (rfm _),
@@ -1086,6 +1098,22 @@ object AdvancedQueries {
         |  CAST(ff.r * ff.n_r * 1000000 // tot.n_tok AS BIGINT) AS mass_ppm
         |FROM ff LEFT JOIN ff f2 ON f2.r = ff.r + 1, tot
         |WHERE ff.r <= 12 ORDER BY ff.r""".stripMargin,
+    "sample_token_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('pk:' || CAST(doc_id AS VARCHAR)), 1, 14))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS bfr
+        |  FROM d),
+        |bb AS (SELECT doc_id, n_tokens, bfr // 512 AS bin FROM r)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST((sum(n_tokens) * 1000000) // 512 AS BIGINT) AS fill_ppm
+        |FROM bb GROUP BY bin ORDER BY bin""".stripMargin,
     "analytics_mann_whitney" ->
       """WITH b AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
         |    user_id % 2 = 1 AS is_a FROM events),

@@ -232,6 +232,36 @@ object Sampling {
           .as("weight_x1e6"))
   }
 
+  /** Deterministic token-budget sequence packing: documents in the
+    * canonical hash order are packed CONTIGUOUSLY into fixed-budget
+    * bins — bin(doc) = (cumulative tokens BEFORE doc) div budget — the
+    * offline approximation of first-fit every training-batch packer
+    * uses at scale (contiguous fill in a canonical order wastes at most
+    * one document's tail per bin; a true first-fit is sequential and
+    * cannot distribute). The order and the running token sum are
+    * [[graft.operators.GlobalOrder]] passes, so packing 10¹⁰ documents
+    * never funnels through one sort task, and the hash order makes the
+    * packing a property of the corpus, not of the partitioning.
+    *
+    * A document LONGER than the budget overfills the bin it starts in
+    * (fill_ppm > 10⁶ — visible, never silently split); chunk oversized
+    * docs upstream. Output: (doc_id, n_tokens, bin, offset_in_bin). */
+  def tokenPack(docs: DataFrame, idCol: String, textCol: String,
+                budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be positive")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("_h", md5_prefix64(concat(lit("pk:"),
+        col("doc_id").cast("string"))))
+    graft.operators.GlobalOrder.withRunningAggs(base, col("_h"),
+        Seq(col("doc_id").asc), Seq((col("n_tokens"), "_cum")))
+      .withColumn("_before", col("_cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"_before div $budgetTokens").as("bin"),
+        expr(s"_before - (_before div $budgetTokens) * $budgetTokens")
+          .as("offset_in_bin"))
+  }
+
   /** Deterministic mixture schedule: interleave groups into ONE epoch
     * stream so that after any prefix each group's share tracks its
     * weight — smooth weighted round-robin (the SMT/WRR position rule:

@@ -135,6 +135,36 @@ class Round18PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- tokenPack vs a sequential contiguous packer ----
+
+  test("tokenPack matches the sequential contiguous packing") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 370)
+      val docs = (1 to 60).map(i =>
+        (i.toLong, (1 to (1 + rnd.nextInt(20))).map(_ => "w").mkString(" ")))
+      val budget = 16L
+      // sequential reference: same hash order, running token sum
+      def h(id: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"pk:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(14)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      var cum = 0L
+      val want = docs.map { case (id, t) => (id, t.split(" ").length.toLong) }
+        .sortBy { case (id, _) => (h(id), id) }
+        .map { case (id, n) =>
+          val before = cum; cum += n
+          id -> (n, before / budget, before % budget)
+        }.toMap
+      val got = graft.text.Sampling.tokenPack(
+        docs.toDF("doc_id", "text"), "doc_id", "text", budget)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   // ---- Mann-Whitney U2 vs brute-force pair comparison ----
 
   test("mannWhitneyU2 equals the brute-force pairwise comparison count") {
