@@ -154,6 +154,25 @@ object LlmQueries {
       minRun = 4, dfCap = 64L)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Exact-substring dedup end-to-end (the Lee et al. 2022 pipeline):
+    * shared-run pairs at >= 8 consecutive tokens -> connected
+    * components -> smallest-id representative survives -> per-source
+    * keep census. The exact complement of the MinHash curation leg. */
+  def e2eExactSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.sharedRuns(docs, "doc_id", "text", minRun = 4,
+        dfCap = 64L)
+      .filter(col("max_run") >= 8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comps = graft.graph.Fixpoint.connectedComponents(pairs)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .join(comps.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Exact all-pairs Jaccard at the same 0.5 threshold as
     * [[dedupNgramJaccard]], via prefix filtering — the lossless scale
     * path: finds cross-block pairs the blocked baseline misses, with
@@ -885,6 +904,7 @@ object LlmQueries {
     "sample_stratified" -> (sampleStratified _),
     "dedup_exact" -> (dedupExact _),
     "dedup_shared_runs" -> (dedupSharedRuns _),
+    "e2e_exact_substring_dedup" -> (e2eExactSubstringDedup _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
@@ -1129,6 +1149,40 @@ object LlmQueries {
     """CAST(CASE WHEN s.bucket < 16 THEN s.bucket
       |     ELSE (s.bucket % 16 + 16) << (s.bucket // 16 - 4)
       |     END AS BIGINT)""".stripMargin
+
+  /** Shared shared-runs oracle plumbing (dedup_shared_runs /
+    * e2e_exact_substring_dedup): positional 4-gram anchors over the
+    * md5-prefix wid mix chain (TextFunctions.gramIds(wids, 4)'s fold),
+    * df-capped at 64, diagonal islands -> per-(pair, diagonal) `runs`. */
+  private val SharedRunsCtes: String = {
+    val P = TextFunctions.P
+    def c4(m: Long) =
+      s"((((((a.w * $m + b.w) % $P) * $m + c.w) % $P) * $m + d.w) % $P)"
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+       |         generate_subscripts(string_split(text,' '),1) AS pos
+       |  FROM documents),
+       |sq AS MATERIALIZED (SELECT doc_id, pos,
+       |  CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) % $P AS w FROM toks),
+       |anch AS MATERIALIZED (
+       |  SELECT a.doc_id, a.pos,
+       |    (${c4(TextFunctions.Mix)}) * $P + (${c4(TextFunctions.MixB)}) AS gid
+       |  FROM sq a JOIN sq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |            JOIN sq c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |            JOIN sq d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
+       |keep AS (SELECT gid FROM anch GROUP BY gid
+       |  HAVING count(*) >= 2 AND count(*) <= 64),
+       |k AS MATERIALIZED (SELECT anch.* FROM anch JOIN keep USING (gid)),
+       |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
+       |        x.pos - y.pos AS diag
+       |      FROM k x JOIN k y ON x.gid = y.gid AND x.doc_id < y.doc_id),
+       |isl AS (SELECT doc_a, doc_b, diag,
+       |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |          ORDER BY pa) AS i
+       |        FROM m),
+       |runs AS (SELECT doc_a, doc_b, diag, i, count(*) + 3 AS run
+       |         FROM isl GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
 
   /** Shared BM25 oracle plumbing (text_bm25 / text_search_ranked):
     * mirrors TextFunctions.bm25Scores — same integer surrogate, same
@@ -1960,40 +2014,27 @@ object LlmQueries {
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_shared_runs" -> {
-      val P = TextFunctions.P
-      // the 4-gram mix chain over mod-P-reduced wids, exactly
-      // TextFunctions.gramIds(wids, 4)'s fold
-      def c4(m: Long) =
-        s"((((((a.w * $m + b.w) % $P) * $m + c.w) % $P) * $m + d.w) % $P)"
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
-         |         generate_subscripts(string_split(text,' '),1) AS pos
-         |  FROM documents),
-         |sq AS MATERIALIZED (SELECT doc_id, pos,
-         |  CAST(('0x' || substr(md5(word),1,14)) AS BIGINT) % $P AS w FROM toks),
-         |anch AS MATERIALIZED (
-         |  SELECT a.doc_id, a.pos,
-         |    (${c4(TextFunctions.Mix)}) * $P + (${c4(TextFunctions.MixB)}) AS gid
-         |  FROM sq a JOIN sq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-         |            JOIN sq c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-         |            JOIN sq d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
-         |keep AS (SELECT gid FROM anch GROUP BY gid
-         |  HAVING count(*) >= 2 AND count(*) <= 64),
-         |k AS MATERIALIZED (SELECT anch.* FROM anch JOIN keep USING (gid)),
-         |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
-         |        x.pos - y.pos AS diag
-         |      FROM k x JOIN k y ON x.gid = y.gid AND x.doc_id < y.doc_id),
-         |isl AS (SELECT doc_a, doc_b, diag,
-         |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
-         |          ORDER BY pa) AS i
-         |        FROM m),
-         |runs AS (SELECT doc_a, doc_b, diag, i, count(*) + 3 AS run
-         |         FROM isl GROUP BY 1, 2, 3, 4)
+    "dedup_shared_runs" ->
+      s"""WITH $SharedRunsCtes
          |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
          |  CAST(max(run) AS BIGINT) AS max_run, count(*) AS n_runs
-         |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "e2e_exact_substring_dedup" ->
+      s"""WITH RECURSIVE $SharedRunsCtes,
+         |prs AS (SELECT doc_a AS a, doc_b AS b FROM runs
+         |  GROUP BY doc_a, doc_b HAVING max(run) >= 8),
+         |undc AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+         |reach AS (
+         |  SELECT a AS node, b AS reachable FROM undc
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN undc u ON r.reachable = u.a),
+         |comp AS (
+         |  SELECT node, least(node, min(reachable)) AS component
+         |  FROM reach GROUP BY node)
+         |SELECT d.source, count(*) AS n_docs_kept
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         |WHERE coalesce(c.component, d.doc_id) = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "text_backoff_coverage" -> {
       val P = TextFunctions.P
       def c3(m: Long) =
