@@ -422,6 +422,40 @@ object Analytics {
         col("n_rows"))
   }
 
+  /** Inter-arrival burstiness per series: the squared coefficient of
+    * variation of the gaps as exact ppm — CV² = var/mean² =
+    * n·(n·Σg² − (Σg)²) / ((n−1)·(Σg)²), fully rational so no sqrt ever
+    * enters (the Goh–Barabási B statistic needs σ; CV² carries the
+    * same signal with exact integer arithmetic). CV² ≈ 1 is the
+    * Poisson baseline, ≫ 1 bursty (bot bursts, retry storms), ≪ 1
+    * metronomic (cron traffic) — the traffic-shape fingerprint per
+    * user/device/source. Series with < 2 gaps or all-zero gaps emit
+    * NULL (undefined, not 0). One lag window per key + one agg;
+    * decimal(38,0) so microsecond gaps squared cannot wrap. Output:
+    * (keys..., n_gaps, sum_gap, cv2_ppm). */
+  def burstiness(df: DataFrame, keys: Seq[String], tsMicros: Column,
+                 orderTie: Seq[Column] = Nil): DataFrame = {
+    require(keys.nonEmpty, "burstiness needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsMicros.asc +: orderTie): _*)
+    df.withColumn("_t", tsMicros.cast("long"))
+      .withColumn("_g", col("_t") - lag(col("_t"), 1).over(w))
+      .filter(col("_g").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g")).as("sum_gap"),
+        sum(col("_g").cast("decimal(38,0)") * col("_g")).as("_q"))
+      .withColumn("cv2_ppm",
+        when(col("n_gaps") < 2 || col("sum_gap") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """cast((1000000 * n_gaps *
+               (n_gaps * _q - cast(sum_gap as decimal(38,0)) * sum_gap)) div
+               ((n_gaps - 1) * cast(sum_gap as decimal(38,0)) * sum_gap)
+               as bigint)""")))
+      .drop("_q")
+  }
+
   /** Exact two-sample Mann–Whitney U (Wilcoxon rank-sum), DOUBLED so
     * midrank ties stay integral: u2 = Σ_v n_a(v)·(2·cum_b(<v) + n_b(v))
     * = 2·U_A — the rank-based distribution-shift test that complements

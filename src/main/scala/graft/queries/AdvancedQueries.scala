@@ -441,6 +441,13 @@ object AdvancedQueries {
           (pmod(ascii(expr("right(source, 1)")), lit(3)) + 1).cast("long").as("w")))
       .orderBy(col("epoch_rank"))
 
+  /** Inter-arrival burstiness per event type: CV-squared of the gap
+    * series in exact ppm - 1e6 is the Poisson baseline. */
+  def burstinessGate(spark: SparkSession, dir: String): DataFrame =
+    Analytics.burstiness(Tables.events(spark, dir), Seq("event_type"),
+      expr("unix_micros(ts)"), Seq(col("event_id").asc))
+      .orderBy(col("event_type"))
+
   /** Token-budget packing census: documents packed contiguously into
     * 512-token bins under the canonical hash order; per-bin doc count,
     * token total, and fill ppm (oversized docs overfill visibly). */
@@ -668,6 +675,7 @@ object AdvancedQueries {
     "scd2_audit" -> (scd2Audit _),
     "sample_mixture_schedule" -> (mixtureSchedule _),
     "sample_token_packing" -> (tokenPacking _),
+    "analytics_burstiness" -> (burstinessGate _),
     "analytics_did" -> (did _),
     "analytics_mann_whitney" -> (mannWhitney _),
     "analytics_rfm" -> (rfm _),
@@ -1098,6 +1106,22 @@ object AdvancedQueries {
         |  CAST(ff.r * ff.n_r * 1000000 // tot.n_tok AS BIGINT) AS mass_ppm
         |FROM ff LEFT JOIN ff f2 ON f2.r = ff.r + 1, tot
         |WHERE ff.r <= 12 ORDER BY ff.r""".stripMargin,
+    "analytics_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n_gaps, sum(gap) AS sum_gap,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS q
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(sum_gap AS BIGINT) AS sum_gap,
+        |  CASE WHEN n_gaps < 2 OR sum_gap = 0 THEN NULL
+        |    ELSE CAST((1000000 * n_gaps *
+        |      (n_gaps * q - CAST(sum_gap AS HUGEINT) * sum_gap)) //
+        |      ((n_gaps - 1) * CAST(sum_gap AS HUGEINT) * sum_gap) AS BIGINT)
+        |  END AS cv2_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
     "sample_token_packing" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

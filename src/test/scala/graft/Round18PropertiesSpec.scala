@@ -135,6 +135,26 @@ class Round18PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- burstiness on hand series ----
+
+  test("burstiness: metronomic series scores 0, bursty series blows past 1e6") {
+    val rows = Seq(
+      ("cron", 0L), ("cron", 10L), ("cron", 20L), ("cron", 30L),
+      ("bot", 0L), ("bot", 1L), ("bot", 2L), ("bot", 100L),
+      ("single", 0L), ("single", 5L))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "t", "id")
+    val got = graft.operators.Analytics.burstiness(rows, Seq("k"), col("t"),
+      Seq(col("id").asc)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got("cron") == ((3L, 30L, Some(0L))))
+    // gaps 1, 1, 98: cv2 = 3*(3*9606 - 10000) / (2*10000) = 2.8227
+    assert(got("bot") == ((3L, 100L, Some(2822700L))))
+    assert(got("single") == ((1L, 5L, None)))
+  }
+
   // ---- tokenPack vs a sequential contiguous packer ----
 
   test("tokenPack matches the sequential contiguous packing") {
