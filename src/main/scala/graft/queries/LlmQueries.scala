@@ -321,6 +321,18 @@ object LlmQueries {
     TextFunctions.searchRanked(Tables.documents(spark, dir), "doc_id", "text",
       Seq("join", "window", "hash"), k = 10)
 
+  /** ROUGE-2 over the LSH near-dup candidates: clipped bigram overlap
+    * with exact ppm recall/precision/F1 (F1 = 2o/(cand+ref) exactly -
+    * no float harmonic mean). */
+  def textRouge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(
+        Dedup.shingleTable(docs, "doc_id", "text"), minJaccX1e6 = 800000L)
+      .select(col("doc_a").as("cand_id"), col("doc_b").as("ref_id"))
+    TextFunctions.rougeN(pairs, docs, "doc_id", "text", n = 2)
+      .orderBy(col("cand_id"), col("ref_id"))
+  }
+
   /** Reciprocal-rank fusion of the conjunctive BM25 list (precision
     * leg) and the disjunctive tf·idf list (recall leg) over the same
     * query — the standard multi-retriever combine, rank-only so the
@@ -956,6 +968,7 @@ object LlmQueries {
     "text_bm25" -> (textBm25 _),
     "text_search_ranked" -> (textSearchRanked _),
     "text_rank_fusion" -> (textRankFusion _),
+    "text_rouge" -> (textRouge _),
     "e2e_hybrid_retrieval" -> (e2eHybridRetrieval _),
     "text_ranking_hdcg" -> (textRankingHdcg _),
     "dedup_blocking_quality" -> (dedupBlockingQuality _),
@@ -2818,6 +2831,58 @@ object LlmQueries {
          |  GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, CAST(score AS BIGINT) AS score_x1e6
          |FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "text_rouge" ->
+      s"""WITH $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db),
+         |prs AS (
+         |  SELECT da, db
+         |  FROM inter JOIN shsize na ON da = na.doc_id
+         |             JOIN shsize nb ON db = nb.doc_id
+         |  WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000),
+         |bg AS (
+         |  SELECT a.doc_id, ((((a.wid % 2147483647) * 2654435761 + (b.wid % 2147483647)) % 2147483647)) * 2147483647 + ((((a.wid % 2147483647) * 2246822519 + (b.wid % 2147483647)) % 2147483647)) AS gid
+         |  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |btf AS (SELECT doc_id, gid, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |btot AS (SELECT doc_id, sum(tf) AS n_grams FROM btf GROUP BY 1),
+         |ov AS (
+         |  SELECT p.da, p.db, sum(least(x.tf, y.tf)) AS n_overlap
+         |  FROM prs p JOIN btf x ON x.doc_id = p.da
+         |             JOIN btf y ON y.doc_id = p.db AND y.gid = x.gid
+         |  GROUP BY p.da, p.db)
+         |SELECT CAST(p.da AS BIGINT) AS cand_id, CAST(p.db AS BIGINT) AS ref_id,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(coalesce(cx.n_grams, 0) AS BIGINT) AS cand_grams,
+         |  CAST(coalesce(cy.n_grams, 0) AS BIGINT) AS ref_grams,
+         |  CASE WHEN coalesce(cy.n_grams, 0) = 0 THEN NULL ELSE
+         |    CAST(coalesce(ov.n_overlap, 0) * 1000000 // cy.n_grams AS BIGINT)
+         |  END AS recall_ppm,
+         |  CASE WHEN coalesce(cx.n_grams, 0) = 0 THEN NULL ELSE
+         |    CAST(coalesce(ov.n_overlap, 0) * 1000000 // cx.n_grams AS BIGINT)
+         |  END AS precision_ppm,
+         |  CASE WHEN coalesce(cx.n_grams, 0) + coalesce(cy.n_grams, 0) = 0
+         |    THEN NULL ELSE
+         |    CAST(2 * coalesce(ov.n_overlap, 0) * 1000000 //
+         |      (coalesce(cx.n_grams, 0) + coalesce(cy.n_grams, 0)) AS BIGINT)
+         |  END AS f1_ppm
+         |FROM prs p LEFT JOIN ov ON ov.da = p.da AND ov.db = p.db
+         |  LEFT JOIN btot cx ON cx.doc_id = p.da
+         |  LEFT JOIN btot cy ON cy.doc_id = p.db
+         |ORDER BY cand_id, ref_id""".stripMargin,
     "e2e_hybrid_retrieval" ->
       s"""WITH $TextCtes,
          |$Bm25Ctes,

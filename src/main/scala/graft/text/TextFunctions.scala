@@ -627,6 +627,58 @@ object TextFunctions {
       .select(col("rank"), col("doc_id"), col("rrf_x1e6"), col("n_lists"))
   }
 
+  /** ROUGE-N between document pairs (Lin 2004): clipped n-gram overlap
+    * o = Σ_gram min(tf_cand, tf_ref), recall o/ref, precision o/cand,
+    * and F1 — which for shared-numerator P and R collapses EXACTLY to
+    * 2o/(cand+ref), so every score is an integer ppm with no float
+    * harmonic mean. The reference-based eval metric for summaries /
+    * generations, and a sharper near-dup similarity than set Jaccard
+    * (clipping sees repetition).
+    *
+    * `pairs` is any (cand_id, ref_id) candidate set — at scale the
+    * LSH/blocked generators, never all pairs. Grams are the hashed
+    * positional [[gramIds]]; per-pair work is one equi-join fan-out of
+    * the two docs' gram tables (bounded by doc length), no windows.
+    * Output: (cand_id, ref_id, n_overlap, cand_grams, ref_grams,
+    * recall_ppm, precision_ppm, f1_ppm); empty-gram sides emit NULL
+    * ratios. */
+  def rougeN(pairs: DataFrame, docs: DataFrame, idCol: String,
+             textCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "need 1 <= n <= 8")
+    val tf = widArrays(docs, idCol, textCol)
+      .select(col("doc_id"), explode(gramIds(col("wids"), n)).as("gid"))
+      .groupBy(col("doc_id"), col("gid")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val totals = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_grams"))
+    val p = pairs.select(col("cand_id").cast("long").as("cand_id"),
+      col("ref_id").cast("long").as("ref_id"))
+    val overlap = p
+      .join(tf.select(col("doc_id").as("cand_id"), col("gid"),
+        col("tf").as("_tc")), Seq("cand_id"))
+      .join(tf.select(col("doc_id").as("ref_id"), col("gid"),
+        col("tf").as("_tr")), Seq("ref_id", "gid"))
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(sum(least(col("_tc"), col("_tr"))).as("n_overlap"))
+    p.join(overlap, Seq("cand_id", "ref_id"), "left")
+      .join(totals.select(col("doc_id").as("cand_id"),
+        col("n_grams").as("cand_grams")), Seq("cand_id"), "left")
+      .join(totals.select(col("doc_id").as("ref_id"),
+        col("n_grams").as("ref_grams")), Seq("ref_id"), "left")
+      .select(col("cand_id"), col("ref_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("cand_grams"), lit(0L)).as("cand_grams"),
+        coalesce(col("ref_grams"), lit(0L)).as("ref_grams"))
+      .withColumn("recall_ppm", when(col("ref_grams") === 0,
+          lit(null).cast("long"))
+        .otherwise(expr("(n_overlap * 1000000) div ref_grams")))
+      .withColumn("precision_ppm", when(col("cand_grams") === 0,
+          lit(null).cast("long"))
+        .otherwise(expr("(n_overlap * 1000000) div cand_grams")))
+      .withColumn("f1_ppm", when(col("cand_grams") + col("ref_grams") === 0,
+          lit(null).cast("long"))
+        .otherwise(expr("(2 * n_overlap * 1000000) div (cand_grams + ref_grams)")))
+  }
+
   /** Positional fingerprint: sum over tokens of (wid mod [[FpMod]]) *
     * (1-based position) — a deterministic rolling-hash document signature.
     * Computed entirely in-row (no explode, no shuffle). */

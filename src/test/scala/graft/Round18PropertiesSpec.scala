@@ -135,6 +135,24 @@ class Round18PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- ROUGE-N on hand pairs ----
+
+  test("rougeN: clipped overlap, exact ppm P/R/F1, empty-side NULLs") {
+    // cand "a b a c" vs ref "a b a b": bigrams cand {ab, ba, ac},
+    // ref {ab, ba, ab} -> clipped overlap = min(1,2)+min(1,1) = 2 of 3/3
+    val docs = Seq((1L, "a b a c"), (2L, "a b a b"), (3L, "x")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("cand_id", "ref_id")
+    val got = graft.text.TextFunctions.rougeN(pairs, docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)))).toMap
+    assert(got((1L, 2L)) == ((2L, 3L, 3L, Some(666666L), Some(666666L))))
+    // ref "x" has no bigram: overlap 0, ref_grams 0 -> recall NULL,
+    // F1 = 0 (denominator 3 + 0 > 0)
+    assert(got((1L, 3L)) == ((0L, 3L, 0L, None, Some(0L))))
+  }
+
   // ---- burstiness on hand series ----
 
   test("burstiness: metronomic series scores 0, bursty series blows past 1e6") {
