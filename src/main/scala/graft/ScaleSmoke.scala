@@ -722,6 +722,12 @@ object ScaleSmoke {
         operators.Attribution
           .multiTouch(touches, conv, 3L * 86400L * 1000000L).count()
       }
+      time("rouge2", m) {
+        val pairs = dedup.Dedup.minhashLsh(
+            dedup.Dedup.shingleTable(docs, "doc_id", "text"), 800000L)
+          .select(col("doc_a").as("cand_id"), col("doc_b").as("ref_id"))
+        text.TextFunctions.rougeN(pairs, docs, "doc_id", "text", 2).count()
+      }
       time("token_packing", m) {
         text.Sampling.tokenPack(docs, "doc_id", "text", 512L)
           .groupBy(col("bin")).agg(count(lit(1))).count()
