@@ -77,6 +77,24 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L), (2L, 8L), (3L, 15L)))
   }
 
+  test("exclusive running max equals the strictly-preceding window max") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 20)
+      val rows = (1 to 300).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      val df = rows.toDF("v", "y")
+      val w = Window.orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df.withColumn("m", max(col("y")).over(w))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val got = GlobalOrder.withRunningAggs(df, col("v"), Nil,
+          exclMaxes = Seq((col("y"), "m")))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("empty and single-row inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("v", "x")
     assert(GlobalOrder.withRunningAggs(empty, col("v"), Nil,
