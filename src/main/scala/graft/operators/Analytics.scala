@@ -407,7 +407,11 @@ object Analytics {
     require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
       "quantiles are ppm ranks in [1, 1e6]")
     require(qsPpm.distinct.size == qsPpm.size, "duplicate quantiles")
-    val v = df.select(valueCol.cast("long").as("v"))
+    // one materialization of the projected column: the rank pass reads
+    // it from three plan branches (min/max stats, local windows, bucket
+    // totals) and the row count is a fourth - without the checkpoint
+    // each branch re-scans the source
+    val v = df.select(valueCol.cast("long").as("v")).localCheckpoint(false)
     val ranked = GlobalOrder.rank(v, col("v"), Nil, "rk")
     val n = v.agg(count(lit(1)).as("n_rows"))
     val spark = df.sparkSession
@@ -420,6 +424,37 @@ object Analytics {
     ranked.join(broadcast(targets), Seq("rk"))
       .select(col("q_ppm"), col("v").as("value"), col("rk").as("rank"),
         col("n_rows"))
+  }
+
+  /** Top-k census movement between two epochs: each side's k most
+    * frequent categories under the (count desc, category asc) total
+    * order, full-outer joined into a movement table — entered /
+    * dropped / up / down / steady — the leaderboard-drift monitor for
+    * vocabulary shift, traffic mix change, hot-key churn. Ranks and
+    * counts of a side a category is absent from stay NULL (honest,
+    * not 0). Each side is one agg + a TakeOrderedAndProject to k rows;
+    * the rank windows are k-row bounded
+    * ([[GlobalOrder.boundedWindow]]). Output: (cat, n_old, rank_old,
+    * n_new, rank_new, status). */
+  def topKDrift(older: DataFrame, newer: DataFrame, catCol: Column,
+                k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def top(df: DataFrame, nName: String, rName: String) = df
+      .select(catCol.cast("string").as("cat"))
+      .groupBy(col("cat")).agg(count(lit(1)).as(nName))
+      .orderBy(col(nName).desc, col("cat").asc).limit(k)
+      .withColumn(rName, row_number().over(
+        GlobalOrder.boundedWindow(col("cat"),
+          col(nName).desc, col("cat").asc)).cast("long"))
+    top(older, "n_old", "rank_old")
+      .join(top(newer, "n_new", "rank_new"), Seq("cat"), "full_outer")
+      .select(col("cat"), col("n_old"), col("rank_old"),
+        col("n_new"), col("rank_new"),
+        when(col("rank_old").isNull, lit("entered"))
+          .when(col("rank_new").isNull, lit("dropped"))
+          .when(col("rank_new") < col("rank_old"), lit("up"))
+          .when(col("rank_new") > col("rank_old"), lit("down"))
+          .otherwise(lit("steady")).as("status"))
   }
 
   /** Inter-arrival burstiness per series: the squared coefficient of

@@ -441,6 +441,16 @@ object AdvancedQueries {
           (pmod(ascii(expr("right(source, 1)")), lit(3)) + 1).cast("long").as("w")))
       .orderBy(col("epoch_rank"))
 
+  /** Top-20 word leaderboard drift between the even- and odd-doc
+    * halves of the corpus - entered/dropped/up/down/steady movement. */
+  def topKDriftGate(spark: SparkSession, dir: String): DataFrame = {
+    def words(parity: Int) = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === parity)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    Analytics.topKDrift(words(0), words(1), col("w"), k = 20)
+      .orderBy(col("cat"))
+  }
+
   /** Inter-arrival burstiness per event type: CV-squared of the gap
     * series in exact ppm - 1e6 is the Poisson baseline. */
   def burstinessGate(spark: SparkSession, dir: String): DataFrame =
@@ -676,6 +686,7 @@ object AdvancedQueries {
     "sample_mixture_schedule" -> (mixtureSchedule _),
     "sample_token_packing" -> (tokenPacking _),
     "analytics_burstiness" -> (burstinessGate _),
+    "analytics_topk_drift" -> (topKDriftGate _),
     "analytics_did" -> (did _),
     "analytics_mann_whitney" -> (mannWhitney _),
     "analytics_rfm" -> (rfm _),
@@ -1106,6 +1117,26 @@ object AdvancedQueries {
         |  CAST(ff.r * ff.n_r * 1000000 // tot.n_tok AS BIGINT) AS mass_ppm
         |FROM ff LEFT JOIN ff f2 ON f2.r = ff.r + 1, tot
         |WHERE ff.r <= 12 ORDER BY ff.r""".stripMargin,
+    "analytics_topk_drift" ->
+      """WITH w AS (SELECT doc_id % 2 AS par,
+        |    unnest(string_split(text, ' ')) AS cat FROM documents),
+        |o AS (SELECT cat, count(*) AS n_old FROM w WHERE par = 0
+        |  GROUP BY cat ORDER BY n_old DESC, cat LIMIT 20),
+        |orank AS (SELECT cat, n_old, CAST(row_number() OVER
+        |  (ORDER BY n_old DESC, cat) AS BIGINT) AS rank_old FROM o),
+        |nn AS (SELECT cat, count(*) AS n_new FROM w WHERE par = 1
+        |  GROUP BY cat ORDER BY n_new DESC, cat LIMIT 20),
+        |nrank AS (SELECT cat, n_new, CAST(row_number() OVER
+        |  (ORDER BY n_new DESC, cat) AS BIGINT) AS rank_new FROM nn)
+        |SELECT cat, CAST(n_old AS BIGINT) AS n_old, rank_old,
+        |  CAST(n_new AS BIGINT) AS n_new, rank_new,
+        |  CASE WHEN rank_old IS NULL THEN 'entered'
+        |       WHEN rank_new IS NULL THEN 'dropped'
+        |       WHEN rank_new < rank_old THEN 'up'
+        |       WHEN rank_new > rank_old THEN 'down'
+        |       ELSE 'steady' END AS status
+        |FROM orank FULL OUTER JOIN nrank USING (cat)
+        |ORDER BY cat""".stripMargin,
     "analytics_burstiness" ->
       """WITH g AS (SELECT event_type,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
