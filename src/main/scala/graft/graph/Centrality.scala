@@ -205,6 +205,51 @@ object Centrality {
           s"div (4 * cast($m as decimal(38,0)) * $m) as bigint)").as("q_ppm"))
   }
 
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004): for each
+    * degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) in exact ppm,
+    * where N_k = nodes of degree > k and E_k = edges between two such
+    * nodes — "do the hubs wire to each other more than chance", the
+    * elite-interconnection fingerprint (core-periphery vs decentralized
+    * topologies). One degree agg + one threshold explode per edge
+    * (|ks| rows each — thresholds are a small literal list) + one agg
+    * per k; decimal(38,0) so web-scale N_k² cannot wrap. Thresholds
+    * with N_k < 2 emit NULL φ (undefined). Output: (k, n_nodes,
+    * n_edges, phi_ppm). */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), "need non-negative thresholds")
+    require(ks.distinct.size == ks.size, "duplicate thresholds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val kArr = array(ks.map(lit): _*)
+    val nodesPerK = deg
+      .select(explode(filter(kArr, k => col("deg") > k)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val edgesPerK = und
+      .join(deg.select(col("node").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("_db")), Seq("b"))
+      .select(explode(filter(kArr,
+        k => col("_da") > k && col("_db") > k)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    ks.toDF("k").join(nodesPerK, Seq("k"), "left")
+      .join(edgesPerK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_ppm",
+        when(col("n_nodes") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            """cast((2 * cast(n_edges as decimal(38,0)) * 1000000) div
+               (cast(n_nodes as decimal(38,0)) * (n_nodes - 1)) as bigint)""")))
+  }
+
   /** Per-community conductance: φ(c) = cut(c) / min(vol(c), vol(V∖c))
     * as exact ppm — the cut-quality read [[modularity]]'s single global
     * score can't give (a partition can score well overall while one

@@ -426,6 +426,39 @@ object Analytics {
         col("n_rows"))
   }
 
+  /** Per-group trimmed mean: drop floor(n·trimPpm/10⁶) rows from EACH
+    * end of the per-group value order, then the exact integer mean of
+    * the survivors — the robust location estimate between the mean
+    * (trim 0) and the median (trim → 50%), immune to the tail garbage
+    * that drags plain means (sentinel values, unit errors). Rank ties
+    * order arbitrarily but the kept VALUE multiset is tie-invariant,
+    * so results are deterministic. Groups with nothing left after the
+    * trim emit NULL (undefined, not 0). Per-group windows only — the
+    * group axis distributes; no global sort. Output: (g, n_rows,
+    * n_kept, sum_kept, trimmed_mean). */
+  def trimmedMean(df: DataFrame, groupCol: Column, valueCol: Column,
+                  trimPpm: Long): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000,
+      "trimPpm in [0, 5e5) - trimming half from each end leaves nothing")
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val kept = base
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("_t", expr(s"(_n * $trimPpm) div 1000000"))
+      .filter(col("_rn") > col("_t") && col("_rn") <= col("_n") - col("_t"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("sum_kept"))
+    base.groupBy(col("g")).agg(count(lit(1)).as("n_rows"))
+      .join(kept, Seq("g"), "left")
+      .select(col("g"), col("n_rows"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_kept"), lit(0L)).as("sum_kept"),
+        when(coalesce(col("n_kept"), lit(0L)) === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("sum_kept div n_kept")).as("trimmed_mean"))
+  }
+
   /** Top-k census movement between two epochs: each side's k most
     * frequent categories under the (count desc, category asc) total
     * order, full-outer joined into a movement table — entered /

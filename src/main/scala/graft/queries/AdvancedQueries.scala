@@ -320,6 +320,25 @@ object AdvancedQueries {
     Centrality.modularity(edges, asg)
   }
 
+  /** Rich-club curve of the octal tree + K5 ornaments at thresholds
+    * 0/2/4/8 - do the high-degree nodes wire to each other. */
+  def richClubGate(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+    val mx = c.agg(max(col("k")).as("mx"))
+    val tree = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"))
+    val offs = for (i <- 0 to 4; j <- (i + 1) to 4) yield (i, j)
+    val clique = c.filter(col("k") % 100 === 0).crossJoin(broadcast(mx))
+      .filter(col("k") + 4 <= col("mx"))
+      .select(explode(array(offs.map { case (i, j) =>
+        struct((col("k") + i).as("src"), (col("k") + j).as("dst"))
+      }: _*)).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    Centrality.richClub(tree.unionByName(clique), Seq(0L, 2L, 4L, 8L))
+      .orderBy(col("k"))
+  }
+
   /** Per-community conductance of the octal tree's div-64 blocks —
     * which blocks leak edges across their boundary, exact ppm. */
   def graphConductance(spark: SparkSession, dir: String): DataFrame = {
@@ -440,6 +459,13 @@ object AdvancedQueries {
           col("doc_id").as("id"),
           (pmod(ascii(expr("right(source, 1)")), lit(3)) + 1).cast("long").as("w")))
       .orderBy(col("epoch_rank"))
+
+  /** 10%-each-end trimmed mean of event value cents per event type -
+    * the robust location estimate beside the MAD gate. */
+  def trimmedMeanGate(spark: SparkSession, dir: String): DataFrame =
+    Analytics.trimmedMean(Tables.events(spark, dir), col("event_type"),
+      floor(col("value") * 100).cast("long"), trimPpm = 100000L)
+      .orderBy(col("g"))
 
   /** Top-20 word leaderboard drift between the even- and odd-doc
     * halves of the corpus - entered/dropped/up/down/steady movement. */
@@ -673,6 +699,7 @@ object AdvancedQueries {
     "analytics_exact_quantiles" -> (exactQuantilesGate _),
     "graph_modularity" -> (graphModularity _),
     "graph_conductance" -> (graphConductance _),
+    "graph_rich_club" -> (richClubGate _),
     "analytics_seasonal" -> (seasonalDecompose _),
     "analytics_mad_robust" -> (madRobust _),
     "quality_benford" -> (benford _),
@@ -687,6 +714,7 @@ object AdvancedQueries {
     "sample_token_packing" -> (tokenPacking _),
     "analytics_burstiness" -> (burstinessGate _),
     "analytics_topk_drift" -> (topKDriftGate _),
+    "analytics_trimmed_mean" -> (trimmedMeanGate _),
     "analytics_did" -> (did _),
     "analytics_mann_whitney" -> (mannWhitney _),
     "analytics_rfm" -> (rfm _),
@@ -1117,6 +1145,25 @@ object AdvancedQueries {
         |  CAST(ff.r * ff.n_r * 1000000 // tot.n_tok AS BIGINT) AS mass_ppm
         |FROM ff LEFT JOIN ff f2 ON f2.r = ff.r + 1, tot
         |WHERE ff.r <= 12 ORDER BY ff.r""".stripMargin,
+    "analytics_trimmed_mean" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM b),
+        |kept AS (SELECT g, count(*) AS n_kept, sum(v) AS sum_kept
+        |  FROM r WHERE rn > (n * 100000) // 1000000
+        |    AND rn <= n - (n * 100000) // 1000000
+        |  GROUP BY g),
+        |tot AS (SELECT g, count(*) AS n_rows FROM b GROUP BY g)
+        |SELECT tot.g, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum_kept, 0) AS BIGINT) AS sum_kept,
+        |  CASE WHEN coalesce(n_kept, 0) = 0 THEN NULL
+        |    WHEN sum_kept < 0 THEN CAST(-((-sum_kept) // n_kept) AS BIGINT)
+        |    ELSE CAST(sum_kept // n_kept AS BIGINT) END AS trimmed_mean
+        |FROM tot LEFT JOIN kept ON tot.g = kept.g
+        |ORDER BY tot.g""".stripMargin,
     "analytics_topk_drift" ->
       """WITH w AS (SELECT doc_id % 2 AS par,
         |    unnest(string_split(text, ' ')) AS cat FROM documents),
@@ -1184,6 +1231,35 @@ object AdvancedQueries {
         |  CAST(sum(ca * (2 * below + cb)) AS BIGINT) AS u2,
         |  CAST(2 * sum(ca) * sum(cb) AS BIGINT) AS u2_max
         |FROM w""".stripMargin,
+    "graph_rich_club" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |mx AS (SELECT max(k) AS mx FROM c),
+        |e0 AS (
+        |  SELECT k // 8 AS src, k AS dst FROM c WHERE k >= 8
+        |  UNION ALL
+        |  SELECT k + i.i AS src, k + j.j AS dst
+        |  FROM c, mx, generate_series(0, 4) i(i), generate_series(0, 4) j(j)
+        |  WHERE k % 100 = 0 AND k + 4 <= mx AND i.i < j.j),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        |  GROUP BY node),
+        |ks AS (SELECT unnest([0, 2, 4, 8]) AS k),
+        |nn AS (SELECT ks.k, count(*) AS n_nodes FROM ks JOIN deg
+        |  ON deg.deg > ks.k GROUP BY ks.k),
+        |ee AS (SELECT ks.k, count(*) AS n_edges FROM ks
+        |  JOIN (SELECT u.a, u.b, da.deg AS d1, db.deg AS d2 FROM und u
+        |        JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b) x
+        |  ON x.d1 > ks.k AND x.d2 > ks.k GROUP BY ks.k)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(coalesce(nn.n_nodes, 0) AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(ee.n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN coalesce(nn.n_nodes, 0) < 2 THEN NULL
+        |    ELSE CAST((2 * coalesce(ee.n_edges, 0) * 1000000) //
+        |      (nn.n_nodes * (nn.n_nodes - 1)) AS BIGINT) END AS phi_ppm
+        |FROM ks LEFT JOIN nn ON nn.k = ks.k LEFT JOIN ee ON ee.k = ks.k
+        |ORDER BY k""".stripMargin,
     "graph_conductance" ->
       """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
         |e0 AS (SELECT k // 8 AS src, k AS dst FROM k WHERE k >= 8),
