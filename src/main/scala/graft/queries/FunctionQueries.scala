@@ -137,6 +137,21 @@ object FunctionQueries {
         "first_click" -> (col("event_type") === "click"),
         "first_purchase" -> (col("event_type") === "purchase")))
 
+  /** Time-to-convert quantiles: exact p25/p50/p90 of the view->purchase
+    * delay (microseconds) over completed funnels - the conversion-SLA
+    * read, on the distributed exact-quantile pass. */
+  def funnelTimeQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.operators.Funnel.funnel(
+      Tables.events(spark, dir), "user_id", "ts",
+      Seq("first_view" -> (col("event_type") === "view"),
+        "first_purchase" -> (col("event_type") === "purchase")))
+      .filter(col("first_purchase").isNotNull)
+      .select((expr("unix_micros(first_purchase)") -
+        expr("unix_micros(first_view)")).as("delay_us"))
+    graft.operators.Analytics.exactQuantiles(f, col("delay_us"),
+      Seq(250000L, 500000L, 900000L)).orderBy(col("q_ppm"))
+  }
+
   /** Degree histogram of the part co-purchase graph — the degree
     * distribution census of webgraph curation (spam farms and hubs both
     * announce themselves here before any expensive centrality pass). */
@@ -179,6 +194,7 @@ object FunctionQueries {
     "corpus_grouping_sets" -> (corpusGroupingSets _),
     "corpus_cube" -> (corpusCube _),
     "funnel_3step" -> (funnel3Step _),
+    "funnel_time_quantiles" -> (funnelTimeQuantiles _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_assortativity" -> (graphAssortativity _),
     "func_arn_parse" -> (funcArnParse _),
@@ -196,6 +212,28 @@ object FunctionQueries {
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "funnel_time_quantiles" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        |  GROUP BY e.user_id),
+        |d AS (SELECT epoch_us(p.first_purchase) - epoch_us(v.first_view)
+        |    AS delay_us
+        |  FROM v JOIN p ON v.user_id = p.user_id),
+        |r AS (SELECT delay_us AS value,
+        |    CAST(row_number() OVER (ORDER BY delay_us) AS BIGINT) AS rank
+        |  FROM d),
+        |n AS (SELECT count(*) AS n_rows FROM d),
+        |q(q_ppm) AS (VALUES (250000), (500000), (900000))
+        |SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm, r.value, r.rank,
+        |  CAST(n.n_rows AS BIGINT) AS n_rows
+        |FROM r, n, q
+        |WHERE r.rank = greatest(1, (q.q_ppm * n.n_rows + 999999) // 1000000)
+        |ORDER BY q_ppm""".stripMargin,
     "funnel_3step" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS first_view FROM events

@@ -321,6 +321,13 @@ object LlmQueries {
     TextFunctions.searchRanked(Tables.documents(spark, dir), "doc_id", "text",
       Seq("join", "window", "hash"), k = 10)
 
+  /** Per-document Simpson concentration / effective vocabulary over
+    * the corpus - the log-free diversity read. */
+  def textSimpson(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.simpsonDiversity(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** ROUGE-2 over the LSH near-dup candidates: clipped bigram overlap
     * with exact ppm recall/precision/F1 (F1 = 2o/(cand+ref) exactly -
     * no float harmonic mean). */
@@ -969,6 +976,7 @@ object LlmQueries {
     "text_search_ranked" -> (textSearchRanked _),
     "text_rank_fusion" -> (textRankFusion _),
     "text_rouge" -> (textRouge _),
+    "text_simpson" -> (textSimpson _),
     "e2e_hybrid_retrieval" -> (e2eHybridRetrieval _),
     "text_ranking_hdcg" -> (textRankingHdcg _),
     "dedup_blocking_quality" -> (dedupBlockingQuality _),
@@ -2831,6 +2839,24 @@ object LlmQueries {
          |  GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, CAST(score AS BIGINT) AS score_x1e6
          |FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "text_simpson" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_terms,
+        |    sum(CAST(tf AS HUGEINT) * (tf - 1)) AS rep
+        |  FROM tf GROUP BY doc_id),
+        |b AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_terms AS BIGINT) AS n_terms,
+        |  CASE WHEN n_tokens < 2 THEN NULL
+        |    ELSE CAST((rep * 1000000) //
+        |      (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+        |  END AS simpson_ppm FROM a)
+        |SELECT doc_id, n_tokens, n_terms, simpson_ppm,
+        |  CASE WHEN simpson_ppm IS NULL OR simpson_ppm = 0 THEN NULL
+        |    ELSE CAST(1000000000 // simpson_ppm AS BIGINT) END
+        |    AS inv_simpson_x1e3
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_rouge" ->
       s"""WITH $TextCtes,
          |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),

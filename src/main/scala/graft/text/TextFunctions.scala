@@ -627,6 +627,34 @@ object TextFunctions {
       .select(col("rank"), col("doc_id"), col("rrf_x1e6"), col("n_lists"))
   }
 
+  /** Per-document Simpson concentration and its inverse (effective
+    * vocabulary): λ = Σ tf·(tf−1) / (n·(n−1)) in exact ppm — the
+    * probability two tokens drawn without replacement are the SAME
+    * term, the log-free diversity read (Shannon entropy needs ln;
+    * Simpson is a rational in the counts, so any engine reproduces
+    * it). λ → 0 diverse, → 10⁶ degenerate repetition; inv_simpson_x1e3
+    * = 10⁹ div λ_ppm ≈ the effective number of equally-common terms —
+    * the per-doc vocabulary-collapse detector beside the Gopher
+    * repetition fractions. One (doc, term) count agg, map-side
+    * combinable. Docs with < 2 tokens emit NULL λ. Output: (doc_id,
+    * n_tokens, n_terms, simpson_ppm, inv_simpson_x1e3). */
+  def simpsonDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    termFreq(docs, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("tf").cast("decimal(38,0)") * (col("tf") - 1)).as("_rep"))
+      .select(col("doc_id"), col("n_tokens"), col("n_terms"),
+        when(col("n_tokens") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "cast((_rep * 1000000) div (cast(n_tokens as decimal(38,0)) * (n_tokens - 1)) as bigint)"))
+          .as("simpson_ppm"))
+      .withColumn("inv_simpson_x1e3",
+        when(col("simpson_ppm").isNull || col("simpson_ppm") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("1000000000 div simpson_ppm")))
+
   /** ROUGE-N between document pairs (Lin 2004): clipped n-gram overlap
     * o = Σ_gram min(tf_cand, tf_ref), recall o/ref, precision o/cand,
     * and F1 — which for shared-numerator P and R collapses EXACTLY to
