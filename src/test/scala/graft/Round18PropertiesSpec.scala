@@ -256,6 +256,36 @@ class Round18PropertiesSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 6L && r2.getLong(2) == -173469L)
   }
 
+  // ---- retentionPolicy vs a sequential rule replay ----
+
+  test("retentionPolicy marks match the sequential recent/weekly ladder") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 380)
+      val rows = (1 to 2).flatMap { q =>
+        (1 to 40).map(_ => (s"q$q",
+          1700000000L + rnd.nextInt(40) * 86400L)).distinct
+      }
+      val keepLast = 5
+      val want = rows.groupBy(_._1).flatMap { case (q, rs) =>
+        val tags = rs.map(_._2).distinct.sortBy(-_)
+        val recent = tags.take(keepLast).toSet
+        val weekly = tags.groupBy(_ / 604800L).values.map(_.max).toSet
+        tags.map { t =>
+          val reason = if (recent(t)) "recent"
+            else if (weekly(t)) "weekly" else "drop"
+          (q, t) -> reason
+        }
+      }.toMap
+      val got = graft.drift.Drift.retentionPolicy(
+        rows.distinct.toDF("query", "tag"), keepLast)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          r.getString(3)).toMap
+      assert(got == want, s"seed $seed")
+      assert(got.forall { case ((q, t), reason) =>
+        (reason != "drop") == want((q, t)).!=("drop") })
+    }
+  }
+
   // ---- conductance on the bridged triangles ----
 
   test("conductance: bridged triangles cut exactly one edge each side") {
