@@ -722,6 +722,49 @@ object ScaleSmoke {
         operators.Attribution
           .multiTouch(touches, conv, 3L * 86400L * 1000000L).count()
       }
+      time("mann_whitney", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "event_id", m)
+        operators.Analytics.mannWhitneyU2(ev,
+          floor(col("value") * 100).cast("long"),
+          col("user_id") % 2 === 1).count()
+      }
+      time("burstiness", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        operators.Analytics.burstiness(ev, Seq("user_id"),
+          expr("unix_micros(ts)"), Seq(col("event_id").asc)).count()
+      }
+      time("trimmed_mean", m) {
+        val ev = multiply(Tables.events(spark, sfDir), "user_id", m)
+        operators.Analytics.trimmedMean(ev, col("user_id"),
+          floor(col("value") * 100).cast("long"), 100000L).count()
+      }
+      time("topk_drift", m) {
+        val docs2 = multiply(Tables.documents(spark, sfDir), "doc_id", m)
+        def words(par: Int) = docs2.filter(col("doc_id") % 2 === par)
+          .select(explode(text.TextFunctions.tokens(col("text"))).as("w"))
+        operators.Analytics.topKDrift(words(0), words(1), col("w"), 50).count()
+      }
+      time("modularity_conductance", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").as("k"))
+        val edges = cust.filter(col("k") >= 8L)
+          .select(expr("k div 8").as("src"), col("k").as("dst"))
+        val asg = cust.select(col("k").as("node"),
+          expr("k div 64").as("community"))
+        graph.Centrality.modularity(edges, asg)
+          .unionByName(graph.Centrality.conductance(edges, asg)
+            .agg(count(lit(1)).as("n_communities"),
+              max(col("volume")).as("m_edges"),
+              max(col("cut_edges")).as("q_ppm")))
+          .count()
+      }
+      time("rich_club", m) {
+        val cust = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+          .select(col("c_custkey").as("k"))
+        val edges = cust.filter(col("k") >= 8L)
+          .select(expr("k div 8").as("src"), col("k").as("dst"))
+        graph.Centrality.richClub(edges, Seq(0L, 2L, 4L, 8L)).count()
+      }
       time("rouge2", m) {
         val pairs = dedup.Dedup.minhashLsh(
             dedup.Dedup.shingleTable(docs, "doc_id", "text"), 800000L)
