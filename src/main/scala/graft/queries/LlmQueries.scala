@@ -321,6 +321,17 @@ object LlmQueries {
     TextFunctions.searchRanked(Tables.documents(spark, dir), "doc_id", "text",
       Seq("join", "window", "hash"), k = 10)
 
+  /** Per-source weighted sample: the 3 best-priority docs per source
+    * under the deterministic Efraimidis-Spirakis draw weighted by
+    * n_chars - stratified curation, no source crowds out another. */
+  def sampleWeightedPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedTopKPerGroup(
+        Tables.documents(spark, dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars")),
+        "doc_id", col("source"), col("n_chars"), k = 3)
+      .orderBy(col("source"), col("sample_rank"))
+
   /** Per-document Simpson concentration / effective vocabulary over
     * the corpus - the log-free diversity read. */
   def textSimpson(spark: SparkSession, dir: String): DataFrame =
@@ -977,6 +988,7 @@ object LlmQueries {
     "text_rank_fusion" -> (textRankFusion _),
     "text_rouge" -> (textRouge _),
     "text_simpson" -> (textSimpson _),
+    "sample_weighted_per_group" -> (sampleWeightedPerGroup _),
     "e2e_hybrid_retrieval" -> (e2eHybridRetrieval _),
     "text_ranking_hdcg" -> (textRankingHdcg _),
     "dedup_blocking_quality" -> (dedupBlockingQuality _),
@@ -2839,6 +2851,20 @@ object LlmQueries {
          |  GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, CAST(score AS BIGINT) AS score_x1e6
          |FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "sample_weighted_per_group" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+        |      AS BIGINT) % 1000000 AS u
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY (u * 1000000) // n_chars ASC, doc_id ASC) AS BIGINT)
+        |      AS sample_rank
+        |  FROM d)
+        |SELECT doc_id, source, n_chars, sample_rank
+        |FROM r WHERE sample_rank <= 3
+        |ORDER BY source, sample_rank""".stripMargin,
     "text_simpson" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |  FROM documents),

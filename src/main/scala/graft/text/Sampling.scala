@@ -80,6 +80,30 @@ object Sampling {
       .drop("_u", "_w", "_prio")
   }
 
+  /** Per-group deterministic weighted sample: [[weightedTopK]]'s
+    * Efraimidis–Spirakis priority draw, but the top-k is taken WITHIN
+    * each group — "keep the k best-weighted docs per source/language",
+    * the stratified curation move (a global weighted top-k would let
+    * one hot source crowd out the rest). Priorities are a pure function
+    * of (key, weight); the rank window is PARTITIONED by the group, so
+    * groups distribute and no single-task sort exists; zero/negative
+    * weights drop (zero selection probability). Output: input columns
+    * + `sample_rank` (1-based within group). */
+  def weightedTopKPerGroup(df: DataFrame, keyCol: String,
+                           groupCol: Column, weightCol: Column,
+                           k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_prio").asc, col(keyCol).asc)
+    df.withColumn("_u", md5_prefix64(col(keyCol).cast("string")) % 1000000L)
+      .withColumn("_w", weightCol.cast("long"))
+      .filter(col("_w") > 0L)
+      .withColumn("_prio", expr("_u * 1000000 div _w"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("_u", "_w", "_prio")
+  }
+
   /** Deterministic train/validation/test split: the key's hash draw
     * u = hash(key) mod 1e6 is cut against cumulative ppm widths, so every
     * row lands in exactly one named split, assignment is a pure function
