@@ -339,6 +339,18 @@ object AdvancedQueries {
       .orderBy(col("k"))
   }
 
+  /** Weighted modularity of the octal tree under the div-64 partition,
+    * edge weight = 1 + child mod 3 - the co-occurrence-count reading. */
+  def modularityWeightedGate(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+    val edges = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"),
+        (col("k") % 3 + 1).as("w"))
+    val asg = c.select(col("k").as("node"), expr("k div 64").as("community"))
+    Centrality.modularityWeighted(edges, asg, "w")
+  }
+
   /** Per-community conductance of the octal tree's div-64 blocks —
     * which blocks leak edges across their boundary, exact ppm. */
   def graphConductance(spark: SparkSession, dir: String): DataFrame = {
@@ -698,6 +710,7 @@ object AdvancedQueries {
     "text_good_turing" -> (goodTuringGate _),
     "analytics_exact_quantiles" -> (exactQuantilesGate _),
     "graph_modularity" -> (graphModularity _),
+    "graph_modularity_weighted" -> (modularityWeightedGate _),
     "graph_conductance" -> (graphConductance _),
     "graph_rich_club" -> (richClubGate _),
     "analytics_seasonal" -> (seasonalDecompose _),
@@ -1231,6 +1244,32 @@ object AdvancedQueries {
         |  CAST(sum(ca * (2 * below + cb)) AS BIGINT) AS u2,
         |  CAST(2 * sum(ca) * sum(cb) AS BIGINT) AS u2_max
         |FROM w""".stripMargin,
+    "graph_modularity_weighted" ->
+      """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |e0 AS (SELECT k // 8 AS src, k AS dst, k % 3 + 1 AS w
+        |  FROM k WHERE k >= 8),
+        |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |    sum(w) AS w
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |lab AS (SELECT a, b, w, a // 64 AS ca, b // 64 AS cb FROM und),
+        |wt AS (SELECT sum(w) AS wtot FROM und),
+        |intra AS (SELECT ca AS c, sum(w) AS w_c FROM lab
+        |  WHERE ca = cb GROUP BY 1),
+        |st AS (SELECT c, sum(w) AS s_c FROM (
+        |  SELECT ca AS c, w FROM lab UNION ALL SELECT cb AS c, w FROM lab)
+        |  GROUP BY 1),
+        |agg AS (SELECT count(*) AS n_communities,
+        |  sum(coalesce(w_c, 0)) AS sw, sum(CAST(s_c AS HUGEINT) * s_c) AS ss2
+        |  FROM st LEFT JOIN intra USING (c)),
+        |q AS (SELECT n_communities,
+        |  1000000 * (4 * wt.wtot * sw - ss2) AS num,
+        |  4 * CAST(wt.wtot AS HUGEINT) * wt.wtot AS den,
+        |  wt.wtot AS total_weight FROM agg, wt)
+        |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+        |  CAST(total_weight AS BIGINT) AS total_weight,
+        |  CAST(CASE WHEN num < 0 THEN -((-num) // den)
+        |            ELSE num // den END AS BIGINT) AS q_ppm
+        |FROM q""".stripMargin,
     "graph_rich_club" ->
       """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
         |mx AS (SELECT max(k) AS mx FROM c),

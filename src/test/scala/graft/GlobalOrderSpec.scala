@@ -105,6 +105,28 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(got.getAs[Long]("r") == 1L && got.getAs[Long]("cx") == 9L)
   }
 
+  test("a far outlier collapsing the equal-width buckets stays correct") {
+    // one key near Long.MaxValue squeezes every other key into bucket 0:
+    // performance degrades (documented), correctness must not
+    val rows = (1 to 500).map(i => (i.toLong, i.toLong)) :+
+      (Long.MaxValue / 2, 9999L)
+    val df = rows.toDF("k", "id")
+    val want = df.withColumn("r", row_number().over(
+        Window.orderBy(col("k").asc, col("id").asc)).cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val got = GlobalOrder.rank(df, col("k"), Seq(col("id").asc), "r")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // negative-to-positive span (hash-key shape): max-min would overflow
+    // a bare long subtraction — the decimal path must hold
+    val rows2 = Seq((Long.MinValue / 2 + 1, 1L), (-5L, 2L), (0L, 3L),
+      (7L, 4L), (Long.MaxValue / 2, 5L))
+    val got2 = GlobalOrder.rank(rows2.toDF("k", "id"), col("k"),
+        Seq(col("id").asc), "r")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("skewed key distribution still ranks correctly") {
     // 90% of rows share one order key: range partitioning puts all of
     // them in one partition (the contract: equal keys co-locate), the

@@ -256,6 +256,28 @@ class Round18PropertiesSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 6L && r2.getLong(2) == -173469L)
   }
 
+  // ---- weighted modularity degenerates to unweighted at weight 1 ----
+
+  test("modularityWeighted with unit weights equals modularity") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 390)
+      // canonical a < b so no anti-parallel duplicates: the weighted
+      // variant SUMS parallel rows (multigraph reading) while the
+      // unweighted one dedups them — equivalence holds on simple graphs
+      val edges = (1 to 60).map(_ =>
+        (1L + rnd.nextInt(20), 1L + rnd.nextInt(20)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val e = edges.toDF("src", "dst")
+      val asg = (1L to 20L).map(n => (n, n % 4)).toDF("node", "community")
+      val un = graft.graph.Centrality.modularity(e, asg).collect().head
+      val wt = graft.graph.Centrality.modularityWeighted(
+        e.withColumn("w", lit(1L)), asg, "w").collect().head
+      assert((un.getLong(0), un.getLong(1), un.getLong(2)) ==
+        ((wt.getLong(0), wt.getLong(1), wt.getLong(2))), s"seed $seed")
+    }
+  }
+
   // ---- retentionPolicy vs a sequential rule replay ----
 
   test("retentionPolicy marks match the sequential recent/weekly ladder") {
