@@ -132,8 +132,13 @@ object GlobalOrder {
           exclMaxes.indices.map(i => col(s"_go_moff$i"))): _*)
     var out = local.join(broadcast(offSel), Seq("_go_bkt"))
     sums.zipWithIndex.foreach { case ((_, name), i) =>
+      // null-safe combine matching the single-partition window: a null
+      // LOCAL prefix (all-null values so far in this bucket) must fall
+      // back to the prior buckets' total, not poison it — sum-over-
+      // nulls is null only until the first non-null anywhere before
       out = out.withColumn(name,
-        when(col(s"_go_off$i").isNull, col(s"_go_s$i"))
+        when(col(s"_go_s$i").isNull, col(s"_go_off$i"))
+          .when(col(s"_go_off$i").isNull, col(s"_go_s$i"))
           .otherwise(col(s"_go_off$i") + col(s"_go_s$i")))
         .drop(s"_go_s$i", s"_go_off$i")
     }

@@ -66,6 +66,25 @@ class GlobalOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("null values in a running sum match the window's null semantics") {
+    // nulls at the head: the sum stays null until the first non-null,
+    // then nulls pass the prior total through untouched
+    val rows = Seq((1L, None), (2L, None), (3L, Some(5L)), (4L, None),
+      (5L, Some(2L)), (6L, None))
+    val df = rows.map { case (v, x) => (v, x.map(java.lang.Long.valueOf).orNull) }
+      .toDF("v", "x")
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cx", sum(col("x")).over(w))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val got = GlobalOrder.runningSum(df, col("v"), Nil, col("x"), "cx")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == want)
+    assert(want(2L).isEmpty && want(4L).contains(5L) && want(6L).contains(7L))
+  }
+
   test("decimal running sums keep the decimal type") {
     val df = Seq((1L, BigDecimal(3)), (2L, BigDecimal(5)), (3L, BigDecimal(7)))
       .toDF("v", "x")
