@@ -21,9 +21,15 @@ object Bench {
       // 260-query battery holds far more than 100 distinct codegen'd plans,
       // so BOTH min-of-2 passes kept paying recompilation on whichever
       // queries the LRU evicted (measured: graph_triangles 3.25s ↔ 9.87s on
-      // identical code). Sizing the cache past the battery's plan count
-      // makes pass 2 pure cache hits and the per-query min reproducible.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // identical code). Entries are per-FRAGMENT, not per-query: the
+      // 290-query battery compiles ~4.2k distinct fragments, so the round-8
+      // value of 4096 thrashed pathologically (LRU + cyclic access ≈ every
+      // fragment a miss: measured 3.8k recompiles per pass, graph_triangles
+      // 7.6s in-battery vs 3.3s isolated — each recompile is a fresh class
+      // whose C2 profile restarts, which costs far more than the Janino
+      // time). Sized past the fragment count with headroom, passes 2+ are
+      // pure cache hits and the kernels stay JIT-hot.
+      .config("spark.sql.codegen.cache.maxEntries", "16384")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,8 +78,19 @@ object Bench {
     // SPARK_GRAFT_BENCH_PASSES=1 for quick local iteration.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val ordered = selected.toSeq.sortBy(_._1)
+    // Codegen compilation count at each pass boundary: every cache miss in
+    // CodeGenerator.compile records one sample in METRIC_COMPILATION_TIME, so
+    // (count@passN - count@passN-1) == fresh compilations during pass N. A
+    // warm cache (maxEntries sized past the battery's fragment count) must
+    // show ~0 compiles after pass 1 — anything else is cache thrash and
+    // explains on-unchanged-code timing swings.
+    // (the histogram's VALUES are reservoir-sampled and unusable for
+    // exact deltas; the count is exact — it is the only signal read)
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compileCount(): Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val compilesAt = scala.collection.mutable.ArrayBuffer(compileCount())
     val timed: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
-      ordered.map { case (name, fn) =>
+      val pass = ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -82,12 +99,15 @@ object Bench {
         DriverHygiene.releasePersisted(spark)
         name -> dt
       }
+      compilesAt += compileCount()
+      pass
     }
     val results = ordered.map { case (name, _) =>
       name -> timed.map(_.toMap.apply(name)).min
     }
     val total = results.map(_._2).sum
     val passTotals = timed.map(_.map(_._2).sum)
+    val compilesPerPass = compilesAt.sliding(2).map(w => w(1) - w(0)).toSeq
 
     // The driver keeps only the last ~2 KB of stdout and parses the final
     // line as JSON; a 122-query dict is ~4 KB and can never fit (the r4
@@ -98,8 +118,16 @@ object Bench {
     // rounded to 1 ms — sized to parse whole inside the tail window.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-pass per-query values let the judge (and the regression diff)
+    // separate warm-up from genuine drift: the min hides WHICH pass it came
+    // from, and a query whose pass-1 value is 3x its pass-3 value is warm-up,
+    // not regression (round-9 verdict item 7).
+    val perPass = timed.map { pass =>
+      pass.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"per_pass":$perPass,"queries":$fullQs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench")
     java.nio.file.Files.createDirectories(detailPath)
     java.nio.file.Files.writeString(detailPath.resolve("BENCH_FULL_latest.json"),

@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -20,12 +22,70 @@ import org.apache.spark.sql.graftbridge.Bridge
   * where broadcast decisions belong in a loop. Use inside every
   * per-round checkpoint; loop-INIT frames can keep `localCheckpoint`
   * (one bounded inheritance, no compounding).
+  *
+  * ==Checkpoint durability (cluster story)==
+  *
+  * `localCheckpoint` keeps the truncated partitions ONLY on their
+  * executors: on a real cluster, losing one executor mid-fixpoint makes
+  * the job unrecoverable ("lineage truncated and cannot be recomputed").
+  * That is acceptable on local[32] and fatal for a multi-hour 100-TB
+  * PageRank/SCC run, so the strategy is config-driven — no changes at
+  * any of the ~100 `.cut` call sites:
+  *
+  *  - `graft.lineage.mode=local` (default): `localCheckpoint`-backed,
+  *    fastest, zero executor-loss tolerance. Right for local mode where
+  *    executor==driver and a lost executor is a lost job anyway.
+  *  - `graft.lineage.mode=reliable`: durable checkpoint to
+  *    `SparkContext.checkpointDir` (set it to HDFS/S3; or set
+  *    `graft.lineage.dir` and the first cut applies it). With
+  *    `graft.lineage.reliableEvery=N` (default 1) only every Nth cut
+  *    pays the durable write; the rounds between are PLAN-only cuts
+  *    (small SQL plan, stats reset) that keep RDD lineage intact, so
+  *    recovery after executor loss recomputes at most N rounds from the
+  *    last durable files. N.B. an interval cut with `localCheckpoint`
+  *    instead would be self-defeating — it truncates the very lineage
+  *    recovery needs — hence the plan-only primitive
+  *    ([[Bridge.planCutNoStats]]).
+  *
+  * The `reliableEvery` counter is process-global (one counter across
+  * concurrent fixpoints): interleaving can stretch one chain's gap
+  * between durable writes past N rounds, but intermediate cuts preserve
+  * lineage, so recoverability is unaffected — only worst-case recompute
+  * depth grows.
   */
 object Lineage {
+  private val cutCounter = new AtomicLong(0)
+
   implicit final class CutOps(private val df: DataFrame) extends AnyVal {
     /** Lazy lineage+stats cut — drop-in for `.localCheckpoint(false)`. */
-    def cut: DataFrame = Bridge.localCheckpointNoStats(df)
+    def cut: DataFrame = Lineage.checkpoint(df, eager = false)
     /** Eager variant — drop-in for `.localCheckpoint()` / `(true)`. */
-    def cutEager: DataFrame = Bridge.localCheckpointNoStats(df, eager = true)
+    def cutEager: DataFrame = Lineage.checkpoint(df, eager = true)
   }
+
+  def checkpoint(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("graft.lineage.mode", "local") match {
+      case "local" => Bridge.localCheckpointNoStats(df, eager)
+      case "reliable" =>
+        ensureCheckpointDir(spark)
+        val every = spark.conf.get("graft.lineage.reliableEvery", "1").toInt
+        if (every <= 1 || cutCounter.incrementAndGet() % every == 0)
+          Bridge.reliableCheckpointNoStats(df, eager)
+        else Bridge.planCutNoStats(df, eager)
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft.lineage.mode must be 'local' or 'reliable', got '$other'")
+    }
+  }
+
+  private def ensureCheckpointDir(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.getOption("graft.lineage.dir") match {
+        case Some(dir) => spark.sparkContext.setCheckpointDir(dir)
+        case None => throw new IllegalStateException(
+          "graft.lineage.mode=reliable needs a durable checkpoint dir: call " +
+          "sparkContext.setCheckpointDir(hdfs/s3 path) or set graft.lineage.dir")
+      }
+    }
 }

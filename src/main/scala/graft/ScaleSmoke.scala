@@ -1046,6 +1046,25 @@ object ScaleSmoke {
               |  (xy, z) -> concat(xy, '_', z))""".stripMargin)).as("term"))
         text.TextFunctions.greedyCoverage(sh, 5).count()
       }
+      // 90%-one-key global rank: the uniform equal-width path funnels the
+      // hot key through one bucket's task; the census-prebinned skew path
+      // splits it by tie ranges. The pair of curves is the evidence the
+      // escape hatch earns its extra census pass.
+      val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m)
+      val skewed = li.select(
+        when(col("l_orderkey") % 10 < 9, lit(7L))
+          .otherwise(col("l_orderkey")).as("k"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      time("global_rank_skew_uniform", m) {
+        operators.GlobalOrder.withRunningAggs(skewed, col("k"),
+          Seq(col("id").asc), sums = Seq((col("cents"), "rc")),
+          rankName = Some("rk")).count()
+      }
+      time("global_rank_skew_prebinned", m) {
+        operators.GlobalOrder.withRunningAggsSkew(skewed, col("k"), col("id"),
+          sums = Seq((col("cents"), "rc")), rankName = Some("rk")).count()
+      }
     }
     if (ran == 0)
       System.err.println(

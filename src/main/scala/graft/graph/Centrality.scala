@@ -338,6 +338,59 @@ object Centrality {
             s"(cut_edges * 1000000) div least(volume, $m2 - volume)")))
   }
 
+  /** Weighted per-community conductance: φ_w(c) = cut_w(c) /
+    * min(vol_w(c), W₂ − vol_w(c)) in exact ppm — the weighted companion
+    * to [[conductance]], so community-quality reads on co-occurrence /
+    * traffic graphs no longer mix weighted Q ([[modularityWeighted]])
+    * with unweighted φ. Parallel edge rows sum their weights into one
+    * undirected edge first (the same multigraph reading as
+    * [[modularityWeighted]]); vol_w(c) = Σ member weighted degrees,
+    * W₂ = 2·Σw. Nodes absent from `assignment` are singletons. With all
+    * weights 1 this reduces exactly to [[conductance]] (property-tested).
+    *
+    * Same shape as the unweighted pass: two endpoint-label joins + two
+    * community aggs + a 1-row total — nothing data-sized in one task.
+    * decimal(38,0) numerators so 10¹²-scale weights cannot wrap. A
+    * community owning ALL volume emits NULL (undefined, not 0). */
+  def conductanceWeighted(edges: DataFrame, assignment: DataFrame,
+                          weightCol: String): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(false)
+    val asg = assignment.select(col("node"), col("community"))
+    def lab(end: Column) = coalesce(col("community"), end)
+    val both = und
+      .join(asg.withColumnRenamed("node", "a"), Seq("a"), "left")
+      .select(col("a"), col("b"), col("w"), lab(col("a")).as("ca"))
+      .drop("community")
+      .join(asg.withColumnRenamed("node", "b"), Seq("b"), "left")
+      .select(col("a"), col("b"), col("w"), col("ca"), lab(col("b")).as("cb"))
+      .localCheckpoint(false)
+    val w2 = 2L * both.agg(coalesce(sum(col("w")), lit(0L)))
+      .collect().head.getLong(0)
+    require(w2 > 0, "conductanceWeighted needs positive total edge weight")
+    val vol = both.select(col("ca").as("c"), col("a").as("node"), col("w"))
+      .unionByName(both.select(col("cb").as("c"), col("b").as("node"), col("w")))
+      .groupBy(col("c"))
+      .agg(sum(col("w")).as("volume"), countDistinct(col("node")).as("n_nodes"))
+    val cut = both.filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("c"), col("w"))
+      .groupBy(col("c")).agg(sum(col("w")).as("cut_weight"))
+    vol.join(cut, Seq("c"), "left")
+      .select(col("c").as("community"), col("n_nodes"), col("volume"),
+        coalesce(col("cut_weight"), lit(0L)).as("cut_weight"))
+      .withColumn("conductance_ppm",
+        when(least(col("volume"), lit(w2) - col("volume")) === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            s"""cast((cast(cut_weight as decimal(38,0)) * 1000000) div
+               least(volume, $w2 - volume) as bigint)""")))
+  }
+
   /** Degree-assortativity moment sums (Newman 2002): the exact integer
     * components of the Pearson correlation between endpoint degrees over
     * the undirected edge set — (m, Σx, Σy, Σxy, Σx², Σy²) with each

@@ -41,13 +41,18 @@ import org.apache.spark.sql.functions._
   * the documented "bounded domain" window shape, not the data-sized
   * anti-pattern this object removes.
   *
-  * Skew: equal-width buckets inherit the KEY's distribution — a heavy
-  * single value or a far outlier concentrates rows in one bucket
-  * (correctness unaffected; that bucket's task just runs long). The
-  * call sites here order by hash-derived or near-uniform keys
-  * (md5-prefix doc hashes, WRR virtual positions, value censuses);
-  * pathologically clustered keys should be hashed or pre-binned by the
-  * caller, exactly like any range-partitioned sort.
+  * '''Skew''': equal-width buckets inherit the KEY's distribution — a
+  * heavy single value or a far outlier concentrates rows in one bucket
+  * (correctness unaffected; that bucket's task just runs long). When
+  * the key is NOT hash-derived/near-uniform, use
+  * [[withRunningAggsSkew]]: equal-COUNT buckets from an exact key
+  * census, with hot keys split across buckets by their tie-column
+  * ranges — still a pure function of the data, still exact.
+  *
+  * '''Groups''': `groupCols` scopes the whole machinery within each
+  * group — per-group ranks over data-sized groups without a per-group
+  * single-task window when one group dominates (the grouped analog of
+  * the global problem; bucketing uses per-GROUP exact min/max).
   *
   * Results are IDENTICAL to the single-partition window under a total
   * order, so swapping call sites onto this helper is hash-invariant
@@ -62,29 +67,122 @@ object GlobalOrder {
     * in `exclMaxes`. `keyCol` must cast to long (hash prefixes, epoch micros,
     * integer censuses — every graft order key does); `tieCols` must
     * complete a TOTAL order or ranks are nondeterministic. Input
-    * columns pass through untouched. */
+    * columns pass through untouched. With `groupCols`, every statistic
+    * is computed within each group (ranks restart per group), the
+    * bucketing derives from per-group exact (min, max), and no window
+    * in the plan is wider than one bucket of one group. */
   def withRunningAggs(df: DataFrame, keyCol: Column, tieCols: Seq[Column],
                       sums: Seq[(Column, String)] = Nil,
                       rankName: Option[String] = None,
-                      exclMaxes: Seq[(Column, String)] = Nil): DataFrame = {
+                      exclMaxes: Seq[(Column, String)] = Nil,
+                      groupCols: Seq[Column] = Nil): DataFrame = {
     require(sums.nonEmpty || rankName.nonEmpty || exclMaxes.nonEmpty,
       "nothing to compute")
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val keyed = df.withColumn("_go_key", keyCol.cast("long"))
-    val stats = keyed.agg(min(col("_go_key")).as("_go_min"),
-      max(col("_go_key")).as("_go_max"))
     // decimal(38,0) arithmetic: hash keys span the full ±2^63 range, so
     // max-min (and key-min) overflow a bare long subtraction
-    val bucketed = keyed.crossJoin(broadcast(stats))
-      .withColumn("_go_bkt",
-        when(col("_go_key").isNull, lit(-1L))
+    def bucketExpr = when(col("_go_key").isNull, lit(-1L))
+      .otherwise(expr(
+        s"""cast((cast(_go_key as decimal(38,0)) - cast(_go_min as decimal(38,0)))
+            div (((cast(_go_max as decimal(38,0)) - cast(_go_min as decimal(38,0)))
+            div $n) + 1) as bigint)"""))
+    if (groupCols.isEmpty) {
+      val stats = keyed.agg(min(col("_go_key")).as("_go_min"),
+        max(col("_go_key")).as("_go_max"))
+      val bucketed = keyed.crossJoin(broadcast(stats))
+        .withColumn("_go_bkt", bucketExpr)
+        .drop("_go_min", "_go_max")
+      core(bucketed, Nil, tieCols, sums, rankName, exclMaxes)
+    } else {
+      val gNames = groupCols.indices.map(i => s"_go_g$i")
+      val stamped = groupCols.zipWithIndex.foldLeft(keyed) {
+        case (d, (c, i)) => d.withColumn(s"_go_g$i", c)
+      }
+      // per-group exact (min, max); null-safe equality so null groups
+      // bucket like any other group instead of silently dropping
+      val stats = stamped.groupBy(gNames.map(col): _*)
+        .agg(min(col("_go_key")).as("_go_min"), max(col("_go_key")).as("_go_max"))
+        .select(gNames.map(g => col(g).as(s"_s$g")) ++
+          Seq(col("_go_min"), col("_go_max")): _*)
+      val cond = gNames.map(g => col(g) <=> col(s"_s$g")).reduce(_ && _)
+      val bucketed = stamped.join(stats, cond)
+        .withColumn("_go_bkt", bucketExpr)
+        .drop(gNames.map(g => s"_s$g") ++ Seq("_go_min", "_go_max"): _*)
+      core(bucketed, gNames, tieCols, sums, rankName, exclMaxes)
+        .drop(gNames: _*)
+    }
+  }
+
+  /** [[withRunningAggs]] for SKEWED order keys: equal-COUNT buckets
+    * from an exact per-key census instead of equal-width key slices.
+    * Each distinct key's cumulative start position (census prefix-sum —
+    * itself a [[withRunningAggs]] over the census, where a hot key is
+    * ONE row and the skew is gone) maps it to a base bucket, and a key
+    * hot enough to span multiple buckets is SPLIT across them by
+    * equal-width slices of `tieNumeric` over the key's own exact tie
+    * (min, max) — monotone in `(key, tieNumeric)`, a pure function of
+    * the data, so the result is byte-identical to the uniform path.
+    * The total order is `(keyCol, tieNumeric, moreTies...)`; rows of a
+    * hot key with a CONSTANT tie value cannot be split (they are
+    * order-indistinguishable at the bucketing level and stay in one
+    * task — give `tieNumeric` spread, e.g. a hash of the row id).
+    * Cost vs the uniform path: one extra distinct-key-sized census agg
+    * + its constant-sized prefix — the price of not serializing 90% of
+    * the data through one bucket's task when one key dominates. */
+  def withRunningAggsSkew(df: DataFrame, keyCol: Column, tieNumeric: Column,
+                          moreTies: Seq[Column] = Nil,
+                          sums: Seq[(Column, String)] = Nil,
+                          rankName: Option[String] = None,
+                          exclMaxes: Seq[(Column, String)] = Nil): DataFrame = {
+    require(sums.nonEmpty || rankName.nonEmpty || exclMaxes.nonEmpty,
+      "nothing to compute")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.withColumn("_go_key", keyCol.cast("long"))
+      .withColumn("_go_tie", tieNumeric.cast("long"))
+    val census = keyed.groupBy(col("_go_key").as("_go_k"))
+      .agg(count(lit(1)).as("_go_c"),
+        min(col("_go_tie")).as("_go_tmin"), max(col("_go_tie")).as("_go_tmax"))
+    // census prefix in key order: one row per distinct key, so the
+    // uniform equal-width bucketing is safe here by construction
+    val censusP = withRunningAggs(census, col("_go_k"), Nil,
+        sums = Seq((col("_go_c"), "_go_cume")))
+      .withColumn("_go_start", col("_go_cume") - col("_go_c"))
+    val total = census.agg(coalesce(sum(col("_go_c")), lit(0L)).as("_go_tot"))
+    val placed = censusP.crossJoin(broadcast(total))
+      .withColumn("_go_base", expr(
+        s"""cast((cast(_go_start as decimal(38,0)) * $n)
+            div cast(_go_tot as decimal(38,0)) as bigint)"""))
+      .withColumn("_go_spans", greatest(lit(1L), expr(
+        s"""cast((cast(_go_c as decimal(38,0)) * $n)
+            div cast(_go_tot as decimal(38,0)) as bigint)""")))
+      .select(col("_go_k"), col("_go_base"), col("_go_spans"),
+        col("_go_tmin"), col("_go_tmax"))
+    val bucketed = keyed.join(placed, col("_go_key") <=> col("_go_k"))
+      .withColumn("_go_sub",
+        when(col("_go_spans") <= 1L || col("_go_tie").isNull ||
+          col("_go_tmax") <= col("_go_tmin"), lit(0L))
           .otherwise(expr(
-            s"""cast((cast(_go_key as decimal(38,0)) - cast(_go_min as decimal(38,0)))
-                div (((cast(_go_max as decimal(38,0)) - cast(_go_min as decimal(38,0)))
-                div $n) + 1) as bigint)""")))
-      .drop("_go_min", "_go_max")
+            s"""cast((cast(_go_tie as decimal(38,0)) - cast(_go_tmin as decimal(38,0)))
+                div (((cast(_go_tmax as decimal(38,0)) - cast(_go_tmin as decimal(38,0)))
+                div _go_spans) + 1) as bigint)""")))
+      .withColumn("_go_bkt", col("_go_base") + col("_go_sub"))
+      .drop("_go_k", "_go_base", "_go_spans", "_go_tmin", "_go_tmax", "_go_sub")
+    core(bucketed, Nil, col("_go_tie").asc +: moreTies,
+      sums, rankName, exclMaxes).drop("_go_tie")
+  }
+
+  /** Shared two-pass machinery over a pre-bucketed frame: `_go_key` and
+    * `_go_bkt` are stamped, `_go_bkt` is monotone in the total order
+    * `(gNames..., _go_key, tieCols...)` within each group and bounded
+    * by a config constant per group. */
+  private def core(bucketed: DataFrame, gNames: Seq[String],
+                   tieCols: Seq[Column], sums: Seq[(Column, String)],
+                   rankName: Option[String],
+                   exclMaxes: Seq[(Column, String)]): DataFrame = {
+    val gCols = gNames.map(col)
     val order = col("_go_key").asc +: tieCols
-    val localW = Window.partitionBy(col("_go_bkt")).orderBy(order: _*)
+    val localW = Window.partitionBy(gCols :+ col("_go_bkt"): _*).orderBy(order: _*)
     val localFrame =
       localW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var local = bucketed
@@ -102,18 +200,20 @@ object GlobalOrder {
     exclMaxes.zipWithIndex.foreach { case ((v, _), i) =>
       local = local.withColumn(s"_go_m$i", max(v).over(exclFrame))
     }
-    // per-bucket totals: ≤ #buckets rows. The prefix window partitions
-    // by a non-foldable constant so the plan carries a partition spec
-    // (no partition-less WindowExec anywhere) while still —
-    // intentionally — running as one task over the config-constant-
-    // sized table.
-    val totals = bucketed.groupBy(col("_go_bkt")).agg(
+    // per-bucket totals: ≤ #buckets rows per group. The prefix window
+    // partitions by the group (or a non-foldable constant when
+    // ungrouped) so the plan carries a partition spec (no partition-less
+    // WindowExec anywhere) while still — intentionally — running each
+    // group's prefix as one task over a config-constant-sized slice.
+    val totals = bucketed.groupBy(gCols :+ col("_go_bkt"): _*).agg(
       count(lit(1)).as("_go_cnt"),
       (sums.zipWithIndex.map { case ((v, _), i) => sum(v).as(s"_go_t$i") } ++
         exclMaxes.zipWithIndex.map { case ((v, _), i) =>
           max(v).as(s"_go_mt$i") }): _*)
-    val prefixW = Window.partitionBy(pmod(col("_go_bkt"), lit(1)))
-      .orderBy(col("_go_bkt").asc)
+    val prefixBase =
+      if (gNames.isEmpty) Window.partitionBy(pmod(col("_go_bkt"), lit(1)))
+      else Window.partitionBy(gCols: _*)
+    val prefixW = prefixBase.orderBy(col("_go_bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     var offsets = totals
       .withColumn("_go_rk_off",
@@ -126,11 +226,24 @@ object GlobalOrder {
       offsets = offsets.withColumn(s"_go_moff$i",
         max(col(s"_go_mt$i")).over(prefixW))
     }
+    val offValueNames = "_go_rk_off" +:
+      (sums.indices.map(i => s"_go_off$i") ++
+        exclMaxes.indices.map(i => s"_go_moff$i"))
     val offSel = offsets.select(
-      col("_go_bkt") +: col("_go_rk_off") +:
-        (sums.indices.map(i => col(s"_go_off$i")) ++
-          exclMaxes.indices.map(i => col(s"_go_moff$i"))): _*)
-    var out = local.join(broadcast(offSel), Seq("_go_bkt"))
+      (gNames :+ "_go_bkt").map(col) ++ offValueNames.map(col): _*)
+    var out =
+      if (gNames.isEmpty) local.join(broadcast(offSel), Seq("_go_bkt"))
+      else {
+        // null-safe on the group keys (a null group is a real group);
+        // rename the offset side to avoid ambiguity, restore after
+        val renamed = ((gNames :+ "_go_bkt") ++ offValueNames)
+          .foldLeft(offSel)((d, c) => d.withColumnRenamed(c, s"_o$c"))
+        val cond = gNames.map(g => col(g) <=> col(s"_o$g")).reduce(_ && _) &&
+          col("_go_bkt") === col("_o_go_bkt")
+        val joined = local.join(renamed, cond)
+          .drop((gNames :+ "_go_bkt").map(g => s"_o$g"): _*)
+        offValueNames.foldLeft(joined)((d, c) => d.withColumnRenamed(s"_o$c", c))
+      }
     sums.zipWithIndex.foreach { case ((_, name), i) =>
       // null-safe combine matching the single-partition window: a null
       // LOCAL prefix (all-null values so far in this bucket) must fall

@@ -362,6 +362,19 @@ object AdvancedQueries {
     Centrality.conductance(edges, asg).orderBy(col("community"))
   }
 
+  /** Weighted per-community conductance of the octal tree's div-64
+    * blocks, edge weight = 1 + child mod 3 — pairs the weighted cut
+    * read with `graph_modularity_weighted`'s weighted cohesion read. */
+  def conductanceWeightedGate(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+    val edges = c.filter(col("k") >= 8L)
+      .select(expr("k div 8").as("src"), col("k").as("dst"),
+        (col("k") % 3 + 1).as("w"))
+    val asg = c.select(col("k").as("node"), expr("k div 64").as("community"))
+    Centrality.conductanceWeighted(edges, asg, "w").orderBy(col("community"))
+  }
+
   /** Exact global quantiles of line-item price cents — the data-sized
     * exact baseline for the quantile-histogram sketch, distributed via
     * GlobalOrder (no single-task sort). */
@@ -712,6 +725,7 @@ object AdvancedQueries {
     "graph_modularity" -> (graphModularity _),
     "graph_modularity_weighted" -> (modularityWeightedGate _),
     "graph_conductance" -> (graphConductance _),
+    "graph_conductance_weighted" -> (conductanceWeightedGate _),
     "graph_rich_club" -> (richClubGate _),
     "analytics_seasonal" -> (seasonalDecompose _),
     "analytics_mad_robust" -> (madRobust _),
@@ -1318,6 +1332,29 @@ object AdvancedQueries {
         |  CASE WHEN least(volume, mm.m2 - volume) = 0 THEN NULL
         |    ELSE CAST((coalesce(cut_edges, 0) * 1000000) //
         |      least(volume, mm.m2 - volume) AS BIGINT) END AS conductance_ppm
+        |FROM vol LEFT JOIN cut ON vol.c = cut.c, mm
+        |ORDER BY community""".stripMargin,
+    "graph_conductance_weighted" ->
+      """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |e0 AS (SELECT k // 8 AS src, k AS dst, k % 3 + 1 AS w
+        |  FROM k WHERE k >= 8),
+        |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |    sum(w) AS w
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |lab AS (SELECT a, b, w, a // 64 AS ca, b // 64 AS cb FROM und),
+        |mm AS (SELECT 2 * sum(w) AS w2 FROM und),
+        |vol AS (SELECT c, sum(w) AS volume, count(DISTINCT node) AS n_nodes
+        |  FROM (SELECT ca AS c, a AS node, w FROM lab
+        |        UNION ALL SELECT cb AS c, b AS node, w FROM lab) GROUP BY c),
+        |cut AS (SELECT c, sum(w) AS cut_weight FROM (
+        |  SELECT ca AS c, w FROM lab WHERE ca <> cb
+        |  UNION ALL SELECT cb AS c, w FROM lab WHERE ca <> cb) GROUP BY c)
+        |SELECT vol.c AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(volume AS BIGINT) AS volume,
+        |  CAST(coalesce(cut_weight, 0) AS BIGINT) AS cut_weight,
+        |  CASE WHEN least(volume, mm.w2 - volume) = 0 THEN NULL
+        |    ELSE CAST((coalesce(cut_weight, 0) * 1000000) //
+        |      least(volume, mm.w2 - volume) AS BIGINT) END AS conductance_ppm
         |FROM vol LEFT JOIN cut ON vol.c = cut.c, mm
         |ORDER BY community""".stripMargin,
     "graph_modularity" ->

@@ -95,6 +95,26 @@ object FunctionQueries {
       Seq("value_filled"))
   }
 
+  /** Per-group global rank + running sum where the groups are FEW and
+    * data-sized (5 order priorities over every order) — the degenerate
+    * case where a plain per-group window serializes 1/5th of the data
+    * through one task. Runs through the GROUPED
+    * [[graft.operators.GlobalOrder]] prefix-sum: per-group exact-min/max
+    * bucketing, every window in the plan no wider than one bucket of
+    * one group. Every 500th rank keeps the output bounded. */
+  def windowGroupRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("grp"),
+      col("o_orderkey").cast("long").as("okey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.operators.GlobalOrder.withRunningAggs(o,
+        col("cents"), Seq(col("okey").asc),
+        sums = Seq((col("cents"), "run_cents")), rankName = Some("rk"),
+        groupCols = Seq(col("grp")))
+      .filter(col("rk") % 500 === 0)
+      .orderBy(col("grp"), col("rk"))
+  }
+
   /** Super-aggregate breadth: ROLLUP over (lang, source) — per-slice,
     * per-lang, and grand-total rows in one pass. */
   def corpusRollup(spark: SparkSession, dir: String): DataFrame =
@@ -201,6 +221,7 @@ object FunctionQueries {
     "func_date_casts" -> (funcDateCasts _),
     "window_lag_lead" -> (windowLagLead _),
     "window_forward_fill" -> (windowForwardFill _),
+    "window_group_rank" -> (windowGroupRank _),
     "corpus_rollup" -> (corpusRollup _),
     "corpus_pivot" -> (corpusPivot _),
     "text_term_freq" -> (textTermFreq _),
@@ -285,6 +306,19 @@ object FunctionQueries {
         |  CAST(grouping(source) AS BIGINT) AS g_source
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin,
+    "window_group_rank" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |w AS (SELECT grp, okey, cents,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY cents, okey)
+        |      AS BIGINT) AS rk,
+        |    sum(cents) OVER (PARTITION BY grp ORDER BY cents, okey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |  FROM o)
+        |SELECT grp, okey, cents, CAST(run_cents AS BIGINT) AS run_cents, rk
+        |FROM w WHERE rk % 500 = 0 ORDER BY grp, rk""".stripMargin,
     "window_forward_fill" ->
       """WITH hours AS (
         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',

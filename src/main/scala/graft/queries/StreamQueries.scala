@@ -219,6 +219,26 @@ object StreamQueries {
     }
   }
 
+  /** Streaming windowed top-k run live: per 1-hour tumbling window, the
+    * 3 most frequent event types, emitted once on window close through
+    * [[Streaming.windowedTopK]]'s Misra–Gries-capped
+    * flatMapGroupsWithState (capacity 64 ≥ the event-type domain, so
+    * the counts are exact and the oracle is the batch window/rank). */
+  def streamWindowedTopK(spark: SparkSession, dir: String): DataFrame =
+    withFlushedEvents(spark, dir, "stream_windowed_topk_sink") { stream =>
+      val sp = stream.sparkSession
+      import sp.implicits._
+      val typed = stream.selectExpr(
+          "(unix_micros(ts) div 3600000000) * 3600000 as winStart",
+          "event_type as item", "ts as eventTime")
+        .as[Streaming.WinItem]
+      Streaming.windowedTopK(typed, windowMillis = 3600000L, k = 3,
+          capacity = 64)
+        .toDF()
+        .select(expr("timestamp_millis(winStart)").as("window_start"),
+          col("item").as("event_type"), col("n"), col("rnk"))
+    }
+
   def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame =
     withFlushedEvents(spark, dir, "stream_windowed_agg_sink") { stream =>
       Streaming.windowedEventCounts(stream, "ts", "1 hour", "2 hours")
@@ -918,6 +938,7 @@ object StreamQueries {
     "stream_hll_distinct" -> (streamHllDistinct _),
     "stream_static_left_join" -> (streamStaticLeftJoin _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
+    "stream_windowed_topk" -> (streamWindowedTopK _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
     "stream_stream_join" -> (streamStreamJoin _),
@@ -2154,6 +2175,16 @@ object StreamQueries {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_windowed_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY window_start
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT window_start, event_type, CAST(n AS BIGINT) AS n, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, ts FROM events""",
     "stream_stream_join" ->

@@ -243,6 +243,58 @@ object Streaming {
       }
   }
 
+  final case class WinItem(winStart: Long, item: String,
+                           eventTime: java.sql.Timestamp)
+  final case class WinTopK(winStart: Long, item: String, n: Long, rnk: Long)
+
+  /** Streaming windowed top-k: for each tumbling event-time window, the
+    * k most frequent items, emitted exactly once when the watermark
+    * closes the window (the "most-used role over the lookback window"
+    * read — cartography/intel/aws/cloudtrail_management_events.py:234-310
+    * serves it as a batch query over the ingested lookback; here it is
+    * a live stream with bounded state). Per-window state is a
+    * Misra–Gries summary capped at `capacity` counters — O(capacity)
+    * per open window regardless of stream volume, and EXACT whenever
+    * the window's distinct-item count stays ≤ capacity (the gate's
+    * event-type domain; at larger domains the summary degrades
+    * gracefully to the classic ε=1/capacity heavy-hitters guarantee
+    * instead of growing state). Rank breaks count ties on the item for
+    * a deterministic emission. `winStart` must be the window's epoch
+    * millis (floor(ts / window) * window, stamped upstream); the
+    * event-time timeout fires at winStart + windowMillis, so emission
+    * is watermark-driven, deterministic under replay slicing. */
+  def windowedTopK(events: Dataset[WinItem], windowMillis: Long, k: Int,
+                   capacity: Int): Dataset[WinTopK] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("eventTime", "0 seconds")
+      .groupByKey(_.winStart)
+      .flatMapGroupsWithState[Map[String, Long], WinTopK](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (win, it, state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (item, n) => (-n, item) }.take(k)
+              .zipWithIndex.map { case ((item, n), i) =>
+                WinTopK(win, item, n, i + 1L) }.iterator
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[String, Long])
+            it.foreach { e =>
+              if (m.contains(e.item) || m.size < capacity)
+                m = m.updated(e.item, m.getOrElse(e.item, 0L) + 1L)
+              else
+                // Misra–Gries decrement: uncounted arrival pays one
+                // credit from every counter; exhausted counters free
+                m = m.map { case (i2, c2) => (i2, c2 - 1L) }
+                  .filter(_._2 > 0L)
+            }
+            state.update(m)
+            state.setTimeoutTimestamp(win + windowMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class KeyedEvent(key: Long, eventType: String, eventTime: java.sql.Timestamp)
   final case class FirstSeen(key: Long, firstTsMillis: Long, nSeen: Long)
 

@@ -85,21 +85,25 @@ object Sampling {
     * each group — "keep the k best-weighted docs per source/language",
     * the stratified curation move (a global weighted top-k would let
     * one hot source crowd out the rest). Priorities are a pure function
-    * of (key, weight); the rank window is PARTITIONED by the group, so
-    * groups distribute and no single-task sort exists; zero/negative
-    * weights drop (zero selection probability). Output: input columns
-    * + `sample_rank` (1-based within group). */
+    * of (key, weight); ranking runs through the GROUPED
+    * [[graft.operators.GlobalOrder]] prefix-sum (bucketed within each
+    * group by the priority's exact per-group min/max), so groups
+    * distribute AND a single dominant group cannot degenerate to a
+    * one-task sort the way a plain per-group window would;
+    * zero/negative weights drop (zero selection probability). Output:
+    * input columns + `sample_rank` (1-based within group). */
   def weightedTopKPerGroup(df: DataFrame, keyCol: String,
                            groupCol: Column, weightCol: Column,
                            k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(col("_prio").asc, col(keyCol).asc)
-    df.withColumn("_u", md5_prefix64(col(keyCol).cast("string")) % 1000000L)
+    val prioritized = df
+      .withColumn("_u", md5_prefix64(col(keyCol).cast("string")) % 1000000L)
       .withColumn("_w", weightCol.cast("long"))
       .filter(col("_w") > 0L)
       .withColumn("_prio", expr("_u * 1000000 div _w"))
-      .withColumn("sample_rank", row_number().over(w).cast("long"))
+    graft.operators.GlobalOrder.withRunningAggs(prioritized,
+        col("_prio"), Seq(col(keyCol).asc),
+        rankName = Some("sample_rank"), groupCols = Seq(groupCol))
       .filter(col("sample_rank") <= k)
       .drop("_u", "_w", "_prio")
   }

@@ -48,4 +48,41 @@ object Bridge {
     if (eager) rdd.count()
     spark.internalCreateDataFrame(rdd, ds.schema)
   }
+
+  /** Reliable (checkpoint-dir-backed) variant of [[localCheckpointNoStats]]:
+    * same stats reset, same lazy semantics, but the materialized partitions
+    * are written to `SparkContext.checkpointDir` (HDFS/S3 on a cluster), so
+    * losing an executor mid-fixpoint re-reads the durable files instead of
+    * dying on "lineage truncated and cannot be recomputed". Persisted
+    * MEMORY_AND_DISK first per the RDD.checkpoint contract (otherwise the
+    * checkpoint write recomputes the whole plan a second time). */
+  def reliableCheckpointNoStats(df: org.apache.spark.sql.DataFrame,
+                                eager: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.checkpoint()
+    if (eager) rdd.count()
+    spark.internalCreateDataFrame(rdd, ds.schema)
+  }
+
+  /** Plan-only cut: rebuilds the frame as a `LogicalRDD` leaf (small SQL
+    * plan, stats reset to the default prior — the compounding-BigInt stat
+    * bomb is defused) WITHOUT truncating RDD lineage. The RDD chain stays
+    * recomputable back to the last durable checkpoint, which is what the
+    * intermediate rounds of an interval-checkpointed fixpoint need: cut the
+    * plan every round, pay the durable write every Nth. Persisted so the
+    * round's multiple consumers don't recompute it. */
+  def planCutNoStats(df: org.apache.spark.sql.DataFrame,
+                     eager: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (eager) rdd.count()
+    spark.internalCreateDataFrame(rdd, ds.schema)
+  }
 }

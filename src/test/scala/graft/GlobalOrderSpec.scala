@@ -160,4 +160,115 @@ class GlobalOrderSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("grouped mode equals per-group windows (ranks, sums, excl maxes)") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 40)
+      // group sizes wildly uneven; one group carries 70% of the rows
+      val rows = (1 to 600).map { i =>
+        val g = if (i <= 420) "hot" else s"g${rnd.nextInt(6)}"
+        (g, rnd.nextInt(30).toLong, i.toLong, (rnd.nextInt(40) - 10).toLong)
+      }
+      val df = rows.toDF("g", "k", "id", "x")
+      val w = Window.partitionBy(col("g")).orderBy(col("k").asc, col("id").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val we = w.rowsBetween(Window.unboundedPreceding, -1)
+      val want = df
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cx", sum(col("x")).over(wf))
+        .withColumn("mx", max(col("x")).over(we))
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+          r.getLong(5), if (r.isNullAt(6)) -999L else r.getLong(6))).toSet
+      val got = GlobalOrder.withRunningAggs(df, col("k"), Seq(col("id").asc),
+          sums = Seq((col("x"), "cx")), rankName = Some("r"),
+          exclMaxes = Seq((col("x"), "mx")), groupCols = Seq(col("g")))
+        .collect().map(r => (r.getString(0), r.getLong(2),
+          r.getAs[Long]("r"), r.getAs[Long]("cx"),
+          if (r.isNullAt(r.fieldIndex("mx"))) -999L else r.getAs[Long]("mx")))
+        .toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("grouped mode: a null group is a real group, not dropped") {
+    val rows = Seq((Some("a"), 1L), (Some("a"), 2L), (None, 3L), (None, 4L),
+      (Some("b"), 5L))
+    val df = rows.map { case (g, v) => (g.orNull, v) }.toDF("g", "v")
+    val got = GlobalOrder.withRunningAggs(df, col("v"), Nil,
+        rankName = Some("r"), groupCols = Seq(col("g")))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getAs[Long]("r")))
+      .toSet
+    assert(got == Set((Some("a"), 1L, 1L), (Some("a"), 2L, 2L),
+      (None, 3L, 1L), (None, 4L, 2L), (Some("b"), 5L, 1L)))
+  }
+
+  test("skew mode equals the uniform path and the window on 90%-one-key data") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 50)
+      val rows = (1 to 1000).map { i =>
+        (if (i <= 900) 7L else 1000L + rnd.nextInt(200),
+          i.toLong, rnd.nextInt(25).toLong)
+      }
+      val df = rows.toDF("k", "id", "x")
+      val w = Window.orderBy(col("k").asc, col("id").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cx", sum(col("x")).over(wf))
+        .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      val gotDf = GlobalOrder.withRunningAggsSkew(df, col("k"), col("id"),
+        sums = Seq((col("x"), "cx")), rankName = Some("r"))
+      val got = gotDf.collect()
+        .map(r => (r.getLong(1), r.getAs[Long]("r"), r.getAs[Long]("cx"))).toSet
+      assert(got == want, s"seed $seed")
+      assert(partitionlessWindows(gotDf).isEmpty)
+    }
+  }
+
+  test("skew mode: constant tie within the hot key, null keys, empty input") {
+    // hot key with a CONSTANT tie cannot be split — must stay correct
+    val rows = (1 to 300).map(i => (if (i <= 250) 5L else i.toLong, 1L, i.toLong))
+    val df = rows.toDF("k", "tie", "id")
+    val want = df.withColumn("r", row_number().over(
+        Window.orderBy(col("k").asc, col("tie").asc, col("id").asc)).cast("long"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    val got = GlobalOrder.withRunningAggsSkew(df, col("k"), col("tie"),
+        moreTies = Seq(col("id").asc), rankName = Some("r"))
+      .collect().map(r => (r.getLong(2), r.getAs[Long]("r"))).toSet
+    assert(got == want)
+    // null keys sort first, exactly like the uniform path
+    val withNull = Seq((Option.empty[Long], 1L), (Some(3L), 2L), (Some(1L), 3L))
+      .map { case (k, id) => (k.map(java.lang.Long.valueOf).orNull, id) }
+      .toDF("k", "id")
+    val gotN = GlobalOrder.withRunningAggsSkew(withNull, col("k"), col("id"),
+        rankName = Some("r"))
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("r"))).toMap
+    // (id → rank): null key first, then k=1 (id 3), then k=3 (id 2)
+    assert(gotN == Map(1L -> 1L, 3L -> 2L, 2L -> 3L))
+    val empty = Seq.empty[(Long, Long)].toDF("k", "id")
+    assert(GlobalOrder.withRunningAggsSkew(empty, col("k"), col("id"),
+      rankName = Some("r")).count() == 0)
+  }
+
+  test("skew mode spreads a hot key across multiple buckets") {
+    // the observable: the local pass shuffles by _go_bkt, so with AQE
+    // coalescing OFF (it would merge this tiny test shuffle into one
+    // partition and hide the spread) no task may see a hot-key-sized
+    // share of the rows. Measured at the RDD level —
+    // groupBy(spark_partition_id()) is NOT a valid probe: the pid is
+    // nondeterministic, so Catalyst evaluates it after the
+    // aggregation's own shuffle and reports the agg stage's layout.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rows = (1 to 2000).map(i => (if (i <= 1800) 7L else i.toLong, i.toLong))
+      val df = rows.toDF("k", "id")
+      val out = GlobalOrder.withRunningAggsSkew(df, col("k"), col("id"),
+        rankName = Some("r"))
+      val sizes = out.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+        .collect().map(_._2).filter(_ > 0)
+      assert(sizes.max <= 1200, s"hot bucket still dominates: ${sizes.toSeq}")
+      assert(sizes.length > 1, "all rows still land in one task")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft.lineage.mode` strategy switch must be output-invisible:
+  * a fixpoint produces byte-identical results under `local` (default,
+  * localCheckpoint), `reliable` (durable checkpoint-dir files), and
+  * `reliable` with an interval (plan-only cuts between durable writes).
+  * Reliable mode must actually WRITE to the checkpoint dir — that is
+  * the executor-loss-recovery evidence. */
+class LineageModeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "7")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // Chain + ring + isolated pairs: needs several pointer-jump rounds so
+  // multiple cut() calls happen under each mode.
+  private def edges = (1L to 40L).map(i => (i, i + 1)).toDF("a", "b")
+    .union(Seq((50L, 51L), (51L, 52L), (52L, 50L), (60L, 61L)).toDF("a", "b"))
+
+  private def components(): Set[(Long, Long)] =
+    graph.Fixpoint.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def withMode[A](mode: String, every: Option[Int] = None)(body: => A): A = {
+    spark.conf.set("graft.lineage.mode", mode)
+    every.foreach(n => spark.conf.set("graft.lineage.reliableEvery", n.toString))
+    try body
+    finally {
+      spark.conf.set("graft.lineage.mode", "local")
+      spark.conf.unset("graft.lineage.reliableEvery")
+    }
+  }
+
+  private lazy val ckptDir: java.io.File = {
+    val dir = Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    dir
+  }
+
+  test("reliable mode matches local mode and writes durable checkpoint files") {
+    val want = components() // default local mode
+    val dir = ckptDir
+    val got = withMode("reliable") { components() }
+    assert(got == want)
+    // the durable evidence: RDD checkpoint files landed under the dir
+    def filesUnder(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(filesUnder).sum else 1
+    assert(filesUnder(dir) > 0, "reliable mode must write checkpoint files")
+  }
+
+  test("reliable interval mode (plan-only cuts between durable writes) matches") {
+    ckptDir
+    val want = components()
+    val got = withMode("reliable", every = Some(3)) { components() }
+    assert(got == want)
+  }
+
+  test("plan-only cut keeps the SQL plan a leaf but preserves recomputability") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val df = spark.range(100).toDF("id").withColumn("v", col("id") * 2)
+    val cut = Bridge.planCutNoStats(df)
+    // SQL plan is a leaf (LogicalRDD) — the stat bomb is defused
+    assert(cut.queryExecution.optimizedPlan.children.isEmpty)
+    // and unlike localCheckpoint, the RDD lineage is still recomputable:
+    // unpersist the backing RDD and the action must succeed by recompute
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    assert(cut.agg(sum("v")).collect().head.getLong(0) == 9900L)
+  }
+
+  test("unknown mode fails fast") {
+    import Lineage.CutOps
+    val df = spark.range(10).toDF("id")
+    withMode("bogus") {
+      intercept[IllegalArgumentException] { df.cut }
+    }
+  }
+}

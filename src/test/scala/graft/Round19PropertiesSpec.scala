@@ -1,0 +1,61 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10-session property batch: weighted conductance degenerates to
+  * the unweighted pass at weight 1 (the same law the weighted/unweighted
+  * modularity pair obeys). */
+class Round19PropertiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("conductanceWeighted with unit weights equals conductance") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 400)
+      // canonical a < b, distinct: equivalence holds on simple graphs
+      // (the weighted variant sums parallel rows, the unweighted dedups)
+      val edges = (1 to 60).map(_ =>
+        (1L + rnd.nextInt(20), 1L + rnd.nextInt(20)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val e = edges.toDF("src", "dst")
+      val asg = (1L to 20L).map(n => (n, n % 4)).toDF("node", "community")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4))
+      val un = graft.graph.Centrality.conductance(e, asg)
+        .collect().map(key).toSet
+      val wt = graft.graph.Centrality.conductanceWeighted(
+        e.withColumn("w", lit(1L)), asg, "w").collect().map(key).toSet
+      assert(un == wt, s"seed $seed")
+    }
+  }
+
+  test("conductanceWeighted hand case: bridged triangles, weighted bridge") {
+    // triangles {1,2,3} and {4,5,6}, intra weight 2 each edge, bridge 3-4
+    // weight 5. vol(A) = 2*2*3 + 5 = 17, W2 = 2*(6*2+5) = 34, complement
+    // vol = 17 -> min = 17; cut(A) = 5 -> phi = 5_000_000/17 = 294117 ppm
+    val e = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 1L, 2L),
+      (4L, 5L, 2L), (5L, 6L, 2L), (6L, 4L, 2L), (3L, 4L, 5L))
+      .toDF("src", "dst", "w")
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("node", "community")
+    val rows = graft.graph.Centrality.conductanceWeighted(e, asg, "w")
+      .orderBy("community").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    for (r <- rows) {
+      assert(r.getLong(1) == 3L)   // n_nodes
+      assert(r.getLong(2) == 17L)  // volume
+      assert(r.getLong(3) == 5L)   // cut_weight
+      assert(r.getLong(4) == 294117L)
+    }
+  }
+}

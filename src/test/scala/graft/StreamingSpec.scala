@@ -71,6 +71,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedTopK emits exact per-window top-k on close, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    def win(s: String) = ts(s).getTime / 3600000L * 3600000L
+    val source = MemoryStream[Streaming.WinItem]
+    val out = Streaming.windowedTopK(source.toDS(), windowMillis = 3600000L,
+      k = 2, capacity = 16)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("topk_test").start()
+    try {
+      source.addData(
+        Streaming.WinItem(win("2024-01-01 10:00:00"), "a", ts("2024-01-01 10:01:00")),
+        Streaming.WinItem(win("2024-01-01 10:00:00"), "a", ts("2024-01-01 10:02:00")),
+        Streaming.WinItem(win("2024-01-01 10:00:00"), "b", ts("2024-01-01 10:03:00")),
+        Streaming.WinItem(win("2024-01-01 10:00:00"), "b", ts("2024-01-01 10:04:00")),
+        Streaming.WinItem(win("2024-01-01 10:00:00"), "c", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("topk_test").count() == 0) // window still open
+      // watermark past 11:00 closes the 10:00 window
+      source.addData(Streaming.WinItem(
+        win("2024-01-01 12:00:00"), "z", ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("topk_test").as[Streaming.WinTopK].collect()
+        .map(t => (t.item, t.n, t.rnk)).toSet
+      // k=2 of {a:2, b:2, c:1}: count ties break on item asc
+      assert(got == Set(("a", 2L, 1L), ("b", 2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("windowedTopK over capacity degrades to Misra-Gries, still finds the heavy item") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    def win(s: String) = ts(s).getTime / 3600000L * 3600000L
+    val source = MemoryStream[Streaming.WinItem]
+    // capacity 2 over 5 distinct items, one majority item: the summary
+    // must keep the majority item (frequency > n/capacity guarantee)
+    val out = Streaming.windowedTopK(source.toDS(), windowMillis = 3600000L,
+      k = 1, capacity = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("topk_mg_test").start()
+    try {
+      val w = win("2024-01-01 10:00:00")
+      val items = Seq.fill(12)("hot") ++ Seq("x", "y", "z", "u")
+      source.addData(items.zipWithIndex.map { case (it, i) =>
+        Streaming.WinItem(w, it, new Timestamp(w + 60000L * (i + 1))) }: _*)
+      q.processAllAvailable()
+      source.addData(Streaming.WinItem(
+        win("2024-01-01 12:00:00"), "zz", ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("topk_mg_test").as[Streaming.WinTopK].collect()
+      assert(got.length == 1 && got.head.item == "hot" && got.head.rnk == 1L)
+    } finally q.stop()
+  }
+
   test("patternDetect matches purchases to the earliest in-window click across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.{PatternEvent, PatternMatch}
