@@ -61,6 +61,32 @@ object Lineage {
     def cut: DataFrame = Lineage.checkpoint(df, eager = false)
     /** Eager variant — drop-in for `.localCheckpoint()` / `(true)`. */
     def cutEager: DataFrame = Lineage.checkpoint(df, eager = true)
+    /** Mode-aware drop-in for a plain `.localCheckpoint(false)` that
+      * KEEPS the stats-inheritance semantics (loop-init frames,
+      * single-shot mid-pipeline pins — the sites where one bounded
+      * inheritance is fine and the stat-reset of [[cut]] is not
+      * wanted). In `reliable` mode this routes to `Dataset.checkpoint`
+      * so the pinned partitions live in the durable checkpoint dir:
+      * on a cluster ANY locally-checkpointed frame defeats stage-retry
+      * recovery (a lost partition cannot be recomputed), so the
+      * executor-loss story requires loop-STATIC inputs — not just the
+      * per-round frontier — to go durable with the same config switch. */
+    def pin: DataFrame = Lineage.pinned(df, eager = false)
+    /** Eager variant — drop-in for `.localCheckpoint()` / `(true)`. */
+    def pinEager: DataFrame = Lineage.pinned(df, eager = true)
+  }
+
+  def pinned(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("graft.lineage.mode", "local") match {
+      case "local" => df.localCheckpoint(eager)
+      case "reliable" =>
+        ensureCheckpointDir(spark)
+        df.checkpoint(eager)
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft.lineage.mode must be 'local' or 'reliable', got '$other'")
+    }
   }
 
   def checkpoint(df: DataFrame, eager: Boolean): DataFrame = {

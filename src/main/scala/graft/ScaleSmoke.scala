@@ -1065,6 +1065,29 @@ object ScaleSmoke {
         operators.GlobalOrder.withRunningAggsSkew(skewed, col("k"), col("id"),
           sums = Seq((col("cents"), "rc")), rankName = Some("rk")).count()
       }
+      // Reliable-checkpoint overhead curve: the same CC fixpoint under
+      // local (zero fault tolerance), reliable-every-round, and
+      // reliable-every-5 (bounded recovery, amortized durable writes) —
+      // the cost the cluster story pays for surviving executor loss.
+      val pairs = multiply(Tables.customer(spark, sfDir), "c_custkey", m)
+        .select(col("c_custkey").cast("long").as("k"))
+        .filter(col("k") >= 8L)
+        .select(expr("k div 8").as("a"), col("k").as("b"))
+      def ccUnder(mode: String, every: Option[Int]): Long = {
+        if (mode == "reliable" && spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft-smoke-ckpt").toString)
+        spark.conf.set("graft.lineage.mode", mode)
+        every.foreach(n => spark.conf.set("graft.lineage.reliableEvery", n.toString))
+        try graph.Fixpoint.connectedComponents(pairs).count()
+        finally {
+          spark.conf.set("graft.lineage.mode", "local")
+          spark.conf.unset("graft.lineage.reliableEvery")
+        }
+      }
+      time("cc_ckpt_local", m) { ccUnder("local", None) }
+      time("cc_ckpt_reliable", m) { ccUnder("reliable", None) }
+      time("cc_ckpt_reliable_e5", m) { ccUnder("reliable", Some(5)) }
     }
     if (ran == 0)
       System.err.println(

@@ -33,12 +33,12 @@ object Centrality {
     * Output: (node, rank_x1e6). */
   def pagerank(edges: DataFrame, iterations: Int,
                redistributeDangling: Boolean = false): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val e = edges.select(col("src"), col("dst")).distinct().pin
     val seeded = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .select(col("node"), lit(1000000L).as("r0"), lit(150000L).as("tel"))
-      .localCheckpoint(false)
+      .pin
     dampedRank(e, seeded, iterations, redistributeDangling)
   }
 
@@ -58,7 +58,7 @@ object Centrality {
       if (!redistributeDangling) null
       else seeded.select(col("node"))
         .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-        .localCheckpoint(false)
+        .pin
     val nNodes =
       if (!redistributeDangling) null
       else seeded.agg(count(lit(1)).as("nn"))
@@ -96,7 +96,7 @@ object Centrality {
     * exactly 0 (never the uniform floor). */
   def pagerankPersonalized(edges: DataFrame, seeds: DataFrame,
                            iterations: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val e = edges.select(col("src"), col("dst")).distinct().pin
     // node universe = edge endpoints ∪ seeds: a seed with no incident
     // edges still ranks at its teleport floor instead of vanishing
     val seeded = e.select(col("src").as("node"))
@@ -108,7 +108,7 @@ object Centrality {
       .select(col("node"),
         (coalesce(col("_s"), lit(0L)) * 1000000L).as("r0"),
         (coalesce(col("_s"), lit(0L)) * 150000L).as("tel"))
-      .localCheckpoint(false)
+      .pin
     dampedRank(e, seeded, iterations)
   }
 
@@ -128,10 +128,10 @@ object Centrality {
   def pagerankWeighted(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .localCheckpoint(false)
+      .pin
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
+      .pin
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     var r = nodes.withColumn("r", lit(1000000L))
     (1 to iterations).foreach { _ =>
@@ -181,14 +181,14 @@ object Centrality {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+      .filter(col("a") =!= col("b")).distinct().pin
     val asg = assignment.select(col("node"), col("community"))
     def lab(end: Column) = coalesce(col("community"), end)
     val aLab = und.join(asg.withColumnRenamed("node", "a"), Seq("a"), "left")
       .select(col("a"), col("b"), lab(col("a")).as("ca")).drop("community")
     val both = aLab.join(asg.withColumnRenamed("node", "b"), Seq("b"), "left")
       .select(col("ca"), lab(col("b")).as("cb"))
-      .localCheckpoint(false)
+      .pin
     val m = both.count()
     require(m > 0, "modularity needs at least one non-loop edge")
     val intra = both.filter(col("ca") === col("cb"))
@@ -221,11 +221,11 @@ object Centrality {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+      .filter(col("a") =!= col("b")).distinct().pin
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+      .pin
     val kArr = array(ks.map(lit): _*)
     val nodesPerK = deg
       .select(explode(filter(kArr, k => col("deg") > k)).as("k"))
@@ -267,7 +267,7 @@ object Centrality {
         col(weightCol).cast("long").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-      .localCheckpoint(false)
+      .pin
     val asg = assignment.select(col("node"), col("community"))
     def lab(end: Column) = coalesce(col("community"), end)
     val both = und.join(asg.withColumnRenamed("node", "a"), Seq("a"), "left")
@@ -275,7 +275,7 @@ object Centrality {
       .drop("community")
       .join(asg.withColumnRenamed("node", "b"), Seq("b"), "left")
       .select(col("w"), col("ca"), lab(col("b")).as("cb"))
-      .localCheckpoint(false)
+      .pin
     val wTot = both.agg(coalesce(sum(col("w")), lit(0L))).collect().head.getLong(0)
     require(wTot > 0, "modularityWeighted needs positive total edge weight")
     val intra = both.filter(col("ca") === col("cb"))
@@ -311,7 +311,7 @@ object Centrality {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+      .filter(col("a") =!= col("b")).distinct().pin
     val asg = assignment.select(col("node"), col("community"))
     def lab(end: Column) = coalesce(col("community"), end)
     val both = und
@@ -319,7 +319,7 @@ object Centrality {
       .select(col("a"), col("b"), lab(col("a")).as("ca")).drop("community")
       .join(asg.withColumnRenamed("node", "b"), Seq("b"), "left")
       .select(col("a"), col("b"), col("ca"), lab(col("b")).as("cb"))
-      .localCheckpoint(false)
+      .pin
     val m2 = both.count() * 2
     val vol = both.select(col("ca").as("c"), col("a").as("node"))
       .unionByName(both.select(col("cb").as("c"), col("b").as("node")))
@@ -360,7 +360,7 @@ object Centrality {
         col(weightCol).cast("long").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-      .localCheckpoint(false)
+      .pin
     val asg = assignment.select(col("node"), col("community"))
     def lab(end: Column) = coalesce(col("community"), end)
     val both = und
@@ -369,7 +369,7 @@ object Centrality {
       .drop("community")
       .join(asg.withColumnRenamed("node", "b"), Seq("b"), "left")
       .select(col("a"), col("b"), col("w"), col("ca"), lab(col("b")).as("cb"))
-      .localCheckpoint(false)
+      .pin
     val w2 = 2L * both.agg(coalesce(sum(col("w")), lit(0L)))
       .collect().head.getLong(0)
     require(w2 > 0, "conductanceWeighted needs positive total edge weight")
@@ -408,7 +408,7 @@ object Centrality {
       .filter(col("a") =!= col("b")).distinct()
     val sym = und0.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und0.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(false)
+      .pin
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     def dec(c: Column) = c.cast("decimal(38,0)")
     sym
@@ -504,7 +504,7 @@ object Centrality {
     * everything shuffles on uniform composite keys, nothing is
     * broadcast-sized by assumption. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val o = orientByDegree(edges).localCheckpoint(false)
+    val o = orientByDegree(edges).pin
     val tris = o.as("e1")
       .join(o.as("e2"), col("e1.v") === col("e2.u"))
       .join(o.as("e3"),
@@ -537,7 +537,7 @@ object Centrality {
     * volume is Σ deg⁺² per closure level — the O(E^1.5)-flavored bound,
     * not Σ deg². Output one row: (n_k4). */
   def cliqueCensusK4(edges: DataFrame): DataFrame = {
-    val o = orientByDegree(edges).localCheckpoint(false)
+    val o = orientByDegree(edges).pin
     val tris = o.as("e1")
       .join(o.as("e2"), col("e1.v") === col("e2.u"))
       .join(o.as("e3"),
@@ -567,7 +567,7 @@ object Centrality {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(false)
+      .pin
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     triangleCount(und.select(col("a").as("src"), col("b").as("dst")))
@@ -599,9 +599,9 @@ object Centrality {
   def kCore(edges: DataFrame, k: Long, maxRounds: Int = 30): DataFrame = {
     require(k >= 1L, "k must be positive")
     val p = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).localCheckpoint(false)
+      .filter(col("src") =!= col("dst")).pin
     var und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     var n = und.count()
     def peel(cur: DataFrame): DataFrame = {
       val survivors = cur.groupBy(col("src").as("node"))
@@ -674,10 +674,10 @@ object Centrality {
       s"unnormalized integer HITS needs 1..5 rounds (scores grow geometrically); got $rounds")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     // Accumulate in decimal(38,0): a graph past the ~2000-max-degree
     // bound then fails loudly (decimal overflow / final ANSI cast)
     // instead of silently wrapping Long into garbage scores.
@@ -723,7 +723,7 @@ object Centrality {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -768,13 +768,13 @@ object Centrality {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    supportOn(und.localCheckpoint(false))
+    supportOn(und.pin)
   }
 
   /** Support over an already-canonical (a < b, distinct) edge set. */
   private def supportOn(und: DataFrame): DataFrame = {
     val o = orientByDegree(und.select(col("a").as("src"), col("b").as("dst")))
-      .localCheckpoint(false)
+      .pin
     val tris = o.as("e1")
       .join(o.as("e2"), col("e1.v") === col("e2.u"))
       .join(o.as("e3"),
@@ -819,11 +819,11 @@ object Centrality {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(false)
+      .pin
     var out: DataFrame = null
     for (_ <- 1 to rounds) {
       out = supportOn(cur).filter(col("support") >= lit(k.toLong - 2L))
-        .localCheckpoint(false)
+        .pin
       cur = out.select(col("a"), col("b"))
     }
     out
@@ -888,8 +888,8 @@ object Centrality {
     val p = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     var cur = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
-    var live = cur.select(col("src").as("node")).distinct().localCheckpoint(false)
+      .distinct().pin
+    var live = cur.select(col("src").as("node")).distinct().pin
     val spark = cur.sparkSession
     var out = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -907,12 +907,12 @@ object Centrality {
         val deg = cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         val removed = live.join(deg, Seq("node"), "left")
           .filter(coalesce(col("deg"), lit(0L)) < k)
-          .select(col("node")).localCheckpoint(false)
+          .select(col("node")).pin
         if (removed.isEmpty) { cascading = false }
         else {
           out = out.unionByName(
             removed.select(col("node"), lit(k - 1).as("coreness")))
-            .localCheckpoint(false)
+            .pin
           live = live.join(removed, Seq("node"), "left_anti").cut
           cur = cur
             .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -952,9 +952,9 @@ object Centrality {
     val p = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     var h = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("h"))
-      .localCheckpoint(false)
+      .pin
     var round = 0
     var converged = false
     while (!converged) {
@@ -969,7 +969,7 @@ object Centrality {
         .select(col("node"), expr(
           "size(filter(transform(_hs, (x, i) -> x >= i + 1), b -> b))")
           .cast("long").as("h"))
-        .localCheckpoint(false)
+        .pin
       converged = next
         .join(h.select(col("node"), col("h").as("_prev")), Seq("node"))
         .filter(col("h") =!= col("_prev")).isEmpty
@@ -1002,7 +1002,7 @@ object Centrality {
     require(nRegisters >= 4 && nRegisters <= 64, "need 4 <= nRegisters <= 64")
     import graft.functions.HashFunctions.md5_prefix64
     val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+      .filter(col("src") =!= col("dst")).distinct().pin
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var sk = nodes
@@ -1011,7 +1011,7 @@ object Centrality {
         concat(col("i").cast("string"), lit(":"), col("node").cast("string"))))
       .select(col("node"), col("i"),
         length(bin(col("_h").bitwiseAND(-col("_h")))).cast("long").as("r"))
-      .localCheckpoint(false)
+      .pin
     def sumRow(t: Int, s: DataFrame): DataFrame =
       s.agg(sum(col("r")).as("sum_registers"))
         .select(lit(t.toLong).as("t"), col("sum_registers"))
@@ -1047,10 +1047,10 @@ object Centrality {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     var nodes = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     var cur = und
     var v = nodes.count()
     var e = cur.count()
@@ -1068,11 +1068,11 @@ object Centrality {
       val keep = nodes.join(deg, Seq("node"), "left")
         .filter(coalesce(col("deg"), lit(0L)).cast("decimal(38,0)") * lit(v) >
           lit(4L).cast("decimal(38,0)") * lit(e))
-        .select(col("node")).localCheckpoint(false)
+        .select(col("node")).pin
       cur = cur
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")).localCheckpoint(false)
+        .select(col("a"), col("b")).pin
       nodes = keep
       v = nodes.count()
       e = cur.count()
@@ -1101,13 +1101,13 @@ object Centrality {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val seed = sym.agg(min(col("src")).as("node"))
     val d1 = Fixpoint.bfsDistances(sym, seed, maxDepth)
     val far = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
-      .localCheckpoint(false)
+      .pin
     val d2 = Fixpoint.bfsDistances(sym, far.select(col("node")), maxDepth)
     far.select(col("node").as("far_node"), col("dist").as("ecc_seed"))
       .crossJoin(broadcast(d2.agg(max(col("dist")).as("diameter_lb"))))

@@ -23,7 +23,7 @@ object Fixpoint {
     // lazy checkpoints: the count() right after is the materializing action,
     // so each round runs ONE job instead of checkpoint-job + count-job
     var paths = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(false)
+      .pin
     var n = paths.count()
     var round = 0
     var grown = true
@@ -76,11 +76,11 @@ object Fixpoint {
     // the lazy checkpoint's toRdd pays planning + codegen for both copies
     // on the driver — measured 3.4s of pure driver time on the minhash
     // pipeline before this split
-    val p = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    val p = pairs.select(col("a"), col("b")).pin
     val edges = p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(false)
+      .pin
     edges.count() // materialize once; reused every round
     // init fuses the first min-propagation: label = min(self, neighbors) —
     // one round fewer than starting from label = self (every node appears
@@ -88,7 +88,7 @@ object Fixpoint {
     var labels = edges.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("_nbr"))
       .select(col("node"), least(col("node"), col("_nbr")).as("component"))
-      .localCheckpoint(false)
+      .pin
     // labels only ever DECREASE, so the label sum strictly decreases
     // until convergence — a single decimal aggregate replaces a
     // join-and-count change detector (decimal: a 10^12-node graph's id
@@ -162,7 +162,7 @@ object Fixpoint {
     val e = edges.select(col("src"), col("dst"))
     var visited = seeds.select(col("node").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
-      .localCheckpoint(false)
+      .pin
     visited.count() // materialize the checkpoint before reuse
     var frontier = visited.select(col("seed"), col("node"))
     var d = 1L
@@ -199,9 +199,9 @@ object Fixpoint {
     * silently miss longer negative-cost paths). Throws on
     * non-convergence after a confirmation round. */
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 30): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(false)
+    val e = edges.select(col("src"), col("dst"), col("w")).pin
     var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(false)
+      .withColumn("dist", lit(0L)).pin
     var frontier = dist
     // frontier-based relaxation (the SPFA/delta-stepping shape): only
     // edges leaving nodes IMPROVED last round are re-examined, so total
@@ -284,9 +284,9 @@ object Fixpoint {
     * (node, width). */
   def widestPath(edges: DataFrame, seeds: DataFrame, sourceWidth: Long,
                  maxRounds: Int = 30): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("cap")).localCheckpoint(false)
+    val e = edges.select(col("src"), col("dst"), col("cap")).pin
     var width = seeds.select(col("node")).distinct()
-      .withColumn("width", lit(sourceWidth)).localCheckpoint(false)
+      .withColumn("width", lit(sourceWidth)).pin
     var frontier = width
     def improvements(front: DataFrame): DataFrame =
       e.join(front.select(col("node").as("src"), col("width").as("_w")), Seq("src"))
@@ -335,10 +335,10 @@ object Fixpoint {
   def regularPathQuery(edges: DataFrame, nfa: DataFrame, starts: DataFrame,
                        maxRounds: Int = 30): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("label"))
-      .localCheckpoint(false)
+      .pin
     val t = broadcast(nfa.select(col("s_from"), col("label"), col("s_to")))
     var visited = starts.select(col("node")).distinct()
-      .withColumn("state", lit(0L)).localCheckpoint(false)
+      .withColumn("state", lit(0L)).pin
     visited.count()
     var frontier = visited
     var round = 0
@@ -380,9 +380,9 @@ object Fixpoint {
     * shape (and convergence budget-throw) this reuses. */
   def temporalReach(edges: DataFrame, seeds: DataFrame,
                     maxRounds: Int = 30): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("t")).localCheckpoint(false)
+    val e = edges.select(col("src"), col("dst"), col("t")).pin
     var arr = seeds.select(col("node")).distinct()
-      .withColumn("arrival", lit(0L)).localCheckpoint(false)
+      .withColumn("arrival", lit(0L)).pin
     var frontier = arr
     def improvements(front: DataFrame): DataFrame =
       e.join(front.select(col("node").as("src"), col("arrival").as("_a")), Seq("src"))
@@ -429,7 +429,7 @@ object Fixpoint {
     require(maxDepth >= 0, "maxDepth must be non-negative")
     val e = edges.select(col("src"), col("dst"))
     var visited = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(false)
+      .withColumn("dist", lit(0L)).pin
     visited.count() // materialize the checkpoint before reuse
     var frontier = visited.select(col("node"))
     var d = 1L
@@ -473,7 +473,7 @@ object Fixpoint {
     val e = edges.select(col("src"), col("dst"))
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).withColumn("sigma", lit(1L))
-      .localCheckpoint(false)
+      .pin
     visited.count()
     var frontier = visited.select(col("node"), col("sigma"))
     var d = 1L
@@ -516,7 +516,7 @@ object Fixpoint {
     val e = edges.select(col("src"), col("dst"))
     var visited = seeds.select(col("node"), col("label"))
       .groupBy(col("node")).agg(min(col("label")).as("label"))
-      .withColumn("dist", lit(0L)).localCheckpoint(false)
+      .withColumn("dist", lit(0L)).pin
     visited.count() // materialize the checkpoint before reuse
     var frontier = visited.select(col("node"), col("label"))
     var d = 1L
@@ -563,8 +563,8 @@ object Fixpoint {
     val p = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+      .distinct().pin
+    val nodes = und.select(col("src").as("node")).distinct().pin
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       val votes = und
@@ -603,8 +603,8 @@ object Fixpoint {
     val p = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+      .distinct().pin
+    val nodes = und.select(col("src").as("node")).distinct().pin
     var colors = nodes.select(col("node"), lit(1L).as("wl_color"))
     for (_ <- 1 to rounds) {
       val sigs = und
@@ -645,13 +645,13 @@ object Fixpoint {
         col("weight").cast("long").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
-      .localCheckpoint(false)
+      .pin
     val spark = canon.sparkSession
     var comp = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
       .distinct()
       .select(col("node"), col("node").as("comp"))
-      .localCheckpoint(false)
+      .pin
     var msf = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       new org.apache.spark.sql.types.StructType()
@@ -665,7 +665,7 @@ object Fixpoint {
         .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
         .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
         .filter(col("ca") =!= col("cb"))
-        .localCheckpoint(false)
+        .pin
       if (cand.isEmpty) { live = false }
       else {
         // each component's lightest incident edge: explode both directions,
@@ -678,18 +678,18 @@ object Fixpoint {
           .groupBy(col("c")).agg(min(col("e")).as("e"))
           .select(col("c"), col("e.w").as("w"), col("e.a").as("a"),
             col("e.b").as("b"), col("e.partner").as("p"))
-          .localCheckpoint(false)
+          .pin
         msf = msf.unionByName(
           chosen.select(col("a").as("edge_u"), col("b").as("edge_v"),
             col("w").as("weight")).distinct())
-          .localCheckpoint(false)
+          .pin
         // partner pointers; mutual pairs (a↔b) root at the smaller id
         var parent = chosen
           .join(chosen.select(col("c").as("p"), col("p").as("pp")), Seq("p"), "left")
           .select(col("c"),
             when(col("pp") === col("c") && col("c") < col("p"), col("c"))
               .otherwise(col("p")).as("parent"))
-          .localCheckpoint(false)
+          .pin
         // pointer-jump doubling to the star fixpoint
         var jumping = true
         while (jumping) {
@@ -697,7 +697,7 @@ object Fixpoint {
             .join(parent.select(col("c").as("parent"), col("parent").as("gp")),
               Seq("parent"), "left")
             .select(col("c"), coalesce(col("gp"), col("parent")).as("parent"))
-            .localCheckpoint(false)
+            .pin
           val moved = jumped.join(parent.withColumnRenamed("parent", "old"),
             Seq("c")).filter(col("parent") =!= col("old")).isEmpty
           parent = jumped
@@ -730,11 +730,11 @@ object Fixpoint {
     val p = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     def prio(c: Column): Column =
       struct(graft.functions.HashFunctions.md5_prefix64(c.cast("string")).as("h"),
         c.as("id"))
-    var live = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var live = und.select(col("src").as("node")).distinct().pin
     var cur = und
     val spark = und.sparkSession
     var mis = spark.createDataFrame(
@@ -749,8 +749,8 @@ object Fixpoint {
         .agg(min(prio(col("dst"))).as("mn"))
       val winners = live.join(minNbr, Seq("node"), "left")
         .filter(col("mn").isNull || prio(col("node")) < col("mn"))
-        .select(col("node")).localCheckpoint(false)
-      mis = mis.unionByName(winners).localCheckpoint(false)
+        .select(col("node")).pin
+      mis = mis.unionByName(winners).pin
       val killed = winners.unionByName(
         cur.join(winners.select(col("node").as("src")), Seq("src"), "left_semi")
           .select(col("dst").as("node"))).distinct()
@@ -780,7 +780,7 @@ object Fixpoint {
     val adj = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .groupBy(col("src")).agg(array_sort(collect_set(col("dst"))).as("nbrs"))
-      .localCheckpoint(false)
+      .pin
     var cur = starts.select(col("walk_id"), col("node"))
       .withColumn("step", lit(0L))
     var out = cur
@@ -792,7 +792,7 @@ object Fixpoint {
             (md5_prefix64(concat(col("walk_id").cast("string"), lit("@"),
               lit(s).cast("string"))) % size(col("nbrs")) + 1).cast("int"))
             .as("node"))
-        .localCheckpoint(false)
+        .pin
       out = out.unionByName(cur.select(col("walk_id"), col("node"), col("step")))
     }
     out.select(col("walk_id"), col("step"), col("node"))
@@ -806,7 +806,7 @@ object Fixpoint {
     * always acyclic by construction. Cost: the SCC fixpoint + two
     * component-label equi-joins + one distinct. */
   def condensationEdges(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val e = edges.select(col("src"), col("dst")).pin
     condensationEdges(stronglyConnectedComponents(e), e)
   }
 
@@ -862,11 +862,11 @@ object Fixpoint {
     val p = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val und = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     def prio(c: Column): Column =
       struct(graft.functions.HashFunctions.md5_prefix64(c.cast("string")).as("h"),
         c.as("id"))
-    var live = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var live = und.select(col("src").as("node")).distinct().pin
     var cur = und
     val spark = und.sparkSession
     var colored = spark.createDataFrame(
@@ -886,7 +886,7 @@ object Fixpoint {
         .filter(prio(col("dst")) > prio(col("src")))
         .select(col("src").as("node")).distinct()
       val ready = live.join(blocked, Seq("node"), "left_anti")
-        .localCheckpoint(false)
+        .pin
       // mex over already-colored neighbors (full adjacency, not cur —
       // cur only keeps live-live edges)
       val nbrColors = und
@@ -899,7 +899,7 @@ object Fixpoint {
           when(col("arr").isNull, lit(0L)).otherwise(
             array_min(array_except(sequence(lit(0L), size(col("arr")).cast("long")),
               col("arr")))).as("color"))
-      colored = colored.unionByName(newlyColored).localCheckpoint(false)
+      colored = colored.unionByName(newlyColored).pin
       live = live.join(ready, Seq("node"), "left_anti").cut
       nLive = live.count()
       cur = cur
@@ -931,7 +931,7 @@ object Fixpoint {
           concat(col("a").cast("string"), lit(":"), col("b").cast("string")))
           .as("h"),
         col("a").as("pa"), col("b").as("pb")))
-      .localCheckpoint(false)
+      .pin
     var cur = canon
     val spark = canon.sparkSession
     var matched = spark.createDataFrame(
@@ -951,10 +951,10 @@ object Fixpoint {
         .join(nodeMin.select(col("node").as("a"), col("mn").as("ma")), Seq("a"))
         .join(nodeMin.select(col("node").as("b"), col("mn").as("mb")), Seq("b"))
         .filter(col("ep") === col("ma") && col("ep") === col("mb"))
-        .select(col("a"), col("b")).localCheckpoint(false)
+        .select(col("a"), col("b")).pin
       matched = matched.unionByName(
         winners.select(col("a").as("edge_u"), col("b").as("edge_v")))
-        .localCheckpoint(false)
+        .pin
       val touched = winners.select(col("a").as("node"))
         .unionByName(winners.select(col("b").as("node"))).distinct()
       cur = cur
@@ -992,7 +992,7 @@ object Fixpoint {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(false)
+      .distinct().pin
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1002,18 +1002,18 @@ object Fixpoint {
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .filter((col("support") + 2) * (col("support") + 2) * 1000000L >=
         lit(epsX1e3 * epsX1e3) * (col("da") + 1) * (col("db") + 1))
-      .select(col("a"), col("b")).localCheckpoint(false)
+      .select(col("a"), col("b")).pin
     val epsCnt = simEdges.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_eps"))
     val cores = epsCnt.filter(col("n_eps") + 1 >= mu).select(col("node"))
-      .localCheckpoint(false)
+      .pin
     val coreEdges = simEdges
       .join(cores.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
       .join(cores.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
     val comps = connectedComponents(coreEdges.select(col("a"), col("b")))
     val coreClusters = cores.join(comps, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
-      .localCheckpoint(false)
+      .pin
     val simSym = simEdges.unionByName(
       simEdges.select(col("b").as("a"), col("a").as("b")))
     val borders = simSym
@@ -1139,11 +1139,11 @@ object Fixpoint {
     * like every fixpoint here. */
   def stronglyConnectedComponents(edges: DataFrame, maxOuterRounds: Int = 12,
                                   maxInnerRounds: Int = 60): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val e0 = edges.select(col("src"), col("dst")).distinct().pin
     val emptyAssign = e0.select(col("src").as("node"), col("src").as("component")).limit(0)
     var assigned = emptyAssign
     var remaining = e0.select(col("src").as("node"))
-      .unionByName(e0.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+      .unionByName(e0.select(col("dst").as("node"))).distinct().pin
     var remainingEdges = e0
     var remainingCount = remaining.count()
     var outer = 0
@@ -1277,7 +1277,7 @@ object Fixpoint {
     * expansion, k rounds, no closure materialization. */
   def reachWithin(edges: DataFrame, depth: Int): DataFrame = {
     val base = edges.select(col("src"), col("dst")).distinct()
-    var acc = base.localCheckpoint()
+    var acc = base.pinEager
     var frontier = base
     (2 to depth).foreach { _ =>
       frontier = frontier.alias("f")

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Durable graph tables: one partitioned parquet table per label under a
   * store directory, synced incrementally.
@@ -53,7 +54,7 @@ class PersistentGraph(spark: SparkSession, storeDir: String) {
     // is a transactional MERGE; this is the plain-parquet mitigation.
     // Concurrent external readers still need table-format isolation.)
     val materialized =
-      if (exists(label)) ordered.localCheckpoint(true) else ordered
+      if (exists(label)) ordered.pinEager else ordered
     val writer = materialized.write.mode("overwrite").partitionBy(tenantCol)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     writer.parquet(path(label))
@@ -95,7 +96,7 @@ class PersistentGraph(spark: SparkSession, storeDir: String) {
     val retired = new HPath(table, s".retired-$tag-$tenantValue")
     // partitioned layout stores the tenant column in the dir name, not
     // the files — drop it before writing the staging copy
-    merged.drop(tenantCol).localCheckpoint(true)
+    merged.drop(tenantCol).pinEager
       .write.mode("overwrite").parquet(staging.toString)
     if (fs.exists(live) && !fs.rename(live, retired))
       throw new java.io.IOException(s"could not retire $live")
@@ -192,7 +193,7 @@ object Skew {
     require(parallelism >= 1 && topK >= 1, "need parallelism, topK >= 1")
     val census = df.groupBy(keyCol.cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .pin
     val total = census.agg(sum(col("cnt")).as("_total"))
     census.crossJoin(broadcast(total))
       .select(col("key"), col("cnt"),

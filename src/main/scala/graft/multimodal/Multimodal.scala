@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata; decode / feature-extraction runs
@@ -175,7 +176,7 @@ object Multimodal {
     // the full hash expression against their own corpus scan
     val sigs = df.select(col(idCol).cast("long").as("id"),
         aHash32(col(payloadCol)).as("phash"))
-      .localCheckpoint(false)
+      .pin
     val chunks = graft.text.TextFunctions.chunkBounds(32, k + 1)
     val keyed = sigs.select(col("id"), col("phash"),
       posexplode(array(chunks.map { case (lo, w) =>

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Product/ops analytics over event and fact tables — the read-side
   * battery a sync'd asset graph or training-data lake feeds (reference
@@ -336,7 +337,7 @@ object Analytics {
                        minSupport: Long): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     val ti = df.select(txnCol.as("_t"), itemCol.as("_i")).distinct()
-      .localCheckpoint(false)
+      .pin
     val nTxn = ti.select(col("_t")).distinct().count()
     val itemCounts = ti.groupBy(col("_i")).agg(count(lit(1)).as("n_item"))
     val baskets = ti.groupBy(col("_t"))
@@ -380,7 +381,7 @@ object Analytics {
       .groupBy(col("v"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint(false)
+      .pin
     val totals = counted.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     GlobalOrder.withRunningAggs(counted, col("v"), Nil,
         Seq((col("ca"), "_cuma"), (col("cb"), "_cumb")))
@@ -411,7 +412,7 @@ object Analytics {
     // it from three plan branches (min/max stats, local windows, bucket
     // totals) and the row count is a fourth - without the checkpoint
     // each branch re-scans the source
-    val v = df.select(valueCol.cast("long").as("v")).localCheckpoint(false)
+    val v = df.select(valueCol.cast("long").as("v")).pin
     val ranked = GlobalOrder.rank(v, col("v"), Nil, "rk")
     val n = v.agg(count(lit(1)).as("n_rows"))
     val spark = df.sparkSession
@@ -543,7 +544,7 @@ object Analytics {
       .groupBy(col("v"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint(false)
+      .pin
     GlobalOrder.runningSum(counted, col("v"), Nil, col("cb"), "_cumb")
       .withColumn("_below", col("_cumb") - col("cb"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
@@ -628,13 +629,13 @@ object Analytics {
     val keyCols = keys.map(col)
     val pts = df.select(keyCols :+ tsCol.cast("long").as("t")
       :+ valueCol.cast("long").as("v"): _*)
-      .localCheckpoint(false)
+      .pin
     val span = pts.groupBy(keyCols: _*)
       .agg(min(col("t")).as("_mn"), max(col("t")).as("_mx"))
     val bucketed = pts.join(span, keys)
       .withColumn("bucket",
         expr(s"(t - _mn) * $nBuckets div (_mx - _mn + 1)"))
-      .localCheckpoint(false)
+      .pin
     val cent = bucketed.groupBy(keyCols :+ col("bucket"): _*)
       .agg(expr("sum(t) div count(t)").as("cx"),
         expr("sum(v) div count(v)").as("cy"))
@@ -939,7 +940,7 @@ object Analytics {
         valueCol.cast("long").as("v"))
       .groupBy(col("c"))
       .agg(max(col("t")).as("r"), count(lit(1)).as("f"), sum(col("v")).as("m"))
-      .localCheckpoint(false)
+      .pin
     val per = per0.crossJoin(broadcast(per0.agg(count(lit(1)).as("n"))))
     def quintile(metric: String): Column =
       expr(s"((rank_$metric - 1) * 5) div n + 1")

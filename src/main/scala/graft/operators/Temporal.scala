@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Temporal join operators Spark lacks as built-ins: as-of join and
   * range(interval) join. The reference has no such operators
@@ -419,9 +420,9 @@ object Temporal {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val spark = a.sparkSession
     val av = a.select(col("s").cast("long").as("as_"), col("e").cast("long").as("ae"))
-      .filter(col("as_") < col("ae")).localCheckpoint(false)
+      .filter(col("as_") < col("ae")).pin
     val bv = b.select(col("s").cast("long").as("bs"), col("e").cast("long").as("be"))
-      .filter(col("bs") < col("be")).localCheckpoint(false)
+      .filter(col("bs") < col("be")).pin
     // ---- disjoint relations by order statistics (never enumerated) ----
     // before-count = Σ_v nb(v) · |{a.e < v}|: aggregate endpoint counts
     // per DISTINCT value first (map-side combinable), then one running

@@ -8,6 +8,7 @@ import graft.graph.{Centrality, Paths}
 import graft.operators.{Analytics, Changelog, Spatial, Temporal}
 import graft.similarity.Similarity
 import graft.text.{Sketches, TextFunctions}
+import graft.Lineage._
 
 /** Round-7 fourth-session battery: path structure (s–t betweenness,
   * DAG layering, bipartite projection), exact-integer statistics
@@ -415,7 +416,7 @@ object AdvancedQueries {
     val full = Similarity.quantized(Tables.embeddings(spark, dir))
     val queries = full.filter(col("vec_id") < 10)
     val truth = Similarity.bruteForceTopK(queries, full, k = 3)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      .select(col("query_id"), col("neighbor_id")).pin
     val half = Similarity.truncated(full, dims = 32)
     val got = Similarity.bruteForceTopK(
         half.filter(col("vec_id") < 10), half, k = 3)

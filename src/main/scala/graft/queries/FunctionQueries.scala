@@ -115,6 +115,25 @@ object FunctionQueries {
       .orderBy(col("grp"), col("rk"))
   }
 
+  /** Global rank + running sum over a 50-distinct-value key (l_quantity
+    * — every key a data-sized tie run, the equal-width bucketing's
+    * worst case) through the SKEW-prebinned
+    * [[graft.operators.GlobalOrder.withRunningAggsSkew]]: exact
+    * equal-count buckets from the key census, each hot key split
+    * across buckets by its line-id tie ranges. Every 20000th rank
+    * keeps the output bounded. */
+  def windowSkewRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_orderkey").cast("long") * 10 + col("l_linenumber")).as("lid"),
+      floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+    graft.operators.GlobalOrder.withRunningAggsSkew(li,
+        col("qty"), col("lid"),
+        sums = Seq((col("cents"), "run_cents")), rankName = Some("rk"))
+      .filter(col("rk") % 20000 === 0)
+      .orderBy(col("rk"))
+  }
+
   /** Super-aggregate breadth: ROLLUP over (lang, source) — per-slice,
     * per-lang, and grand-total rows in one pass. */
   def corpusRollup(spark: SparkSession, dir: String): DataFrame =
@@ -222,6 +241,7 @@ object FunctionQueries {
     "window_lag_lead" -> (windowLagLead _),
     "window_forward_fill" -> (windowForwardFill _),
     "window_group_rank" -> (windowGroupRank _),
+    "window_skew_rank" -> (windowSkewRank _),
     "corpus_rollup" -> (corpusRollup _),
     "corpus_pivot" -> (corpusPivot _),
     "text_term_freq" -> (textTermFreq _),
@@ -319,6 +339,18 @@ object FunctionQueries {
         |  FROM o)
         |SELECT grp, okey, cents, CAST(run_cents AS BIGINT) AS run_cents, rk
         |FROM w WHERE rk % 500 = 0 ORDER BY grp, rk""".stripMargin,
+    "window_skew_rank" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(l_orderkey AS BIGINT) * 10 + l_linenumber AS lid,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |w AS (SELECT qty, lid, cents,
+        |    CAST(row_number() OVER (ORDER BY qty, lid) AS BIGINT) AS rk,
+        |    sum(cents) OVER (ORDER BY qty, lid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |  FROM li)
+        |SELECT qty, lid, cents, CAST(run_cents AS BIGINT) AS run_cents, rk
+        |FROM w WHERE rk % 20000 = 0 ORDER BY rk""".stripMargin,
     "window_forward_fill" ->
       """WITH hours AS (
         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',

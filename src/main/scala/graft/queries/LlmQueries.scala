@@ -9,6 +9,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{Sampling, Sketches, TextFunctions}
+import graft.Lineage._
 
 /** LLM-training-data pipeline operator battery: text analysis, dedup
   * family, similarity search, multimodal plumbing. All integer/exact
@@ -200,7 +201,7 @@ object LlmQueries {
   def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
     // one materialization of the shingle prep shared by both branches
     val sh = Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
-      .localCheckpoint(false)
+      .pin
     val truth = Dedup.blockedJaccard(sh, minJaccX1e6 = 500000L)
       .select(col("doc_a"), col("doc_b")).withColumn("_t", lit(1L))
     val cand = Dedup.lshCandidates(sh).withColumn("_c", lit(1L))
@@ -399,9 +400,9 @@ object LlmQueries {
   def dedupBlockingQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = Dedup.shingleTable(docs, "doc_id", "text")
-    val cand = Dedup.lshCandidates(sh).localCheckpoint(false)
+    val cand = Dedup.lshCandidates(sh).pin
     val truth = Dedup.allPairsJaccard(sh, 500000L)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+      .select(col("doc_a"), col("doc_b")).pin
     val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
@@ -552,7 +553,7 @@ object LlmQueries {
     val q = Similarity.quantized(Tables.embeddings(spark, dir))
     val queries = q.filter(col("vec_id") < 10)
     val truth = Similarity.bruteForceTopK(queries, q, k = 3)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      .select(col("query_id"), col("neighbor_id")).pin
     val got = Similarity.ivfTopK(queries, q, k = 3)
       .select(col("query_id"), col("neighbor_id"))
     val hit = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
@@ -780,7 +781,7 @@ object LlmQueries {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
       .filter(size(split(col("text"), " ")) >= 40)
       .join(lowRep, Seq("doc_id"), "left_semi")
-      .localCheckpoint(false)
+      .pin
     val pairs = Dedup.minhashLsh(
         Dedup.shingleTable(survivors, "doc_id", "text"), minJaccX1e6 = 800000L)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))

@@ -10,6 +10,7 @@ import graft.ontology.Materialize
 import graft.ontology.Materialize.ProviderMapping
 import graft.rules.{Fact, Framework, Rule, RulesRunner}
 import graft.schema._
+import graft.Lineage._
 
 /** Whole-pipeline composition queries: ontology materialization and an
   * end-to-end sync (schema load → analysis effects → rules) driven through
@@ -282,7 +283,7 @@ object PipelineQueries {
     val feedB = n.crossJoin(broadcast(off))
       .select((col("id") + lit(2L) * col("_off")).as("id"),
         expr("substring(p_name, 1, length(p_name) - 2)").as("name"))
-    val recs = canon.unionByName(feedA).unionByName(feedB).localCheckpoint(false)
+    val recs = canon.unionByName(feedA).unionByName(feedB).pin
     val pairs = graft.operators.StringJoin
       .editDistanceJoin(recs, recs, "id", "name", k = 2)
       .filter(col("id_a") < col("id_b"))

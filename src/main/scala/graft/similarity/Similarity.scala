@@ -451,12 +451,12 @@ object Similarity {
     // independent actions (ivfPqSave's writes, ivfPqSearch's joins) —
     // without them each action re-derives the corpus scan, the subvector
     // explode, and the codebook aggregation from scratch
-    val codebook = pqCodebook(subs, nCodes).localCheckpoint(false)
+    val codebook = pqCodebook(subs, nCodes).pin
     val codes = pqCodes(subs, codebook)
       .withColumnRenamed("vec_id", "neighbor_id")
-      .localCheckpoint(false)
-    IvfPqIndex(cents.localCheckpoint(false), codebook,
-      assign.localCheckpoint(false), codes)
+      .pin
+    IvfPqIndex(cents.pin, codebook,
+      assign.pin, codes)
   }
 
   /** Persist a trained index as four parquet tables. */

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Lineage._
 
 /** Streaming analogs of the reference's incremental-batch machinery
   * (SURVEY §2.10). The reference has no true streaming runtime — it
@@ -126,7 +127,7 @@ object Streaming {
         val merged =
           if (cur == null) graft.graph.GraphStore.initialLoad(batch, keys, tagOf(batchId))
           else graft.graph.GraphStore.merge(cur, batch, keys, tagOf(batchId))
-        merged.localCheckpoint(true) // materialize: batch input is transient
+        merged.pinEager // materialize: batch input is transient
       }
       ()
     }
@@ -157,7 +158,7 @@ object Streaming {
           if (cur == null) b
           else cur.unionByName(b).groupBy(keyCols.map(col): _*)
             .agg(sum(col("n_rows")).as("n_rows"), max(col("last")).as("last"))
-        merged.localCheckpoint(true) // materialize: batch input is transient
+        merged.pinEager // materialize: batch input is transient
       }
       ()
     }
@@ -192,7 +193,7 @@ object Streaming {
         val empty = changes.select((keys ++ valueCols).map(col): _*).limit(0)
         graft.operators.Changelog.apply(empty, changes, keys,
           versionCol, opCol, valueCols)
-          .localCheckpoint(true) // materialize: batch input is transient
+          .pinEager // materialize: batch input is transient
       }
       ()
     }
@@ -349,7 +350,7 @@ object Streaming {
       val b = graft.text.Sketches.hllRegisters(batch, groupCol, valueCol)
       regs.updateAndGet { cur =>
         val merged = if (cur == null) b else graft.text.Sketches.hllMerge(cur, b)
-        merged.localCheckpoint(true) // materialize: batch input is transient
+        merged.pinEager // materialize: batch input is transient
       }
       ()
     }

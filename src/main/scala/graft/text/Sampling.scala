@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions.md5_prefix64
+import graft.Lineage._
 
 /** Deterministic sampling for training-data curation: membership is a
   * pure function of the row key (56-bit content hash mod 1e6 against a
@@ -184,14 +185,14 @@ object Sampling {
         row_number().over(Window.partitionBy(col("label"))
           .orderBy(md5_prefix64(col("anchor_id").cast("string")).asc,
             col("anchor_id").asc)) - 1)
-      .localCheckpoint(false)
+      .pin
     // label directory: index + size per label — label-cardinality rows,
     // the one table small enough for an unpartitioned window
     val labels = ranked.groupBy(col("label")).agg(count(lit(1)).as("n"))
       .withColumn("lidx",
         row_number().over(graft.operators.GlobalOrder.boundedWindow(
           col("label"), col("label"))) - 1)
-      .localCheckpoint(false)
+      .pin
     val nLabels = labels.count()
     require(k < nLabels,
       s"k=$k needs at least ${k + 1} labels (got $nLabels) so negatives " +

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions.md5_prefix64
+import graft.Lineage._
 
 /** Mergeable approximate-aggregation sketches — the cardinality and
   * frequency summaries a 100 TB pipeline computes instead of exact
@@ -236,7 +237,7 @@ object Sketches {
     // it, and without the checkpoint the (data-sized) bucket aggregation
     // plan is embedded — and scanned — twice. This is also the production
     // shape: the KB sketch persists once, read-outs touch only it.
-    val b = buckets.localCheckpoint(false)
+    val b = buckets.pin
     val w = Window.partitionBy(col("g")).orderBy(col("bucket").asc)
     val cum = b.withColumn("cum", sum(col("c")).over(w))
     val qs = b.groupBy(col("g")).agg(sum(col("c")).as("n"))

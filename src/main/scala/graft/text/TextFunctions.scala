@@ -144,7 +144,7 @@ object TextFunctions {
     * assumption — the bigram table of a 100 TB corpus shuffles like any
     * fact-fact join. */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wids = widArrays(docs, idCol, textCol).localCheckpoint(false)
+    val wids = widArrays(docs, idCol, textCol).pin
     def pairs = wids.select(col("doc_id"), explode(
         when(size(col("wids")) >= 2,
           transform(sequence(lit(0), size(col("wids")) - 2), i =>
@@ -213,7 +213,7 @@ object TextFunctions {
       .select(col("word"), col("freq"),
         array_join(filter(split(col("word"), ""), s => length(s) > 0), " ")
           .as("seq"))
-      .localCheckpoint(false)
+      .pin
     def round(v: DataFrame): DataFrame = {
       val toks = split(col("seq"), " ")
       val census = v.select(col("freq"), explode(
@@ -289,7 +289,7 @@ object TextFunctions {
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     w: Int, minDocs: Long): DataFrame = {
     require(w >= 2, "a repeated-span window needs at least 2 tokens")
-    val wids = widArrays(docs, idCol, textCol).localCheckpoint(false)
+    val wids = widArrays(docs, idCol, textCol).pin
     def spans = wids.select(col("doc_id"),
       explode(gramIds(col("wids"), w)).as("gid"))
     val shared = spans.groupBy(col("gid"))
@@ -326,7 +326,7 @@ object TextFunctions {
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           w: Int, minDocs: Long): DataFrame = {
     require(w >= 2, "a repeated-span window needs at least 2 tokens")
-    val wids = widArrays(docs, idCol, textCol).localCheckpoint(false)
+    val wids = widArrays(docs, idCol, textCol).pin
     def spans = wids.select(col("doc_id"),
       posexplode(gramIds(col("wids"), w)).as(Seq("pos0", "gid")))
     val hot = spans.groupBy(col("gid"))
@@ -339,7 +339,7 @@ object TextFunctions {
       .select(col("doc_id"),
         explode(sequence(col("pos0") + 1, col("pos0") + w)).as("tp"))
       .distinct()
-      .localCheckpoint(false)
+      .pin
     val nRemoved = covered.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_removed"))
     val kept = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -676,7 +676,7 @@ object TextFunctions {
     val tf = widArrays(docs, idCol, textCol)
       .select(col("doc_id"), explode(gramIds(col("wids"), n)).as("gid"))
       .groupBy(col("doc_id"), col("gid")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .pin
     val totals = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_grams"))
     val p = pairs.select(col("cand_id").cast("long").as("cand_id"),
       col("ref_id").cast("long").as("ref_id"))
@@ -971,7 +971,7 @@ object TextFunctions {
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val runs = content
       .withColumn("island", col("pos") - row_number().over(wIsland))
-      .localCheckpoint(false)
+      .pin
     val wPhrase = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("island"))
     val phraseToks = runs.withColumn("plen", count(lit(1)).over(wPhrase))
@@ -1168,7 +1168,7 @@ object TextFunctions {
           .otherwise(array().cast("array<struct<wa:string,wb:string>>"))).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint(false)
+      .pin
     val ca = pairs.groupBy(col("wa")).agg(sum(col("n_pair")).as("n_first"))
     val cb = pairs.groupBy(col("wb")).agg(sum(col("n_pair")).as("n_second"))
     val total = pairs.agg(sum(col("n_pair")).as("n_total"))
@@ -1201,7 +1201,7 @@ object TextFunctions {
     * doc; docs under 3 tokens score zero everywhere. */
   def backoffCoverage(train: DataFrame, test: DataFrame,
                       idCol: String, textCol: String): DataFrame = {
-    val trainW = widArrays(train, idCol, textCol).localCheckpoint(false)
+    val trainW = widArrays(train, idCol, textCol).pin
     val tri = trainW.select(explode(gramIds(col("wids"), 3)).as("tid")).distinct()
     val bi = trainW.select(explode(gramIds(col("wids"), 2)).as("bid")).distinct()
     val uni = trainW.select(explode(col("wids")).as("uid")).distinct()
@@ -1272,7 +1272,7 @@ object TextFunctions {
           .otherwise(array().cast("array<struct<wa:string,wb:string>>"))).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint(false)
+      .pin
     val margins = pairs.select(explode(array(col("wa"), col("wb"))).as("w"),
         col("n_pair"))
       .groupBy(col("w")).agg(sum(col("n_pair")).as("n_w"))
@@ -1468,7 +1468,7 @@ object TextFunctions {
     require(maxR >= 1, "maxR must be positive")
     val ff = docTerms.groupBy(col("term")).agg(count(lit(1)).as("r"))
       .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
-      .localCheckpoint(false)
+      .pin
     val tot = ff.agg(sum(col("r").cast("decimal(38,0)") * col("n_r"))
       .as("n_tok"))
     ff.filter(col("r") <= maxR)
