@@ -28,12 +28,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.multihopRevenue(spark, "/root/testdata/sf0.001")
 
+  private def dedupOrDie[A](kvs: Seq[(String, A)], what: String): Map[String, A] = {
+    val dups = kvs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate $what across query modules (a Map merge would silently " +
+        s"clobber one of them): ${dups.toSeq.sorted.mkString(", ")}")
+    kvs.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.flatMap(_._1).toMap
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    dedupOrDie(modules.flatMap(_._1), "gate names")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.iterator.flatMap(_._2).toMap
+  lazy val oracleSql: Map[String, String] =
+    dedupOrDie(modules.flatMap(_._2), "oracle keys")
 }

@@ -427,6 +427,66 @@ object Analytics {
         col("n_rows"))
   }
 
+  /** Per-GROUP exact quantiles — [[exactQuantiles]] scoped within each
+    * group (per-tenant latency percentiles, per-source length
+    * distributions): grouped [[GlobalOrder]] rank + per-group counts,
+    * quantile q_ppm at 1-based rank ceil(q·n_g / 10⁶). Groups are
+    * data-sized and a dominant group cannot serialize one task (the
+    * grouped prefix-sum buckets within it). Output: (g, q_ppm, value,
+    * rank, n_rows) — one row per (group, quantile). */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+                            qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
+      "quantiles are ppm ranks in [1, 1e6]")
+    require(qsPpm.distinct.size == qsPpm.size, "duplicate quantiles")
+    val v = df.select(groupCol.as("g"), valueCol.cast("long").as("v")).pin
+    val ranked = GlobalOrder.withRunningAggs(v, col("v"), Nil,
+      rankName = Some("rk"), groupCols = Seq(col("g")))
+    val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n_rows"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = counts.crossJoin(broadcast(qsPpm.toDF("q_ppm")))
+      .select(col("g"), col("q_ppm"), col("n_rows"),
+        greatest(lit(1L), expr(
+          "cast((cast(q_ppm as decimal(38,0)) * n_rows + 999999) div 1000000 as bigint)"))
+          .as("rk"))
+    ranked.join(targets, Seq("g", "rk"))
+      .select(col("g"), col("q_ppm"), col("v").as("value"),
+        col("rk").as("rank"), col("n_rows"))
+  }
+
+  /** One-sided CUSUM over a totally-ordered series: with P_i the
+    * running sum of (value − target), the classic reset recurrence
+    * S_i = max(0, S_{i−1} + x_i − target) equals the closed form
+    * S_i = P_i − min_{j≤i} P_j — a running sum plus a running min, both
+    * distributed through [[GlobalOrder]] (no recurrence, no single
+    * task). The change-point/burst detector for monitoring feeds:
+    * S_i exceeding a threshold flags sustained above-target rates and
+    * resets itself after each regime returns to baseline. `target` is
+    * per-row (a broadcast global mean, a seasonal baseline column).
+    * Appends `cum_dev` (= P_i) and `cusum` (= S_i ≥ 0).
+    *
+    * The GLOBAL-series companion to [[cusumAlarm]] (same closed form):
+    * cusumAlarm partitions by group keys — right when there are many
+    * monitored series; this one distributes a SINGLE total order
+    * through [[GlobalOrder]], the case a per-group window cannot. */
+  def cusum(df: DataFrame, keyCol: Column, tieCols: Seq[Column],
+            value: Column, target: Column): DataFrame = {
+    val dev = df.withColumn("_dev", value.cast("long") - target.cast("long"))
+    val p1 = GlobalOrder.withRunningAggs(dev, keyCol, tieCols,
+      sums = Seq((col("_dev"), "cum_dev")))
+    // inclusive running min of P — INCLUDING the empty prefix P_0 = 0
+    // (S_i = P_i − min(0, min_{j≤i} P_j); dropping the 0 breaks every
+    // series whose prefix sums never dip negative) — via the
+    // exclusive-max machinery: greatest skips the null exclMax on the
+    // order's first row
+    val p2 = GlobalOrder.withRunningAggs(p1.withColumn("_negp", -col("cum_dev")),
+      keyCol, tieCols, exclMaxes = Seq((col("_negp"), "_xm")))
+    p2.withColumn("cusum",
+        col("cum_dev") + greatest(col("_xm"), col("_negp"), lit(0L)))
+      .drop("_negp", "_xm", "_dev")
+  }
+
   /** Per-group trimmed mean: drop floor(n·trimPpm/10⁶) rows from EACH
     * end of the per-group value order, then the exact integer mean of
     * the survivors — the robust location estimate between the mean

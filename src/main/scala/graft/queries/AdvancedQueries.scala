@@ -443,6 +443,32 @@ object AdvancedQueries {
         col("event_id"))
       .orderBy(col("g"), col("tie"))
 
+  /** One-sided CUSUM burst detection over the hourly event-rate series:
+    * target = global mean hourly count, S = P − runningMin(P) via two
+    * GlobalOrder passes (the reset recurrence's closed form — no
+    * sequential scan). The change-point read for feed monitoring. */
+  def cusumGate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hour_us", unix_micros(col("hour")))
+    val tot = hourly.agg(sum(col("n")).as("_tot"), count(lit(1)).as("_nh"))
+    val withTarget = hourly.crossJoin(broadcast(tot))
+      .withColumn("target", expr("_tot div _nh")).drop("_tot", "_nh")
+    Analytics.cusum(withTarget, col("hour_us"), Nil, col("n"), col("target"))
+      .select(col("hour"), col("n"), col("cum_dev"), col("cusum"))
+      .orderBy(col("hour"))
+  }
+
+  /** Per-source exact length quantiles (p25/p50/p90/p99) of document
+    * char counts — per-tenant percentile reads with data-sized groups,
+    * grouped-GlobalOrder-ranked (no per-group single-task sort). */
+  def groupQuantilesGate(spark: SparkSession, dir: String): DataFrame =
+    Analytics.exactQuantilesByGroup(Tables.documents(spark, dir),
+        col("source"), col("n_chars"),
+        Seq(250000L, 500000L, 900000L, 990000L))
+      .orderBy(col("g"), col("q_ppm"))
+
   /** Exact shingle-set Jaccard between document sources. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(spark, dir)
@@ -723,6 +749,8 @@ object AdvancedQueries {
     "text_zipf" -> (textZipf _),
     "text_good_turing" -> (goodTuringGate _),
     "analytics_exact_quantiles" -> (exactQuantilesGate _),
+    "analytics_cusum_global" -> (cusumGate _),
+    "analytics_group_quantiles" -> (groupQuantilesGate _),
     "graph_modularity" -> (graphModularity _),
     "graph_modularity_weighted" -> (modularityWeightedGate _),
     "graph_conductance" -> (graphConductance _),
@@ -1392,6 +1420,34 @@ object AdvancedQueries {
         |FROM r, n, q
         |WHERE r.rank = greatest(1, (q.q_ppm * n.n_rows + 999999) // 1000000)
         |ORDER BY q_ppm""".stripMargin,
+    "analytics_cusum_global" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) // count(*) AS target FROM h),
+        |p AS (SELECT hour, n,
+        |    sum(n - t.target) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dev
+        |  FROM h, t),
+        |m AS (SELECT hour, n, cum_dev,
+        |    min(cum_dev) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM p)
+        |SELECT hour, CAST(n AS BIGINT) AS n, CAST(cum_dev AS BIGINT) AS cum_dev,
+        |  CAST(cum_dev - least(mn, 0) AS BIGINT) AS cusum
+        |FROM m ORDER BY hour""".stripMargin,
+    "analytics_group_quantiles" ->
+      """WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |r AS (SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rank
+        |  FROM v),
+        |n AS (SELECT g, count(*) AS n_rows FROM v GROUP BY g),
+        |q(q_ppm) AS (VALUES (250000), (500000), (900000), (990000))
+        |SELECT r.g, CAST(q.q_ppm AS BIGINT) AS q_ppm, r.v AS value,
+        |  r.rank AS rank, CAST(n.n_rows AS BIGINT) AS n_rows
+        |FROM r JOIN n ON r.g = n.g, q
+        |WHERE r.rank = greatest(1, (q.q_ppm * n.n_rows + 999999) // 1000000)
+        |ORDER BY r.g, q_ppm""".stripMargin,
     "analytics_seasonal" ->
       """WITH b AS (SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS season,
         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),

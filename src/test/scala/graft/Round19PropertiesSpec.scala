@@ -39,6 +39,42 @@ class Round19PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum equals the sequential reset recurrence") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 410)
+      val rows = (1L to 200L).map(i => (i, rnd.nextInt(40).toLong))
+      val target = 20L
+      // sequential S_i = max(0, S_{i-1} + x_i - target)
+      val want = rows.scanLeft((0L, 0L)) { case ((_, s), (i, x)) =>
+        (i, math.max(0L, s + x - target))
+      }.tail.toMap
+      val got = graft.operators.Analytics.cusum(
+          rows.toDF("i", "x"), col("i"), Nil, col("x"), lit(target))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("cusum")).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("exactQuantilesByGroup equals the per-group sorted pick") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed + 420)
+      val rows = (1 to 300).map(i =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(1000).toLong))
+      val qs = Seq(250000L, 500000L, 900000L)
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        qs.map { q =>
+          val rk = math.max(1L, (q * sorted.size + 999999L) / 1000000L)
+          (g, q) -> sorted(rk.toInt - 1)
+        }
+      }.toMap
+      val got = graft.operators.Analytics.exactQuantilesByGroup(
+          rows.toDF("g", "v"), col("g"), col("v"), qs)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("conductanceWeighted hand case: bridged triangles, weighted bridge") {
     // triangles {1,2,3} and {4,5,6}, intra weight 2 each edge, bridge 3-4
     // weight 5. vol(A) = 2*2*3 + 5 = 17, W2 = 2*(6*2+5) = 34, complement
