@@ -487,6 +487,40 @@ object Analytics {
       .drop("_negp", "_xm", "_dev")
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns (annotator agreement, heuristic-vs-gold label audits):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate and
+    * p_e = Σ_l marginalA(l)·marginalB(l)/n² the chance rate. Exact ppm
+    * integers off one (a, b) census — decimal(38,0) products so
+    * 10¹²-row marginals cannot wrap; truncation toward zero (div
+    * contract) for the possibly-negative κ. Output one row:
+    * (n, po_ppm, pe_ppm, kappa_x1e6); NULL κ when p_e = 1 (both raters
+    * constant — agreement is undefined, not perfect). */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val census = df.select(raterA.as("_a"), raterB.as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+      .pin
+    val totals = census.agg(
+      sum(col("_c")).as("n"),
+      sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L)).as("_agree"))
+    val margA = census.groupBy(col("_a").as("_l")).agg(sum(col("_c")).as("_na"))
+    val margB = census.groupBy(col("_b").as("_l")).agg(sum(col("_c")).as("_nb"))
+    val chance = margA.join(margB, Seq("_l"))
+      .agg(sum(col("_na").cast("decimal(38,0)") * col("_nb")).as("_sab"))
+    totals.crossJoin(broadcast(chance))
+      .select(col("n"),
+        expr("(_agree * 1000000) div n").as("po_ppm"),
+        expr("""cast((coalesce(_sab, 0) * 1000000)
+               div (cast(n as decimal(38,0)) * n) as bigint)""").as("pe_ppm"))
+      .withColumn("kappa_x1e6",
+        when(col("pe_ppm") >= 1000000L, lit(null).cast("long"))
+          .otherwise(expr(
+            """CASE WHEN po_ppm >= pe_ppm
+               THEN ((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)
+               ELSE -(((pe_ppm - po_ppm) * 1000000) div (1000000 - pe_ppm))
+               END""")))
+  }
+
   /** Per-group trimmed mean: drop floor(n·trimPpm/10⁶) rows from EACH
     * end of the per-group value order, then the exact integer mean of
     * the survivors — the robust location estimate between the mean

@@ -469,6 +469,32 @@ object AdvancedQueries {
         Seq(250000L, 500000L, 900000L, 990000L))
       .orderBy(col("g"), col("q_ppm"))
 
+  /** Chance-corrected agreement between each document's own language
+    * label and its source's MODAL language (argmax by count desc, lang
+    * asc) — "do per-doc labels agree with source-level majority beyond
+    * chance", the annotator-agreement read in exact ppm. */
+  def cohensKappaGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("lang").asc)
+    val modal = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("modal_lang"))
+    Analytics.cohensKappa(docs.join(modal, "source"),
+      col("lang"), col("modal_lang"))
+  }
+
+  /** Kish effective sample size of a deterministic per-doc weighting,
+    * per language — the collapsed-weights diagnostic that importance
+    * weighting needs next to it. */
+  def essGate(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.effectiveSampleSize(Tables.documents(spark, dir),
+        col("lang"), col("doc_id") % 7 + 1)
+      .orderBy(col("g"))
+
   /** Exact shingle-set Jaccard between document sources. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(spark, dir)
@@ -751,6 +777,8 @@ object AdvancedQueries {
     "analytics_exact_quantiles" -> (exactQuantilesGate _),
     "analytics_cusum_global" -> (cusumGate _),
     "analytics_group_quantiles" -> (groupQuantilesGate _),
+    "analytics_cohens_kappa" -> (cohensKappaGate _),
+    "sample_ess" -> (essGate _),
     "graph_modularity" -> (graphModularity _),
     "graph_modularity_weighted" -> (modularityWeightedGate _),
     "graph_conductance" -> (graphConductance _),
@@ -1435,6 +1463,41 @@ object AdvancedQueries {
         |SELECT hour, CAST(n AS BIGINT) AS n, CAST(cum_dev AS BIGINT) AS cum_dev,
         |  CAST(cum_dev - least(mn, 0) AS BIGINT) AS cusum
         |FROM m ORDER BY hour""".stripMargin,
+    "analytics_cohens_kappa" ->
+      """WITH d AS (SELECT doc_id, source, lang FROM documents),
+        |cen AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+        |modal AS (SELECT source, lang AS modal_lang FROM (
+        |  SELECT source, lang, row_number() OVER (PARTITION BY source
+        |    ORDER BY c DESC, lang) AS rn FROM cen) WHERE rn = 1),
+        |j AS (SELECT d.lang AS a, m.modal_lang AS b
+        |  FROM d JOIN modal m USING (source)),
+        |t AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM j),
+        |ma AS (SELECT a AS l, count(*) AS na FROM j GROUP BY 1),
+        |mb AS (SELECT b AS l, count(*) AS nb FROM j GROUP BY 1),
+        |ch AS (SELECT sum(CAST(na AS HUGEINT) * nb) AS sab
+        |  FROM ma JOIN mb USING (l)),
+        |pp AS (SELECT n, (agree * 1000000) // n AS po_ppm,
+        |  CAST((coalesce(sab, 0) * 1000000) // (CAST(n AS HUGEINT) * n)
+        |    AS BIGINT) AS pe_ppm FROM t, ch)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(po_ppm AS BIGINT) AS po_ppm,
+        |  pe_ppm,
+        |  CASE WHEN pe_ppm >= 1000000 THEN NULL
+        |    WHEN po_ppm >= pe_ppm THEN
+        |      CAST(((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm) AS BIGINT)
+        |    ELSE CAST(-(((pe_ppm - po_ppm) * 1000000) // (1000000 - pe_ppm))
+        |      AS BIGINT) END AS kappa_x1e6
+        |FROM pp""".stripMargin,
+    "sample_ess" ->
+      """WITH w AS (SELECT lang AS g, doc_id % 7 + 1 AS w FROM documents
+        |  WHERE doc_id % 7 + 1 > 0),
+        |a AS (SELECT g, count(*) AS n, sum(w) AS sum_w,
+        |    sum(CAST(w AS HUGEINT) * w) AS sw2 FROM w GROUP BY g)
+        |SELECT g, CAST(n AS BIGINT) AS n, CAST(sum_w AS BIGINT) AS sum_w,
+        |  CAST((CAST(sum_w AS HUGEINT) * sum_w) // sw2 AS BIGINT) AS ess,
+        |  CAST((((CAST(sum_w AS HUGEINT) * sum_w) // sw2) * 1000000) // n
+        |    AS BIGINT) AS efficiency_ppm
+        |FROM a ORDER BY g""".stripMargin,
     "analytics_group_quantiles" ->
       """WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
         |  FROM documents),

@@ -261,6 +261,27 @@ object Sampling {
           .as("weight_x1e6"))
   }
 
+  /** Effective sample size of a weighted sample — Kish's
+    * ESS = (Σw)² / Σw², the diagnostic that tells whether a set of
+    * importance weights ([[importanceWeights]]) or sampling weights has
+    * quietly collapsed onto a few rows (ESS ≪ n ⇒ the reweighted
+    * estimate rides on a handful of documents and its variance
+    * explodes). Per group, one aggregation pass; decimal(38,0) squares
+    * so 10¹²-scale weights cannot wrap. Zero/negative weights are
+    * excluded (they carry no sampling mass). Output: (g, n, sum_w,
+    * ess, efficiency_ppm = ess·10⁶ div n). */
+  def effectiveSampleSize(df: DataFrame, groupCol: Column,
+                          weightCol: Column): DataFrame =
+    df.select(groupCol.as("g"), weightCol.cast("long").as("_w"))
+      .filter(col("_w") > 0L)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("_w")).as("sum_w"),
+        sum(col("_w").cast("decimal(38,0)") * col("_w")).as("_sw2"))
+      .select(col("g"), col("n"), col("sum_w"),
+        expr("""cast((cast(sum_w as decimal(38,0)) * sum_w) div _sw2
+               as bigint)""").as("ess"))
+      .withColumn("efficiency_ppm", expr("(ess * 1000000) div n"))
+
   /** Deterministic token-budget sequence packing: documents in the
     * canonical hash order are packed CONTIGUOUSLY into fixed-budget
     * bins — bin(doc) = (cumulative tokens BEFORE doc) div budget — the

@@ -75,6 +75,45 @@ class Round19PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("cohensKappa hand case and degenerate constant raters") {
+    // a=[x,x,y,y], b=[x,y,y,y]: po=3/4, pe=(2*1+2*3)/16=1/2, kappa=1/2
+    val df = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val r = graft.operators.Analytics.cohensKappa(df, col("a"), col("b"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 750000L, 500000L, 500000L)))
+    // both raters constant: pe = 1e6 -> kappa undefined (NULL), not 1
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val rc = graft.operators.Analytics.cohensKappa(const, col("a"), col("b"))
+      .collect().head
+    assert(rc.getLong(1) == 1000000L && rc.isNullAt(3))
+    // negative kappa: systematic disagreement below chance
+    val neg = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")).toDF("a", "b")
+    val rn = graft.operators.Analytics.cohensKappa(neg, col("a"), col("b"))
+      .collect().head
+    assert(rn.getLong(3) == -1000000L)
+  }
+
+  test("effectiveSampleSize equals the Kish formula, uniform weights give n") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 430)
+      val rows = (1 to 100).map(i => (s"g${i % 3}", 1L + rnd.nextInt(50)))
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val ws = rs.map(_._2)
+        val ess = (BigInt(ws.sum) * ws.sum / ws.map(w => BigInt(w) * w).sum)
+        g -> ess.toLong
+      }
+      val got = graft.text.Sampling.effectiveSampleSize(
+          rows.toDF("g", "w"), col("g"), col("w"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("ess")).toMap
+      assert(got == want, s"seed $seed")
+    }
+    val unif = (1 to 60).map(i => (s"g${i % 2}", 5L)).toDF("g", "w")
+    val got = graft.text.Sampling.effectiveSampleSize(unif, col("g"), col("w"))
+      .collect().map(r => (r.getAs[Long]("ess"), r.getAs[Long]("efficiency_ppm")))
+    assert(got.forall(_ == ((30L, 1000000L))))
+  }
+
   test("conductanceWeighted hand case: bridged triangles, weighted bridge") {
     // triangles {1,2,3} and {4,5,6}, intra weight 2 each edge, bridge 3-4
     // weight 5. vol(A) = 2*2*3 + 5 = 17, W2 = 2*(6*2+5) = 34, complement
