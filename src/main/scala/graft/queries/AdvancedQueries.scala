@@ -460,6 +460,27 @@ object AdvancedQueries {
       .orderBy(col("hour"))
   }
 
+  /** Seasonal-baseline CUSUM — the composition a monitoring deploy
+    * actually runs: per-hour event counts, an hour-of-day baseline
+    * census (24-row broadcast), then the GLOBAL-series CUSUM of the
+    * residual against that per-row target. A diurnal corpus stays flat
+    * under this detector where the global-mean CUSUM alarms every
+    * evening peak. */
+  def seasonalCusumGate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", hour(col("hour")))
+      .withColumn("hour_us", unix_micros(col("hour")))
+    val seasonal = hourly.groupBy(col("hod"))
+      .agg(expr("sum(n) div count(n)").as("baseline"))
+    val joined = hourly.join(broadcast(seasonal), "hod")
+    Analytics.cusum(joined, col("hour_us"), Nil, col("n"), col("baseline"))
+      .select(col("hour"), col("n"), col("baseline"), col("cum_dev"),
+        col("cusum"))
+      .orderBy(col("hour"))
+  }
+
   /** Per-source exact length quantiles (p25/p50/p90/p99) of document
     * char counts — per-tenant percentile reads with data-sized groups,
     * grouped-GlobalOrder-ranked (no per-group single-task sort). */
@@ -779,6 +800,7 @@ object AdvancedQueries {
     "analytics_group_quantiles" -> (groupQuantilesGate _),
     "analytics_cohens_kappa" -> (cohensKappaGate _),
     "sample_ess" -> (essGate _),
+    "e2e_seasonal_cusum" -> (seasonalCusumGate _),
     "graph_modularity" -> (graphModularity _),
     "graph_modularity_weighted" -> (modularityWeightedGate _),
     "graph_conductance" -> (graphConductance _),
@@ -1461,6 +1483,24 @@ object AdvancedQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
         |  FROM p)
         |SELECT hour, CAST(n AS BIGINT) AS n, CAST(cum_dev AS BIGINT) AS cum_dev,
+        |  CAST(cum_dev - least(mn, 0) AS BIGINT) AS cusum
+        |FROM m ORDER BY hour""".stripMargin,
+    "e2e_seasonal_cusum" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |hh AS (SELECT hour, n, CAST(hour(hour) AS BIGINT) AS hod FROM h),
+        |s AS (SELECT hod, sum(n) // count(n) AS baseline FROM hh GROUP BY 1),
+        |j AS (SELECT hh.hour, hh.n, s.baseline FROM hh JOIN s USING (hod)),
+        |p AS (SELECT hour, n, baseline,
+        |    sum(n - baseline) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dev
+        |  FROM j),
+        |m AS (SELECT hour, n, baseline, cum_dev,
+        |    min(cum_dev) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM p)
+        |SELECT hour, CAST(n AS BIGINT) AS n, CAST(baseline AS BIGINT) AS baseline,
+        |  CAST(cum_dev AS BIGINT) AS cum_dev,
         |  CAST(cum_dev - least(mn, 0) AS BIGINT) AS cusum
         |FROM m ORDER BY hour""".stripMargin,
     "analytics_cohens_kappa" ->
