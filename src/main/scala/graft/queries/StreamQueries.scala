@@ -177,6 +177,9 @@ object StreamQueries {
     * window's end without scanning for max(ts); the sentinel's own
     * window never closes so it is never emitted), replayed to a memory
     * sink in append mode inside a state-sized scoped session. */
+  private val sentinelDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   private def withFlushedEvents(spark: SparkSession, dir: String,
       sinkName: String)(agg: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -197,11 +200,19 @@ object StreamQueries {
       case f if f.name == "event_type" => "_flush": Any
       case _ => null: Any
     }
-    val sentinelDir = java.nio.file.Files.createTempDirectory("graft_flush").toString
-    spark.createDataFrame(
-        java.util.Collections.singletonList(org.apache.spark.sql.Row(sentinelVals: _*)),
-        rawSchema)
-      .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+    // memoized per (dir, schema): the sentinel file is byte-identical on
+    // every invocation, and a FRESH temp dir per call used to put a new
+    // path literal into every streaming plan — ~300 codegen fragments
+    // recompiled per bench pass (and their C2 profiles reset) for plans
+    // that differ only in a directory name
+    val sentinelDir = sentinelDirs.getOrElseUpdate((dir, rawSchema.toString), {
+      val d = java.nio.file.Files.createTempDirectory("graft_flush").toString
+      spark.createDataFrame(
+          java.util.Collections.singletonList(org.apache.spark.sql.Row(sentinelVals: _*)),
+          rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    })
     withStateSession(spark) { scoped =>
       // file-stream sources take a directory; glob down to the events file
       val eventsStream = scoped.readStream.schema(rawSchema)
