@@ -70,7 +70,10 @@ object Lineage {
       * on a cluster ANY locally-checkpointed frame defeats stage-retry
       * recovery (a lost partition cannot be recomputed), so the
       * executor-loss story requires loop-STATIC inputs — not just the
-      * per-round frontier — to go durable with the same config switch. */
+      * per-round frontier — to go durable with the same config switch.
+      * Pins share the `reliableEvery` counter with cuts (some pin sites
+      * are per-round): every Nth pin is durable, the rest are plan-only
+      * cuts whose stats reset to the default prior. */
     def pin: DataFrame = Lineage.pinned(df, eager = false)
     /** Eager variant — drop-in for `.localCheckpoint()` / `(true)`. */
     def pinEager: DataFrame = Lineage.pinned(df, eager = true)
@@ -81,8 +84,21 @@ object Lineage {
     spark.conf.get("graft.lineage.mode", "local") match {
       case "local" => df.localCheckpoint(eager)
       case "reliable" =>
+        // `.pin` sites include PER-ROUND frames (coreness' removed/out,
+        // Borůvka's cand/chosen/msf, MIS' winners/mis, …), so they must
+        // share the reliableEvery amortization with `.cut` — otherwise a
+        // fixpoint that pins each round pays a durable HDFS/S3 write per
+        // round regardless of N. Every Nth pin is a durable
+        // `Dataset.checkpoint` (stats inheritance intact); the pins
+        // between are plan-only cuts: lineage stays recomputable back to
+        // the last durable files, the plan is a leaf, but stats reset to
+        // the default prior — AQE re-plans from runtime sizes, which is
+        // where broadcast decisions belong between durable anchors.
         ensureCheckpointDir(spark)
-        df.checkpoint(eager)
+        val every = spark.conf.get("graft.lineage.reliableEvery", "1").toInt
+        if (every <= 1 || cutCounter.incrementAndGet() % every == 0)
+          df.checkpoint(eager)
+        else Bridge.planCutNoStats(df, eager)
       case other =>
         throw new IllegalArgumentException(
           s"graft.lineage.mode must be 'local' or 'reliable', got '$other'")

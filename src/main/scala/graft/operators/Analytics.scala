@@ -450,7 +450,12 @@ object Analytics {
         greatest(lit(1L), expr(
           "cast((cast(q_ppm as decimal(38,0)) * n_rows + 999999) div 1000000 as bigint)"))
           .as("rk"))
-    ranked.join(targets, Seq("g", "rk"))
+    // null-safe on g: the grouped GlobalOrder machinery treats a null
+    // group as a real group (<=> joins internally), so a plain-equality
+    // join here would silently drop its quantiles; renamed right side
+    // because both frames descend from `v` (same attribute ids)
+    val t = targets.withColumnRenamed("g", "_tg").withColumnRenamed("rk", "_trk")
+    ranked.join(t, col("g") <=> col("_tg") && col("rk") === col("_trk"))
       .select(col("g"), col("q_ppm"), col("v").as("value"),
         col("rk").as("rank"), col("n_rows"))
   }

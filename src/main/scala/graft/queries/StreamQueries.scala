@@ -177,8 +177,24 @@ object StreamQueries {
     * window's end without scanning for max(ts); the sentinel's own
     * window never closes so it is never emitted), replayed to a memory
     * sink in append mode inside a state-sized scoped session. */
+  // ConcurrentHashMap.computeIfAbsent: the side-effecting initializer
+  // (temp dir + parquet write) runs at most ONCE per key — TrieMap's
+  // getOrElseUpdate can evaluate it in two racing threads and leak one
+  // dir. Dirs are deleted on JVM exit (they live for the JVM because
+  // every memoized streaming plan holds the path literal).
   private val sentinelDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private lazy val sentinelCleanup: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sentinelDirs.values().forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+  }
 
   private def withFlushedEvents(spark: SparkSession, dir: String,
       sinkName: String)(agg: DataFrame => DataFrame): DataFrame = {
@@ -205,7 +221,8 @@ object StreamQueries {
     // path literal into every streaming plan — ~300 codegen fragments
     // recompiled per bench pass (and their C2 profiles reset) for plans
     // that differ only in a directory name
-    val sentinelDir = sentinelDirs.getOrElseUpdate((dir, rawSchema.toString), {
+    sentinelCleanup
+    val sentinelDir = sentinelDirs.computeIfAbsent((dir, rawSchema.toString), _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_flush").toString
       spark.createDataFrame(
           java.util.Collections.singletonList(org.apache.spark.sql.Row(sentinelVals: _*)),
@@ -239,8 +256,11 @@ object StreamQueries {
     withFlushedEvents(spark, dir, "stream_windowed_topk_sink") { stream =>
       val sp = stream.sparkSession
       import sp.implicits._
+      // floor semantics via date_trunc — `div` truncates toward zero, so
+      // a pre-1970 timestamp would land one window late vs the
+      // date_trunc('hour') oracle
       val typed = stream.selectExpr(
-          "(unix_micros(ts) div 3600000000) * 3600000 as winStart",
+          "unix_millis(date_trunc('hour', ts)) as winStart",
           "event_type as item", "ts as eventTime")
         .as[Streaming.WinItem]
       Streaming.windowedTopK(typed, windowMillis = 3600000L, k = 3,

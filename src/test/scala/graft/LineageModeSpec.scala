@@ -76,6 +76,27 @@ class LineageModeSpec extends AnyFunSuite {
     assert(cut.agg(sum("v")).collect().head.getLong(0) == 9900L)
   }
 
+  test("reliable interval mode amortizes .pin durable writes too") {
+    import Lineage.CutOps
+    val dir = ckptDir
+    def rddDirsUnder(f: java.io.File): Int =
+      if (f.isDirectory)
+        (if (f.getName.startsWith("rdd-")) 1 else 0) + f.listFiles().map(rddDirsUnder).sum
+      else 0
+    val before = rddDirsUnder(dir)
+    // any 6 consecutive shared-counter increments hit %3==0 exactly twice,
+    // regardless of the counter's phase from earlier tests
+    withMode("reliable", every = Some(3)) {
+      (1 to 6).foreach { i =>
+        val p = spark.range(10L * i).toDF("id").pinEager
+        assert(p.count() == 10L * i) // pinned frame stays correct either path
+      }
+    }
+    val durable = rddDirsUnder(dir) - before
+    assert(durable == 2,
+      s"6 pins at reliableEvery=3 must pay exactly 2 durable writes, got $durable")
+  }
+
   test("unknown mode fails fast") {
     import Lineage.CutOps
     val df = spark.range(10).toDF("id")

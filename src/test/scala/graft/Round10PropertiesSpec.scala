@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Round-10-session property batch: weighted conductance degenerates to
   * the unweighted pass at weight 1 (the same law the weighted/unweighted
   * modularity pair obeys). */
-class Round19PropertiesSpec extends AnyFunSuite {
+class Round10PropertiesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
