@@ -1065,6 +1065,21 @@ object ScaleSmoke {
         operators.GlobalOrder.withRunningAggsSkew(skewed, col("k"), col("id"),
           sums = Seq((col("cents"), "rc")), rankName = Some("rk")).count()
       }
+      // the ADAPTIVE path on the same 90%-one-key data: census probe →
+      // prebinned leg; the curve should track the prebinned one plus a
+      // census-probe constant, never the uniform cliff
+      time("global_rank_skew_auto", m) {
+        operators.GlobalOrder.withRunningAggsAuto(skewed, col("k"), col("id"),
+          sums = Seq((col("cents"), "rc")), rankName = Some("rk")).count()
+      }
+      // exact quantiles of a 90%-one-value measure: the census-collapse
+      // rewrite makes the hot value ONE census row, so this curve tracks
+      // |distinct values|, not the row count — the skew never reaches
+      // the rank machinery at all
+      time("quantiles_skewed_census", m) {
+        operators.Analytics.exactQuantiles(skewed, col("k"),
+          Seq(250000L, 500000L, 900000L, 990000L)).count()
+      }
       // Reliable-checkpoint overhead curve: the same CC fixpoint under
       // local (zero fault tolerance), reliable-every-round, and
       // reliable-every-5 (bounded recovery, amortized durable writes) —

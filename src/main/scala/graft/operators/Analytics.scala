@@ -383,6 +383,8 @@ object Analytics {
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
       .pin
     val totals = counted.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    // skew-safe: `counted` is the post-groupBy value census — keys are
+    // UNIQUE by construction, so no key can concentrate a bucket
     GlobalOrder.withRunningAggs(counted, col("v"), Nil,
         Seq((col("ca"), "_cuma"), (col("cb"), "_cumb")))
       .crossJoin(broadcast(totals))
@@ -400,21 +402,25 @@ object Analytics {
     * ceil(q·n / 10⁶) (discrete lower-element semantics, the
     * quantile_disc convention); among tied values any tie order yields
     * the same VALUE at a given rank, so the emitted quantiles are
-    * deterministic without a tiebreak column. One rank pass + one
-    * broadcast of the |qs|-row target table. Output: (q_ppm, value,
-    * rank, n_rows). */
+    * deterministic without a tiebreak column. One distinct-value census,
+    * one distributed running sum over it, one |qs|-row broadcast range
+    * join. Output: (q_ppm, value, rank, n_rows). */
   def exactQuantiles(df: DataFrame, valueCol: Column,
                      qsPpm: Seq[Long]): DataFrame = {
     require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
       "quantiles are ppm ranks in [1, 1e6]")
     require(qsPpm.distinct.size == qsPpm.size, "duplicate quantiles")
-    // one materialization of the projected column: the rank pass reads
-    // it from three plan branches (min/max stats, local windows, bucket
-    // totals) and the row count is a fourth - without the checkpoint
-    // each branch re-scans the source
-    val v = df.select(valueCol.cast("long").as("v")).pin
-    val ranked = GlobalOrder.rank(v, col("v"), Nil, "rk")
-    val n = v.agg(count(lit(1)).as("n_rows"))
+    // census-collapse-first: one count per DISTINCT value (map-side
+    // combinable), so a concentrated measure — token counts with a
+    // boilerplate mode, a 90%-one-value column — is ONE census row and
+    // the GlobalOrder pass runs over unique keys, structurally immune
+    // to the equal-width bucketing's hot-key weakness (no row-level
+    // rank pass to skew). Value at quantile rank rk = the unique v
+    // whose cumulative count range (cum−c, cum] contains rk.
+    val census = df.select(valueCol.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("_c")).pin
+    val cum = GlobalOrder.runningSum(census, col("v"), Nil, col("_c"), "_cum")
+    val n = census.agg(coalesce(sum(col("_c")), lit(0L)).as("n_rows"))
     val spark = df.sparkSession
     import spark.implicits._
     val targets = qsPpm.toDF("q_ppm").crossJoin(broadcast(n))
@@ -422,27 +428,36 @@ object Analytics {
         greatest(lit(1L), expr(
           "cast((cast(q_ppm as decimal(38,0)) * n_rows + 999999) div 1000000 as bigint)"))
           .as("rk"))
-    ranked.join(broadcast(targets), Seq("rk"))
+    // range join against a |qs|-row broadcast (maxRows-bounded local
+    // relation — the plan sweep's tiny-side allowance): linear in the
+    // census, never in the rows
+    cum.join(broadcast(targets),
+        col("rk") > col("_cum") - col("_c") && col("rk") <= col("_cum"))
       .select(col("q_ppm"), col("v").as("value"), col("rk").as("rank"),
         col("n_rows"))
   }
 
   /** Per-GROUP exact quantiles — [[exactQuantiles]] scoped within each
     * group (per-tenant latency percentiles, per-source length
-    * distributions): grouped [[GlobalOrder]] rank + per-group counts,
-    * quantile q_ppm at 1-based rank ceil(q·n_g / 10⁶). Groups are
-    * data-sized and a dominant group cannot serialize one task (the
-    * grouped prefix-sum buckets within it). Output: (g, q_ppm, value,
-    * rank, n_rows) — one row per (group, quantile). */
+    * distributions): per-(group, value) census + grouped [[GlobalOrder]]
+    * running count, quantile q_ppm at 1-based rank ceil(q·n_g / 10⁶).
+    * Groups are data-sized and a dominant group cannot serialize one
+    * task (the grouped prefix-sum buckets within it). Output: (g,
+    * q_ppm, value, rank, n_rows) — one row per (group, quantile). */
   def exactQuantilesByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
                             qsPpm: Seq[Long]): DataFrame = {
     require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
       "quantiles are ppm ranks in [1, 1e6]")
     require(qsPpm.distinct.size == qsPpm.size, "duplicate quantiles")
-    val v = df.select(groupCol.as("g"), valueCol.cast("long").as("v")).pin
-    val ranked = GlobalOrder.withRunningAggs(v, col("v"), Nil,
-      rankName = Some("rk"), groupCols = Seq(col("g")))
-    val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n_rows"))
+    // census-collapse-first, like [[exactQuantiles]]: one count per
+    // distinct (group, value), so a concentrated value within any group
+    // is one census row and the grouped GlobalOrder pass runs over
+    // per-group-unique keys — skew-immune by construction
+    val census = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("_c")).pin
+    val cum = GlobalOrder.withRunningAggs(census, col("v"), Nil,
+      sums = Seq((col("_c"), "_cum")), groupCols = Seq(col("g")))
+    val counts = census.groupBy(col("g")).agg(sum(col("_c")).as("n_rows"))
     val spark = df.sparkSession
     import spark.implicits._
     val targets = counts.crossJoin(broadcast(qsPpm.toDF("q_ppm")))
@@ -453,11 +468,13 @@ object Analytics {
     // null-safe on g: the grouped GlobalOrder machinery treats a null
     // group as a real group (<=> joins internally), so a plain-equality
     // join here would silently drop its quantiles; renamed right side
-    // because both frames descend from `v` (same attribute ids)
+    // because both frames descend from the census (same attribute ids).
+    // The rank-range predicate rides on the g equi-join — no nested loop.
     val t = targets.withColumnRenamed("g", "_tg").withColumnRenamed("rk", "_trk")
-    ranked.join(t, col("g") <=> col("_tg") && col("rk") === col("_trk"))
+    cum.join(t, col("g") <=> col("_tg") &&
+        col("_trk") > col("_cum") - col("_c") && col("_trk") <= col("_cum"))
       .select(col("g"), col("q_ppm"), col("v").as("value"),
-        col("rk").as("rank"), col("n_rows"))
+        col("_trk").as("rank"), col("n_rows"))
   }
 
   /** One-sided CUSUM over a totally-ordered series: with P_i the
@@ -477,6 +494,12 @@ object Analytics {
     * through [[GlobalOrder]], the case a per-group window cannot. */
   def cusum(df: DataFrame, keyCol: Column, tieCols: Seq[Column],
             value: Column, target: Column): DataFrame = {
+    // skew note: the order key is the series axis; every caller feeds a
+    // PRE-AGGREGATED series (hourly/bucketed counts — one row per key by
+    // construction), so keys cannot concentrate. A raw-row caller with a
+    // hot instant should collapse per key first (sum the deviations —
+    // CUSUM only reads prefix sums, which are invariant under in-key
+    // aggregation at key boundaries) rather than rely on tie splitting.
     val dev = df.withColumn("_dev", value.cast("long") - target.cast("long"))
     val p1 = GlobalOrder.withRunningAggs(dev, keyCol, tieCols,
       sums = Seq((col("_dev"), "cum_dev")))
@@ -644,6 +667,7 @@ object Analytics {
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
       .pin
+    // skew-safe: `counted` is the post-groupBy value census — unique keys
     GlobalOrder.runningSum(counted, col("v"), Nil, col("cb"), "_cumb")
       .withColumn("_below", col("_cumb") - col("cb"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
@@ -783,7 +807,8 @@ object Analytics {
     val pts = df.withColumn("_x", xCol.cast("long")).withColumn("_y", yCol.cast("long"))
     val perX = pts.groupBy(col("_x")).agg(max(col("_y")).as("_y"))
     // descending-x sweep: a point survives iff its y strictly exceeds
-    // every y at strictly larger x
+    // every y at strictly larger x. Skew-safe: `perX` is the max-per-x
+    // collapse — one row per distinct x, keys unique by construction
     val frontier = GlobalOrder.withRunningAggs(perX, -col("_x"), Nil,
         exclMaxes = Seq((col("_y"), "_my")))
       .filter(col("_my").isNull || col("_y") > col("_my"))
@@ -1043,8 +1068,14 @@ object Analytics {
     val per = per0.crossJoin(broadcast(per0.agg(count(lit(1)).as("n"))))
     def quintile(metric: String): Column =
       expr(s"((rank_$metric - 1) * 5) div n + 1")
+    // adaptive rank: the metric axes CAN concentrate (most one-order
+    // customers share f = 1), so each rank probes the key census and
+    // prebins equal-count buckets when one value crosses the skew
+    // threshold — the customer id is the split tie (numeric ids spread;
+    // a non-numeric id degrades to the unsplit base bucket, still exact)
     Seq("r", "f", "m").foldLeft(per)((d, metric) =>
-        GlobalOrder.rank(d, col(metric), Seq(col("c").asc), s"rank_$metric"))
+        GlobalOrder.withRunningAggsAuto(d, col(metric), col("c"),
+          moreTies = Seq(col("c").asc), rankName = Some(s"rank_$metric")))
       .withColumn("r_q", quintile("r"))
       .withColumn("f_q", quintile("f"))
       .withColumn("m_q", quintile("m"))
@@ -1093,12 +1124,19 @@ object Analytics {
       "thresholdPpm must be in [0, 1e6]")
     val per = df.select(entityCol.as("e"), valueCol.cast("long").as("v"))
       .groupBy(col("e")).agg(sum(col("v")).as("v"))
-    // running sum + rank under (v desc, e asc) via GlobalOrder
+    // running sum + rank under (v desc, tie) via the ADAPTIVE GlobalOrder
     // (descending v = ascending −v) — the entity axis is data-sized, so
     // the sweep must distribute; the grand total is a broadcast scalar,
-    // not a partition-less window
-    GlobalOrder.withRunningAggs(per, -col("v"), Seq(col("e").asc),
-        Seq((col("v"), "cum")), Some("k"))
+    // not a partition-less window. The per-entity value CAN concentrate
+    // (a Zipf tail piles v = 1), so the rank probes the key census and
+    // prebins when one value dominates, splitting the hot value by the
+    // entity hash. The hash tie reorders rows only WITHIN a tied-v
+    // block, where every prefix sum takes the same values at the same
+    // rank — the aggregated outputs (n_entities, total, min k crossing
+    // the threshold) are tie-order-invariant, so the result is unchanged.
+    GlobalOrder.withRunningAggsAuto(per, -col("v"), xxhash64(col("e")),
+        moreTies = Seq(col("e").asc),
+        sums = Seq((col("v"), "cum")), rankName = Some("k"))
       .crossJoin(broadcast(per.agg(sum(col("v")).as("total"))))
       .agg(count(lit(1)).as("n_entities"), max(col("total")).as("total"),
         // ×1e6 threshold comparison in decimal(38,0): cum·1e6 and ppm·total

@@ -440,6 +440,8 @@ object Temporal {
       val merged = na.join(nb, Seq("v"), "full_outer")
         .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
           coalesce(col("nb"), lit(0L)).as("nb"))
+      // skew-safe: `merged` is the full-outer join of two endpoint
+      // censuses — one row per distinct v, keys unique by construction
       graft.operators.GlobalOrder
         .runningSum(merged, col("v"), Nil, col("na"), "_cumincl")
         .withColumn("_cum", col("_cumincl") - col("na"))

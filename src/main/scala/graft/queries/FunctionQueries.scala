@@ -107,6 +107,10 @@ object FunctionQueries {
       col("o_orderpriority").as("grp"),
       col("o_orderkey").cast("long").as("okey"),
       floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    // skew note: the key (total price in cents) spans ~10^7 distinct
+    // values near-uniformly — no single price concentrates a bucket;
+    // this gate intentionally exercises the grouped UNIFORM path (the
+    // skew-prebinned path has its own gate below)
     graft.operators.GlobalOrder.withRunningAggs(o,
         col("cents"), Seq(col("okey").asc),
         sums = Seq((col("cents"), "run_cents")), rankName = Some("rk"),

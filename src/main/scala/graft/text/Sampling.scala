@@ -102,6 +102,10 @@ object Sampling {
       .withColumn("_w", weightCol.cast("long"))
       .filter(col("_w") > 0L)
       .withColumn("_prio", expr("_u * 1000000 div _w"))
+    // skew note: `_prio` = hash(key)·10⁶ div w — hash-spread for any
+    // realistic weight range; concentration (many rows collapsing to
+    // prio 0) needs weights ≳ 10¹², far past token-count/byte-size
+    // weights. Documented bound, not a reachable hot key.
     graft.operators.GlobalOrder.withRunningAggs(prioritized,
         col("_prio"), Seq(col(keyCol).asc),
         rankName = Some("sample_rank"), groupCols = Seq(groupCol))
@@ -303,6 +307,8 @@ object Sampling {
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .withColumn("_h", md5_prefix64(concat(lit("pk:"),
         col("doc_id").cast("string"))))
+    // skew-safe: order key `_h` is a 64-bit hash of the doc id —
+    // hash-uniform by construction
     graft.operators.GlobalOrder.withRunningAggs(base, col("_h"),
         Seq(col("doc_id").asc), Seq((col("n_tokens"), "_cum")))
       .withColumn("_before", col("_cum") - col("n_tokens"))
@@ -343,6 +349,10 @@ object Sampling {
       .crossJoin(broadcast(totalW))
       .withColumn("virtual_pos",
         expr("((2 * pos_in_group - 1) * tw) div (2 * w)"))
+    // skew-safe: within a group, virtual positions are strictly
+    // increasing (the WRR step is W/w ≥ 1), so a virtual_pos value
+    // repeats at most once PER GROUP — key multiplicity is bounded by
+    // the group count (broadcast-sized by contract), never data-sized
     graft.operators.GlobalOrder.rank(positioned, col("virtual_pos"),
         Seq(col("g").asc, col("pos_in_group").asc), "epoch_rank")
       .select(col("g"), col("id"), col("pos_in_group"), col("virtual_pos"),

@@ -1419,6 +1419,9 @@ object TextFunctions {
   def vocabGrowth(docTerms: DataFrame): DataFrame = {
     val spark = docTerms.sparkSession
     import spark.implicits._
+    // skew-safe: rank key `h` is a 64-bit hash of the per-doc id (one
+    // row per doc after the groupBy) — hash-uniform, no value can
+    // concentrate a bucket
     val perDoc = graft.operators.GlobalOrder.rank(
       docTerms
         .groupBy(col("doc_id").cast("long").as("doc_id"))
@@ -1622,6 +1625,8 @@ object TextFunctions {
     val dt = docTerms
       .select(col("doc_id").cast("long").as("doc_id"), col("term"))
       .distinct()
+    // skew-safe: rank key `h` is a 64-bit hash of the distinct doc id —
+    // hash-uniform, no value can concentrate a bucket
     val ranked = graft.operators.GlobalOrder.rank(
       dt.select(col("doc_id")).distinct()
         .withColumn("h", wordId(concat(lit("nv:"), col("doc_id").cast("string")))),

@@ -250,6 +250,38 @@ class GlobalOrderSpec extends AnyFunSuite {
       rankName = Some("r")).count() == 0)
   }
 
+  test("auto mode matches the window on both sides of the skew threshold") {
+    val w = Window.orderBy(col("k").asc, col("id").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def check(rows: Seq[(Long, Long, Long)]): Unit = {
+      val df = rows.toDF("k", "id", "x")
+      val want = df.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cx", sum(col("x")).over(wf))
+        .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      val gotDf = GlobalOrder.withRunningAggsAuto(df, col("k"), col("id"),
+        sums = Seq((col("x"), "cx")), rankName = Some("r"))
+      val got = gotDf.collect()
+        .map(r => (r.getLong(1), r.getAs[Long]("r"), r.getAs[Long]("cx"))).toSet
+      assert(got == want)
+      assert(partitionlessWindows(gotDf).isEmpty)
+    }
+    val rnd = new Random(77)
+    // 90%-one-key → probe routes to the prebinned path
+    check((1 to 800).map(i =>
+      (if (i <= 720) 7L else 1000L + i, i.toLong, rnd.nextInt(25).toLong)))
+    // near-unique keys → probe routes to the uniform path
+    check((1 to 800).map(i => (i * 3L, i.toLong, rnd.nextInt(25).toLong)))
+    // threshold is config-driven: force the uniform path on skewed data
+    spark.conf.set("graft.globalorder.skewThresholdPpm", "999999")
+    try check((1 to 400).map(i =>
+      (if (i <= 350) 9L else 2000L + i, i.toLong, rnd.nextInt(9).toLong)))
+    finally spark.conf.unset("graft.globalorder.skewThresholdPpm")
+    // empty input survives the probe
+    assert(GlobalOrder.withRunningAggsAuto(
+      Seq.empty[(Long, Long, Long)].toDF("k", "id", "x"),
+      col("k"), col("id"), rankName = Some("r")).count() == 0)
+  }
+
   test("skew mode spreads a hot key across multiple buckets") {
     // the observable: the local pass shuffles by _go_bkt, so with AQE
     // coalescing OFF (it would merge this tiny test shuffle into one
