@@ -40,7 +40,12 @@ object SyncCli {
                           driftShortcut: Option[(String, String, String)] = None,
                           driftPair: Option[(String, String)] = None,
                           driftReport: Boolean = false,
-                          analysisJobDir: Option[String] = None)
+                          analysisJobDir: Option[String] = None,
+                          /** `cartography rules run` analog: run the
+                            * reference compliance library over the
+                            * sf-dir asset views and print text or JSON
+                            * findings (rules/cli.py --output). */
+                          rulesRun: Option[String] = None)
 
   /** Pure flag parser — unknown flags and missing values throw with the
     * reference's abort-with-guidance shape (cli.py raises through
@@ -79,6 +84,11 @@ object SyncCli {
             s"--drift-states expects older,newer — got '$v'")
         }
       case "--drift-report" :: t => loop(t, c.copy(driftReport = true))
+      case "--rules-run" :: v :: t if v == "text" || v == "json" =>
+        loop(t, c.copy(rulesRun = Some(v)))
+      case "--rules-run" :: v :: _ =>
+        throw new IllegalArgumentException(
+          s"--rules-run expects text or json, got '$v'")
       case "--analysis-job-directory" :: v :: t =>
         loop(t, c.copy(analysisJobDir = Some(v)))
       case flag :: _ if flag.startsWith("--") =>
@@ -87,7 +97,7 @@ object SyncCli {
             "--update-tag --best-effort --dry-run --list-modules --out " +
             "--compute-json --storage-json --drift-registry --drift-add " +
             "--drift-diff --drift-states --drift-shortcut --drift-report " +
-            "--analysis-job-directory")
+            "--analysis-job-directory --rules-run")
       case other :: _ =>
         throw new IllegalArgumentException(s"unexpected positional argument $other")
     }
@@ -187,6 +197,28 @@ object SyncCli {
     graft.drift.Drift.addShortcut(spark, reg, query, alias, target)
   }
 
+  /** Build the reference compliance library's asset views over the
+    * sf-dir tables, execute every rule, and render findings in the
+    * requested format (reference: `cartography rules run --output ...`,
+    * rules/cli.py + runners.py + formatters.py). */
+  def rulesReport(spark: SparkSession, cfg: Config): String = {
+    import graft.rules.{Formatters, ReferenceLibrary, RulesRunner}
+    Seq("region" -> Tables.region _, "supplier" -> Tables.supplier _,
+      "part" -> Tables.part _, "nation" -> Tables.nation _,
+      "customer" -> Tables.customer _, "orders" -> Tables.orders _)
+      .foreach { case (n, t) =>
+        t(spark, cfg.sfDir).createOrReplaceTempView(s"rf_base_$n") }
+    ReferenceLibrary.viewSql.foreach { case (n, sql) =>
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n AS $sql") }
+    val fw = ReferenceLibrary.framework
+    val problems = RulesRunner.validate(spark, fw)
+    require(problems.isEmpty,
+      s"reference library invalid: ${problems.mkString("; ")}")
+    val results = Formatters.execute(spark, fw)
+    if (cfg.rulesRun.contains("json")) Formatters.renderJson(results)
+    else Formatters.renderText(results, color = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args.toSeq)
     val reg = registry(cfg)
@@ -205,6 +237,20 @@ object SyncCli {
         .getOrCreate()
       if (cfg.driftShortcut.isDefined) driftAddShortcut(spark, cfg)
       if (cfg.driftDiff.isDefined) driftDiffRows(spark, cfg).foreach(println)
+      if (!preEx) spark.stop()
+      return
+    }
+    if (cfg.rulesRun.isDefined) {
+      // pure read path like the drift legs: `cartography rules run`
+      // never syncs, it reads the graph and prints findings
+      val preEx = SparkSession.getDefaultSession.isDefined
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      println(rulesReport(spark, cfg))
       if (!preEx) spark.stop()
       return
     }
