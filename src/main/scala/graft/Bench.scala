@@ -89,24 +89,68 @@ object Bench {
     import org.apache.spark.metrics.source.CodegenMetrics
     def compileCount(): Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val compilesAt = scala.collection.mutable.ArrayBuffer(compileCount())
-    val timed: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+
+    // Spike attribution (round-10 verdict item 2): per query per pass,
+    // alongside wall time, record
+    //  * JVM GC ms (GC MXBean collection-time delta — driver==executor
+    //    in local mode, so this is ALL GC in the window),
+    //  * summed task executorRunTime ms and task-attributed jvmGCTime ms,
+    //  * completed task + stage counts (an AQE replan shows up as a
+    //    different stage/task census on identical code)
+    // via a listener whose counters are snapshotted after draining the
+    // async bus. A wall-time spike then separates into: GC wall (MXBean
+    // jump), slow kernels (task ms jump, e.g. C2 deopt), scheduling gaps
+    // (wall up, task ms flat), or a replan (stage census change).
+    import java.lang.management.ManagementFactory
+    import java.util.concurrent.atomic.AtomicLong
+    import scala.jdk.CollectionConverters._
+    val taskRunMs = new AtomicLong; val taskGcMs = new AtomicLong
+    val taskN = new AtomicLong; val stageN = new AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            taskRunMs.addAndGet(m.executorRunTime)
+            taskGcMs.addAndGet(m.jvmGCTime)
+            taskN.incrementAndGet()
+          }
+        }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stageN.incrementAndGet(); ()
+        }
+      })
+    def jvmGcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    final case class Diag(gcMs: Long, taskMs: Long, taskGcMs: Long,
+                          tasks: Long, stages: Long)
+
+    val timed: Seq[Seq[(String, (Double, Diag))]] = (1 to passes).map { _ =>
       val pass = ordered.map { case (name, fn) =>
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+        val (gc0, tr0, tg0, tn0, sn0) =
+          (jvmGcMs(), taskRunMs.get, taskGcMs.get, taskN.get, stageN.get)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+        val diag = Diag(jvmGcMs() - gc0, taskRunMs.get - tr0,
+          taskGcMs.get - tg0, taskN.get - tn0, stageN.get - sn0)
         // pay accumulated cleanup debt BETWEEN queries, not inside a later
         // timed section (see DriverHygiene)
         DriverHygiene.releasePersisted(spark)
-        name -> dt
+        name -> (dt, diag)
       }
       compilesAt += compileCount()
       pass
     }
     val results = ordered.map { case (name, _) =>
-      name -> timed.map(_.toMap.apply(name)).min
+      name -> timed.map(_.toMap.apply(name)._1).min
     }
     val total = results.map(_._2).sum
-    val passTotals = timed.map(_.map(_._2).sum)
+    val passTotals = timed.map(_.map(_._2._1).sum)
     val compilesPerPass = compilesAt.sliding(2).map(w => w(1) - w(0)).toSeq
 
     // The driver keeps only the last ~2 KB of stdout and parses the final
@@ -123,11 +167,19 @@ object Bench {
     // from, and a query whose pass-1 value is 3x its pass-3 value is warm-up,
     // not regression (round-9 verdict item 7).
     val perPass = timed.map { pass =>
-      pass.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+      pass.map { case (k, (v, _)) =>
+        "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
+    // per-pass diagnostics: [gc_ms, task_ms, task_gc_ms, tasks, stages]
+    // per query — the spike-attribution quartet (see listener above)
+    val perPassDiag = timed.map { pass =>
+      pass.map { case (k, (_, d)) =>
+        s""""$k":[${d.gcMs},${d.taskMs},${d.taskGcMs},${d.tasks},${d.stages}]"""
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"per_pass":$perPass,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages"],"queries":$fullQs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench")
     java.nio.file.Files.createDirectories(detailPath)
     java.nio.file.Files.writeString(detailPath.resolve("BENCH_FULL_latest.json"),

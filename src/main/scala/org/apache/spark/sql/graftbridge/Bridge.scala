@@ -68,6 +68,15 @@ object Bridge {
     spark.internalCreateDataFrame(rdd, ds.schema)
   }
 
+  /** Drain the async listener bus (private[spark]) — snapshotting
+    * listener-accumulated task metrics right after an action otherwise
+    * races the bus and attributes late task-end events to the NEXT
+    * query's window. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession,
+                      timeoutMs: Long = 10000L): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** Plan-only cut: rebuilds the frame as a `LogicalRDD` leaf (small SQL
     * plan, stats reset to the default prior — the compounding-BigInt stat
     * bomb is defused) WITHOUT truncating RDD lineage. The RDD chain stays
