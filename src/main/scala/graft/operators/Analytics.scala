@@ -1052,11 +1052,14 @@ object Analytics {
     * Recency (latest activity), Frequency (distinct activity count) and
     * Monetary value, then the 125-cell census — the classic
     * behavior-segmentation cross-tab, all exact (quintile =
-    * ((rank−1)·5) div n + 1 under a spelled-out total order, ties by
-    * customer id). One customer-level aggregation + three
-    * [[GlobalOrder]] distributed ranks over |customers| rows — the
-    * customer axis is data-sized, so no single-partition rank window
-    * anywhere; n arrives as a broadcast scalar, not a global window.
+    * ((rank−1)·5) div n + 1 under the spelled-out total order
+    * (metric ASC, customer id ASC under its cast-to-long numeric order —
+    * ids must be NUMERIC for order-stable output; a digit-string id
+    * would rank "10" before "9", diverging from its lexicographic
+    * order). One customer-level aggregation + three [[GlobalOrder]]
+    * distributed ranks over |customers| rows — the customer axis is
+    * data-sized, so no single-partition rank window anywhere; n arrives
+    * as a broadcast scalar, not a global window.
     * Output: (r_q, f_q, m_q, n_customers). */
   def rfmSegments(df: DataFrame, custCol: Column, timeCol: Column,
                   valueCol: Column): DataFrame = {
@@ -1065,17 +1068,27 @@ object Analytics {
       .groupBy(col("c"))
       .agg(max(col("t")).as("r"), count(lit(1)).as("f"), sum(col("v")).as("m"))
       .pin
-    val per = per0.crossJoin(broadcast(per0.agg(count(lit(1)).as("n"))))
-    def quintile(metric: String): Column =
-      expr(s"((rank_$metric - 1) * 5) div n + 1")
     // adaptive rank: the metric axes CAN concentrate (most one-order
     // customers share f = 1), so each rank probes the key census and
     // prebins equal-count buckets when one value crosses the skew
-    // threshold — the customer id is the split tie (numeric ids spread;
-    // a non-numeric id degrades to the unsplit base bucket, still exact)
-    Seq("r", "f", "m").foldLeft(per)((d, metric) =>
-        GlobalOrder.withRunningAggsAuto(d, col(metric), col("c"),
-          moreTies = Seq(col("c").asc), rankName = Some(s"rank_$metric")))
+    // threshold — the customer id is the split tie. Each rank runs
+    // INDEPENDENTLY over the pinned per-customer frame and joins back on
+    // the customer id: chaining the three passes (the round-11 shape)
+    // put pass 1's whole two-pass machinery inside every plan branch of
+    // passes 2 and 3 (census, stats, local, totals — compounding
+    // re-execution, only per0 and the censuses being materialized);
+    // independent passes each read the pinned per0, so nothing re-runs.
+    val ranked = Seq("r", "f", "m").map { metric =>
+      GlobalOrder.withRunningAggsAuto(
+          per0.select(col("c"), col(metric)), col(metric), col("c"),
+          moreTies = Seq(col("c").asc), rankName = Some(s"rank_$metric"))
+        .select(col("c"), col(s"rank_$metric"))
+    }
+    val per = ranked.reduce(_.join(_, Seq("c")))
+      .crossJoin(broadcast(per0.agg(count(lit(1)).as("n"))))
+    def quintile(metric: String): Column =
+      expr(s"((rank_$metric - 1) * 5) div n + 1")
+    per
       .withColumn("r_q", quintile("r"))
       .withColumn("f_q", quintile("f"))
       .withColumn("m_q", quintile("m"))

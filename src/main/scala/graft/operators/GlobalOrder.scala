@@ -193,8 +193,12 @@ object GlobalOrder {
       BigInt(mx) * 1000000L >= BigInt(thresholdPpm) * BigInt(tot)
     if (skewed) skewCore(keyed, census, moreTies, sums, rankName, exclMaxes)
     else {
-      val stats = keyed.agg(min(col("_go_key")).as("_go_min"),
-        max(col("_go_key")).as("_go_max"))
+      // min/max from the already-PINNED census (distinct-keys-sized,
+      // materialized for the probe) — not a second full scan of `keyed`;
+      // min/max ignore the null-key census row exactly as they ignore
+      // null keys in the raw frame, so the buckets are byte-identical
+      val stats = census.agg(min(col("_go_k")).as("_go_min"),
+        max(col("_go_k")).as("_go_max"))
       val bucketed = keyed.crossJoin(broadcast(stats))
         .withColumn("_go_bkt", bucketExpr(n))
         .drop("_go_min", "_go_max")

@@ -91,12 +91,12 @@ object Formatters {
     * codes for plain terminals and golden tests. */
   def renderText(results: Seq[RuleRender], color: Boolean = true): String = {
     val sb = new StringBuilder
-    val totalFacts = results.map(_.facts.size).sum
-    var factIdx = 0
-    for (rule <- results; f <- rule.facts) {
-      factIdx += 1
+    // fact numbering is PER RULE: the reference creates a fresh
+    // CounterResult in _run_single_rule (runners.py:213), so a framework
+    // of single-fact rules prints "Fact 1/1" for each
+    for (rule <- results; (f, i) <- rule.facts.zipWithIndex) {
       sb.append("\n").append(
-        c(color, "1", s"Fact $factIdx/$totalFacts: ${f.factName}")).append("\n")
+        c(color, "1", s"Fact ${i + 1}/${rule.facts.size}: ${f.factName}")).append("\n")
       def kv(label: String, value: String): Unit =
         sb.append("  ").append(c(color, "36", label.padTo(12, ' ')))
           .append(" ").append(value).append("\n")
@@ -149,13 +149,18 @@ object Formatters {
       sb.append(s"Total assets: $totalAssets\n")
       sb.append(c(color, "32", s"Passing: $totalPassing")).append("\n")
       sb.append(c(color, "31", s"Failing: $totalFailing")).append("\n")
-      sb.append(f"Compliance: ${totalPassing * 100.0 / totalAssets}%.1f%%\n")
+      // Locale.ROOT: Python's '{:.1f}' always prints a dot decimal
+      sb.append(String.format(java.util.Locale.ROOT,
+        "Compliance: %.1f%%\n", Double.box(totalPassing * 100.0 / totalAssets)))
     } else sb.append(s"Total findings: $totalFindings\n")
-    val findingsCount = if (totalAssets > 0) totalFailing else totalFindings
-    if (findingsCount > 0)
+    // reference condition (formatters.py:176): failing OR findings — a
+    // mix of 0-failing count-backed facts with a non-count fact that has
+    // findings still prints the cyan "with 0 total findings" line
+    if (totalFailing > 0 || totalFindings > 0) {
+      val findingsCount = if (totalAssets > 0) totalFailing else totalFindings
       sb.append("\n").append(c(color, "36",
         s"Rule execution completed with $findingsCount total findings")).append("\n")
-    else
+    } else
       sb.append("\n").append(c(color, "90",
         "Rule execution completed with no findings")).append("\n")
     sb.toString

@@ -64,7 +64,7 @@ class RulesFormattersSpec extends AnyFunSuite {
     val got = Formatters.renderText(results, color = false)
     val want =
       """
-        |Fact 1/2: Open buckets
+        |Fact 1/1: Open buckets
         |  Rule:        R1 - Public storage
         |  Fact ID:     tiny-open-buckets
         |  Description: Buckets with public access
@@ -78,7 +78,7 @@ class RulesFormattersSpec extends AnyFunSuite {
         |      3. asset_id=b2, detail=public-read
         |      ... and 1 more (use --output json to see all)
         |
-        |Fact 2/2: Stale keys
+        |Fact 1/1: Stale keys
         |  Rule:        R2 - Credential hygiene
         |  Fact ID:     tiny-stale-keys
         |  Description: Access keys unused for 90 days
@@ -144,6 +144,35 @@ class RulesFormattersSpec extends AnyFunSuite {
       """"asset_label": "Key", "asset_id_field": "asset_id"}], """ +
       """"rule_tags": [], "rule_frameworks": []}]"""
     assert(js == want, s"---- got ----\n$js\n---- want ----\n$want")
+  }
+
+  test("summary banner mirrors the reference edge: all-passing count facts " +
+      "+ a non-count fact with findings prints 'with 0 total findings'") {
+    // reference condition (formatters.py:176): total_failing > 0 OR
+    // total_findings > 0 prints the cyan completed-with-N line, with
+    // N = total_failing whenever total_assets > 0 — so this mix prints 0
+    val clean = Fact(
+      factId = "tiny-clean", name = "Clean buckets", assetLabel = "Bucket",
+      query = { s =>
+        import s.implicits._
+        Seq.empty[(String, String)].toDF("asset_id", "detail")
+      },
+      description = "No failing buckets", module = "storage",
+      countQuery = Some { s =>
+        import s.implicits._; Seq(5L).toDF("count")
+      })
+    val info = Fact(
+      factId = "tiny-info", name = "Informational", assetLabel = "Note",
+      query = { s =>
+        import s.implicits._
+        Seq(("n1", "fyi")).toDF("asset_id", "detail")
+      },
+      description = "Non-count informational fact", module = "misc")
+    val fw = Framework("edge", Seq(
+      Rule("R1", "Clean", Seq(clean)), Rule("R2", "Info", Seq(info))))
+    val txt = Formatters.renderText(Formatters.execute(spark, fw), color = false)
+    assert(txt.contains("Rule execution completed with 0 total findings"))
+    assert(!txt.contains("no findings"))
   }
 
   test("maxFindings caps collection and marks truncation") {
