@@ -124,20 +124,30 @@ object Bench {
       })
     def jvmGcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
+    // JIT compiler-thread time (C1+C2, cumulative ms): a wall spike at
+    // identical task/stage census and flat GC with a jitMs jump names
+    // the mechanism — fresh codegen classes (or deopt-triggered
+    // recompiles) being compiled while the query runs (r11 verdict #1)
+    val jitBean = ManagementFactory.getCompilationMXBean
+    def jitMsNow(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
     final case class Diag(gcMs: Long, taskMs: Long, taskGcMs: Long,
-                          tasks: Long, stages: Long)
+                          tasks: Long, stages: Long, jitMs: Long)
 
     val timed: Seq[Seq[(String, (Double, Diag))]] = (1 to passes).map { _ =>
       val pass = ordered.map { case (name, fn) =>
         org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
-        val (gc0, tr0, tg0, tn0, sn0) =
-          (jvmGcMs(), taskRunMs.get, taskGcMs.get, taskN.get, stageN.get)
+        val (gc0, tr0, tg0, tn0, sn0, jit0) =
+          (jvmGcMs(), taskRunMs.get, taskGcMs.get, taskN.get, stageN.get,
+            jitMsNow())
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
         val diag = Diag(jvmGcMs() - gc0, taskRunMs.get - tr0,
-          taskGcMs.get - tg0, taskN.get - tn0, stageN.get - sn0)
+          taskGcMs.get - tg0, taskN.get - tn0, stageN.get - sn0,
+          jitMsNow() - jit0)
         // pay accumulated cleanup debt BETWEEN queries, not inside a later
         // timed section (see DriverHygiene)
         DriverHygiene.releasePersisted(spark)
@@ -175,11 +185,11 @@ object Bench {
     // per query — the spike-attribution quartet (see listener above)
     val perPassDiag = timed.map { pass =>
       pass.map { case (k, (_, d)) =>
-        s""""$k":[${d.gcMs},${d.taskMs},${d.taskGcMs},${d.tasks},${d.stages}]"""
+        s""""$k":[${d.gcMs},${d.taskMs},${d.taskGcMs},${d.tasks},${d.stages},${d.jitMs}]"""
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages"],"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages","jit_ms"],"queries":$fullQs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench")
     java.nio.file.Files.createDirectories(detailPath)
     java.nio.file.Files.writeString(detailPath.resolve("BENCH_FULL_latest.json"),

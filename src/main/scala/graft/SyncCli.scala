@@ -45,7 +45,16 @@ object SyncCli {
                             * reference compliance library over the
                             * sf-dir asset views and print text or JSON
                             * findings (rules/cli.py --output). */
-                          rulesRun: Option[String] = None)
+                          rulesRun: Option[String] = None,
+                          /** `cartography-rules list [rule]` analog:
+                            * Some(None) lists every rule, Some(Some(id))
+                            * prints one rule's fact inventory. */
+                          rulesList: Option[Option[String]] = None,
+                          /** `list --framework` filter
+                            * (short[:scope[:revision]]). */
+                          rulesFrameworkFilter: Option[String] = None,
+                          /** `cartography-rules frameworks` analog. */
+                          rulesFrameworks: Boolean = false)
 
   /** Pure flag parser — unknown flags and missing values throw with the
     * reference's abort-with-guidance shape (cli.py raises through
@@ -89,6 +98,14 @@ object SyncCli {
       case "--rules-run" :: v :: _ =>
         throw new IllegalArgumentException(
           s"--rules-run expects text or json, got '$v'")
+      // `cartography-rules list [RULE] [--framework F]`: an optional
+      // positional rule id (any following token not itself a flag)
+      case "--rules-list" :: v :: t if !v.startsWith("--") =>
+        loop(t, c.copy(rulesList = Some(Some(v))))
+      case "--rules-list" :: t => loop(t, c.copy(rulesList = Some(None)))
+      case "--rules-framework" :: v :: t =>
+        loop(t, c.copy(rulesFrameworkFilter = Some(v)))
+      case "--rules-frameworks" :: t => loop(t, c.copy(rulesFrameworks = true))
       case "--analysis-job-directory" :: v :: t =>
         loop(t, c.copy(analysisJobDir = Some(v)))
       case flag :: _ if flag.startsWith("--") =>
@@ -97,7 +114,8 @@ object SyncCli {
             "--update-tag --best-effort --dry-run --list-modules --out " +
             "--compute-json --storage-json --drift-registry --drift-add " +
             "--drift-diff --drift-states --drift-shortcut --drift-report " +
-            "--analysis-job-directory --rules-run")
+            "--analysis-job-directory --rules-run --rules-list " +
+            "--rules-framework --rules-frameworks")
       case other :: _ =>
         throw new IllegalArgumentException(s"unexpected positional argument $other")
     }
@@ -219,8 +237,26 @@ object SyncCli {
     else Formatters.renderText(results, color = false)
   }
 
+  /** The metadata-only rules subcommands (`list`, `frameworks`) — no
+    * SparkSession, no query execution: pure renders over the packaged
+    * library (reference cartography-rules CLI, cli.py:182-326). */
+  def rulesMetadataReport(cfg: Config): Option[String] = {
+    val lib = graft.rules.ReferenceLibrary.framework.rules
+    if (cfg.rulesFrameworks) Some(graft.rules.CliFormats.renderFrameworks(lib))
+    else cfg.rulesList.map {
+      case Some(ruleId) => graft.rules.CliFormats.renderRuleDetail(lib, ruleId)
+      case None =>
+        graft.rules.CliFormats.renderRulesList(lib, cfg.rulesFrameworkFilter)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args.toSeq)
+    val metaReport = rulesMetadataReport(cfg)
+    if (metaReport.isDefined) {
+      println(metaReport.get)
+      return
+    }
     val reg = registry(cfg)
     if (cfg.listModules) {
       reg.foreach(s => println(s.name))
