@@ -106,6 +106,11 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val taskRunMs = new AtomicLong; val taskGcMs = new AtomicLong
     val taskN = new AtomicLong; val stageN = new AtomicLong
+    // executorCpuTime (ns→ms) vs executorRunTime separates descheduling
+    // from genuine cycles: a wall/run spike at FLAT cpu means the tasks
+    // sat off-CPU (ambient host contention); cpu spiking with run means
+    // the kernels really executed more cycles (deopt, cache eviction)
+    val taskCpuMs = new AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -113,6 +118,7 @@ object Bench {
           val m = e.taskMetrics
           if (m != null) {
             taskRunMs.addAndGet(m.executorRunTime)
+            taskCpuMs.addAndGet(m.executorCpuTime / 1000000L)
             taskGcMs.addAndGet(m.jvmGCTime)
             taskN.incrementAndGet()
           }
@@ -133,21 +139,54 @@ object Bench {
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else 0L
     final case class Diag(gcMs: Long, taskMs: Long, taskGcMs: Long,
-                          tasks: Long, stages: Long, jitMs: Long)
+                          tasks: Long, stages: Long, jitMs: Long,
+                          taskCpuMs: Long, aluUs: Long, memUs: Long)
+
+    // Calibration probes (SPARK_GRAFT_PROBE=1): two fixed pure-JVM
+    // workloads timed at each query boundary — compiled once, never
+    // deopt, independent of Spark. If a query's wall/cpu spike coincides
+    // with a probe spike the MACHINE slowed (host contention — memory
+    // stalls count as thread CPU time); probes flat while Spark kernels
+    // spike = JVM-internal to the query's own code. alu = register-only
+    // mix (frequency/steal-sensitive); mem = 64 MiB strided xor-scan
+    // (bandwidth-sensitive). ~15 ms each warm.
+    val probeOn = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
+    val memArr = if (probeOn) new Array[Long](8 << 20) else null
+    @volatile var blackhole = 0L
+    def aluProbeUs(): Long = {
+      if (!probeOn) return 0L
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 20000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      blackhole ^= x
+      (System.nanoTime() - t0) / 1000
+    }
+    def memProbeUs(): Long = {
+      if (!probeOn) return 0L
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0
+      while (i < memArr.length) { acc ^= memArr(i); memArr(i) = acc + i; i += 17 }
+      blackhole ^= acc
+      (System.nanoTime() - t0) / 1000
+    }
+    // warm both probe loops to steady state before any timed use
+    if (probeOn) (1 to 5).foreach { _ => aluProbeUs(); memProbeUs() }
 
     val timed: Seq[Seq[(String, (Double, Diag))]] = (1 to passes).map { _ =>
       val pass = ordered.map { case (name, fn) =>
         org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
-        val (gc0, tr0, tg0, tn0, sn0, jit0) =
+        val (gc0, tr0, tg0, tn0, sn0, jit0, tc0) =
           (jvmGcMs(), taskRunMs.get, taskGcMs.get, taskN.get, stageN.get,
-            jitMsNow())
+            jitMsNow(), taskCpuMs.get)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
         val diag = Diag(jvmGcMs() - gc0, taskRunMs.get - tr0,
           taskGcMs.get - tg0, taskN.get - tn0, stageN.get - sn0,
-          jitMsNow() - jit0)
+          jitMsNow() - jit0, taskCpuMs.get - tc0, aluProbeUs(), memProbeUs())
         // pay accumulated cleanup debt BETWEEN queries, not inside a later
         // timed section (see DriverHygiene)
         DriverHygiene.releasePersisted(spark)
@@ -185,11 +224,11 @@ object Bench {
     // per query — the spike-attribution quartet (see listener above)
     val perPassDiag = timed.map { pass =>
       pass.map { case (k, (_, d)) =>
-        s""""$k":[${d.gcMs},${d.taskMs},${d.taskGcMs},${d.tasks},${d.stages},${d.jitMs}]"""
+        s""""$k":[${d.gcMs},${d.taskMs},${d.taskGcMs},${d.tasks},${d.stages},${d.jitMs},${d.taskCpuMs},${d.aluUs},${d.memUs}]"""
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages","jit_ms"],"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages","jit_ms","task_cpu_ms","alu_us","mem_us"],"queries":$fullQs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench")
     java.nio.file.Files.createDirectories(detailPath)
     java.nio.file.Files.writeString(detailPath.resolve("BENCH_FULL_latest.json"),
