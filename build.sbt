@@ -37,4 +37,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 299-query battery compiles ~4.4k Janino fragments in pass 1; their
+  // nmethods occupy a MEASURED 175 MB of the JDK-17 default 240 MB code
+  // cache at sf0.1 (per-query code_kb gauge in BENCH_FULL) — 73% full, no
+  // headroom for battery growth before the sweeper starts flushing hot
+  // kernels. Reserved ≠ committed, so the larger budget costs nothing.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
+  // r12's one-query pass-2/3 blowup (analytics_exact_quantiles 5.4s →
+  // 148.9s → 74.4s, task-CPU ×15 at identical task/stage census, jit_ms
+  // FALLING, GC flat, code cache 73%, zero fresh fragment compiles) is the
+  // signature of HotSpot abandoning a repeatedly-deoptimizing generated
+  // kernel: after PerMethodRecompilationCutoff (default 400) recompiles the
+  // method is made not-compilable and runs INTERPRETED for the JVM's life —
+  // per-JVM-instance state, which is why three controlled re-runs of the
+  // identical code+config+data never reproduced it. Raising the cutoff lets
+  // the kernel recompile instead of being parked in the interpreter.
+  "-XX:PerMethodRecompilationCutoff=10000",
 )

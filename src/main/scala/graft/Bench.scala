@@ -106,11 +106,14 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val taskRunMs = new AtomicLong; val taskGcMs = new AtomicLong
     val taskN = new AtomicLong; val stageN = new AtomicLong
-    // executorCpuTime (ns→ms) vs executorRunTime separates descheduling
+    // executorCpuTime vs executorRunTime separates descheduling
     // from genuine cycles: a wall/run spike at FLAT cpu means the tasks
     // sat off-CPU (ambient host contention); cpu spiking with run means
-    // the kernels really executed more cycles (deopt, cache eviction)
-    val taskCpuMs = new AtomicLong
+    // the kernels really executed more cycles (deopt, cache eviction).
+    // Accumulated in raw NANOSECONDS (divide once at read): truncating
+    // per-task loses up to 1 ms × thousands of tasks — whole seconds of
+    // attribution skew over a pass (r12 ADVICE).
+    val taskCpuNs = new AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -118,7 +121,7 @@ object Bench {
           val m = e.taskMetrics
           if (m != null) {
             taskRunMs.addAndGet(m.executorRunTime)
-            taskCpuMs.addAndGet(m.executorCpuTime / 1000000L)
+            taskCpuNs.addAndGet(m.executorCpuTime)
             taskGcMs.addAndGet(m.jvmGCTime)
             taskN.incrementAndGet()
           }
@@ -138,9 +141,46 @@ object Bench {
     def jitMsNow(): Long =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else 0L
+    // JIT code-cache occupancy (sum of the segmented CodeHeap pools, KB)
+    // sampled at each query boundary: ~4.4k Janino classes compiled in
+    // pass 1 can SATURATE the default 240 MB ReservedCodeCacheSize —
+    // after which the sweeper flushes hot nmethods and compilation
+    // throttles, so evicted kernels run INTERPRETED (task CPU inflates
+    // 10-30× at identical task/stage census while jit_ms FALLS — exactly
+    // the r12 pass-2 signature). code_max_kb is printed once so the
+    // artifact proves which budget the run had.
+    val codePools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+    def codeUsedKb(): Long = codePools.map(_.getUsage.getUsed).sum / 1024
+    val codeMaxKb: Long = codePools.map(_.getUsage.getMax).sum / 1024
+    val metaPool = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .find(_.getName == "Metaspace")
+    def metaUsedKb(): Long = metaPool.map(_.getUsage.getUsed / 1024).getOrElse(0L)
+    // Host-vs-process CPU split: /proc/stat's aggregate busy jiffies
+    // cover EVERY process on the machine; the OS MXBean's process CPU
+    // covers only this JVM. `host_ms - proc_ms` over a query's window is
+    // ambient load — the direct detector for "the machine was busy with
+    // someone else" that the r12 spike hunt lacked (the r12 driver ran
+    // with probes off, so ambient contention could only be argued, not
+    // read). Jiffies are USER_HZ (100 Hz) summed across cpus → ×10 = ms.
+    def hostBusyMs(): Long = try {
+      val l = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim
+        .split("\\s+").drop(1).map(_.toLong)
+      // busy = total − idle(3) − iowait(4)
+      (l.sum - l(3) - (if (l.length > 4) l(4) else 0L)) * 10
+    } catch { case _: Throwable => 0L }
+    val osBean = ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def procCpuMs(): Long =
+      osBean.map(_.getProcessCpuTime / 1000000L).getOrElse(0L)
     final case class Diag(gcMs: Long, taskMs: Long, taskGcMs: Long,
                           tasks: Long, stages: Long, jitMs: Long,
-                          taskCpuMs: Long, aluUs: Long, memUs: Long)
+                          taskCpuMs: Long, aluUs: Long, memUs: Long,
+                          codeKb: Long, metaKb: Long, compiles: Long,
+                          hostMs: Long, procMs: Long)
 
     // Calibration probes (SPARK_GRAFT_PROBE=1): two fixed pure-JVM
     // workloads timed at each query boundary — compiled once, never
@@ -177,16 +217,22 @@ object Bench {
     val timed: Seq[Seq[(String, (Double, Diag))]] = (1 to passes).map { _ =>
       val pass = ordered.map { case (name, fn) =>
         org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
-        val (gc0, tr0, tg0, tn0, sn0, jit0, tc0) =
+        val (gc0, tr0, tg0, tn0, sn0, jit0, tc0, cc0) =
           (jvmGcMs(), taskRunMs.get, taskGcMs.get, taskN.get, stageN.get,
-            jitMsNow(), taskCpuMs.get)
+            jitMsNow(), taskCpuNs.get, compileCount())
+        val (hb0, pc0) = (hostBusyMs(), procCpuMs())
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+        // per-query Janino compile delta: on a warm pass this must be ~0 —
+        // any query still compiling fragments in pass 2+ owns part of the
+        // warm-pass compile floor (micro-batch watermark literals etc.)
         val diag = Diag(jvmGcMs() - gc0, taskRunMs.get - tr0,
           taskGcMs.get - tg0, taskN.get - tn0, stageN.get - sn0,
-          jitMsNow() - jit0, taskCpuMs.get - tc0, aluProbeUs(), memProbeUs())
+          jitMsNow() - jit0, (taskCpuNs.get - tc0) / 1000000L,
+          aluProbeUs(), memProbeUs(), codeUsedKb(), metaUsedKb(),
+          compileCount() - cc0, hostBusyMs() - hb0, procCpuMs() - pc0)
         // pay accumulated cleanup debt BETWEEN queries, not inside a later
         // timed section (see DriverHygiene)
         DriverHygiene.releasePersisted(spark)
@@ -224,11 +270,11 @@ object Bench {
     // per query — the spike-attribution quartet (see listener above)
     val perPassDiag = timed.map { pass =>
       pass.map { case (k, (_, d)) =>
-        s""""$k":[${d.gcMs},${d.taskMs},${d.taskGcMs},${d.tasks},${d.stages},${d.jitMs},${d.taskCpuMs},${d.aluUs},${d.memUs}]"""
+        s""""$k":[${d.gcMs},${d.taskMs},${d.taskGcMs},${d.tasks},${d.stages},${d.jitMs},${d.taskCpuMs},${d.aluUs},${d.memUs},${d.codeKb},${d.metaKb},${d.compiles},${d.hostMs},${d.procMs}]"""
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages","jit_ms","task_cpu_ms","alu_us","mem_us"],"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"code_cache_max_kb":$codeMaxKb,"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages","jit_ms","task_cpu_ms","alu_us","mem_us","code_kb","meta_kb","compiles","host_ms","proc_ms"],"queries":$fullQs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench")
     java.nio.file.Files.createDirectories(detailPath)
     java.nio.file.Files.writeString(detailPath.resolve("BENCH_FULL_latest.json"),

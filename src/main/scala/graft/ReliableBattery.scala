@@ -90,6 +90,16 @@ object ReliableBattery {
       s""""hash_mismatches":${mismatches.size},""" +
       s""""mismatched":${mismatches.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     spark.stop()
+    // the durable checkpoint blocks (every 3rd cut × every gate) would
+    // otherwise accumulate in /tmp across runs (r12 ADVICE)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rmTree(java.nio.file.Paths.get(ckptDir))
     if (mismatches.nonEmpty) sys.exit(1)
   }
 }

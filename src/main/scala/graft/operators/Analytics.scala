@@ -1084,7 +1084,18 @@ object Analytics {
           moreTies = Seq(col("c").asc), rankName = Some(s"rank_$metric"))
         .select(col("c"), col(s"rank_$metric"))
     }
-    val per = ranked.reduce(_.join(_, Seq("c")))
+    // NULL-SAFE recombination: the three frames carry the identical key
+    // set (all derive from pinned per0), but a plain Seq("c") equi-join
+    // silently drops a null customer-id group — which groupBy retains
+    // and the broadcast n counts — shifting every quintile boundary by
+    // one phantom row (r12 ADVICE). `<=>` keeps it; Spark plans it as a
+    // normal equi-join on coalesced keys, no shape change.
+    val per = ranked.zipWithIndex.map { case (df, i) =>
+        df.withColumnRenamed("c", s"c$i")
+      }.reduce { (a, b) =>
+        val kb = b.columns.filter(_.matches("c\\d")).head
+        a.join(b, col("c0") <=> col(kb)).drop(kb)
+      }
       .crossJoin(broadcast(per0.agg(count(lit(1)).as("n"))))
     def quintile(metric: String): Column =
       expr(s"((rank_$metric - 1) * 5) div n + 1")

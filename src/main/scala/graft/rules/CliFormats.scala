@@ -66,17 +66,25 @@ object CliFormats {
       }
 
   /** `short[:scope[:revision]]` filter → parts (runners.py
-    * `parse_framework_filter`). The reference's legacy flat aliases
-    * (iso27001 → iso:27001, nist-ai-rmf → nist:ai-rmf) are deliberately
-    * NOT applied: this library's controls already carry the merged
-    * short names ("iso27001", "nist-ai-rmf"), so the un-aliased filter
-    * matches directly. */
+    * `parse_framework_filter`). This library's controls carry the merged
+    * short names ("iso27001", "nist-ai-rmf"), so those flat filters match
+    * directly — the reference's legacy→scoped aliasing is unnecessary.
+    * But the reference's CANONICAL scoped spellings (`iso:27001`,
+    * `nist:ai-rmf`, bare `iso`) must keep working for users coming from
+    * it, so they are aliased onto the merged names here (r12 ADVICE).
+    * Bare `nist` stays the NIST CSF control set — only the explicit
+    * `nist:ai-rmf` scope selects the AI RMF. */
   def parseFrameworkFilter(filter: String)
       : (Option[String], Option[String], Option[String]) = {
     val parts = filter.split(":", -1)
-    (parts.headOption.filter(_.nonEmpty),
+    val raw = (parts.headOption.filter(_.nonEmpty),
       parts.lift(1).filter(_.nonEmpty),
       parts.lift(2).filter(_.nonEmpty))
+    (raw._1.map(_.toLowerCase(java.util.Locale.ROOT)), raw._2) match {
+      case (Some("iso"), _)               => (Some("iso27001"), raw._2, raw._3)
+      case (Some("nist"), Some("ai-rmf")) => (Some("nist-ai-rmf"), raw._2, raw._3)
+      case _                              => raw
+    }
   }
 
   /** The `frameworks` subcommand: every framework referenced by any

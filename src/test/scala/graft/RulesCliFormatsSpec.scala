@@ -163,4 +163,51 @@ class RulesCliFormatsSpec extends AnyFunSuite {
     assert(fws.contains("CIS") && fws.contains("NIST-AI-RMF"))
     assert(fws.contains("Rules: "))
   }
+
+  test("edge cases mirror cli.py: empty set, zero facts, no-match filter") {
+    // no frameworks anywhere → the exact no-frameworks echo (cli.py:192)
+    val bare = Rule(ruleId = "bare", name = "Bare", description = "d",
+      facts = Seq.empty, version = "1", frameworks = Seq.empty)
+    assert(CliFormats.renderFrameworks(Seq(bare)) ==
+      "No frameworks found in rules.\n")
+    // zero-fact rule: list shows the 0 count, detail renders the empty
+    // facts section without a fact block (cli.py loops over nothing)
+    val listed = CliFormats.renderRulesList(Seq(bare))
+    assert(listed.contains("  Facts:        0\n"))
+    val detail = CliFormats.renderRuleDetail(Seq(bare), "bare")
+    assert(detail.contains("\nFacts (0)\n"))
+    assert(!detail.contains("  Name:        ")) // no fact body
+    // filter matching nothing → the reference's stderr message, thrown
+    val ex = intercept[IllegalArgumentException](
+      CliFormats.renderRulesList(Seq(bare), Some("cis")))
+    assert(ex.getMessage == "No rules found matching the filter.")
+    // unknown rule detail → red-error shape with the available names
+    val ex2 = intercept[IllegalArgumentException](
+      CliFormats.renderRuleDetail(Seq(bare), "nope"))
+    assert(ex2.getMessage.contains("Unknown rule 'nope'") &&
+      ex2.getMessage.contains("bare"))
+  }
+
+  test("reference canonical scoped filters alias onto the merged names") {
+    // the reference's canonical spellings (runners.py parse_framework_filter
+    // short names "iso"/"nist" + scope) must select the same rule sets as
+    // this library's merged flat names (r12 ADVICE)
+    assert(CliFormats.parseFrameworkFilter("iso:27001") ==
+      (Some("iso27001"), Some("27001"), None))
+    assert(CliFormats.parseFrameworkFilter("iso") ==
+      (Some("iso27001"), None, None))
+    assert(CliFormats.parseFrameworkFilter("nist:ai-rmf") ==
+      (Some("nist-ai-rmf"), Some("ai-rmf"), None))
+    // bare nist stays the NIST CSF control set — aliasing it would hide
+    // the packaged CSF framework behind the AI RMF
+    assert(CliFormats.parseFrameworkFilter("nist") == (Some("nist"), None, None))
+    assert(CliFormats.parseFrameworkFilter("nist:ai-rmf:1.0") ==
+      (Some("nist-ai-rmf"), Some("ai-rmf"), Some("1.0")))
+    // end-to-end: the scoped spelling renders the same filtered list the
+    // flat name does (not "No rules found")
+    val viaScoped = SyncCli.rulesMetadataReport(SyncCli.parseArgs(
+      Seq("--rules-list", "--rules-framework", "nist:ai-rmf"))).get
+    assert(viaScoped.contains("Rules matching framework: nist:ai-rmf"))
+    assert(!viaScoped.contains("cis-iam-root"))
+  }
 }
