@@ -44,11 +44,14 @@ object ReliableBattery {
     }
     require(names.nonEmpty, "no fixpoint-heavy gates matched")
 
-    // order-independent content hash: sum + count of per-row xxhash64
-    // over all columns (null → typed sentinel via the struct encoding)
+    // order-independent content hash: bit_xor + count of per-row xxhash64
+    // over all columns (null → typed sentinel via the struct encoding).
+    // bit_xor, not sum: summing 64-bit hashes overflows long and ANSI
+    // mode (Spark 4 default) throws on overflow; xor is associative,
+    // commutative and wrap-free.
     def contentHash(df: DataFrame): (Long, Long) = {
       val h = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(sum(col("h")).cast("long").as("s"), count(lit(1)).as("n"))
+        .agg(bit_xor(col("h")).as("s"), count(lit(1)).as("n"))
         .collect()(0)
       (if (h.isNullAt(0)) 0L else h.getLong(0), h.getLong(1))
     }
