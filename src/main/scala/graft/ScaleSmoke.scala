@@ -51,6 +51,18 @@ object ScaleSmoke {
     mults.foreach { m =>
       val docs = multiply(Tables.documents(spark, sfDir), "doc_id", m)
       val embs = multiply(Tables.embeddings(spark, sfDir), "vec_id", m)
+      time("incremental_minhash", m) {
+        // FIXED batch (the ×1 new-docs slice) probed against a ×m
+        // history: the wall must track the BATCH, not the history —
+        // the whole point of the persisted-band-table sync shape
+        val batch = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 5 === 0)
+        dedup.Dedup.incrementalMinhash(
+          dedup.Dedup.shingleTable(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+          dedup.Dedup.shingleTable(batch, "doc_id", "text"),
+          800000L).count()
+      }
       time("minhash_lsh", m) {
         dedup.Dedup.minhashLsh(
           dedup.Dedup.shingleTable(docs, "doc_id", "text"), 800000L).count()

@@ -101,6 +101,63 @@ object Temporal {
         when(fresh, col("_t") - col("_rt")).as("match_age"): _*)
   }
 
+  /** Nearest-neighbor temporal join: for every left row, the right row
+    * with the same key minimizing |rightTime − leftTime|, looking BOTH
+    * directions — the sensor-fusion / measurement-alignment variant of
+    * [[asofJoin]] (which only looks back). Backward wins distance ties;
+    * several right rows on the chosen timestamp resolve to the greatest
+    * payload tuple (the [[asofJoin]] rule). `tolerance` bounds the
+    * accepted distance: a nearest match farther than it blanks to the
+    * no-match shape. Output: left columns + payload + `match_dist`
+    * (null when no match). Time columns must be numeric (epoch
+    * micros/seconds) so the distance arithmetic is exact.
+    *
+    * Scale shape: ONE union + one hash shuffle on the key feeding BOTH
+    * window passes (ascending last-seen = latest at-or-before,
+    * descending last-seen = earliest at-or-after — the two sorts share
+    * the partitioning, so Catalyst plans a single Exchange), then an
+    * in-row distance pick. No join, no per-left-row candidate
+    * explosion. Each pass carries ONE struct of (matched time, payload)
+    * so every carried field provably comes from the same right row even
+    * when payload fields are null. */
+  def nearestJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String, payload: Seq[String],
+                  tolerance: Long = Long.MaxValue): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    require(!left.columns.exists(Set("_t", "_m", "_b", "_f", "match_dist")),
+      "nearestJoin reserves _t/_m/_b/_f/match_dist; rename them on the left input")
+    require(payload.forall(right.columns.contains),
+      "payload columns missing on the right input")
+    require(!payload.exists(left.columns.contains),
+      "payload column names collide with left columns; rename before joining")
+    val l = left.withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_m", lit(1))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).cast("long").as("_t") :+
+        lit(0).as("_m")) ++ payload.map(col): _*)
+    val merged = l.unionByName(r, allowMissingColumns = true)
+    def w(timeOrd: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(timeOrd +: col("_m").asc +: payload.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // non-null on every right row, null on left rows → last(ignoreNulls)
+    // is "the nearest right row seen so far in scan order"
+    val rstruct = when(col("_m") === 0,
+      struct(col("_t").as("_rt") +: payload.map(col): _*))
+    val filled = merged
+      .withColumn("_b", last(rstruct, ignoreNulls = true).over(w(col("_t").asc)))
+      .withColumn("_f", last(rstruct, ignoreNulls = true).over(w(col("_t").desc)))
+    val db = col("_t") - col("_b").getField("_rt")
+    val df = col("_f").getField("_rt") - col("_t")
+    val useB = col("_b").isNotNull && (col("_f").isNull || db <= df)
+    val dist = when(useB, db).otherwise(df)
+    val chosen = when(useB, col("_b")).otherwise(col("_f"))
+    val ok = chosen.isNotNull && dist <= tolerance
+    filled.filter(col("_m") === 1)
+      .select(left.columns.map(col).toSeq ++
+        payload.map(p => when(ok, chosen.getField(p)).as(p)) :+
+        when(ok, dist).as("match_dist"): _*)
+  }
+
   /** Validity-chain audit over interval histories (SCD2 tables, lease
     * ledgers): per key the counts of OVERLAPS (next interval starts
     * before this one ends), GAPS (next starts after this one ends) and

@@ -218,6 +218,22 @@ object JoinQueries {
       tolerance = 3600000000L)
   }
 
+  /** Nearest-direction temporal join: each purchase aligned to its
+    * CLOSEST same-user click in either direction, within 2 hours —
+    * the measurement-alignment shape [[graft.operators.Temporal
+    * .nearestJoin]] adds over the backward-only as-of. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"),
+        col("event_id").as("click_id"))
+    graft.operators.Temporal.nearestJoin(purchases, clicks, Seq("user_id"),
+      leftTime = "tus", rightTime = "cus", payload = Seq("click_id"),
+      tolerance = 7200000000L)
+  }
+
   /** Bucketed range join: 45-minute attribution windows (anchored at every
     * 200th event) counting the events they contain — bucket equi-join +
     * residual filter, never |L|×|R|. */
@@ -371,6 +387,7 @@ object JoinQueries {
     "join_one_to_many" -> (joinOneToMany _),
     "join_salted_skew" -> (joinSaltedSkew _),
     "join_asof" -> (joinAsof _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_range_bucketed" -> (joinRangeBucketed _),
     "matchlink_supplies" -> (matchlinkSupplies _),
@@ -518,6 +535,24 @@ object JoinQueries {
         |  CASE WHEN c.cus >= l.tus - 3600000000 THEN c.click_id END AS click_id,
         |  CASE WHEN c.cus >= l.tus - 3600000000 THEN l.tus - c.cus END AS match_age
         |FROM l LEFT JOIN (SELECT event_id, click_id, cus FROM cand WHERE rk = 1) c
+        |  USING (event_id)""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT l.event_id, r.click_id, abs(l.tus - r.cus) AS dist,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY abs(l.tus - r.cus) ASC,
+        |               CASE WHEN r.cus <= l.tus THEN 0 ELSE 1 END ASC,
+        |               r.click_id DESC) AS rk
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |    AND abs(l.tus - r.cus) <= 7200000000)
+        |SELECT l.event_id, l.user_id, l.tus, c.click_id, c.dist AS match_dist
+        |FROM l LEFT JOIN (SELECT event_id, click_id, dist FROM cand WHERE rk = 1) c
         |  USING (event_id)""".stripMargin,
     "join_asof" ->
       """WITH l AS (

@@ -188,6 +188,19 @@ object LlmQueries {
       Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text"),
       minJaccX1e6 = 800000L)
 
+  /** Incremental dedup: the 20% of docs with doc_id % 5 == 0 play the
+    * "new batch", the rest the already-indexed history; the gate is the
+    * cross-epoch near-dup report [[Dedup.incrementalMinhash]] produces
+    * without ever self-joining the history — the per-sync probe shape
+    * of a continuously-ingesting corpus. */
+  def dedupIncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.incrementalMinhash(
+      oldShingled = sh.filter(col("doc_id") % 5 =!= 0),
+      newShingled = sh.filter(col("doc_id") % 5 === 0),
+      minJaccX1e6 = 800000L)
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -947,6 +960,7 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_allpairs" -> (dedupAllPairs _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_components" -> (dedupComponents _),
     "sample_component_split" -> (sampleComponentSplit _),
@@ -2208,6 +2222,28 @@ object LlmQueries {
          |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
          |  CAST(floor(1000000.0 * (SELECT count(*) FROM hit) /
          |    greatest((SELECT count(*) FROM truth), 1)) AS BIGINT) AS recall_x1e6""".stripMargin,
+    "dedup_incremental_minhash" ->
+      s"""WITH $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS dn, y.doc_id AS do_
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 != 0),
+         |inter AS (
+         |  SELECT c.dn, c.do_, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.dn
+         |              JOIN sh b ON b.doc_id = c.do_ AND a.sid = b.sid
+         |  GROUP BY c.dn, c.do_)
+         |SELECT dn AS new_id, do_ AS old_id,
+         |  CAST(floor(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jacc_x1e6
+         |FROM inter JOIN shsize na ON dn = na.doc_id JOIN shsize nb ON do_ = nb.doc_id
+         |WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $TextCtes,
          |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),

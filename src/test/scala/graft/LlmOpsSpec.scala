@@ -33,6 +33,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("incremental minhash matches new batch to history only, agrees with full LSH") {
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text")
+    // doc 1 is the "new batch"; its planted near-dup 0 is history
+    val hits = Dedup.incrementalMinhash(
+        oldShingled = sh.filter($"doc_id" =!= 1L),
+        newShingled = sh.filter($"doc_id" === 1L), 500000L)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 0L)))
+    // a batch with no history near-dup reports nothing (and never
+    // produces history-history pairs)
+    val none = Dedup.incrementalMinhash(
+        oldShingled = sh.filter($"doc_id" =!= 2L),
+        newShingled = sh.filter($"doc_id" === 2L), 500000L)
+    assert(none.count() == 0)
+  }
+
   test("blocked jaccard agrees with LSH on the planted pair") {
     val pairs = Dedup.blockedJaccard(Dedup.shingleTable(corpus, "doc_id", "text"), 500000L)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

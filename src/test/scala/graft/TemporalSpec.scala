@@ -68,6 +68,75 @@ class TemporalSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("nearestJoin looks both directions, backward wins ties, tolerance blanks") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 195L), (3L, 10L, 150L),
+      (4L, 20L, 50L), (5L, 30L, 7L)).toDF("id", "k", "t")
+    val right = Seq((10L, 90L, 7L), (10L, 200L, 8L), (20L, 500L, 9L))
+      .toDF("k", "rt", "v")
+    val out = Temporal.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+        tolerance = 300L)
+      .select("id", "v", "match_dist")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (Some(7L), Some(10L)))  // backward 10 beats forward 100
+    assert(out(2L) == (Some(8L), Some(5L)))   // forward 5 beats backward 105
+    assert(out(3L) == (Some(8L), Some(50L)))  // forward 50 beats backward 60
+    assert(out(4L) == (None, None))           // nearest is 450 away > tolerance
+    assert(out(5L) == (None, None))           // key 30 has no right rows
+  }
+
+  test("nearestJoin equal-distance tie prefers backward; same-timestamp prefers greatest payload") {
+    val left = Seq((1L, 10L, 150L)).toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 5L), (10L, 200L, 9L)).toDF("k", "rt", "v")
+    val out = Temporal.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("v").as[Long].collect().toSeq
+    assert(out == Seq(5L)) // dist 50 both ways -> backward (rt=100)
+    val right2 = Seq((10L, 100L, 5L), (10L, 100L, 8L), (10L, 100L, 2L))
+      .toDF("k", "rt", "v")
+    (1 to 3).foreach { _ =>
+      val out2 = Temporal.nearestJoin(
+          left, right2.repartition(4), Seq("k"), "t", "rt", Seq("v"))
+        .select("v").as[Long].collect().toSeq
+      assert(out2 == Seq(8L)) // greatest payload among equal timestamps
+    }
+  }
+
+  test("nearestJoin matches a naive abs-distance argmin reference on seeded data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 250L).map(i =>
+      (i, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong)).toDF("id", "k", "t")
+    val right = (1L to 350L).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i)).toDF("k", "rt", "v")
+    val fast = Temporal.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+        tolerance = 200L)
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    val naive = left.as("l").join(right.as("r"), $"l.k" === $"r.k")
+      .withColumn("dist", abs($"t" - $"rt"))
+      .filter($"dist" <= 200L)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id")
+          .orderBy($"dist".asc,
+            when($"rt" <= $"t", 0).otherwise(1).asc, $"v".desc)))
+      .filter($"rk" === 1)
+      .select($"id", $"v").as[(Long, Long)].collect().toMap
+    (1L to 250L).foreach { i =>
+      assert(fast(i) == naive.get(i), s"left row $i")
+    }
+  }
+
+  test("nearestJoin plans ONE key shuffle feeding both window passes") {
+    val left = (1L to 100L).map(i => (i, i % 5, i * 3)).toDF("id", "k", "t")
+    val right = (1L to 100L).map(i => (i % 7, i * 2, i)).toDF("k", "rt", "v")
+    val plan = Temporal.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    // both window passes hash-partition on the key — Catalyst must plan a
+    // single Exchange (plus the union inputs' none): the operator's
+    // one-shuffle contract at 100× scale
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges:\n$plan")
+  }
+
   test("rangeJoinBucketed: inclusive start, exclusive end, spans bucket edges") {
     // interval [95, 125) with bucket width 10 covers buckets 9..12
     val right = Seq((1L, 95L, 125L)).toDF("win", "s", "e")
