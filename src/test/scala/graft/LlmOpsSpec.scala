@@ -49,6 +49,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("lshIndexArtifact serves later syncs from the stored index, never the text") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-index").toString + "/idx"
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text")
+    val history = sh.filter($"doc_id" =!= 1L)
+    val batch = sh.filter($"doc_id" === 1L)
+    val idx = Dedup.lshIndexArtifact(spark, history, dir)
+    val viaIndex = Dedup.incrementalMinhashIndexed(idx, batch, 500000L)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex == Set((1L, 0L))) // same answer as the direct probe
+    // poison the history input: a second artifact call with the same dir
+    // must LOAD the stored signatures, not rebuild from the new input —
+    // the probe still matches against the ORIGINAL corpus epoch
+    val poisoned = Dedup.shingleTable(
+      Seq((9L, "totally unrelated corpus now", "s"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text")
+    val idx2 = Dedup.lshIndexArtifact(spark, poisoned, dir)
+    val served = Dedup.incrementalMinhashIndexed(idx2, batch, 500000L)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(served == Set((1L, 0L)))
+  }
+
   test("blocked jaccard agrees with LSH on the planted pair") {
     val pairs = Dedup.blockedJaccard(Dedup.shingleTable(corpus, "doc_id", "text"), 500000L)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
