@@ -4,6 +4,13 @@
 #   scripts/runmain.sh [CLASSES_DIR] graft.Bench [args...]
 # If the first arg is a directory it is used as the classes dir
 # (lets long benchmarks run from a snapshot while sbt recompiles).
+# The two -XX flags below MUST match build.sbt's forked-JVM options:
+# the 240 MB default code cache runs 73% full under the battery (inside
+# the NMethodSweeper's aggressive-flush zone) and the default
+# PerMethodRecompilationCutoff=400 parks deopt-cycling generated kernels
+# interpreted — both measured in round 13; dropping them silently
+# reverts the bench to the r12 pathology. Bench stamps the active flag
+# set into BENCH_FULL as "jvm_flags" so artifacts self-describe.
 set -euo pipefail
 CLASSES="/root/repo/target/scala-2.13/classes"
 if [ -d "${1:-}" ] && [[ "${1:-}" != graft.* ]]; then
@@ -27,4 +34,6 @@ exec java -XX:+IgnoreUnrecognizedVMOptions \
   --enable-native-access=ALL-UNNAMED \
   -Djdk.reflect.useDirectMethodHandleAccessor=false \
   -Xmx100g \
+  -XX:ReservedCodeCacheSize=1g \
+  -XX:PerMethodRecompilationCutoff=10000 \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"

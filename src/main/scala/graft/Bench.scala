@@ -162,13 +162,20 @@ object Bench {
     // ambient load — the direct detector for "the machine was busy with
     // someone else" that the r12 spike hunt lacked (the r12 driver ran
     // with probes off, so ambient contention could only be argued, not
-    // read). Jiffies are USER_HZ (100 Hz) summed across cpus → ×10 = ms.
+    // read). Jiffies are USER_HZ summed across cpus; USER_HZ is assumed
+    // 100 Hz (the Linux ABI constant for /proc/stat — the kernel scales
+    // to it regardless of CONFIG_HZ) → ×10 = ms; the assumption is
+    // stamped into the artifact as "host_ms_user_hz" (r13 ADVICE).
+    // guest/guest_nice (fields 9-10) are ALREADY included in user/nice,
+    // so they are excluded from the busy sum to avoid double-counting
+    // VM-guest time on virtualized hosts (r13 ADVICE).
     def hostBusyMs(): Long = try {
       val l = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0).trim
         .split("\\s+").drop(1).map(_.toLong)
-      // busy = total − idle(3) − iowait(4)
-      (l.sum - l(3) - (if (l.length > 4) l(4) else 0L)) * 10
+      def at(i: Int) = if (l.length > i) l(i) else 0L
+      // busy = total − idle(3) − iowait(4) − guest(8) − guest_nice(9)
+      (l.sum - l(3) - at(4) - at(8) - at(9)) * 10
     } catch { case _: Throwable => 0L }
     val osBean = ManagementFactory.getOperatingSystemMXBean match {
       case b: com.sun.management.OperatingSystemMXBean => Some(b)
@@ -273,8 +280,17 @@ object Bench {
         s""""$k":[${d.gcMs},${d.taskMs},${d.taskGcMs},${d.tasks},${d.stages},${d.jitMs},${d.taskCpuMs},${d.aluUs},${d.memUs},${d.codeKb},${d.metaKb},${d.compiles},${d.hostMs},${d.procMs}]"""
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
+    // The active JVM flag set, stamped so every artifact self-describes
+    // its JVM config — a run through a path that drops the code-cache /
+    // recompilation-cutoff mitigations (the r13 runmain.sh gap) is then
+    // visible from the artifact alone (r13 verdict item 2).
+    val jvmFlags = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("-XX:") || a.startsWith("-Xmx") ||
+        a.startsWith("-Xms") || a.startsWith("-Xss"))
+      .map(a => "\"" + a.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"code_cache_max_kb":$codeMaxKb,"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages","jit_ms","task_cpu_ms","alu_us","mem_us","code_kb","meta_kb","compiles","host_ms","proc_ms"],"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"pass_totals":${passTotals.mkString("[", ",", "]")},"codegen_compiles_per_pass":${compilesPerPass.mkString("[", ",", "]")},"code_cache_max_kb":$codeMaxKb,"jvm_flags":$jvmFlags,"host_ms_user_hz":100,"per_pass":$perPass,"per_pass_diag":$perPassDiag,"diag_fields":["gc_ms","task_ms","task_gc_ms","tasks","stages","jit_ms","task_cpu_ms","alu_us","mem_us","code_kb","meta_kb","compiles","host_ms","proc_ms"],"queries":$fullQs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench")
     java.nio.file.Files.createDirectories(detailPath)
     java.nio.file.Files.writeString(detailPath.resolve("BENCH_FULL_latest.json"),

@@ -41,6 +41,9 @@ object Temporal {
                strict: Boolean = false): DataFrame = {
     require(!left.columns.exists(Set("_t", "_m")),
       "asofJoin reserves column names _t and _m; rename them on the left input")
+    require(!(payload ++ keys).exists(Set("_t", "_m")),
+      "asofJoin reserves column names _t and _m among key/payload columns; " +
+        "rename them on the right input")
     require(payload.forall(right.columns.contains),
       s"payload columns ${payload.filterNot(right.columns.contains).mkString(",")} " +
         "missing on the right input")
@@ -80,6 +83,9 @@ object Temporal {
     require(tolerance >= 0, "tolerance must be non-negative")
     require(!left.columns.exists(Set("_t", "_m", "_rt", "match_age")),
       "asofJoinWithin reserves _t/_m/_rt/match_age; rename them on the left input")
+    require(!(payload ++ keys).exists(Set("_t", "_m", "_rt", "match_age")),
+      "asofJoinWithin reserves _t/_m/_rt/match_age among key/payload " +
+        "columns; rename them on the right input")
     require(payload.forall(right.columns.contains),
       "payload columns missing on the right input")
     require(!payload.exists(left.columns.contains),
@@ -124,8 +130,16 @@ object Temporal {
                   leftTime: String, rightTime: String, payload: Seq[String],
                   tolerance: Long = Long.MaxValue): DataFrame = {
     require(tolerance >= 0, "tolerance must be non-negative")
-    require(!left.columns.exists(Set("_t", "_m", "_b", "_f", "match_dist")),
-      "nearestJoin reserves _t/_m/_b/_f/match_dist; rename them on the left input")
+    val reserved = Set("_t", "_m", "_b", "_f", "_rt", "match_dist")
+    require(!left.columns.exists(reserved),
+      "nearestJoin reserves _t/_m/_b/_f/_rt/match_dist; rename them on the left input")
+    // payload names are struct fields alongside the internal _rt and ride
+    // through the union/select — a payload named _rt makes getField("_rt")
+    // ambiguous, _t/_m/_b/_f break the merge with opaque analysis errors;
+    // keys ride the union the same way (r13 ADVICE: guard both sides)
+    require(!(payload ++ keys).exists(reserved),
+      "nearestJoin reserves _t/_m/_b/_f/_rt/match_dist among key/payload " +
+        "columns; rename them on the right input")
     require(payload.forall(right.columns.contains),
       "payload columns missing on the right input")
     require(!payload.exists(left.columns.contains),

@@ -264,8 +264,12 @@ object CoreFrameworks {
       version = "1",
       frameworks = Seq(nist))))
 
+  // scope "27001": this is an Annex-A 2022 control exactly like the
+  // ReferenceLibrary's, so it must carry the reference's canonical iso
+  // scope (frameworks/iso27001.py ISO27001_SCOPE) — under scope "core"
+  // the aliased `iso:27001` filter silently excluded it (r13 ADVICE)
   private val iso = FrameworkControl("iso/iec 27001 annex a", "iso27001",
-    "a.8.9", scope = Some("core"), revision = Some("2022"))
+    "a.8.9", scope = Some("27001"), revision = Some("2022"))
   private val mitre = FrameworkControl("mitre att&ck cloud", "mitre",
     "t1530", scope = Some("cloud"), revision = Some("v15"))
 

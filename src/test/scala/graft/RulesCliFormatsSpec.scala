@@ -210,4 +210,26 @@ class RulesCliFormatsSpec extends AnyFunSuite {
     assert(viaScoped.contains("Rules matching framework: nist:ai-rmf"))
     assert(!viaScoped.contains("cis-iam-root"))
   }
+
+  test("iso:27001 selects CoreFrameworks' iso control too (r13 ADVICE)") {
+    // CoreFrameworks' Annex-A control previously carried scope "core",
+    // so the aliased `iso:27001` (scope kept = "27001") silently dropped
+    // every CoreFrameworks rule from the combined inventory while bare
+    // `iso` included them — a user migrating the reference's canonical
+    // scoped spelling got a silently partial rule set. The control now
+    // carries the reference's canonical scope (ISO27001_SCOPE = "27001",
+    // frameworks/iso27001.py), so scoped and bare spellings agree.
+    val combined = graft.rules.ReferenceLibrary.framework.rules ++
+      graft.rules.CoreFrameworks.threatExposure(5000L, 1700000000L).rules
+    def ids(filter: String): Set[String] = {
+      val (sn, sc, rev) = CliFormats.parseFrameworkFilter(filter)
+      combined.filter(_.hasFramework(sn, sc, rev)).map(_.ruleId).toSet
+    }
+    val scoped = ids("iso:27001")
+    assert(scoped.contains("software-lifecycle"), "CoreFrameworks iso rule")
+    assert(scoped.contains("snapshot-exposure"))
+    // scoped and bare spellings must select the SAME rule set: every iso
+    // control in both libraries is the same Annex A 2022 scope
+    assert(scoped == ids("iso"))
+  }
 }
