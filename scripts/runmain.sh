@@ -36,4 +36,5 @@ exec java -XX:+IgnoreUnrecognizedVMOptions \
   -Xmx100g \
   -XX:ReservedCodeCacheSize=1g \
   -XX:PerMethodRecompilationCutoff=10000 \
+  ${GRAFT_JAVA_OPTS:-} \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"

@@ -183,6 +183,196 @@ object PipelineQueries {
         coalesce(col("n_monitor_sources"), lit(0L)).as("n_monitor_sources"))
   }
 
+  /** Fourth canonical label, driven entirely by PORTED MAPPING DATA:
+    * the reference's full PermissionRole corpus (mapping/data/roles.py —
+    * 12 modules, 16 provider labels) flows through the declarative
+    * [[graft.ontology.Mappings]] interpreter instead of hand-written
+    * projections. Exercises per-provider field renames (role_name /
+    * title / label), static_value, value `mapping` with unmapped → NULL
+    * (GCP LEGACY type, REGIONAL/ZONE scopes, WorkOS LegacyRole), the
+    * SAME provider field feeding two ontology fields through different
+    * maps (WorkOS type), modules mapping NO type/scope at all (Azure,
+    * Keycloak — union fills nulls), required-name creation gating
+    * (every 13th GCP title is null), and a cross-provider name
+    * collision resolved by module priority (Keycloak vs Cloudflare on
+    * region names). */
+  def ontologyMaterializeRoles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.MappingData
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("nn"))
+    val region = Tables.region(spark, dir)
+      .select(col("r_regionkey").cast("long").as("id"), col("r_name").as("rn"))
+    // provider node tables spelled with each provider's OWN field names —
+    // the ported mapping data must translate them, not the gate
+    val provider: Map[String, DataFrame] = Map(
+      "AWSRole" -> Tables.customer(spark, dir).select(
+        col("c_custkey").cast("long").as("id"), col("c_name").as("name")),
+      "AWSPermissionSet" -> Tables.supplier(spark, dir).select(
+        col("s_suppkey").cast("long").as("id"), col("s_name").as("name")),
+      "AzureRoleDefinition" -> nation.select(col("id"), col("nn").as("role_name")),
+      "GCPRole" -> Tables.part(spark, dir).select(
+        col("p_partkey").cast("long").as("id"),
+        when(col("p_partkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("p_name")).as("title"),
+        element_at(array(lit("BASIC"), lit("PREDEFINED"), lit("CUSTOM"),
+          lit("LEGACY")), (col("p_partkey") % 4 + 1).cast("int")).as("role_type"),
+        element_at(array(lit("GLOBAL"), lit("ORGANIZATION"), lit("PROJECT"),
+          lit("REGIONAL"), lit("ZONE")),
+          (col("p_partkey") % 5 + 1).cast("int")).as("scope")),
+      "KeycloakRole" -> region.select(col("id"), col("rn").as("name")),
+      "KubernetesRole" -> nation.select(col("id"),
+        concat(lit("k8s-"), lower(col("nn"))).as("name")),
+      "KubernetesClusterRole" -> region.select(col("id"),
+        concat(lit("k8s-"), lower(col("rn"))).as("name")),
+      // same names as KeycloakRole: the canonical collision — keycloak
+      // (earlier module) must win field resolution
+      "CloudflareRole" -> region.select(col("id"), col("rn").as("name")),
+      "OCIPolicy" -> nation.select(col("id"),
+        concat(lit("policy-"), col("nn")).as("name")),
+      "OktaAdministrationRole" -> region.select(col("id"),
+        concat(lit("okta-"), col("rn")).as("label")),
+      "ScalewayPermissionSet" -> nation.select(col("id"),
+        concat(lit("sw-"), col("nn")).as("name"),
+        element_at(array(lit("projects"), lit("organization"),
+          lit("account_root_user"), lit("legacy")),
+          (col("id") % 4 + 1).cast("int")).as("scope_type")),
+      "WorkOSRole" -> nation.select(col("id"),
+        concat(lit("wos-"), col("nn")).as("name"),
+        element_at(array(lit("EnvironmentRole"), lit("OrganizationRole"),
+          lit("LegacyRole")), (col("id") % 3 + 1).cast("int")).as("type")),
+      "SalesforceProfile" -> region.select(col("id"),
+        concat(lit("sfp-"), col("rn")).as("name")),
+      "SalesforcePermissionSet" -> region.select(col("id"),
+        concat(lit("sfps-"), col("rn")).as("name")),
+      "ModalWorkspaceRole" -> nation.select(col("id"),
+        concat(lit("modal-ws-"), col("nn")).as("name")),
+      "ModalEnvironmentRole" -> nation.select(col("id"),
+        concat(lit("modal-env-"), col("nn")).as("name")))
+    materializeFromMappingData(spark, "PermissionRole", MappingData.roles,
+      provider, Seq("type", "scope"))
+  }
+
+  /** Fifth canonical label from ported mapping data: the full UserGroup
+    * corpus (mapping/data/groups.py — 20 modules, 22 provider labels).
+    * Exercises the widest multi-provider union in the reference
+    * (display_name/name/desc renames; description mapped but UNINDEXED
+    * on 14 providers; email mapped on 4 only — absent columns null-fill
+    * through the union), a module contributing two labels (aws SSO,
+    * databricks account), required-name gating (every 9th Entra
+    * display_name is null), and the row-winner contract under collision
+    * (AWSGroup and SentryTeam share bare nation names; aws wins and its
+    * null description/email ride the winning row — no cross-provider
+    * field coalesce). */
+  def ontologyMaterializeGroups(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.MappingData
+    val nation = Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("long").as("id"), col("n_name").as("nn"),
+      concat(lit("Directory of "), col("n_name")).as("nc"))
+    val region = Tables.region(spark, dir).select(
+      col("r_regionkey").cast("long").as("id"), col("r_name").as("rn"),
+      concat(lit("Teams for "), col("r_name")).as("rc"))
+    val provider: Map[String, DataFrame] = Map(
+      "AWSGroup" -> nation.select(col("id"), col("nn").as("name")),
+      "AWSSSOGroup" -> region.select(col("id"),
+        concat(lit("sso-"), col("rn")).as("display_name"), col("rc").as("description")),
+      "DuoGroup" -> region.select(col("id"),
+        concat(lit("duo-"), col("rn")).as("name"), col("rc").as("desc")),
+      "EntraGroup" -> Tables.customer(spark, dir).select(
+        col("c_custkey").cast("long").as("id"),
+        when(col("c_custkey") % 9 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("display_name"),
+        col("c_mktsegment").as("description"),
+        concat(lit("g"), col("c_custkey").cast("string"), lit("@example.com")).as("mail")),
+      "GitHubTeam" -> Tables.supplier(spark, dir).select(
+        col("s_suppkey").cast("long").as("id"), col("s_name").as("name"),
+        concat(lit("Team "), col("s_name")).as("description")),
+      "GitLabGroup" -> nation.select(col("id"),
+        concat(lit("gl-"), col("nn")).as("name"), col("nc").as("description")),
+      "GoogleWorkspaceGroup" -> region.select(col("id"),
+        concat(lit("gw-"), col("rn")).as("display_name"), col("rc").as("description"),
+        concat(lit("gw"), col("id").cast("string"), lit("@example.com")).as("email")),
+      "GSuiteGroup" -> region.select(col("id"),
+        concat(lit("gs-"), col("rn")).as("name"), col("rc").as("description"),
+        concat(lit("gs"), col("id").cast("string"), lit("@example.com")).as("email")),
+      "KeycloakGroup" -> nation.select(col("id"),
+        concat(lit("kc-"), col("nn")).as("name"), col("nc").as("description")),
+      "OCIGroup" -> nation.select(col("id"),
+        concat(lit("oci-"), col("nn")).as("name"), col("nc").as("description")),
+      "OktaGroup" -> region.select(col("id"),
+        concat(lit("okta-"), col("rn")).as("name"), col("rc").as("description")),
+      "PagerDutyTeam" -> region.select(col("id"),
+        concat(lit("pd-"), col("rn")).as("name"), col("rc").as("description")),
+      // bare nation names again: collides with AWSGroup, aws must win
+      "SentryTeam" -> nation.select(col("id"), col("nn").as("name")),
+      "ScalewayGroup" -> region.select(col("id"),
+        concat(lit("sw-"), col("rn")).as("name"), col("rc").as("description")),
+      "SlackGroup" -> nation.select(col("id"),
+        concat(lit("slack-"), col("nn")).as("name"), col("nc").as("description")),
+      "TailscaleGroup" -> region.select(col("id"),
+        concat(lit("ts-"), col("rn")).as("name")),
+      "KubernetesGroup" -> nation.select(col("id"),
+        concat(lit("k8s-"), lower(col("nn"))).as("name")),
+      "VercelAccessGroup" -> region.select(col("id"),
+        concat(lit("vc-"), col("rn")).as("name")),
+      "CircleCIGroup" -> region.select(col("id"),
+        concat(lit("cc-"), col("rn")).as("name"), col("rc").as("description")),
+      "SalesforceGroup" -> nation.select(col("id"),
+        concat(lit("sf-"), col("nn")).as("name")),
+      "DatabricksGroup" -> nation.select(col("id"),
+        concat(lit("db-"), col("nn")).as("display_name")),
+      "DatabricksAccountGroup" -> region.select(col("id"),
+        concat(lit("dba-"), col("rn")).as("display_name")))
+    materializeFromMappingData(spark, "UserGroup", MappingData.groups,
+      provider, Seq("description", "email"))
+  }
+
+  /** Shared driver for mapping-data-defined canonical labels: interpret
+    * every (module, node) of `modules` against its provider table via
+    * [[graft.ontology.Mappings.project]], materialize the canon keyed by
+    * `_ont_name`, and report winners + cross-provider source counts.
+    * Priority = corpus order (module index × 10 + node index) — the
+    * reference resolves collisions by module registration order. */
+  private def materializeFromMappingData(
+      spark: SparkSession, canonicalLabel: String,
+      modules: Seq[graft.ontology.Mappings.ModuleMapping],
+      provider: Map[String, DataFrame],
+      extraFields: Seq[String]): DataFrame = {
+    import graft.ontology.Mappings
+    def nodes(df: DataFrame) = GraphStore.initialLoad(df, Seq(GraphStore.ID), TAG)
+    val flat = for {
+      (m, mi) <- modules.zipWithIndex
+      (n, ni) <- m.nodes.zipWithIndex
+    } yield (m, n, mi * 10 + ni)
+    val g0 = flat.foldLeft(Graph()) { case (g, (_, n, _)) =>
+      g.withNodes(n.nodeLabel, nodes(provider(n.nodeLabel)))
+    }
+    val mappings = flat.map { case (m, n, prio) =>
+      ProviderMapping(n.nodeLabel, priority = prio, df => {
+        val p = Mappings.project(df, m.moduleName, n)
+        val have = p.columns.toSet
+        val extras = extraFields.filter(f => have(s"_ont_$f"))
+          .map(f => col(s"_ont_$f").as(f))
+        // canonical id = _ont_name; required=true on name makes the
+        // null-name rows creation-ineligible (requiredFields below)
+        p.select(Seq(col("_ont_name").as("id"),
+          col("id").as("_src_id")) ++ extras: _*)
+      }, requiredFields = Mappings.requiredFields(n).map {
+        case "_ont_name" => "id"
+        case other       => other.stripPrefix("_ont_")
+      })
+    }
+    val g = Materialize.materialize(g0, canonicalLabel, mappings, TAG)
+    val srcCounts = flat.map { case (_, n, _) =>
+      g.edgeTable(canonicalLabel, "HAS_SOURCE", n.nodeLabel)
+        .select(col(GraphStore.SRC))
+    }.reduce(_ unionByName _)
+      .groupBy(col(GraphStore.SRC).as("id")).agg(count(lit(1)).as("n_sources"))
+    g.nodeTable(canonicalLabel)
+      .join(srcCounts, Seq("id"))
+      .select(Seq(col("id").as("name")) ++ extraFields.map(col) :+
+        col("_ont_source") :+ col("n_sources"): _*)
+  }
+
   /** End-to-end sync composition: tenant-scoped schema load → analysis
     * effect flags exposed customers → rules framework emits findings —
     * the full reference lifecycle assembled through
@@ -304,12 +494,163 @@ object PipelineQueries {
     "ontology_materialize" -> (ontologyMaterialize _),
     "ontology_materialize_device" -> (ontologyMaterializeDevice _),
     "ontology_materialize_compute" -> (ontologyMaterializeCompute _),
+    "ontology_materialize_roles" -> (ontologyMaterializeRoles _),
+    "ontology_materialize_groups" -> (ontologyMaterializeGroups _),
     "e2e_full_sync" -> (e2eFullSync _),
     "e2e_entity_resolution" -> (e2eEntityResolution _),
     "motif_two_hop" -> (motifTwoHop _),
   )
 
   val oracles: Map[String, String] = Map(
+    "ontology_materialize_roles" ->
+      """WITH src AS (
+        |  SELECT c_name AS name, 'custom' AS type, 'account' AS scope,
+        |         0 AS prio, CAST(c_custkey AS BIGINT) AS sid, 'AWSRole' AS lbl
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_name, 'custom', 'org', 1, CAST(s_suppkey AS BIGINT),
+        |         'AWSPermissionSet' FROM supplier
+        |  UNION ALL
+        |  SELECT n_name, NULL, NULL, 10, CAST(n_nationkey AS BIGINT),
+        |         'AzureRoleDefinition' FROM nation
+        |  UNION ALL
+        |  SELECT CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_name END,
+        |         CASE p_partkey % 4 WHEN 0 THEN 'builtin' WHEN 1 THEN 'builtin'
+        |              WHEN 2 THEN 'custom' ELSE NULL END,
+        |         CASE p_partkey % 5 WHEN 0 THEN 'global' WHEN 1 THEN 'org'
+        |              WHEN 2 THEN 'project' ELSE NULL END,
+        |         20, CAST(p_partkey AS BIGINT), 'GCPRole' FROM part
+        |  UNION ALL
+        |  SELECT r_name, NULL, NULL, 30, CAST(r_regionkey AS BIGINT),
+        |         'KeycloakRole' FROM region
+        |  UNION ALL
+        |  SELECT 'k8s-' || lower(n_name), NULL, 'namespace', 40,
+        |         CAST(n_nationkey AS BIGINT), 'KubernetesRole' FROM nation
+        |  UNION ALL
+        |  SELECT 'k8s-' || lower(r_name), NULL, 'cluster', 41,
+        |         CAST(r_regionkey AS BIGINT), 'KubernetesClusterRole' FROM region
+        |  UNION ALL
+        |  SELECT r_name, 'builtin', 'account', 50, CAST(r_regionkey AS BIGINT),
+        |         'CloudflareRole' FROM region
+        |  UNION ALL
+        |  SELECT 'policy-' || n_name, 'custom', NULL, 60,
+        |         CAST(n_nationkey AS BIGINT), 'OCIPolicy' FROM nation
+        |  UNION ALL
+        |  SELECT 'okta-' || r_name, 'builtin', 'org', 70,
+        |         CAST(r_regionkey AS BIGINT), 'OktaAdministrationRole' FROM region
+        |  UNION ALL
+        |  SELECT 'sw-' || n_name, 'builtin',
+        |         CASE n_nationkey % 4 WHEN 0 THEN 'project' WHEN 1 THEN 'org'
+        |              WHEN 2 THEN 'account' ELSE NULL END,
+        |         80, CAST(n_nationkey AS BIGINT), 'ScalewayPermissionSet' FROM nation
+        |  UNION ALL
+        |  SELECT 'wos-' || n_name,
+        |         CASE n_nationkey % 3 WHEN 0 THEN 'custom' WHEN 1 THEN 'custom'
+        |              ELSE NULL END,
+        |         CASE n_nationkey % 3 WHEN 0 THEN 'global' WHEN 1 THEN 'org'
+        |              ELSE NULL END,
+        |         90, CAST(n_nationkey AS BIGINT), 'WorkOSRole' FROM nation
+        |  UNION ALL
+        |  SELECT 'sfp-' || r_name, NULL, 'org', 100, CAST(r_regionkey AS BIGINT),
+        |         'SalesforceProfile' FROM region
+        |  UNION ALL
+        |  SELECT 'sfps-' || r_name, NULL, 'org', 101, CAST(r_regionkey AS BIGINT),
+        |         'SalesforcePermissionSet' FROM region
+        |  UNION ALL
+        |  SELECT 'modal-ws-' || n_name, 'builtin', 'org', 110,
+        |         CAST(n_nationkey AS BIGINT), 'ModalWorkspaceRole' FROM nation
+        |  UNION ALL
+        |  SELECT 'modal-env-' || n_name, 'builtin', 'namespace', 111,
+        |         CAST(n_nationkey AS BIGINT), 'ModalEnvironmentRole' FROM nation),
+        |winners AS MATERIALIZED (
+        |  SELECT name, type, scope, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY name ORDER BY prio, sid) AS rk
+        |    FROM src WHERE name IS NOT NULL) WHERE rk = 1),
+        |links AS (SELECT s.name, count(*) AS n FROM src s
+        |          JOIN winners w ON s.name = w.name GROUP BY s.name)
+        |SELECT w.name, w.type, w.scope, w.lbl AS _ont_source,
+        |  CAST(l.n AS BIGINT) AS n_sources
+        |FROM winners w JOIN links l ON w.name = l.name""".stripMargin,
+    "ontology_materialize_groups" ->
+      """WITH src AS (
+        |  SELECT n_name AS name, CAST(NULL AS VARCHAR) AS description,
+        |         CAST(NULL AS VARCHAR) AS email, 0 AS prio,
+        |         CAST(n_nationkey AS BIGINT) AS sid, 'AWSGroup' AS lbl FROM nation
+        |  UNION ALL
+        |  SELECT 'sso-' || r_name, 'Teams for ' || r_name, NULL, 1, CAST(r_regionkey AS BIGINT),
+        |         'AWSSSOGroup' FROM region
+        |  UNION ALL
+        |  SELECT 'duo-' || r_name, 'Teams for ' || r_name, NULL, 10, CAST(r_regionkey AS BIGINT),
+        |         'DuoGroup' FROM region
+        |  UNION ALL
+        |  SELECT CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_name END,
+        |         c_mktsegment, 'g' || CAST(c_custkey AS VARCHAR) || '@example.com',
+        |         20, CAST(c_custkey AS BIGINT), 'EntraGroup' FROM customer
+        |  UNION ALL
+        |  SELECT s_name, 'Team ' || s_name, NULL, 30, CAST(s_suppkey AS BIGINT),
+        |         'GitHubTeam' FROM supplier
+        |  UNION ALL
+        |  SELECT 'gl-' || n_name, 'Directory of ' || n_name, NULL, 40, CAST(n_nationkey AS BIGINT),
+        |         'GitLabGroup' FROM nation
+        |  UNION ALL
+        |  SELECT 'gw-' || r_name, 'Teams for ' || r_name,
+        |         'gw' || CAST(r_regionkey AS VARCHAR) || '@example.com', 50,
+        |         CAST(r_regionkey AS BIGINT), 'GoogleWorkspaceGroup' FROM region
+        |  UNION ALL
+        |  SELECT 'gs-' || r_name, 'Teams for ' || r_name,
+        |         'gs' || CAST(r_regionkey AS VARCHAR) || '@example.com', 60,
+        |         CAST(r_regionkey AS BIGINT), 'GSuiteGroup' FROM region
+        |  UNION ALL
+        |  SELECT 'kc-' || n_name, 'Directory of ' || n_name, NULL, 70, CAST(n_nationkey AS BIGINT),
+        |         'KeycloakGroup' FROM nation
+        |  UNION ALL
+        |  SELECT 'oci-' || n_name, 'Directory of ' || n_name, NULL, 80, CAST(n_nationkey AS BIGINT),
+        |         'OCIGroup' FROM nation
+        |  UNION ALL
+        |  SELECT 'okta-' || r_name, 'Teams for ' || r_name, NULL, 90, CAST(r_regionkey AS BIGINT),
+        |         'OktaGroup' FROM region
+        |  UNION ALL
+        |  SELECT 'pd-' || r_name, 'Teams for ' || r_name, NULL, 100, CAST(r_regionkey AS BIGINT),
+        |         'PagerDutyTeam' FROM region
+        |  UNION ALL
+        |  SELECT n_name, NULL, NULL, 110, CAST(n_nationkey AS BIGINT),
+        |         'SentryTeam' FROM nation
+        |  UNION ALL
+        |  SELECT 'sw-' || r_name, 'Teams for ' || r_name, NULL, 120, CAST(r_regionkey AS BIGINT),
+        |         'ScalewayGroup' FROM region
+        |  UNION ALL
+        |  SELECT 'slack-' || n_name, 'Directory of ' || n_name, NULL, 130,
+        |         CAST(n_nationkey AS BIGINT), 'SlackGroup' FROM nation
+        |  UNION ALL
+        |  SELECT 'ts-' || r_name, NULL, NULL, 140, CAST(r_regionkey AS BIGINT),
+        |         'TailscaleGroup' FROM region
+        |  UNION ALL
+        |  SELECT 'k8s-' || lower(n_name), NULL, NULL, 150,
+        |         CAST(n_nationkey AS BIGINT), 'KubernetesGroup' FROM nation
+        |  UNION ALL
+        |  SELECT 'vc-' || r_name, NULL, NULL, 160, CAST(r_regionkey AS BIGINT),
+        |         'VercelAccessGroup' FROM region
+        |  UNION ALL
+        |  SELECT 'cc-' || r_name, 'Teams for ' || r_name, NULL, 170, CAST(r_regionkey AS BIGINT),
+        |         'CircleCIGroup' FROM region
+        |  UNION ALL
+        |  SELECT 'sf-' || n_name, NULL, NULL, 180, CAST(n_nationkey AS BIGINT),
+        |         'SalesforceGroup' FROM nation
+        |  UNION ALL
+        |  SELECT 'db-' || n_name, NULL, NULL, 190, CAST(n_nationkey AS BIGINT),
+        |         'DatabricksGroup' FROM nation
+        |  UNION ALL
+        |  SELECT 'dba-' || r_name, NULL, NULL, 191, CAST(r_regionkey AS BIGINT),
+        |         'DatabricksAccountGroup' FROM region),
+        |winners AS MATERIALIZED (
+        |  SELECT name, description, email, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY name ORDER BY prio, sid) AS rk
+        |    FROM src WHERE name IS NOT NULL) WHERE rk = 1),
+        |links AS (SELECT s.name, count(*) AS n FROM src s
+        |          JOIN winners w ON s.name = w.name GROUP BY s.name)
+        |SELECT w.name, w.description, w.email, w.lbl AS _ont_source,
+        |  CAST(l.n AS BIGINT) AS n_sources
+        |FROM winners w JOIN links l ON w.name = l.name""".stripMargin,
     "ontology_materialize_compute" ->
       """WITH ec2 AS (
         |  SELECT CAST(c_custkey % 400 AS BIGINT) AS id,

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ontology.{MappingData, Mappings}
+import graft.ontology.Mappings.{FieldMapping => F, NodeMapping => N}
+
+/** The declarative mapping interpreter (specs.py dataclass semantics →
+  * [[Mappings.project]]) and the ported roles/groups corpora. */
+class MappingsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("project renames, stamps _ont_source, applies static/mapping") {
+    val df = Seq((1L, "admin", "CUSTOM"), (2L, "viewer", "BASIC"),
+      (3L, "ops", "LEGACY")).toDF("id", "title", "role_type")
+    val node = N("GCPRole", Seq(
+      F("name", "title", required = true),
+      F("type", "role_type", specialHandling = Some("mapping"),
+        extraMap = Map("BASIC" -> "builtin", "CUSTOM" -> "custom")),
+      F("scope", specialHandling = Some("static_value"), extraValue = Some("project"))))
+    val out = Mappings.project(df, "gcp", node)
+      .select("id", "_ont_name", "_ont_type", "_ont_scope", "_ont_source")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3), r.getString(4))).toSet
+    assert(out == Set(
+      (1L, "admin", Some("custom"), "project", "gcp"),
+      (2L, "viewer", Some("builtin"), "project", "gcp"),
+      // unmapped provider value → NULL, never passthrough (specs.py:30-31)
+      (3L, "ops", None, "project", "gcp")))
+  }
+
+  test("composite-node pattern: missing node_field skips the clause") {
+    // querybuilder.py:346-357 — several schemas share a label, each
+    // carrying a field subset; absent fields must not error
+    val df = Seq((1L, "g1")).toDF("id", "name")
+    val node = N("AnyGroup", Seq(
+      F("name", "name", required = true),
+      F("description", "description"), // absent on this frame
+      F("email", "mail")))             // absent on this frame
+    val out = Mappings.project(df, "m", node)
+    assert(out.columns.contains("_ont_name"))
+    assert(!out.columns.contains("_ont_description"))
+    assert(!out.columns.contains("_ont_email"))
+  }
+
+  test("or/coalesce drop absent members, skip when none remain") {
+    val df = Seq((1L, true, "a"), (2L, false, null.asInstanceOf[String]))
+      .toDF("id", "flag", "alt")
+    val node = N("X", Seq(
+      F("active", "flag", specialHandling = Some("or_boolean"),
+        extraFields = Seq("missing1", "missing2")),
+      F("display", "missing", specialHandling = Some("coalesce"),
+        extraFields = Seq("alt")),
+      F("ghost", "missing", specialHandling = Some("coalesce"),
+        extraFields = Seq("also_missing"))))
+    val out = Mappings.project(df, "m", node)
+    assert(out.columns.contains("_ont_active"))
+    assert(out.columns.contains("_ont_display")) // alt survives the filter
+    assert(!out.columns.contains("_ont_ghost"))  // no members → skipped
+    val rows = out.select("id", "_ont_active", "_ont_display").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSet
+    assert(rows == Set((1L, true, Some("a")), (2L, false, None)))
+  }
+
+  test("unknown special_handling fails loudly") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val node = N("X", Seq(F("name", "name", specialHandling = Some("bogus"))))
+    val ex = intercept[IllegalArgumentException](Mappings.project(df, "m", node))
+    assert(ex.getMessage.contains("bogus"))
+  }
+
+  test("ported corpora match the reference's shape (roles.py/groups.py)") {
+    // 12 role modules over 15 labels; 20 group modules over 22 labels
+    assert(MappingData.roles.size == 12)
+    assert(MappingData.roles.flatMap(_.nodes).size == 16)
+    assert(MappingData.groups.size == 20)
+    assert(MappingData.groups.flatMap(_.nodes).size == 22)
+    // every node mapping requires name (roles.py:5-8, groups.py:5-8)
+    (MappingData.roles ++ MappingData.groups).flatMap(_.nodes).foreach { n =>
+      assert(Mappings.requiredFields(n) == Seq("_ont_name"), n.nodeLabel)
+    }
+    // WorkOS maps the SAME provider field to two ontology fields
+    val workos = MappingData.roles.find(_.moduleName == "workos").get.nodes.head
+    assert(workos.fields.count(_.nodeField == "type") == 2)
+  }
+
+  test("indexedFields excludes unindexed text globally (specs.py:16-18)") {
+    // description is indexed=false on 14 group providers → excluded for
+    // the whole category even though some providers never mark it
+    assert(Mappings.indexedFields(MappingData.groups) ==
+      Seq("_ont_email", "_ont_name"))
+    assert(Mappings.indexedFields(MappingData.roles) ==
+      Seq("_ont_name", "_ont_scope", "_ont_type"))
+  }
+}
