@@ -63,6 +63,32 @@ object ScaleSmoke {
           dedup.Dedup.shingleTable(batch, "doc_id", "text"),
           800000L).count()
       }
+      // Adversarial hot-bucket pair (r13 verdict item 3): 90% of the
+      // HISTORY is byte-identical boilerplate, so one band-bucket set
+      // holds 0.9×|hist| docs; the fixed ~20-doc batch carries ~18
+      // boilerplate probes. Uncapped, the candidate set is
+      // |hot probes| × 0.9×|hist| — the quadratic-shaped cliff; capped
+      // at 1000, the hot buckets are anti-joined away BEFORE the probe
+      // join and the wall must stay flat as history grows.
+      val mkHot = (df: DataFrame) => df.withColumn("text",
+        when(col("doc_id") % 10 =!= 0,
+          lit("standard license header boilerplate text common to all"))
+          .otherwise(col("text")))
+      val hotHist = mkHot(docs.filter(col("doc_id") % 2999 =!= 0))
+      val hotBatch = mkHot(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 2999 === 0))
+      time("incr_minhash_hot_uncapped", m) {
+        dedup.Dedup.incrementalMinhash(
+          dedup.Dedup.shingleTable(hotHist, "doc_id", "text"),
+          dedup.Dedup.shingleTable(hotBatch, "doc_id", "text"),
+          800000L).count()
+      }
+      time("incr_minhash_hot_capped", m) {
+        dedup.Dedup.incrementalMinhash(
+          dedup.Dedup.shingleTable(hotHist, "doc_id", "text"),
+          dedup.Dedup.shingleTable(hotBatch, "doc_id", "text"),
+          800000L, maxBucketOccupancy = 1000L).count()
+      }
       time("minhash_lsh", m) {
         dedup.Dedup.minhashLsh(
           dedup.Dedup.shingleTable(docs, "doc_id", "text"), 800000L).count()

@@ -70,6 +70,63 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(served == Set((1L, 0L)))
   }
 
+  // hot-bucket guard fixture: 5 byte-identical boilerplate docs dominate
+  // one band-bucket set; docs 10/11 are a distinct near-dup pair in a
+  // cold bucket. Batch = one boilerplate probe (20) + the near-dup (11).
+  private lazy val hotCorpus = (
+    (0L until 5L).map(i => (i, "standard license header boilerplate common to every repo", "s")) ++
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again", "s"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again extra", "s"),
+      (20L, "standard license header boilerplate common to every repo", "s"))
+  ).toDF("doc_id", "text", "source")
+
+  test("hot-bucket skip mode drops only the hot-bucket candidates") {
+    val sh = Dedup.shingleTable(hotCorpus, "doc_id", "text")
+    val hist = sh.filter($"doc_id" < 11L)
+    val batch = sh.filter($"doc_id" >= 11L)
+    // uncapped: the boilerplate probe fans out across all 5 history
+    // copies AND the cold near-dup matches
+    val uncapped = Dedup.incrementalMinhash(hist, batch, 500000L)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(uncapped == Set((11L, 10L)) ++ (0L until 5L).map((20L, _)))
+    // capped at 3: the 5-doc boilerplate bucket is excluded BEFORE the
+    // probe join; the cold-bucket near-dup is untouched
+    val capped = Dedup.incrementalMinhash(hist, batch, 500000L,
+      maxBucketOccupancy = 3L)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((11L, 10L)))
+    // the dropped buckets are auditable, with their occupancy
+    val hot = Dedup.hotBuckets(
+      Dedup.lshIndexArtifact(spark,
+        hist,
+        java.nio.file.Files.createTempDirectory("hb").toString + "/idx"),
+      3L).select("occupancy").as[Long].collect()
+    assert(hot.nonEmpty && hot.forall(_ == 5L))
+  }
+
+  test("hot-bucket fail mode aborts only when a hot bucket is PROBED") {
+    val sh = Dedup.shingleTable(hotCorpus, "doc_id", "text")
+    val hist = sh.filter($"doc_id" < 11L)
+    // probe that hashes into the hot bucket → loud failure
+    val hotProbe = sh.filter($"doc_id" === 20L)
+    val ex = intercept[Exception] {
+      Dedup.incrementalMinhash(hist, hotProbe, 500000L,
+        maxBucketOccupancy = 3L, failOnHotBucket = true).count()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("probed band bucket")))
+    // probe that only touches cold buckets → the dusty hot corner does
+    // NOT abort the sync, and the result is the normal one
+    val coldProbe = sh.filter($"doc_id" === 11L)
+    val ok = Dedup.incrementalMinhash(hist, coldProbe, 500000L,
+      maxBucketOccupancy = 3L, failOnHotBucket = true)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(ok == Set((11L, 10L)))
+  }
+
   test("blocked jaccard agrees with LSH on the planted pair") {
     val pairs = Dedup.blockedJaccard(Dedup.shingleTable(corpus, "doc_id", "text"), 500000L)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
