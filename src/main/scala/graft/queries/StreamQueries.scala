@@ -573,6 +573,41 @@ object StreamQueries {
     }
   }
 
+  /** Streaming leg of incremental MinHash dedup: the corpus LSH index
+    * is built ONCE as a persisted artifact
+    * ([[graft.dedup.Dedup.lshIndexArtifact]]); the new-doc slice is
+    * re-sharded into 4 files and replayed one per micro-batch through
+    * [[graft.streaming.Streaming.incrementalDedupSink]], each batch
+    * probing the stored index — never the historical text. The
+    * accumulated match set must equal the one-shot batch probe
+    * ([[LlmQueries.dedupIncrementalMinhash]]) no matter how the feed
+    * was sliced, so this gate shares that gate's oracle verbatim. */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_incdedup_src").toString
+    newDocs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    withStateSession(spark) { scoped =>
+      // index built (and immediately served) inside the scoped session so
+      // every frame in the streaming query shares one SparkSession
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_incdedup_idx").toString + "/idx"
+      val hist = graft.dedup.Dedup.shingleTable(
+        Tables.documents(scoped, dir).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+      val index = graft.dedup.Dedup.lshIndexArtifact(scoped, hist, idxDir)
+      val src = scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+      val q = Streaming.incrementalDedupSink(src, index, 800000L, ref).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      ref.get()
+    }
+  }
+
   /** 2-core of the customer tree + triangle ornaments: the octal tree
     * alone peels to nothing, every 50th customer carries a triangle that
     * anchors itself (and pins parts of its ancestor chain) into the core
@@ -972,6 +1007,7 @@ object StreamQueries {
     "stream_windowed_topk" -> (streamWindowedTopK _),
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
+    "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_stream_left_join" -> (streamStreamLeftJoin _),
     "source_json_events" -> (sourceJsonEvents _),
@@ -1620,6 +1656,9 @@ object StreamQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the streaming accumulation must equal the one-shot batch probe
+    // regardless of micro-batch slicing — same oracle, verbatim
+    "stream_incremental_dedup" -> LlmQueries.oracles("dedup_incremental_minhash"),
     "stream_pattern_match" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t

@@ -354,4 +354,44 @@ object Streaming {
       }
       ()
     }
+
+  /** One micro-batch's near-dup matches merged into the accumulated
+    * match table by SET union on the (new_id, old_id) pair key. The
+    * matches are deterministic functions of (doc text, index), so a
+    * replayed batch contributes exactly the rows it contributed before
+    * and the union absorbs them — [[incrementalDedupSink]]'s replay
+    * idempotence lives here, exposed for direct spec'ing. */
+  def mergeDedupMatches(cur: DataFrame, hits: DataFrame): DataFrame = {
+    val merged =
+      if (cur == null) hits.dropDuplicates("new_id" :: "old_id" :: Nil)
+      else cur.unionByName(hits).dropDuplicates("new_id" :: "old_id" :: Nil)
+    merged.pinEager // materialize: batch input is transient
+  }
+
+  /** Streaming incremental near-dup dedup: every micro-batch of new docs
+    * is shingled and probed against the PERSISTED corpus LSH index
+    * ([[graft.dedup.Dedup.lshIndexArtifact]] read-back) through the
+    * asymmetric band equi-join of
+    * [[graft.dedup.Dedup.incrementalMinhashIndexed]] — the production
+    * shape of a continuously-ingesting corpus: history is never
+    * re-shingled and never self-joined, and the per-batch probe cost
+    * tracks the BATCH, not the history. Matches accumulate through
+    * [[mergeDedupMatches]] (set union on the pair key), so foreachBatch's
+    * at-least-once delivery holds without a transactional sink: a
+    * replayed micro-batch re-derives the same deterministic pairs and
+    * the union absorbs them. `maxBucketOccupancy` passes through to the
+    * hot-bucket guard — boilerplate floods in a live feed are the rule,
+    * not the exception. */
+  def incrementalDedupSink(newDocs: DataFrame, index: DataFrame,
+                           minJaccX1e6: Long,
+                           matches: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                           idCol: String = "doc_id", textCol: String = "text",
+                           maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val hits = graft.dedup.Dedup.incrementalMinhashIndexed(
+        index, graft.dedup.Dedup.shingleTable(batch, idCol, textCol),
+        minJaccX1e6, maxBucketOccupancy)
+      matches.updateAndGet(cur => mergeDedupMatches(cur, hits))
+      ()
+    }
 }

@@ -295,4 +295,44 @@ class StreamingSpec extends AnyFunSuite {
         (2L, ts("2024-01-01 10:15:00"), null)))
     } finally q.stop()
   }
+
+  test("incrementalDedupSink equals the batch probe and absorbs duplicate replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val hist = Dedup.shingleTable(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about spark catalyst optimizer rules"),
+      (3L, "another unrelated document mentioning shuffles joins and scans"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_sid").toString + "/idx"
+    val index = Dedup.lshIndexArtifact(spark, hist, idxDir)
+    val nearDup =
+      "the quick brown fox jumps over the lazy dog again and again extra"
+    val source = MemoryStream[(Long, String)]
+    val df = source.toDF().toDF("doc_id", "text")
+    val ref = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame](null)
+    val q = Streaming.incrementalDedupSink(df, index, 500000L, ref).start()
+    try {
+      source.addData((1L, nearDup))
+      q.processAllAvailable()
+      source.addData((4L, "fourth doc with nothing in common whatsoever here"))
+      q.processAllAvailable()
+      // two micro-batches accumulate exactly the batch probe's answer:
+      // doc 1 matched its planted history near-dup, doc 4 matched nothing
+      val got = ref.get().select("new_id", "old_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 0L)))
+      // at-least-once replay: re-deliver batch 1 through the same merge —
+      // the pair-key set union absorbs the duplicate rows entirely
+      val replayHits = Dedup.incrementalMinhashIndexed(index,
+        Dedup.shingleTable(Seq((1L, nearDup)).toDF("doc_id", "text"),
+          "doc_id", "text"), 500000L)
+      val after = Streaming.mergeDedupMatches(ref.get(), replayHits)
+      assert(after.select("new_id", "old_id")
+        .as[(Long, Long)].collect().toSet == Set((1L, 0L)))
+      assert(after.count() == 1)
+    } finally q.stop()
+  }
 }
