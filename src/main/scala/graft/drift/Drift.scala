@@ -29,10 +29,24 @@ object Drift {
   }
 
   /** Both-direction diff: rows only in `newer` tagged "added", rows only
-    * in `older` tagged "removed" (detect_deviations.py:70-117). */
+    * in `older` tagged "removed" (detect_deviations.py:70-117).
+    *
+    * States whose property sets differ refuse with the reference's
+    * wording (detect_deviations.py:85-86 raises ValueError "State
+    * properties do not match." before comparing) — without the guard a
+    * schema-evolved state pair dies in exceptAll with an opaque
+    * analysis error instead of naming the real problem. */
   def diff(older: DataFrame, newer: DataFrame): DataFrame = {
+    require(older.columns.sorted.sameElements(newer.columns.sorted),
+      "State properties do not match. (older: " +
+        s"${older.columns.sorted.mkString(",")}; newer: " +
+        s"${newer.columns.sorted.mkString(",")})")
+    // exceptAll matches columns by POSITION — align both sides to the
+    // older state's column order so a reordered-but-equal state pair
+    // compares the right fields against each other
+    val order = older.columns.toSeq
     val o = canonicalize(older)
-    val n = canonicalize(newer)
+    val n = canonicalize(newer.select(order.map(col): _*))
     n.exceptAll(o).withColumn("direction", lit("added"))
       .unionByName(o.exceptAll(n).withColumn("direction", lit("removed")))
   }

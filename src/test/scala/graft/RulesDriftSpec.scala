@@ -121,4 +121,19 @@ class RulesDriftSpec extends AnyFunSuite {
       Set("identity-hygiene", "storage-protection", "least-privilege",
         "credential-hygiene"))
   }
+
+  test("drift diff refuses mismatched state properties with the reference wording") {
+    // detect_deviations.py:85-86: ValueError("State properties do not
+    // match.") before any comparison — a schema-evolved state pair must
+    // name the real problem, not die in exceptAll's analysis error
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq((1L, "x", true)).toDF("id", "name", "exposed")
+    val ex = intercept[IllegalArgumentException](graft.drift.Drift.diff(a, b))
+    assert(ex.getMessage.contains("State properties do not match."))
+    // same property set in a different column ORDER is fine (the
+    // reference compares property LISTS, but ours are named columns)
+    val c = Seq(("x", 1L)).toDF("name", "id")
+    assert(graft.drift.Drift.diff(a, c).count() == 0)
+  }
 }
