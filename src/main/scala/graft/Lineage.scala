@@ -82,7 +82,11 @@ object Lineage {
   def pinned(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get("graft.lineage.mode", "local") match {
-      case "local" => df.localCheckpoint(eager)
+      // serialized storage, matching the cut paths: deserialized blocks
+      // pay MemoryStore's SizeEstimator object-graph sampling per unroll
+      // (the r14 JFR-diagnosed bench pathology — Bridge.PinLevel note)
+      case "local" => df.localCheckpoint(eager,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       case "reliable" =>
         // `.pin` sites include PER-ROUND frames (coreness' removed/out,
         // Borůvka's cand/chosen/msf, MIS' winners/mis, …), so they must

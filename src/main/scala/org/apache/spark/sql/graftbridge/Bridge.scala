@@ -22,6 +22,20 @@ object Bridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
 
+  /** All cut/pin block storage is SERIALIZED (MEMORY_AND_DISK_SER), not
+    * the deserialized default: a deserialized block rides MemoryStore's
+    * `DeserializedValuesHolder`, whose `SizeTracker` re-estimates the
+    * unroll vector by SAMPLING THE OBJECT GRAPH (`SizeEstimator.estimate`
+    * → `sampleArray`, pointer-chasing per sampled row) — JFR execution
+    * samples of a blown-up bench pass put ~85% of the victim query's
+    * task CPU inside exactly that machinery, and pointer-chasing is
+    * hypersensitive to memory-bandwidth contention (stall cycles bill as
+    * thread CPU). A serialized block streams rows into chunked byte
+    * buffers with an EXACT byte count — no estimator, smaller footprint,
+    * cheaper spill — and UnsafeRow's Externalizable form is a plain
+    * length+bytes copy. */
+  private val PinLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   /** Local checkpoint that does NOT inherit the parent plan's statistics.
     *
     * `Dataset.localCheckpoint` in Spark 4 rewrites the parent plan's
@@ -44,6 +58,10 @@ object Bridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
+    // persist first: RDD.localCheckpoint keeps a pre-set level's
+    // serialized flag (LocalRDDCheckpointData.transformStorageLevel only
+    // forces useDisk), whereas unset falls back to deserialized
+    rdd.persist(PinLevel)
     rdd.localCheckpoint()
     if (eager) rdd.count()
     spark.internalCreateDataFrame(rdd, ds.schema)
@@ -62,7 +80,7 @@ object Bridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.persist(PinLevel)
     rdd.checkpoint()
     if (eager) rdd.count()
     spark.internalCreateDataFrame(rdd, ds.schema)
@@ -90,7 +108,7 @@ object Bridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.persist(PinLevel)
     if (eager) rdd.count()
     spark.internalCreateDataFrame(rdd, ds.schema)
   }
