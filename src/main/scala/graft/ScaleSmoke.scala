@@ -65,7 +65,7 @@ object ScaleSmoke {
       }
       // Adversarial hot-bucket pair (r13 verdict item 3): 90% of the
       // HISTORY is byte-identical boilerplate, so one band-bucket set
-      // holds 0.9×|hist| docs; the fixed ~20-doc batch carries ~18
+      // holds 0.9×|hist| docs; the fixed ~17-doc batch carries ~15
       // boilerplate probes. Uncapped, the candidate set is
       // |hot probes| × 0.9×|hist| — the quadratic-shaped cliff; capped
       // at 1000, the hot buckets are anti-joined away BEFORE the probe
@@ -74,9 +74,9 @@ object ScaleSmoke {
         when(col("doc_id") % 10 =!= 0,
           lit("standard license header boilerplate text common to all"))
           .otherwise(col("text")))
-      val hotHist = mkHot(docs.filter(col("doc_id") % 2999 =!= 0))
+      val hotHist = mkHot(docs.filter(col("doc_id") % 299 =!= 0))
       val hotBatch = mkHot(Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 2999 === 0))
+        .filter(col("doc_id") % 299 === 0))
       time("incr_minhash_hot_uncapped", m) {
         dedup.Dedup.incrementalMinhash(
           dedup.Dedup.shingleTable(hotHist, "doc_id", "text"),
