@@ -38,10 +38,19 @@ object Materialize {
     * winners or a previous epoch's survivors). */
   def materialize(graph: Graph, canonicalLabel: String,
                   mappings: Seq[ProviderMapping], tag: Long): Graph = {
+    import graft.Lineage._
+    // Every provider projection feeds TWO consumers (the creation union
+    // and its HAS_SOURCE edge pairs), and winners/canonIds feed one
+    // consumer PER PROVIDER — left unpinned, a 20-provider corpus
+    // re-executes the full union+window once per edge join (the chained
+    // multi-branch k× replay; measured 14-62s on row-counts that
+    // compute in ~2s pinned). Pin each shared frame once; all pins
+    // materialize inside the caller's first action.
     val projected = mappings.map { m =>
       m -> m.project(graph.nodeTable(m.providerLabel))
         .withColumn("_ont_source", lit(m.providerLabel))
         .withColumn("_priority", lit(m.priority))
+        .pin
     }
     val creators = projected.collect { case (m, df) if m.eligibleForSource =>
       m.requiredFields.foldLeft(df)((d, f) => d.filter(col(f).isNotNull))
@@ -54,14 +63,16 @@ object Materialize {
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
       .drop("_rk", "_priority", "_src_id")
+      .pin
     val existing = graph.nodes.getOrElse(canonicalLabel, GraphStore.emptyLike(winners))
     var g = graph.withNodes(canonicalLabel,
       GraphStore.upsertNodes(existing, winners, tag))
     val canonIds = winners.select(col("id"))
       .unionByName(existing.select(col(GraphStore.ID).as("id")))
       .distinct()
-    mappings.foreach { m =>
-      val pairs = m.project(graph.nodeTable(m.providerLabel))
+      .pin
+    projected.foreach { case (m, df) =>
+      val pairs = df
         .select(col("id").as(GraphStore.SRC), col("_src_id").as(GraphStore.DST))
         .join(canonIds.select(col("id").as(GraphStore.SRC)), Seq(GraphStore.SRC),
           "left_semi")
