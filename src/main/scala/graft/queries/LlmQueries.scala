@@ -247,6 +247,40 @@ object LlmQueries {
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
 
+  /** The hot-bucket census as its own gated number: LSH band buckets
+    * whose occupancy exceeds the cap ([[Dedup.hotBuckets]] — the audit
+    * surface of the incremental-dedup occupancy guard, and the
+    * boilerplate detector: a bucket shared by k docs means k
+    * signature-identical texts). */
+  def dedupHotBuckets(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hotBuckets(
+      Dedup.signatures(
+        Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")),
+      maxOccupancy = 2L)
+
+  /** Cross-epoch cluster maintenance, end to end: the HISTORY corpus is
+    * clustered once ([[Dedup.minhashLsh]] pairs →
+    * [[graft.graph.Fixpoint.connectedComponents]] labels); the NEW batch's
+    * matches arrive through the incremental probe
+    * ([[Dedup.incrementalMinhash]] — history never re-shingled) and fold
+    * into the existing labels through
+    * [[graft.graph.Fixpoint.incrementalComponents]] — the old graph is
+    * never re-walked, only its star contraction. The result must equal a
+    * full recompute over (history pairs ∪ incremental matches), which is
+    * what the oracle computes from scratch. */
+  def dedupIncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
+    val hist = sh.filter(col("doc_id") % 5 =!= 0)
+    val batch = sh.filter(col("doc_id") % 5 === 0)
+    val prev = graft.graph.Fixpoint.connectedComponents(
+      Dedup.minhashLsh(hist, minJaccX1e6 = 800000L)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val newPairs = Dedup.incrementalMinhash(hist, batch, minJaccX1e6 = 800000L)
+      .select(col("new_id").as("a"), col("old_id").as("b"))
+    graft.graph.Fixpoint.incrementalComponents(prev, newPairs)
+      .select(col("node").as("doc_id"), col("component").as("canonical_id"))
+  }
+
   /** Leakage-safe split over the same near-dup components: every LSH
     * cluster lands whole in train or eval (80/20), so eval can never
     * hold a near-copy of a training doc. */
@@ -963,6 +997,8 @@ object LlmQueries {
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_incremental_components" -> (dedupIncrementalComponents _),
+    "dedup_hot_buckets" -> (dedupHotBuckets _),
     "sample_component_split" -> (sampleComponentSplit _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_hamming" -> (dedupSimhashHamming _),
@@ -2299,6 +2335,52 @@ object LlmQueries {
          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
          |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+    "dedup_hot_buckets" ->
+      s"""WITH $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh)
+         |SELECT band, b1 AS h1, b2 AS h2,
+         |  CAST(count(*) AS BIGINT) AS occupancy
+         |FROM bands GROUP BY band, b1, b2 HAVING count(*) > 2""".stripMargin,
+    "dedup_incremental_components" ->
+      s"""WITH RECURSIVE $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |  WHERE (x.doc_id < y.doc_id AND x.doc_id % 5 != 0 AND y.doc_id % 5 != 0)
+         |     OR (x.doc_id % 5 = 0 AND y.doc_id % 5 != 0)),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db),
+         |pairs AS (
+         |  SELECT da AS a, db AS b
+         |  FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
+         |  WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000),
+         |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS reachable FROM und
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN und u ON r.reachable = u.a),
+         |comp AS (
+         |  SELECT node, least(node, min(reachable)) AS component
+         |  FROM reach GROUP BY node),
+         |nodes AS (SELECT DISTINCT a AS node FROM und)
+         |SELECT CAST(n.node AS BIGINT) AS doc_id,
+         |  CAST(coalesce(c.component, n.node) AS BIGINT) AS canonical_id
+         |FROM nodes n LEFT JOIN comp c ON n.node = c.node""".stripMargin,
     "sample_component_split" ->
       s"""WITH RECURSIVE $TextCtes,
          |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
