@@ -608,6 +608,46 @@ object StreamQueries {
     }
   }
 
+  /** Streaming cluster maintenance over the incremental dedup feed: the
+    * history corpus is clustered ONCE; its incremental probe matches are
+    * replayed one file per micro-batch through
+    * [[graft.streaming.Streaming.incrementalComponentsSink]], each batch
+    * folding into the labeling via star contraction — the accumulated
+    * labels after the last batch must equal the one-shot
+    * [[LlmQueries.dedupIncrementalComponents]] recompute (shared oracle),
+    * no matter how the match feed was sliced. */
+  def streamIncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val sh0 = Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
+    val newPairs = Dedup.incrementalMinhash(
+        sh0.filter(col("doc_id") % 5 =!= 0), sh0.filter(col("doc_id") % 5 === 0),
+        minJaccX1e6 = 800000L)
+      .select(col("new_id").as("a"), col("old_id").as("b"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_inccc_src").toString
+    newPairs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    withStateSession(spark) { scoped =>
+      // the seed labeling lives in the scoped session (frames cannot
+      // cross sessions); history is clustered once, here
+      val hist = Dedup.shingleTable(
+        Tables.documents(scoped, dir).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+      val prev = Fixpoint.connectedComponents(
+        Dedup.minhashLsh(hist, minJaccX1e6 = 800000L)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+        graft.Lineage.pinned(prev, eager = true))
+      val src = scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = Streaming.incrementalComponentsSink(src, ref).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      ref.get()
+        .select(col("node").as("doc_id"), col("component").as("canonical_id"))
+    }
+  }
+
   /** 2-core of the customer tree + triangle ornaments: the octal tree
     * alone peels to nothing, every 50th customer carries a triangle that
     * anchors itself (and pins parts of its ancestor chain) into the core
@@ -1008,6 +1048,7 @@ object StreamQueries {
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
+    "stream_incremental_components" -> (streamIncrementalComponents _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_stream_left_join" -> (streamStreamLeftJoin _),
     "source_json_events" -> (sourceJsonEvents _),
@@ -1659,6 +1700,8 @@ object StreamQueries {
     // the streaming accumulation must equal the one-shot batch probe
     // regardless of micro-batch slicing — same oracle, verbatim
     "stream_incremental_dedup" -> LlmQueries.oracles("dedup_incremental_minhash"),
+    "stream_incremental_components" ->
+      LlmQueries.oracles("dedup_incremental_components"),
     "stream_pattern_match" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t

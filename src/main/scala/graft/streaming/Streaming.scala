@@ -394,4 +394,28 @@ object Streaming {
       matches.updateAndGet(cur => mergeDedupMatches(cur, hits))
       ()
     }
+
+  /** Streaming cluster maintenance: each micro-batch of (a, b) pairs
+    * folds into the evolving component labeling through
+    * [[graft.graph.Fixpoint.incrementalComponents]] — the old labels
+    * enter each fold as depth-1 stars, so per-batch cost tracks the
+    * BATCH's structure, never the accumulated graph. Folding is
+    * order-insensitive AND replay-idempotent: stars are
+    * connectivity-preserving contractions and labels are min node ids,
+    * so labels(b1 ∘ b2) = labels(b1 ∪ b2) and a replayed batch re-adds
+    * edges the labeling already contracted (spec'd both ways). The
+    * production shape of live dedup-cluster upkeep: compose with
+    * [[incrementalDedupSink]] by streaming its per-batch matches in. */
+  def incrementalComponentsSink(pairs: DataFrame,
+                                labels: java.util.concurrent.atomic.AtomicReference[DataFrame]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val b = batch.select(col("a"), col("b"))
+      labels.updateAndGet { cur =>
+        val next =
+          if (cur == null) graft.graph.Fixpoint.connectedComponents(b)
+          else graft.graph.Fixpoint.incrementalComponents(cur, b)
+        next.pinEager // materialize: batch input is transient
+      }
+      ()
+    }
 }

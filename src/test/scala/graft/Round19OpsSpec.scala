@@ -57,4 +57,25 @@ class Round19OpsSpec extends AnyFunSuite {
     intercept[IllegalStateException](
       Fixpoint.connectedComponents(raw, maxRounds = 3).collect())
   }
+
+  test("per-batch folding is slicing-insensitive and replay-idempotent") {
+    // labels(fold(b1, b2, b3)) == labels(b1 ∪ b2 ∪ b3), any slicing, and
+    // re-folding an already-folded batch changes nothing — the contract
+    // Streaming.incrementalComponentsSink rides on
+    val rnd = new scala.util.Random(7)
+    val all = Seq.fill(50)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val full = labelsOf(Fixpoint.connectedComponents(all.toDF("a", "b")))
+    val slices = all.grouped(math.max(1, all.size / 3)).toSeq
+    var labels: org.apache.spark.sql.DataFrame = null
+    for (s <- slices) {
+      labels =
+        if (labels == null) Fixpoint.connectedComponents(s.toDF("a", "b"))
+        else Fixpoint.incrementalComponents(labels, s.toDF("a", "b"))
+    }
+    assert(labelsOf(labels) == full)
+    // replay the FIRST slice again after everything folded
+    val replayed = Fixpoint.incrementalComponents(labels, slices.head.toDF("a", "b"))
+    assert(labelsOf(replayed) == full)
+  }
 }
