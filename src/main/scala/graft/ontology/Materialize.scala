@@ -35,51 +35,78 @@ object Materialize {
     * deterministic), upsert the canonical node table, and upsert
     * (canonical)-[:HAS_SOURCE]->(provider node) edges per provider —
     * edges only ever point at canonical nodes that exist (this batch's
-    * winners or a previous epoch's survivors). */
+    * winners or a previous epoch's survivors).
+    *
+    * Plan shape (the 30-provider tenants corpus made this load-bearing):
+    * every mapping used to get its own pin plus its own semi-join
+    * against canonIds — 38 checkpoint jobs and 38 joins of tiny frames,
+    * all fixed stage cost. Now the projections are tagged per-mapping
+    * (`_midx` — NOT per-label: one label can carry two modules'
+    * mappings), creation eligibility is computed map-side BEFORE the
+    * union (`_creatable` — requiredFields resolve against each
+    * mapping's own projection, exactly the old per-frame filter), and
+    * the whole corpus unions ONCE: one pin for the union, one window
+    * pass for the winners, ONE semi-join for every provider's
+    * HAS_SOURCE pairs, then per-mapping filters over the pinned result.
+    * 4 pins total, independent of provider count. */
   def materialize(graph: Graph, canonicalLabel: String,
                   mappings: Seq[ProviderMapping], tag: Long): Graph = {
     import graft.Lineage._
-    // Every provider projection feeds TWO consumers (the creation union
-    // and its HAS_SOURCE edge pairs), and winners/canonIds feed one
-    // consumer PER PROVIDER — left unpinned, a 20-provider corpus
-    // re-executes the full union+window once per edge join (the chained
-    // multi-branch k× replay; measured 14-62s on row-counts that
-    // compute in ~2s pinned). Pin each shared frame once; all pins
-    // materialize inside the caller's first action.
-    val projected = mappings.map { m =>
-      m -> m.project(graph.nodeTable(m.providerLabel))
+    require(mappings.exists(_.eligibleForSource),
+      s"ontology $canonicalLabel: at least one mapping must be eligibleForSource")
+    val projected = mappings.zipWithIndex.map { case (m, i) =>
+      val df = m.project(graph.nodeTable(m.providerLabel))
         .withColumn("_ont_source", lit(m.providerLabel))
         .withColumn("_priority", lit(m.priority))
-        .pin
+        .withColumn("_midx", lit(i))
+      val creatable =
+        if (!m.eligibleForSource) lit(false)
+        else m.requiredFields.map(col(_).isNotNull)
+          .reduceOption(_ && _).getOrElse(lit(true))
+      df.withColumn("_creatable", creatable)
     }
-    val creators = projected.collect { case (m, df) if m.eligibleForSource =>
-      m.requiredFields.foldLeft(df)((d, f) => d.filter(col(f).isNotNull))
-    }
-    require(creators.nonEmpty,
-      s"ontology $canonicalLabel: at least one mapping must be eligibleForSource")
-    val unioned = creators.reduce(_ unionByName (_, allowMissingColumns = true))
+    val all = projected
+      .reduce(_ unionByName (_, allowMissingColumns = true))
+      .pin
     val w = Window.partitionBy(col("id")).orderBy(col("_priority"), col("_src_id"))
-    val winners = unioned
+    val winners = all.filter(col("_creatable"))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
-      .drop("_rk", "_priority", "_src_id")
+      .drop("_rk", "_priority", "_src_id", "_creatable", "_midx")
       .pin
-    val existing = graph.nodes.getOrElse(canonicalLabel, GraphStore.emptyLike(winners))
-    var g = graph.withNodes(canonicalLabel,
-      GraphStore.upsertNodes(existing, winners, tag))
-    val canonIds = winners.select(col("id"))
-      .unionByName(existing.select(col(GraphStore.ID).as("id")))
-      .distinct()
+    // First-epoch fast paths: merging into a table that does not exist
+    // yet is initialLoad (key-dedup + stamp), NOT a full-outer join
+    // against an empty side — 37 absent edge tables used to cost 37
+    // AQE join stages of fixed latency. winners is already unique by
+    // id (rk=1) and pairs is deduped once below, so the loads skip
+    // their per-table dedup shuffle too.
+    var g = graph.nodes.get(canonicalLabel) match {
+      case Some(existing) => graph.withNodes(canonicalLabel,
+        GraphStore.upsertNodes(existing, winners, tag))
+      case None => graph.withNodes(canonicalLabel,
+        GraphStore.initialLoad(winners, Seq(GraphStore.ID), tag, dedupBatch = false))
+    }
+    val canonIds = (graph.nodes.get(canonicalLabel) match {
+      case Some(ex) => winners.select(col("id"))
+        .unionByName(ex.select(col(GraphStore.ID).as("id"))).distinct()
+      case None => winners.select(col("id")) // already unique (rk=1)
+    }).pin
+    val pairs = all
+      .select(col("_midx"), col("id").as(GraphStore.SRC),
+        col("_src_id").as(GraphStore.DST))
+      .dropDuplicates("_midx", GraphStore.SRC, GraphStore.DST)
+      .join(canonIds.select(col("id").as(GraphStore.SRC)), Seq(GraphStore.SRC),
+        "left_semi")
       .pin
-    projected.foreach { case (m, df) =>
-      val pairs = df
-        .select(col("id").as(GraphStore.SRC), col("_src_id").as(GraphStore.DST))
-        .join(canonIds.select(col("id").as(GraphStore.SRC)), Seq(GraphStore.SRC),
-          "left_semi")
+    mappings.zipWithIndex.foreach { case (m, i) =>
+      val mine = pairs.filter(col("_midx") === i).drop("_midx")
       val key = (canonicalLabel, "HAS_SOURCE", m.providerLabel)
-      val ex = g.edges.getOrElse(key,
-        GraphStore.emptyLike(pairs, Seq(GraphStore.SRC, GraphStore.DST)))
-      g = g.withEdges(key, GraphStore.upsertEdges(ex, pairs, tag))
+      g = g.edges.get(key) match {
+        case Some(ex) => g.withEdges(key,
+          GraphStore.upsertEdges(ex, mine, tag, dedupBatch = false))
+        case None => g.withEdges(key, GraphStore.initialLoad(mine,
+          Seq(GraphStore.SRC, GraphStore.DST), tag, dedupBatch = false))
+      }
     }
     g
   }

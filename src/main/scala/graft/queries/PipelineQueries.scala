@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -326,6 +326,220 @@ object PipelineQueries {
       provider, Seq("description", "email"))
   }
 
+  /** Sixth canonical label from ported mapping data: the FULL Tenant
+    * corpus (mapping/data/tenants.py — 30 modules / 38 node mappings over 37 provider labels,
+    * the widest file in the reference's mapping data). Beyond the
+    * roles/groups shapes it exercises: EMPTY-FIELD stamp-only mappings
+    * (azure AzureTenant, SubImageTenant, CrowdstrikeTenant — they flow
+    * through the interpreter but can neither create nor link), ONE label
+    * mapped by TWO modules (AzureTenant: azure empty at priority 30,
+    * microsoft display_name at 80 — the HAS_SOURCE edge table is single
+    * and must not double-count), 9 per-provider status value maps with
+    * deliberate unmapped raw states (→ NULL status, the no-ELSE CASE
+    * contract), name drawn from id/uuid/username/host fields, and the
+    * same host field feeding BOTH name and domain (databricks). */
+  def ontologyMaterializeTenants(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.MappingData
+    // Provider node ids are STRINGS here: two reference mappings
+    // (AWSOrganization, JumpCloudTenant) read the node's own `id` column
+    // as the tenant NAME, so `id` must union as a string across the
+    // whole corpus. Each provider prefixes its ids to keep them unique.
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("nn"))
+    val region = Tables.region(spark, dir)
+      .select(col("r_regionkey").cast("long").as("k"), col("r_name").as("rn"))
+    def sid(pfx: String): Column = concat(lit(pfx), col("k").cast("string")).as("id")
+    def pick(c: Column, vals: String*): Column =
+      element_at(array(vals.map(lit): _*), (c % vals.length + 1).cast("int"))
+    val provider: Map[String, DataFrame] = Map(
+      "AirbyteOrganization" -> region.select(sid("ab"),
+        concat(lit("ab-"), col("rn")).as("name")),
+      // bare nation names: collision group with GCPProject; aws wins
+      "AWSAccount" -> nation.select(sid("awsa"), col("nn").as("name"),
+        pick(col("k"), "ACTIVE", "PENDING_ACTIVATION", "SUSPENDED",
+          "PENDING_CLOSURE", "CLOSED", "BOGUS").as("state")),
+      // name ← the node's own id column (tenants.py:108)
+      "AWSOrganization" -> region.select(concat(lit("o-"), col("rn")).as("id")),
+      "CircleCIOrganization" -> region.select(sid("cc"),
+        concat(lit("cc-"), col("rn")).as("name")),
+      // shared by azure (empty mapping) and microsoft (display_name)
+      "AzureTenant" -> nation.select(sid("az"),
+        concat(lit("ms-"), col("nn")).as("display_name")),
+      "AzureSubscription" -> Tables.customer(spark, dir).select(
+        concat(lit("sub"), col("c_custkey").cast("string")).as("id"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("name"),
+        pick(col("c_custkey"), "Enabled", "Warned", "PastDue", "Disabled",
+          "Deleted", "Junk").as("state")),
+      "CloudflareAccount" -> region.select(sid("cf"),
+        concat(lit("cf-"), col("rn")).as("name")),
+      "CrowdstrikeTenant" -> region.select(sid("cs"), col("rn")),
+      "DOAccount" -> nation.select(sid("do"),
+        concat(lit("do-"), col("k").cast("string")).as("uuid"),
+        pick(col("k"), "active", "warning", "locked", "frozen").as("status")),
+      "DOProject" -> region.select(sid("dop"),
+        concat(lit("dop-"), col("rn")).as("name")),
+      "NetlifyAccount" -> nation.select(sid("nl"),
+        concat(lit("nl-"), col("nn")).as("name"),
+        pick(col("k"), "active", "trial", "trialing", "frozen", "suspended",
+          "deactivated", "disabled", "pending_deletion", "cancelled",
+          "canceled", "closed", "limbo").as("lifecycle_state")),
+      "GCPOrganization" -> region.select(sid("gcpo"),
+        concat(lit("gcp-"), col("rn")).as("displayname"),
+        pick(col("k"), "STATE_UNSPECIFIED", "ACTIVE", "DELETE_REQUESTED",
+          "DELETE_IN_PROGRESS", "WEIRD").as("lifecyclestate")),
+      // bare nation names again — loses to AWSAccount (priority)
+      "GCPProject" -> nation.select(sid("gcpp"), col("nn").as("displayname"),
+        pick(col("k"), "STATE_UNSPECIFIED", "ACTIVE", "DELETE_REQUESTED",
+          "DELETE_IN_PROGRESS", "WEIRD").as("lifecyclestate")),
+      "GitHubOrganization" -> Tables.supplier(spark, dir).select(
+        concat(lit("gh"), col("s_suppkey").cast("string")).as("id"),
+        col("s_name").as("username")),
+      "GoogleWorkspaceTenant" -> region.select(sid("gw"),
+        concat(lit("gw-"), col("rn")).as("name"),
+        concat(lit("gw"), col("k").cast("string"), lit(".example.com")).as("domain")),
+      "KeycloakRealm" -> nation.select(sid("kc"),
+        concat(lit("kc-"), col("nn")).as("name")),
+      "SalesforceOrganization" -> region.select(sid("sf"),
+        concat(lit("sf-"), col("rn")).as("name")),
+      "OktaOrganization" -> region.select(sid("ok"),
+        concat(lit("ok-"), col("rn")).as("name")),
+      "OpenAIProject" -> nation.select(sid("oa"),
+        concat(lit("oa-"), col("nn")).as("name"),
+        pick(col("k"), "active", "archived", "limbo").as("status")),
+      "ScalewayProject" -> region.select(sid("swp"),
+        concat(lit("swp-"), col("rn")).as("name")),
+      "SentryOrganization" -> nation.select(sid("sn"),
+        concat(lit("sn-"), col("nn")).as("name"),
+        pick(col("k"), "active", "pending_deletion", "deletion_in_progress",
+          "zombie").as("status")),
+      "S1Account" -> region.select(sid("s1"),
+        concat(lit("s1-"), col("rn")).as("name"),
+        pick(col("k"), "Active", "active", "Expired", "Deleted", "Weird").as("state")),
+      // name ← the node's own id column (tenants.py:463)
+      "JumpCloudTenant" -> nation.select(
+        concat(lit("jc-"), col("k").cast("string")).as("id")),
+      "SlackTeam" -> nation.select(sid("sl"),
+        concat(lit("sl-"), col("nn")).as("name"),
+        concat(lit("sl"), col("k").cast("string"), lit(".example.com")).as("domain")),
+      "SpaceliftAccount" -> region.select(sid("sp"),
+        concat(lit("sp-"), col("rn")).as("name")),
+      "SubImageTenant" -> region.select(sid("si"), col("rn")),
+      "SocketDevOrganization" -> region.select(sid("sd"),
+        concat(lit("sd-"), col("rn")).as("name")),
+      "WorkOSOrganization" -> nation.select(sid("wo"),
+        concat(lit("wo-"), col("nn")).as("name")),
+      "VercelTeam" -> region.select(sid("vc"),
+        concat(lit("vc-"), col("rn")).as("name")),
+      "RailwayWorkspace" -> nation.select(sid("rw"),
+        concat(lit("rw-"), col("nn")).as("name")),
+      "RailwayProject" -> region.select(sid("rwp"),
+        concat(lit("rwp-"), col("rn")).as("name")),
+      "DatabricksWorkspace" -> nation.select(sid("dbw"),
+        concat(lit("db"), col("k").cast("string"), lit(".cloud.example.com")).as("host")),
+      "DatabricksAccount" -> region.select(sid("dba"),
+        concat(lit("dba-"), col("k").cast("string")).as("account_id"),
+        concat(lit("dba"), col("k").cast("string"), lit(".cloud.example.com")).as("host")),
+      "SupabaseOrganization" -> region.select(sid("su"),
+        concat(lit("su-"), col("rn")).as("name")),
+      "SupabaseProject" -> nation.select(sid("sup"),
+        concat(lit("sup-"), col("nn")).as("name"),
+        pick(col("k"), "ACTIVE_HEALTHY", "ACTIVE_UNHEALTHY", "INACTIVE",
+          "PAUSING", "PAUSE_FAILED", "GOING_DOWN", "REMOVED", "COMING_UP",
+          "INIT_FAILED", "RESTORING", "RESTORE_FAILED", "RESTARTING",
+          "RESIZING", "UPGRADING", "UNKNOWN", "MYSTERY").as("status")),
+      "ModalWorkspace" -> region.select(sid("mw"),
+        concat(lit("mw-"), col("rn")).as("name")),
+      "ModalEnvironment" -> nation.select(sid("me"),
+        concat(lit("me-"), col("nn")).as("name")))
+    materializeFromMappingData(spark, "Tenant", MappingData.tenants,
+      provider, Seq("status", "domain"))
+  }
+
+  /** Seventh canonical label from ported mapping data: the CVE corpus
+    * (mapping/data/cves.py — 8 modules / 8 labels). Unlike every other
+    * category its canonical key is `cve_id`, NOT `name` — and the key is
+    * NOT required in the corpus: the SemgrepSCAFinding hybrid carries
+    * advisory-only rows whose cve_id is null by design (they are
+    * :SecurityIssue material, cves.py:384-391) — such rows flow through
+    * the interpreter but never create or link. Also exercises 4 distinct
+    * severity maps over the same ontology field (CVSS / Inspector /
+    * GitHub upper+lowercase / S1 title-case) and 3 vuln-status maps. */
+  def ontologyMaterializeCves(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.MappingData
+    // Distinct year namespaces steer the winner variety: 2024 keys are
+    // dominated by the NVD feed (priority 0); 2023 keys exist only on
+    // ubuntu/sentinelone (ubuntu wins overlaps); 2025 only on
+    // semgrep/aws-inspector (semgrep wins overlaps).
+    def cve(year: String, k: Column): Column =
+      concat(lit(s"CVE-$year-"), lpad((k % 1000).cast("string"), 4, "0"))
+    def pick(c: Column, vals: String*): Column =
+      element_at(array(vals.map(lit): _*), (c % vals.length + 1).cast("int"))
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("id"), col("p_name"))
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("nn"))
+    val region = Tables.region(spark, dir)
+      .select(col("r_regionkey").cast("long").as("id"), col("r_name").as("rn"))
+    val supplier = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("sn"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("cn"))
+    val provider: Map[String, DataFrame] = Map(
+      // NVD feed: one row per CVE id (authoritative, priority 0)
+      "CVE" -> part.select(col("id"), cve("2024", col("id")).as("cve_id"),
+        lit("cve@mitre.org").as("assigner"),
+        concat(lit("desc "), col("p_name")).as("description"),
+        pick(col("id"), "NONE", "LOW", "MEDIUM", "HIGH", "CRITICAL").as("base_severity"),
+        (col("id") % 100).cast("double").as("base_score"),
+        pick(col("id"), "Received", "Awaiting Analysis", "Undergoing Analysis",
+          "Analyzed", "Modified", "Deferred", "Rejected", "Mystery").as("vuln_status")),
+      "TrivyImageFinding" -> supplier.select(col("id"),
+        cve("2024", col("id") * 7).as("cve_id"),
+        concat(lit("trivy "), col("sn")).as("description"),
+        pick(col("id"), "LOW", "MEDIUM", "HIGH", "CRITICAL", "weird").as("severity"),
+        pick(col("id"), "unknown", "affected", "fixed", "under_investigation",
+          "will_not_fix", "fix_deferred", "end_of_life", "not_affected").as("status")),
+      "UbuntuCVE" -> nation.select(col("id"), cve("2023", col("id") * 11).as("cve_id"),
+        concat(lit("ubuntu "), col("nn")).as("description"),
+        (col("id") % 10).cast("double").as("base_score"),
+        pick(col("id"), "LOW", "MEDIUM", "HIGH").as("base_severity"),
+        pick(col("id"), "active", "rejected", "not-in-ubuntu").as("status")),
+      "CrowdstrikeFinding" -> region.select(col("id"),
+        cve("2024", col("id") * 13).as("cve_id"),
+        (col("id") % 10).cast("double").as("base_score"),
+        pick(col("id"), "NONE", "LOW", "MEDIUM", "HIGH", "CRITICAL").as("base_severity")),
+      "GitHubDependabotAlert" -> supplier.select(col("id"),
+        cve("2024", col("id") * 3).as("cve_id"),
+        concat(lit("ghsa "), col("sn")).as("advisory_description"),
+        pick(col("id"), "LOW", "MODERATE", "HIGH", "CRITICAL", "low",
+          "moderate", "medium", "high", "critical", "UNRATED").as("severity"),
+        (col("id") % 10).cast("double").as("cvss_score")),
+      "S1AppFinding" -> region.select(col("id"), cve("2023", col("id") * 17).as("cve_id"),
+        pick(col("id"), "None", "Low", "Medium", "High", "Critical").as("severity")),
+      // hybrid: every 3rd row is advisory-only (null cve_id) — flows,
+      // never creates, never links
+      "SemgrepSCAFinding" -> customer.select(col("id"),
+        when(col("id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(cve("2025", col("id") * 5)).as("cve_id"),
+        concat(lit("semgrep "), col("cn")).as("description"),
+        pick(col("id"), "LOW", "MEDIUM", "HIGH", "CRITICAL").as("severity"),
+        concat(lit("finding "), col("cn")).as("summary"),
+        pick(col("id"), "open", "ignored", "fixed").as("triage_status")),
+      "AWSInspectorFinding" -> customer.select(col("id"),
+        cve("2025", col("id") * 2).as("cve_id"),
+        concat(lit("inspector "), col("cn")).as("description"),
+        (col("id") % 10).cast("double").as("cvssscore"),
+        pick(col("id"), "INFORMATIONAL", "LOW", "MEDIUM", "HIGH", "CRITICAL",
+          "UNTRIAGED").as("severity")))
+    // canonical label must differ from the NVD provider label "CVE" —
+    // they are distinct node tables (provider ids are longs, canonical
+    // ids are the cve_id strings)
+    materializeFromMappingData(spark, "Vulnerability", MappingData.cves,
+      provider, Seq("base_severity", "base_score", "vuln_status", "description"),
+      keyField = "cve_id")
+  }
+
   /** Shared driver for mapping-data-defined canonical labels: interpret
     * every (module, node) of `modules` against its provider table via
     * [[graft.ontology.Mappings.project]], materialize the canon keyed by
@@ -336,9 +550,14 @@ object PipelineQueries {
       spark: SparkSession, canonicalLabel: String,
       modules: Seq[graft.ontology.Mappings.ModuleMapping],
       provider: Map[String, DataFrame],
-      extraFields: Seq[String]): DataFrame = {
+      extraFields: Seq[String],
+      keyField: String = "name"): DataFrame = {
     import graft.ontology.Mappings
-    def nodes(df: DataFrame) = GraphStore.initialLoad(df, Seq(GraphStore.ID), TAG)
+    // gate provider tables derive ids from table keys — unique by
+    // construction, so the per-provider dedup shuffle (38 exchanges on
+    // the tenants corpus) is skipped
+    def nodes(df: DataFrame) =
+      GraphStore.initialLoad(df, Seq(GraphStore.ID), TAG, dedupBatch = false)
     val flat = for {
       (m, mi) <- modules.zipWithIndex
       (n, ni) <- m.nodes.zipWithIndex
@@ -347,29 +566,49 @@ object PipelineQueries {
       g.withNodes(n.nodeLabel, nodes(provider(n.nodeLabel)))
     }
     val mappings = flat.map { case (m, n, prio) =>
+      // A mapping that never emits the canonical key — an empty-field
+      // stamp-only node (tenants.py AzureTenant/SubImageTenant/
+      // CrowdstrikeTenant) or one whose key column the provider frame
+      // lacks — can neither create canon nor link HAS_SOURCE (a null
+      // key matches nothing); it still flows through the interpreter.
+      val emitsKey = n.fields.exists(_.ontologyField == keyField)
+      // required NON-key fields (semgrep's title) must ride the
+      // projection so Materialize's creation filter can see them
+      val reqOnt = n.fields.filter(_.required).map(_.ontologyField)
+        .filterNot(f => f == keyField || extraFields.contains(f))
       ProviderMapping(n.nodeLabel, priority = prio, df => {
         val p = Mappings.project(df, m.moduleName, n)
         val have = p.columns.toSet
         val extras = extraFields.filter(f => have(s"_ont_$f"))
           .map(f => col(s"_ont_$f").as(f))
-        // canonical id = _ont_name; required=true on name makes the
-        // null-name rows creation-ineligible (requiredFields below)
-        p.select(Seq(col("_ont_name").as("id"),
-          col("id").as("_src_id")) ++ extras: _*)
-      }, requiredFields = Mappings.requiredFields(n).map {
-        case "_ont_name" => "id"
-        case other       => other.stripPrefix("_ont_")
-      })
+        // always emit _req_* (null when the provider lacks the column:
+        // an unset required field blocks creation, same as a null one)
+        val reqs = reqOnt.map(f =>
+          (if (have(s"_ont_$f")) col(s"_ont_$f") else lit(null)).as(s"_req_$f"))
+        val key = if (emitsKey && have(s"_ont_$keyField")) col(s"_ont_$keyField")
+                  else lit(null).cast("string")
+        p.select(Seq(key.as("id"), col("id").as("_src_id")) ++ extras ++ reqs: _*)
+      }, eligibleForSource = emitsKey,
+        // the canonical key is always creation-required: a null-key row
+        // (unset required name, advisory-only semgrep finding with no
+        // cve_id) can never create a canonical node
+        requiredFields = ("id" +: Mappings.requiredFields(n).map(_.stripPrefix("_ont_")).map {
+          case k if k == keyField            => "id"
+          case f if extraFields.contains(f)  => f
+          case f                             => s"_req_$f"
+        }).distinct)
     }
     val g = Materialize.materialize(g0, canonicalLabel, mappings, TAG)
-    val srcCounts = flat.map { case (_, n, _) =>
-      g.edgeTable(canonicalLabel, "HAS_SOURCE", n.nodeLabel)
+    // distinct labels: a label mapped by two modules (AzureTenant) has
+    // ONE edge table — unioning it once per mapping would double-count
+    val srcCounts = flat.map(_._2.nodeLabel).distinct.map { lbl =>
+      g.edgeTable(canonicalLabel, "HAS_SOURCE", lbl)
         .select(col(GraphStore.SRC))
     }.reduce(_ unionByName _)
       .groupBy(col(GraphStore.SRC).as("id")).agg(count(lit(1)).as("n_sources"))
     g.nodeTable(canonicalLabel)
       .join(srcCounts, Seq("id"))
-      .select(Seq(col("id").as("name")) ++ extraFields.map(col) :+
+      .select(Seq(col("id").as(keyField)) ++ extraFields.map(col) :+
         col("_ont_source") :+ col("n_sources"): _*)
   }
 
@@ -496,12 +735,272 @@ object PipelineQueries {
     "ontology_materialize_compute" -> (ontologyMaterializeCompute _),
     "ontology_materialize_roles" -> (ontologyMaterializeRoles _),
     "ontology_materialize_groups" -> (ontologyMaterializeGroups _),
+    "ontology_materialize_tenants" -> (ontologyMaterializeTenants _),
+    "ontology_materialize_cves" -> (ontologyMaterializeCves _),
     "e2e_full_sync" -> (e2eFullSync _),
     "e2e_entity_resolution" -> (e2eEntityResolution _),
     "motif_two_hop" -> (motifTwoHop _),
   )
 
   val oracles: Map[String, String] = Map(
+    "ontology_materialize_tenants" ->
+      """WITH src AS (
+        |  SELECT 'ab-' || r_name AS name, CAST(NULL AS VARCHAR) AS status,
+        |         CAST(NULL AS VARCHAR) AS domain, 0 AS prio,
+        |         'ab' || CAST(r_regionkey AS VARCHAR) AS sid,
+        |         'AirbyteOrganization' AS lbl FROM region
+        |  UNION ALL
+        |  SELECT n_name, CASE n_nationkey % 6 WHEN 0 THEN 'active'
+        |           WHEN 1 THEN 'unknown' WHEN 2 THEN 'suspended'
+        |           WHEN 3 THEN 'pending_deletion' WHEN 4 THEN 'closed' END,
+        |         NULL, 10, 'awsa' || CAST(n_nationkey AS VARCHAR),
+        |         'AWSAccount' FROM nation
+        |  UNION ALL
+        |  SELECT 'o-' || r_name, NULL, NULL, 11, 'o-' || r_name,
+        |         'AWSOrganization' FROM region
+        |  UNION ALL
+        |  SELECT 'cc-' || r_name, NULL, NULL, 20,
+        |         'cc' || CAST(r_regionkey AS VARCHAR),
+        |         'CircleCIOrganization' FROM region
+        |  UNION ALL
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END,
+        |         CASE c_custkey % 6 WHEN 0 THEN 'active' WHEN 1 THEN 'active'
+        |           WHEN 2 THEN 'suspended' WHEN 3 THEN 'suspended'
+        |           WHEN 4 THEN 'closed' END,
+        |         NULL, 31, 'sub' || CAST(c_custkey AS VARCHAR),
+        |         'AzureSubscription' FROM customer
+        |  UNION ALL
+        |  SELECT 'cf-' || r_name, NULL, NULL, 40,
+        |         'cf' || CAST(r_regionkey AS VARCHAR),
+        |         'CloudflareAccount' FROM region
+        |  UNION ALL
+        |  SELECT 'do-' || CAST(n_nationkey AS VARCHAR),
+        |         CASE n_nationkey % 4 WHEN 0 THEN 'active' WHEN 1 THEN 'active'
+        |           WHEN 2 THEN 'suspended' END,
+        |         NULL, 60, 'do' || CAST(n_nationkey AS VARCHAR),
+        |         'DOAccount' FROM nation
+        |  UNION ALL
+        |  SELECT 'dop-' || r_name, NULL, NULL, 61,
+        |         'dop' || CAST(r_regionkey AS VARCHAR), 'DOProject' FROM region
+        |  UNION ALL
+        |  SELECT 'nl-' || n_name, CASE n_nationkey % 12
+        |           WHEN 0 THEN 'active' WHEN 1 THEN 'active' WHEN 2 THEN 'active'
+        |           WHEN 3 THEN 'suspended' WHEN 4 THEN 'suspended'
+        |           WHEN 5 THEN 'suspended' WHEN 6 THEN 'suspended'
+        |           WHEN 7 THEN 'pending_deletion' WHEN 8 THEN 'closed'
+        |           WHEN 9 THEN 'closed' WHEN 10 THEN 'closed' END,
+        |         NULL, 70, 'nl' || CAST(n_nationkey AS VARCHAR),
+        |         'NetlifyAccount' FROM nation
+        |  UNION ALL
+        |  SELECT 'ms-' || n_name, NULL, NULL, 80,
+        |         'az' || CAST(n_nationkey AS VARCHAR), 'AzureTenant' FROM nation
+        |  UNION ALL
+        |  SELECT 'gcp-' || r_name, CASE r_regionkey % 5 WHEN 0 THEN 'unknown'
+        |           WHEN 1 THEN 'active' WHEN 2 THEN 'pending_deletion'
+        |           WHEN 3 THEN 'pending_deletion' END,
+        |         NULL, 90, 'gcpo' || CAST(r_regionkey AS VARCHAR),
+        |         'GCPOrganization' FROM region
+        |  UNION ALL
+        |  SELECT n_name, CASE n_nationkey % 5 WHEN 0 THEN 'unknown'
+        |           WHEN 1 THEN 'active' WHEN 2 THEN 'pending_deletion'
+        |           WHEN 3 THEN 'pending_deletion' END,
+        |         NULL, 91, 'gcpp' || CAST(n_nationkey AS VARCHAR),
+        |         'GCPProject' FROM nation
+        |  UNION ALL
+        |  SELECT s_name, NULL, NULL, 100, 'gh' || CAST(s_suppkey AS VARCHAR),
+        |         'GitHubOrganization' FROM supplier
+        |  UNION ALL
+        |  SELECT 'gw-' || r_name, NULL,
+        |         'gw' || CAST(r_regionkey AS VARCHAR) || '.example.com', 110,
+        |         'gw' || CAST(r_regionkey AS VARCHAR),
+        |         'GoogleWorkspaceTenant' FROM region
+        |  UNION ALL
+        |  SELECT 'kc-' || n_name, NULL, NULL, 120,
+        |         'kc' || CAST(n_nationkey AS VARCHAR), 'KeycloakRealm' FROM nation
+        |  UNION ALL
+        |  SELECT 'sf-' || r_name, NULL, NULL, 130,
+        |         'sf' || CAST(r_regionkey AS VARCHAR),
+        |         'SalesforceOrganization' FROM region
+        |  UNION ALL
+        |  SELECT 'ok-' || r_name, NULL, NULL, 140,
+        |         'ok' || CAST(r_regionkey AS VARCHAR),
+        |         'OktaOrganization' FROM region
+        |  UNION ALL
+        |  SELECT 'oa-' || n_name, CASE n_nationkey % 3 WHEN 0 THEN 'active'
+        |           WHEN 1 THEN 'closed' END,
+        |         NULL, 150, 'oa' || CAST(n_nationkey AS VARCHAR),
+        |         'OpenAIProject' FROM nation
+        |  UNION ALL
+        |  SELECT 'swp-' || r_name, NULL, NULL, 160,
+        |         'swp' || CAST(r_regionkey AS VARCHAR),
+        |         'ScalewayProject' FROM region
+        |  UNION ALL
+        |  SELECT 'sn-' || n_name, CASE n_nationkey % 4 WHEN 0 THEN 'active'
+        |           WHEN 1 THEN 'pending_deletion'
+        |           WHEN 2 THEN 'pending_deletion' END,
+        |         NULL, 170, 'sn' || CAST(n_nationkey AS VARCHAR),
+        |         'SentryOrganization' FROM nation
+        |  UNION ALL
+        |  SELECT 's1-' || r_name, CASE r_regionkey % 5 WHEN 0 THEN 'active'
+        |           WHEN 1 THEN 'active' WHEN 2 THEN 'suspended'
+        |           WHEN 3 THEN 'closed' END,
+        |         NULL, 180, 's1' || CAST(r_regionkey AS VARCHAR),
+        |         'S1Account' FROM region
+        |  UNION ALL
+        |  SELECT 'jc-' || CAST(n_nationkey AS VARCHAR), NULL, NULL, 190,
+        |         'jc-' || CAST(n_nationkey AS VARCHAR),
+        |         'JumpCloudTenant' FROM nation
+        |  UNION ALL
+        |  SELECT 'sl-' || n_name, NULL,
+        |         'sl' || CAST(n_nationkey AS VARCHAR) || '.example.com', 200,
+        |         'sl' || CAST(n_nationkey AS VARCHAR), 'SlackTeam' FROM nation
+        |  UNION ALL
+        |  SELECT 'sp-' || r_name, NULL, NULL, 210,
+        |         'sp' || CAST(r_regionkey AS VARCHAR),
+        |         'SpaceliftAccount' FROM region
+        |  UNION ALL
+        |  SELECT 'sd-' || r_name, NULL, NULL, 230,
+        |         'sd' || CAST(r_regionkey AS VARCHAR),
+        |         'SocketDevOrganization' FROM region
+        |  UNION ALL
+        |  SELECT 'wo-' || n_name, NULL, NULL, 240,
+        |         'wo' || CAST(n_nationkey AS VARCHAR),
+        |         'WorkOSOrganization' FROM nation
+        |  UNION ALL
+        |  SELECT 'vc-' || r_name, NULL, NULL, 250,
+        |         'vc' || CAST(r_regionkey AS VARCHAR), 'VercelTeam' FROM region
+        |  UNION ALL
+        |  SELECT 'rw-' || n_name, NULL, NULL, 260,
+        |         'rw' || CAST(n_nationkey AS VARCHAR),
+        |         'RailwayWorkspace' FROM nation
+        |  UNION ALL
+        |  SELECT 'rwp-' || r_name, NULL, NULL, 261,
+        |         'rwp' || CAST(r_regionkey AS VARCHAR),
+        |         'RailwayProject' FROM region
+        |  UNION ALL
+        |  SELECT 'db' || CAST(n_nationkey AS VARCHAR) || '.cloud.example.com',
+        |         NULL,
+        |         'db' || CAST(n_nationkey AS VARCHAR) || '.cloud.example.com',
+        |         270, 'dbw' || CAST(n_nationkey AS VARCHAR),
+        |         'DatabricksWorkspace' FROM nation
+        |  UNION ALL
+        |  SELECT 'dba-' || CAST(r_regionkey AS VARCHAR), NULL,
+        |         'dba' || CAST(r_regionkey AS VARCHAR) || '.cloud.example.com',
+        |         271, 'dba' || CAST(r_regionkey AS VARCHAR),
+        |         'DatabricksAccount' FROM region
+        |  UNION ALL
+        |  SELECT 'su-' || r_name, NULL, NULL, 280,
+        |         'su' || CAST(r_regionkey AS VARCHAR),
+        |         'SupabaseOrganization' FROM region
+        |  UNION ALL
+        |  SELECT 'sup-' || n_name, CASE n_nationkey % 16
+        |           WHEN 0 THEN 'active' WHEN 1 THEN 'active'
+        |           WHEN 2 THEN 'suspended' WHEN 3 THEN 'suspended'
+        |           WHEN 4 THEN 'suspended' WHEN 5 THEN 'suspended'
+        |           WHEN 6 THEN 'closed' WHEN 7 THEN 'unknown'
+        |           WHEN 8 THEN 'unknown' WHEN 9 THEN 'unknown'
+        |           WHEN 10 THEN 'unknown' WHEN 11 THEN 'unknown'
+        |           WHEN 12 THEN 'unknown' WHEN 13 THEN 'unknown'
+        |           WHEN 14 THEN 'unknown' END,
+        |         NULL, 281, 'sup' || CAST(n_nationkey AS VARCHAR),
+        |         'SupabaseProject' FROM nation
+        |  UNION ALL
+        |  SELECT 'mw-' || r_name, NULL, NULL, 290,
+        |         'mw' || CAST(r_regionkey AS VARCHAR),
+        |         'ModalWorkspace' FROM region
+        |  UNION ALL
+        |  SELECT 'me-' || n_name, NULL, NULL, 291,
+        |         'me' || CAST(n_nationkey AS VARCHAR),
+        |         'ModalEnvironment' FROM nation),
+        |winners AS MATERIALIZED (
+        |  SELECT name, status, domain, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY name ORDER BY prio, sid) AS rk
+        |    FROM src WHERE name IS NOT NULL) WHERE rk = 1),
+        |links AS (SELECT s.name, count(*) AS n FROM src s
+        |          JOIN winners w ON s.name = w.name GROUP BY s.name)
+        |SELECT w.name, w.status, w.domain, w.lbl AS _ont_source,
+        |  CAST(l.n AS BIGINT) AS n_sources
+        |FROM winners w JOIN links l ON w.name = l.name""".stripMargin,
+    "ontology_materialize_cves" ->
+      """WITH src AS (
+        |  SELECT 'CVE-2024-' || lpad(CAST(p_partkey % 1000 AS VARCHAR), 4, '0') AS cve_id,
+        |         CASE p_partkey % 5 WHEN 0 THEN 'info' WHEN 1 THEN 'low'
+        |           WHEN 2 THEN 'medium' WHEN 3 THEN 'high'
+        |           WHEN 4 THEN 'critical' END AS base_severity,
+        |         CAST(p_partkey % 100 AS DOUBLE) AS base_score,
+        |         CASE p_partkey % 8 WHEN 0 THEN 'open' WHEN 1 THEN 'open'
+        |           WHEN 2 THEN 'open' WHEN 3 THEN 'open' WHEN 4 THEN 'open'
+        |           WHEN 5 THEN 'open' WHEN 6 THEN 'rejected' END AS vuln_status,
+        |         'desc ' || p_name AS description, 0 AS prio,
+        |         CAST(p_partkey AS BIGINT) AS sid, 'CVE' AS lbl FROM part
+        |  UNION ALL
+        |  SELECT 'CVE-2024-' || lpad(CAST((s_suppkey * 7) % 1000 AS VARCHAR), 4, '0'),
+        |         CASE s_suppkey % 5 WHEN 0 THEN 'low' WHEN 1 THEN 'medium'
+        |           WHEN 2 THEN 'high' WHEN 3 THEN 'critical' END,
+        |         NULL,
+        |         CASE s_suppkey % 8 WHEN 0 THEN 'unknown' WHEN 1 THEN 'open'
+        |           WHEN 2 THEN 'fixed' WHEN 3 THEN 'under_investigation'
+        |           WHEN 4 THEN 'not_affected' WHEN 5 THEN 'open'
+        |           WHEN 6 THEN 'open' WHEN 7 THEN 'not_affected' END,
+        |         'trivy ' || s_name, 10, CAST(s_suppkey AS BIGINT),
+        |         'TrivyImageFinding' FROM supplier
+        |  UNION ALL
+        |  SELECT 'CVE-2023-' || lpad(CAST((n_nationkey * 11) % 1000 AS VARCHAR), 4, '0'),
+        |         CASE n_nationkey % 3 WHEN 0 THEN 'low' WHEN 1 THEN 'medium'
+        |           WHEN 2 THEN 'high' END,
+        |         CAST(n_nationkey % 10 AS DOUBLE),
+        |         CASE n_nationkey % 3 WHEN 0 THEN 'open' WHEN 1 THEN 'rejected'
+        |           WHEN 2 THEN 'not_affected' END,
+        |         'ubuntu ' || n_name, 20, CAST(n_nationkey AS BIGINT),
+        |         'UbuntuCVE' FROM nation
+        |  UNION ALL
+        |  SELECT 'CVE-2024-' || lpad(CAST((r_regionkey * 13) % 1000 AS VARCHAR), 4, '0'),
+        |         CASE r_regionkey % 5 WHEN 0 THEN 'info' WHEN 1 THEN 'low'
+        |           WHEN 2 THEN 'medium' WHEN 3 THEN 'high'
+        |           WHEN 4 THEN 'critical' END,
+        |         CAST(r_regionkey % 10 AS DOUBLE), NULL, NULL, 30,
+        |         CAST(r_regionkey AS BIGINT), 'CrowdstrikeFinding' FROM region
+        |  UNION ALL
+        |  SELECT 'CVE-2024-' || lpad(CAST((s_suppkey * 3) % 1000 AS VARCHAR), 4, '0'),
+        |         CASE s_suppkey % 10 WHEN 0 THEN 'low' WHEN 1 THEN 'medium'
+        |           WHEN 2 THEN 'high' WHEN 3 THEN 'critical' WHEN 4 THEN 'low'
+        |           WHEN 5 THEN 'medium' WHEN 6 THEN 'medium' WHEN 7 THEN 'high'
+        |           WHEN 8 THEN 'critical' END,
+        |         CAST(s_suppkey % 10 AS DOUBLE), NULL,
+        |         'ghsa ' || s_name, 40, CAST(s_suppkey AS BIGINT),
+        |         'GitHubDependabotAlert' FROM supplier
+        |  UNION ALL
+        |  SELECT 'CVE-2023-' || lpad(CAST((r_regionkey * 17) % 1000 AS VARCHAR), 4, '0'),
+        |         CASE r_regionkey % 5 WHEN 0 THEN 'info' WHEN 1 THEN 'low'
+        |           WHEN 2 THEN 'medium' WHEN 3 THEN 'high'
+        |           WHEN 4 THEN 'critical' END,
+        |         NULL, NULL, NULL, 50, CAST(r_regionkey AS BIGINT),
+        |         'S1AppFinding' FROM region
+        |  UNION ALL
+        |  SELECT CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |           ELSE 'CVE-2025-' || lpad(CAST((c_custkey * 5) % 1000 AS VARCHAR), 4, '0') END,
+        |         CASE c_custkey % 4 WHEN 0 THEN 'low' WHEN 1 THEN 'medium'
+        |           WHEN 2 THEN 'high' WHEN 3 THEN 'critical' END,
+        |         NULL, NULL, 'semgrep ' || c_name, 60, CAST(c_custkey AS BIGINT),
+        |         'SemgrepSCAFinding' FROM customer
+        |  UNION ALL
+        |  SELECT 'CVE-2025-' || lpad(CAST((c_custkey * 2) % 1000 AS VARCHAR), 4, '0'),
+        |         CASE c_custkey % 6 WHEN 0 THEN 'info' WHEN 1 THEN 'low'
+        |           WHEN 2 THEN 'medium' WHEN 3 THEN 'high'
+        |           WHEN 4 THEN 'critical' END,
+        |         CAST(c_custkey % 10 AS DOUBLE), NULL,
+        |         'inspector ' || c_name, 70, CAST(c_custkey AS BIGINT),
+        |         'AWSInspectorFinding' FROM customer),
+        |winners AS MATERIALIZED (
+        |  SELECT cve_id, base_severity, base_score, vuln_status, description,
+        |         lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cve_id ORDER BY prio, sid) AS rk
+        |    FROM src WHERE cve_id IS NOT NULL) WHERE rk = 1),
+        |links AS (SELECT s.cve_id, count(*) AS n FROM src s
+        |          JOIN winners w ON s.cve_id = w.cve_id GROUP BY s.cve_id)
+        |SELECT w.cve_id, w.base_severity, w.base_score, w.vuln_status,
+        |  w.description, w.lbl AS _ont_source, CAST(l.n AS BIGINT) AS n_sources
+        |FROM winners w JOIN links l ON w.cve_id = l.cve_id""".stripMargin,
     "ontology_materialize_roles" ->
       """WITH src AS (
         |  SELECT c_name AS name, 'custom' AS type, 'account' AS scope,

@@ -90,6 +90,55 @@ class MappingsSpec extends AnyFunSuite {
     assert(workos.fields.count(_.nodeField == "type") == 2)
   }
 
+  test("tenants corpus matches the reference's shape (tenants.py)") {
+    // 30 modules in TENANTS_ONTOLOGY_MAPPING registration order,
+    // 38 node mappings over 37 labels (AzureTenant mapped twice)
+    assert(MappingData.tenants.size == 30)
+    val nodes = MappingData.tenants.flatMap(_.nodes)
+    assert(nodes.size == 38)
+    assert(nodes.map(_.nodeLabel).distinct.size == 37)
+    assert(nodes.map(_.nodeLabel).diff(nodes.map(_.nodeLabel).distinct) ==
+      Seq("AzureTenant"))
+    // three stamp-only mappings carry no fields at all
+    assert(nodes.filter(_.fields.isEmpty).map(_.nodeLabel).sorted ==
+      Seq("AzureTenant", "CrowdstrikeTenant", "SubImageTenant"))
+    // every mapping that HAS a name requires it (tenants.py contract)
+    nodes.filter(_.fields.nonEmpty).foreach { n =>
+      assert(Mappings.requiredFields(n) == Seq("_ont_name"), n.nodeLabel)
+    }
+    // databricks feeds name AND domain from the same host column
+    val dbw = nodes.find(_.nodeLabel == "DatabricksWorkspace").get
+    assert(dbw.fields.count(_.nodeField == "host") == 2)
+  }
+
+  test("empty-field mapping stamps _ont_source only") {
+    val df = Seq(("t1", "x")).toDF("id", "junk")
+    val out = Mappings.project(df, "azure", N("AzureTenant", Nil))
+    assert(out.columns.sorted.toSeq == Seq("_ont_source", "id", "junk"))
+    assert(out.select("_ont_source").head.getString(0) == "azure")
+  }
+
+  test("cves corpus matches the reference's shape (cves.py)") {
+    assert(MappingData.cves.size == 8)
+    val nodes = MappingData.cves.flatMap(_.nodes)
+    assert(nodes.size == 8)
+    // the canonical key is cve_id and it is NOT creation-required in
+    // the corpus (semgrep hybrid rows may be advisory-only)
+    nodes.foreach { n =>
+      assert(n.fields.exists(_.ontologyField == "cve_id"), n.nodeLabel)
+      assert(!n.fields.find(_.ontologyField == "cve_id").get.required)
+    }
+    // only semgrep marks a required field (title, for SecurityIssue rows)
+    assert(nodes.filter(_.fields.exists(_.required)).map(_.nodeLabel) ==
+      Seq("SemgrepSCAFinding"))
+    // the NVD feed carries the full shape; 4 severity maps are distinct
+    assert(nodes.find(_.nodeLabel == "CVE").get.fields.size == 21)
+    val sevMaps = nodes.flatMap(_.fields)
+      .filter(f => f.ontologyField == "base_severity")
+      .map(_.extraMap).distinct
+    assert(sevMaps.size == 4)
+  }
+
   test("indexedFields excludes unindexed text globally (specs.py:16-18)") {
     // description is indexed=false on 14 group providers → excluded for
     // the whole category even though some providers never mark it
