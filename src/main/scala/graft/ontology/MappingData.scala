@@ -43,6 +43,13 @@ object MappingData {
     M("keycloak", Seq( // roles.py:116-130
       N("KeycloakRole", Seq(
         F("name", "name", required = true))))),
+    M("salesforce", Seq( // roles.py:316-348
+      N("SalesforceProfile", Seq(
+        F("name", "name", required = true),
+        F("scope", specialHandling = Some("static_value"), extraValue = Some("org")))),
+      N("SalesforcePermissionSet", Seq(
+        F("name", "name", required = true),
+        F("scope", specialHandling = Some("static_value"), extraValue = Some("org")))))),
     M("kubernetes", Seq( // roles.py:133-165
       N("KubernetesRole", Seq(
         F("name", "name", required = true),
@@ -78,13 +85,6 @@ object MappingData {
           extraMap = Map("EnvironmentRole" -> "custom", "OrganizationRole" -> "custom")),
         F("scope", "type", specialHandling = Some("mapping"),
           extraMap = Map("EnvironmentRole" -> "global", "OrganizationRole" -> "org")))))),
-    M("salesforce", Seq( // roles.py:316-348
-      N("SalesforceProfile", Seq(
-        F("name", "name", required = true),
-        F("scope", specialHandling = Some("static_value"), extraValue = Some("org")))),
-      N("SalesforcePermissionSet", Seq(
-        F("name", "name", required = true),
-        F("scope", specialHandling = Some("static_value"), extraValue = Some("org")))))),
     M("modal", Seq( // roles.py:350-396
       N("ModalWorkspaceRole", Seq(
         F("name", "name", required = true),
@@ -104,6 +104,13 @@ object MappingData {
       N("AWSSSOGroup", Seq(
         F("name", "display_name", required = true),
         F("description", "description", indexed = false))))),
+    M("circleci", Seq( // groups.py:357-372
+      N("CircleCIGroup", Seq(
+        F("name", "name", required = true),
+        F("description", "description", indexed = false))))),
+    M("salesforce", Seq( // groups.py:374-387
+      N("SalesforceGroup", Seq(
+        F("name", "name", required = true))))),
     M("duo", Seq( // groups.py:42-57 — provider spells it `desc`
       N("DuoGroup", Seq(
         F("name", "name", required = true),
@@ -147,13 +154,13 @@ object MappingData {
       N("PagerDutyTeam", Seq(
         F("name", "name", required = true),
         F("description", "description", indexed = false))))),
-    M("sentry", Seq( // groups.py:250-262
-      N("SentryTeam", Seq(
-        F("name", "name", required = true))))),
     M("scaleway", Seq( // groups.py:266-285
       N("ScalewayGroup", Seq(
         F("name", "name", required = true),
         F("description", "description", indexed = false))))),
+    M("sentry", Seq( // groups.py:250-262
+      N("SentryTeam", Seq(
+        F("name", "name", required = true))))),
     M("slack", Seq( // groups.py:288-306
       N("SlackGroup", Seq(
         F("name", "name", required = true),
@@ -166,13 +173,6 @@ object MappingData {
         F("name", "name", required = true))))),
     M("vercel", Seq( // groups.py:342-355
       N("VercelAccessGroup", Seq(
-        F("name", "name", required = true))))),
-    M("circleci", Seq( // groups.py:357-372
-      N("CircleCIGroup", Seq(
-        F("name", "name", required = true),
-        F("description", "description", indexed = false))))),
-    M("salesforce", Seq( // groups.py:374-387
-      N("SalesforceGroup", Seq(
         F("name", "name", required = true))))),
     M("databricks", Seq( // groups.py:389-441 — two labels, one module
       N("DatabricksGroup", Seq(

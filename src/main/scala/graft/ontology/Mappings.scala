@@ -30,7 +30,8 @@ object Mappings {
       nodeField: String = "",
       required: Boolean = false,
       specialHandling: Option[String] = None,
-      extraValue: Option[String] = None,
+      extraValue: Option[Any] = None,
+      extraValues: Seq[String] = Nil,
       extraMap: Map[String, String] = Map.empty,
       extraFields: Seq[String] = Nil,
       indexed: Boolean = true)
@@ -44,8 +45,15 @@ object Mappings {
       eligibleForSource: Boolean = true)
 
   /** One module's contribution to a semantic category
-    * (specs.py `OntologyMapping`). */
-  final case class ModuleMapping(moduleName: String, nodes: Seq[NodeMapping])
+    * (specs.py `OntologyMapping`). `registryKey` is the category
+    * registration-dict key when it differs from the module name — one
+    * module can register several mappings under distinct keys
+    * (clusters.py aws_eks/aws_ecs/aws_emr all carry module_name "aws");
+    * the STAMPED `_ont_source` is always the module name. */
+  final case class ModuleMapping(moduleName: String, nodes: Seq[NodeMapping],
+                                 registryKey: String = "") {
+    def key: String = if (registryKey.isEmpty) moduleName else registryKey
+  }
 
   /** Interpret one node mapping against its provider node table: returns
     * `df` plus `_ont_source` (the module name — querybuilder.py:331-332)
@@ -57,8 +65,9 @@ object Mappings {
     *    skipped silently — the reference's composite-node pattern, where
     *    several schemas share a label and each carries a field subset
     *    (querybuilder.py:346-357);
-    *  - or/nor/coalesce read their extra field lists; absent members are
-    *    dropped, and the clause is skipped when none remain;
+    *  - or/nor/coalesce lead with node_field and read their extra field
+    *    lists; absent EXTRA members are dropped silently, but a missing
+    *    PRIMARY skips the clause (querybuilder.py:295-310);
     *  - `mapping` leaves unmapped provider values NULL (specs.py:30-31).
     */
   def project(df: DataFrame, moduleName: String, node: NodeMapping): DataFrame = {
@@ -68,19 +77,20 @@ object Mappings {
       def fieldPresent = cols.contains(f.nodeField)
       val value: Option[Column] = f.specialHandling match {
         case Some("static_value") => Some(Ontology.staticValue(f.extraValue.orNull))
-        case _ if !fieldPresent && f.specialHandling.forall(
-          h => h != "or_boolean" && h != "nor_boolean" && h != "coalesce") => None
+        case _ if !fieldPresent   => None
         case None                   => Some(col(f.nodeField))
         case Some("invert_boolean") => Some(Ontology.invertBool(col(f.nodeField)))
         case Some("to_boolean")     => Some(Ontology.toBool(col(f.nodeField)))
         case Some("equal_boolean") =>
-          Some(Ontology.equalBool(col(f.nodeField), f.extraValue.orNull))
+          Some(Ontology.equalBool(col(f.nodeField), f.extraValues))
         case Some("mapping") => Some(Ontology.valueMapping(col(f.nodeField), f.extraMap))
         case Some("or_boolean") | Some("nor_boolean") | Some("coalesce") =>
-          // the primary node_field leads the extra list when present
-          val members = (f.nodeField +: f.extraFields).filter(cols.contains).distinct
-          if (members.isEmpty) None
-          else f.specialHandling.get match {
+          // the primary node_field leads; absent extras are dropped
+          // (querybuilder.py:165-180,215-230,295-310 — the reference
+          // skips the whole clause when the PRIMARY is missing, logged
+          // at debug, and silently drops missing extras)
+          val members = (f.nodeField +: f.extraFields.filter(cols.contains)).distinct
+          f.specialHandling.get match {
             case "or_boolean"  => Some(Ontology.orBool(members.map(col): _*))
             case "nor_boolean" => Some(Ontology.norBool(members.map(col): _*))
             case _             => Some(Ontology.coalesceFirst(members.map(col): _*))

@@ -30,16 +30,41 @@ object Ontology {
     }
   }
 
-  /** toBooleanOrNull coercion (reference: querybuilder.py:24-57). */
-  def toBool(c: Column): Column = c.cast("boolean")
+  /** Cypher `toBooleanOrNull` for the value kinds the mapping corpus
+    * carries: booleans (a Spark boolean casts to the string
+    * "true"/"false" and round-trips), strings "true"/"false"
+    * case-insensitive, and integers (0 → false, any other → true —
+    * Cypher's integer rule); every other non-null value → null.
+    * Floats and unparseable strings land on null, matching Cypher. */
+  def toBoolOrNull(c: Column): Column = {
+    val s = c.cast("string")
+    when(lower(s) === "true", lit(true))
+      .when(lower(s) === "false", lit(false))
+      .when(s.rlike("^-?\\d+$"), s.cast("long") =!= 0L)
+      .otherwise(lit(null).cast("boolean"))
+  }
 
-  /** Inverted boolean with null-passthrough (reference: querybuilder.py:59-85). */
-  def invertBool(c: Column): Column = !c.cast("boolean")
+  /** to_boolean: `coalesce(toBooleanOrNull(x), x IS NOT NULL)` —
+    * parseable values keep their parse, any other NON-NULL value reads
+    * true, null/absent reads false (reference: querybuilder.py:40-56). */
+  def toBool(c: Column): Column = coalesce(toBoolOrNull(c), c.isNotNull)
 
-  /** equal-boolean: col == value, null-safe false (reference: querybuilder.py:136-235). */
-  def equalBool(c: Column, v: Any): Column = coalesce(c === lit(v), lit(false))
+  /** invert_boolean: `NOT(coalesce(toBooleanOrNull(x), false))` —
+    * null/unparseable count as false BEFORE the inversion, so they read
+    * true (reference: querybuilder.py:24-37). */
+  def invertBool(c: Column): Column = !coalesce(toBoolOrNull(c), lit(false))
 
-  /** or / nor across boolean-coercible fields (reference: querybuilder.py:136-235). */
-  def orBool(cols: Column*): Column = cols.map(c => coalesce(c.cast("boolean"), lit(false))).reduce(_ || _)
+  /** equal_boolean: membership in the expected-values list,
+    * `x IN [values]` — a null input yields null (the reference's Cypher
+    * IN on null is null, which SETs the property to null), a non-null
+    * miss yields false (reference: querybuilder.py:59-85). */
+  def equalBool(c: Column, values: Seq[Any]): Column = c.isin(values: _*)
+
+  /** or_boolean / nor_boolean across boolean-coercible fields: each
+    * member is `coalesce(toBooleanOrNull(f), false)`, OR-joined; nor is
+    * the AND of the negations = the negated OR
+    * (reference: querybuilder.py:135-236). */
+  def orBool(cols: Column*): Column =
+    cols.map(c => coalesce(toBoolOrNull(c), lit(false))).reduce(_ || _)
   def norBool(cols: Column*): Column = !orBool(cols: _*)
 }

@@ -182,7 +182,7 @@ object JoinQueries {
       Ontology.coalesceFirst(
         when(col("o_orderstatus") =!= "P", col("o_orderstatus")),
         lit("pending")).as("_ont_status"),
-      Ontology.equalBool(col("o_orderpriority"), "1-URGENT").as("_ont_urgent"),
+      Ontology.equalBool(col("o_orderpriority"), Seq("1-URGENT")).as("_ont_urgent"),
       Ontology.orBool(
         col("o_orderstatus") === "F",
         col("o_totalprice") > 100000.0).as("_ont_closed_or_large"))

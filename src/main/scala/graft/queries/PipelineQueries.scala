@@ -588,7 +588,7 @@ object PipelineQueries {
         val key = if (emitsKey && have(s"_ont_$keyField")) col(s"_ont_$keyField")
                   else lit(null).cast("string")
         p.select(Seq(key.as("id"), col("id").as("_src_id")) ++ extras ++ reqs: _*)
-      }, eligibleForSource = emitsKey,
+      }, eligibleForSource = emitsKey && n.eligibleForSource,
         // the canonical key is always creation-required: a null-key row
         // (unset required name, advisory-only semgrep finding with no
         // cve_id) can never create a canonical node

@@ -49,7 +49,11 @@ class MappingsSpec extends AnyFunSuite {
     assert(!out.columns.contains("_ont_email"))
   }
 
-  test("or/coalesce drop absent members, skip when none remain") {
+  test("or/coalesce drop absent EXTRAS; a missing PRIMARY skips the clause") {
+    // reference rule (querybuilder.py:295-310): coalesce/or lead with
+    // node_field — when the provider frame lacks IT the whole clause is
+    // skipped (debug-logged), even if extras are present; missing extras
+    // are dropped silently.
     val df = Seq((1L, true, "a"), (2L, false, null.asInstanceOf[String]))
       .toDF("id", "flag", "alt")
     val node = N("X", Seq(
@@ -57,13 +61,13 @@ class MappingsSpec extends AnyFunSuite {
         extraFields = Seq("missing1", "missing2")),
       F("display", "missing", specialHandling = Some("coalesce"),
         extraFields = Seq("alt")),
-      F("ghost", "missing", specialHandling = Some("coalesce"),
+      F("fallback", "alt", specialHandling = Some("coalesce"),
         extraFields = Seq("also_missing"))))
     val out = Mappings.project(df, "m", node)
     assert(out.columns.contains("_ont_active"))
-    assert(out.columns.contains("_ont_display")) // alt survives the filter
-    assert(!out.columns.contains("_ont_ghost"))  // no members → skipped
-    val rows = out.select("id", "_ont_active", "_ont_display").collect()
+    assert(!out.columns.contains("_ont_display")) // primary missing → skipped
+    assert(out.columns.contains("_ont_fallback")) // extras dropped, primary rides
+    val rows = out.select("id", "_ont_active", "_ont_fallback").collect()
       .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSet
     assert(rows == Set((1L, true, Some("a")), (2L, false, None)))
   }
