@@ -82,11 +82,13 @@ object Lineage {
   def pinned(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get("graft.lineage.mode", "local") match {
-      // serialized storage, matching the cut paths: deserialized blocks
-      // pay MemoryStore's SizeEstimator object-graph sampling per unroll
-      // (the r14 JFR-diagnosed bench pathology — Bridge.PinLevel note)
-      case "local" => df.localCheckpoint(eager,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // serialized storage by default, matching the cut paths:
+      // deserialized blocks pay MemoryStore's SizeEstimator object-graph
+      // sampling per unroll (the r14 JFR-diagnosed bench pathology —
+      // Bridge.pinLevel note); graft.lineage.pinStorage=deser flips the
+      // whole engine where re-read latency dominates (measured bounded:
+      // PROGRESS round-14 pin-storage table)
+      case "local" => df.localCheckpoint(eager, Bridge.pinStorageLevel(spark))
       case "reliable" =>
         // `.pin` sites include PER-ROUND frames (coreness' removed/out,
         // Borůvka's cand/chosen/msf, MIS' winners/mis, …), so they must

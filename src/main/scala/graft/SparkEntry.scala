@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, AnalysisQueries, CoreQueries, FunctionQueries, JoinQueries, LlmQueries, MetricsQueries, PipelineQueries, StreamQueries}
+import graft.queries.{AdvancedQueries, AnalysisQueries, CoreQueries, FunctionQueries, JoinQueries, LlmQueries, MetricsQueries, OntologyCorpusQueries, PipelineQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,7 @@ object SparkEntry {
     (PipelineQueries.queries, PipelineQueries.oracles),
     (MetricsQueries.queries, MetricsQueries.oracles),
     (AdvancedQueries.queries, AdvancedQueries.oracles),
+    (OntologyCorpusQueries.queries, OntologyCorpusQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

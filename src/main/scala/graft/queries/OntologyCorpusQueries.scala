@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ontology.MappingCorpus
+
+/** Density gates over the GENERATED mapping corpus ([[graft.ontology
+  * .MappingCorpus]]): the two widest category files flow end-to-end
+  * through the declarative interpreter + [[graft.ontology.Materialize]],
+  * exercising every field strategy the roles/groups/tenants/cves gates
+  * do not — equal_boolean value lists, nor_boolean over paired flags,
+  * invert_boolean / to_boolean null fallbacks, coalesce endpoint chains,
+  * enrich-only (eligible_for_source=false) mappings, and a canonical key
+  * (email) that is not `name`.
+  *
+  * Reference: cartography/models/ontology/mapping/data/useraccounts.py
+  * (33 modules / 36 node mappings — the largest mapping file) and
+  * databases.py (7 modules / 22 node mappings), consumed by
+  * cartography/graph/querybuilder.py:24-415 and the ontology users sync
+  * (cartography/intel/ontology/users.py:19-65).
+  */
+object OntologyCorpusQueries {
+
+  private val TAG = 5000L
+
+  /** email pool: `u<k>@corp.ex` — shared across providers so canonical
+    * ids collide and module priority resolves the winner. */
+  private def mail(k: Column): Column =
+    concat(lit("u"), k.cast("string"), lit("@corp.ex"))
+
+  private def pick(c: Column, vals: String*): Column =
+    element_at(array(vals.map(lit): _*), (c % vals.length + 1).cast("int"))
+
+  /** nullable boolean: null every `nth`, else k % 2 == 0. */
+  private def nbool(k: Column, nth: Int): Column =
+    when(k % nth === 0, lit(null).cast("boolean")).otherwise(k % 2 === 0)
+
+  /** The full UserAccount corpus end-to-end: 33 modules / 36 provider
+    * labels through the generated mapping data. Shapes beyond the
+    * hand-ported four categories: canonical key `email` (required on 32
+    * mappings, OPTIONAL on slack — null-email Slack rows flow but never
+    * create), equal_boolean value LISTS (cloudflare accepted; duo
+    * active+bypass; gitlab/workos-directory active; oci ACTIVE;
+    * tailscale active+idle), nor_boolean over suspended+archived
+    * (gsuite, googleworkspace), invert_boolean with null→true (lastpass
+    * disabled, scaleway locked, sentry pending, jumpcloud suspended),
+    * to_boolean with unparseable→true / null→false (lastpass multifactor
+    * 'duo', supabase mfa_enabled 'totp'), three ENRICH-ONLY mappings
+    * (AWSUser, AWSSSOUser, KubernetesUser — they flow through the
+    * interpreter but have no email and can neither create nor link),
+    * one provider field feeding two ontology fields (modal
+    * display_name → username AND fullname), and the composite-node skip
+    * (absent provider columns drop their clause silently). */
+  def ontologyMaterializeUserAccounts(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("nn"))
+    val region = Tables.region(spark, dir)
+      .select(col("r_regionkey").cast("long").as("k"), col("r_name").as("rn"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name").as("cn"))
+    val supplier = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("k"), col("s_name").as("sn"))
+    def sid(pfx: String): Column = concat(lit(pfx), col("k").cast("string")).as("id")
+
+    val provider: Map[String, DataFrame] = Map(
+      // microsoft, priority 0 — wins every collision; every 9th email null
+      "EntraUser" -> customer.select(sid("ms"),
+        when(col("k") % 9 === 0, lit(null).cast("string"))
+          .otherwise(mail(col("k") % 700)).as("email"),
+        col("cn").as("display_name"),
+        (col("k") % 3 === 0).as("account_enabled")),
+      // to_boolean over an UNPARSEABLE string + invert_boolean over a
+      // nullable boolean; supplier keys overlap customer's k%700 pool
+      "LastpassUser" -> supplier.select(sid("lp"),
+        mail(col("k") % 700).as("email"), col("sn").as("name"),
+        when(col("k") % 4 === 0, lit(null).cast("string"))
+          .otherwise(pick(col("k"), "duo", "google-auth")).as("multifactor"),
+        nbool(col("k"), 5).as("disabled")),
+      "GSuiteUser" -> nation.select(sid("gs"),
+        mail(col("k")).as("email"), col("nn").as("name"),
+        nbool(col("k"), 7).as("suspended"), nbool(col("k") + 1, 6).as("archived")),
+      "AnthropicUser" -> region.select(sid("an"),
+        mail(col("k")).as("email"), concat(lit("anth "), col("rn")).as("name")),
+      "AirbyteUser" -> region.select(sid("ab"),
+        mail(col("k") + 5).as("email"), concat(lit("ab "), col("rn")).as("name")),
+      "CloudflareMember" -> nation.select(sid("cf"),
+        mail(col("k")).as("email"),
+        pick(col("k"), "accepted", "pending", "rejected").as("status"),
+        (col("k") % 2 === 1).as("two_factor_authentication_enabled")),
+      "DuoUser" -> nation.select(sid("duo"),
+        mail(col("k") + 10).as("email"), col("nn").as("realname"),
+        pick(col("k"), "active", "bypass", "disabled", "locked out").as("status")),
+      "GitHubUser" -> supplier.select(sid("gh"),
+        mail(col("k") % 300).as("email"),
+        concat(lit("gh "), col("sn")).as("fullname"),
+        (col("k") % 2 === 0).as("has_2fa_enabled")),
+      "GitLabUser" -> nation.select(sid("gl"),
+        mail(col("k")).as("email"), concat(lit("gl "), col("nn")).as("name"),
+        pick(col("k"), "active", "blocked", "deactivated").as("state")),
+      "KeycloakUser" -> region.select(sid("kc"),
+        mail(col("k")).as("email"),
+        (col("k") % 2 === 0).as("enabled"), (col("k") % 3 === 0).as("totp")),
+      "SalesforceUser" -> customer.select(sid("sf"),
+        mail((col("k") + 350) % 700).as("email"), col("cn").as("name"),
+        (col("k") % 5 =!= 0).as("is_active")),
+      "OCIUser" -> nation.select(sid("oci"),
+        mail(col("k") + 3).as("email"), concat(lit("oci "), col("nn")).as("name"),
+        pick(col("k"), "ACTIVE", "INACTIVE", "DELETED").as("lifecycle_state"),
+        (col("k") % 4 === 0).as("is_mfa_activated")),
+      "OpenAIUser" -> region.select(sid("oa"),
+        mail(col("k") + 2).as("email"), concat(lit("oa "), col("rn")).as("name")),
+      "ScalewayUser" -> nation.select(sid("sw"),
+        mail(col("k") + 6).as("email"), nbool(col("k"), 3).as("locked"),
+        (col("k") % 2 === 1).as("mfa")),
+      "SnipeitUser" -> region.select(sid("si"), mail(col("k") + 1).as("email")),
+      "TailscaleUser" -> nation.select(sid("ts"),
+        mail(col("k") + 4).as("email"), concat(lit("ts "), col("nn")).as("display_name"),
+        pick(col("k"), "active", "idle", "offline", "needs-approval").as("status")),
+      "OktaUser" -> region.select(sid("ok"), mail(col("k") + 3).as("email")),
+      // ENRICH-ONLY: no email field mapped — flows, never creates/links
+      "AWSUser" -> nation.select(sid("aws"), col("nn").as("name")),
+      "AWSSSOUser" -> region.select(sid("sso"), col("rn").as("user_name")),
+      "GoogleWorkspaceUser" -> region.select(sid("gw"),
+        mail(col("k")).as("email"), concat(lit("gw "), col("rn")).as("name"),
+        nbool(col("k"), 4).as("suspended"), nbool(col("k") + 1, 3).as("archived")),
+      // key present but NOT required in the corpus: null emails flow
+      "SlackUser" -> nation.select(sid("sl"),
+        when(col("k") % 5 === 0, lit(null).cast("string"))
+          .otherwise(mail(col("k") + 8)).as("email"),
+        concat(lit("sl "), col("nn")).as("real_name"),
+        (col("k") % 2 === 0).as("has_mfa")),
+      "SpaceliftUser" -> region.select(sid("sp"),
+        mail(col("k") + 7).as("email"), concat(lit("sp "), col("rn")).as("name")),
+      "PagerDutyUser" -> region.select(sid("pd"),
+        mail(col("k") + 9).as("email"), concat(lit("pd "), col("rn")).as("name")),
+      "WorkOSUser" -> nation.select(sid("wo"), mail(col("k") + 11).as("email")),
+      "WorkOSDirectoryUser" -> region.select(sid("wod"),
+        mail(col("k") + 11).as("email"),
+        pick(col("k"), "active", "inactive").as("state")),
+      "SentryUser" -> nation.select(sid("sn"),
+        mail(col("k") + 12).as("email"), concat(lit("sn "), col("nn")).as("name"),
+        nbool(col("k"), 6).as("pending"), (col("k") % 3 === 1).as("has_2fa")),
+      "SubImageTeamMember" -> region.select(sid("sub"), mail(col("k") + 13).as("email")),
+      // ENRICH-ONLY
+      "KubernetesUser" -> nation.select(sid("k8s"), col("nn").as("name")),
+      "JumpCloudUser" -> nation.select(sid("jc"),
+        mail(col("k") + 14).as("email"), nbool(col("k"), 8).as("suspended"),
+        (col("k") % 2 === 0).as("mfa_configured")),
+      "VercelUser" -> region.select(sid("vc"),
+        mail(col("k") + 15).as("email"), concat(lit("vc "), col("rn")).as("name"),
+        (col("k") % 2 === 1).as("confirmed")),
+      "RailwayUser" -> nation.select(sid("rw"),
+        mail(col("k") + 16).as("email"), concat(lit("rw "), col("nn")).as("name"),
+        (col("k") % 3 === 2).as("two_factor_auth_enabled")),
+      "NetlifyUser" -> region.select(sid("nl"),
+        mail(col("k") + 17).as("email"), concat(lit("nl "), col("rn")).as("full_name"),
+        (col("k") % 2 === 0).as("mfa_enabled")),
+      "DatabricksUser" -> nation.select(sid("db"),
+        mail(col("k") + 18).as("email"), concat(lit("db "), col("nn")).as("display_name"),
+        (col("k") % 4 =!= 0).as("active")),
+      "DatabricksAccountUser" -> region.select(sid("dba"),
+        mail(col("k") + 18).as("email"), concat(lit("dba "), col("rn")).as("display_name"),
+        (col("k") % 2 === 0).as("active")),
+      // to_boolean over 'true'/'false'/'totp'/null — parse + fallback
+      "SupabaseOrganizationMember" -> nation.select(sid("su"),
+        mail(col("k") + 19).as("email"),
+        when(col("k") % 5 === 4, lit(null).cast("string"))
+          .otherwise(pick(col("k"), "true", "false", "totp")).as("mfa_enabled")),
+      // one provider field feeds BOTH username and fullname
+      "ModalUser" -> region.select(sid("mo"),
+        mail(col("k") + 20).as("email"),
+        concat(lit("mo "), col("rn")).as("display_name")))
+
+    PipelineQueries.materializeFromMappingData(spark, "User",
+      MappingCorpus.all("useraccounts"), provider,
+      Seq("fullname", "active", "has_mfa"), keyField = "email")
+  }
+
+  /** The full Database corpus end-to-end: 7 modules / 21 provider labels
+    * through the generated mapping data. New shapes vs the other corpus
+    * gates: COALESCE endpoint/port chains (scaleway RDB walks
+    * public_hostname → public_ip → private_ip; every provider's public
+    * side goes null on a stride so the fallback actually fires), extras
+    * MISSING from the provider frame dropping silently mid-chain
+    * (ScalewayMongoDB lacks private_endpoint_dns, ScalewayRedis lacks
+    * private_endpoint_port — the coalesce degrades to the primary, the
+    * reference's composite-node pattern), a BOOLEAN static_value
+    * (netlify encrypted=true), eleven static type stamps, and 6-way
+    * cross-module name collisions resolved by registration priority
+    * (aws RDS beats everything; azure cosmos beats gcp cloudsql). */
+  def ontologyMaterializeDatabases(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"))
+    val region = Tables.region(spark, dir)
+      .select(col("r_regionkey").cast("long").as("k"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+    val supplier = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("k"))
+    def sid(pfx: String): Column = concat(lit(pfx), col("k").cast("string")).as("id")
+    def dbname(off: Column): Column = concat(lit("db-"), off.cast("string"))
+
+    val provider: Map[String, DataFrame] = Map(
+      "AWSRDSInstance" -> customer.select(sid("rds"),
+        dbname(col("k") % 500).as("db_instance_identifier"),
+        pick(col("k"), "postgres", "mysql", "aurora").as("engine"),
+        concat(lit("rds-"), col("k").cast("string"), lit(".ex")).as("endpoint_address"),
+        (lit(5432L) + col("k") % 3).as("endpoint_port"),
+        (col("k") % 2 === 0).as("storage_encrypted")),
+      "AWSESDomain" -> region.select(sid("es"),
+        dbname(col("k") + 2).as("name"), lit("es").as("engine"),
+        concat(lit("es-"), col("k").cast("string"), lit(".ex")).as("endpoint"),
+        (col("k") % 2 === 1).as("encryption_at_rest_options_enabled")),
+      "AWSDynamoDBTable" -> nation.select(sid("dyn"), dbname(col("k")).as("name")),
+      "AzureSQLDatabase" -> supplier.select(sid("asql"),
+        dbname(col("k") % 400).as("name"),
+        pick(col("k"), "v12.0,user", "GP_Gen5").as("kind")),
+      "AzureCosmosDBSqlDatabase" -> region.select(sid("acs"),
+        dbname(col("k") + 1).as("name")),
+      "AzureCosmosDBMongoDBDatabase" -> region.select(sid("acm"),
+        dbname(col("k") + 3).as("name")),
+      "AzureCosmosDBCassandraKeyspace" -> nation.select(sid("acc"),
+        dbname(col("k") + 5).as("name")),
+      "GCPBigtableInstance" -> region.select(sid("bt"),
+        dbname(col("k") + 4).as("display_name")),
+      "GCPCloudSQLInstance" -> nation.select(sid("csql"),
+        dbname(col("k") + 1).as("name"),
+        pick(col("k"), "POSTGRES_15", "MYSQL_8").as("database_engine")),
+      "GCPBigQueryDataset" -> nation.select(sid("bq"),
+        dbname(col("k") + 2).as("dataset_id")),
+      // full 3-member endpoint chain + 2-member port chain
+      "ScalewayRdbInstance" -> nation.select(sid("rdb"),
+        dbname(col("k") + 3).as("name"),
+        pick(col("k"), "PostgreSQL-15", "MySQL-8").as("engine"),
+        when(col("k") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("rdb-"), col("k").cast("string"), lit(".ex")))
+          .as("public_endpoint_hostname"),
+        when(col("k") % 3 =!= 1, lit(null).cast("string"))
+          .otherwise(concat(lit("10.0.0."), col("k").cast("string")))
+          .as("public_endpoint_ip"),
+        concat(lit("192.168.0."), col("k").cast("string")).as("private_endpoint_ip"),
+        when(col("k") % 2 === 0, lit(null).cast("long"))
+          .otherwise(lit(5432L)).as("public_endpoint_port"),
+        (lit(54320L) + col("k")).as("private_endpoint_port"),
+        (col("k") % 2 === 1).as("encryption_at_rest_enabled")),
+      // frame LACKS private_endpoint_port: the coalesce extra drops
+      "ScalewayRedisCluster" -> region.select(sid("red"),
+        concat(lit("db-r-"), col("k").cast("string")).as("name"),
+        when(col("k") % 2 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("163.0.0."), col("k").cast("string")))
+          .as("public_endpoint_ip"),
+        concat(lit("172.16.0."), col("k").cast("string")).as("private_endpoint_ip"),
+        when(col("k") % 2 === 1, lit(null).cast("long"))
+          .otherwise(lit(6379L)).as("public_endpoint_port")),
+      // frame LACKS private_endpoint_dns: endpoint degrades to primary
+      "ScalewayMongoDBInstance" -> region.select(sid("mgo"),
+        concat(lit("db-m-"), col("k").cast("string")).as("name"),
+        when(col("k") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("mgo-"), col("k").cast("string"), lit(".ex")))
+          .as("public_endpoint_dns"),
+        lit(27017L).as("public_endpoint_port"),
+        (lit(27018L) + col("k")).as("private_endpoint_port")),
+      "ScalewayDataWarehouseDeployment" -> region.select(sid("dwh"),
+        concat(lit("db-w-"), col("k").cast("string")).as("name")),
+      "ScalewayServerlessSQLDatabase" -> region.select(sid("sls"),
+        concat(lit("db-s-"), col("k").cast("string")).as("name"),
+        concat(lit("sls-"), col("k").cast("string"), lit(".ex")).as("endpoint")),
+      "ScalewaySearchDeployment" -> region.select(sid("srch"),
+        concat(lit("db-q-"), col("k").cast("string")).as("name")),
+      "DatabricksCatalog" -> nation.select(sid("cat"),
+        concat(lit("db-c-"), col("k").cast("string")).as("full_name"),
+        pick(col("k"), "MANAGED", "DELTASHARING").as("catalog_type")),
+      "DatabricksSchema" -> nation.select(sid("sch"),
+        concat(lit("db-c-"), col("k").cast("string"), lit(".s")).as("full_name")),
+      "DatabricksTable" -> nation.select(sid("tbl"),
+        concat(lit("db-c-"), col("k").cast("string"), lit(".s.t")).as("full_name")),
+      "SupabaseDatabase" -> region.select(sid("sup"),
+        dbname(col("k")).as("name"),
+        concat(lit("sup-"), col("k").cast("string"), lit(".ex")).as("host")),
+      "NetlifyDatabaseBranch" -> region.select(sid("nlb"),
+        concat(lit("db-n-"), col("k").cast("string")).as("name")))
+
+    PipelineQueries.materializeFromMappingData(spark, "Database",
+      MappingCorpus.all("databases"), provider,
+      Seq("type", "endpoint", "port", "encrypted"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ontology_materialize_useraccounts" -> (ontologyMaterializeUserAccounts _),
+    "ontology_materialize_databases" -> (ontologyMaterializeDatabases _))
+
+  val oracles: Map[String, String] = Map(
+    "ontology_materialize_useraccounts" -> UserAccountsOracle.sql,
+    "ontology_materialize_databases" -> DatabasesOracle.sql)
+}

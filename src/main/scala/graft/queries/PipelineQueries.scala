@@ -546,7 +546,7 @@ object PipelineQueries {
     * `_ont_name`, and report winners + cross-provider source counts.
     * Priority = corpus order (module index × 10 + node index) — the
     * reference resolves collisions by module registration order. */
-  private def materializeFromMappingData(
+  private[queries] def materializeFromMappingData(
       spark: SparkSession, canonicalLabel: String,
       modules: Seq[graft.ontology.Mappings.ModuleMapping],
       provider: Map[String, DataFrame],

@@ -22,19 +22,37 @@ object Bridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
 
-  /** All cut/pin block storage is SERIALIZED (MEMORY_AND_DISK_SER), not
-    * the deserialized default: a deserialized block rides MemoryStore's
-    * `DeserializedValuesHolder`, whose `SizeTracker` re-estimates the
-    * unroll vector by SAMPLING THE OBJECT GRAPH (`SizeEstimator.estimate`
-    * → `sampleArray`, pointer-chasing per sampled row) — JFR execution
-    * samples of a blown-up bench pass put ~85% of the victim query's
-    * task CPU inside exactly that machinery, and pointer-chasing is
-    * hypersensitive to memory-bandwidth contention (stall cycles bill as
-    * thread CPU). A serialized block streams rows into chunked byte
-    * buffers with an EXACT byte count — no estimator, smaller footprint,
-    * cheaper spill — and UnsafeRow's Externalizable form is a plain
-    * length+bytes copy. */
-  private val PinLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+  /** All cut/pin block storage defaults to SERIALIZED
+    * (MEMORY_AND_DISK_SER), not the deserialized default: a deserialized
+    * block rides MemoryStore's `DeserializedValuesHolder`, whose
+    * `SizeTracker` re-estimates the unroll vector by SAMPLING THE OBJECT
+    * GRAPH (`SizeEstimator.estimate` → `sampleArray`, pointer-chasing per
+    * sampled row) — JFR execution samples of a blown-up bench pass put
+    * ~85% of the victim query's task CPU inside exactly that machinery,
+    * and pointer-chasing is hypersensitive to memory-bandwidth contention
+    * (stall cycles bill as thread CPU). A serialized block streams rows
+    * into chunked byte buffers with an EXACT byte count — no estimator,
+    * smaller footprint, cheaper spill — and UnsafeRow's Externalizable
+    * form is a plain length+bytes copy.
+    *
+    * The trade is a per-RE-READ deserialization: read-many fixpoints
+    * (rpq/anf/scan_clusters and the ReliableBattery's hash-aggregate
+    * consumers) pay a bounded premium (+0.3-0.7s at sf0.1, measured in
+    * PROGRESS round-14). `graft.lineage.pinStorage=deser` (Spark conf,
+    * or the same-named JVM system property for runmain.sh-launched
+    * mains) flips the whole engine back to deserialized blocks for
+    * storm-free environments where re-read latency dominates. */
+  def pinStorageLevel(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.storage.StorageLevel = {
+    val v = spark.conf.getOption("graft.lineage.pinStorage")
+      .orElse(sys.props.get("graft.lineage.pinStorage")).getOrElse("ser")
+    v match {
+      case "ser"   => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      case "deser" => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case other => throw new IllegalArgumentException(
+        s"graft.lineage.pinStorage must be 'ser' or 'deser', got '$other'")
+    }
+  }
 
   /** Local checkpoint that does NOT inherit the parent plan's statistics.
     *
@@ -61,7 +79,7 @@ object Bridge {
     // persist first: RDD.localCheckpoint keeps a pre-set level's
     // serialized flag (LocalRDDCheckpointData.transformStorageLevel only
     // forces useDisk), whereas unset falls back to deserialized
-    rdd.persist(PinLevel)
+    rdd.persist(pinStorageLevel(spark))
     rdd.localCheckpoint()
     if (eager) rdd.count()
     spark.internalCreateDataFrame(rdd, ds.schema)
@@ -80,7 +98,7 @@ object Bridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
-    rdd.persist(PinLevel)
+    rdd.persist(pinStorageLevel(spark))
     rdd.checkpoint()
     if (eager) rdd.count()
     spark.internalCreateDataFrame(rdd, ds.schema)
@@ -108,7 +126,7 @@ object Bridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
-    rdd.persist(PinLevel)
+    rdd.persist(pinStorageLevel(spark))
     if (eager) rdd.count()
     spark.internalCreateDataFrame(rdd, ds.schema)
   }

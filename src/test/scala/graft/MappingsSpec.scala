@@ -72,6 +72,30 @@ class MappingsSpec extends AnyFunSuite {
     assert(rows == Set((1L, true, Some("a")), (2L, false, None)))
   }
 
+  test("boolean strategies follow the generated-Cypher templates exactly") {
+    // querybuilder.py:24-85 — to_boolean: coalesce(toBooleanOrNull(x),
+    // x IS NOT NULL); invert_boolean: NOT(coalesce(toBooleanOrNull(x),
+    // false)); equal_boolean: x IN [values] with Cypher null-IN-null.
+    val df = Seq(
+      (1L, "true", "accepted"), (2L, "FALSE", "pending"), (3L, "duo", "bypass"),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("id", "raw", "status")
+    val node = N("X", Seq(
+      F("to", "raw", specialHandling = Some("to_boolean")),
+      F("inv", "raw", specialHandling = Some("invert_boolean")),
+      F("eq", "status", specialHandling = Some("equal_boolean"),
+        extraValues = Seq("accepted", "bypass"))))
+    val out = Mappings.project(df, "m", node)
+      .select("id", "_ont_to", "_ont_inv", "_ont_eq").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toSet
+    assert(out == Set(
+      (1L, true, false, Some(true)),    // parsed true; member
+      (2L, false, true, Some(false)),   // case-insensitive parse; non-member
+      (3L, true, true, Some(true)),     // unparseable non-null → true / NOT false
+      (4L, false, true, None)))         // null → false / true / null passthrough
+  }
+
   test("unknown special_handling fails loudly") {
     val df = Seq((1L, "x")).toDF("id", "name")
     val node = N("X", Seq(F("name", "name", specialHandling = Some("bogus"))))
