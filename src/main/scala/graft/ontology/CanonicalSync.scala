@@ -1,0 +1,114 @@
+package graft.ontology
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Mappings.ModuleMapping
+
+/** The canonical-node side of the ontology sync (the reference's
+  * `intel/ontology` package): source-of-truth selection, per-FIELD
+  * cross-source merge, and the mutual-unique candidate linker used by
+  * its linking jobs.
+  *
+  * [[sourceNodes]] mirrors `get_source_nodes_from_graph`
+  * (cartography/intel/ontology/utils.py:85-153) — which is a DIFFERENT
+  * merge than [[Materialize]]'s whole-row winner: the reference reads the
+  * mapping as a field-NAME translation over the RAW provider columns (no
+  * strategy application — strategies only run at load-time `_ont_*`
+  * stamping via querybuilder), drops rows whose required field is falsy,
+  * and backfills each canonical field with the first non-null value in
+  * source order (utils.py:71-77). Canonical User/Device/Package/PublicIP
+  * nodes are built from THIS merge (users.py:19-40). */
+object CanonicalSync {
+
+  /** Legacy source-name aliases (utils.py:14-16). */
+  val SourceAliases: Map[String, String] = Map("entra" -> "microsoft")
+
+  /** Trim, alias, drop empties and duplicates — order-preserving
+    * (utils.py:19-26 `normalize_source_of_truth`). */
+  def normalizeSources(sourceOfTruth: Seq[String]): Seq[String] =
+    sourceOfTruth.map(s => SourceAliases.getOrElse(s.trim, s.trim))
+      .filter(_.nonEmpty).distinct
+
+  /** Python truthiness for the required-field gate (utils.py:48-56
+    * `if field.required and not value`): null and empty string are
+    * falsy. The corpus only marks STRING fields required (email, title);
+    * a required boolean false / numeric 0 — falsy in Python, truthy
+    * here — does not occur in any of the 41 mapping files
+    * (MappingCorpusSpec would catch one appearing). */
+  private def truthy(c: Column): Column =
+    c.isNotNull && c.cast("string") =!= ""
+
+  /** Build the canonical node table for one ONTOLOGY_NODES_MAPPING
+    * category: select modules by registry key (empty `sourceOfTruth` =
+    * all, in registration order — utils.py:108-110), skip enrich-only
+    * mappings, translate field NAMES over the raw provider columns
+    * (absent columns read null — the composite-node pattern), drop rows
+    * whose required fields are falsy, then merge per canonical id with
+    * FIELD-LEVEL first-non-null in (source position, provider node id)
+    * order — the deterministic refinement of the reference's
+    * encounter-order dict merge. Returns one row per id with every
+    * ontology field of the category. Plan: one union, one window pass
+    * over the id partitioning — same shuffle count as Materialize. */
+  def sourceNodes(modules: Seq[ModuleMapping], provider: Map[String, DataFrame],
+                  idField: String, sourceOfTruth: Seq[String] = Nil,
+                  srcIdCol: String = "id"): DataFrame = {
+    val sources = normalizeSources(sourceOfTruth)
+    val selected =
+      if (sources.isEmpty) modules
+      else sources.flatMap(s => modules.filter(_.key == s))
+    require(selected.nonEmpty, s"no modules selected from $sourceOfTruth")
+    val allFields = modules.flatMap(_.nodes).flatMap(_.fields)
+      .map(_.ontologyField).distinct
+    require(allFields.contains(idField),
+      s"id field '$idField' is not an ontology field of this category")
+    val projected = for {
+      (m, p) <- selected.zipWithIndex
+      node <- m.nodes if node.eligibleForSource
+    } yield {
+      val df = provider(node.nodeLabel)
+      val have = df.columns.toSet
+      def raw(nodeField: String): Column =
+        if (have(nodeField)) col(nodeField) else lit(null)
+      val gate = node.fields.filter(_.required).map(f => truthy(raw(f.nodeField)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val byOnt = node.fields.map(f => f.ontologyField -> raw(f.nodeField)).toMap
+      df.filter(gate).select(
+        allFields.map(f => byOnt.getOrElse(f, lit(null)).as(s"_f_$f")) ++
+          Seq(lit(p).as("_prio"), col(srcIdCol).cast("string").as("_sid")): _*)
+    }
+    val all = projected.reduce(_ unionByName _)
+      .filter(col(s"_f_$idField").isNotNull)
+    val w = Window.partitionBy(col(s"_f_$idField"))
+      .orderBy(col("_prio"), col("_sid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val merged = allFields.foldLeft(all) { (d, f) =>
+      d.withColumn(s"_m_$f", first(col(s"_f_$f"), ignoreNulls = true).over(w))
+    }
+    val rk = Window.partitionBy(col(s"_f_$idField"))
+      .orderBy(col("_prio"), col("_sid"))
+    merged.withColumn("_rk", row_number().over(rk)).filter(col("_rk") === 1)
+      .select(allFields.map(f => col(s"_m_$f").as(f)): _*)
+  }
+
+  /** Mutual-unique candidate linking: keep a (src, dst) candidate pair
+    * only when the src has EXACTLY ONE distinct candidate dst AND that
+    * dst has exactly one distinct candidate src — the reference's
+    * device↔instance linking contract ("WITH device, collect(DISTINCT
+    * instance) AS c WHERE size(c) = 1" both ways,
+    * cartography/analysis/ontology/analysis.py:398-460, also the
+    * single-direction variant in CONTAINER/FUNCTION_RESOLVED_IMAGE).
+    * Ambiguous evidence must produce NO edge, not a guessed one.
+    * Implemented as two window counts over the deduped candidate set —
+    * two shuffles, no self-join, no collect. */
+  def mutualUniqueLink(candidates: DataFrame, srcCol: String,
+                       dstCol: String): DataFrame = {
+    val pairs = candidates.select(col(srcCol), col(dstCol)).distinct()
+    pairs
+      .withColumn("_nd", count(lit(1)).over(Window.partitionBy(col(srcCol))))
+      .withColumn("_ns", count(lit(1)).over(Window.partitionBy(col(dstCol))))
+      .filter(col("_nd") === 1 && col("_ns") === 1)
+      .drop("_nd", "_ns")
+  }
+}

@@ -53,7 +53,15 @@ object OntologyCorpusQueries {
     * one provider field feeding two ontology fields (modal
     * display_name → username AND fullname), and the composite-node skip
     * (absent provider columns drop their clause silently). */
-  def ontologyMaterializeUserAccounts(spark: SparkSession, dir: String): DataFrame = {
+  def ontologyMaterializeUserAccounts(spark: SparkSession, dir: String): DataFrame =
+    PipelineQueries.materializeFromMappingData(spark, "User",
+      MappingCorpus.all("useraccounts"), userProviderFrames(spark, dir),
+      Seq("fullname", "active", "has_mfa"), keyField = "email")
+
+  /** The 36 provider node tables for the useraccounts corpus, spelled
+    * with each provider's OWN field names — shared by the Materialize
+    * gate and the source-merge gate. */
+  private def userProviderFrames(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     val nation = Tables.nation(spark, dir)
       .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("nn"))
     val region = Tables.region(spark, dir)
@@ -64,7 +72,7 @@ object OntologyCorpusQueries {
       .select(col("s_suppkey").cast("long").as("k"), col("s_name").as("sn"))
     def sid(pfx: String): Column = concat(lit(pfx), col("k").cast("string")).as("id")
 
-    val provider: Map[String, DataFrame] = Map(
+    Map(
       // microsoft, priority 0 — wins every collision; every 9th email null
       "EntraUser" -> customer.select(sid("ms"),
         when(col("k") % 9 === 0, lit(null).cast("string"))
@@ -172,10 +180,6 @@ object OntologyCorpusQueries {
       "ModalUser" -> region.select(sid("mo"),
         mail(col("k") + 20).as("email"),
         concat(lit("mo "), col("rn")).as("display_name")))
-
-    PipelineQueries.materializeFromMappingData(spark, "User",
-      MappingCorpus.all("useraccounts"), provider,
-      Seq("fullname", "active", "has_mfa"), keyField = "email")
   }
 
   /** The full Database corpus end-to-end: 7 modules / 21 provider labels
@@ -287,11 +291,227 @@ object OntologyCorpusQueries {
       Seq("type", "endpoint", "port", "encrypted"))
   }
 
+  /** PURL parsing + cross-tool package id normalization
+    * ([[graft.ontology.Packages]]; trivy/util.py:13-141). One row per
+    * part with a purl shape chosen by key stride: PEP-503 dotted pypi
+    * names, a percent-encoded npm scope (%40types → @types), a deb
+    * namespace, a version-less golang purl, an invalid non-purl string
+    * (parse → nulls, ids fall back to bare name/type/version), and a
+    * null purl exercising the fallback-only path with case-folding
+    * (PyPI → pypi, Lib.X → lib-x). */
+  def funcPurlParse(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.Packages
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey").cast("long").as("k"),
+      regexp_replace(col("p_name"), " ", ".").as("nm"))
+    val w = substring_index(col("nm"), ".", 1)
+    val ver = concat(lit("1."), (col("k") % 9).cast("string"), lit(".0"))
+    val purl = when(col("k") % 6 === 0,
+        concat(lit("pkg:pypi/"), col("nm"), lit("@"), ver))
+      .when(col("k") % 6 === 1,
+        concat(lit("pkg:npm/%40types/"), w, lit("@"), ver))
+      .when(col("k") % 6 === 2,
+        concat(lit("pkg:deb/debian/"), w, lit("@"), ver))
+      .when(col("k") % 6 === 3, concat(lit("pkg:golang/github.com/"), w))
+      .when(col("k") % 6 === 4, concat(lit("oci://"), w))
+    val rows = p.select(col("k"), purl.as("purl"),
+      initcap(w).as("raw_name"),
+      element_at(array(lit("PyPI"), lit("npm"), lit("deb")),
+        (col("k") % 3 + 1).cast("int")).as("raw_type"),
+      when(col("k") % 5 =!= 0, ver).as("raw_version"))
+    val parsed = Packages.parsePurl(col("purl"))
+    rows.select(col("k").as("id"),
+      parsed.getField("ptype").as("ptype"),
+      parsed.getField("namespace").as("namespace"),
+      parsed.getField("name").as("pname"),
+      parsed.getField("version").as("version"),
+      Packages.normalizedPackageId(col("purl"), col("raw_name"),
+        col("raw_version"), col("raw_type")).as("vid"),
+      Packages.normalizedPackageNameId(col("purl"), col("raw_name"),
+        col("raw_type")).as("pid"))
+  }
+
+  /** Canonical Package derivation from PackageVersion rows
+    * ([[graft.ontology.Packages.packagesFromVersions]];
+    * intel/ontology/packages.py:55-102): purl-keyed rows and bare
+    * name+type fallback rows MERGE into one package when they normalize
+    * to the same versionless key (the cross-tool Trivy↔Syft match),
+    * npm scoped rows split off by namespace, rows with no derivable key
+    * are skipped, and version_ids is the sorted distinct member set. */
+  def ontologyPackages(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.Packages
+    val p = Tables.part(spark, dir).select(col("p_partkey").cast("long").as("k"))
+    val ptype = when(col("k") % 2 === 0, lit("pypi")).otherwise(lit("npm"))
+    val ver = concat(lit("1."), (col("k") % 7).cast("string"), lit(".0"))
+    val dotted = concat(lit("Lib."), (col("k") % 50).cast("string"))
+    val purl = when(col("k") % 3 =!= 2, concat(lit("pkg:"), ptype, lit("/"),
+      when(col("k") % 2 === 1, lit("%40acme/")).otherwise(lit("")),
+      lower(dotted), lit("@"), ver))
+    // every 11th fallback row loses its type → no key → skipped
+    val rows = p.select(col("k"), purl.as("purl"), dotted.as("name"),
+      when(col("k") % 11 =!= 0, ptype).as("type"), ver.as("version"))
+      .withColumn("normalized_id", Packages.normalizedPackageId(
+        col("purl"), col("name"), col("version"), col("type")))
+      .filter(col("normalized_id").isNotNull)
+    Packages.packagesFromVersions(rows)
+      .select(col("id"), col("type"), col("name"), col("namespace"),
+        size(col("version_ids")).cast("long").as("n_versions"),
+        array_join(col("version_ids"), ";").as("vids"))
+  }
+
+  /** The reference's OTHER canonical merge
+    * ([[graft.ontology.CanonicalSync.sourceNodes]] =
+    * get_source_nodes_from_graph, utils.py:85-153): source-of-truth
+    * selection with the legacy `entra`→`microsoft` alias, field-NAME
+    * translation over the RAW provider columns (strategies do NOT apply
+    * on this path — gsuite's `suspended` rides into `active` as-is, the
+    * reference's load-time `_ont_*` stamping is where nor_boolean
+    * lives), required-field truthiness gating, and per-FIELD
+    * first-non-null backfill across sources in sot order — NOT
+    * Materialize's whole-row winner: a slack row can fill has_mfa on a
+    * user whose fullname came from entra. */
+  def ontologyUsersSourceMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.CanonicalSync
+    val out = CanonicalSync.sourceNodes(
+      MappingCorpus.all("useraccounts"),
+      userProviderFrames(spark, dir),
+      idField = "email",
+      sourceOfTruth = Seq("entra", "gsuite", "salesforce", "slack"))
+    out.select(col("email"), col("fullname"),
+      col("active").cast("boolean").as("active"),
+      col("has_mfa").cast("boolean").as("has_mfa"))
+  }
+
+  /** Mutual-unique candidate linking
+    * ([[graft.ontology.CanonicalSync.mutualUniqueLink]] — the
+    * device↔instance contract of analysis.py:398-460): candidates match
+    * on ANY of (full hostname, first dot-segment), lower-cased, with a
+    * pair reachable through BOTH keys deduped to one; `lb-*` hostnames
+    * form many-to-many ambiguity groups that must produce NO edge; the
+    * survivors are exactly the one-to-one node-N pairs. */
+  def ontologyUniqueLink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.CanonicalSync
+    val instances = Tables.supplier(spark, dir).select(
+      col("s_suppkey").cast("long").as("k"))
+      .select(concat(lit("i"), col("k").cast("string")).as("inst_id"),
+        when(col("k") % 5 =!= 0,
+          concat(lit("node-"), col("k").cast("string"), lit(".corp.example.com")))
+          .otherwise(concat(lit("lb-"), (col("k") % 7).cast("string"),
+            lit(".corp.example.com"))).as("hostname"))
+    val devices = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("k")).filter(col("k") <= 400)
+      .select(concat(lit("d"), col("k").cast("string")).as("dev_id"),
+        when(col("k") % 3 === 1,
+          concat(lit("NODE-"), col("k").cast("string"), lit(".local")))
+          .when(col("k") % 3 === 2,
+            concat(lit("node-"), col("k").cast("string"), lit(".corp.example.com")))
+          .otherwise(concat(lit("lb-"), (col("k") % 7).cast("string"),
+            lit(".local"))).as("name"))
+    def keys(c: Column): Column =
+      array(lower(trim(c)), substring_index(lower(trim(c)), ".", 1))
+    val iKeys = instances.select(col("inst_id"),
+      explode(keys(col("hostname"))).as("key"))
+    val dKeys = devices.select(col("dev_id"),
+      explode(keys(col("name"))).as("key"))
+    val candidates = dKeys.join(iKeys, "key").select("dev_id", "inst_id")
+    CanonicalSync.mutualUniqueLink(candidates, "dev_id", "inst_id")
+  }
+
+  /** The reference's full users ontology sync, composed end-to-end
+    * (cartography/intel/ontology/users.py:19-65 + the USER_LINKING_JOBS
+    * of analysis/ontology/analysis.py:462-550): canonical User nodes
+    * from [[graft.ontology.CanonicalSync.sourceNodes]] over a
+    * source-of-truth selection, HAS_ACCOUNT edges back to every
+    * provider account matched by email (user.py:47-54 — the
+    * TargetNodeMatcher is an email equi-join), then two linking jobs
+    * run through the Analysis DSL exactly like the reference's: User
+    * OWNS APIKey via the 2-hop HAS_ACCOUNT → OWNED_BY walk
+    * (USER_OWNS_API_KEY), and User HAS_ACCOUNT GitHubUser via
+    * ARRAY-MEMBERSHIP on the org-verified email list
+    * (USER_HAS_GITHUB_ACCOUNT — `u.email IN
+    * g.organization_verified_domain_emails`). Output: per-user link
+    * census over the resulting edge tables. */
+  def e2eOntologyUsersSync(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.CanonicalSync
+    import graft.analysis.{AddRelationship, AnalysisJob, AnalysisRunner}
+    import graft.graph.{Graph, GraphStore}
+    import graft.Lineage.CutOps
+    val frames = userProviderFrames(spark, dir)
+    val sot = Seq("entra", "gsuite", "slack")
+    // pinned: consumed by three link-job patterns + the node load
+    val users = CanonicalSync.sourceNodes(MappingCorpus.all("useraccounts"),
+      frames, "email", sot).select(col("email").as("id")).pin
+    val accountLabels = Seq("EntraUser", "GSuiteUser", "SlackUser")
+    // APIKey nodes OWNED_BY Entra accounts (supplier keys → 'ms<k>' ids)
+    val keys = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("k"))
+      .select(concat(lit("key"), col("k").cast("string")).as("id"),
+        concat(lit("ms"), col("k").cast("string")).as("owner"))
+    // GitHubUser nodes with a 2-email verified-domain list
+    val gh = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("k"))
+      .select(concat(lit("gh"), col("k").cast("string")).as("id"),
+        array(mail(col("k") % 40), mail((col("k") + 1) % 40))
+          .as("organization_verified_domain_emails"))
+    var g = Graph()
+      .withNodes("User", GraphStore.initialLoad(users, Seq(GraphStore.ID), TAG,
+        dedupBatch = false))
+    // HAS_ACCOUNT per provider label: User.email = account.email
+    val linkJobs = accountLabels.map { lbl =>
+      AnalysisJob(
+        name = s"has-account-$lbl",
+        pattern = _ => users.join(
+          frames(lbl).select(col("id").as("acct"), col("email")),
+          col("id") === col("email"))
+          .select(col("id").as("src"), col("acct").as("dst")),
+        effects = Seq(AddRelationship("User", "HAS_ACCOUNT", lbl, "src", "dst")))
+    }
+    val ownsKeys = AnalysisJob(
+      name = "user-owns-apikey",
+      pattern = gr => gr.edgeTable("User", "HAS_ACCOUNT", "EntraUser")
+        .select(col("src_id").as("src"), col("dst_id").as("acct"))
+        .join(keys.select(col("id").as("key"), col("owner").as("acct")), "acct")
+        .select(col("src"), col("key").as("dst")),
+      effects = Seq(AddRelationship("User", "OWNS", "APIKey", "src", "dst")))
+    val ghAccounts = AnalysisJob(
+      name = "user-has-github-account",
+      pattern = _ => users.join(
+        gh.select(col("id").as("ghid"),
+          explode(col("organization_verified_domain_emails")).as("email")),
+        col("id") === col("email"))
+        .select(col("id").as("src"), col("ghid").as("dst")),
+      effects = Seq(AddRelationship("User", "HAS_ACCOUNT", "GitHubUser", "src", "dst")))
+    (linkJobs :+ ownsKeys :+ ghAccounts).foreach { j => g = AnalysisRunner.run(g, j, TAG) }
+    def cnt(lbl: String, rel: String, as: String) =
+      g.edgeTable("User", rel, lbl)
+        .groupBy(col("src_id").as("id")).agg(count(lit(1)).as(as))
+    val acctCnt = accountLabels.map(cnt(_, "HAS_ACCOUNT", "n"))
+      .reduce(_ unionByName _).groupBy("id").agg(sum("n").as("n_accounts"))
+    g.nodeTable("User")
+      .join(acctCnt, Seq("id"), "left")
+      .join(cnt("APIKey", "OWNS", "n_keys"), Seq("id"), "left")
+      .join(cnt("GitHubUser", "HAS_ACCOUNT", "n_gh"), Seq("id"), "left")
+      .select(col("id").as("email"),
+        coalesce(col("n_accounts"), lit(0L)).as("n_accounts"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("n_gh"), lit(0L)).as("n_gh"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ontology_materialize_useraccounts" -> (ontologyMaterializeUserAccounts _),
-    "ontology_materialize_databases" -> (ontologyMaterializeDatabases _))
+    "ontology_materialize_databases" -> (ontologyMaterializeDatabases _),
+    "func_purl_parse" -> (funcPurlParse _),
+    "ontology_packages" -> (ontologyPackages _),
+    "ontology_users_source_merge" -> (ontologyUsersSourceMerge _),
+    "ontology_unique_link" -> (ontologyUniqueLink _),
+    "e2e_ontology_users_sync" -> (e2eOntologyUsersSync _))
 
   val oracles: Map[String, String] = Map(
     "ontology_materialize_useraccounts" -> UserAccountsOracle.sql,
-    "ontology_materialize_databases" -> DatabasesOracle.sql)
+    "ontology_materialize_databases" -> DatabasesOracle.sql,
+    "func_purl_parse" -> OntologySyncOracles.purlParse,
+    "ontology_packages" -> OntologySyncOracles.packages,
+    "ontology_users_source_merge" -> OntologySyncOracles.usersSourceMerge,
+    "ontology_unique_link" -> OntologySyncOracles.uniqueLink,
+    "e2e_ontology_users_sync" -> OntologySyncOracles.usersSync)
 }

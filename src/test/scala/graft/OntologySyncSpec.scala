@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ontology.{CanonicalSync, Packages}
+import graft.ontology.Mappings.{FieldMapping => F, ModuleMapping => M, NodeMapping => N}
+
+/** The canonical-sync layer: PURL normalization + Package derivation
+  * (cartography/intel/trivy/util.py:13-141,
+  * intel/ontology/packages.py:55-102) and the source-merge /
+  * mutual-unique-link primitives (intel/ontology/utils.py:85-153,
+  * analysis/ontology/analysis.py:398-460). */
+class OntologySyncSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def parse(purl: String): Option[(String, String, String, String)] = {
+    val r = Seq(Option(purl)).toDF("p")
+      .select(Packages.parsePurl(col("p")).as("x"))
+      .select("x.ptype", "x.namespace", "x.name", "x.version").head
+    if (r.isNullAt(0)) None
+    else Some((r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+  }
+
+  test("parsePurl: scopes decode, versions split at the LAST @, type folds") {
+    assert(parse("pkg:npm/%40types/node@18.0.0") ==
+      Some(("npm", "@types", "node", "18.0.0")))
+    assert(parse("pkg:PyPI/requests@2.28.0") ==
+      Some(("pypi", null, "requests", "2.28.0")))
+    // no version; multi-segment namespace joins with '/'
+    assert(parse("pkg:golang/github.com/stretchr/testify") ==
+      Some(("golang", "github.com/stretchr", "testify", null)))
+    // qualifiers and subpath are stripped before splitting
+    assert(parse("pkg:deb/debian/curl@7.50.3-1?arch=i386#sub/path") ==
+      Some(("deb", "debian", "curl", "7.50.3-1")))
+    // invalid / null → null struct (reference parse_purl returns None)
+    assert(parse("oci://thing") == None)
+    assert(parse(null) == None)
+  }
+
+  test("normalized ids: purl-first, bare fallback, cross-tool case/separator folding") {
+    val df = Seq(
+      ("pkg:pypi/PyNaCl@1.5.0", null, null, null),
+      (null, "jaraco.context", "5.3.0", "python-pkg"),
+      (null, "Lodash", "4.17.21", "NPM"),
+      (null, "x", null, "deb"), // no version → versioned id null
+      (null, null, null, null))
+      .asInstanceOf[Seq[(String, String, String, String)]]
+      .toDF("purl", "name", "version", "type")
+    val out = df.select(
+      Packages.normalizedPackageId(col("purl"), col("name"), col("version"),
+        col("type")).as("vid"),
+      Packages.normalizedPackageNameId(col("purl"), col("name"),
+        col("type")).as("pid")).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSeq
+    assert(out == Seq(
+      (Some("pypi|pynacl|1.5.0"), Some("pypi|pynacl")),
+      (Some("python-pkg|jaraco-context|5.3.0"), Some("python-pkg|jaraco-context")),
+      (Some("npm|lodash|4.17.21"), Some("npm|lodash")),
+      (None, Some("deb|x")),
+      (None, None)))
+  }
+
+  test("packagesFromVersions: keyless rows skip, tools merge, version set sorts") {
+    val versions = Seq(
+      ("pkg:pypi/PyNaCl@1.5.0", null, "pypi|pynacl|1.5.0"),
+      (null, "pynacl", "pypi|pynacl|1.4.0"),         // Syft-style bare row, merges
+      ("pkg:npm/%40scope/a@1.0.0", null, "npm|@scope/a|1.0.0"),
+      (null, null, "zzz"))                           // no key → skipped
+      .asInstanceOf[Seq[(String, String, String)]]
+      .toDF("purl", "name", "normalized_id")
+      .withColumn("type", when(col("name").isNotNull, lit("pypi")))
+    val out = Packages.packagesFromVersions(versions).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getSeq[String](4))).toSet
+    assert(out == Set(
+      ("pypi|pynacl", "pypi", "pynacl", None,
+        Seq("pypi|pynacl|1.4.0", "pypi|pynacl|1.5.0")),
+      ("npm|@scope/a", "npm", "@scope/a", Some("@scope"),
+        Seq("npm|@scope/a|1.0.0"))))
+  }
+
+  test("sourceNodes: alias + selection, truthiness gate, per-field backfill") {
+    val mods = Seq(
+      M("microsoft", Seq(N("EntraUser", Seq(
+        F("email", "mail", required = true), F("fullname", "display_name"))))),
+      M("gsuite", Seq(N("GSuiteUser", Seq(
+        F("email", "email", required = true), F("active", "suspended"))))),
+      M("okta", Seq(N("OktaUser", Seq(
+        F("email", "email", required = true), F("fullname", "okta_name"))))))
+    val provider = Map(
+      "EntraUser" -> Seq(
+        ("m1", "a@x", "Alice"), ("m2", "", "Gated"), ("m3", null, "NullMail"))
+        .asInstanceOf[Seq[(String, String, String)]]
+        .toDF("id", "mail", "display_name"),
+      "GSuiteUser" -> Seq(("g1", "a@x", false), ("g2", "b@x", true))
+        .toDF("id", "email", "suspended"),
+      "OktaUser" -> Seq(("o1", "a@x", "ShouldLose"), ("o2", "c@x", "Carol"))
+        .toDF("id", "email", "okta_name"))
+    // "entra" aliases to microsoft; okta EXCLUDED by selection
+    val sel = CanonicalSync.sourceNodes(mods, provider, "email",
+      Seq("entra", "gsuite"))
+    val rows = sel.select("email", "fullname", "active").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSet
+    // a@x: fullname from microsoft, active BACKFILLED from gsuite's row —
+    // field-level merge, not whole-row winner; "" and null emails dropped
+    assert(rows == Set(
+      ("a@x", Some("Alice"), Some(false)),
+      ("b@x", None, Some(true))))
+    // empty sourceOfTruth = every module, registration order
+    val all = CanonicalSync.sourceNodes(mods, provider, "email")
+    assert(all.filter(col("email") === "c@x").count() == 1)
+    assert(all.filter(col("email") === "a@x")
+      .select("fullname").head.getString(0) == "Alice") // microsoft beats okta
+  }
+
+  test("mutualUniqueLink: ambiguity on EITHER side kills the pair") {
+    val cands = Seq(
+      ("d1", "i1"), ("d1", "i1"),            // dup evidence, one pair
+      ("d2", "i2"), ("d2", "i3"),            // device ambiguous
+      ("d3", "i4"), ("d4", "i4"),            // instance ambiguous
+      ("d5", "i5")).toDF("dev", "inst")
+    val out = CanonicalSync.mutualUniqueLink(cands, "dev", "inst")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("d1", "i1"), ("d5", "i5")))
+  }
+}
