@@ -92,6 +92,40 @@ object CanonicalSync {
       .select(allFields.map(f => col(s"_m_$f").as(f)): _*)
   }
 
+  /** Whole-relation uniqueness probe: true iff the column's non-null
+    * values are all distinct. One 1-row aggregate collect — the same
+    * bounded count-probe the reference issues before each hostname
+    * matchlink (devices.py:55-97: `count(DISTINCT x) = count(x)` on both
+    * sides). */
+  def allValuesUnique(df: DataFrame, column: String): Boolean = {
+    val r = df.filter(col(column).isNotNull)
+      .agg(count_distinct(col(column)).as("d"), count(lit(1)).as("t")).head()
+    r.getLong(0) == r.getLong(1)
+  }
+
+  /** Guarded hostname matchlinks (devices.py:113-141): for each target
+    * label, link devices to targets by hostname equality ONLY when
+    * hostnames are unique on BOTH sides — duplicate hostnames on either
+    * side would mass-mislink, so the whole matchlink for that label is
+    * skipped (not filtered row-wise; the reference's fallback-matching
+    * safety contract). Returns (targetLabel, guardPassed, linkFrame) —
+    * the frame is empty when the guard failed. */
+  def guardedHostnameLinks(devices: DataFrame, hostnameCol: String,
+      targets: Seq[(String, DataFrame, String)])
+      : Seq[(String, Boolean, DataFrame)] = {
+    val dev = devices.filter(col(hostnameCol).isNotNull)
+    val devUnique = allValuesUnique(dev, hostnameCol)
+    targets.map { case (label, t, field) =>
+      val tt = t.filter(col(field).isNotNull)
+      val ok = devUnique && allValuesUnique(tt, field)
+      val links =
+        if (ok) dev.select(col(hostnameCol).as("hostname"))
+          .join(tt, col("hostname") === col(field))
+        else dev.sparkSession.emptyDataFrame
+      (label, ok, links)
+    }
+  }
+
   /** Mutual-unique candidate linking: keep a (src, dst) candidate pair
     * only when the src has EXACTLY ONE distinct candidate dst AND that
     * dst has exactly one distinct candidate src — the reference's

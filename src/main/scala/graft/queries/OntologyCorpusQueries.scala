@@ -497,6 +497,87 @@ object OntologyCorpusQueries {
         coalesce(col("n_gh"), lit(0L)).as("n_gh"))
   }
 
+  /** Guarded hostname matchlinks
+    * ([[graft.ontology.CanonicalSync.guardedHostnameLinks]];
+    * devices.py:55-141): linking devices to provider nodes by hostname
+    * is a FALLBACK matcher, so it runs per target label only when
+    * hostnames are unique on BOTH sides — the AwsInstance frame is
+    * unique and links, the JamfComputer frame carries duplicated
+    * hostnames and its ENTIRE matchlink is skipped (0 links, not a
+    * row-wise filter). Output: per-label guard verdict + link count. */
+  def ontologyHostnameMatchlink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.CanonicalSync
+    import spark.implicits._
+    val devices = Tables.nation(spark, dir)
+      .select(concat(lit("h"), col("n_nationkey").cast("string")).as("hostname"))
+    val aws = Tables.region(spark, dir).select(
+      concat(lit("i"), col("r_regionkey").cast("string")).as("id"),
+      concat(lit("h"), col("r_regionkey").cast("string")).as("dns_hostname"))
+    val jamf = Tables.supplier(spark, dir).select(
+      concat(lit("j"), col("s_suppkey").cast("string")).as("id"),
+      concat(lit("h"), (col("s_suppkey") % 3).cast("string")).as("computer_name"))
+    val out = CanonicalSync.guardedHostnameLinks(devices, "hostname",
+      Seq(("AwsInstance", aws, "dns_hostname"),
+        ("JamfComputer", jamf, "computer_name")))
+    out.map { case (label, ok, links) =>
+      val n = if (ok) links.count() else 0L
+      (label, ok, n)
+    }.toDF("label", "guard_passed", "n_links")
+  }
+
+  /** The workload runtime-image inventory
+    * (WORKLOAD_HAS_RUNTIME_IMAGE, analysis.py:614-665): collapse running
+    * containers up the bounded WORKLOAD_PARENT chain (`*0..6` —
+    * [[graft.graph.Fixpoint.reachWithin]] plus the depth-0 identity for
+    * serverless nodes that carry service and container at once) to their
+    * owning ComputeService, dedupe per (service, image), and denormalize
+    * internet exposure onto the edge as service-level OR any running
+    * replica's flag. Containers whose lowercased state is not
+    * running/ready are excluded; orphan containers with no parent chain
+    * never reach a service. */
+  def ontologyRuntimeImages(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graph.Fixpoint
+    val services = Tables.region(spark, dir).select(
+      concat(lit("svc"), col("r_regionkey").cast("string")).as("id"),
+      (col("r_regionkey") % 2 === 0).as("exposed_internet"))
+    val deployments = Tables.nation(spark, dir).select(
+      concat(lit("dep"), col("n_nationkey").cast("string")).as("id"),
+      concat(lit("svc"), (col("n_nationkey") % 5).cast("string")).as("parent"))
+    val k = col("c_custkey").cast("long")
+    val containers = Tables.customer(spark, dir).select(
+      concat(lit("c"), k.cast("string")).as("id"),
+      element_at(array(lit("RUNNING"), lit("running"), lit("ready"),
+        lit("Stopped")), (k % 4 + 1).cast("int")).as("state"),
+      (k % 7 === 0).as("exposed_internet"),
+      concat(lit("img"), (k % 30).cast("string")).as("image"),
+      when(k % 3 === 0, concat(lit("svc"), (k % 5).cast("string")))
+        .when(k % 3 === 1, concat(lit("dep"), (k % 25).cast("string")))
+        .as("parent"))
+    // serverless: the service node is ALSO the running container (depth 0)
+    val serverless = services.select(col("id"), lit("ready").as("state"),
+      lit(false).as("exposed_internet"),
+      concat(lit("img"), (col("id").substr(lit(4), lit(10)).cast("long") % 30)
+        .cast("string")).as("image"))
+    val parentEdges = containers.filter(col("parent").isNotNull)
+      .select(col("id").as("src"), col("parent").as("dst"))
+      .unionByName(deployments.select(col("id").as("src"), col("parent").as("dst")))
+    val toSvc = Fixpoint.reachWithin(parentEdges, 6)
+      .join(services.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .unionByName(services.select(col("id").as("src"), col("id").as("dst")))
+    val rts = containers.select("id", "state", "exposed_internet", "image")
+      .unionByName(serverless)
+      .filter(lower(col("state")).isin("running", "ready"))
+    val pairs = rts.select(col("id").as("src"), col("exposed_internet").as("rt_exposed"),
+        col("image"))
+      .join(toSvc, Seq("src"))
+      .groupBy(col("dst").as("svc"), col("image").as("img"))
+      .agg(bool_or(col("rt_exposed")).as("any_rt"))
+    pairs.join(services.select(col("id").as("svc"),
+        col("exposed_internet").as("svc_exposed")), Seq("svc"))
+      .select(col("svc"), col("img"),
+        (col("svc_exposed") || col("any_rt")).as("exposed_internet"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ontology_materialize_useraccounts" -> (ontologyMaterializeUserAccounts _),
     "ontology_materialize_databases" -> (ontologyMaterializeDatabases _),
@@ -504,7 +585,9 @@ object OntologyCorpusQueries {
     "ontology_packages" -> (ontologyPackages _),
     "ontology_users_source_merge" -> (ontologyUsersSourceMerge _),
     "ontology_unique_link" -> (ontologyUniqueLink _),
-    "e2e_ontology_users_sync" -> (e2eOntologyUsersSync _))
+    "e2e_ontology_users_sync" -> (e2eOntologyUsersSync _),
+    "ontology_hostname_matchlink" -> (ontologyHostnameMatchlink _),
+    "ontology_runtime_images" -> (ontologyRuntimeImages _))
 
   val oracles: Map[String, String] = Map(
     "ontology_materialize_useraccounts" -> UserAccountsOracle.sql,
@@ -513,5 +596,7 @@ object OntologyCorpusQueries {
     "ontology_packages" -> OntologySyncOracles.packages,
     "ontology_users_source_merge" -> OntologySyncOracles.usersSourceMerge,
     "ontology_unique_link" -> OntologySyncOracles.uniqueLink,
-    "e2e_ontology_users_sync" -> OntologySyncOracles.usersSync)
+    "e2e_ontology_users_sync" -> OntologySyncOracles.usersSync,
+    "ontology_hostname_matchlink" -> OntologySyncOracles.hostnameMatchlink,
+    "ontology_runtime_images" -> OntologySyncOracles.runtimeImages)
 }

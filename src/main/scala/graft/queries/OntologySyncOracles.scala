@@ -149,6 +149,47 @@ private[queries] object OntologySyncOracles {
       |LEFT JOIN keys k ON k.email = u.email
       |LEFT JOIN gh g ON g.email = u.email""".stripMargin
 
+  val hostnameMatchlink: String =
+    """WITH dev AS (SELECT 'h' || CAST(n_nationkey AS VARCHAR) AS h FROM nation),
+      |aws AS (SELECT 'h' || CAST(r_regionkey AS VARCHAR) AS h FROM region),
+      |jamf AS (SELECT 'h' || CAST(s_suppkey % 3 AS VARCHAR) AS h FROM supplier),
+      |gd AS (SELECT count(DISTINCT h) = count(*) AS ok FROM dev),
+      |ga AS (SELECT count(DISTINCT h) = count(*) AS ok FROM aws),
+      |gj AS (SELECT count(DISTINCT h) = count(*) AS ok FROM jamf)
+      |SELECT 'AwsInstance' AS label, gd.ok AND ga.ok AS guard_passed,
+      |  CAST(CASE WHEN gd.ok AND ga.ok
+      |    THEN (SELECT count(*) FROM dev JOIN aws USING (h)) ELSE 0 END
+      |    AS BIGINT) AS n_links
+      |FROM gd, ga
+      |UNION ALL
+      |SELECT 'JamfComputer', gd.ok AND gj.ok,
+      |  CAST(CASE WHEN gd.ok AND gj.ok
+      |    THEN (SELECT count(*) FROM dev JOIN jamf USING (h)) ELSE 0 END
+      |    AS BIGINT)
+      |FROM gd, gj""".stripMargin
+
+  val runtimeImages: String =
+    """WITH c AS (
+      |  SELECT 'img' || CAST(c_custkey % 30 AS VARCHAR) AS img,
+      |         c_custkey % 7 = 0 AS rexp,
+      |         CASE WHEN c_custkey % 3 = 0
+      |                THEN 'svc' || CAST(c_custkey % 5 AS VARCHAR)
+      |              WHEN c_custkey % 3 = 1
+      |                THEN 'svc' || CAST((c_custkey % 25) % 5 AS VARCHAR)
+      |         END AS svc
+      |  FROM customer WHERE c_custkey % 4 <> 3),
+      |rt AS (
+      |  SELECT svc, img, rexp FROM c WHERE svc IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'svc' || CAST(r_regionkey AS VARCHAR),
+      |         'img' || CAST(r_regionkey AS VARCHAR), false
+      |  FROM region),
+      |agg AS (SELECT svc, img, bool_or(rexp) AS any_rt FROM rt GROUP BY svc, img)
+      |SELECT a.svc, a.img,
+      |  (r.r_regionkey % 2 = 0 OR a.any_rt) AS exposed_internet
+      |FROM agg a
+      |JOIN region r ON a.svc = 'svc' || CAST(r.r_regionkey AS VARCHAR)""".stripMargin
+
   val uniqueLink: String =
     """WITH instances AS (
       |  SELECT 'i' || CAST(s_suppkey AS VARCHAR) AS inst_id,

@@ -121,6 +121,42 @@ class OntologySyncSpec extends AnyFunSuite {
       .select("fullname").head.getString(0) == "Alice") // microsoft beats okta
   }
 
+  test("hostname matchlink guard: duplicates on EITHER side skip the whole link") {
+    // devices.py:55-97 — the guard is whole-relation, not row-wise
+    val uniqueDevices = Seq("h1", "h2", "h3").toDF("hostname")
+    val dupDevices = Seq("h1", "h1", "h2").toDF("hostname")
+    val uniqueTarget = Seq(("t1", "h1"), ("t2", "h9")).toDF("id", "dns")
+    val dupTarget = Seq(("t1", "h1"), ("t2", "h1")).toDF("id", "dns")
+    val out = CanonicalSync.guardedHostnameLinks(uniqueDevices, "hostname",
+      Seq(("Good", uniqueTarget, "dns"), ("Bad", dupTarget, "dns")))
+    assert(out.map { case (l, ok, df) => (l, ok, if (ok) df.count() else -1L) } ==
+      Seq(("Good", true, 1L), ("Bad", false, -1L)))
+    // device-side duplicates veto EVERY target, even unique ones
+    val vetoed = CanonicalSync.guardedHostnameLinks(dupDevices, "hostname",
+      Seq(("Good", uniqueTarget, "dns")))
+    assert(vetoed.map { case (_, ok, _) => ok } == Seq(false))
+    // nulls don't count toward uniqueness on either side (WHERE IS NOT NULL)
+    assert(CanonicalSync.allValuesUnique(
+      Seq(Some("a"), None, None).toDF("h"), "h"))
+  }
+
+  test("sourceNodes plans ONE id shuffle feeding both window passes") {
+    val mods = Seq(
+      M("a", Seq(N("A", Seq(F("email", "email", required = true), F("fullname", "n"))))),
+      M("b", Seq(N("B", Seq(F("email", "email", required = true), F("active", "x"))))))
+    val provider = Map(
+      "A" -> (1L to 50L).map(i => (s"a$i", s"u$i@x", s"n$i")).toDF("id", "email", "n"),
+      "B" -> (1L to 50L).map(i => (s"b$i", s"u${i % 30}@x", i % 2 == 0))
+        .toDF("id", "email", "x"))
+    val plan = CanonicalSync.sourceNodes(mods, provider, "email")
+      .queryExecution.executedPlan.toString
+    // the per-field first() backfill and the rk=1 pick partition on the
+    // same (id) key — Catalyst must reuse one Exchange for both passes:
+    // the operator's one-shuffle contract at 100× scale
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 id shuffle, got $exchanges:\n$plan")
+  }
+
   test("mutualUniqueLink: ambiguity on EITHER side kills the pair") {
     val cands = Seq(
       ("d1", "i1"), ("d1", "i1"),            // dup evidence, one pair
