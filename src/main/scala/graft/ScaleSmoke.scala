@@ -1141,6 +1141,57 @@ object ScaleSmoke {
       time("cc_ckpt_local", m) { ccUnder("local", None) }
       time("cc_ckpt_reliable", m) { ccUnder("reliable", None) }
       time("cc_ckpt_reliable_e5", m) { ccUnder("reliable", Some(5)) }
+
+      // Canonical-sync layer (round 14 third wave). packagesFromVersions
+      // is one hash aggregation — group sizes grow ×m, wall must track
+      // rows. source_nodes_hot is the adversarial shared-key case: EVERY
+      // provider row carries the same email (one admin address across
+      // all tools), so a window-based merge would put the whole corpus
+      // in one partition on one task; the min-over-structs aggregation
+      // combines map-side and must stay flat-to-linear.
+      val pvRows = {
+        val k = col("doc_id")
+        docs.select(
+          when(k % 3 =!= 2, concat(lit("pkg:"),
+            when(k % 2 === 0, lit("pypi")).otherwise(lit("npm")), lit("/"),
+            when(k % 2 === 1, lit("%40acme/")).otherwise(lit("")),
+            lit("lib."), (k % 5000).cast("string"),
+            lit("@1."), (k % 19).cast("string"), lit(".0"))).as("purl"),
+          concat(lit("Lib."), (k % 5000).cast("string")).as("name"),
+          when(k % 2 === 0, lit("pypi")).otherwise(lit("npm")).as("type"),
+          concat(lit("1."), (k % 19).cast("string"), lit(".0")).as("version"))
+      }
+      time("packages_from_versions", m) {
+        val keyed = pvRows.withColumn("normalized_id",
+          ontology.Packages.normalizedPackageId(col("purl"), col("name"),
+            col("version"), col("type")))
+          .filter(col("normalized_id").isNotNull)
+        ontology.Packages.packagesFromVersions(keyed).count()
+      }
+      val userMods = ontology.MappingCorpus.all("useraccounts")
+      def userFrames(hot: Boolean): Map[String, DataFrame] = {
+        val mailCol =
+          if (hot) lit("admin@corp.ex")
+          else concat(lit("u"), (col("doc_id") % 40000).cast("string"), lit("@corp.ex"))
+        val base = docs.select(
+          concat(lit("x"), col("doc_id").cast("string")).as("id"),
+          mailCol.as("email"),
+          col("text").substr(1, 24).as("display_name"),
+          (col("doc_id") % 3 === 0).as("account_enabled"))
+        // every OTHER label in the corpus gets an empty slice of the
+        // same shape (sourceNodes requires a frame per selected label)
+        val empty = base.filter(lit(false))
+        userMods.flatMap(_.nodes).map(n => n.nodeLabel ->
+          (if (n.nodeLabel == "EntraUser") base else empty)).toMap
+      }
+      time("source_nodes", m) {
+        ontology.CanonicalSync.sourceNodes(userMods, userFrames(hot = false),
+          "email").count()
+      }
+      time("source_nodes_hot", m) {
+        ontology.CanonicalSync.sourceNodes(userMods, userFrames(hot = true),
+          "email").count()
+      }
     }
     if (ran == 0)
       System.err.println(

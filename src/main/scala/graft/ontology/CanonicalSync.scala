@@ -80,16 +80,26 @@ object CanonicalSync {
     }
     val all = projected.reduce(_ unionByName _)
       .filter(col(s"_f_$idField").isNotNull)
-    val w = Window.partitionBy(col(s"_f_$idField"))
-      .orderBy(col("_prio"), col("_sid"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val merged = allFields.foldLeft(all) { (d, f) =>
-      d.withColumn(s"_m_$f", first(col(s"_f_$f"), ignoreNulls = true).over(w))
+    // per-field first-non-null as ONE hash aggregation, not a window:
+    // min over (prio, sid, value) structs with null values nulled out is
+    // exactly "first non-null in (source, src-id) order" ((prio, sid) is
+    // unique per row, so the value never decides the ordering), and the
+    // partial aggregation combines map-side — a canonical id shared by
+    // millions of provider rows (one admin email across every tool, the
+    // guaranteed-at-scale hot key) reduces per input partition instead
+    // of landing on a single window task. Measured in ScaleSmoke
+    // (source_nodes_hot: every row one email, wall flat as rows × 10).
+    val mergers = allFields.filterNot(_ == idField).map { f =>
+      min(when(col(s"_f_$f").isNotNull,
+        struct(col("_prio").as("p"), col("_sid").as("s"),
+          col(s"_f_$f").as("v")))).getField("v").as(f)
     }
-    val rk = Window.partitionBy(col(s"_f_$idField"))
-      .orderBy(col("_prio"), col("_sid"))
-    merged.withColumn("_rk", row_number().over(rk)).filter(col("_rk") === 1)
-      .select(allFields.map(f => col(s"_m_$f").as(f)): _*)
+    if (mergers.isEmpty)
+      all.select(col(s"_f_$idField").as(idField)).distinct()
+    else
+      all.groupBy(col(s"_f_$idField").as(idField))
+        .agg(mergers.head, mergers.tail: _*)
+        .select(allFields.map(col): _*)
   }
 
   /** Whole-relation uniqueness probe: true iff the column's non-null

@@ -140,7 +140,7 @@ class OntologySyncSpec extends AnyFunSuite {
       Seq(Some("a"), None, None).toDF("h"), "h"))
   }
 
-  test("sourceNodes plans ONE id shuffle feeding both window passes") {
+  test("sourceNodes plans ONE id shuffle (partial-agg merge, no window)") {
     val mods = Seq(
       M("a", Seq(N("A", Seq(F("email", "email", required = true), F("fullname", "n"))))),
       M("b", Seq(N("B", Seq(F("email", "email", required = true), F("active", "x"))))))
@@ -150,11 +150,16 @@ class OntologySyncSpec extends AnyFunSuite {
         .toDF("id", "email", "x"))
     val plan = CanonicalSync.sourceNodes(mods, provider, "email")
       .queryExecution.executedPlan.toString
-    // the per-field first() backfill and the rk=1 pick partition on the
-    // same (id) key — Catalyst must reuse one Exchange for both passes:
-    // the operator's one-shuffle contract at 100× scale
+    // the per-field first-non-null merge is min-over-structs inside ONE
+    // hash aggregation — partial agg combines map-side (hot-key safe),
+    // one Exchange on the id: the operator's shuffle contract at 100×
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 id shuffle, got $exchanges:\n$plan")
+    // struct-typed min plans as SortAggregate; the load-bearing part is
+    // the PARTIAL phase below the Exchange — the map-side combine that
+    // makes a hot shared email reduce per input partition
+    assert(plan.contains("partial_min"),
+      s"expected a map-side partial aggregation merge:\n$plan")
   }
 
   test("mutualUniqueLink: ambiguity on EITHER side kills the pair") {
