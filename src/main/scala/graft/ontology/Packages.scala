@@ -108,11 +108,19 @@ object Packages {
   def packagesFromVersions(versions: DataFrame, purlCol: String = "purl",
                            nameCol: String = "name", typeCol: String = "type",
                            versionIdCol: String = "normalized_id"): DataFrame = {
-    val keyed = versions
+    // parse once per row; key and namespace both read the same struct
+    // (the parse is the regex-heavy part of the per-row cost)
+    val parsed = versions.withColumn("_pp", parsePurl(col(purlCol)))
+    val fromPurl = col("_pp").isNotNull && col("_pp").getField("name").isNotNull &&
+      col("_pp").getField("name") =!= ""
+    val fallbackOk = col(nameCol).isNotNull && col(typeCol).isNotNull
+    val keyed = parsed
       .withColumn("_pkg_id",
-        normalizedPackageNameId(col(purlCol), col(nameCol), col(typeCol)))
+        when(fromPurl, idFromParsed(col("_pp"), withVersion = false))
+          .when(fallbackOk, concat(lower(col(typeCol)), lit("|"),
+            normalizePackageName(col(nameCol), col(typeCol)))))
       .filter(col("_pkg_id").isNotNull)
-      .withColumn("_pkg_ns", parsePurl(col(purlCol)).getField("namespace"))
+      .withColumn("_pkg_ns", col("_pp").getField("namespace"))
     keyed.groupBy(col("_pkg_id").as("id"))
       .agg(min(col("_pkg_ns")).as("namespace"),
         array_sort(collect_set(col(versionIdCol))).as("version_ids"))
