@@ -53,4 +53,39 @@ object Migrations {
     val df = graph.edgeTable(key._1, key._2, key._3)
     graph.copy(edges = graph.edges - key + ((key._1, newRel, key._3) -> df))
   }
+
+  /** Predicate-guarded PARTIAL relabel — the reference's in-place
+    * `REMOVE n:A SET n:B` migration shape (e.g.
+    * ontology_package_version_rename_migration.json: only
+    * `:Package:Ontology` rows with a non-null version move to
+    * `:PackageVersion`; legacy non-ontology rows stay put). Matching
+    * rows move to `to` (merged by name into an existing table — node
+    * identity and attached edge tables are untouched, exactly like an
+    * in-place relabel); the rest remain under `from`. A null predicate
+    * reads false (a row Cypher would not MATCH does not move). */
+  def relabelWhere(graph: Graph, from: String, to: String,
+                   where: org.apache.spark.sql.Column): Graph = {
+    val src = graph.nodeTable(from)
+    val cond = coalesce(where, lit(false))
+    val moving = src.filter(cond)
+    val staying = src.filter(!cond)
+    val target = graph.nodes.get(to) match {
+      case Some(existing) => existing.unionByName(moving, allowMissingColumns = true)
+      case None           => moving
+    }
+    Graph(nodes = graph.nodes + (from -> staying) + (to -> target),
+      edges = graph.edges)
+  }
+
+  /** Strip a property from every node of a label — the reference's
+    * `MATCH (n:L) WHERE n.p IS NOT NULL REMOVE n.p` stale-value cleanup
+    * (ontology_removed_status_cleanup.json, the de-scoped
+    * SpaceliftStack/AzureTenant status mappings). Removing the value
+    * from every row that has one is dropping the column; absent columns
+    * are a no-op, like a MATCH with no rows. */
+  def stripProperty(graph: Graph, nodeLabel: String, prop: String): Graph = {
+    val table = graph.nodeTable(nodeLabel)
+    if (!table.columns.contains(prop)) graph
+    else graph.withNodes(nodeLabel, table.drop(prop))
+  }
 }

@@ -578,6 +578,55 @@ object OntologyCorpusQueries {
         (col("svc_exposed") || col("any_rt")).as("exposed_internet"))
   }
 
+  /** The ontology run's deprecated-data migrations
+    * ([[graft.graph.Migrations.relabelWhere]] / [[graft.graph.Migrations
+    * .stripProperty]]; intel/ontology/__init__.py:33,69-75,110-117 and
+    * the three ontology_*.json jobs): the guarded Package →
+    * PackageVersion relabel moves ONLY `:Ontology` rows with a non-null
+    * version (legacy non-ontology rows belong to a different migration
+    * and stay; version-less rows are already the new shape), merging
+    * into the pre-existing PackageVersion table; the stale
+    * `_ont_status` strip removes the de-scoped property from every
+    * SpaceliftStack row. Output: per-label census of rows and surviving
+    * flagged values. */
+  def ontologyMigrations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graph.{Graph, Migrations}
+    val k = col("p_partkey").cast("long")
+    val packages = Tables.part(spark, dir).select(
+      concat(lit("p"), k.cast("string")).as("id"),
+      when(k % 4 =!= 0, concat(lit("1."), (k % 5).cast("string"))).as("version"),
+      (k % 4 === 1 || k % 4 === 3).as("is_ontology"))
+    val existingPv = Tables.region(spark, dir).select(
+      concat(lit("pv"), col("r_regionkey").cast("string")).as("id"),
+      lit("2.0").as("version"), lit(true).as("is_ontology"))
+    val stacks = Tables.nation(spark, dir).select(
+      concat(lit("st"), col("n_nationkey").cast("string")).as("id"),
+      pick(col("n_nationkey"), "FINISHED", "UNCONFIRMED", "QUEUED").as("_ont_status"))
+    val g0 = Graph()
+      .withNodes("Package", packages)
+      .withNodes("PackageVersion", existingPv)
+      .withNodes("SpaceliftStack", stacks)
+    val g1 = Migrations.relabelWhere(g0, "Package", "PackageVersion",
+      col("version").isNotNull && col("is_ontology"))
+    val g2 = Migrations.stripProperty(g1, "SpaceliftStack", "_ont_status")
+    // idempotence: a second run must move nothing and change nothing
+    val g3 = Migrations.stripProperty(
+      Migrations.relabelWhere(g2, "Package", "PackageVersion",
+        col("version").isNotNull && col("is_ontology")),
+      "SpaceliftStack", "_ont_status")
+    def census(label: String, flaggedCol: String) = {
+      val t = g3.nodeTable(label)
+      val flagged = if (t.columns.contains(flaggedCol))
+        count(when(col(flaggedCol).isNotNull, lit(1)))
+      else count(when(lit(false), lit(1))) // stripped column → 0 survivors
+      t.agg(count(lit(1)).as("n_nodes"), flagged.as("n_flagged"))
+        .select(lit(label).as("label"), col("n_nodes"), col("n_flagged"))
+    }
+    census("Package", "version")
+      .unionByName(census("PackageVersion", "version"))
+      .unionByName(census("SpaceliftStack", "_ont_status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ontology_materialize_useraccounts" -> (ontologyMaterializeUserAccounts _),
     "ontology_materialize_databases" -> (ontologyMaterializeDatabases _),
@@ -587,7 +636,8 @@ object OntologyCorpusQueries {
     "ontology_unique_link" -> (ontologyUniqueLink _),
     "e2e_ontology_users_sync" -> (e2eOntologyUsersSync _),
     "ontology_hostname_matchlink" -> (ontologyHostnameMatchlink _),
-    "ontology_runtime_images" -> (ontologyRuntimeImages _))
+    "ontology_runtime_images" -> (ontologyRuntimeImages _),
+    "ontology_migrations" -> (ontologyMigrations _))
 
   val oracles: Map[String, String] = Map(
     "ontology_materialize_useraccounts" -> UserAccountsOracle.sql,
@@ -598,5 +648,6 @@ object OntologyCorpusQueries {
     "ontology_unique_link" -> OntologySyncOracles.uniqueLink,
     "e2e_ontology_users_sync" -> OntologySyncOracles.usersSync,
     "ontology_hostname_matchlink" -> OntologySyncOracles.hostnameMatchlink,
-    "ontology_runtime_images" -> OntologySyncOracles.runtimeImages)
+    "ontology_runtime_images" -> OntologySyncOracles.runtimeImages,
+    "ontology_migrations" -> OntologySyncOracles.migrations)
 }

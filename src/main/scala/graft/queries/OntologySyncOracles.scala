@@ -190,6 +190,22 @@ private[queries] object OntologySyncOracles {
       |FROM agg a
       |JOIN region r ON a.svc = 'svc' || CAST(r.r_regionkey AS VARCHAR)""".stripMargin
 
+  val migrations: String =
+    """SELECT 'Package' AS label,
+      |  CAST(count(*) FILTER (WHERE p_partkey % 4 IN (0, 2)) AS BIGINT) AS n_nodes,
+      |  CAST(count(*) FILTER (WHERE p_partkey % 4 = 2) AS BIGINT) AS n_flagged
+      |FROM part
+      |UNION ALL
+      |SELECT 'PackageVersion',
+      |  CAST((SELECT count(*) FROM region)
+      |    + (SELECT count(*) FROM part WHERE p_partkey % 4 IN (1, 3)) AS BIGINT),
+      |  CAST((SELECT count(*) FROM region)
+      |    + (SELECT count(*) FROM part WHERE p_partkey % 4 IN (1, 3)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'SpaceliftStack',
+      |  CAST((SELECT count(*) FROM nation) AS BIGINT),
+      |  CAST(0 AS BIGINT)""".stripMargin
+
   val uniqueLink: String =
     """WITH instances AS (
       |  SELECT 'i' || CAST(s_suppkey AS VARCHAR) AS inst_id,

@@ -162,6 +162,31 @@ class OntologySyncSpec extends AnyFunSuite {
       s"expected a map-side partial aggregation merge:\n$plan")
   }
 
+  test("relabelWhere moves only matched rows; null predicate stays; strip is a no-op when absent") {
+    import graft.graph.{Graph, Migrations}
+    val pkgs = Seq(("p1", Some("1.0"), true), ("p2", None, true),
+      ("p3", Some("1.1"), false)).toDF("id", "version", "is_ontology")
+    val g0 = Graph().withNodes("Package", pkgs)
+    val g1 = Migrations.relabelWhere(g0, "Package", "PackageVersion",
+      col("version").isNotNull && col("is_ontology"))
+    assert(g1.nodeTable("Package").select("id").as[String].collect().toSet ==
+      Set("p2", "p3")) // null version and non-ontology both stay
+    assert(g1.nodeTable("PackageVersion").select("id").as[String]
+      .collect().toSet == Set("p1")) // target created on demand
+    // merging into an existing target keeps its rows
+    val g2 = Migrations.relabelWhere(
+      g1.withNodes("Other", Seq(("o1", Some("x"), true))
+        .toDF("id", "version", "is_ontology")),
+      "Other", "PackageVersion", col("version").isNotNull)
+    assert(g2.nodeTable("PackageVersion").count() == 2)
+    // stripping an absent property is a no-op, present one drops the column
+    val g3 = Migrations.stripProperty(g2, "Package", "no_such_prop")
+    assert(g3.nodeTable("Package").columns.sameElements(
+      g2.nodeTable("Package").columns))
+    val g4 = Migrations.stripProperty(g3, "Package", "version")
+    assert(!g4.nodeTable("Package").columns.contains("version"))
+  }
+
   test("mutualUniqueLink: ambiguity on EITHER side kills the pair") {
     val cands = Seq(
       ("d1", "i1"), ("d1", "i1"),            // dup evidence, one pair
