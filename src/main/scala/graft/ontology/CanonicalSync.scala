@@ -40,34 +40,70 @@ object CanonicalSync {
   private def truthy(c: Column): Column =
     c.isNotNull && c.cast("string") =!= ""
 
+  /** The pseudo-module key marking a category's canonical-side read
+    * (utils.py:112-115; users.py:6-33 is the one corpus instance). */
+  val OntologyModuleKey = "ontology"
+
   /** Build the canonical node table for one ONTOLOGY_NODES_MAPPING
     * category: select modules by registry key (empty `sourceOfTruth` =
     * all, in registration order — utils.py:108-110), skip enrich-only
     * mappings, translate field NAMES over the raw provider columns
     * (absent columns read null — the composite-node pattern), drop rows
     * whose required fields are falsy, then merge per canonical id with
-    * FIELD-LEVEL first-non-null in (source position, provider node id)
+    * FIELD-LEVEL first-non-null in (read position, provider node id)
     * order — the deterministic refinement of the reference's
     * encounter-order dict merge. Returns one row per id with every
-    * ontology field of the category. Plan: one union, one window pass
-    * over the id partitioning — same shuffle count as Materialize. */
+    * ontology field of the category. Plan: one union, one hash-agg pass
+    * over the id partitioning — same shuffle count as Materialize.
+    *
+    * When the category carries the `"ontology"` pseudo-module
+    * (utils.py:112-135 `_has_ontology`), the canonical-side nodes are
+    * ALSO read — one read per (eligible node, source), node-major,
+    * filtered to `_ont_source = source` over the `canonical` frames and
+    * merged AHEAD of every provider read (the reference runs those
+    * queries first, so its encounter-order dict prefers them). A source
+    * with no provider module is then skipped silently rather than
+    * warned about (utils.py:133-140) — for the `users` category, whose
+    * ONLY module is the pseudo-module, the canonical reads are the
+    * whole sync. An explicitly-selected `"ontology"` source (or the
+    * empty-sot default, which includes every registry key) additionally
+    * reads the canonical labels UNFILTERED through the provider loop,
+    * exactly like the reference's un-parameterized `MATCH (n:label)`. */
   def sourceNodes(modules: Seq[ModuleMapping], provider: Map[String, DataFrame],
                   idField: String, sourceOfTruth: Seq[String] = Nil,
-                  srcIdCol: String = "id"): DataFrame = {
-    val sources = normalizeSources(sourceOfTruth)
-    val selected =
-      if (sources.isEmpty) modules
-      else sources.flatMap(s => modules.filter(_.key == s))
-    require(selected.nonEmpty, s"no modules selected from $sourceOfTruth")
+                  srcIdCol: String = "id",
+                  canonical: Map[String, DataFrame] = Map.empty,
+                  ontSourceCol: String = "_ont_source"): DataFrame = {
+    val normalized = normalizeSources(sourceOfTruth)
+    val sources =
+      if (normalized.nonEmpty) normalized else modules.map(_.key).distinct
+    val ontologyModule = modules.find(_.key == OntologyModuleKey)
+    val selected = sources.flatMap(s => modules.filter(_.key == s))
     val allFields = modules.flatMap(_.nodes).flatMap(_.fields)
       .map(_.ontologyField).distinct
     require(allFields.contains(idField),
       s"id field '$idField' is not an ontology field of this category")
-    val projected = for {
+    // (frame, node mapping, merge priority) — ontology-side reads first
+    val ontReads = ontologyModule.toSeq.flatMap { m =>
+      val eligible = m.nodes.filter(_.eligibleForSource)
+      for {
+        (node, ni) <- eligible.zipWithIndex
+        (source, si) <- sources.zipWithIndex
+      } yield (canonical(node.nodeLabel)
+        .filter(col(ontSourceCol) === source), node,
+        ni * sources.size + si)
+    }
+    val provReads = for {
       (m, p) <- selected.zipWithIndex
       node <- m.nodes if node.eligibleForSource
     } yield {
-      val df = provider(node.nodeLabel)
+      val df = if (m.key == OntologyModuleKey) canonical(node.nodeLabel)
+               else provider(node.nodeLabel)
+      (df, node, ontReads.size + p)
+    }
+    val reads = ontReads ++ provReads
+    require(reads.nonEmpty, s"no modules selected from $sourceOfTruth")
+    val projected = reads.map { case (df, node, p) =>
       val have = df.columns.toSet
       def raw(nodeField: String): Column =
         if (have(nodeField)) col(nodeField) else lit(null)

@@ -382,6 +382,78 @@ object OntologyCorpusQueries {
       col("has_mfa").cast("boolean").as("has_mfa"))
   }
 
+  /** Pre-materialized canonical UserAccount rows — the shape load-time
+    * semantic projection leaves in the graph: one block per provider,
+    * each stamped `_ont_source` = module name plus the five `_ont_*`
+    * user fields (querybuilder.py:331-332). The okta block carries
+    * EMPTY-string emails (falsy, not null — the required gate must drop
+    * them) and the slack block is bait: its source is outside the gate's
+    * source-of-truth selection, so every slack row must be excluded by
+    * the `_ont_source` filter, not merged. */
+  private def canonicalUserAccountFrame(spark: SparkSession, dir: String): DataFrame = {
+    val nullStr = lit(null).cast("string")
+    val nullBool = lit(null).cast("boolean")
+    val ms = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name").as("nm"))
+      .select(concat(lit("ms"), col("k").cast("string")).as("id"),
+        lit("microsoft").as("_ont_source"),
+        when(col("k") % 9 === 0, nullStr).otherwise(mail(col("k") % 700))
+          .as("_ont_email"),
+        col("nm").as("_ont_fullname"), nullStr.as("_ont_firstname"),
+        nullStr.as("_ont_lastname"), (col("k") % 3 === 0).as("_ont_inactive"))
+    val gs = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("nm"))
+      .select(concat(lit("gs"), col("k").cast("string")).as("id"),
+        lit("gsuite").as("_ont_source"), mail(col("k")).as("_ont_email"),
+        nullStr.as("_ont_fullname"),
+        concat(lit("fn-"), col("nm")).as("_ont_firstname"),
+        concat(lit("ln-"), col("nm")).as("_ont_lastname"),
+        when(col("k") % 7 === 0, nullBool).otherwise(col("k") % 2 === 0)
+          .as("_ont_inactive"))
+    val ok = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("k"), col("s_name").as("nm"))
+      .select(concat(lit("ok"), col("k").cast("string")).as("id"),
+        lit("okta").as("_ont_source"),
+        when(col("k") % 11 === 0, lit("")).otherwise(mail(col("k") % 300))
+          .as("_ont_email"),
+        concat(lit("ok "), col("nm")).as("_ont_fullname"),
+        nullStr.as("_ont_firstname"),
+        concat(lit("okl-"), col("nm")).as("_ont_lastname"),
+        (col("k") % 4 === 0).as("_ont_inactive"))
+    val sl = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("nm"))
+      .select(concat(lit("sl"), col("k").cast("string")).as("id"),
+        lit("slack").as("_ont_source"), mail(col("k")).as("_ont_email"),
+        concat(lit("SLACK "), col("nm")).as("_ont_fullname"),
+        lit("SL").as("_ont_firstname"), lit("ACK").as("_ont_lastname"),
+        lit(true).as("_ont_inactive"))
+    ms.unionByName(gs).unionByName(ok).unionByName(sl)
+  }
+
+  /** The `_has_ontology` branch of the canonical source read
+    * (utils.py:112-135 + users.py:6-33): the `users` category's ONLY
+    * module is the `"ontology"` pseudo-module, so
+    * [[graft.ontology.CanonicalSync.sourceNodes]] reads the
+    * already-materialized UserAccount nodes — one `_ont_source = s`
+    * filtered read per selected source, in source order (entra
+    * normalizes to microsoft first), required-email truthiness gating
+    * (okta's empty-string emails drop), per-FIELD first-non-null
+    * backfill across sources — and skips the provider loop silently
+    * because no selected source has a provider module. The slack block
+    * in the canonical frame is outside the selection and must not
+    * contribute a single field. */
+  def ontologySourceRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ontology.CanonicalSync
+    val out = CanonicalSync.sourceNodes(
+      MappingCorpus.all("users"),
+      provider = Map.empty,
+      idField = "email",
+      sourceOfTruth = Seq("entra", "gsuite", "okta"),
+      canonical = Map("UserAccount" -> canonicalUserAccountFrame(spark, dir)))
+    out.select(col("email"), col("fullname"), col("firstname"),
+      col("lastname"), col("inactive").cast("boolean").as("inactive"))
+  }
+
   /** Mutual-unique candidate linking
     * ([[graft.ontology.CanonicalSync.mutualUniqueLink]] — the
     * device↔instance contract of analysis.py:398-460): candidates match
@@ -633,6 +705,7 @@ object OntologyCorpusQueries {
     "func_purl_parse" -> (funcPurlParse _),
     "ontology_packages" -> (ontologyPackages _),
     "ontology_users_source_merge" -> (ontologyUsersSourceMerge _),
+    "ontology_source_read" -> (ontologySourceRead _),
     "ontology_unique_link" -> (ontologyUniqueLink _),
     "e2e_ontology_users_sync" -> (e2eOntologyUsersSync _),
     "ontology_hostname_matchlink" -> (ontologyHostnameMatchlink _),
@@ -645,6 +718,7 @@ object OntologyCorpusQueries {
     "func_purl_parse" -> OntologySyncOracles.purlParse,
     "ontology_packages" -> OntologySyncOracles.packages,
     "ontology_users_source_merge" -> OntologySyncOracles.usersSourceMerge,
+    "ontology_source_read" -> OntologySyncOracles.ontologySourceRead,
     "ontology_unique_link" -> OntologySyncOracles.uniqueLink,
     "e2e_ontology_users_sync" -> OntologySyncOracles.usersSync,
     "ontology_hostname_matchlink" -> OntologySyncOracles.hostnameMatchlink,

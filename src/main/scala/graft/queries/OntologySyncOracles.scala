@@ -107,6 +107,45 @@ private[queries] object OntologySyncOracles {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       |SELECT email, fullname, active, has_mfa FROM merged WHERE rk = 1""".stripMargin
 
+  val ontologySourceRead: String =
+    """WITH src AS (
+      |  SELECT CASE WHEN c_custkey % 9 = 0 THEN NULL
+      |           ELSE 'u' || CAST(c_custkey % 700 AS VARCHAR) || '@corp.ex' END AS email,
+      |         c_name AS fullname, CAST(NULL AS VARCHAR) AS firstname,
+      |         CAST(NULL AS VARCHAR) AS lastname,
+      |         c_custkey % 3 = 0 AS inactive,
+      |         0 AS prio, 'ms' || CAST(c_custkey AS VARCHAR) AS sid
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'u' || CAST(n_nationkey AS VARCHAR) || '@corp.ex', NULL,
+      |         'fn-' || n_name, 'ln-' || n_name,
+      |         CASE WHEN n_nationkey % 7 = 0 THEN NULL
+      |              ELSE n_nationkey % 2 = 0 END,
+      |         1, 'gs' || CAST(n_nationkey AS VARCHAR)
+      |  FROM nation
+      |  UNION ALL
+      |  -- okta: empty-string email is FALSY (required gate drops it)
+      |  SELECT CASE WHEN s_suppkey % 11 = 0 THEN ''
+      |           ELSE 'u' || CAST(s_suppkey % 300 AS VARCHAR) || '@corp.ex' END,
+      |         'ok ' || s_name, NULL, 'okl-' || s_name,
+      |         s_suppkey % 4 = 0,
+      |         2, 'ok' || CAST(s_suppkey AS VARCHAR)
+      |  FROM supplier),
+      |-- slack rows exist in the canonical frame but carry an unselected
+      |-- _ont_source, so the oracle never sees them
+      |merged AS (
+      |  SELECT email,
+      |    first_value(fullname IGNORE NULLS) OVER w AS fullname,
+      |    first_value(firstname IGNORE NULLS) OVER w AS firstname,
+      |    first_value(lastname IGNORE NULLS) OVER w AS lastname,
+      |    first_value(inactive IGNORE NULLS) OVER w AS inactive,
+      |    row_number() OVER (PARTITION BY email ORDER BY prio, sid) AS rk
+      |  FROM src WHERE email IS NOT NULL AND email <> ''
+      |  WINDOW w AS (PARTITION BY email ORDER BY prio, sid
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT email, fullname, firstname, lastname, inactive
+      |FROM merged WHERE rk = 1""".stripMargin
+
   val usersSync: String =
     """WITH a_ms AS (
       |  SELECT 'u' || CAST(c_custkey % 700 AS VARCHAR) || '@corp.ex' AS email,

@@ -43,13 +43,78 @@ object Resilience {
     go(1)
   }
 
+  /** Structured provider client error — the (code, message) pair the
+    * reference's classification reads off `botocore ClientError.response
+    * ["Error"]`. Connector code throws these so classification does not
+    * have to string-scrape arbitrary exceptions. */
+  final case class ClientError(code: String, message: String)
+    extends RuntimeException(s"$code: $message")
+
+  /** Error codes that degrade a regional failure to a regional skip
+    * (util.py:595-606 AWS_REGION_ACCESS_DENIED_ERROR_CODES). */
+  val RegionAccessDeniedCodes: Set[String] = Set(
+    "AccessDenied", "AccessDeniedException", "AuthFailure",
+    "AuthorizationError", "AuthorizationErrorException",
+    "InvalidClientTokenId", "UnauthorizedOperation",
+    "UnrecognizedClientException", "InternalServerErrorException",
+    "SubscriptionRequiredException")
+
+  /** Message snippets that mark an UnknownOperationException as
+    * regional unavailability (util.py:608-612). */
+  val RegionUnsupportedOperationSnippets: Seq[String] = Seq(
+    "not supported in the called region",
+    "not supported in this region",
+    "unsupported in this region")
+
+  /** UnknownOperationException + an explicit regional-unavailability
+    * message (util.py:615-628 `_is_region_unsupported_unknown_operation`
+    * — code must match exactly and the message must carry one of the
+    * snippets, case-insensitively). */
+  def isRegionUnsupportedUnknownOperation(code: Option[String],
+                                          message: Option[String]): Boolean =
+    code.contains("UnknownOperationException") &&
+      message.filter(_.nonEmpty).exists { m =>
+        val lowered = m.toLowerCase
+        RegionUnsupportedOperationSnippets.exists(lowered.contains)
+      }
+
+  /** The shared skip classification (util.py:630-649
+    * `is_aws_region_skippable_client_error`): regional unavailability or
+    * regional access denial — the cases where an account-level sync
+    * degrades to a regional skip instead of failing. */
+  def isRegionSkippableClientError(e: Throwable): Boolean = e match {
+    case ClientError(code, message) =>
+      isRegionUnsupportedUnknownOperation(Some(code), Option(message)) ||
+        RegionAccessDeniedCodes.contains(code)
+    case _ => false
+  }
+
+  /** Explicit service-control-policy deny (util.py:46-66
+    * `is_service_control_policy_explicit_deny`): an AccessDenied[Exception]
+    * whose message names BOTH "explicit deny" and "service control
+    * policy" (case-insensitive). Consumers log the SCP wording instead of
+    * the generic region skip (util.py:732, intel/aws/inspector.py:436)
+    * but still skip — it is a sub-classification of skippable, never a
+    * hard failure. */
+  def isServiceControlPolicyExplicitDeny(e: Throwable): Boolean = e match {
+    case ClientError(code, message) =>
+      (code == "AccessDenied" || code == "AccessDeniedException") &&
+        Option(message).filter(_.nonEmpty).exists { m =>
+          val lowered = m.toLowerCase
+          lowered.contains("explicit deny") &&
+            lowered.contains("service control policy")
+        }
+    case _ => false
+  }
+
   /** Per-region fan-out with skip-on-access-error: fetch each region,
     * drop regions whose fetch fails the `skippable` test (AccessDenied /
     * unsupported region), fail hard otherwise (util.py:652-762). Returns
     * (region, rows) for the regions that answered. */
   def fetchRegions[T](regions: Seq[String],
-                      skippable: Throwable => Boolean =
-                        e => Option(e.getMessage).exists(_.contains("AccessDenied")))
+                      skippable: Throwable => Boolean = e =>
+                        Resilience.isRegionSkippableClientError(e) ||
+                          Option(e.getMessage).exists(_.contains("AccessDenied")))
                      (fetch: String => Seq[T]): Seq[(String, Seq[T])] =
     regions.flatMap { region =>
       try Some(region -> fetch(region))

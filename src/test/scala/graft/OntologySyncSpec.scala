@@ -121,6 +121,63 @@ class OntologySyncSpec extends AnyFunSuite {
       .select("fullname").head.getString(0) == "Alice") // microsoft beats okta
   }
 
+  // utils.py:112-135 — the `_has_ontology` branch of the canonical read
+  test("sourceNodes _has_ontology: per-source _ont_source reads merge ahead of provider rows") {
+    val ontMod = M("ontology", Seq(N("UserAccount", Seq(
+      F("email", "_ont_email", required = true),
+      F("fullname", "_ont_fullname"),
+      F("active", "_ont_active")))))
+    val canon = Seq(
+      ("c1", "microsoft", "a@x", "CanonMs", null),
+      ("c2", "gsuite", "a@x", "CanonGs", "true"),
+      ("c3", "gsuite", "b@x", "CanonB", null),
+      ("c4", "slack", "a@x", "SlackLeaks", "false"), // outside the sot
+      ("c5", "ontology", "e@x", "OntStamp", null))
+      .asInstanceOf[Seq[(String, String, String, String, String)]]
+      .toDF("id", "_ont_source", "_ont_email", "_ont_fullname", "_ont_active")
+
+    // users-shape category: ONLY the pseudo-module. Unsupported sources
+    // skip silently (no provider modules at all), the canonical reads
+    // run per source in sot order, slack rows are filtered out.
+    val usersOnly = CanonicalSync.sourceNodes(Seq(ontMod), Map.empty, "email",
+      Seq("entra", "gsuite"),
+      canonical = Map("UserAccount" -> canon))
+    val got = usersOnly.select("email", "fullname", "active").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    // a@x: fullname from microsoft (source order), active backfilled from
+    // gsuite; e@x absent (its stamp 'ontology' is not in the selection)
+    assert(got == Set(
+      ("a@x", "CanonMs", Some("true")),
+      ("b@x", "CanonB", None)))
+
+    // mixed category: canonical reads take priority over a provider
+    // module read for the SAME source (the reference runs them first)
+    val gsProv = M("gsuite", Seq(N("GSuiteUser", Seq(
+      F("email", "email", required = true), F("fullname", "name")))))
+    val provider = Map("GSuiteUser" ->
+      Seq(("g1", "a@x", "ProvLoses"), ("g2", "d@x", "ProvOnly"))
+        .toDF("id", "email", "name"))
+    val mixed = CanonicalSync.sourceNodes(Seq(ontMod, gsProv), provider,
+      "email", Seq("gsuite"), canonical = Map("UserAccount" -> canon))
+    val byMail = mixed.select("email", "fullname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byMail == Map("a@x" -> "CanonGs", "b@x" -> "CanonB",
+      "d@x" -> "ProvOnly"))
+
+    // empty sot defaults to every registry key INCLUDING "ontology":
+    // the filtered read picks _ont_source='ontology' stamps first, then
+    // the provider loop re-reads the canonical label UNFILTERED — every
+    // row flows, the 'ontology'-stamped ones win conflicts
+    val allDefault = CanonicalSync.sourceNodes(Seq(ontMod), Map.empty,
+      "email", Nil, canonical = Map("UserAccount" -> canon))
+    val full = allDefault.select("email", "fullname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(full.keySet == Set("a@x", "b@x", "e@x"))
+    assert(full("e@x") == "OntStamp")
+    // unfiltered read's own order: (prio, id) — c1 beats c2/c4 on a@x
+    assert(full("a@x") == "CanonMs")
+  }
+
   test("hostname matchlink guard: duplicates on EITHER side skip the whole link") {
     // devices.py:55-97 — the guard is whole-relation, not row-wise
     val uniqueDevices = Seq("h1", "h2", "h3").toDF("hostname")
