@@ -77,6 +77,23 @@ object Lineage {
     def pin: DataFrame = Lineage.pinned(df, eager = false)
     /** Eager variant — drop-in for `.localCheckpoint()` / `(true)`. */
     def pinEager: DataFrame = Lineage.pinned(df, eager = true)
+    /** HOT pin — for frames re-read MANY times (per-round peel tables,
+      * shared basket/state frames): stores DESERIALIZED by default so
+      * each re-read is a block scan, not a deserialization pass
+      * (measured +0.5-0.7s/query at sf0.1 on k-truss/coreness/basket
+      * rules under SER pins, PROGRESS r15). An explicit global
+      * `graft.lineage.pinStorage` (either value) overrides per-site
+      * hints — one knob still flips the whole engine. Reliable mode is
+      * unaffected (durable path, same as [[pin]]). */
+    def pinHot: DataFrame = Lineage.pinnedHot(df, eager = false)
+  }
+
+  def pinnedHot(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("graft.lineage.mode", "local") match {
+      case "local" => df.localCheckpoint(eager, Bridge.hotPinStorageLevel(spark))
+      case _       => pinned(df, eager) // durable path: storage hint n/a
+    }
   }
 
   def pinned(df: DataFrame, eager: Boolean): DataFrame = {

@@ -773,8 +773,12 @@ object Centrality {
 
   /** Support over an already-canonical (a < b, distinct) edge set. */
   private def supportOn(und: DataFrame): DataFrame = {
+    // pinHot: the oriented set feeds both wedge arms + the closing join
+    // (3 reads per call, once per peel round in ktruss). NOTE
+    // triangleCount's own orientByDegree pin stays on the SER default —
+    // it was the r14 storm site and its measured deser win is 0.18s.
     val o = orientByDegree(und.select(col("a").as("src"), col("b").as("dst")))
-      .pin
+      .pinHot
     val tris = o.as("e1")
       .join(o.as("e2"), col("e1.v") === col("e2.u"))
       .join(o.as("e3"),
@@ -814,16 +818,20 @@ object Centrality {
   def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1, s"need at least one peel round, got $rounds")
+    // pinHot: every peel round's support join reads the current edge
+    // set three times (two wedge arms + the closing join) — the r15
+    // paired runs measured the per-re-read SER deserialization at
+    // +0.6s for this gate at sf0.1
     var cur = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .pin
+      .pinHot
     var out: DataFrame = null
     for (_ <- 1 to rounds) {
       out = supportOn(cur).filter(col("support") >= lit(k.toLong - 2L))
-        .pin
+        .pinHot
       cur = out.select(col("a"), col("b"))
     }
     out
@@ -887,9 +895,12 @@ object Centrality {
                maxRoundsPerLevel: Int = 40): DataFrame = {
     val p = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // pinHot on the loop state: each cascade round reads `cur` for the
+    // degree agg and `live` for the removal join + two semi-joins —
+    // measured +0.67s at sf0.1 under SER re-reads (PROGRESS r15)
     var cur = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().pin
-    var live = cur.select(col("src").as("node")).distinct().pin
+      .distinct().pinHot
+    var live = cur.select(col("src").as("node")).distinct().pinHot
     val spark = cur.sparkSession
     var out = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -907,7 +918,7 @@ object Centrality {
         val deg = cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         val removed = live.join(deg, Seq("node"), "left")
           .filter(coalesce(col("deg"), lit(0L)) < k)
-          .select(col("node")).pin
+          .select(col("node")).pinHot // read 3×: probe, union, anti-join
         if (removed.isEmpty) { cascading = false }
         else {
           out = out.unionByName(
@@ -1002,7 +1013,8 @@ object Centrality {
     require(nRegisters >= 4 && nRegisters <= 64, "need 4 <= nRegisters <= 64")
     import graft.functions.HashFunctions.md5_prefix64
     val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().pin
+      .filter(col("src") =!= col("dst")).distinct()
+      .pinHot // loop-static: read twice for nodes + once per ANF round
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var sk = nodes

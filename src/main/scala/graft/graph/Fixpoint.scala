@@ -281,7 +281,17 @@ object Fixpoint {
     * an edge can split a component, which needs a full (or
     * spanning-tree-assisted) recompute. */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
-    val lab = labels.select(col("node"), col("component")).cut
+    // the labeling is read four times below (two projections, the
+    // new-node anti-join, the final relabel), so an unpinned input gets
+    // one cut — but a caller that already holds a pinned labeling (the
+    // streaming sink re-pins its state every micro-batch) must NOT pay
+    // a fresh |labels| re-materialization per fold on top: re-reading
+    // pinned blocks is a cheap scan, re-cutting them writes a whole new
+    // copy each batch (Bridge.isTruncated; measured in PROGRESS r15)
+    val lab0 = labels.select(col("node"), col("component"))
+    val lab =
+      if (org.apache.spark.sql.graftbridge.Bridge.isTruncated(labels)) lab0
+      else lab0.cut
     val ends = newEdges.select(col("a"), col("b"))
     def proj(k: String) = lab.select(col("node").as(k), col("component").as(s"_c$k"))
     val superEdges = ends
@@ -364,7 +374,7 @@ object Fixpoint {
   def regularPathQuery(edges: DataFrame, nfa: DataFrame, starts: DataFrame,
                        maxRounds: Int = 30): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("label"))
-      .pin
+      .pinHot // loop-static: one read per NFA round
     val t = broadcast(nfa.select(col("s_from"), col("label"), col("s_to")))
     var visited = starts.select(col("node")).distinct()
       .withColumn("state", lit(0L)).pin
@@ -1021,7 +1031,7 @@ object Fixpoint {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().pin
+      .distinct().pinHot // read 4x: degree union, support, undSym, rest
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1031,18 +1041,18 @@ object Fixpoint {
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .filter((col("support") + 2) * (col("support") + 2) * 1000000L >=
         lit(epsX1e3 * epsX1e3) * (col("da") + 1) * (col("db") + 1))
-      .select(col("a"), col("b")).pin
+      .select(col("a"), col("b")).pinHot // read 4x below
     val epsCnt = simEdges.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_eps"))
     val cores = epsCnt.filter(col("n_eps") + 1 >= mu).select(col("node"))
-      .pin
+      .pinHot // read 3x: two semi-joins + the cluster join
     val coreEdges = simEdges
       .join(cores.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
       .join(cores.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
     val comps = connectedComponents(coreEdges.select(col("a"), col("b")))
     val coreClusters = cores.join(comps, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
-      .pin
+      .pinHot // read 4x: borders both sides, clustered union, rest probe
     val simSym = simEdges.unionByName(
       simEdges.select(col("b").as("a"), col("a").as("b")))
     val borders = simSym

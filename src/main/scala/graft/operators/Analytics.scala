@@ -337,7 +337,7 @@ object Analytics {
                        minSupport: Long): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     val ti = df.select(txnCol.as("_t"), itemCol.as("_i")).distinct()
-      .pin
+      .pinHot // read 3×: txn count, item counts, baskets (+0.58s SER, r15)
     val nTxn = ti.select(col("_t")).distinct().count()
     val itemCounts = ti.groupBy(col("_i")).agg(count(lit(1)).as("n_item"))
     val baskets = ti.groupBy(col("_t"))

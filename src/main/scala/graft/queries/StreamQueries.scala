@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Lineage.CutOps
 import graft.graph.{Centrality, Fixpoint}
 import graft.streaming.Streaming
 
@@ -619,25 +620,32 @@ object StreamQueries {
   def streamIncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
     val sh0 = Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
-    val newPairs = Dedup.incrementalMinhash(
-        sh0.filter(col("doc_id") % 5 =!= 0), sh0.filter(col("doc_id") % 5 === 0),
-        minJaccX1e6 = 800000L)
-      .select(col("new_id").as("a"), col("old_id").as("b"))
     val srcDir = java.nio.file.Files
       .createTempDirectory("graft_inccc_src").toString
+    // ONE persisted history index feeds both the probe and the seed
+    // clustering (r15 trim: the r14 shape computed history minhashes
+    // twice — once in the probe, once re-shingling inside the scoped
+    // 1-shuffle-partition streaming session, which serialized the LSH
+    // self-join + CC onto a single task)
+    val index = Dedup.lshIndexArtifact(spark,
+      sh0.filter(col("doc_id") % 5 =!= 0), srcDir + "_idx")
+    val newPairs = Dedup.incrementalMinhashIndexed(index,
+        sh0.filter(col("doc_id") % 5 === 0), minJaccX1e6 = 800000L)
+      .select(col("new_id").as("a"), col("old_id").as("b"))
     newPairs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // the seed labeling is computed ONCE at full parallelism in the
+    // outer session and handed over as a PERSISTED parquet artifact —
+    // the production shape (component labels survive between syncs, the
+    // lshIndexArtifact pattern)
+    val labDir = srcDir + "_labels"
+    Fixpoint.connectedComponents(
+        Dedup.minhashLshIndexed(index, minJaccX1e6 = 800000L)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .write.mode("overwrite").parquet(labDir)
     val schema = spark.read.parquet(srcDir).schema
     withStateSession(spark) { scoped =>
-      // the seed labeling lives in the scoped session (frames cannot
-      // cross sessions); history is clustered once, here
-      val hist = Dedup.shingleTable(
-        Tables.documents(scoped, dir).filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text")
-      val prev = Fixpoint.connectedComponents(
-        Dedup.minhashLsh(hist, minJaccX1e6 = 800000L)
-          .select(col("doc_a").as("a"), col("doc_b").as("b")))
       val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-        graft.Lineage.pinned(prev, eager = true))
+        graft.Lineage.pinned(scoped.read.parquet(labDir), eager = true))
       val src = scoped.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = Streaming.incrementalComponentsSink(src, ref).start()

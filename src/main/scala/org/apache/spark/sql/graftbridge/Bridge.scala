@@ -104,6 +104,52 @@ object Bridge {
     spark.internalCreateDataFrame(rdd, ds.schema)
   }
 
+  /** Storage level for HOT pins — frames a fixpoint re-reads many times
+    * per round (k-truss' peel table, coreness' live/edge state, the
+    * basket table of the rules miner). Serialized blocks pay a full
+    * deserialization per RE-READ; for these sites the r15 paired runs
+    * measured +0.5-0.7s per query at sf0.1 under SER vs deser, while
+    * the storm class SER protects against (MemoryStore SizeEstimator
+    * sampling on UNROLL) bills per write, which hot read-many frames do
+    * once. So: hot pins default to deserialized; an EXPLICIT global
+    * `graft.lineage.pinStorage` (either value) still wins, so one knob
+    * can force the whole engine storm-safe ('ser') or fast ('deser')
+    * for artifact comparability. */
+  def hotPinStorageLevel(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.storage.StorageLevel = {
+    val explicit = spark.conf.getOption("graft.lineage.pinStorage")
+      .orElse(sys.props.get("graft.lineage.pinStorage"))
+    explicit match {
+      case Some("ser")   => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      case Some("deser") => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.lineage.pinStorage must be 'ser' or 'deser', got '$other'")
+      case None => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    }
+  }
+
+  /** True when the frame is already a materialized leaf — a
+    * checkpoint/pin scan (`LogicalRDD`), possibly under trivial
+    * Project/SubqueryAlias wrappers. Lets loop bodies that defensively
+    * `.cut` their inputs skip the redundant re-materialization when the
+    * caller hands them an already-pinned frame: re-reading a pinned
+    * block N times is a cheap block scan, re-CUTTING it per call writes
+    * a whole fresh copy (the stream_incremental_components per-batch
+    * tax, measured in PROGRESS round 15). Only Project/alias wrappers
+    * are stripped — anything with a filter, join, or aggregate on top
+    * still cuts. */
+  def isTruncated(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child)       => strip(child)
+      case SubqueryAlias(_, child) => strip(child)
+      case other                   => other
+    }
+    strip(df.queryExecution.analyzed)
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+  }
+
   /** Drain the async listener bus (private[spark]) — snapshotting
     * listener-accumulated task metrics right after an action otherwise
     * races the bus and attributes late task-end events to the NEXT

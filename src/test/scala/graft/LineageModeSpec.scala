@@ -97,6 +97,56 @@ class LineageModeSpec extends AnyFunSuite {
       s"6 pins at reliableEvery=3 must pay exactly 2 durable writes, got $durable")
   }
 
+  test("isTruncated sees pinned leaves through trivial wrappers, nothing else") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.Lineage.CutOps
+    val raw = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("node", "component")
+    assert(!Bridge.isTruncated(raw))
+    val pinned = raw.pinEager
+    assert(Bridge.isTruncated(pinned))
+    // trivial projections over the leaf still count as truncated …
+    assert(Bridge.isTruncated(pinned.select(col("node"), col("component"))))
+    assert(Bridge.isTruncated(pinned.select(col("node").as("n"))))
+    // … but anything that recomputes (filter/agg/join) does not
+    assert(!Bridge.isTruncated(pinned.filter(col("node") > 1)))
+    assert(!Bridge.isTruncated(pinned.groupBy("component").count()))
+    assert(Bridge.isTruncated(raw.cutEager))
+    // the quotient fold must not re-cut a pinned labeling: its output
+    // over a pinned input matches the unpinned path exactly
+    val newEdges = Seq((2L, 3L)).toDF("a", "b")
+    val viaPinned = graph.Fixpoint.incrementalComponents(pinned, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRaw = graph.Fixpoint.incrementalComponents(raw, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPinned == viaRaw)
+  }
+
+  test("pinHot stores deserialized unless the global knob explicitly forces a level") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.storage.StorageLevel
+    // default: hot sites deserialized, plain pins serialized
+    assert(Bridge.hotPinStorageLevel(spark) == StorageLevel.MEMORY_AND_DISK)
+    assert(Bridge.pinStorageLevel(spark) == StorageLevel.MEMORY_AND_DISK_SER)
+    // explicit global wins over the per-site hint, both directions
+    spark.conf.set("graft.lineage.pinStorage", "ser")
+    try assert(Bridge.hotPinStorageLevel(spark) == StorageLevel.MEMORY_AND_DISK_SER)
+    finally spark.conf.unset("graft.lineage.pinStorage")
+    spark.conf.set("graft.lineage.pinStorage", "deser")
+    try {
+      assert(Bridge.hotPinStorageLevel(spark) == StorageLevel.MEMORY_AND_DISK)
+      assert(Bridge.pinStorageLevel(spark) == StorageLevel.MEMORY_AND_DISK)
+    } finally spark.conf.unset("graft.lineage.pinStorage")
+    // output-invisible: a hot pin is still the same frame
+    import graft.Lineage.CutOps
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(df.pinHot.collect().toSet == df.collect().toSet)
+    // reliable mode routes pinHot through the durable pin path
+    withMode("reliable") {
+      assert(df.pinHot.collect().toSet == df.collect().toSet)
+    }
+  }
+
   test("unknown mode fails fast") {
     import Lineage.CutOps
     val df = spark.range(10).toDF("id")

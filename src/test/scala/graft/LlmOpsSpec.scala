@@ -81,6 +81,22 @@ class LlmOpsSpec extends AnyFunSuite {
       (20L, "standard license header boilerplate common to every repo", "s"))
   ).toDF("doc_id", "text", "source")
 
+  test("minhashLshIndexed over the stored index equals minhashLsh on the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-selfidx").toString + "/idx"
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text")
+    val direct = Dedup.minhashLsh(sh, 500000L)
+      .select("doc_a", "doc_b", "jacc_x1e6")
+      .as[(Long, Long, Long)].collect().toSet
+    val idx = Dedup.lshIndexArtifact(spark, sh, dir)
+    val viaIndex = Dedup.minhashLshIndexed(idx, 500000L)
+      .select("doc_a", "doc_b", "jacc_x1e6")
+      .as[(Long, Long, Long)].collect().toSet
+    // byte-identical pairs AND scores: same band candidates, same exact
+    // verification — one persisted epoch serves self-clustering and the
+    // incremental probe without recomputing history minhashes
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("hot-bucket skip mode drops only the hot-bucket candidates") {
     val sh = Dedup.shingleTable(hotCorpus, "doc_id", "text")
     val hist = sh.filter($"doc_id" < 11L)
