@@ -201,6 +201,25 @@ object LlmQueries {
       minJaccX1e6 = 800000L)
   }
 
+  /** The COMPLETE per-sync pair set ([[Dedup.incrementalMinhashComplete]]):
+    * history-index probe UNION within-batch self-LSH, built over ONE
+    * persisted index artifact. The oracle is the from-scratch full-corpus
+    * LSH restricted to pairs touching the batch — the completeness
+    * statement [[dedupIncrementalMinhash]] alone cannot make (two
+    * near-dups arriving in the same sync never meet the index). */
+  def dedupIncrementalBatchPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_incbatch_idx").toString + "/idx"
+    // batch = doc_id % 5 <= 1: this slice carries BOTH same-batch
+    // near-dup pairs (4 at sf0.01) and cross-epoch ones (14), so the
+    // gate exercises both terms of the union
+    val index = Dedup.lshIndexArtifact(spark,
+      sh.filter(col("doc_id") % 5 > 1), idxDir)
+    Dedup.incrementalMinhashComplete(index,
+      sh.filter(col("doc_id") % 5 <= 1), minJaccX1e6 = 800000L)
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -995,6 +1014,7 @@ object LlmQueries {
     "dedup_allpairs" -> (dedupAllPairs _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
+    "dedup_incremental_batch_pairs" -> (dedupIncrementalBatchPairs _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_components" -> (dedupComponents _),
     "dedup_incremental_components" -> (dedupIncrementalComponents _),
@@ -2279,6 +2299,32 @@ object LlmQueries {
          |SELECT dn AS new_id, do_ AS old_id,
          |  CAST(floor(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jacc_x1e6
          |FROM inter JOIN shsize na ON dn = na.doc_id JOIN shsize nb ON do_ = nb.doc_id
+         |WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000""".stripMargin,
+    "dedup_incremental_batch_pairs" ->
+      s"""WITH $TextCtes,
+         |mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS b1, h1 AS b2 FROM mh UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM mh UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM mh),
+         |-- from-scratch full-corpus candidates, restricted to pairs with
+         |-- at least one batch (doc_id % 5 = 0) side: the completeness
+         |-- oracle for probe ∪ within-batch
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+         |   AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 5 <= 1 OR y.doc_id % 5 <= 1),
+         |inter AS (
+         |  SELECT c.da, c.db, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.doc_id = c.da
+         |              JOIN sh b ON b.doc_id = c.db AND a.sid = b.sid
+         |  GROUP BY c.da, c.db)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(floor(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jacc_x1e6
+         |FROM inter JOIN shsize na ON da = na.doc_id JOIN shsize nb ON db = nb.doc_id
          |WHERE floor(1000000.0 * i / (na.n + nb.n - i)) >= 800000""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $TextCtes,

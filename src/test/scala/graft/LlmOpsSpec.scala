@@ -97,6 +97,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaIndex == direct && direct.nonEmpty)
   }
 
+  test("incrementalMinhashComplete pairs same-batch near-dups the probe alone misses") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-complete").toString + "/idx"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "s"),
+      (2L, "completely different text about spark catalyst optimizer rules", "s"),
+      // 5 and 10: near-dups OF EACH OTHER, unrelated to all history —
+      // the same-sync arrival case
+      (5L, "training data pipelines need deduplication at scale every day", "s"),
+      (10L, "training data pipelines need deduplication at scale every day extra", "s"),
+      // 15: near-dup of history doc 1 — the cross term must still fire
+      (15L, "the quick brown fox jumps over the lazy dog again and again more", "s"))
+      .toDF("doc_id", "text", "source")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val hist = sh.filter($"doc_id" % 5 =!= 0)
+    val batch = sh.filter($"doc_id" % 5 === 0)
+    val idx = Dedup.lshIndexArtifact(spark, hist, dir)
+    val probeOnly = Dedup.incrementalMinhashIndexed(idx, batch, 500000L)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(probeOnly == Set((15L, 1L))) // the (5,10) pair is INVISIBLE here
+    val complete = Dedup.incrementalMinhashComplete(idx, batch, 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(complete == Set((1L, 15L), (5L, 10L)))
+  }
+
   test("hot-bucket skip mode drops only the hot-bucket candidates") {
     val sh = Dedup.shingleTable(hotCorpus, "doc_id", "text")
     val hist = sh.filter($"doc_id" < 11L)
