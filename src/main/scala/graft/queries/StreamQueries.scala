@@ -609,6 +609,34 @@ object StreamQueries {
     }
   }
 
+  /** The ENTIRE corpus streamed through the self-growing dedup sink
+    * ([[graft.streaming.Streaming.growingDedupSink]]) from an EMPTY
+    * index, one file per micro-batch: each batch is matched completely
+    * (index probe ∪ within-batch self-LSH) and then folded into the
+    * index, so the accumulated pair set must equal the one-shot
+    * full-corpus [[graft.dedup.Dedup.minhashLsh]] — this gate shares
+    * that gate's oracle VERBATIM, making slicing-insensitivity the
+    * checked property. The production shape of continuous ingestion
+    * where history starts empty and every sync both dedups against and
+    * extends the corpus. */
+  def streamGrowingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_growdedup_src").toString
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    withStateSession(spark) { scoped =>
+      val src = scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val matches = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+      val index = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+      val q = Streaming.growingDedupSink(src, matches, index, 800000L).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      matches.get()
+    }
+  }
+
   /** Streaming cluster maintenance over the incremental dedup feed: the
     * history corpus is clustered ONCE; its incremental probe matches are
     * replayed one file per micro-batch through
@@ -1056,6 +1084,7 @@ object StreamQueries {
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
+    "stream_growing_dedup" -> (streamGrowingDedup _),
     "stream_incremental_components" -> (streamIncrementalComponents _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_stream_left_join" -> (streamStreamLeftJoin _),
@@ -1708,6 +1737,8 @@ object StreamQueries {
     // the streaming accumulation must equal the one-shot batch probe
     // regardless of micro-batch slicing — same oracle, verbatim
     "stream_incremental_dedup" -> LlmQueries.oracles("dedup_incremental_minhash"),
+    // the growing-index sink must reproduce the one-shot full-corpus LSH
+    "stream_growing_dedup" -> LlmQueries.oracles("dedup_minhash_lsh"),
     "stream_incremental_components" ->
       LlmQueries.oracles("dedup_incremental_components"),
     "stream_pattern_match" ->

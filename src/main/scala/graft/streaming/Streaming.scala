@@ -395,6 +395,57 @@ object Streaming {
       ()
     }
 
+  /** Streaming near-dup dedup with a SELF-GROWING index — the full
+    * production shape [[incrementalDedupSink]]'s fixed-epoch probe only
+    * approximates: each micro-batch is (1) matched COMPLETELY
+    * ([[graft.dedup.Dedup.incrementalMinhashComplete]]: index probe ∪
+    * within-batch self-LSH — same-sync near-dups included), then (2)
+    * FOLDED into the index (signature union, deduped by doc id), so
+    * docs from earlier micro-batches are probe-able by later ones.
+    * Streaming an entire corpus through this sink from an empty index
+    * therefore accumulates EXACTLY the one-shot full-corpus
+    * [[graft.dedup.Dedup.minhashLsh]] pair set, independent of how the
+    * feed is sliced — every pair (a, b) is found either by the within
+    * term (same batch) or by b's batch probing an index that already
+    * holds a (cross batch); the `stream_growing_dedup` gate shares the
+    * batch gate's oracle verbatim on that equality. Replay-idempotent:
+    * a re-delivered batch re-derives the same deterministic pairs
+    * (absorbed by the pair-key union) and its signatures dedup away on
+    * the doc id — at-least-once delivery needs no transactional sink.
+    * Index state is the persisted-artifact shape (signatures only,
+    * never raw text); per-batch cost tracks the batch: the probe is
+    * band-bucketed against the index, the self-join is batch-local,
+    * and the index fold is one union + dedup on the id. */
+  def growingDedupSink(newDocs: DataFrame,
+                       matches: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                       index: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                       minJaccX1e6: Long,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val sh = graft.Lineage.pinned(
+        graft.dedup.Dedup.shingleTable(batch, idCol, textCol), eager = false)
+      val idx = index.get()
+      val hits =
+        if (idx == null) graft.dedup.Dedup.minhashLsh(sh, minJaccX1e6)
+        else graft.dedup.Dedup.incrementalMinhashComplete(idx, sh,
+          minJaccX1e6, maxBucketOccupancy)
+      matches.updateAndGet { cur =>
+        val merged =
+          if (cur == null) hits.dropDuplicates("doc_a" :: "doc_b" :: Nil)
+          else cur.unionByName(hits).dropDuplicates("doc_a" :: "doc_b" :: Nil)
+        merged.pinEager
+      }
+      index.updateAndGet { cur =>
+        val sigs = graft.dedup.Dedup.signatures(sh)
+        val folded =
+          if (cur == null) sigs
+          else cur.unionByName(sigs).dropDuplicates("doc_id" :: Nil)
+        folded.pinEager
+      }
+      ()
+    }
+
   /** Streaming cluster maintenance: each micro-batch of (a, b) pairs
     * folds into the evolving component labeling through
     * [[graft.graph.Fixpoint.incrementalComponents]] — the old labels

@@ -335,4 +335,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(after.count() == 1)
     } finally q.stop()
   }
+
+  test("growingDedupSink accumulates the full-corpus LSH and replays idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val pipe = "training data pipelines need deduplication at scale every day"
+    val corpus = Seq(
+      (0L, fox), (1L, fox + " extra"),          // near-dups, SPLIT across batches
+      (2L, "completely different text about spark catalyst optimizer rules"),
+      (5L, pipe), (6L, pipe + " more"),          // near-dups, SAME batch
+      (7L, "another unrelated document mentioning shuffles joins and scans"))
+    val source = MemoryStream[(Long, String)]
+    val df = source.toDF().toDF("doc_id", "text")
+    val matches = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame](null)
+    val index = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame](null)
+    val q = Streaming.growingDedupSink(df, matches, index, 500000L).start()
+    try {
+      // batch 1: docs 0, 2 — no pairs yet (empty-index self-LSH leg)
+      source.addData(corpus.filter(d => Set(0L, 2L)(d._1)): _*)
+      q.processAllAvailable()
+      assert(matches.get().count() == 0)
+      // batch 2: doc 1 (cross-batch dup of 0) + same-batch dup pair 5/6
+      source.addData(corpus.filter(d => Set(1L, 5L, 6L)(d._1)): _*)
+      q.processAllAvailable()
+      // batch 3: unrelated doc
+      source.addData(corpus.filter(d => d._1 == 7L): _*)
+      q.processAllAvailable()
+      val got = matches.get().select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      // == the one-shot full-corpus LSH, found across batch boundaries
+      // (0,1) and inside one batch (5,6)
+      val oneShot = Dedup.minhashLsh(
+        Dedup.shingleTable(corpus.toDF("doc_id", "text"), "doc_id", "text"),
+        500000L).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == oneShot && got == Set((0L, 1L), (5L, 6L)))
+      // index holds one signature row per doc, no raw text column
+      assert(index.get().count() == 6 &&
+        !index.get().columns.contains("text"))
+      // at-least-once replay of batch 2 AFTER its docs joined the index:
+      // no self-pairs, no duplicates — matches and index are unchanged
+      source.addData(corpus.filter(d => Set(1L, 5L, 6L)(d._1)): _*)
+      q.processAllAvailable()
+      val replayed = matches.get().select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(replayed == got && matches.get().count() == 2)
+      assert(index.get().count() == 6)
+    } finally q.stop()
+  }
 }
