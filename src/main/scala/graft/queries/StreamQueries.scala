@@ -637,6 +637,42 @@ object StreamQueries {
     }
   }
 
+  /** Raw docs in, canonical near-dup clusters out, continuously: the
+    * whole corpus streamed through
+    * [[graft.streaming.Streaming.growingComponentsSink]] from empty
+    * state — per micro-batch: complete match (growing index probe ∪
+    * within-batch self-LSH), index fold, THEN a star-contraction fold
+    * of the new pairs into the evolving component labeling. The final
+    * labels, left-joined onto the doc table with singleton fallback,
+    * must equal the one-shot [[LlmQueries.dedupComponents]] pipeline —
+    * this gate shares that gate's oracle VERBATIM, so end-to-end
+    * slicing-insensitivity of the composed dedup+clustering sink is
+    * the checked property. */
+  def streamGrowingComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_growcc_src").toString
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    withStateSession(spark) { scoped =>
+      val src = scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val matches = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+      val index = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+      val labels = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+      val q = Streaming.growingComponentsSink(src, matches, index, labels,
+        800000L).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      Tables.documents(scoped, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(labels.get().withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+    }
+  }
+
   /** Streaming cluster maintenance over the incremental dedup feed: the
     * history corpus is clustered ONCE; its incremental probe matches are
     * replayed one file per micro-batch through
@@ -1085,6 +1121,7 @@ object StreamQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_growing_dedup" -> (streamGrowingDedup _),
+    "stream_growing_components" -> (streamGrowingComponents _),
     "stream_incremental_components" -> (streamIncrementalComponents _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_stream_left_join" -> (streamStreamLeftJoin _),
@@ -1739,6 +1776,8 @@ object StreamQueries {
     "stream_incremental_dedup" -> LlmQueries.oracles("dedup_incremental_minhash"),
     // the growing-index sink must reproduce the one-shot full-corpus LSH
     "stream_growing_dedup" -> LlmQueries.oracles("dedup_minhash_lsh"),
+    // ... and its composed clustering the one-shot components pipeline
+    "stream_growing_components" -> LlmQueries.oracles("dedup_components"),
     "stream_incremental_components" ->
       LlmQueries.oracles("dedup_incremental_components"),
     "stream_pattern_match" ->

@@ -423,25 +423,73 @@ object Streaming {
                        idCol: String = "doc_id", textCol: String = "text",
                        maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val sh = graft.Lineage.pinned(
-        graft.dedup.Dedup.shingleTable(batch, idCol, textCol), eager = false)
-      val idx = index.get()
-      val hits =
-        if (idx == null) graft.dedup.Dedup.minhashLsh(sh, minJaccX1e6)
-        else graft.dedup.Dedup.incrementalMinhashComplete(idx, sh,
-          minJaccX1e6, maxBucketOccupancy)
-      matches.updateAndGet { cur =>
-        val merged =
-          if (cur == null) hits.dropDuplicates("doc_a" :: "doc_b" :: Nil)
-          else cur.unionByName(hits).dropDuplicates("doc_a" :: "doc_b" :: Nil)
-        merged.pinEager
-      }
-      index.updateAndGet { cur =>
-        val sigs = graft.dedup.Dedup.signatures(sh)
-        val folded =
-          if (cur == null) sigs
-          else cur.unionByName(sigs).dropDuplicates("doc_id" :: Nil)
-        folded.pinEager
+      growDedupStep(batch, matches, index, minJaccX1e6, idCol, textCol,
+        maxBucketOccupancy)
+      ()
+    }
+
+  /** One micro-batch of the growing-index dedup: match completely,
+    * merge into the accumulated pair set, fold signatures into the
+    * index. Returns the batch's OWN match frame so composing sinks
+    * ([[growingComponentsSink]]) can fold it further. */
+  private def growDedupStep(batch: DataFrame,
+      matches: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      index: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      minJaccX1e6: Long, idCol: String, textCol: String,
+      maxBucketOccupancy: Long): DataFrame = {
+    val sh = graft.Lineage.pinned(
+      graft.dedup.Dedup.shingleTable(batch, idCol, textCol), eager = false)
+    val idx = index.get()
+    val hits = graft.Lineage.pinned(
+      if (idx == null) graft.dedup.Dedup.minhashLsh(sh, minJaccX1e6)
+      else graft.dedup.Dedup.incrementalMinhashComplete(idx, sh,
+        minJaccX1e6, maxBucketOccupancy), eager = false)
+    matches.updateAndGet { cur =>
+      val merged =
+        if (cur == null) hits.dropDuplicates("doc_a" :: "doc_b" :: Nil)
+        else cur.unionByName(hits).dropDuplicates("doc_a" :: "doc_b" :: Nil)
+      merged.pinEager
+    }
+    index.updateAndGet { cur =>
+      val sigs = graft.dedup.Dedup.signatures(sh)
+      val folded =
+        if (cur == null) sigs
+        else cur.unionByName(sigs).dropDuplicates("doc_id" :: Nil)
+      folded.pinEager
+    }
+    hits
+  }
+
+  /** [[growingDedupSink]] composed with live cluster upkeep: each
+    * micro-batch's complete match set additionally folds into an
+    * evolving (node, component) labeling via
+    * [[graft.graph.Fixpoint.incrementalComponents]] — raw docs in,
+    * canonical near-dup clusters out, continuously. Streaming a whole
+    * corpus from empty state must end with labels identical to the
+    * one-shot [[graft.dedup.Dedup.minhashLsh]] → connectedComponents
+    * pipeline (the `stream_growing_components` gate shares
+    * `dedup_components`' oracle verbatim): the pair stream it folds IS
+    * the one-shot pair set (growingDedupSink's gate), and the fold is
+    * order- and slicing-insensitive. Replay-idempotent end to end — a
+    * re-delivered batch re-derives pairs the labeling already
+    * contracted (no self-pairs by [[graft.dedup.Dedup
+    * .incrementalMinhashComplete]]'s cross-term guard). */
+  def growingComponentsSink(newDocs: DataFrame,
+      matches: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      index: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      labels: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      minJaccX1e6: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val hits = growDedupStep(batch, matches, index, minJaccX1e6, idCol,
+        textCol, maxBucketOccupancy)
+      val pairs = hits.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      labels.updateAndGet { cur =>
+        val next =
+          if (cur == null) graft.graph.Fixpoint.connectedComponents(pairs)
+          else graft.graph.Fixpoint.incrementalComponents(cur, pairs)
+        next.pinEager
       }
       ()
     }
