@@ -63,6 +63,20 @@ object ScaleSmoke {
           dedup.Dedup.shingleTable(batch, "doc_id", "text"),
           800000L).count()
       }
+      time("incremental_minhash_complete", m) {
+        // same fixed batch vs ×m history, through the COMPLETE match
+        // (index probe ∪ within-batch self-LSH): the second term is
+        // history-independent by construction, so the curve must stay
+        // flat exactly like incremental_minhash's — the same-sync
+        // blind-spot fix cannot cost history-proportional work
+        val batch = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 5 === 0)
+        dedup.Dedup.incrementalMinhashComplete(
+          dedup.Dedup.signatures(dedup.Dedup.shingleTable(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")),
+          dedup.Dedup.shingleTable(batch, "doc_id", "text"),
+          800000L).count()
+      }
       // Adversarial hot-bucket pair (r13 verdict item 3): 90% of the
       // HISTORY is byte-identical boilerplate, so one band-bucket set
       // holds 0.9×|hist| docs; the fixed ~17-doc batch carries ~15
