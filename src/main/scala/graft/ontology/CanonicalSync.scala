@@ -89,16 +89,25 @@ object CanonicalSync {
       for {
         (node, ni) <- eligible.zipWithIndex
         (source, si) <- sources.zipWithIndex
-      } yield (canonical(node.nodeLabel)
-        .filter(col(ontSourceCol) === source), node,
-        ni * sources.size + si)
+      } yield {
+        require(canonical.contains(node.nodeLabel),
+          s"category carries the ontology pseudo-module: pass a canonical " +
+            s"frame for '${node.nodeLabel}'")
+        (canonical(node.nodeLabel)
+          .filter(col(ontSourceCol) === source), node,
+          ni * sources.size + si)
+      }
     }
     val provReads = for {
       (m, p) <- selected.zipWithIndex
       node <- m.nodes if node.eligibleForSource
     } yield {
-      val df = if (m.key == OntologyModuleKey) canonical(node.nodeLabel)
-               else provider(node.nodeLabel)
+      val df = if (m.key == OntologyModuleKey) {
+        require(canonical.contains(node.nodeLabel),
+          s"'$OntologyModuleKey' is selected as a source: pass a canonical " +
+            s"frame for '${node.nodeLabel}'")
+        canonical(node.nodeLabel)
+      } else provider(node.nodeLabel)
       (df, node, ontReads.size + p)
     }
     val reads = ontReads ++ provReads

@@ -2309,7 +2309,7 @@ object LlmQueries {
          |  SELECT doc_id, 2, h4, h5 FROM mh UNION ALL
          |  SELECT doc_id, 3, h6, h7 FROM mh),
          |-- from-scratch full-corpus candidates, restricted to pairs with
-         |-- at least one batch (doc_id % 5 = 0) side: the completeness
+         |-- at least one batch (doc_id % 5 <= 1) side: the completeness
          |-- oracle for probe ∪ within-batch
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db

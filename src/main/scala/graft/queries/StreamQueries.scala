@@ -628,12 +628,12 @@ object StreamQueries {
     withStateSession(spark) { scoped =>
       val src = scoped.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val matches = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-      val index = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-      val q = Streaming.growingDedupSink(src, matches, index, 800000L).start()
+      val state = graft.streaming.GrowingDedupState(java.nio.file.Files
+        .createTempDirectory("graft_growdedup_state").toString)
+      val q = Streaming.growingDedupSink(src, state, 800000L).start()
       try q.processAllAvailable()
       finally q.stop()
-      matches.get()
+      state.matches(scoped)
     }
   }
 
@@ -657,16 +657,16 @@ object StreamQueries {
     withStateSession(spark) { scoped =>
       val src = scoped.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val matches = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-      val index = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-      val labels = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-      val q = Streaming.growingComponentsSink(src, matches, index, labels,
-        800000L).start()
+      val state = graft.streaming.GrowingDedupState(java.nio.file.Files
+        .createTempDirectory("graft_growcc_state").toString)
+      val q = Streaming.growingComponentsSink(src, state, 800000L).start()
       try q.processAllAvailable()
       finally q.stop()
+      val labels = state.labels(scoped).getOrElse(
+        throw new IllegalStateException("no label snapshot published"))
       Tables.documents(scoped, dir)
         .select(col("doc_id").cast("long").as("doc_id"))
-        .join(labels.get().withColumnRenamed("node", "doc_id"),
+        .join(labels.withColumnRenamed("node", "doc_id"),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("canonical_id"))

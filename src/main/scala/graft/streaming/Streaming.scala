@@ -412,52 +412,52 @@ object Streaming {
     * a re-delivered batch re-derives the same deterministic pairs
     * (absorbed by the pair-key union) and its signatures dedup away on
     * the doc id — at-least-once delivery needs no transactional sink.
-    * Index state is the persisted-artifact shape (signatures only,
-    * never raw text); per-batch cost tracks the batch: the probe is
-    * band-bucketed against the index, the self-join is batch-local,
-    * and the index fold is one union + dedup on the id. */
+    * State is the PERSISTED-ARTIFACT shape ([[GrowingDedupState]]:
+    * signatures only, never raw text) and every per-batch fold is
+    * O(batch): the probe is band-bucketed against the index, the
+    * self-join is batch-local, and the "fold" is appending the batch's
+    * own signature and pair rows as their own store partitions — no
+    * shuffle over the accumulated index or pair set, no fresh full-copy
+    * pin per batch (the r15 in-memory fold paid both, linearly per
+    * batch). Replay dedup is deferred to probe/read time, which the
+    * probe's pair-key dedups already do for free. State outlives the
+    * query: a later session resumes from the same root under a fresh
+    * epoch (spec'd equal to the one-shot pipeline). */
   def growingDedupSink(newDocs: DataFrame,
-                       matches: java.util.concurrent.atomic.AtomicReference[DataFrame],
-                       index: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                       state: GrowingDedupState,
                        minJaccX1e6: Long,
                        idCol: String = "doc_id", textCol: String = "text",
                        maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      growDedupStep(batch, matches, index, minJaccX1e6, idCol, textCol,
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      growDedupStep(batch, batchId, state, minJaccX1e6, idCol, textCol,
         maxBucketOccupancy)
       ()
     }
 
-  /** One micro-batch of the growing-index dedup: match completely,
-    * merge into the accumulated pair set, fold signatures into the
-    * index. Returns the batch's OWN match frame so composing sinks
-    * ([[growingComponentsSink]]) can fold it further. */
-  private def growDedupStep(batch: DataFrame,
-      matches: java.util.concurrent.atomic.AtomicReference[DataFrame],
-      index: java.util.concurrent.atomic.AtomicReference[DataFrame],
+  /** One micro-batch of the growing-index dedup: match completely
+    * (first batch = guarded self-LSH — no history yet, but a
+    * boilerplate flood inside it still hits the occupancy cap), append
+    * the batch's pairs and signatures as their own store partitions.
+    * Returns the batch's own match frame AS THE STORE READ-BACK (a
+    * parquet leaf — already materialized, lineage-free) so composing
+    * sinks ([[growingComponentsSink]]) can fold it without recompute. */
+  private def growDedupStep(batch: DataFrame, batchId: Long,
+      state: GrowingDedupState,
       minJaccX1e6: Long, idCol: String, textCol: String,
       maxBucketOccupancy: Long): DataFrame = {
+    val spark = batch.sparkSession
     val sh = graft.Lineage.pinned(
       graft.dedup.Dedup.shingleTable(batch, idCol, textCol), eager = false)
-    val idx = index.get()
-    val hits = graft.Lineage.pinned(
-      if (idx == null) graft.dedup.Dedup.minhashLsh(sh, minJaccX1e6)
-      else graft.dedup.Dedup.incrementalMinhashComplete(idx, sh,
-        minJaccX1e6, maxBucketOccupancy), eager = false)
-    matches.updateAndGet { cur =>
-      val merged =
-        if (cur == null) hits.dropDuplicates("doc_a" :: "doc_b" :: Nil)
-        else cur.unionByName(hits).dropDuplicates("doc_a" :: "doc_b" :: Nil)
-      merged.pinEager
+    val hits = state.indexRaw(spark) match {
+      case None => graft.dedup.Dedup.minhashLshGuarded(sh, minJaccX1e6,
+        maxBucketOccupancy)
+      case Some(idx) => graft.dedup.Dedup.incrementalMinhashComplete(idx, sh,
+        minJaccX1e6, maxBucketOccupancy)
     }
-    index.updateAndGet { cur =>
-      val sigs = graft.dedup.Dedup.signatures(sh)
-      val folded =
-        if (cur == null) sigs
-        else cur.unionByName(sigs).dropDuplicates("doc_id" :: Nil)
-      folded.pinEager
-    }
-    hits
+    BatchStore.append(hits, state.pairDir, state.epoch, batchId)
+    BatchStore.append(graft.dedup.Dedup.signatures(sh), state.sigDir,
+      state.epoch, batchId)
+    spark.read.parquet(BatchStore.batchDir(state.pairDir, state.epoch, batchId))
   }
 
   /** [[growingDedupSink]] composed with live cluster upkeep: each
@@ -473,24 +473,29 @@ object Streaming {
     * order- and slicing-insensitive. Replay-idempotent end to end — a
     * re-delivered batch re-derives pairs the labeling already
     * contracted (no self-pairs by [[graft.dedup.Dedup
-    * .incrementalMinhashComplete]]'s cross-term guard). */
+    * .incrementalMinhashComplete]]'s cross-term guard), and the
+    * star-contraction fold is replay-insensitive by spec — so the pair
+    * stream feeds the fold DIRECTLY, with no accumulated-pair-set dedup
+    * in the path at all. Labels persist as snapshot state
+    * ([[BatchStore.publishSnapshot]]): a full linear write per batch
+    * (the state-store snapshot shape — scan + write, never a shuffle of
+    * accumulated state), latest two kept, resumable across sessions. */
   def growingComponentsSink(newDocs: DataFrame,
-      matches: java.util.concurrent.atomic.AtomicReference[DataFrame],
-      index: java.util.concurrent.atomic.AtomicReference[DataFrame],
-      labels: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      state: GrowingDedupState,
       minJaccX1e6: Long,
       idCol: String = "doc_id", textCol: String = "text",
       maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val hits = growDedupStep(batch, matches, index, minJaccX1e6, idCol,
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val hits = growDedupStep(batch, batchId, state, minJaccX1e6, idCol,
         textCol, maxBucketOccupancy)
       val pairs = hits.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      labels.updateAndGet { cur =>
-        val next =
-          if (cur == null) graft.graph.Fixpoint.connectedComponents(pairs)
-          else graft.graph.Fixpoint.incrementalComponents(cur, pairs)
-        next.pinEager
+      val next = state.labels(spark) match {
+        case None => graft.graph.Fixpoint.connectedComponents(pairs)
+        case Some(cur) => graft.graph.Fixpoint.incrementalComponents(cur, pairs)
       }
+      BatchStore.publishSnapshot(next.select(col("node"), col("component")),
+        state.labelDir, state.epoch, batchId)
       ()
     }
 

@@ -135,14 +135,19 @@ object Bridge {
     * caller hands them an already-pinned frame: re-reading a pinned
     * block N times is a cheap block scan, re-CUTTING it per call writes
     * a whole fresh copy (the stream_incremental_components per-batch
-    * tax, measured in PROGRESS round 15). Only Project/alias wrappers
-    * are stripped — anything with a filter, join, or aggregate on top
-    * still cuts. */
+    * tax, measured in PROGRESS round 15). Only DETERMINISTIC
+    * Project/alias wrappers are stripped (Spark's own CollapseProject
+    * guard): a projection carrying rand/uuid/
+    * monotonically_increasing_id over a pinned leaf is NOT "already
+    * materialized" — multi-read consumers would observe different
+    * values per read, which is exactly what the pin exists to prevent.
+    * Anything with a filter, join, or aggregate on top still cuts. */
   def isTruncated(df: org.apache.spark.sql.DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
     @annotation.tailrec
     def strip(p: LogicalPlan): LogicalPlan = p match {
-      case Project(_, child)       => strip(child)
+      case Project(projectList, child) if projectList.forall(_.deterministic) =>
+        strip(child)
       case SubqueryAlias(_, child) => strip(child)
       case other                   => other
     }

@@ -111,6 +111,12 @@ class LineageModeSpec extends AnyFunSuite {
     // … but anything that recomputes (filter/agg/join) does not
     assert(!Bridge.isTruncated(pinned.filter(col("node") > 1)))
     assert(!Bridge.isTruncated(pinned.groupBy("component").count()))
+    // a NONDETERMINISTIC projection is not "already materialized":
+    // skipping the pin would let multi-read consumers observe different
+    // rand/uuid values per read (CollapseProject's own guard)
+    assert(!Bridge.isTruncated(pinned.withColumn("r", rand())))
+    assert(!Bridge.isTruncated(
+      pinned.select(col("node"), monotonically_increasing_id().as("m"))))
     assert(Bridge.isTruncated(raw.cutEager))
     // the quotient fold must not re-cut a pinned labeling: its output
     // over a pinned input matches the unpinned path exactly

@@ -167,6 +167,65 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ok == Set((11L, 10L)))
   }
 
+  test("within-batch hot-bucket guard: skip drops flood pairs, fail aborts, cold pair survives") {
+    // the flood arrives INSIDE one batch — the index probe's guard never
+    // sees it; the within-batch self-LSH leg must carry its own census
+    val sh = Dedup.shingleTable(hotCorpus, "doc_id", "text")
+    val hist = Dedup.shingleTable(
+      Seq((100L, "history doc unrelated to everything in the batch", "s"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text")
+    val idx = Dedup.signatures(hist)
+    // uncapped: the 6-copy boilerplate flood yields all 15 self-pairs
+    val uncapped = Dedup.incrementalMinhashComplete(idx, sh, 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val floodIds = (0L until 5L) :+ 20L
+    val floodPairs = (for { a <- floodIds; b <- floodIds if a < b } yield (a, b)).toSet
+    assert(uncapped == floodPairs + ((10L, 11L)))
+    // capped at 3 (skip): flood pairs vanish, the cold near-dup survives
+    val capped = Dedup.incrementalMinhashComplete(idx, sh, 500000L,
+      maxBucketOccupancy = 3L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 11L)))
+    // capped + fail: the same-batch flood aborts the sync loudly
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    val ex = intercept[Exception] {
+      Dedup.incrementalMinhashComplete(idx, sh, 500000L,
+        maxBucketOccupancy = 3L, failOnHotBucket = true).count()
+    }
+    assert(rootMessages(ex).exists(_.contains("within-batch band bucket")))
+    // a cold batch under the same fail-mode settings does NOT abort
+    val cold = Dedup.incrementalMinhashComplete(idx,
+      sh.filter($"doc_id" >= 10L && $"doc_id" < 20L), 500000L,
+      maxBucketOccupancy = 3L, failOnHotBucket = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cold == Set((10L, 11L)))
+  }
+
+  test("incrementalMinhashComplete is pair-distinct when the index already holds batch docs") {
+    // the replay-overlap shape: every batch doc is ALREADY in the index,
+    // so the cross term finds each pair in both probe directions and the
+    // within-batch term finds it a third time — output must still be
+    // one row per pair, scores intact
+    val docs = Seq(
+      (5L, "training data pipelines need deduplication at scale every day", "s"),
+      (10L, "training data pipelines need deduplication at scale every day extra", "s"))
+      .toDF("doc_id", "text", "source")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val idx = Dedup.signatures(sh) // index == batch: full overlap
+    val out = Dedup.incrementalMinhashComplete(idx, sh, 500000L)
+      .select("doc_a", "doc_b", "jacc_x1e6")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 1 && out.head._1 == 5L && out.head._2 == 10L,
+      s"expected exactly one (5,10) row, got $out")
+    // and it equals the from-scratch answer on the same corpus
+    val scratch = Dedup.minhashLsh(sh, 500000L)
+      .select("doc_a", "doc_b", "jacc_x1e6")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == scratch)
+  }
+
   test("blocked jaccard agrees with LSH on the planted pair") {
     val pairs = Dedup.blockedJaccard(Dedup.shingleTable(corpus, "doc_id", "text"), 500000L)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.Streaming
+import graft.streaming.{GrowingDedupState, Streaming}
 import graft.streaming.Streaming.{FirstSeen, KeyedEvent}
 
 /** Structured Streaming behavior tests via MemoryStream (the synchronous
@@ -348,23 +348,21 @@ class StreamingSpec extends AnyFunSuite {
       (7L, "another unrelated document mentioning shuffles joins and scans"))
     val source = MemoryStream[(Long, String)]
     val df = source.toDF().toDF("doc_id", "text")
-    val matches = new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.sql.DataFrame](null)
-    val index = new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.sql.DataFrame](null)
-    val q = Streaming.growingDedupSink(df, matches, index, 500000L).start()
+    val state = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("grow-dedup-state").toString)
+    val q = Streaming.growingDedupSink(df, state, 500000L).start()
     try {
       // batch 1: docs 0, 2 — no pairs yet (empty-index self-LSH leg)
       source.addData(corpus.filter(d => Set(0L, 2L)(d._1)): _*)
       q.processAllAvailable()
-      assert(matches.get().count() == 0)
+      assert(state.matches(spark).count() == 0)
       // batch 2: doc 1 (cross-batch dup of 0) + same-batch dup pair 5/6
       source.addData(corpus.filter(d => Set(1L, 5L, 6L)(d._1)): _*)
       q.processAllAvailable()
       // batch 3: unrelated doc
       source.addData(corpus.filter(d => d._1 == 7L): _*)
       q.processAllAvailable()
-      val got = matches.get().select("doc_a", "doc_b")
+      val got = state.matches(spark).select("doc_a", "doc_b")
         .as[(Long, Long)].collect().toSet
       // == the one-shot full-corpus LSH, found across batch boundaries
       // (0,1) and inside one batch (5,6)
@@ -373,16 +371,81 @@ class StreamingSpec extends AnyFunSuite {
         500000L).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       assert(got == oneShot && got == Set((0L, 1L), (5L, 6L)))
       // index holds one signature row per doc, no raw text column
-      assert(index.get().count() == 6 &&
-        !index.get().columns.contains("text"))
-      // at-least-once replay of batch 2 AFTER its docs joined the index:
-      // no self-pairs, no duplicates — matches and index are unchanged
+      assert(state.index(spark).count() == 6 &&
+        !state.index(spark).columns.contains("text"))
+      // at-least-once replay of batch 2's DATA after its docs joined the
+      // index (a NEW batch id — harsher than a checkpoint replay, which
+      // would overwrite in place): no self-pairs, no duplicate pairs,
+      // the deduped index is unchanged
       source.addData(corpus.filter(d => Set(1L, 5L, 6L)(d._1)): _*)
       q.processAllAvailable()
-      val replayed = matches.get().select("doc_a", "doc_b")
+      val replayed = state.matches(spark).select("doc_a", "doc_b")
         .as[(Long, Long)].collect().toSet
-      assert(replayed == got && matches.get().count() == 2)
-      assert(index.get().count() == 6)
+      assert(replayed == got && state.matches(spark).count() == 2)
+      assert(state.index(spark).count() == 6)
     } finally q.stop()
+  }
+
+  test("growing sinks resume from on-disk state across streaming sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val pipe = "training data pipelines need deduplication at scale every day"
+    val corpus = Seq(
+      (0L, fox), (1L, fox + " extra"),   // split ACROSS sessions
+      (2L, "completely different text about spark catalyst optimizer rules"),
+      (5L, pipe), (6L, pipe + " more"),  // same second-session batch
+      (7L, "another unrelated document mentioning shuffles joins and scans"))
+    val root = java.nio.file.Files
+      .createTempDirectory("grow-resume-state").toString
+    // SESSION 1: docs 0, 2 through the components sink, then the query
+    // (and its in-memory everything) is gone — only the store survives
+    val s1 = MemoryStream[(Long, String)]
+    val state1 = GrowingDedupState(root, epoch = "0")
+    val q1 = Streaming.growingComponentsSink(
+      s1.toDF().toDF("doc_id", "text"), state1, 500000L).start()
+    try {
+      s1.addData(corpus.filter(d => Set(0L, 2L)(d._1)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // SESSION 2: a NEW query whose batch ids restart at 0 — the fresh
+    // epoch keys its store partitions apart from session 1's
+    val s2 = MemoryStream[(Long, String)]
+    val state2 = GrowingDedupState(root, epoch = "1")
+    val q2 = Streaming.growingComponentsSink(
+      s2.toDF().toDF("doc_id", "text"), state2, 500000L).start()
+    try {
+      s2.addData(corpus.filter(d => Set(1L, 5L, 6L)(d._1)): _*)
+      q2.processAllAvailable()
+      s2.addData(corpus.filter(d => d._1 == 7L): _*)
+      q2.processAllAvailable()
+      // cross-epoch replay of a session-2 batch: lands as a new batch id
+      // under epoch 1 — its pairs and signatures duplicate in the store
+      // and must be absorbed at read/probe time
+      s2.addData(corpus.filter(d => Set(1L, 5L, 6L)(d._1)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // matches, index, and labels all equal the one-shot full-corpus run:
+    // pair (0,1) spans the SESSION boundary, so it only exists if the
+    // second session actually probed the first session's on-disk index
+    val sh = Dedup.shingleTable(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val oneShot = Dedup.minhashLsh(sh, 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(state2.matches(spark).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet == oneShot)
+    assert(oneShot == Set((0L, 1L), (5L, 6L)))
+    assert(state2.index(spark).count() == 6)
+    val labels = state2.labels(spark).get
+      .as[(Long, Long)].collect().toSet
+    val oneShotLabels = graft.graph.Fixpoint.connectedComponents(
+      Dedup.minhashLsh(sh, 500000L)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .as[(Long, Long)].collect().toSet
+    assert(labels == oneShotLabels)
+    // the snapshot store keeps only the latest two labelings
+    val snapDirs = new java.io.File(state2.labelDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("batch="))
+    assert(snapDirs.length == 2, s"expected 2 kept snapshots, got ${snapDirs.length}")
   }
 }
