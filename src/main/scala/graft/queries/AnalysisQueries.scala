@@ -264,8 +264,9 @@ object AnalysisQueries {
   /** The four reference compliance frameworks end-to-end
     * ([[graft.rules.ReferenceLibrary]]: CIS AWS 6.0.0, SOC 2 TSC 2022,
     * ISO/IEC 27001:2022, NIST AI RMF 1.0 — frameworks/cis.py, soc2.py,
-    * iso27001.py, nist_ai_rmf.py, plus the CIS Kubernetes scope): 24
-    * SQL-as-data facts in 15 rules over
+    * iso27001.py, nist_ai_rmf.py — plus the CIS Kubernetes, CIS GCP 4.0
+    * and CIS Google Workspace 1.3 scopes): 79 SQL-as-data facts in 58
+    * rules covering all 37 reference rule files (data/rules/), over
     * asset views derived from TPC-H, fanned out to every mapped control
     * by [[graft.rules.RulesRunner.controlSummary]]. The oracle runs the
     * IDENTICAL view + fact SQL text in DuckDB. */

@@ -122,6 +122,53 @@ class RulesDriftSpec extends AnyFunSuite {
         "credential-hygiene"))
   }
 
+  test("reference library covers all 37 reference rule files with pinned counts and mappings") {
+    import graft.rules.ReferenceLibrary
+    val fw = ReferenceLibrary.framework
+    // r16 extension: 58 rules / 79 facts (was 15 / 24); every file under
+    // the reference's data/rules/ is represented by at least one rule
+    assert(fw.rules.size == 58, s"rule count drifted: ${fw.rules.size}")
+    assert(fw.rules.map(_.facts.size).sum == 79,
+      s"fact count drifted: ${fw.rules.map(_.facts.size).sum}")
+    // one witness rule per newly-ported reference file
+    val ids = fw.rules.map(_.ruleId).toSet
+    val witnesses = Set("mfa-missing", "inactive-user-active-accounts",
+      "unmanaged-accounts", "object-storage-public", "public-snapshots",
+      "compute-instance-exposed", "database-instance-exposed",
+      "transport-encryption-gaps", "eol-software", "identity-mfa-gaps",
+      "security-monitoring-gaps", "iam-role-external-account-trust",
+      "serverless-workload-exposed", "malicious-npm-dependencies",
+      "subimage-coverage", "tailscale-security-gaps", "databricks-security",
+      "identity-administration-privileges", "policy-administration-privileges",
+      "workload-identity-admin", "delegation-boundary-modifiable",
+      "gcp-default-network", "gcp-unrestricted-ssh", "gcp-unrestricted-rdp",
+      "gcp-dnssec-disabled", "gw-user-2sv-not-enforced",
+      "gw-super-admin-count-low", "k8s-secrets-in-env", "k8s-host-namespaces",
+      "k8s-default-namespace")
+    assert(witnesses.subsetOf(ids), s"missing: ${witnesses -- ids}")
+    // framework mappings carry the reference's exact scope/revision
+    // constants (frameworks/cis.py): CIS GCP 4.0 and Workspace 1.3
+    val controls = fw.rules.flatMap(_.frameworks)
+    val gcp = controls.filter(_.scope.contains("gcp"))
+    assert(gcp.nonEmpty && gcp.forall(c =>
+      c.shortName == "cis" && c.revision.contains("4.0")))
+    val gw = controls.filter(_.scope.contains("googleworkspace"))
+    assert(gw.nonEmpty && gw.forall(c =>
+      c.shortName == "cis" && c.revision.contains("1.3")))
+    // subimage_coverage ships WITHOUT framework mappings in the
+    // reference — the port keeps that (controls empty, rule still runs)
+    assert(fw.rules.find(_.ruleId == "subimage-coverage").get.frameworks.isEmpty)
+    // admin-capability family: the shared principal exclusions are in
+    // every fact's SQL text (the reference repeats them verbatim)
+    Seq("identity-administration-privileges", "policy-administration-privileges",
+      "delegation-boundary-modifiable").foreach { rid =>
+      val sqls = ReferenceLibrary.rules.find(_.ruleId == rid).get.facts.map(_.sql)
+      assert(sqls.forall(s => s.contains("AWSServiceRole") &&
+        s.contains("QuickSetup") && s.contains("OrganizationAccountAccessRole")),
+        s"$rid lost the principal exclusions")
+    }
+  }
+
   test("drift diff refuses mismatched state properties with the reference wording") {
     // detect_deviations.py:85-86: ValueError("State properties do not
     // match.") before any comparison — a schema-evolved state pair must
