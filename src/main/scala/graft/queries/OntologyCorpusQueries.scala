@@ -502,7 +502,17 @@ object OntologyCorpusQueries {
     * ARRAY-MEMBERSHIP on the org-verified email list
     * (USER_HAS_GITHUB_ACCOUNT — `u.email IN
     * g.organization_verified_domain_emails`). Output: per-user link
-    * census over the resulting edge tables. */
+    * census over the resulting edge tables.
+    *
+    * r16: the User derivation now runs the reference's ACTUAL re-sync
+    * flow — providers are load-time projected into `_ont_*`-stamped
+    * UserAccount rows first ([[graft.ontology.Mappings.project]], the
+    * ingest-time stamping), and [[graft.ontology.CanonicalSync
+    * .sourceNodes]] reads those back through the `users` category's
+    * `"ontology"` pseudo-module (users.py:6-33 + utils.py:112-135), not
+    * the raw provider frames. The user id set is unchanged (email maps
+    * 1:1 on every selected module), so the gate's oracle is untouched —
+    * what changed is WHICH engine path derives it end-to-end. */
   def e2eOntologyUsersSync(spark: SparkSession, dir: String): DataFrame = {
     import graft.ontology.CanonicalSync
     import graft.analysis.{AddRelationship, AnalysisJob, AnalysisRunner}
@@ -510,9 +520,23 @@ object OntologyCorpusQueries {
     import graft.Lineage.CutOps
     val frames = userProviderFrames(spark, dir)
     val sot = Seq("entra", "gsuite", "slack")
+    // load-time semantic projection: one _ont_*-stamped UserAccount
+    // block per selected provider module (what a real sync leaves in
+    // the graph before users.py runs)
+    val projected = CanonicalSync.normalizeSources(sot).flatMap { src =>
+      MappingCorpus.all("useraccounts").filter(_.key == src).flatMap(m =>
+        m.nodes.filter(_.eligibleForSource).map(n =>
+          graft.ontology.Mappings.project(frames(n.nodeLabel), m.key, n)))
+    }
+    val canonicalUA = projected
+      .map(d => d.select(col("id") +:
+        d.columns.filter(_.startsWith("_ont_")).sorted.map(col): _*))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     // pinned: consumed by three link-job patterns + the node load
-    val users = CanonicalSync.sourceNodes(MappingCorpus.all("useraccounts"),
-      frames, "email", sot).select(col("email").as("id")).pin
+    val users = CanonicalSync.sourceNodes(MappingCorpus.all("users"),
+      provider = Map.empty, idField = "email", sourceOfTruth = sot,
+      canonical = Map("UserAccount" -> canonicalUA))
+      .select(col("email").as("id")).pin
     val accountLabels = Seq("EntraUser", "GSuiteUser", "SlackUser")
     // APIKey nodes OWNED_BY Entra accounts (supplier keys → 'ms<k>' ids)
     val keys = Tables.supplier(spark, dir)
