@@ -1,6 +1,8 @@
 package graft.rules
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Security rules engine: Facts grouped into Rules mapped to compliance
@@ -180,27 +182,40 @@ object RulesRunner {
     * once; its one-row aggregate fans out to the rule's control mappings
     * as literal columns. */
   def controlSummary(spark: SparkSession, framework: Framework): DataFrame = {
-    val parts = for {
+    // one aggregate branch per FACT — not per (fact, control): a fact
+    // mapped to 4 controls used to contribute 4 copies of its aggregate
+    // subtree to the unioned plan, and with the full 37-file library
+    // (79 facts, 241 mappings) the 241-branch plan spent ~6x the r15
+    // gate wall in planning/codegen alone. The per-fact aggregates fan
+    // out to controls through one broadcast join against the local
+    // (rule, fact, control) mapping instead.
+    val factAggs = for {
       rule <- framework.rules
       fact <- rule.facts
       if rule.frameworks.nonEmpty
-    } yield {
-      val agg = fact.query(spark).agg(
-        count(lit(1)).as("n_findings"),
+    } yield fact.query(spark)
+      .agg(count(lit(1)).as("n_findings"),
         count_distinct(col(fact.assetIdField)).as("n_failing_assets"))
-      rule.frameworks.map { c =>
-        agg.select(
-          lit(c.shortName).cast("string").as("framework"),
-          lit(c.scope.orNull).cast("string").as("scope"),
-          lit(c.revision.orNull).cast("string").as("revision"),
-          lit(c.requirement).cast("string").as("requirement"),
-          lit(c.controlTitle.orNull).cast("string").as("control_title"),
-          lit(rule.ruleId).cast("string").as("rule_id"),
-          lit(fact.factId).cast("string").as("fact_id"),
-          col("n_findings"), col("n_failing_assets"))
-      }
-    }
-    parts.flatten.reduce(_ unionByName _)
+      .select(
+        lit(rule.ruleId).cast("string").as("rule_id"),
+        lit(fact.factId).cast("string").as("fact_id"),
+        col("n_findings"), col("n_failing_assets"))
+    val perFact = factAggs.reduce(_ unionByName _)
+    val mapping = framework.rules.flatMap(r => r.facts.flatMap(f =>
+      r.frameworks.map(c => Row(c.shortName, c.scope.orNull,
+        c.revision.orNull, c.requirement, c.controlTitle.orNull,
+        r.ruleId, f.factId))))
+    val mappingSchema = org.apache.spark.sql.types.StructType(
+      Seq("framework", "scope", "revision", "requirement", "control_title",
+        "rule_id", "fact_id").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)))
+    val controls = spark.createDataFrame(
+      new java.util.ArrayList[Row](mapping.asJava), mappingSchema)
+    broadcast(controls).join(perFact, Seq("rule_id", "fact_id"))
+      .select(col("framework"), col("scope"), col("revision"),
+        col("requirement"), col("control_title"), col("rule_id"),
+        col("fact_id"), col("n_findings"), col("n_failing_assets"))
   }
 
   private val Reserved = Set("framework_id", "rule_id", "fact_id", "asset_label")

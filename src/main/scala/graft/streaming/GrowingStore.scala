@@ -78,6 +78,31 @@ object BatchStore {
     if (!nonEmpty(spark, dir)) None
     else Some(spark.read.parquet(dir).drop("epoch", "batch"))
 
+  /** Offline compaction of an append-only store: rewrite every published
+    * batch partition into ONE partition under a fresh epoch, dedup rows
+    * on `keyCols` while at it (replay/resume duplicates die here instead
+    * of at read time), then drop the originals. Single-writer contract:
+    * run between streaming sessions — the same ownership the stream's
+    * own appends already assume. Crash-ordered so the store is readable
+    * at every step: the compacted partition PUBLISHES before any
+    * original is deleted, and the transient duplicate window that
+    * creates is exactly the duplicate shape every reader/probe here
+    * already tolerates. A long-running stream calls this every K
+    * sessions to keep the per-batch listing cost flat. */
+  def compact(spark: SparkSession, dir: String, keyCols: Seq[String],
+              epoch: String = s"compact-${java.util.UUID.randomUUID()}"): Unit =
+    read(spark, dir).foreach { df =>
+      val f = fs(spark, dir)
+      val old = Option(f.globStatus(new Path(dir, "epoch=*"))).toSeq.flatten
+        .map(_.getPath)
+      require(!old.exists(_.getName == s"epoch=$epoch"),
+        s"BatchStore.compact: epoch '$epoch' already exists in $dir")
+      val deduped =
+        if (keyCols.isEmpty) df else df.dropDuplicates(keyCols)
+      append(deduped, dir, epoch, 0L)
+      old.foreach(p => f.delete(p, true))
+    }
+
   private val ManifestName = "MANIFEST"
 
   /** Publish `df` as the store's CURRENT snapshot: write it as this
@@ -170,4 +195,15 @@ final case class GrowingDedupState(root: String, epoch: String = "0") {
     * fold ([[graft.streaming.Streaming.growingComponentsSink]]). */
   def labels(spark: SparkSession): Option[DataFrame] =
     BatchStore.readSnapshot(spark, labelDir)
+
+  /** Compact the signature and pair stores into one partition each
+    * (id- and pair-key-deduped), dropping the per-batch dirs — run
+    * between streaming sessions to keep listing cost flat on a
+    * long-running feed. Results are unchanged by contract: the probe
+    * and readers dedup on the same keys ([[BatchStore.compact]]).
+    * Label snapshots self-prune (latest two) and need no compaction. */
+  def compact(spark: SparkSession): Unit = {
+    BatchStore.compact(spark, sigDir, Seq("doc_id"))
+    BatchStore.compact(spark, pairDir, Seq("doc_a", "doc_b"))
+  }
 }

@@ -151,8 +151,20 @@ object Bridge {
       case SubqueryAlias(_, child) => strip(child)
       case other                   => other
     }
-    strip(df.queryExecution.analyzed)
-      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    strip(df.queryExecution.analyzed) match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      // a bare file-source scan is materialized BY DEFINITION — the
+      // files are the checkpoint. The persisted growing sinks hand the
+      // incremental-CC fold parquet-backed labelings every micro-batch;
+      // re-cutting those wrote a full localCheckpoint copy of the
+      // labeling per batch for nothing (re-reading a parquet leaf per
+      // consumer is a cheap scan). Only LEAF relations qualify — any
+      // filter/join/agg above still cuts (deterministic projections are
+      // stripped above, same as for pinned leaves).
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _ => false
+    }
   }
 
   /** Drain the async listener bus (private[spark]) — snapshotting

@@ -52,7 +52,10 @@ class Round16OpsSpec extends AnyFunSuite {
     val shortNames = ReferenceLibrary.rules.flatMap(_.controls).map(_.shortName).toSet
     assert(shortNames == Set("cis", "soc2", "iso27001", "nist-ai-rmf"))
     ReferenceLibrary.rules.foreach { r =>
-      assert(r.facts.nonEmpty && r.controls.nonEmpty)
+      // subimage_coverage.py ships WITHOUT framework mappings in the
+      // reference; every other rule must carry titled controls
+      assert(r.facts.nonEmpty &&
+        (r.controls.nonEmpty || r.ruleId == "subimage-coverage"))
       r.controls.foreach(c => assert(c.title.nonEmpty && c.revision.nonEmpty))
     }
     assert(ReferenceLibrary.rules.flatMap(_.facts).map(_.factId).distinct.size >= 19)

@@ -447,5 +447,34 @@ class StreamingSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
       .flatMap(_.listFiles()).filter(_.getName.startsWith("batch="))
     assert(snapDirs.length == 2, s"expected 2 kept snapshots, got ${snapDirs.length}")
+    // COMPACTION: collapse the per-batch dirs (including the replay's
+    // cross-epoch duplicates) into one deduped partition per store —
+    // matches and index must read back identical, and a THIRD session
+    // over the compacted store must still probe the full history
+    state2.compact(spark)
+    def epochDirs(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=")).toSeq
+    assert(epochDirs(state2.sigDir).size == 1 &&
+      epochDirs(state2.pairDir).size == 1,
+      "compaction must leave exactly one epoch per store")
+    assert(state2.matches(spark).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet == oneShot)
+    assert(state2.index(spark).count() == 6)
+    val s3 = MemoryStream[(Long, String)]
+    val state3 = GrowingDedupState(root, epoch = "2")
+    val q3 = Streaming.growingDedupSink(
+      s3.toDF().toDF("doc_id", "text"), state3, 500000L).start()
+    try {
+      s3.addData((8L, fox + " again")) // near-dup of session-1's doc 0
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val withNew = state3.matches(spark).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val oneShotPlus = Dedup.minhashLsh(
+      Dedup.shingleTable((corpus :+ (8L, fox + " again"))
+        .toDF("doc_id", "text"), "doc_id", "text"), 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(withNew == oneShotPlus && (withNew -- oneShot).nonEmpty,
+      s"post-compaction probe missed history: $withNew vs $oneShotPlus")
   }
 }
