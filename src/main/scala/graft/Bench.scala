@@ -306,7 +306,7 @@ object Bench {
       "graph_triangles" -> (3.0, 6.5),
       "stream_incremental_components" -> (4.5, 7.0),
       "stream_growing_dedup" -> (3.0, 7.0),
-      "stream_growing_components" -> (4.5, 9.5))
+      "stream_growing_components" -> (4.5, 10.5))
       .map { case (k, (lo, hi)) => s""""$k":[$lo,$hi]""" }
       .mkString("{", ",", "}")
     val fullJson =

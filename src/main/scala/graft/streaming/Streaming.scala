@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Lineage._
@@ -395,6 +395,39 @@ object Streaming {
       ()
     }
 
+  /** [[incrementalDedupSink]] with the match set persisted O(batch)
+    * instead of accumulated in memory: each micro-batch appends ONLY its
+    * own probe hits as its own store partition under `pairsDir`
+    * ([[BatchStore.append]] — staged write, atomic rename, replay
+    * overwrites in place), so a long-running feed never re-shuffles or
+    * re-pins the accumulated match set per batch and the matches outlive
+    * the query. Read the accumulated set back with
+    * [[readIncrementalMatches]]; compact the per-batch dirs offline with
+    * [[BatchStore.compact]] (keys new_id, old_id). Same epoch contract
+    * as [[GrowingDedupState]]: reuse the epoch on a checkpoint restart,
+    * take a fresh one for a new query over accumulated state. */
+  def incrementalDedupSinkPersisted(newDocs: DataFrame, index: DataFrame,
+                                    minJaccX1e6: Long,
+                                    pairsDir: String, epoch: String = "0",
+                                    idCol: String = "doc_id", textCol: String = "text",
+                                    maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val hits = graft.dedup.Dedup.incrementalMinhashIndexed(
+        index, graft.dedup.Dedup.shingleTable(batch, idCol, textCol),
+        minJaccX1e6, maxBucketOccupancy)
+      BatchStore.append(hits, pairsDir, epoch, batchId)
+      ()
+    }
+
+  /** The accumulated match set of [[incrementalDedupSinkPersisted]],
+    * pair-key deduped at read (clean batches are disjoint; duplicates
+    * only survive a cross-epoch resume replay). */
+  def readIncrementalMatches(spark: SparkSession, pairsDir: String): DataFrame =
+    BatchStore.read(spark, pairsDir)
+      .map(_.dropDuplicates("new_id" :: "old_id" :: Nil))
+      .getOrElse(throw new IllegalStateException(
+        s"no matches published under $pairsDir yet"))
+
   /** Streaming near-dup dedup with a SELF-GROWING index — the full
     * production shape [[incrementalDedupSink]]'s fixed-epoch probe only
     * approximates: each micro-batch is (1) matched COMPLETELY
@@ -477,27 +510,65 @@ object Streaming {
     * star-contraction fold is replay-insensitive by spec — so the pair
     * stream feeds the fold DIRECTLY, with no accumulated-pair-set dedup
     * in the path at all. Labels persist as snapshot state
-    * ([[BatchStore.publishSnapshot]]): a full linear write per batch
-    * (the state-store snapshot shape — scan + write, never a shuffle of
-    * accumulated state), latest two kept, resumable across sessions. */
+    * ([[BatchStore.publishSnapshot]]): a full linear write per
+    * `snapshotEvery` batches (the state-store snapshot + WAL shape —
+    * scan + write, never a shuffle of accumulated state), latest two
+    * kept, resumable across sessions. Between snapshots the live
+    * labeling rides an in-session cache whose loss is ALWAYS
+    * recoverable: the pair store is the write-ahead log, and because
+    * the fold is idempotent on already-contracted pairs, session start
+    * reconstructs the exact state as latest-snapshot ⊕ the ENTIRE pair
+    * store — no frontier bookkeeping, no ordering assumptions.
+    * `snapshotEvery = 1` (default) keeps a snapshot per batch and holds
+    * NO in-memory state at all (the cache is the just-published parquet
+    * leaf); raise it on high-frequency feeds to amortize the
+    * O(|labels|) snapshot write, trading read staleness (readers see
+    * the last snapshot) for write cadence. */
   def growingComponentsSink(newDocs: DataFrame,
       state: GrowingDedupState,
       minJaccX1e6: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      maxBucketOccupancy: Long = Long.MaxValue,
+      snapshotEvery: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(snapshotEvery >= 1, "snapshotEvery must be >= 1")
+    val cache = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      // session start: exact state = latest snapshot ⊕ the pair-store
+      // WAL, read BEFORE this batch appends its own pairs (a fresh
+      // store then costs nothing extra). A crashed-attempt replay may
+      // still see its own pairs in the pre-batch store — folding them
+      // twice is a no-op by the replay-insensitivity spec.
+      val prev = Option(cache.get()).orElse {
+        val stored = BatchStore.read(spark, state.pairDir)
+          .map(_.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        (state.labels(spark), stored) match {
+          case (Some(lab), Some(p)) =>
+            Some(graft.graph.Fixpoint.incrementalComponents(lab, p))
+          case (None, Some(p)) =>
+            Some(graft.graph.Fixpoint.connectedComponents(p))
+          case (lab, None) => lab
+        }
+      }
       val hits = growDedupStep(batch, batchId, state, minJaccX1e6, idCol,
         textCol, maxBucketOccupancy)
       val pairs = hits.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val next = state.labels(spark) match {
+      val next = prev match {
         case None => graft.graph.Fixpoint.connectedComponents(pairs)
         case Some(cur) => graft.graph.Fixpoint.incrementalComponents(cur, pairs)
       }
-      BatchStore.publishSnapshot(next.select(col("node"), col("component")),
-        state.labelDir, state.epoch, batchId)
+      val mat = next.select(col("node"), col("component"))
+      if (batchId % snapshotEvery == 0) {
+        BatchStore.publishSnapshot(mat, state.labelDir, state.epoch, batchId)
+        // the cache becomes the published parquet leaf: zero in-memory
+        // state while snapshots are current
+        cache.set(state.labels(spark).orNull)
+      } else {
+        cache.set(graft.Lineage.pinned(mat, eager = true))
+      }
       ()
     }
+  }
 
   /** Streaming cluster maintenance: each micro-batch of (a, b) pairs
     * folds into the evolving component labeling through

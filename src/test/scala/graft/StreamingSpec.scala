@@ -386,6 +386,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("persisted incremental dedup sink equals the in-memory variant and survives replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val hist = Dedup.signatures(Dedup.shingleTable(
+      Seq((0L, fox), (2L, "completely different text about catalyst rules"))
+        .toDF("doc_id", "text"), "doc_id", "text"))
+    val pairsDir = java.nio.file.Files
+      .createTempDirectory("incdedup-pairs").toString
+    val source = MemoryStream[(Long, String)]
+    val df = source.toDF().toDF("doc_id", "text")
+    val q = Streaming.incrementalDedupSinkPersisted(df, hist, 500000L,
+      pairsDir).start()
+    try {
+      source.addData((1L, fox + " extra"))
+      q.processAllAvailable()
+      source.addData((3L, "unrelated doc about shuffles joins and scans"))
+      q.processAllAvailable()
+      val got = Streaming.readIncrementalMatches(spark, pairsDir)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 0L)))
+      // replay batch 1's data as a NEW batch id (harsher than a
+      // checkpoint replay, which overwrites in place): dedup at read
+      source.addData((1L, fox + " extra"))
+      q.processAllAvailable()
+      assert(Streaming.readIncrementalMatches(spark, pairsDir).count() == 1)
+    } finally q.stop()
+  }
+
+  test("growingComponentsSink with snapshotEvery amortizes snapshots, resumes exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val pipe = "training data pipelines need deduplication at scale every day"
+    val corpus = Seq(
+      (0L, fox), (1L, fox + " extra"),
+      (2L, "completely different text about spark catalyst optimizer rules"),
+      (5L, pipe), (6L, pipe + " more"),
+      (7L, "another unrelated document mentioning shuffles joins and scans"))
+    val root = java.nio.file.Files
+      .createTempDirectory("grow-snapev-state").toString
+    // session 1, snapshotEvery=2: batch 0 snapshots (zero pairs yet —
+    // an EMPTY labeling), batch 1 folds pair (0,1) but does NOT
+    // snapshot — that labeling only ever lives in the in-session cache,
+    // which dies with the session
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.growingComponentsSink(
+      s1.toDF().toDF("doc_id", "text"), GrowingDedupState(root, epoch = "0"),
+      500000L, snapshotEvery = 2).start()
+    try {
+      s1.addData(corpus.filter(d => Set(0L, 2L)(d._1)): _*)
+      q1.processAllAvailable()
+      s1.addData(corpus.filter(d => Set(1L, 5L)(d._1)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // session 2 streams the rest; its first fold must reconstruct the
+    // exact state (latest snapshot ⊕ pair-store WAL) — pair (0,1)
+    // exists ONLY in the WAL, never in any snapshot
+    val s2 = MemoryStream[(Long, String)]
+    val state2 = GrowingDedupState(root, epoch = "1")
+    val q2 = Streaming.growingComponentsSink(
+      s2.toDF().toDF("doc_id", "text"), state2, 500000L,
+      snapshotEvery = 2).start()
+    try {
+      s2.addData(corpus.filter(d => Set(6L, 7L)(d._1)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val sh = Dedup.shingleTable(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val oneShotLabels = graft.graph.Fixpoint.connectedComponents(
+      Dedup.minhashLsh(sh, 500000L)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .as[(Long, Long)].collect().toSet
+    val got = state2.labels(spark).get.as[(Long, Long)].collect().toSet
+    assert(got == oneShotLabels && got.nonEmpty,
+      s"snapshotEvery resume diverged: $got vs $oneShotLabels")
+  }
+
   test("growing sinks resume from on-disk state across streaming sessions") {
     implicit val sqlCtx = spark.sqlContext
     import graft.dedup.Dedup
