@@ -609,6 +609,40 @@ object StreamQueries {
     }
   }
 
+  /** [[streamIncrementalDedup]] through the PERSISTED match store
+    * ([[graft.streaming.Streaming.incrementalDedupSinkPersisted]]):
+    * each micro-batch appends only its own probe hits as its own store
+    * partition — O(batch) per batch, no in-memory accumulation, matches
+    * readable across sessions. The read-back must equal the one-shot
+    * batch probe no matter how the feed was sliced; shares
+    * `dedup_incremental_minhash`'s oracle verbatim, same as the
+    * in-memory leg. */
+  def streamIncrementalDedupPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_incdedupp_src").toString
+    newDocs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    withStateSession(spark) { scoped =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_incdedupp_idx").toString + "/idx"
+      val hist = graft.dedup.Dedup.shingleTable(
+        Tables.documents(scoped, dir).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+      val index = graft.dedup.Dedup.lshIndexArtifact(scoped, hist, idxDir)
+      val src = scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val pairsDir = java.nio.file.Files
+        .createTempDirectory("graft_incdedupp_pairs").toString
+      val q = Streaming.incrementalDedupSinkPersisted(src, index, 800000L,
+        pairsDir).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      Streaming.readIncrementalMatches(scoped, pairsDir)
+    }
+  }
+
   /** The ENTIRE corpus streamed through the self-growing dedup sink
     * ([[graft.streaming.Streaming.growingDedupSink]]) from an EMPTY
     * index, one file per micro-batch: each batch is matched completely
@@ -1120,6 +1154,7 @@ object StreamQueries {
     "stream_incremental_feed" -> (streamIncrementalFeed _),
     "stream_dedup" -> (streamDedup _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
+    "stream_incremental_dedup_persisted" -> (streamIncrementalDedupPersisted _),
     "stream_growing_dedup" -> (streamGrowingDedup _),
     "stream_growing_components" -> (streamGrowingComponents _),
     "stream_incremental_components" -> (streamIncrementalComponents _),
@@ -1774,6 +1809,8 @@ object StreamQueries {
     // the streaming accumulation must equal the one-shot batch probe
     // regardless of micro-batch slicing — same oracle, verbatim
     "stream_incremental_dedup" -> LlmQueries.oracles("dedup_incremental_minhash"),
+    "stream_incremental_dedup_persisted" ->
+      LlmQueries.oracles("dedup_incremental_minhash"),
     // the growing-index sink must reproduce the one-shot full-corpus LSH
     "stream_growing_dedup" -> LlmQueries.oracles("dedup_minhash_lsh"),
     // ... and its composed clustering the one-shot components pipeline

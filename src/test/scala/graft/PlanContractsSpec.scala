@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan contract tests: the properties the 100 TB design
@@ -27,6 +28,28 @@ class PlanContractsSpec extends AnyFunSuite {
     val p = df.queryExecution.explainString(FormattedMode)
     DriverHygiene.releasePersisted(spark, gc = false)
     p
+  }
+
+  test("incremental LSH probe: batch side broadcasts over the index scan, no cartesian") {
+    // the 100-TB contract of the persisted growing sinks: the probe may
+    // SCAN the accumulated signature store, but must never shuffle it —
+    // the batch's band table is the small side and broadcasts, the
+    // verification joins stream over the store the same way
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("plan-probe-idx").toString + "/idx"
+    val index = Dedup.lshIndexArtifact(spark,
+      Dedup.shingleTable(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+      idxDir)
+    val probe = Dedup.incrementalMinhashIndexed(index,
+      Dedup.shingleTable(docs.filter(col("doc_id") % 5 === 0).limit(50),
+        "doc_id", "text"), 800000L)
+    probe.collect() // AQE decides join strategies at runtime
+    val p = probe.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), "batch side must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    DriverHygiene.releasePersisted(spark, gc = false)
   }
 
   test("attribution: filters push to the scan, conversions broadcast, rank-filter is a group limit") {
