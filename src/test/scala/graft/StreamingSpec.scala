@@ -463,6 +463,33 @@ class StreamingSpec extends AnyFunSuite {
       s"snapshotEvery resume diverged: $got vs $oneShotLabels")
   }
 
+  test("compaction crash window: duplicate partitions read consistently, re-compaction converges") {
+    import graft.streaming.BatchStore
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("compact-crash").toString
+    BatchStore.append(Seq((1L, 2L, 900000L), (3L, 4L, 850000L))
+      .toDF("doc_a", "doc_b", "jacc_x1e6"), dir, "0", 0L)
+    BatchStore.append(Seq((5L, 6L, 800000L))
+      .toDF("doc_a", "doc_b", "jacc_x1e6"), dir, "0", 1L)
+    val want = Set((1L, 2L), (3L, 4L), (5L, 6L))
+    def readPairs() = BatchStore.read(spark, dir).get
+      .dropDuplicates("doc_a" :: "doc_b" :: Nil)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(readPairs() == want)
+    // simulate a compaction that PUBLISHED its deduped partition but
+    // crashed before deleting the originals: every row exists twice
+    BatchStore.append(BatchStore.read(spark, dir).get
+      .dropDuplicates("doc_a" :: "doc_b" :: Nil), dir, "crashed-compact", 0L)
+    assert(readPairs() == want, "duplicate window must read consistently")
+    // a re-run compaction converges the store to one epoch, rows intact
+    BatchStore.compact(spark, dir, Seq("doc_a", "doc_b"))
+    val epochs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochs.length == 1)
+    assert(readPairs() == want)
+  }
+
   test("growing sinks resume from on-disk state across streaming sessions") {
     implicit val sqlCtx = spark.sqlContext
     import graft.dedup.Dedup
