@@ -61,12 +61,17 @@ object BatchStore {
         s"BatchStore.append: publish to $target failed")
   }
 
-  /** True iff the store holds at least one published batch. */
+  /** True iff the store holds at least one published batch. Keyed on
+    * the published partition DIRS, not `_SUCCESS` markers: the staged
+    * write + atomic rename protocol means a visible (non-hidden) batch
+    * dir is complete by construction, so the store stays readable even
+    * where the committer's success markers are disabled
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — a silent
+    * everything-is-empty failure mode otherwise). */
   def nonEmpty(spark: SparkSession, dir: String): Boolean =
-    fs(spark, dir).globStatus(
-      new Path(dir, "epoch=*/batch=*/_SUCCESS")) match {
+    fs(spark, dir).globStatus(new Path(dir, "epoch=*/batch=*")) match {
       case null => false
-      case arr  => arr.nonEmpty
+      case arr  => arr.exists(_.isDirectory)
     }
 
   /** Every published batch's rows, epoch/batch partition columns
@@ -120,13 +125,21 @@ object BatchStore {
     append(df, dir, epoch, batchId)
     val rel = s"epoch=$epoch/batch=$batchId"
     val manifest = new Path(dir, ManifestName)
-    val staging = new Path(dir, s".$ManifestName._staging_${java.util.UUID.randomUUID()}")
+    val fallback = new Path(dir, s"_$ManifestName.prev")
+    val staging = new Path(dir, s"_$ManifestName._staging_${java.util.UUID.randomUUID()}")
     val out = f.create(staging, true)
     try out.write(rel.getBytes("UTF-8")) finally out.close()
-    if (f.exists(manifest)) f.delete(manifest, false)
+    // the repoint cannot leave the store manifest-less at any crash
+    // point: the old manifest steps ASIDE (to the fallback name readers
+    // also check) before the new one renames in, never into the void
+    if (f.exists(fallback)) f.delete(fallback, false)
+    if (f.exists(manifest) && !f.rename(manifest, fallback))
+      throw new IllegalStateException(
+        s"BatchStore.publishSnapshot: manifest step-aside in $dir failed")
     if (!f.rename(staging, manifest))
       throw new IllegalStateException(
         s"BatchStore.publishSnapshot: manifest update in $dir failed")
+    f.delete(fallback, false)
     // prune: keep the new target and the previous one, drop the rest
     val keep = Set(Some(rel), prev).flatten
     Option(f.globStatus(new Path(dir, "epoch=*/batch=*"))).toSeq.flatten
@@ -137,18 +150,23 @@ object BatchStore {
 
   private def manifestTarget(spark: SparkSession, dir: String): Option[String] = {
     val f = fs(spark, dir)
-    val manifest = new Path(dir, ManifestName)
-    if (!f.exists(manifest)) None
-    else {
-      val in = f.open(manifest)
+    def readFile(p: Path): String = {
+      val in = f.open(p)
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](256)
         var n = in.read(buf)
         while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(bytes.toString("UTF-8").trim)
+        bytes.toString("UTF-8").trim
       } finally in.close()
     }
+    val manifest = new Path(dir, ManifestName)
+    val fallback = new Path(dir, s"_$ManifestName.prev")
+    // the fallback covers the one crash window where the old manifest
+    // has stepped aside but the new one has not renamed in yet
+    if (f.exists(manifest)) Some(readFile(manifest))
+    else if (f.exists(fallback)) Some(readFile(fallback))
+    else None
   }
 
   /** The manifest's current snapshot, or None before the first publish. */

@@ -153,16 +153,23 @@ object Bridge {
     }
     strip(df.queryExecution.analyzed) match {
       case _: org.apache.spark.sql.execution.LogicalRDD => true
-      // a bare file-source scan is materialized BY DEFINITION — the
+      // a bare FILE-source scan is materialized BY DEFINITION — the
       // files are the checkpoint. The persisted growing sinks hand the
       // incremental-CC fold parquet-backed labelings every micro-batch;
       // re-cutting those wrote a full localCheckpoint copy of the
       // labeling per batch for nothing (re-reading a parquet leaf per
-      // consumer is a cheap scan). Only LEAF relations qualify — any
-      // filter/join/agg above still cuts (deterministic projections are
-      // stripped above, same as for pinned leaves).
-      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      // consumer is a cheap scan). Only FILE relations qualify: a JDBC
+      // or other external LogicalRelation re-executes its source query
+      // per read and can observe different rows across the multi-read
+      // consumers the pin protects — those still cut. Any
+      // filter/join/agg above still cuts too (deterministic projections
+      // are stripped above, same as for pinned leaves).
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.v2.FileTable]
       case _ => false
     }
   }
