@@ -104,7 +104,7 @@ object ScaleSmoke {
           def seeded(tag: String, withLabels: Boolean): graft.streaming.GrowingDedupState = {
             val st = graft.streaming.GrowingDedupState(java.nio.file.Files
               .createTempDirectory(s"smoke_growsink_$tag").toString, epoch = "live")
-            graft.streaming.BatchStore.append(seedSigs, st.sigDir, "seed", 0L)
+            st.withEpoch("seed").appendSignatures(seedSigs, 0L)
             // an ×m-sized labeling so the components fold and its
             // snapshot write run against accumulated-scale state
             if (withLabels) graft.streaming.BatchStore.publishSnapshot(
@@ -137,6 +137,60 @@ object ScaleSmoke {
                 .growingComponentsSink(src, stateB, 800000L))
               stateB.labels(spark).get.count()
             }
+          }
+        }
+      }
+      // Probe bytes-read headroom (r16 verdict item 1): a SMALL fixed
+      // batch (~20 docs) probed against a ×m accumulated on-disk store.
+      // Two legs, each reporting wall AND task-input bytes: the
+      // partition-pruned store probe (the production path — band store
+      // read at only the batch's ≤4·|batch| bk buckets, payload store
+      // read at only the candidates' pb buckets) vs a full-index-scan
+      // probe (the r16 design: bandsOf + verify over the whole signature
+      // store). The pruned leg's bytes must stay O(batch·occupancy) as
+      // history grows ×50/×100; the full leg is the linear-in-history
+      // control. Run with args "1 10 50 100" and
+      // SPARK_GRAFT_SMOKE_OPS=growing_probe_pruned,growing_probe_fullscan.
+      locally {
+        val wantPruned = onlyOps.forall(_.contains("growing_probe_pruned"))
+        val wantFull = onlyOps.forall(_.contains("growing_probe_fullscan"))
+        if (wantPruned || wantFull) {
+          def timedBytes(name: String)(f: => Long): Unit = {
+            ran += 1
+            val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+            val listener = new org.apache.spark.scheduler.SparkListener {
+              override def onTaskEnd(
+                  te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+                if (te.taskMetrics != null)
+                  bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+            }
+            spark.sparkContext.addSparkListener(listener)
+            val t0 = System.nanoTime()
+            val rows = f
+            val s = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+            spark.sparkContext.removeSparkListener(listener)
+            println(f"""{"op":"$name","mult":$m,"rows":$rows,"sec":$s%.2f,"bytes_read":${bytes.get()}}""")
+            DriverHygiene.releasePersisted(spark)
+          }
+          val smallBatch = Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % 499 === 0)
+            .select(col("doc_id"), col("text"))
+          val histSigs = dedup.Dedup.signatures(dedup.Dedup.shingleTable(
+            docs.filter(col("doc_id") % 499 =!= 0), "doc_id", "text"))
+          val st = graft.streaming.GrowingDedupState(java.nio.file.Files
+            .createTempDirectory("smoke_probe_store").toString,
+            epoch = "seed", bandBuckets = 1024, payloadBuckets = 256)
+          st.appendSignatures(histSigs, 0L) // untimed ×m seeding
+          val batchSh = dedup.Dedup.shingleTable(smallBatch, "doc_id", "text")
+          if (wantPruned) timedBytes("growing_probe_pruned") {
+            st.probeComplete(batchSh, 800000L).count()
+          }
+          if (wantFull) timedBytes("growing_probe_fullscan") {
+            // the r16 shape: raw full read of the signature store
+            dedup.Dedup.incrementalMinhashComplete(
+              spark.read.parquet(st.sigDir).drop("epoch", "batch", "pb"),
+              batchSh, 800000L).count()
           }
         }
       }

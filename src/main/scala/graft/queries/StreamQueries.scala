@@ -707,6 +707,57 @@ object StreamQueries {
     }
   }
 
+  /** The cross-session resume + compaction CAPSTONE: the corpus streamed
+    * through [[graft.streaming.Streaming.growingComponentsSink]] across
+    * TWO streaming sessions with the store COMPACTED between them —
+    * session 1 (epoch 0) ingests the even doc ids in two micro-batches
+    * and dies; session 2 (epoch 1) is constructed with
+    * `autoCompactAfter = 1`, so its session start finds 2 persisted
+    * batch dirs per store, auto-compacts them into one deterministic
+    * deduped partition per store (bucket layout preserved), reconstructs
+    * the labeling from snapshot ⊕ compacted WAL, then ingests the odd
+    * ids — probing the COMPACTED history. The final labels must still
+    * equal the one-shot [[LlmQueries.dedupComponents]] pipeline (oracle
+    * shared verbatim): resume, auto-compaction, and the pruned-probe
+    * path composed end to end. */
+  def streamGrowingResumeCompact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def writeHalf(pred: org.apache.spark.sql.Column): (String, org.apache.spark.sql.types.StructType) = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_growrc_src").toString
+      docs.filter(pred).repartition(2).write.mode("overwrite").parquet(d)
+      (d, spark.read.parquet(d).schema)
+    }
+    val (srcA, schemaA) = writeHalf(col("doc_id") % 2 === 0)
+    val (srcB, schemaB) = writeHalf(col("doc_id") % 2 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_growrc_state").toString
+    withStateSession(spark) { scoped =>
+      val q1 = Streaming.growingComponentsSink(
+        scoped.readStream.schema(schemaA)
+          .option("maxFilesPerTrigger", "1").parquet(srcA),
+        graft.streaming.GrowingDedupState(root, epoch = "0"), 800000L).start()
+      try q1.processAllAvailable()
+      finally q1.stop()
+      val state2 = graft.streaming.GrowingDedupState(root, epoch = "1",
+        autoCompactAfter = 1)
+      val q2 = Streaming.growingComponentsSink(
+        scoped.readStream.schema(schemaB)
+          .option("maxFilesPerTrigger", "1").parquet(srcB),
+        state2, 800000L).start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val labels = state2.labels(scoped).getOrElse(
+        throw new IllegalStateException("no label snapshot published"))
+      Tables.documents(scoped, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+    }
+  }
+
   /** Streaming cluster maintenance over the incremental dedup feed: the
     * history corpus is clustered ONCE; its incremental probe matches are
     * replayed one file per micro-batch through
@@ -1157,6 +1208,7 @@ object StreamQueries {
     "stream_incremental_dedup_persisted" -> (streamIncrementalDedupPersisted _),
     "stream_growing_dedup" -> (streamGrowingDedup _),
     "stream_growing_components" -> (streamGrowingComponents _),
+    "stream_growing_resume_compact" -> (streamGrowingResumeCompact _),
     "stream_incremental_components" -> (streamIncrementalComponents _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_stream_left_join" -> (streamStreamLeftJoin _),
@@ -1815,6 +1867,9 @@ object StreamQueries {
     "stream_growing_dedup" -> LlmQueries.oracles("dedup_minhash_lsh"),
     // ... and its composed clustering the one-shot components pipeline
     "stream_growing_components" -> LlmQueries.oracles("dedup_components"),
+    // ... and the two-session resume with auto-compaction between must
+    // land on the very same labels — the capstone composition
+    "stream_growing_resume_compact" -> LlmQueries.oracles("dedup_components"),
     "stream_incremental_components" ->
       LlmQueries.oracles("dedup_incremental_components"),
     "stream_pattern_match" ->

@@ -304,7 +304,10 @@ object ReferenceLibrary {
         |FROM rf_base_region""".stripMargin,
     "rf_databricks_token" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS id,
-        |  s_suppkey % 5 <> 0 AS has_expiry,
+        |  s_suppkey % 5 <> 0 AS has_expiry
+        |FROM rf_base_supplier""".stripMargin,
+    "rf_databricks_workspace" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS id,
         |  s_suppkey % 4 = 0 AS ip_acl_enabled
         |FROM rf_base_supplier""".stripMargin,
     "rf_iam_statement" ->
@@ -910,7 +913,7 @@ object ReferenceLibrary {
         SqlFact("databricks-no-ip-acl", "Workspace without an IP access list",
           "DatabricksWorkspace",
           """SELECT id AS asset_id, 'ip-acl-off' AS detail
-            |FROM rf_databricks_token WHERE NOT ip_acl_enabled""".stripMargin)),
+            |FROM rf_databricks_workspace WHERE NOT ip_acl_enabled""".stripMargin)),
       controls = Seq(
         iso27001("5.17", "Authentication information"),
         iso27001("8.20", "Network security"),

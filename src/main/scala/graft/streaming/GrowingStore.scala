@@ -2,14 +2,17 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** On-disk, append-only per-micro-batch state for the self-growing
   * streaming dedup sinks — the persisted-artifact form of what r15 kept
   * as `pinEager`'d in-memory frames.
   *
   * Layout: `dir/epoch=<E>/batch=<N>/` parquet, one hive-style partition
-  * per (query lifetime, micro-batch). Three properties the in-memory
-  * fold lacked:
+  * per (query lifetime, micro-batch); stores that declare partition
+  * columns nest them UNDER the batch dir (`batch=<N>/bk=<B>/`), so a
+  * probe can read only the hash buckets a batch actually touches.
+  * Three properties the in-memory fold lacked:
   *
   *  - '''O(batch) folds.''' A micro-batch WRITES only its own rows —
   *    no `unionByName + dropDuplicates` shuffle over the accumulated
@@ -18,11 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    pair-key dedups (batch-proportional) already absorb them.
   *  - '''Replay idempotence by construction.''' A replayed batchId
   *    lands on the SAME partition dir and overwrites it byte-identically
-  *    (staged write + atomic rename, the [[graft.sources.Artifacts]]
-  *    protocol), so at-least-once delivery needs no transactional sink.
-  *    A crash between the pair write and the signature write is also
-  *    safe: the replay either probes an index without the batch (normal
-  *    shape) or one that already holds it (the overlap shape
+  *    (staged write + step-aside + atomic rename), so at-least-once
+  *    delivery needs no transactional sink. A crash between the pair
+  *    write and the signature write is also safe: the replay either
+  *    probes an index without the batch (normal shape) or one that
+  *    already holds it (the overlap shape
   *    [[graft.dedup.Dedup.incrementalMinhashComplete]] dedups).
   *  - '''Cross-session resume.''' State outlives the streaming query: a
   *    new session points a state handle at the same root with a FRESH
@@ -31,12 +34,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    one-shot full-corpus pipeline.
   *
   * Scale notes: the stores are append-only, so a long-running stream
-  * accumulates one small dir per batch — compact offline by rewriting
-  * `epoch=*` into one coarse epoch (reads tolerate duplicate doc ids, so
-  * compaction needs no coordination with the stream beyond single-writer
-  * ownership). Label snapshots are the classic state-store snapshot
-  * shape (full write per batch, linear scan + write, NO shuffle of
-  * accumulated state); only the latest two are kept. */
+  * accumulates one small dir per batch — compaction (manual
+  * [[GrowingDedupState.compact]], or the automatic session-start policy
+  * [[GrowingDedupState.maybeAutoCompact]]) rewrites `epoch=*` into one
+  * coarse epoch to keep listing cost flat. Label snapshots are the
+  * classic state-store snapshot shape (full write per batch, linear
+  * scan + write, NO shuffle of accumulated state); only the latest two
+  * are kept.
+  *
+  * Single-writer contract: at most one stream owns a store root at a
+  * time, and EXTERNAL readers must not run concurrently with an
+  * actively REPLAYING stream — a replay overwrite steps the old batch
+  * partition aside before renaming the new one in, so a concurrent
+  * reader could observe that batch absent for the two-rename window
+  * (clean appends create brand-new dirs and are safe to read through).
+  */
 object BatchStore {
 
   def batchDir(dir: String, epoch: String, batchId: Long): String =
@@ -47,18 +59,36 @@ object BatchStore {
 
   /** Idempotent per-micro-batch append: stage, then atomically publish
     * as this (epoch, batch)'s own partition dir. A replayed batch
-    * overwrites its prior (possibly partial) attempt. */
-  def append(df: DataFrame, dir: String, epoch: String, batchId: Long): Unit = {
+    * overwrites its prior (possibly partial) attempt: the old dir steps
+    * ASIDE (hidden name) rather than being deleted in place — the
+    * unavailability window is two O(1) renames, not a recursive delete,
+    * and a crash between them leaves the prior data recoverable under
+    * the aside name until the next attempt sweeps it. Crashed attempts'
+    * staging/aside leftovers for THIS batch are swept on entry.
+    * `partitionBy` nests hive partition dirs under the batch dir (the
+    * band/payload hash buckets a pruned probe pushes filters into). */
+  def append(df: DataFrame, dir: String, epoch: String, batchId: Long,
+             partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val target = new Path(batchDir(dir, epoch, batchId))
     val f = fs(spark, dir)
+    Option(f.globStatus(new Path(target.getParent,
+        s".${target.getName}._{staging,replaced}_*"))).toSeq.flatten
+      .foreach(s => f.delete(s.getPath, true))
     val staging = new Path(target.getParent,
       s".${target.getName}._staging_${java.util.UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
-    if (f.exists(target)) f.delete(target, true)
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging.toString)
+    val aside = new Path(target.getParent,
+      s".${target.getName}._replaced_${java.util.UUID.randomUUID()}")
+    if (f.exists(target) && !f.rename(target, aside))
+      throw new IllegalStateException(
+        s"BatchStore.append: step-aside of $target failed")
     if (!f.rename(staging, target))
       throw new IllegalStateException(
         s"BatchStore.append: publish to $target failed")
+    f.delete(aside, true)
   }
 
   /** True iff the store holds at least one published batch. Keyed on
@@ -75,26 +105,45 @@ object BatchStore {
     }
 
   /** Every published batch's rows, epoch/batch partition columns
-    * dropped. Duplicate rows across epochs (a resumed session replaying
-    * a crashed batch under a fresh epoch) are the CALLER's contract to
-    * tolerate — the LSH probe and pair readers here all dedup on their
-    * natural keys. None when the store is empty. */
+    * dropped (deeper store partition columns like `bk`/`pb` ride along
+    * as data columns). Duplicate rows across epochs (a resumed session
+    * replaying a crashed batch under a fresh epoch) are the CALLER's
+    * contract to tolerate — the LSH probe and pair readers here all
+    * dedup on their natural keys. None when the store is empty. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] =
     if (!nonEmpty(spark, dir)) None
     else Some(spark.read.parquet(dir).drop("epoch", "batch"))
 
+  /** Deterministic key-dedup for store read-back: one survivor per key,
+    * chosen as the MAX of the non-key payload struct (column order
+    * as-read) — never an arbitrary dropDuplicates race winner, matching
+    * [[graft.dedup.Dedup.incrementalMinhashComplete]]'s deterministic
+    * max-across-versions contract when a doc id was re-ingested with
+    * changed text across epochs. One hash aggregation, map-side
+    * combinable. */
+  def dedupByMaxStruct(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(keyCols.contains).toSeq
+    if (others.isEmpty) df.dropDuplicates(keyCols)
+    else df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(others.map(col): _*)).as("_payload"))
+      .select(keyCols.map(col) ++ others.map(c => col("_payload." + c).as(c)): _*)
+  }
+
   /** Offline compaction of an append-only store: rewrite every published
     * batch partition into ONE partition under a fresh epoch, dedup rows
-    * on `keyCols` while at it (replay/resume duplicates die here instead
-    * of at read time), then drop the originals. Single-writer contract:
-    * run between streaming sessions — the same ownership the stream's
-    * own appends already assume. Crash-ordered so the store is readable
-    * at every step: the compacted partition PUBLISHES before any
-    * original is deleted, and the transient duplicate window that
-    * creates is exactly the duplicate shape every reader/probe here
-    * already tolerates. A long-running stream calls this every K
-    * sessions to keep the per-batch listing cost flat. */
+    * on `keyCols` while at it — deterministically, via
+    * [[dedupByMaxStruct]], so replay/resume duplicates AND re-ingested
+    * versions die here with the same survivor every run. Bucketed stores
+    * pass `partitionBy` so the compacted partition keeps the hash-bucket
+    * layout the pruned probe depends on. Single-writer contract: run
+    * between streaming sessions or at session start BEFORE the first
+    * batch — the same ownership the stream's own appends already assume.
+    * Crash-ordered so the store is readable at every step: the compacted
+    * partition PUBLISHES before any original is deleted, and the
+    * transient duplicate window that creates is exactly the duplicate
+    * shape every reader/probe here already tolerates. */
   def compact(spark: SparkSession, dir: String, keyCols: Seq[String],
+              partitionBy: Seq[String] = Nil,
               epoch: String = s"compact-${java.util.UUID.randomUUID()}"): Unit =
     read(spark, dir).foreach { df =>
       val f = fs(spark, dir)
@@ -103,8 +152,11 @@ object BatchStore {
       require(!old.exists(_.getName == s"epoch=$epoch"),
         s"BatchStore.compact: epoch '$epoch' already exists in $dir")
       val deduped =
-        if (keyCols.isEmpty) df else df.dropDuplicates(keyCols)
-      append(deduped, dir, epoch, 0L)
+        if (keyCols.isEmpty) df else dedupByMaxStruct(df, keyCols)
+      val arranged =
+        if (partitionBy.isEmpty) deduped
+        else deduped.repartition(partitionBy.map(col): _*)
+      append(arranged, dir, epoch, 0L, partitionBy)
       old.foreach(p => f.delete(p, true))
     }
 
@@ -174,38 +226,208 @@ object BatchStore {
     manifestTarget(spark, dir).map(rel => spark.read.parquet(s"$dir/$rel"))
 }
 
-/** Handle on the growing dedup sinks' persisted state: an LSH signature
-  * store, the accumulated near-dup pair store (both append-only,
-  * per-batch partitions), and the component-labeling snapshot store —
-  * all under one root. Create with a fresh `epoch` per streaming-query
-  * lifetime (a restart FROM CHECKPOINT reuses the epoch — replayed
-  * batchIds overwrite in place; a NEW query over accumulated state, with
-  * batchIds restarting at 0, takes a new epoch so nothing clobbers). */
-final case class GrowingDedupState(root: String, epoch: String = "0") {
+/** Handle on the growing dedup sinks' persisted state: a hash-bucketed
+  * BAND store (one row per doc per band, hive-partitioned by
+  * `bk = hash(band, h1, h2) % bandBuckets` — the probe side), a
+  * hash-bucketed signature PAYLOAD store (one row per doc, carrying the
+  * shingle set, partitioned by `pb = hash(doc_id) % payloadBuckets` —
+  * the verification side), the accumulated near-dup pair store, and the
+  * component-labeling snapshot store — all under one root.
+  *
+  * The split + bucketing is the 100 TB probe contract: a micro-batch
+  * collects the ≤ 4·|batch| band buckets it hashes into (driver-bounded
+  * by `bandBuckets`) and reads ONLY those partitions of the band store;
+  * verification then reads only the payload buckets its CANDIDATES'
+  * old ids hash into. Bytes-read per batch is O(batch · occupancy ·
+  * history/buckets), not O(history) — size `bandBuckets` to the target
+  * partition size exactly like any hash-partitioned table (the r16
+  * design scanned the whole signature store per batch). Bucket counts
+  * are pinned at store creation in `root/_BUCKETS`; later sessions read
+  * the pinned counts, so constructor values only matter for the first
+  * write.
+  *
+  * Create with a fresh `epoch` per streaming-query lifetime (a restart
+  * FROM CHECKPOINT reuses the epoch — replayed batchIds overwrite in
+  * place; a NEW query over accumulated state, with batchIds restarting
+  * at 0, takes a new epoch so nothing clobbers). `autoCompactAfter` > 0
+  * lets the sinks compact automatically at session start once any store
+  * holds more than that many batch dirs (bounds the per-batch listing
+  * cost of a long-lived feed); 0 disables. */
+final case class GrowingDedupState(root: String, epoch: String = "0",
+                                   bandBuckets: Int = 16,
+                                   payloadBuckets: Int = 16,
+                                   autoCompactAfter: Int = 64) {
+  require(bandBuckets >= 1 && payloadBuckets >= 1,
+    "GrowingDedupState: bucket counts must be >= 1")
   val sigDir: String = s"$root/sigs"
+  val bandDir: String = s"$root/bands"
   val pairDir: String = s"$root/pairs"
   val labelDir: String = s"$root/labels"
 
   def withEpoch(e: String): GrowingDedupState = copy(epoch = e)
 
+  private def fs(spark: SparkSession) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  @transient private var bucketMemo: Option[(Int, Int)] = None
+
+  /** The store's pinned (bandBuckets, payloadBuckets) — read from
+    * `root/_BUCKETS` when it exists, else pinned from this handle's
+    * constructor values on first use. Pinning matters: bucket membership
+    * is baked into the on-disk partition values, so every later session
+    * MUST hash with the same counts or the pruned probe would read the
+    * wrong partitions. */
+  private def effectiveBuckets(spark: SparkSession): (Int, Int) =
+    bucketMemo.getOrElse {
+      val f = fs(spark)
+      val p = new Path(root, "_BUCKETS")
+      val got =
+        if (f.exists(p)) {
+          val in = f.open(p)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+          val m = s.trim.split("\\s+").map(_.split("=", 2))
+            .map(a => a(0) -> a(1).toInt).toMap
+          (m("bandBuckets"), m("payloadBuckets"))
+        } else {
+          val out = f.create(p, false) // single-writer: fail over clobber
+          try out.write(
+            s"bandBuckets=$bandBuckets\npayloadBuckets=$payloadBuckets"
+              .getBytes("UTF-8"))
+          finally out.close()
+          (bandBuckets, payloadBuckets)
+        }
+      bucketMemo = Some(got)
+      got
+    }
+
+  private def bandBucketExpr(n: Int) =
+    pmod(xxhash64(col("band"), col("h1"), col("h2")), lit(n.toLong)).cast("int")
+  private def payloadBucketExpr(n: Int, id: org.apache.spark.sql.Column) =
+    pmod(xxhash64(id), lit(n.toLong)).cast("int")
+
+  /** Fold one batch's signature table into the store: the payload rows
+    * (doc_id, shingles, h0..h7) bucketed by doc-id hash, THEN the band
+    * rows bucketed by band hash — in that order, so a band row never
+    * exists without the payload its verification join needs (a crash
+    * between the writes leaves the batch invisible to probes; its
+    * replay overwrites both). Both writes are O(batch). */
+  def appendSignatures(sigs: DataFrame, batchId: Long): Unit = {
+    val spark = sigs.sparkSession
+    val (bB, pB) = effectiveBuckets(spark)
+    val payload = sigs.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))
+    BatchStore.append(payload.repartition(col("pb")), sigDir, epoch, batchId,
+      partitionBy = Seq("pb"))
+    val bands = graft.dedup.Dedup.bandsOf(sigs)
+      .withColumn("bk", bandBucketExpr(bB))
+    BatchStore.append(bands.repartition(col("bk")), bandDir, epoch, batchId,
+      partitionBy = Seq("bk"))
+  }
+
+  /** Partition dirs of `dir` holding the given bucket values — the
+    * static partition filter of the pruned probe, resolved to explicit
+    * paths so neither the LISTING nor the scan ever touches untouched
+    * buckets. Exposed for the probe's files-read contract spec. */
+  private[graft] def prunedPaths(spark: SparkSession, dir: String,
+                                 pcol: String, vals: Seq[Int]): Seq[String] =
+    if (vals.isEmpty) Seq.empty
+    else {
+      val pattern = new Path(dir,
+        s"epoch=*/batch=*/$pcol={${vals.distinct.sorted.mkString(",")}}")
+      Option(fs(spark).globStatus(pattern)).toSeq.flatten
+        .filter(_.isDirectory).map(_.getPath.toString)
+    }
+
+  private def prunedRead(spark: SparkSession, dir: String, pcol: String,
+                         vals: Seq[Int]): Option[DataFrame] = {
+    val paths = prunedPaths(spark, dir, pcol, vals)
+    if (paths.isEmpty) None
+    else Some(spark.read.option("basePath", dir).parquet(paths: _*))
+  }
+
+  /** The COMPLETE per-batch near-dup pair set against the accumulated
+    * store — [[graft.dedup.Dedup.incrementalMinhashComplete]] semantics
+    * (index probe ∪ within-batch self-LSH, pair-distinct, deterministic
+    * MAX across re-ingested versions, same hot-bucket guard on both
+    * legs) with the history reads PARTITION-PRUNED:
+    *
+    *  1. the batch's band table collects its distinct `bk` buckets
+    *     (≤ min(4·|batch|, bandBuckets) values, driver-bounded) and the
+    *     band store is read at exactly those partition paths;
+    *  2. candidate (new_id, old_id) pairs then collect their old ids'
+    *     distinct `pb` buckets and the payload store is read at exactly
+    *     those paths for the verification join.
+    *
+    * Equality with the full-scan probe is structural: a band bucket's
+    * rows all live in one `bk` partition (the partition key is a hash of
+    * the band join key), so unread partitions cannot hold matching
+    * bands, and unread payload buckets cannot hold candidate old ids.
+    * An empty or untouched store degrades to the guarded self-LSH (the
+    * first-batch shape). */
+  def probeComplete(newShingled: DataFrame, minJaccX1e6: Long,
+                    maxBucketOccupancy: Long = Long.MaxValue,
+                    failOnHotBucket: Boolean = false): DataFrame = {
+    import graft.dedup.Dedup
+    val spark = newShingled.sparkSession
+    val newMat = Dedup.pinned(newShingled)
+    val within = Dedup.minhashLshGuarded(newMat, minJaccX1e6,
+      maxBucketOccupancy, failOnHotBucket)
+    if (!BatchStore.nonEmpty(spark, bandDir)) within
+    else {
+      val (bB, pB) = effectiveBuckets(spark)
+      val newBands = graft.Lineage.pinned(Dedup.bandTable(newMat), eager = false)
+      val bks = newBands.select(bandBucketExpr(bB).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      prunedRead(spark, bandDir, "bk", bks) match {
+        case None => within
+        case Some(hist) =>
+          val cand = graft.Lineage.pinned(
+            Dedup.probeCandidates(
+              hist.select(col("doc_id"), col("band"), col("h1"), col("h2")),
+              newBands, maxBucketOccupancy, failOnHotBucket),
+            eager = false)
+          val pbs = cand
+            .select(payloadBucketExpr(pB, col("old_id")).as("pb"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          prunedRead(spark, sigDir, "pb", pbs) match {
+            case None if pbs.isEmpty => within // no candidates at all
+            case None => throw new IllegalStateException(
+              s"GrowingDedupState: payload partitions missing under $sigDir " +
+                s"for probed candidate buckets ${pbs.mkString(",")} — " +
+                "store corrupted (bands published without their payload?)")
+            case Some(pay) =>
+              Dedup.completeFrom(
+                Dedup.verifyJaccard(cand, "new_id", "old_id", newMat,
+                  pay.select(col("doc_id"), col("shingles")), minJaccX1e6),
+                within)
+          }
+      }
+    }
+  }
+
   /** The raw signature store — may hold duplicate doc ids after a
     * cross-epoch replay; the probe's pair-level dedups tolerate them. */
   private[streaming] def indexRaw(spark: SparkSession): Option[DataFrame] =
-    BatchStore.read(spark, sigDir)
+    BatchStore.read(spark, sigDir).map(_.drop("pb"))
 
-  /** One signature row per doc (read-time id dedup — signatures are
-    * deterministic functions of the text, so any copy is the row). */
+  /** One signature row per doc. Read-time id dedup is DETERMINISTIC
+    * (max payload struct per id — [[BatchStore.dedupByMaxStruct]]): for
+    * the normal replay shape any copy is byte-identical, and a doc id
+    * re-ingested with changed text across epochs resolves to the same
+    * survivor every read, matching the probe's max-across-versions
+    * contract instead of a dropDuplicates race. */
   def index(spark: SparkSession): DataFrame =
-    indexRaw(spark).map(_.dropDuplicates("doc_id" :: Nil))
+    indexRaw(spark).map(BatchStore.dedupByMaxStruct(_, Seq("doc_id")))
       .getOrElse(throw new IllegalStateException(
         s"GrowingDedupState: no signatures published under $sigDir yet"))
 
-  /** The accumulated near-dup pair set, pair-key deduped at read (the
-    * per-batch stores are disjoint in a clean run; replays overwrite in
-    * place, so duplicates only survive a cross-epoch resume replay). */
+  /** The accumulated near-dup pair set, deterministically deduped on the
+    * pair key at read (max jacc across duplicates — clean per-batch
+    * stores are disjoint; duplicates only survive a cross-epoch resume
+    * replay). */
   def matches(spark: SparkSession): DataFrame =
     BatchStore.read(spark, pairDir)
-      .map(_.dropDuplicates("doc_a" :: "doc_b" :: Nil))
+      .map(BatchStore.dedupByMaxStruct(_, Seq("doc_a", "doc_b")))
       .getOrElse(throw new IllegalStateException(
         s"GrowingDedupState: no matches published under $pairDir yet"))
 
@@ -214,14 +436,33 @@ final case class GrowingDedupState(root: String, epoch: String = "0") {
   def labels(spark: SparkSession): Option[DataFrame] =
     BatchStore.readSnapshot(spark, labelDir)
 
-  /** Compact the signature and pair stores into one partition each
-    * (id- and pair-key-deduped), dropping the per-batch dirs — run
-    * between streaming sessions to keep listing cost flat on a
-    * long-running feed. Results are unchanged by contract: the probe
-    * and readers dedup on the same keys ([[BatchStore.compact]]).
-    * Label snapshots self-prune (latest two) and need no compaction. */
+  /** Compact the signature, band, and pair stores into one partition
+    * each (key-deduped deterministically, bucket layout preserved),
+    * dropping the per-batch dirs — run between streaming sessions, or
+    * let the sinks run it automatically at session start via
+    * [[maybeAutoCompact]], to keep listing cost flat on a long-running
+    * feed. Results are unchanged by contract: the probe and readers
+    * dedup on the same keys ([[BatchStore.compact]]). Label snapshots
+    * self-prune (latest two) and need no compaction. */
   def compact(spark: SparkSession): Unit = {
-    BatchStore.compact(spark, sigDir, Seq("doc_id"))
+    BatchStore.compact(spark, sigDir, Seq("doc_id"), Seq("pb"))
+    BatchStore.compact(spark, bandDir, Seq("doc_id", "band"), Seq("bk"))
     BatchStore.compact(spark, pairDir, Seq("doc_a", "doc_b"))
   }
+
+  /** Session-start compaction policy: compact when any store holds more
+    * than `autoCompactAfter` batch dirs (0 = disabled). The sinks call
+    * this BEFORE the first batch of a session — the one point where the
+    * single-writer contract makes compaction free of coordination (no
+    * batch is mid-flight, no recovered labeling holds lazy references
+    * yet). Returns whether a compaction ran. */
+  def maybeAutoCompact(spark: SparkSession): Boolean =
+    autoCompactAfter > 0 && {
+      val f = fs(spark)
+      val worst = Seq(sigDir, bandDir, pairDir).map { d =>
+        Option(f.globStatus(new Path(d, "epoch=*/batch=*"))).toSeq.flatten
+          .count(_.isDirectory)
+      }.max
+      worst > autoCompactAfter && { compact(spark); true }
+    }
 }

@@ -420,11 +420,12 @@ object Streaming {
     }
 
   /** The accumulated match set of [[incrementalDedupSinkPersisted]],
-    * pair-key deduped at read (clean batches are disjoint; duplicates
-    * only survive a cross-epoch resume replay). */
+    * pair-key deduped at read — deterministically (max jacc across
+    * duplicates, [[BatchStore.dedupByMaxStruct]]); clean batches are
+    * disjoint and duplicates only survive a cross-epoch resume replay. */
   def readIncrementalMatches(spark: SparkSession, pairsDir: String): DataFrame =
     BatchStore.read(spark, pairsDir)
-      .map(_.dropDuplicates("new_id" :: "old_id" :: Nil))
+      .map(BatchStore.dedupByMaxStruct(_, Seq("new_id", "old_id")))
       .getOrElse(throw new IllegalStateException(
         s"no matches published under $pairsDir yet"))
 
@@ -460,17 +461,23 @@ object Streaming {
                        state: GrowingDedupState,
                        minJaccX1e6: Long,
                        idCol: String = "doc_id", textCol: String = "text",
-                       maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                       maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val compacted = new java.util.concurrent.atomic.AtomicBoolean(false)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (compacted.compareAndSet(false, true))
+        state.maybeAutoCompact(batch.sparkSession)
       growDedupStep(batch, batchId, state, minJaccX1e6, idCol, textCol,
         maxBucketOccupancy)
       ()
     }
+  }
 
   /** One micro-batch of the growing-index dedup: match completely
-    * (first batch = guarded self-LSH — no history yet, but a
-    * boilerplate flood inside it still hits the occupancy cap), append
-    * the batch's pairs and signatures as their own store partitions.
+    * through the PARTITION-PRUNED store probe
+    * ([[GrowingDedupState.probeComplete]] — an empty store degrades to
+    * the guarded self-LSH, and a boilerplate flood inside the first
+    * batch still hits the occupancy cap), append the batch's pairs,
+    * then its signatures into the bucketed payload + band stores.
     * Returns the batch's own match frame AS THE STORE READ-BACK (a
     * parquet leaf — already materialized, lineage-free) so composing
     * sinks ([[growingComponentsSink]]) can fold it without recompute. */
@@ -481,15 +488,9 @@ object Streaming {
     val spark = batch.sparkSession
     val sh = graft.Lineage.pinned(
       graft.dedup.Dedup.shingleTable(batch, idCol, textCol), eager = false)
-    val hits = state.indexRaw(spark) match {
-      case None => graft.dedup.Dedup.minhashLshGuarded(sh, minJaccX1e6,
-        maxBucketOccupancy)
-      case Some(idx) => graft.dedup.Dedup.incrementalMinhashComplete(idx, sh,
-        minJaccX1e6, maxBucketOccupancy)
-    }
+    val hits = state.probeComplete(sh, minJaccX1e6, maxBucketOccupancy)
     BatchStore.append(hits, state.pairDir, state.epoch, batchId)
-    BatchStore.append(graft.dedup.Dedup.signatures(sh), state.sigDir,
-      state.epoch, batchId)
+    state.appendSignatures(graft.dedup.Dedup.signatures(sh), batchId)
     spark.read.parquet(BatchStore.batchDir(state.pairDir, state.epoch, batchId))
   }
 
@@ -532,23 +533,35 @@ object Streaming {
       snapshotEvery: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(snapshotEvery >= 1, "snapshotEvery must be >= 1")
     val cache = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val compacted = new java.util.concurrent.atomic.AtomicBoolean(false)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      // session-start compaction runs BEFORE the recovery read below —
+      // the recovered labeling must never hold references into a layout
+      // a compaction is about to rewrite
+      if (compacted.compareAndSet(false, true)) state.maybeAutoCompact(spark)
       // session start: exact state = latest snapshot ⊕ the pair-store
       // WAL, read BEFORE this batch appends its own pairs (a fresh
       // store then costs nothing extra). A crashed-attempt replay may
       // still see its own pairs in the pre-batch store — folding them
-      // twice is a no-op by the replay-insensitivity spec.
+      // twice is a no-op by the replay-insensitivity spec. The recovery
+      // is EAGERLY materialized: a checkpoint replay of this very batch
+      // id overwrites its (epoch, batch) pair partition in place
+      // (BatchStore.append step-aside), so a labeling still holding a
+      // lazy reference to the pre-append pair-store listing would hit
+      // FileNotFound when the snapshot publish finally executes it —
+      // and crash-loop on every restart.
       val prev = Option(cache.get()).orElse {
         val stored = BatchStore.read(spark, state.pairDir)
           .map(_.select(col("doc_a").as("a"), col("doc_b").as("b")))
-        (state.labels(spark), stored) match {
+        val recovered = (state.labels(spark), stored) match {
           case (Some(lab), Some(p)) =>
             Some(graft.graph.Fixpoint.incrementalComponents(lab, p))
           case (None, Some(p)) =>
             Some(graft.graph.Fixpoint.connectedComponents(p))
           case (lab, None) => lab
         }
+        recovered.map(graft.Lineage.pinned(_, eager = true))
       }
       val hits = growDedupStep(batch, batchId, state, minJaccX1e6, idCol,
         textCol, maxBucketOccupancy)

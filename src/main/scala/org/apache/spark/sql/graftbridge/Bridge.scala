@@ -141,7 +141,23 @@ object Bridge {
     * monotonically_increasing_id over a pinned leaf is NOT "already
     * materialized" — multi-read consumers would observe different
     * values per read, which is exactly what the pin exists to prevent.
-    * Anything with a filter, join, or aggregate on top still cuts. */
+    * Anything with a filter, join, or aggregate on top still cuts.
+    *
+    * CONTRACT — "materialized" means CHEAP TO RE-SCAN, not immutable:
+    * a file-source leaf qualifies because re-reading its files is as
+    * cheap as re-reading checkpoint blocks, but the files themselves
+    * can be deleted out from under a live frame by directory mutation
+    * (BatchStore.append's replay step-aside, compact, publishSnapshot's
+    * snapshot prune). A caller pinning SPECIFICALLY to isolate a frame
+    * from an upcoming mutation of the same directory must therefore NOT
+    * route through an isTruncated skip — use an explicit eager
+    * checkpoint (`Lineage.pinned(df, eager = true)` / `.cutEager`, which
+    * never consult this) the way the growing-components recovery path
+    * does before its replay can overwrite the pair store it recovered
+    * from (StreamingSpec "replay overwrite" pins that). The skip sites
+    * here (Dedup.pinned, the incremental-CC fold) all consume their
+    * input within the same step that produced it, before any mutation
+    * of the backing directory can run. */
   def isTruncated(df: org.apache.spark.sql.DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
     @annotation.tailrec

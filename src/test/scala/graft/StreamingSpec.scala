@@ -463,6 +463,194 @@ class StreamingSpec extends AnyFunSuite {
       s"snapshotEvery resume diverged: $got vs $oneShotLabels")
   }
 
+  test("components recovery survives an in-place replay overwrite of its own batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val b0 = Seq((0L, fox), (1L, fox + " extra")) // near-dup pair INSIDE batch 0
+    val b1 = Seq((2L, "completely different text about spark catalyst rules"))
+    val root = java.nio.file.Files
+      .createTempDirectory("grow-replay-overwrite").toString
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.growingComponentsSink(
+      s1.toDF().toDF("doc_id", "text"), GrowingDedupState(root, epoch = "0"),
+      500000L).start()
+    try {
+      s1.addData(b0: _*); q1.processAllAvailable()
+      s1.addData(b1: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // the checkpoint-replay shape: a restarted query under the SAME
+    // epoch re-delivers batch 0's data with batchId 0 — growDedupStep
+    // OVERWRITES epoch=0/batch=0 (pairs incl. (0,1)) in place while the
+    // recovered labeling (snapshot ⊕ pair-store WAL) is alive. The
+    // recovery must therefore be eagerly materialized BEFORE the
+    // overwrite — a lazy reference to the pre-append file listing would
+    // FileNotFound at the snapshot publish and crash-loop every restart.
+    val s2 = MemoryStream[(Long, String)]
+    val state2 = GrowingDedupState(root, epoch = "0")
+    val q2 = Streaming.growingComponentsSink(
+      s2.toDF().toDF("doc_id", "text"), state2, 500000L).start()
+    try {
+      s2.addData(b0: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val corpus = b0 ++ b1
+    val oneShotLabels = graft.graph.Fixpoint.connectedComponents(
+      Dedup.minhashLsh(
+        Dedup.shingleTable(corpus.toDF("doc_id", "text"), "doc_id", "text"),
+        500000L).select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .as[(Long, Long)].collect().toSet
+    assert(state2.labels(spark).get.as[(Long, Long)].collect().toSet
+      == oneShotLabels)
+    assert(state2.matches(spark).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet == Set((0L, 1L)))
+  }
+
+  test("store probe prunes band and payload partitions, equal to the full-scan probe") {
+    import graft.dedup.Dedup
+    import graft.streaming.BatchStore
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    // enough history docs to populate every one of the 8 band buckets
+    val hist = (0L until 40L).map(i =>
+      (i, s"history document number $i about topic ${i % 7} with words " +
+        s"alpha beta gamma delta ${i} epsilon zeta eta theta iota kappa")) :+
+      (99L, fox)
+    val st = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("probe-prune").toString,
+      epoch = "0", bandBuckets = 8, payloadBuckets = 8)
+    st.appendSignatures(Dedup.signatures(Dedup.shingleTable(
+      hist.toDF("doc_id", "text"), "doc_id", "text")), 0L)
+    val batchSh = Dedup.shingleTable(
+      Seq((100L, fox + " indeed")).toDF("doc_id", "text"), "doc_id", "text")
+    val pruned = st.probeComplete(batchSh, 500000L)
+      .select("doc_a", "doc_b", "jacc_x1e6")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.incrementalMinhashComplete(
+      spark.read.parquet(st.sigDir).drop("epoch", "batch", "pb"),
+      batchSh, 500000L)
+      .select("doc_a", "doc_b", "jacc_x1e6")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pruned == full && pruned.map(p => (p._1, p._2)) == Set((99L, 100L)))
+    // files-read contract: the 1-doc batch touches ≤ 4 of the 8 band
+    // buckets, so the pruned path set is a strict subset of the store
+    val bks = Dedup.bandTable(Dedup.pinned(batchSh))
+      .select(pmod(xxhash64(col("band"), col("h1"), col("h2")), lit(8L))
+        .cast("int").as("bk"))
+      .distinct().as[Int].collect().toSeq
+    assert(bks.size <= 4)
+    val prunedPaths = st.prunedPaths(spark, st.bandDir, "bk", bks)
+    val allPaths = st.prunedPaths(spark, st.bandDir, "bk", 0 until 8)
+    assert(allPaths.size == 8, s"history should fill all 8 buckets: $allPaths")
+    assert(prunedPaths.nonEmpty && prunedPaths.size < allPaths.size,
+      s"probe must read a strict subset: ${prunedPaths.size}/${allPaths.size}")
+    // the signature payload store is only read at the candidates' pb
+    // buckets — one candidate old id ⇒ exactly one payload bucket
+    val pbs = Seq(pmod(xxhash64(lit(99L)), lit(8L)).cast("int"))
+      .map(e => spark.range(1).select(e.as("pb")).as[Int].head())
+    assert(st.prunedPaths(spark, st.sigDir, "pb", pbs).size == 1)
+    assert(st.prunedPaths(spark, st.sigDir, "pb", 0 until 8).size == 8)
+  }
+
+  test("re-ingested ids resolve deterministically at read (max payload, never a race)") {
+    import graft.dedup.Dedup
+    import graft.streaming.BatchStore
+    val st = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("det-reads").toString, epoch = "0")
+    def sigsOf(text: String) = Dedup.signatures(Dedup.shingleTable(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text"))
+    val vA = sigsOf("first version of the document body entirely")
+    val vB = sigsOf("second rewritten body with different words now")
+    st.appendSignatures(vA, 0L)
+    st.withEpoch("1").appendSignatures(vB, 0L) // cross-epoch re-ingestion
+    val expected = BatchStore.dedupByMaxStruct(
+      vA.unionByName(vB), Seq("doc_id")).collect().toSeq
+    val got1 = st.index(spark).collect().toSeq
+    val got2 = st.index(spark).collect().toSeq
+    assert(got1 == expected && got2 == expected,
+      "index read must pick the deterministic max-struct survivor")
+    // pair store: duplicate pair keys keep the MAX score, both in the
+    // growing store and in the persisted incremental sink read-back
+    BatchStore.append(Seq((1L, 2L, 500000L)).toDF("doc_a", "doc_b", "jacc_x1e6"),
+      st.pairDir, "0", 0L)
+    BatchStore.append(Seq((1L, 2L, 700000L)).toDF("doc_a", "doc_b", "jacc_x1e6"),
+      st.pairDir, "1", 0L)
+    assert(st.matches(spark).as[(Long, Long, Long)].collect().toSeq
+      == Seq((1L, 2L, 700000L)))
+  }
+
+  test("auto-compaction at session start: results identical, batch dirs bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val pipe = "training data pipelines need deduplication at scale every day"
+    val corpus = Seq(
+      (0L, fox), (1L, fox + " extra"),   // split across sessions
+      (2L, "completely different text about spark catalyst optimizer rules"),
+      (5L, pipe), (6L, pipe + " more"),
+      (7L, "another unrelated document mentioning shuffles joins and scans"))
+    val root = java.nio.file.Files
+      .createTempDirectory("grow-autocompact").toString
+    def batchDirs(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0
+      else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+        .flatMap(_.listFiles()).count(f => f.isDirectory && f.getName.startsWith("batch="))
+    }
+    // session 1 accumulates 3 batch dirs per store
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.growingComponentsSink(
+      s1.toDF().toDF("doc_id", "text"),
+      GrowingDedupState(root, epoch = "0"), 500000L).start()
+    try {
+      s1.addData(corpus.filter(d => Set(0L, 2L)(d._1)): _*); q1.processAllAvailable()
+      s1.addData(corpus.filter(d => d._1 == 1L): _*); q1.processAllAvailable()
+      s1.addData(corpus.filter(d => d._1 == 5L): _*); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(batchDirs(root + "/sigs") == 3)
+    // session 2's threshold (2) trips at session start: the sinks
+    // compact BEFORE the first batch, then keep appending
+    val s2 = MemoryStream[(Long, String)]
+    val state2 = GrowingDedupState(root, epoch = "1", autoCompactAfter = 2)
+    val q2 = Streaming.growingComponentsSink(
+      s2.toDF().toDF("doc_id", "text"), state2, 500000L).start()
+    try {
+      s2.addData(corpus.filter(d => Set(6L, 7L)(d._1)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // one compacted dir + session 2's single batch per store
+    assert(batchDirs(root + "/sigs") == 2 && batchDirs(root + "/pairs") == 2 &&
+      batchDirs(root + "/bands") == 2,
+      s"expected compact+1 dirs, got sigs=${batchDirs(root + "/sigs")}")
+    val sh = Dedup.shingleTable(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val oneShot = Dedup.minhashLsh(sh, 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(state2.matches(spark).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet == oneShot)
+    assert(oneShot == Set((0L, 1L), (5L, 6L)))
+    val oneShotLabels = graft.graph.Fixpoint.connectedComponents(
+      Dedup.minhashLsh(sh, 500000L)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .as[(Long, Long)].collect().toSet
+    assert(state2.labels(spark).get.as[(Long, Long)].collect().toSet
+      == oneShotLabels)
+  }
+
+  test("append sweeps crashed staging/aside leftovers for its batch") {
+    import graft.streaming.BatchStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("append-sweep").toString
+    val parent = new java.io.File(s"$dir/epoch=0")
+    parent.mkdirs()
+    new java.io.File(parent, ".batch=0._staging_deadbeef").mkdirs()
+    new java.io.File(parent, ".batch=0._replaced_deadbeef").mkdirs()
+    BatchStore.append(Seq((1L, 2L)).toDF("a", "b"), dir, "0", 0L)
+    val leftovers = parent.listFiles().map(_.getName)
+      .filter(n => n.contains("._staging_") || n.contains("._replaced_"))
+    assert(leftovers.isEmpty, s"stale dirs must be swept: ${leftovers.toSeq}")
+    assert(BatchStore.read(spark, dir).get.count() == 1)
+  }
+
   test("compaction crash window: duplicate partitions read consistently, re-compaction converges") {
     import graft.streaming.BatchStore
     import spark.implicits._
