@@ -289,24 +289,35 @@ object Bench {
         a.startsWith("-Xms") || a.startsWith("-Xss"))
       .map(a => "\"" + a.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
-    // Documented per-query runtime bands at sf0.1 (r15 verdict item 6):
-    // [lo, hi] seconds a regression diff should treat as in-band noise,
-    // not drift. graph_triangles: the C2 re-speculation band
-    // (JFR-attributed, PROGRESS r15 — GeneratedIterator processNext
+    // Documented per-query runtime bands at sf0.1 (r15 verdict item 6;
+    // governance per r16 verdict item 5 — a band moves ONLY with a
+    // PROGRESS line naming the attributed mechanism, never to cover a
+    // new reading): [lo, hi] seconds a regression diff should treat as
+    // in-band noise, not drift. graph_triangles: the C2 re-speculation
+    // band (JFR-attributed, PROGRESS r15 — GeneratedIterator processNext
     // bci=4 unstable_if deopt cluster across steady-state re-runs;
     // absent in the run-once production shape). The stream_* gates are
     // the per-micro-batch replan/codegen floor class (task CPU a small
-    // fraction of wall; floors measured in PROGRESS r14/r15) — the
-    // persisted growing sinks (r16) ride the same fixed machinery plus
-    // O(batch) store appends.
+    // fraction of wall; floors measured in PROGRESS r14/r15). The
+    // growing sinks' r17 widening is the bucketed-store per-batch fixed
+    // overhead (hash-partitioned band+payload appends ≈ 34 small files
+    // per batch, two driver-bounded bucket collects, pruned-path
+    // resolution — same-day A/B in PROGRESS r17: 5.69→8.80 and
+    // 8.37→12.30 on the artifact pair), the price of the probe's
+    // O(batch·occupancy) bytes-read at scale; the resume_compact
+    // capstone runs TWO streaming sessions plus an auto-compaction.
     // Band widths absorb the measured ±20% machine-day drift (identical
     // code measured 271.6s..359s across days — PROGRESS r15/r16) on top
     // of each query's own mechanism band.
     val knownBands = Map(
       "graph_triangles" -> (3.0, 6.5),
       "stream_incremental_components" -> (4.5, 7.0),
-      "stream_growing_dedup" -> (3.0, 7.0),
-      "stream_growing_components" -> (4.5, 10.5))
+      "stream_growing_dedup" -> (3.0, 11.5),
+      "stream_growing_components" -> (4.5, 15.5),
+      "stream_growing_resume_compact" -> (10.0, 20.0),
+      // seeds its bucketed index INSIDE the gate (signatures over 80%
+      // of the corpus + partitioned store writes) before streaming
+      "stream_incremental_dedup_bucketed" -> (3.5, 9.5))
       .map { case (k, (lo, hi)) => s""""$k":[$lo,$hi]""" }
       .mkString("{", ",", "}")
     val fullJson =

@@ -98,13 +98,22 @@ object ScaleSmoke {
           fixedBatch.coalesce(1).write.mode("overwrite").parquet(srcDir)
           val srcSchema = spark.read.parquet(srcDir).schema
           // each op seeds ONLY its own state — a targeted headroom run
-          // must not pay the other op's ×m untimed setup
-          val seedSigs = dedup.Dedup.signatures(dedup.Dedup.shingleTable(
+          // must not pay the other op's ×m untimed setup. The seed
+          // signatures are materialized to parquet ONCE and read back
+          // per use: a lazily-pinned frame would lose its checkpoint
+          // blocks to the inter-op releasePersisted and be
+          // unrecomputable on the second op's seeding.
+          val seedSigDir = java.nio.file.Files
+            .createTempDirectory("smoke_growsink_sigs").toString + "/sigs"
+          dedup.Dedup.signatures(dedup.Dedup.shingleTable(
             docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"))
+            .write.parquet(seedSigDir)
+          DriverHygiene.releasePersisted(spark)
           def seeded(tag: String, withLabels: Boolean): graft.streaming.GrowingDedupState = {
             val st = graft.streaming.GrowingDedupState(java.nio.file.Files
               .createTempDirectory(s"smoke_growsink_$tag").toString, epoch = "live")
-            st.withEpoch("seed").appendSignatures(seedSigs, 0L)
+            st.withEpoch("seed").appendSignatures(
+              spark.read.parquet(seedSigDir), 0L)
             // an ×m-sized labeling so the components fold and its
             // snapshot write run against accumulated-scale state
             if (withLabels) graft.streaming.BatchStore.publishSnapshot(
@@ -155,43 +164,78 @@ object ScaleSmoke {
         val wantPruned = onlyOps.forall(_.contains("growing_probe_pruned"))
         val wantFull = onlyOps.forall(_.contains("growing_probe_fullscan"))
         if (wantPruned || wantFull) {
-          def timedBytes(name: String)(f: => Long): Unit = {
+          // IO accounting from the STORE LAYOUT, not task metrics or
+          // final-plan scan nodes: the pruned reads receive explicit
+          // partition-path lists (they cannot touch bytes outside them),
+          // so selected files/bytes per path set IS the exact files-read
+          // contract; task-metrics bytesRead is uninterpretable here
+          // (column pruning, metadata-only counts) and AQE's
+          // empty-relation propagation drops executed scans from final
+          // plans. The full-scan control's selection is the whole store
+          // by construction (it reads the store root).
+          def timedScan(name: String, extra: => String)(
+              mk: => org.apache.spark.sql.DataFrame): Unit = {
             ran += 1
-            val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-            val listener = new org.apache.spark.scheduler.SparkListener {
-              override def onTaskEnd(
-                  te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-                if (te.taskMetrics != null)
-                  bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-            }
-            spark.sparkContext.addSparkListener(listener)
             val t0 = System.nanoTime()
-            val rows = f
+            val df = mk
+            val rows = df.count()
             val s = (System.nanoTime() - t0) / 1e9
-            org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
-            spark.sparkContext.removeSparkListener(listener)
-            println(f"""{"op":"$name","mult":$m,"rows":$rows,"sec":$s%.2f,"bytes_read":${bytes.get()}}""")
+            println(f"""{"op":"$name","mult":$m,"rows":$rows,"sec":$s%.2f$extra}""")
             DriverHygiene.releasePersisted(spark)
+          }
+          def duOf(dir: String): (Long, Long) = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val s = p.getFileSystem(spark.sessionState.newHadoopConf())
+              .getContentSummary(p)
+            (s.getFileCount, s.getLength)
           }
           val smallBatch = Tables.documents(spark, sfDir)
             .filter(col("doc_id") % 499 === 0)
             .select(col("doc_id"), col("text"))
+          // a DIVERSE ×m history, not id-offset copies: each extra copy
+          // interleaves a copy-unique token between every pair of words,
+          // so its shingle set is disjoint from every other copy's and
+          // from the batch's — the batch's true matches stay O(1) while
+          // the store grows ×m. Plain multiply() would instead give every
+          // batch doc m near-identical matches (candidate volume — and
+          // therefore the payload read — linear in m by CONSTRUCTION, and
+          // the duplicated text dictionary-compresses the full-scan
+          // control flat), measuring the corpus pathology, not the probe.
+          val base = Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % 499 =!= 0)
+            .select(col("doc_id"), col("text"))
+          val histDocs = (0 until m).map { i =>
+            if (i == 0) base
+            else base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+              .withColumn("text",
+                regexp_replace(col("text"), " ", s" zq$i "))
+          }.reduce(_ unionByName _)
           val histSigs = dedup.Dedup.signatures(dedup.Dedup.shingleTable(
-            docs.filter(col("doc_id") % 499 =!= 0), "doc_id", "text"))
+            histDocs, "doc_id", "text"))
           val st = graft.streaming.GrowingDedupState(java.nio.file.Files
             .createTempDirectory("smoke_probe_store").toString,
             epoch = "seed", bandBuckets = 1024, payloadBuckets = 256)
           st.appendSignatures(histSigs, 0L) // untimed ×m seeding
           val batchSh = dedup.Dedup.shingleTable(smallBatch, "doc_id", "text")
-          if (wantPruned) timedBytes("growing_probe_pruned") {
-            st.probeComplete(batchSh, 800000L).count()
+          spark.conf.set("graft.growing.probeIoDiagnostics", "true")
+          if (wantPruned) timedScan("growing_probe_pruned",
+            st.lastProbeIo.map(io =>
+              s""","band_sel_bytes":${io.bandBytes},"band_store_bytes":${io.bandStoreBytes},"band_sel_files":${io.bandFiles},"band_store_files":${io.bandStoreFiles},"pay_sel_bytes":${io.payBytes},"pay_store_bytes":${io.payStoreBytes},"pay_sel_files":${io.payFiles},"pay_store_files":${io.payStoreFiles}""")
+              .getOrElse("")) {
+            st.probeComplete(batchSh, 800000L)
           }
-          if (wantFull) timedBytes("growing_probe_fullscan") {
-            // the r16 shape: raw full read of the signature store
+          if (wantFull) timedScan("growing_probe_fullscan", {
+            val (sf, sb) = duOf(st.sigDir)
+            s""","sel_files":$sf,"sel_bytes":$sb"""
+          }) {
+            // the r16 shape: raw full read of the signature store — its
+            // file selection is the whole store, twice (band pass +
+            // verification pass), reported once
             dedup.Dedup.incrementalMinhashComplete(
               spark.read.parquet(st.sigDir).drop("epoch", "batch", "pb"),
-              batchSh, 800000L).count()
+              batchSh, 800000L)
           }
+          spark.conf.unset("graft.growing.probeIoDiagnostics")
         }
       }
       // Adversarial hot-bucket pair (r13 verdict item 3): 90% of the

@@ -643,6 +643,44 @@ object StreamQueries {
     }
   }
 
+  /** [[streamIncrementalDedupPersisted]] against a BUCKETED index
+    * ([[graft.streaming.Streaming.incrementalDedupSinkBucketed]]): the
+    * history corpus is seeded ONCE into a [[graft.streaming
+    * .GrowingDedupState]] (band store hash-partitioned by band bucket,
+    * shingle payload by doc-id bucket) and never grown; each micro-batch
+    * probes through the PARTITION-PRUNED `probeIndexed` — the serving
+    * shape for a fixed index too large to pin, where per-batch
+    * bytes-read must track the batch, not the index. The accumulated
+    * read-back must STILL equal the one-shot full-scan batch probe
+    * (pruning is structural, not approximate) — shares
+    * `dedup_incremental_minhash`'s oracle verbatim, same as both other
+    * legs. */
+  def streamIncrementalDedupBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_incdedupb_src").toString
+    newDocs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    withStateSession(spark) { scoped =>
+      val index = graft.streaming.GrowingDedupState(java.nio.file.Files
+        .createTempDirectory("graft_incdedupb_idx").toString, epoch = "seed")
+      index.appendSignatures(graft.dedup.Dedup.signatures(
+        graft.dedup.Dedup.shingleTable(
+          Tables.documents(scoped, dir).filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")), 0L)
+      val src = scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val pairsDir = java.nio.file.Files
+        .createTempDirectory("graft_incdedupb_pairs").toString
+      val q = Streaming.incrementalDedupSinkBucketed(src, index, 800000L,
+        pairsDir).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      Streaming.readIncrementalMatches(scoped, pairsDir)
+    }
+  }
+
   /** The ENTIRE corpus streamed through the self-growing dedup sink
     * ([[graft.streaming.Streaming.growingDedupSink]]) from an EMPTY
     * index, one file per micro-batch: each batch is matched completely
@@ -1206,6 +1244,7 @@ object StreamQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_incremental_dedup_persisted" -> (streamIncrementalDedupPersisted _),
+    "stream_incremental_dedup_bucketed" -> (streamIncrementalDedupBucketed _),
     "stream_growing_dedup" -> (streamGrowingDedup _),
     "stream_growing_components" -> (streamGrowingComponents _),
     "stream_growing_resume_compact" -> (streamGrowingResumeCompact _),
@@ -1862,6 +1901,10 @@ object StreamQueries {
     // regardless of micro-batch slicing — same oracle, verbatim
     "stream_incremental_dedup" -> LlmQueries.oracles("dedup_incremental_minhash"),
     "stream_incremental_dedup_persisted" ->
+      LlmQueries.oracles("dedup_incremental_minhash"),
+    // the partition-pruned fixed-index probe is structural pruning, not
+    // an approximation — same oracle a third time
+    "stream_incremental_dedup_bucketed" ->
       LlmQueries.oracles("dedup_incremental_minhash"),
     // the growing-index sink must reproduce the one-shot full-corpus LSH
     "stream_growing_dedup" -> LlmQueries.oracles("dedup_minhash_lsh"),

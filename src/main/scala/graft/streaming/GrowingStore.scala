@@ -226,6 +226,18 @@ object BatchStore {
     manifestTarget(spark, dir).map(rel => spark.read.parquet(s"$dir/$rel"))
 }
 
+/** IO selection of one [[GrowingDedupState.probeComplete]] call:
+  * files/bytes the pruned band and payload reads SELECTED vs each
+  * store's totals — the probe's sublinearity contract, measured from
+  * the store layout itself (independent of task-metrics accounting).
+  * Recorded only when `graft.growing.probeIoDiagnostics=true` (the
+  * content summaries walk the store — diagnostics, not a hot-path
+  * cost). */
+final case class ProbeIo(bandFiles: Long, bandBytes: Long,
+                         bandStoreFiles: Long, bandStoreBytes: Long,
+                         payFiles: Long, payBytes: Long,
+                         payStoreFiles: Long, payStoreBytes: Long)
+
 /** Handle on the growing dedup sinks' persisted state: a hash-bucketed
   * BAND store (one row per doc per band, hive-partitioned by
   * `bk = hash(band, h1, h2) % bandBuckets` — the probe side), a
@@ -270,6 +282,12 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
   @transient private var bucketMemo: Option[(Int, Int)] = None
+  @transient private var probeIoMemo: Option[ProbeIo] = None
+
+  /** Diagnostics of the last [[probeComplete]] on this handle (see
+    * [[ProbeIo]]); None unless `graft.growing.probeIoDiagnostics=true`
+    * was set on the session. */
+  def lastProbeIo: Option[ProbeIo] = probeIoMemo
 
   /** The store's pinned (bandBuckets, payloadBuckets) — read from
     * `root/_BUCKETS` when it exists, else pinned from this handle's
@@ -368,18 +386,52 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
                     maxBucketOccupancy: Long = Long.MaxValue,
                     failOnHotBucket: Boolean = false): DataFrame = {
     import graft.dedup.Dedup
-    val spark = newShingled.sparkSession
     val newMat = Dedup.pinned(newShingled)
     val within = Dedup.minhashLshGuarded(newMat, minJaccX1e6,
       maxBucketOccupancy, failOnHotBucket)
-    if (!BatchStore.nonEmpty(spark, bandDir)) within
+    prunedCross(newMat, minJaccX1e6, maxBucketOccupancy,
+        failOnHotBucket) match {
+      case None        => within
+      case Some(cross) => Dedup.completeFrom(cross, within)
+    }
+  }
+
+  /** The probe-ONLY pruned read — [[graft.dedup.Dedup
+    * .incrementalMinhashIndexed]] semantics against this store's
+    * bucketed layout (no within-batch term, no fold): the serving path
+    * when the store is a FIXED corpus index probed by a stream of
+    * batches too large to pin ([[graft.dedup.Dedup
+    * .incrementalMinhashPrebuilt]] is the pin-once path for indexes
+    * that fit). Same partition pruning and guard semantics as
+    * [[probeComplete]]'s cross leg; byte-identical output to the
+    * full-scan probe. */
+  def probeIndexed(newShingled: DataFrame, minJaccX1e6: Long,
+                   maxBucketOccupancy: Long = Long.MaxValue,
+                   failOnHotBucket: Boolean = false): DataFrame = {
+    val newMat = graft.dedup.Dedup.pinned(newShingled)
+    prunedCross(newMat, minJaccX1e6, maxBucketOccupancy, failOnHotBucket)
+      .getOrElse(newMat.select(col("doc_id").as("new_id"),
+        col("doc_id").as("old_id"), lit(0L).as("jacc_x1e6")).limit(0))
+  }
+
+  /** The pruned cross-probe core shared by [[probeComplete]] and
+    * [[probeIndexed]]: (new_id, old_id, jacc_x1e6) of `newMat` against
+    * the store, None when the store holds no batch partitions or no
+    * bucket the batch hashes into. `newMat` must already be
+    * materialized. */
+  private def prunedCross(newMat: DataFrame, minJaccX1e6: Long,
+      maxBucketOccupancy: Long,
+      failOnHotBucket: Boolean): Option[DataFrame] = {
+    import graft.dedup.Dedup
+    val spark = newMat.sparkSession
+    if (!BatchStore.nonEmpty(spark, bandDir)) None
     else {
       val (bB, pB) = effectiveBuckets(spark)
       val newBands = graft.Lineage.pinned(Dedup.bandTable(newMat), eager = false)
       val bks = newBands.select(bandBucketExpr(bB).as("bk"))
         .distinct().collect().map(_.getInt(0)).toSeq
       prunedRead(spark, bandDir, "bk", bks) match {
-        case None => within
+        case None => None
         case Some(hist) =>
           val cand = graft.Lineage.pinned(
             Dedup.probeCandidates(
@@ -389,17 +441,29 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
           val pbs = cand
             .select(payloadBucketExpr(pB, col("old_id")).as("pb"))
             .distinct().collect().map(_.getInt(0)).toSeq
+          if (spark.conf.getOption("graft.growing.probeIoDiagnostics")
+              .contains("true")) {
+            val f = fs(spark)
+            def sum(paths: Seq[String]): (Long, Long) =
+              paths.foldLeft((0L, 0L)) { case ((nf, nb), p) =>
+                val s = f.getContentSummary(new Path(p))
+                (nf + s.getFileCount, nb + s.getLength)
+              }
+            val (bf, bb) = sum(prunedPaths(spark, bandDir, "bk", bks))
+            val (bsf, bsb) = sum(Seq(bandDir))
+            val (pf, pbb) = sum(prunedPaths(spark, sigDir, "pb", pbs))
+            val (psf, psb) = sum(Seq(sigDir))
+            probeIoMemo = Some(ProbeIo(bf, bb, bsf, bsb, pf, pbb, psf, psb))
+          }
           prunedRead(spark, sigDir, "pb", pbs) match {
-            case None if pbs.isEmpty => within // no candidates at all
+            case None if pbs.isEmpty => None // no candidates at all
             case None => throw new IllegalStateException(
               s"GrowingDedupState: payload partitions missing under $sigDir " +
                 s"for probed candidate buckets ${pbs.mkString(",")} — " +
                 "store corrupted (bands published without their payload?)")
             case Some(pay) =>
-              Dedup.completeFrom(
-                Dedup.verifyJaccard(cand, "new_id", "old_id", newMat,
-                  pay.select(col("doc_id"), col("shingles")), minJaccX1e6),
-                within)
+              Some(Dedup.verifyJaccard(cand, "new_id", "old_id", newMat,
+                pay.select(col("doc_id"), col("shingles")), minJaccX1e6))
           }
       }
     }

@@ -386,14 +386,21 @@ object Streaming {
                            minJaccX1e6: Long,
                            matches: java.util.concurrent.atomic.AtomicReference[DataFrame],
                            idCol: String = "doc_id", textCol: String = "text",
-                           maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                           maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the index is FIXED for the query's lifetime: build and pin its
+    // band table once, so each micro-batch probe re-reads the pinned
+    // blocks instead of re-scanning the index parquet and re-exploding
+    // its bands per batch (lazy — materialized by the first batch)
+    val histBands = graft.Lineage.pinned(
+      graft.dedup.Dedup.bandsOf(index), eager = false)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val hits = graft.dedup.Dedup.incrementalMinhashIndexed(
-        index, graft.dedup.Dedup.shingleTable(batch, idCol, textCol),
+      val hits = graft.dedup.Dedup.incrementalMinhashPrebuilt(
+        histBands, index, graft.dedup.Dedup.shingleTable(batch, idCol, textCol),
         minJaccX1e6, maxBucketOccupancy)
       matches.updateAndGet(cur => mergeDedupMatches(cur, hits))
       ()
     }
+  }
 
   /** [[incrementalDedupSink]] with the match set persisted O(batch)
     * instead of accumulated in memory: each micro-batch appends ONLY its
@@ -410,10 +417,41 @@ object Streaming {
                                     minJaccX1e6: Long,
                                     pairsDir: String, epoch: String = "0",
                                     idCol: String = "doc_id", textCol: String = "text",
-                                    maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                                    maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // fixed index ⇒ band table built and pinned once (see
+    // [[incrementalDedupSink]]); the shingle payload stays a per-batch
+    // scan of the index parquet — pin-sized indexes can pre-pin it too,
+    // and [[incrementalDedupSinkBucketed]] is the path when neither fits
+    val histBands = graft.Lineage.pinned(
+      graft.dedup.Dedup.bandsOf(index), eager = false)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val hits = graft.dedup.Dedup.incrementalMinhashIndexed(
-        index, graft.dedup.Dedup.shingleTable(batch, idCol, textCol),
+      val hits = graft.dedup.Dedup.incrementalMinhashPrebuilt(
+        histBands, index, graft.dedup.Dedup.shingleTable(batch, idCol, textCol),
+        minJaccX1e6, maxBucketOccupancy)
+      BatchStore.append(hits, pairsDir, epoch, batchId)
+      ()
+    }
+  }
+
+  /** [[incrementalDedupSinkPersisted]] against a BUCKETED index — a
+    * [[GrowingDedupState]] seeded once with the corpus signatures
+    * ([[GrowingDedupState.appendSignatures]]) and never grown: each
+    * micro-batch probes through the PARTITION-PRUNED
+    * [[GrowingDedupState.probeIndexed]] (band store read at only the
+    * batch's buckets, payload at only the candidates' buckets), so
+    * per-batch bytes-read tracks the batch even when the index is far
+    * too large to pin. Output and replay semantics identical to the
+    * DataFrame-index form — [[readIncrementalMatches]] reads the
+    * accumulated set back. */
+  def incrementalDedupSinkBucketed(newDocs: DataFrame,
+                                   index: GrowingDedupState,
+                                   minJaccX1e6: Long,
+                                   pairsDir: String, epoch: String = "0",
+                                   idCol: String = "doc_id", textCol: String = "text",
+                                   maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val hits = index.probeIndexed(
+        graft.dedup.Dedup.shingleTable(batch, idCol, textCol),
         minJaccX1e6, maxBucketOccupancy)
       BatchStore.append(hits, pairsDir, epoch, batchId)
       ()

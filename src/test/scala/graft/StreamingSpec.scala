@@ -532,6 +532,17 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_a", "doc_b", "jacc_x1e6")
       .as[(Long, Long, Long)].collect().toSet
     assert(pruned == full && pruned.map(p => (p._1, p._2)) == Set((99L, 100L)))
+    // the probe-ONLY leg (fixed-index serving, no within-batch term)
+    // equals the full-scan incrementalMinhashIndexed output exactly
+    val prunedIdx = st.probeIndexed(batchSh, 500000L)
+      .select("new_id", "old_id", "jacc_x1e6")
+      .as[(Long, Long, Long)].collect().toSet
+    val fullIdx = Dedup.incrementalMinhashIndexed(
+      spark.read.parquet(st.sigDir).drop("epoch", "batch", "pb"),
+      batchSh, 500000L)
+      .select("new_id", "old_id", "jacc_x1e6")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prunedIdx == fullIdx && prunedIdx.map(_._1) == Set(100L))
     // files-read contract: the 1-doc batch touches ≤ 4 of the 8 band
     // buckets, so the pruned path set is a strict subset of the store
     val bks = Dedup.bandTable(Dedup.pinned(batchSh))
@@ -550,6 +561,29 @@ class StreamingSpec extends AnyFunSuite {
       .map(e => spark.range(1).select(e.as("pb")).as[Int].head())
     assert(st.prunedPaths(spark, st.sigDir, "pb", pbs).size == 1)
     assert(st.prunedPaths(spark, st.sigDir, "pb", 0 until 8).size == 8)
+    // hot-bucket guard parity: a boilerplate flood in the store is
+    // skipped by the pruned probe's occupancy cap exactly as by the
+    // full-scan probe's (census over the pruned read ≡ global census
+    // for every probed bucket — partitioning is on the bucket key)
+    val flood = (200L until 240L).map(i => (i, fox)) :+ (99L, fox)
+    val stHot = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("probe-prune-hot").toString,
+      epoch = "0", bandBuckets = 8, payloadBuckets = 8)
+    stHot.appendSignatures(Dedup.signatures(Dedup.shingleTable(
+      flood.toDF("doc_id", "text"), "doc_id", "text")), 0L)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jacc_x1e6")
+        .as[(Long, Long, Long)].collect().toSet
+    val cappedPruned = pairsOf(stHot.probeComplete(batchSh, 500000L,
+      maxBucketOccupancy = 10L))
+    val cappedFull = pairsOf(Dedup.incrementalMinhashComplete(
+      spark.read.parquet(stHot.sigDir).drop("epoch", "batch", "pb"),
+      batchSh, 500000L, maxBucketOccupancy = 10L))
+    assert(cappedPruned == cappedFull,
+      s"guard parity broke: $cappedPruned vs $cappedFull")
+    // and the cap actually suppressed the flood (uncapped finds it)
+    assert(pairsOf(stHot.probeComplete(batchSh, 500000L)).size >
+      cappedPruned.size)
   }
 
   test("re-ingested ids resolve deterministically at read (max payload, never a race)") {
