@@ -52,6 +52,27 @@ class PlanContractsSpec extends AnyFunSuite {
     DriverHygiene.releasePersisted(spark, gc = false)
   }
 
+  test("pruned store probe: batch side broadcasts over the bucket-pruned scan, no cartesian") {
+    // the bucketed-store form of the contract above: the probe reads
+    // ONLY the batch's band buckets (path-pruned), and what it does read
+    // is still scanned-not-shuffled — the batch band table broadcasts
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val st = graft.streaming.GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("plan-probe-store").toString, epoch = "seed")
+    st.appendSignatures(Dedup.signatures(Dedup.shingleTable(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")), 0L)
+    val probe = st.probeIndexed(
+      Dedup.shingleTable(docs.filter(col("doc_id") % 5 === 0).limit(50),
+        "doc_id", "text"), 800000L)
+    probe.collect() // AQE decides join strategies at runtime
+    val p = probe.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), "candidate side must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    DriverHygiene.releasePersisted(spark, gc = false)
+  }
+
   test("attribution: filters push to the scan, conversions broadcast, rank-filter is a group limit") {
     val p = plan("attribution_multi_touch")
     assert(p.contains("PushedFilters: [In(event_type"), "touch filter must reach parquet")
