@@ -82,6 +82,23 @@ object BatchStore {
       .parquet(staging.toString)
     val aside = new Path(target.getParent,
       s".${target.getName}._replaced_${java.util.UUID.randomUUID()}")
+    if (partitionBy.nonEmpty && !hasDataFiles(f, staging)) {
+      // a partitioned write of ZERO rows emits no part files at all
+      // (plain writes emit one empty file with a schema footer):
+      // publishing the fileless dir would make nonEmpty() true while
+      // read()/compact() cannot infer a schema — a crash-loop once it
+      // is the store's only batch. Publish NOTHING instead: an empty
+      // batch is invisible by construction, and a replay-to-empty
+      // removes the prior attempt's content like any other overwrite.
+      f.delete(staging, true)
+      if (f.exists(target)) {
+        if (!f.rename(target, aside))
+          throw new IllegalStateException(
+            s"BatchStore.append: step-aside of $target failed")
+        f.delete(aside, true)
+      }
+      return
+    }
     if (f.exists(target) && !f.rename(target, aside))
       throw new IllegalStateException(
         s"BatchStore.append: step-aside of $target failed")
@@ -89,6 +106,19 @@ object BatchStore {
       throw new IllegalStateException(
         s"BatchStore.append: publish to $target failed")
     f.delete(aside, true)
+  }
+
+  /** Any non-hidden file under `p` (recursively) — i.e. the dir holds
+    * actual data, not just partition skeleton / `_SUCCESS` markers. */
+  private[streaming] def hasDataFiles(f: org.apache.hadoop.fs.FileSystem,
+                                      p: Path): Boolean = {
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
   }
 
   /** True iff the store holds at least one published batch. Keyed on
@@ -141,24 +171,42 @@ object BatchStore {
     * Crash-ordered so the store is readable at every step: the compacted
     * partition PUBLISHES before any original is deleted, and the
     * transient duplicate window that creates is exactly the duplicate
-    * shape every reader/probe here already tolerates. */
+    * shape every reader/probe here already tolerates.
+    *
+    * `excludeEpoch` leaves that epoch's partitions untouched (not read,
+    * not deleted): a stream restarting FROM CHECKPOINT re-delivers its
+    * last batches under their ORIGINAL (epoch, batchId) keys, and a
+    * replay whose partition a compaction just swallowed would re-append
+    * rows the compact epoch already holds — permanent duplicates where
+    * the protocol promises overwrite-idempotence (inflating the
+    * hot-bucket occupancy census, which counts rows). The sinks pass
+    * their live epoch; its dirs compact in a later session once the
+    * store has moved on to a fresh epoch. */
   def compact(spark: SparkSession, dir: String, keyCols: Seq[String],
               partitionBy: Seq[String] = Nil,
-              epoch: String = s"compact-${java.util.UUID.randomUUID()}"): Unit =
-    read(spark, dir).foreach { df =>
-      val f = fs(spark, dir)
-      val old = Option(f.globStatus(new Path(dir, "epoch=*"))).toSeq.flatten
-        .map(_.getPath)
+              epoch: String = s"compact-${java.util.UUID.randomUUID()}",
+              excludeEpoch: Option[String] = None): Unit = {
+    val f = fs(spark, dir)
+    val old = Option(f.globStatus(new Path(dir, "epoch=*"))).toSeq.flatten
+      .map(_.getPath)
+      .filterNot(p => excludeEpoch.exists(e => p.getName == s"epoch=$e"))
+    if (old.nonEmpty) {
       require(!old.exists(_.getName == s"epoch=$epoch"),
         s"BatchStore.compact: epoch '$epoch' already exists in $dir")
-      val deduped =
-        if (keyCols.isEmpty) df else dedupByMaxStruct(df, keyCols)
-      val arranged =
-        if (partitionBy.isEmpty) deduped
-        else deduped.repartition(partitionBy.map(col): _*)
-      append(arranged, dir, epoch, 0L, partitionBy)
-      old.foreach(p => f.delete(p, true))
+      if (!old.exists(hasDataFiles(f, _))) old.foreach(p => f.delete(p, true))
+      else {
+        val df = spark.read.option("basePath", dir)
+          .parquet(old.map(_.toString): _*).drop("epoch", "batch")
+        val deduped =
+          if (keyCols.isEmpty) df else dedupByMaxStruct(df, keyCols)
+        val arranged =
+          if (partitionBy.isEmpty) deduped
+          else deduped.repartition(partitionBy.map(col): _*)
+        append(arranged, dir, epoch, 0L, partitionBy)
+        old.foreach(p => f.delete(p, true))
+      }
     }
+  }
 
   private val ManifestName = "MANIFEST"
 
@@ -333,10 +381,14 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
   def appendSignatures(sigs: DataFrame, batchId: Long): Unit = {
     val spark = sigs.sparkSession
     val (bB, pB) = effectiveBuckets(spark)
-    val payload = sigs.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))
+    // one minhash projection for BOTH writes: the payload write
+    // materializes the lazy pin, the band write re-reads the pinned
+    // blocks instead of recomputing the 8-hash projection from scratch
+    val s = graft.Lineage.pinned(sigs, eager = false)
+    val payload = s.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))
     BatchStore.append(payload.repartition(col("pb")), sigDir, epoch, batchId,
       partitionBy = Seq("pb"))
-    val bands = graft.dedup.Dedup.bandsOf(sigs)
+    val bands = graft.dedup.Dedup.bandsOf(s)
       .withColumn("bk", bandBucketExpr(bB))
     BatchStore.append(bands.repartition(col("bk")), bandDir, epoch, batchId,
       partitionBy = Seq("bk"))
@@ -424,8 +476,26 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
       failOnHotBucket: Boolean): Option[DataFrame] = {
     import graft.dedup.Dedup
     val spark = newMat.sparkSession
-    if (!BatchStore.nonEmpty(spark, bandDir)) None
-    else {
+    probeIoMemo = None // never report a previous probe's IO as this one's
+    if (!BatchStore.nonEmpty(spark, bandDir)) {
+      // signatures without bands is EITHER the documented first-batch
+      // crash window (payload published, crash before the band write —
+      // the batch is invisible and its replay overwrites both) or a
+      // store written by the pre-bucketed layout. Tell them apart by
+      // the payload partitioning: bucketed payloads nest pb=* dirs; a
+      // legacy store has none, and silently degrading to self-LSH
+      // would un-probe its ENTIRE accumulated history.
+      if (BatchStore.nonEmpty(spark, sigDir) &&
+          Option(fs(spark).globStatus(
+            new Path(sigDir, "epoch=*/batch=*/pb=*"))).forall(_.isEmpty))
+        throw new IllegalStateException(
+          s"GrowingDedupState: $sigDir holds signatures but no band " +
+            "partitions and no pb buckets — a store written by the " +
+            "pre-bucketed layout. Run compact()/maybeAutoCompact to " +
+            "migrate it (the sinks do this at session start) before " +
+            "probing.")
+      None
+    } else {
       val (bB, pB) = effectiveBuckets(spark)
       val newBands = graft.Lineage.pinned(Dedup.bandTable(newMat), eager = false)
       val bks = newBands.select(bandBucketExpr(bB).as("bk"))
@@ -501,32 +571,89 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     BatchStore.readSnapshot(spark, labelDir)
 
   /** Compact the signature, band, and pair stores into one partition
-    * each (key-deduped deterministically, bucket layout preserved),
-    * dropping the per-batch dirs — run between streaming sessions, or
-    * let the sinks run it automatically at session start via
+    * each, dropping the per-batch dirs — run between streaming sessions,
+    * or let the sinks run it automatically at session start via
     * [[maybeAutoCompact]], to keep listing cost flat on a long-running
     * feed. Results are unchanged by contract: the probe and readers
-    * dedup on the same keys ([[BatchStore.compact]]). Label snapshots
-    * self-prune (latest two) and need no compaction. */
+    * dedup on the same keys. Label snapshots self-prune (latest two)
+    * and need no compaction.
+    *
+    * Three contracts beyond [[BatchStore.compact]]'s:
+    *
+    *  - '''One version, consistently.''' The payload store dedups to
+    *    ONE deterministic survivor per doc id (max payload struct) and
+    *    the band store is then REBUILT as exactly the bands of those
+    *    survivors — never compacted independently, because a per-band
+    *    max(h1, h2) can pick a DIFFERENT re-ingested version than the
+    *    payload's max-struct survivor, leaving a chimera store whose
+    *    band rows advertise one version while verification reads
+    *    another (near-dups of the surviving version would then probe
+    *    into deleted band rows and silently miss).
+    *  - '''The live epoch is excluded''' (see [[BatchStore.compact]]):
+    *    a checkpoint restart replays batches under their original
+    *    (epoch, batchId) keys, which must keep overwriting IN PLACE.
+    *  - '''Legacy migration.''' Payload rows written by the
+    *    pre-bucketed layout (no `pb` column, no band store) gain their
+    *    bucket column here and the band rebuild creates the band store
+    *    from scratch — compaction IS the migration path the probe's
+    *    legacy-store error names.
+    *
+    * Crash-ordered like [[BatchStore.compact]]: each store's compacted
+    * partition publishes before its originals are deleted, and the band
+    * rebuild runs strictly after the payload compact so a crash between
+    * them leaves band rows that are a superset of the survivors' —
+    * extra candidates that verification (against the surviving
+    * payloads) simply rejects. */
   def compact(spark: SparkSession): Unit = {
-    BatchStore.compact(spark, sigDir, Seq("doc_id"), Seq("pb"))
-    BatchStore.compact(spark, bandDir, Seq("doc_id", "band"), Seq("bk"))
-    BatchStore.compact(spark, pairDir, Seq("doc_a", "doc_b"))
+    val f = fs(spark)
+    val (bB, pB) = effectiveBuckets(spark)
+    val ce = s"compact-${java.util.UUID.randomUUID()}"
+    def oldEpochs(dir: String): Seq[Path] =
+      Option(f.globStatus(new Path(dir, "epoch=*"))).toSeq.flatten
+        .map(_.getPath).filterNot(_.getName == s"epoch=$epoch")
+    val sigOld = oldEpochs(sigDir)
+    if (sigOld.exists(BatchStore.hasDataFiles(f, _))) {
+      val raw = spark.read.option("basePath", sigDir)
+        .parquet(sigOld.map(_.toString): _*).drop("epoch", "batch")
+      val withPb =
+        if (raw.columns.contains("pb")) raw
+        else raw.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))
+      val survivors = BatchStore.dedupByMaxStruct(withPb, Seq("doc_id"))
+      BatchStore.append(survivors.repartition(col("pb")), sigDir, ce, 0L,
+        partitionBy = Seq("pb"))
+      val bandOld = oldEpochs(bandDir)
+      val bands = graft.dedup.Dedup.bandsOf(
+          spark.read.parquet(BatchStore.batchDir(sigDir, ce, 0L)))
+        .withColumn("bk", bandBucketExpr(bB))
+      BatchStore.append(bands.repartition(col("bk")), bandDir, ce, 0L,
+        partitionBy = Seq("bk"))
+      bandOld.foreach(p => f.delete(p, true))
+      sigOld.foreach(p => f.delete(p, true))
+    } else sigOld.foreach(p => f.delete(p, true)) // fileless skeletons
+    BatchStore.compact(spark, pairDir, Seq("doc_a", "doc_b"), epoch = ce,
+      excludeEpoch = Some(epoch))
   }
 
   /** Session-start compaction policy: compact when any store holds more
-    * than `autoCompactAfter` batch dirs (0 = disabled). The sinks call
-    * this BEFORE the first batch of a session — the one point where the
-    * single-writer contract makes compaction free of coordination (no
-    * batch is mid-flight, no recovered labeling holds lazy references
-    * yet). Returns whether a compaction ran. */
-  def maybeAutoCompact(spark: SparkSession): Boolean =
-    autoCompactAfter > 0 && {
-      val f = fs(spark)
+    * than `autoCompactAfter` batch dirs (0 = disabled), or ALWAYS when
+    * the store was written by the pre-bucketed layout (signatures
+    * published but no `_BUCKETS` pin) — [[compact]] doubles as that
+    * migration, and an unmigrated store's history is unprobeable. The
+    * sinks call this BEFORE the first batch of a session — the one
+    * point where the single-writer contract makes compaction free of
+    * coordination (no batch is mid-flight, no recovered labeling holds
+    * lazy references yet). Returns whether a compaction ran. */
+  def maybeAutoCompact(spark: SparkSession): Boolean = {
+    val f = fs(spark)
+    val legacy = !f.exists(new Path(root, "_BUCKETS")) &&
+      BatchStore.nonEmpty(spark, sigDir)
+    val over = autoCompactAfter > 0 && {
       val worst = Seq(sigDir, bandDir, pairDir).map { d =>
         Option(f.globStatus(new Path(d, "epoch=*/batch=*"))).toSeq.flatten
           .count(_.isDirectory)
       }.max
-      worst > autoCompactAfter && { compact(spark); true }
+      worst > autoCompactAfter
     }
+    (legacy || over) && { compact(spark); true }
+  }
 }

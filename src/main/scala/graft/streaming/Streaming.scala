@@ -410,7 +410,10 @@ object Streaming {
     * re-pins the accumulated match set per batch and the matches outlive
     * the query. Read the accumulated set back with
     * [[readIncrementalMatches]]; compact the per-batch dirs offline with
-    * [[BatchStore.compact]] (keys new_id, old_id). Same epoch contract
+    * [[BatchStore.compact]] (keys new_id, old_id — pass the live query's
+    * epoch as `excludeEpoch` if it may restart from checkpoint, so a
+    * replayed batch keeps overwriting in place instead of re-appending
+    * rows the compact epoch already swallowed). Same epoch contract
     * as [[GrowingDedupState]]: reuse the epoch on a checkpoint restart,
     * take a fresh one for a new query over accumulated state. */
   def incrementalDedupSinkPersisted(newDocs: DataFrame, index: DataFrame,

@@ -776,8 +776,11 @@ class StreamingSpec extends AnyFunSuite {
     // COMPACTION: collapse the per-batch dirs (including the replay's
     // cross-epoch duplicates) into one deduped partition per store —
     // matches and index must read back identical, and a THIRD session
-    // over the compacted store must still probe the full history
-    state2.compact(spark)
+    // over the compacted store must still probe the full history.
+    // Offline compaction runs from a handle whose epoch holds no dirs:
+    // compact() always spares the handle's own (live) epoch so a
+    // checkpoint replay keeps overwriting in place.
+    state2.withEpoch("offline-compactor").compact(spark)
     def epochDirs(dir: String) = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("epoch=")).toSeq
     assert(epochDirs(state2.sigDir).size == 1 &&
@@ -802,5 +805,124 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(withNew == oneShotPlus && (withNew -- oneShot).nonEmpty,
       s"post-compaction probe missed history: $withNew vs $oneShotPlus")
+  }
+
+  test("compaction rebuilds bands from the surviving payloads (no chimera stores)") {
+    import graft.dedup.Dedup
+    val st = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("compact-chimera").toString, epoch = "0")
+    val textA = "first version of the shared document body with original words"
+    val textB = "second rewritten version carrying mostly different vocabulary now"
+    def sigsOf(rows: Seq[(Long, String)]) = Dedup.signatures(
+      Dedup.shingleTable(rows.toDF("doc_id", "text"), "doc_id", "text"))
+    st.appendSignatures(sigsOf(Seq(
+      (1L, textA), (2L, "unrelated filler about sparks and shuffles today"))), 0L)
+    st.withEpoch("1").appendSignatures(sigsOf(Seq((1L, textB))), 0L)
+    st.withEpoch("offline").compact(spark)
+    // the band store must be EXACTLY the bands of the surviving payloads:
+    // deduping bands independently (per-band max(h1, h2)) can crown a
+    // DIFFERENT re-ingested version than the payload's max-struct
+    // survivor, so near-dups of the surviving text would probe into
+    // deleted band rows and silently miss
+    val survivors = st.index(spark)
+    val got = spark.read.parquet(st.bandDir)
+      .select("doc_id", "band", "h1", "h2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val want = Dedup.bandsOf(survivors)
+      .select("doc_id", "band", "h1", "h2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == want, "band store must mirror the surviving payloads")
+    // and a near-dup of the SURVIVING version still finds doc 1
+    val survShingles = survivors.filter(col("doc_id") === 1L)
+      .select("shingles").as[Seq[Long]].head()
+    val bShingles = sigsOf(Seq((1L, textB)))
+      .select("shingles").as[Seq[Long]].head()
+    val winner = if (survShingles == bShingles) textB else textA
+    val pairs = st.probeComplete(Dedup.shingleTable(
+        Seq((9L, winner + " indeed")).toDF("doc_id", "text"),
+        "doc_id", "text"), 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 9L)),
+      s"post-compaction probe must match the surviving version: $pairs")
+  }
+
+  test("legacy pre-bucketed store: probe fails loudly, session-start compaction migrates") {
+    import graft.dedup.Dedup
+    import graft.streaming.BatchStore
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val st = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("legacy-migrate").toString, epoch = "fresh")
+    // simulate the pre-bucketed layout: raw signature rows, no pb
+    // column, no band store, no _BUCKETS pin
+    BatchStore.append(Dedup.signatures(Dedup.shingleTable(Seq(
+        (0L, fox), (2L, "unrelated document about catalyst rewrite rules"))
+      .toDF("doc_id", "text"), "doc_id", "text")), st.sigDir, "0", 0L)
+    val batch = Dedup.shingleTable(
+      Seq((1L, fox + " extra")).toDF("doc_id", "text"), "doc_id", "text")
+    // silently degrading to self-LSH would un-probe the whole history
+    val err = intercept[IllegalStateException](st.probeComplete(batch, 500000L))
+    assert(err.getMessage.contains("pre-bucketed"))
+    // migration = the session-start compaction the sinks already run,
+    // unconditionally for a legacy store (no _BUCKETS pin)
+    assert(st.maybeAutoCompact(spark))
+    val pairs = st.probeComplete(batch, 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"migrated history must be probed: $pairs")
+  }
+
+  test("zero-row batches publish nothing; partitioned stores stay readable") {
+    import graft.dedup.Dedup
+    import graft.streaming.BatchStore
+    val st = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("empty-batch").toString, epoch = "0")
+    def sigsOf(rows: Seq[(Long, String)]) = Dedup.signatures(
+      Dedup.shingleTable(rows.toDF("doc_id", "text"), "doc_id", "text"))
+    // a partitioned write of zero rows emits NO part files: publishing
+    // the skeleton would wedge every later read on schema inference
+    st.appendSignatures(sigsOf(Seq.empty), 0L)
+    assert(BatchStore.read(spark, st.sigDir).isEmpty &&
+      BatchStore.read(spark, st.bandDir).isEmpty)
+    assert(!st.maybeAutoCompact(spark)) // and compaction has nothing to do
+    st.appendSignatures(sigsOf(Seq((1L, "some real document body here"))), 1L)
+    assert(st.index(spark).count() == 1)
+    // a replay of batch 1 that delivers zero rows overwrites to absent
+    st.appendSignatures(sigsOf(Seq.empty), 1L)
+    assert(BatchStore.read(spark, st.sigDir).isEmpty)
+  }
+
+  test("auto-compaction spares the live epoch so checkpoint replays overwrite in place") {
+    import graft.dedup.Dedup
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val st = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("compact-replay").toString,
+      epoch = "0", autoCompactAfter = 1)
+    def sigsOf(rows: Seq[(Long, String)]) = Dedup.signatures(
+      Dedup.shingleTable(rows.toDF("doc_id", "text"), "doc_id", "text"))
+    st.appendSignatures(sigsOf(Seq((0L, fox))), 0L)
+    st.appendSignatures(sigsOf(Seq(
+      (2L, "unrelated body about query planning and shuffles"))), 1L)
+    st.withEpoch("prev").appendSignatures(sigsOf(Seq(
+      (5L, "an older session document entirely about other things"))), 0L)
+    // restart-from-checkpoint shape: session start auto-compacts, then
+    // the stream re-delivers batch 1 under its ORIGINAL (epoch, batch)
+    assert(st.maybeAutoCompact(spark))
+    val sigEpochs = new java.io.File(st.sigDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("epoch=")).toSet
+    assert(sigEpochs.contains("epoch=0") && !sigEpochs.contains("epoch=prev"),
+      s"must compact prev epochs and spare the live one: $sigEpochs")
+    st.appendSignatures(sigsOf(Seq(
+      (2L, "unrelated body about query planning and shuffles"))), 1L)
+    // in-place overwrite, not a duplicate append: the hot-bucket
+    // occupancy census counts rows, so a swallowed-then-replayed batch
+    // would permanently double its docs' bucket occupancy
+    val bandRows = spark.read.parquet(st.bandDir)
+      .filter(col("doc_id") === 2L).count()
+    assert(bandRows == 4L, s"replay must not duplicate band rows: $bandRows")
+    // and the compacted prev-epoch history is still probed
+    val pairs = st.probeComplete(Dedup.shingleTable(
+        Seq((1L, fox + " extra")).toDF("doc_id", "text"),
+        "doc_id", "text"), 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
   }
 }
