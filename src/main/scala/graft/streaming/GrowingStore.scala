@@ -485,9 +485,7 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
       // the payload partitioning: bucketed payloads nest pb=* dirs; a
       // legacy store has none, and silently degrading to self-LSH
       // would un-probe its ENTIRE accumulated history.
-      if (BatchStore.nonEmpty(spark, sigDir) &&
-          Option(fs(spark).globStatus(
-            new Path(sigDir, "epoch=*/batch=*/pb=*"))).forall(_.isEmpty))
+      if (legacyLayout(spark))
         throw new IllegalStateException(
           s"GrowingDedupState: $sigDir holds signatures but no band " +
             "partitions and no pb buckets — a store written by the " +
@@ -613,11 +611,20 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
         .map(_.getPath).filterNot(_.getName == s"epoch=$epoch")
     val sigOld = oldEpochs(sigDir)
     if (sigOld.exists(BatchStore.hasDataFiles(f, _))) {
-      val raw = spark.read.option("basePath", sigDir)
-        .parquet(sigOld.map(_.toString): _*).drop("epoch", "batch")
-      val withPb =
-        if (raw.columns.contains("pb")) raw
-        else raw.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))
+      // flat (pre-bucketed) and bucketed epochs are read SEPARATELY —
+      // a migration that crashed between its bucketed publish and the
+      // flat originals' deletion leaves both layouts side by side, and
+      // one mixed-depth read would fail partition discovery outright
+      val (bucketed, flat) = sigOld.partition(p =>
+        Option(f.globStatus(new Path(p, "batch=*/pb=*")))
+          .exists(_.nonEmpty))
+      def readGroup(dirs: Seq[Path]): Option[DataFrame] =
+        if (!dirs.exists(BatchStore.hasDataFiles(f, _))) None
+        else Some(spark.read.option("basePath", sigDir)
+          .parquet(dirs.map(_.toString): _*).drop("epoch", "batch"))
+      val withPb = (readGroup(bucketed) ++ readGroup(flat).map(
+          _.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))))
+        .reduce(_.unionByName(_))
       val survivors = BatchStore.dedupByMaxStruct(withPb, Seq("doc_id"))
       BatchStore.append(survivors.repartition(col("pb")), sigDir, ce, 0L,
         partitionBy = Seq("pb"))
@@ -634,19 +641,39 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
       excludeEpoch = Some(epoch))
   }
 
+  /** Some published signature batch holds rows OUTSIDE the bucketed
+    * (`pb=*`) layout: the store was written (at least partly) by the
+    * pre-bucketed code and needs [[compact]]'s migration before its
+    * history is fully probeable. Checked per batch dir, so a migration
+    * that crashed after publishing its bucketed compact partition (but
+    * before deleting the flat originals) still reads as needing the
+    * retry — while the first-batch band-write crash window (whose one
+    * payload batch IS bucketed) does not. */
+  private def legacyLayout(spark: SparkSession): Boolean = {
+    val f = fs(spark)
+    val batches = Option(f.globStatus(new Path(sigDir, "epoch=*/batch=*")))
+      .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
+    batches.nonEmpty && {
+      val bucketed = Option(f.globStatus(
+          new Path(sigDir, "epoch=*/batch=*/pb=*"))).toSeq.flatten
+        .map(_.getPath.getParent.toString).toSet
+      batches.exists(p => !bucketed.contains(p.toString) &&
+        BatchStore.hasDataFiles(f, p))
+    }
+  }
+
   /** Session-start compaction policy: compact when any store holds more
     * than `autoCompactAfter` batch dirs (0 = disabled), or ALWAYS when
-    * the store was written by the pre-bucketed layout (signatures
-    * published but no `_BUCKETS` pin) — [[compact]] doubles as that
-    * migration, and an unmigrated store's history is unprobeable. The
-    * sinks call this BEFORE the first batch of a session — the one
-    * point where the single-writer contract makes compaction free of
-    * coordination (no batch is mid-flight, no recovered labeling holds
-    * lazy references yet). Returns whether a compaction ran. */
+    * the store was written by the pre-bucketed layout
+    * ([[legacyLayout]]) — [[compact]] doubles as that migration, and an
+    * unmigrated store's history is unprobeable. The sinks call this
+    * BEFORE the first batch of a session — the one point where the
+    * single-writer contract makes compaction free of coordination (no
+    * batch is mid-flight, no recovered labeling holds lazy references
+    * yet). Returns whether a compaction ran. */
   def maybeAutoCompact(spark: SparkSession): Boolean = {
     val f = fs(spark)
-    val legacy = !f.exists(new Path(root, "_BUCKETS")) &&
-      BatchStore.nonEmpty(spark, sigDir)
+    val legacy = legacyLayout(spark)
     val over = autoCompactAfter > 0 && {
       val worst = Seq(sigDir, bandDir, pairDir).map { d =>
         Option(f.globStatus(new Path(d, "epoch=*/batch=*"))).toSeq.flatten

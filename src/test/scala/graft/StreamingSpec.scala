@@ -868,6 +868,20 @@ class StreamingSpec extends AnyFunSuite {
     val pairs = st.probeComplete(batch, 500000L)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)), s"migrated history must be probed: $pairs")
+    // a crashed migration leaves flat originals NEXT TO the bucketed
+    // compact partition; the retry must read the mixed layout (one
+    // mixed-depth read fails partition discovery) and converge
+    BatchStore.append(Dedup.signatures(Dedup.shingleTable(
+        Seq((7L, fox)).toDF("doc_id", "text"), "doc_id", "text")),
+      st.sigDir, "leftover", 0L)
+    assert(st.maybeAutoCompact(spark), "mixed layout must re-trigger migration")
+    val sigEpochs = new java.io.File(st.sigDir).listFiles()
+      .filter(_.isDirectory).count(_.getName.startsWith("epoch="))
+    assert(sigEpochs == 1, s"retry must converge to one epoch: $sigEpochs")
+    val pairs2 = st.probeComplete(batch, 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs2 == Set((0L, 1L), (1L, 7L)),
+      s"both flat and bucketed history must survive the retry: $pairs2")
   }
 
   test("zero-row batches publish nothing; partitioned stores stay readable") {
