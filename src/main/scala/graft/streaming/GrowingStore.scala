@@ -108,18 +108,34 @@ object BatchStore {
     f.delete(aside, true)
   }
 
-  /** Any non-hidden file under `p` (recursively) — i.e. the dir holds
-    * actual data, not just partition skeleton / `_SUCCESS` markers. */
+  /** Any non-hidden file under `p`, reached through non-hidden dirs
+    * only — i.e. the dir holds data a parquet read will actually see
+    * (Spark skips `_`/`.`-prefixed entries at EVERY level, so a part
+    * file inside a crashed `._staging_*` dir must not count). */
   private[streaming] def hasDataFiles(f: org.apache.hadoop.fs.FileSystem,
-                                      p: Path): Boolean = {
-    if (!f.exists(p)) return false
-    val it = f.listFiles(p, true)
-    while (it.hasNext) {
-      val n = it.next().getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) return true
+                                      p: Path): Boolean =
+    f.exists(p) && f.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") &&
+        (!s.isDirectory || hasDataFiles(f, s.getPath))
     }
-    false
+
+  /** Delete the given batch partition dirs, then any epoch dir they
+    * leave without a single published batch. */
+  private[streaming] def deleteBatches(f: org.apache.hadoop.fs.FileSystem,
+                                       batches: Seq[Path]): Unit = {
+    batches.foreach(p => f.delete(p, true))
+    batches.map(_.getParent).distinct.foreach { e =>
+      if (Option(f.globStatus(new Path(e, "batch=*"))).forall(_.isEmpty))
+        f.delete(e, true)
+    }
   }
+
+  /** The numeric id of a `batch=N` partition dir; unparseable names map
+    * to MaxValue so exclusion predicates keyed on "id below the replay
+    * frontier" conservatively spare them. */
+  private[streaming] def batchIdOf(p: Path): Long =
+    p.getName.stripPrefix("batch=").toLongOption.getOrElse(Long.MaxValue)
 
   /** True iff the store holds at least one published batch. Keyed on
     * the published partition DIRS, not `_SUCCESS` markers: the staged
@@ -173,37 +189,35 @@ object BatchStore {
     * transient duplicate window that creates is exactly the duplicate
     * shape every reader/probe here already tolerates.
     *
-    * `excludeEpoch` leaves that epoch's partitions untouched (not read,
-    * not deleted): a stream restarting FROM CHECKPOINT re-delivers its
-    * last batches under their ORIGINAL (epoch, batchId) keys, and a
-    * replay whose partition a compaction just swallowed would re-append
-    * rows the compact epoch already holds — permanent duplicates where
-    * the protocol promises overwrite-idempotence (inflating the
-    * hot-bucket occupancy census, which counts rows). The sinks pass
-    * their live epoch; its dirs compact in a later session once the
-    * store has moved on to a fresh epoch. */
+    * `spareBatch` (on batch partition dirs) leaves matching partitions
+    * untouched — not read, not deleted. A stream restarting FROM
+    * CHECKPOINT re-delivers its last uncommitted batches under their
+    * ORIGINAL (epoch, batchId) keys, and a replay whose partition a
+    * compaction just swallowed would re-append rows the compact epoch
+    * already holds — permanent duplicates where the protocol promises
+    * overwrite-idempotence (inflating the hot-bucket occupancy census,
+    * which counts rows). The sinks spare their live epoch's partitions
+    * at or above the replay frontier ([[GrowingDedupState.compact]]). */
   def compact(spark: SparkSession, dir: String, keyCols: Seq[String],
               partitionBy: Seq[String] = Nil,
               epoch: String = s"compact-${java.util.UUID.randomUUID()}",
-              excludeEpoch: Option[String] = None): Unit = {
+              spareBatch: Path => Boolean = _ => false): Unit = {
     val f = fs(spark, dir)
-    val old = Option(f.globStatus(new Path(dir, "epoch=*"))).toSeq.flatten
-      .map(_.getPath)
-      .filterNot(p => excludeEpoch.exists(e => p.getName == s"epoch=$e"))
-    if (old.nonEmpty) {
-      require(!old.exists(_.getName == s"epoch=$epoch"),
-        s"BatchStore.compact: epoch '$epoch' already exists in $dir")
-      if (!old.exists(hasDataFiles(f, _))) old.foreach(p => f.delete(p, true))
+    val batches = Option(f.globStatus(new Path(dir, "epoch=*/batch=*")))
+      .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getParent.getName == s"epoch=$epoch" || spareBatch(p))
+    if (batches.nonEmpty) {
+      if (!batches.exists(hasDataFiles(f, _))) deleteBatches(f, batches)
       else {
         val df = spark.read.option("basePath", dir)
-          .parquet(old.map(_.toString): _*).drop("epoch", "batch")
+          .parquet(batches.map(_.toString): _*).drop("epoch", "batch")
         val deduped =
           if (keyCols.isEmpty) df else dedupByMaxStruct(df, keyCols)
         val arranged =
           if (partitionBy.isEmpty) deduped
           else deduped.repartition(partitionBy.map(col): _*)
         append(arranged, dir, epoch, 0L, partitionBy)
-        old.foreach(p => f.delete(p, true))
+        deleteBatches(f, batches)
       }
     }
   }
@@ -587,14 +601,27 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     *    band rows advertise one version while verification reads
     *    another (near-dups of the surviving version would then probe
     *    into deleted band rows and silently miss).
-    *  - '''The live epoch is excluded''' (see [[BatchStore.compact]]):
-    *    a checkpoint restart replays batches under their original
-    *    (epoch, batchId) keys, which must keep overwriting IN PLACE.
+    *  - '''Replayable partitions are spared.''' A checkpoint restart
+    *    re-delivers its uncommitted batches under their original
+    *    (epoch, batchId) keys, which must keep overwriting IN PLACE —
+    *    so live-epoch batch dirs at or above `liveEpochSafeBelow` are
+    *    never compacted. The sinks pass the FIRST batch id a session
+    *    delivers as the frontier: everything below it is committed in
+    *    the checkpoint log and can never be re-delivered, so a
+    *    long-lived query that only ever restarts from checkpoint still
+    *    gets its history compacted. The default (0) spares the whole
+    *    live epoch — right for offline callers that cannot know the
+    *    frontier.
     *  - '''Legacy migration.''' Payload rows written by the
     *    pre-bucketed layout (no `pb` column, no band store) gain their
     *    bucket column here and the band rebuild creates the band store
     *    from scratch — compaction IS the migration path the probe's
-    *    legacy-store error names.
+    *    legacy-store error names. Flat batches are migrated even in
+    *    the live epoch (a bucketed replay overwrites them WHOLESALE,
+    *    and sparing them would permanently wedge an upgraded store
+    *    whose checkpoint restart reuses the legacy epoch); the bounded
+    *    cost is one batch's worth of duplicate rows if the upgrade
+    *    restart does replay, which every reader/probe tolerates.
     *
     * Crash-ordered like [[BatchStore.compact]]: each store's compacted
     * partition publishes before its originals are deleted, and the band
@@ -602,43 +629,50 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     * them leaves band rows that are a superset of the survivors' —
     * extra candidates that verification (against the surviving
     * payloads) simply rejects. */
-  def compact(spark: SparkSession): Unit = {
+  def compact(spark: SparkSession, liveEpochSafeBelow: Long = 0L): Unit = {
     val f = fs(spark)
     val (bB, pB) = effectiveBuckets(spark)
     val ce = s"compact-${java.util.UUID.randomUUID()}"
-    def oldEpochs(dir: String): Seq[Path] =
-      Option(f.globStatus(new Path(dir, "epoch=*"))).toSeq.flatten
-        .map(_.getPath).filterNot(_.getName == s"epoch=$epoch")
-    val sigOld = oldEpochs(sigDir)
+    def replayable(p: Path): Boolean =
+      p.getParent.getName == s"epoch=$epoch" &&
+        BatchStore.batchIdOf(p) >= liveEpochSafeBelow
+    def batchDirs(dir: String): Seq[Path] =
+      Option(f.globStatus(new Path(dir, "epoch=*/batch=*"))).toSeq.flatten
+        .filter(_.isDirectory).map(_.getPath)
+    // classify per BATCH dir: flat (pre-bucketed) batches are read
+    // separately from bucketed ones — one mixed-depth read would fail
+    // partition discovery — and compact regardless of epoch (see above)
+    val (flat, bucketedAll) = batchDirs(sigDir).partition(p =>
+      Option(f.globStatus(new Path(p, "pb=*"))).forall(_.isEmpty))
+    val sigOld = flat ++ bucketedAll.filterNot(replayable)
     if (sigOld.exists(BatchStore.hasDataFiles(f, _))) {
-      // flat (pre-bucketed) and bucketed epochs are read SEPARATELY —
-      // a migration that crashed between its bucketed publish and the
-      // flat originals' deletion leaves both layouts side by side, and
-      // one mixed-depth read would fail partition discovery outright
-      val (bucketed, flat) = sigOld.partition(p =>
-        Option(f.globStatus(new Path(p, "batch=*/pb=*")))
-          .exists(_.nonEmpty))
       def readGroup(dirs: Seq[Path]): Option[DataFrame] =
         if (!dirs.exists(BatchStore.hasDataFiles(f, _))) None
         else Some(spark.read.option("basePath", sigDir)
           .parquet(dirs.map(_.toString): _*).drop("epoch", "batch"))
-      val withPb = (readGroup(bucketed) ++ readGroup(flat).map(
-          _.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))))
+      val withPb = (readGroup(bucketedAll.filterNot(replayable)) ++
+          readGroup(flat).map(
+            _.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))))
         .reduce(_.unionByName(_))
       val survivors = BatchStore.dedupByMaxStruct(withPb, Seq("doc_id"))
       BatchStore.append(survivors.repartition(col("pb")), sigDir, ce, 0L,
         partitionBy = Seq("pb"))
-      val bandOld = oldEpochs(bandDir)
-      val bands = graft.dedup.Dedup.bandsOf(
-          spark.read.parquet(BatchStore.batchDir(sigDir, ce, 0L)))
-        .withColumn("bk", bandBucketExpr(bB))
-      BatchStore.append(bands.repartition(col("bk")), bandDir, ce, 0L,
-        partitionBy = Seq("bk"))
-      bandOld.foreach(p => f.delete(p, true))
-      sigOld.foreach(p => f.delete(p, true))
-    } else sigOld.foreach(p => f.delete(p, true)) // fileless skeletons
+      val bandOld = batchDirs(bandDir).filterNot(replayable)
+      val ceDir = new Path(BatchStore.batchDir(sigDir, ce, 0L))
+      // zero survivors publish nothing (empty partitioned writes are
+      // fileless by contract) — then there is nothing to band either
+      if (f.exists(ceDir)) {
+        val bands = graft.dedup.Dedup.bandsOf(
+            spark.read.parquet(ceDir.toString))
+          .withColumn("bk", bandBucketExpr(bB))
+        BatchStore.append(bands.repartition(col("bk")), bandDir, ce, 0L,
+          partitionBy = Seq("bk"))
+      }
+      BatchStore.deleteBatches(f, bandOld)
+      BatchStore.deleteBatches(f, sigOld)
+    } else BatchStore.deleteBatches(f, sigOld) // fileless skeletons
     BatchStore.compact(spark, pairDir, Seq("doc_a", "doc_b"), epoch = ce,
-      excludeEpoch = Some(epoch))
+      spareBatch = replayable)
   }
 
   /** Some published signature batch holds rows OUTSIDE the bucketed
@@ -663,24 +697,33 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
   }
 
   /** Session-start compaction policy: compact when any store holds more
-    * than `autoCompactAfter` batch dirs (0 = disabled), or ALWAYS when
-    * the store was written by the pre-bucketed layout
+    * than `autoCompactAfter` COMPACTABLE batch dirs (0 = disabled;
+    * replay-spared live-epoch dirs don't count — a threshold they
+    * could trip would fire a compaction that cannot touch them), or
+    * ALWAYS when the store was written by the pre-bucketed layout
     * ([[legacyLayout]]) — [[compact]] doubles as that migration, and an
     * unmigrated store's history is unprobeable. The sinks call this
-    * BEFORE the first batch of a session — the one point where the
-    * single-writer contract makes compaction free of coordination (no
-    * batch is mid-flight, no recovered labeling holds lazy references
-    * yet). Returns whether a compaction ran. */
-  def maybeAutoCompact(spark: SparkSession): Boolean = {
+    * BEFORE the first batch of a session with that batch's id as
+    * `liveEpochSafeBelow` — the replay frontier: every earlier batch is
+    * committed in the checkpoint log, so even a query that only ever
+    * restarts from checkpoint (one epoch forever) gets its history
+    * compacted. Session start is the one point where the single-writer
+    * contract makes compaction free of coordination (no batch is
+    * mid-flight, no recovered labeling holds lazy references yet).
+    * Returns whether a compaction ran. */
+  def maybeAutoCompact(spark: SparkSession,
+                       liveEpochSafeBelow: Long = 0L): Boolean = {
     val f = fs(spark)
     val legacy = legacyLayout(spark)
     val over = autoCompactAfter > 0 && {
       val worst = Seq(sigDir, bandDir, pairDir).map { d =>
         Option(f.globStatus(new Path(d, "epoch=*/batch=*"))).toSeq.flatten
-          .count(_.isDirectory)
+          .count(s => s.isDirectory &&
+            !(s.getPath.getParent.getName == s"epoch=$epoch" &&
+              BatchStore.batchIdOf(s.getPath) >= liveEpochSafeBelow))
       }.max
       worst > autoCompactAfter
     }
-    (legacy || over) && { compact(spark); true }
+    (legacy || over) && { compact(spark, liveEpochSafeBelow); true }
   }
 }

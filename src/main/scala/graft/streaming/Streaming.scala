@@ -410,10 +410,11 @@ object Streaming {
     * re-pins the accumulated match set per batch and the matches outlive
     * the query. Read the accumulated set back with
     * [[readIncrementalMatches]]; compact the per-batch dirs offline with
-    * [[BatchStore.compact]] (keys new_id, old_id — pass the live query's
-    * epoch as `excludeEpoch` if it may restart from checkpoint, so a
-    * replayed batch keeps overwriting in place instead of re-appending
-    * rows the compact epoch already swallowed). Same epoch contract
+    * [[BatchStore.compact]] (keys new_id, old_id — spare the live
+    * query's replayable partitions via `spareBatch` if it may restart
+    * from checkpoint, so a replayed batch keeps overwriting in place
+    * instead of re-appending rows the compact epoch already
+    * swallowed). Same epoch contract
     * as [[GrowingDedupState]]: reuse the epoch on a checkpoint restart,
     * take a fresh one for a new query over accumulated state. */
   def incrementalDedupSinkPersisted(newDocs: DataFrame, index: DataFrame,
@@ -505,8 +506,12 @@ object Streaming {
                        maxBucketOccupancy: Long = Long.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val compacted = new java.util.concurrent.atomic.AtomicBoolean(false)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // the first delivered batch id IS the replay frontier: every
+      // earlier batch is committed in the checkpoint log, so its store
+      // partitions are final and safe to compact even in this epoch
       if (compacted.compareAndSet(false, true))
-        state.maybeAutoCompact(batch.sparkSession)
+        state.maybeAutoCompact(batch.sparkSession,
+          liveEpochSafeBelow = batchId)
       growDedupStep(batch, batchId, state, minJaccX1e6, idCol, textCol,
         maxBucketOccupancy)
       ()
@@ -580,7 +585,8 @@ object Streaming {
       // session-start compaction runs BEFORE the recovery read below —
       // the recovered labeling must never hold references into a layout
       // a compaction is about to rewrite
-      if (compacted.compareAndSet(false, true)) state.maybeAutoCompact(spark)
+      if (compacted.compareAndSet(false, true))
+        state.maybeAutoCompact(spark, liveEpochSafeBelow = batchId)
       // session start: exact state = latest snapshot ⊕ the pair-store
       // WAL, read BEFORE this batch appends its own pairs (a fresh
       // store then costs nothing extra). A crashed-attempt replay may

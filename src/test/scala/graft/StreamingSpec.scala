@@ -882,6 +882,32 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs2 == Set((0L, 1L), (1L, 7L)),
       s"both flat and bucketed history must survive the retry: $pairs2")
+    // the r16→r17 upgrade shape: a checkpoint restart REUSES the legacy
+    // epoch — flat batches must migrate even in the LIVE epoch (sparing
+    // them would wedge the store forever: the error's prescribed remedy
+    // would be a no-op and the probe would keep throwing)
+    val stLive = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("legacy-live-epoch").toString, epoch = "0")
+    BatchStore.append(Dedup.signatures(Dedup.shingleTable(
+        Seq((0L, fox)).toDF("doc_id", "text"), "doc_id", "text")),
+      stLive.sigDir, "0", 0L)
+    assert(stLive.maybeAutoCompact(spark),
+      "live-epoch legacy data must still trigger migration")
+    val pairsLive = stLive.probeComplete(batch, 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairsLive == Set((0L, 1L)),
+      s"live-epoch legacy history must be probeable after migration: $pairsLive")
+    // a legacy store whose flat batches were all EMPTY (footer-only
+    // part files): migration publishes zero survivors and must not
+    // crash on the band rebuild — it just leaves a clean empty store
+    val stEmpty = GrowingDedupState(java.nio.file.Files
+      .createTempDirectory("legacy-empty").toString, epoch = "fresh")
+    BatchStore.append(Dedup.signatures(Dedup.shingleTable(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text")), stEmpty.sigDir, "0", 0L)
+    assert(stEmpty.maybeAutoCompact(spark))
+    assert(BatchStore.read(spark, stEmpty.sigDir).isEmpty)
+    assert(stEmpty.probeComplete(batch, 500000L).count() == 0L)
   }
 
   test("zero-row batches publish nothing; partitioned stores stay readable") {
@@ -917,7 +943,11 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "unrelated body about query planning and shuffles"))), 1L)
     st.withEpoch("prev").appendSignatures(sigsOf(Seq(
       (5L, "an older session document entirely about other things"))), 0L)
-    // restart-from-checkpoint shape: session start auto-compacts, then
+    st.withEpoch("prev").appendSignatures(sigsOf(Seq(
+      (6L, "yet another archived document from that older session"))), 1L)
+    // restart-from-checkpoint shape: session start auto-compacts (the
+    // threshold counts COMPACTABLE dirs only — the spared live epoch's
+    // dirs cannot trip a compaction that would not touch them), then
     // the stream re-delivers batch 1 under its ORIGINAL (epoch, batch)
     assert(st.maybeAutoCompact(spark))
     val sigEpochs = new java.io.File(st.sigDir).listFiles()
@@ -938,5 +968,19 @@ class StreamingSpec extends AnyFunSuite {
         "doc_id", "text"), 500000L)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+    // NEXT session's replay frontier moves past batch 1 (both batches
+    // committed): the live epoch's history below the frontier is now
+    // final and MUST compact — the long-lived single-epoch query's
+    // listing cost stays bounded, not just the fresh-epoch case
+    assert(st.maybeAutoCompact(spark, liveEpochSafeBelow = 2L))
+    val sigEpochs2 = new java.io.File(st.sigDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("epoch=")).toSet
+    assert(!sigEpochs2.contains("epoch=0") && sigEpochs2.size == 1,
+      s"committed live-epoch batches must compact at the frontier: $sigEpochs2")
+    val pairs2 = st.probeComplete(Dedup.shingleTable(
+        Seq((1L, fox + " extra")).toDF("doc_id", "text"),
+        "doc_id", "text"), 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs2 == Set((0L, 1L)))
   }
 }
