@@ -230,9 +230,17 @@ object BatchStore {
     * except the new and previous targets. The kept previous snapshot is
     * the crash margin: a manifest that never got repointed still names a
     * fully-written state, and a replayed batch folds idempotently on top
-    * of it. */
+    * of it.
+    *
+    * `covered` (relative partition names, e.g. `epoch=0/batch=3`) names
+    * the WAL partitions whose content this snapshot already folds —
+    * recovery then replays only the tail written after it
+    * ([[snapshotCovered]]). Safe to UNDER-state (extra folds of
+    * already-contracted pairs are no-ops by the fold's idempotence
+    * contract); a manifest without the listing simply makes recovery
+    * fold the whole WAL, the pre-listing behavior. */
   def publishSnapshot(df: DataFrame, dir: String, epoch: String,
-                      batchId: Long): Unit = {
+                      batchId: Long, covered: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val prev = manifestTarget(spark, dir)
@@ -242,7 +250,8 @@ object BatchStore {
     val fallback = new Path(dir, s"_$ManifestName.prev")
     val staging = new Path(dir, s"_$ManifestName._staging_${java.util.UUID.randomUUID()}")
     val out = f.create(staging, true)
-    try out.write(rel.getBytes("UTF-8")) finally out.close()
+    try out.write((rel +: covered).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     // the repoint cannot leave the store manifest-less at any crash
     // point: the old manifest steps ASIDE (to the fallback name readers
     // also check) before the new one renames in, never into the void
@@ -262,30 +271,40 @@ object BatchStore {
       .foreach(p => f.delete(p, true))
   }
 
-  private def manifestTarget(spark: SparkSession, dir: String): Option[String] = {
+  private def manifestLines(spark: SparkSession, dir: String): Seq[String] = {
     val f = fs(spark, dir)
-    def readFile(p: Path): String = {
+    def readFile(p: Path): Seq[String] = {
       val in = f.open(p)
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](256)
         var n = in.read(buf)
         while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        bytes.toString("UTF-8").trim
+        bytes.toString("UTF-8").linesIterator.map(_.trim)
+          .filter(_.nonEmpty).toSeq
       } finally in.close()
     }
     val manifest = new Path(dir, ManifestName)
     val fallback = new Path(dir, s"_$ManifestName.prev")
     // the fallback covers the one crash window where the old manifest
     // has stepped aside but the new one has not renamed in yet
-    if (f.exists(manifest)) Some(readFile(manifest))
-    else if (f.exists(fallback)) Some(readFile(fallback))
-    else None
+    if (f.exists(manifest)) readFile(manifest)
+    else if (f.exists(fallback)) readFile(fallback)
+    else Seq.empty
   }
+
+  private def manifestTarget(spark: SparkSession, dir: String): Option[String] =
+    manifestLines(spark, dir).headOption
 
   /** The manifest's current snapshot, or None before the first publish. */
   def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] =
     manifestTarget(spark, dir).map(rel => spark.read.parquet(s"$dir/$rel"))
+
+  /** The WAL partitions the current snapshot declares itself to cover
+    * (see [[publishSnapshot]]); empty before the first publish or for
+    * manifests written without the listing. */
+  def snapshotCovered(spark: SparkSession, dir: String): Seq[String] =
+    manifestLines(spark, dir).drop(1)
 }
 
 /** IO selection of one [[GrowingDedupState.probeComplete]] call:
@@ -581,6 +600,31 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     * fold ([[graft.streaming.Streaming.growingComponentsSink]]). */
   def labels(spark: SparkSession): Option[DataFrame] =
     BatchStore.readSnapshot(spark, labelDir)
+
+  /** The pair store's published partition names (`epoch=E/batch=N`) —
+    * what a label snapshot publishing NOW can declare covered. */
+  private[graft] def pairPartitions(spark: SparkSession): Seq[String] =
+    Option(fs(spark).globStatus(new Path(pairDir, "epoch=*/batch=*")))
+      .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
+      .map(p => s"${p.getParent.getName}/${p.getName}")
+
+  /** The pair-store WAL tail the current label snapshot does NOT cover
+    * — the only pairs session-start recovery must fold on top of the
+    * snapshot (O(tail since last snapshot), not O(history); the fold's
+    * idempotence makes any over-read merely wasteful, never wrong).
+    * None when every published partition is covered, or the store is
+    * empty. A store without a snapshot manifest returns the WHOLE pair
+    * set — the fold-everything recovery shape. */
+  private[graft] def unfoldedPairs(spark: SparkSession): Option[DataFrame] = {
+    val covered = BatchStore.snapshotCovered(spark, labelDir).toSet
+    val uncovered = Option(fs(spark)
+        .globStatus(new Path(pairDir, "epoch=*/batch=*")))
+      .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => covered.contains(s"${p.getParent.getName}/${p.getName}"))
+    if (uncovered.isEmpty) None
+    else Some(spark.read.option("basePath", pairDir)
+      .parquet(uncovered.map(_.toString): _*).drop("epoch", "batch"))
+  }
 
   /** Compact the signature, band, and pair stores into one partition
     * each, dropping the per-batch dirs — run between streaming sessions,

@@ -564,8 +564,14 @@ object Streaming {
     * labeling rides an in-session cache whose loss is ALWAYS
     * recoverable: the pair store is the write-ahead log, and because
     * the fold is idempotent on already-contracted pairs, session start
-    * reconstructs the exact state as latest-snapshot ⊕ the ENTIRE pair
-    * store — no frontier bookkeeping, no ordering assumptions.
+    * reconstructs the exact state as latest-snapshot ⊕ the WAL TAIL —
+    * each snapshot's manifest lists the pair partitions it already
+    * folds ([[BatchStore.publishSnapshot]]), so recovery reads
+    * O(pairs since the last snapshot), not O(history), and a stale or
+    * missing listing only widens the (idempotent) re-fold, never
+    * corrupts it. No ordering assumptions; the listing is the only
+    * frontier bookkeeping, and it lives inside the snapshot's own
+    * atomic manifest repoint.
     * `snapshotEvery = 1` (default) keeps a snapshot per batch and holds
     * NO in-memory state at all (the cache is the just-published parquet
     * leaf); raise it on high-frequency feeds to amortize the
@@ -588,18 +594,21 @@ object Streaming {
       if (compacted.compareAndSet(false, true))
         state.maybeAutoCompact(spark, liveEpochSafeBelow = batchId)
       // session start: exact state = latest snapshot ⊕ the pair-store
-      // WAL, read BEFORE this batch appends its own pairs (a fresh
-      // store then costs nothing extra). A crashed-attempt replay may
-      // still see its own pairs in the pre-batch store — folding them
-      // twice is a no-op by the replay-insensitivity spec. The recovery
-      // is EAGERLY materialized: a checkpoint replay of this very batch
+      // WAL TAIL the snapshot does not declare covered (the manifest
+      // lists the partitions folded at publish time, so recovery cost
+      // tracks the snapshot cadence, not the accumulated history),
+      // read BEFORE this batch appends its own pairs (a fresh store
+      // then costs nothing extra). A crashed-attempt replay may still
+      // see its own pairs in the pre-batch store — folding them twice
+      // is a no-op by the replay-insensitivity spec. The recovery is
+      // EAGERLY materialized: a checkpoint replay of this very batch
       // id overwrites its (epoch, batch) pair partition in place
       // (BatchStore.append step-aside), so a labeling still holding a
       // lazy reference to the pre-append pair-store listing would hit
       // FileNotFound when the snapshot publish finally executes it —
       // and crash-loop on every restart.
       val prev = Option(cache.get()).orElse {
-        val stored = BatchStore.read(spark, state.pairDir)
+        val stored = state.unfoldedPairs(spark)
           .map(_.select(col("doc_a").as("a"), col("doc_b").as("b")))
         val recovered = (state.labels(spark), stored) match {
           case (Some(lab), Some(p)) =>
@@ -619,7 +628,11 @@ object Streaming {
       }
       val mat = next.select(col("node"), col("component"))
       if (batchId % snapshotEvery == 0) {
-        BatchStore.publishSnapshot(mat, state.labelDir, state.epoch, batchId)
+        // the snapshot declares every pair partition published so far
+        // covered (this batch's own included — its pairs just folded):
+        // the next session replays only the WAL tail after this point
+        BatchStore.publishSnapshot(mat, state.labelDir, state.epoch, batchId,
+          covered = state.pairPartitions(spark))
         // the cache becomes the published parquet leaf: zero in-memory
         // state while snapshots are current
         cache.set(state.labels(spark).orNull)

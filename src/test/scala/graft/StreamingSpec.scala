@@ -807,6 +807,62 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction probe missed history: $withNew vs $oneShotPlus")
   }
 
+  test("components recovery folds only the WAL tail the snapshot does not cover") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    import graft.streaming.BatchStore
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val pipe = "training data pipelines need deduplication at scale every day"
+    val corpus = Seq(
+      (0L, fox), (1L, fox + " extra"),
+      (2L, "completely different text about spark catalyst optimizer rules"),
+      (5L, pipe), (6L, pipe + " more"))
+    val root = java.nio.file.Files.createTempDirectory("wal-tail").toString
+    val s1 = MemoryStream[(Long, String)]
+    val state1 = GrowingDedupState(root, epoch = "0")
+    val q1 = Streaming.growingComponentsSink(
+      s1.toDF().toDF("doc_id", "text"), state1, 500000L).start()
+    try {
+      s1.addData(corpus.filter(d => Set(0L, 1L, 2L)(d._1)): _*)
+      q1.processAllAvailable()
+      s1.addData(corpus.filter(d => d._1 == 5L): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the manifest's covered listing names every pair partition that
+    // existed at publish time
+    val covered = BatchStore.snapshotCovered(spark, state1.labelDir)
+    assert(covered.toSet == state1.pairPartitions(spark).toSet &&
+      covered.nonEmpty)
+    // PROOF recovery reads only the uncovered tail: corrupt every
+    // covered pair partition — their pairs live on inside the snapshot,
+    // and any attempt to re-read them would fail loudly on the footer
+    covered.foreach { rel =>
+      new java.io.File(s"$root/pairs/$rel").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(pf => java.nio.file.Files.write(
+          pf.toPath, "not a parquet file".getBytes("UTF-8")))
+    }
+    val s2 = MemoryStream[(Long, String)]
+    val state2 = GrowingDedupState(root, epoch = "1")
+    val q2 = Streaming.growingComponentsSink(
+      s2.toDF().toDF("doc_id", "text"), state2, 500000L).start()
+    try {
+      s2.addData(corpus.filter(d => d._1 == 6L): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // labels equal the one-shot full-corpus run: cluster (0,1) can only
+    // come from the SNAPSHOT (its WAL partition is corrupt), and (5,6)
+    // spans the session boundary through the index probe
+    val oneShotLabels = graft.graph.Fixpoint.connectedComponents(
+      Dedup.minhashLsh(Dedup.shingleTable(
+        corpus.toDF("doc_id", "text"), "doc_id", "text"), 500000L)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .as[(Long, Long)].collect().toSet
+    assert(state2.labels(spark).get.as[(Long, Long)].collect().toSet
+      == oneShotLabels)
+    assert(oneShotLabels.map(_._1) == Set(0L, 1L, 5L, 6L))
+  }
+
   test("compaction rebuilds bands from the surviving payloads (no chimera stores)") {
     import graft.dedup.Dedup
     val st = GrowingDedupState(java.nio.file.Files
