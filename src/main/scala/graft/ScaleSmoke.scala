@@ -238,6 +238,89 @@ object ScaleSmoke {
           spark.conf.unset("graft.growing.probeIoDiagnostics")
         }
       }
+      // Session-start recovery headroom: a label snapshot over ×m nodes
+      // plus an ×m pair-store WAL, with a FIXED uncovered tail batch.
+      // The covered-listing path (the sinks' shape) folds ONLY the tail
+      // on top of the snapshot — its wall carries the O(labels) snapshot
+      // read but no per-pair history term; the no-listing control (an
+      // old manifest / post-compaction shape) re-folds the ENTIRE WAL,
+      // linear in m. Run with SPARK_GRAFT_SMOKE_OPS=
+      // recovery_tail,recovery_fullscan.
+      locally {
+        val wantTail = onlyOps.forall(_.contains("recovery_tail"))
+        val wantRFull = onlyOps.forall(_.contains("recovery_fullscan"))
+        if (wantTail || wantRFull) {
+          import graft.streaming.BatchStore
+          val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+          // pairs (2k, 2k+1) so the labeling "component = even endpoint"
+          // is EXACTLY the pairs' own fold: the control's re-fold then
+          // measures the honest already-contracted no-op per pair, not
+          // artificial contraction work
+          def pairSlice(i: Int): DataFrame =
+            ids.select((col("doc_id") * 2 + lit(i * 20000000L)).as("doc_a"))
+              .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
+                lit(900000L).as("jacc_x1e6"))
+          def seeded(tag: String, withCovered: Boolean): graft.streaming.GrowingDedupState = {
+            val st = graft.streaming.GrowingDedupState(java.nio.file.Files
+              .createTempDirectory(s"smoke_recovery_$tag").toString,
+              epoch = "live")
+            (0 until m).foreach(i =>
+              BatchStore.append(pairSlice(i), st.pairDir, "hist", i.toLong))
+            val hist = spark.read.parquet(st.pairDir)
+            val labels = hist.select(col("doc_a").as("node"),
+                col("doc_a").as("component"))
+              .unionByName(hist.select(col("doc_b").as("node"),
+                col("doc_a").as("component")))
+            BatchStore.publishSnapshot(labels, st.labelDir, "hist", 0L,
+              covered = if (withCovered) st.pairPartitions(spark) else Nil)
+            // the fixed uncovered tail: one small batch of fresh pairs
+            BatchStore.append(pairSlice(0).limit(1000)
+              .select((col("doc_a") + 777000000L).as("doc_a"),
+                (col("doc_b") + 777000000L).as("doc_b"), col("jacc_x1e6")),
+              st.pairDir, "tail", 0L)
+            st
+          }
+          // exactly the sinks' session-start reconstruction
+          def recover(st: graft.streaming.GrowingDedupState): Long = {
+            val stored = st.unfoldedPairs(spark)
+              .map(_.select(col("doc_a").as("a"), col("doc_b").as("b")))
+            val recovered = (st.labels(spark), stored) match {
+              case (Some(lab), Some(p)) =>
+                Some(graph.Fixpoint.incrementalComponents(lab, p))
+              case (None, Some(p)) =>
+                Some(graph.Fixpoint.connectedComponents(p))
+              case (lab, None) => lab
+            }
+            recovered.map(graft.Lineage.pinned(_, eager = true))
+              .map(_.count()).getOrElse(0L)
+          }
+          // the contract is the WAL IO: the tail leg's selected pair
+          // partitions stay FIXED (the uncovered tail) while the
+          // control selects the whole store — layout-derived numbers,
+          // same accounting as the probe IO curve above
+          def timedRec(name: String, st: graft.streaming.GrowingDedupState): Unit = {
+            ran += 1
+            val f = new org.apache.hadoop.fs.Path(st.pairDir)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            def du(dir: String): (Long, Long) = {
+              val s = f.getContentSummary(new org.apache.hadoop.fs.Path(dir))
+              (s.getFileCount, s.getLength)
+            }
+            val covered = BatchStore.snapshotCovered(spark, st.labelDir).toSet
+            val (selF, selB) = st.pairPartitions(spark)
+              .filterNot(covered).map(rel => du(s"${st.pairDir}/$rel"))
+              .foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+            val (stoF, stoB) = du(st.pairDir)
+            val t0 = System.nanoTime()
+            val rows = recover(st)
+            val s = (System.nanoTime() - t0) / 1e9
+            println(f"""{"op":"$name","mult":$m,"rows":$rows,"sec":$s%.2f,"wal_sel_files":$selF,"wal_sel_bytes":$selB,"wal_store_files":$stoF,"wal_store_bytes":$stoB}""")
+            DriverHygiene.releasePersisted(spark)
+          }
+          if (wantTail) timedRec("recovery_tail", seeded("tail", withCovered = true))
+          if (wantRFull) timedRec("recovery_fullscan", seeded("full", withCovered = false))
+        }
+      }
       // Adversarial hot-bucket pair (r13 verdict item 3): 90% of the
       // HISTORY is byte-identical boilerplate, so one band-bucket set
       // holds 0.9×|hist| docs; the fixed ~17-doc batch carries ~15
