@@ -203,9 +203,12 @@ object BatchStore {
               epoch: String = s"compact-${java.util.UUID.randomUUID()}",
               spareBatch: Path => Boolean = _ => false): Unit = {
     val f = fs(spark, dir)
+    require(Option(f.globStatus(new Path(dir, s"epoch=$epoch/batch=*")))
+        .forall(_.isEmpty),
+      s"BatchStore.compact: epoch '$epoch' already exists in $dir")
     val batches = Option(f.globStatus(new Path(dir, "epoch=*/batch=*")))
       .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
-      .filterNot(p => p.getParent.getName == s"epoch=$epoch" || spareBatch(p))
+      .filterNot(spareBatch)
     if (batches.nonEmpty) {
       if (!batches.exists(hasDataFiles(f, _))) deleteBatches(f, batches)
       else {
@@ -220,7 +223,19 @@ object BatchStore {
         deleteBatches(f, batches)
       }
     }
+    sweepEmptyEpochs(f, dir, keepEpoch = epoch)
   }
+
+  /** Drop epoch dirs with no published batch left — crashed-append
+    * skeletons (hidden staging leftovers under an abandoned epoch)
+    * would otherwise accumulate forever, invisible to the per-batch
+    * compaction globs. */
+  private[streaming] def sweepEmptyEpochs(f: org.apache.hadoop.fs.FileSystem,
+                                          dir: String, keepEpoch: String): Unit =
+    Option(f.globStatus(new Path(dir, "epoch=*"))).toSeq.flatten
+      .map(_.getPath).filterNot(_.getName == s"epoch=$keepEpoch")
+      .filter(e => Option(f.globStatus(new Path(e, "batch=*"))).forall(_.isEmpty))
+      .foreach(p => f.delete(p, true))
 
   private val ManifestName = "MANIFEST"
 
@@ -246,29 +261,43 @@ object BatchStore {
     val prev = manifestTarget(spark, dir)
     append(df, dir, epoch, batchId)
     val rel = s"epoch=$epoch/batch=$batchId"
-    val manifest = new Path(dir, ManifestName)
-    val fallback = new Path(dir, s"_$ManifestName.prev")
-    val staging = new Path(dir, s"_$ManifestName._staging_${java.util.UUID.randomUUID()}")
-    val out = f.create(staging, true)
-    try out.write((rel +: covered).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    // the repoint cannot leave the store manifest-less at any crash
-    // point: the old manifest steps ASIDE (to the fallback name readers
-    // also check) before the new one renames in, never into the void
-    if (f.exists(fallback)) f.delete(fallback, false)
-    if (f.exists(manifest) && !f.rename(manifest, fallback))
-      throw new IllegalStateException(
-        s"BatchStore.publishSnapshot: manifest step-aside in $dir failed")
-    if (!f.rename(staging, manifest))
-      throw new IllegalStateException(
-        s"BatchStore.publishSnapshot: manifest update in $dir failed")
-    f.delete(fallback, false)
+    repointManifest(f, dir, (rel +: covered).mkString("\n"))
     // prune: keep the new target and the previous one, drop the rest
     val keep = Set(Some(rel), prev).flatten
     Option(f.globStatus(new Path(dir, "epoch=*/batch=*"))).toSeq.flatten
       .map(_.getPath)
       .filterNot(p => keep.exists(k => p.toString.endsWith(k)))
       .foreach(p => f.delete(p, true))
+  }
+
+  /** Atomically replace the manifest's covered listing while keeping
+    * its snapshot target — used after a pair-store compaction rewrote
+    * the partitions the listing names. No-op when no manifest exists. */
+  def rewriteCovered(spark: SparkSession, dir: String,
+                     covered: Seq[String]): Unit =
+    manifestTarget(spark, dir).foreach { rel =>
+      repointManifest(fs(spark, dir), dir, (rel +: covered).mkString("\n"))
+    }
+
+  /** The crash-safe manifest repoint: stage the new content, step the
+    * old manifest ASIDE (to the fallback name readers also check)
+    * before the new one renames in — the store is never manifest-less
+    * at any crash point. */
+  private def repointManifest(f: org.apache.hadoop.fs.FileSystem,
+                              dir: String, content: String): Unit = {
+    val manifest = new Path(dir, ManifestName)
+    val fallback = new Path(dir, s"_$ManifestName.prev")
+    val staging = new Path(dir, s"_$ManifestName._staging_${java.util.UUID.randomUUID()}")
+    val out = f.create(staging, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(fallback)) f.delete(fallback, false)
+    if (f.exists(manifest) && !f.rename(manifest, fallback))
+      throw new IllegalStateException(
+        s"BatchStore: manifest step-aside in $dir failed")
+    if (!f.rename(staging, manifest))
+      throw new IllegalStateException(
+        s"BatchStore: manifest update in $dir failed")
+    f.delete(fallback, false)
   }
 
   private def manifestLines(spark: SparkSession, dir: String): Seq[String] = {
@@ -617,13 +646,11 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     * set — the fold-everything recovery shape. */
   private[graft] def unfoldedPairs(spark: SparkSession): Option[DataFrame] = {
     val covered = BatchStore.snapshotCovered(spark, labelDir).toSet
-    val uncovered = Option(fs(spark)
-        .globStatus(new Path(pairDir, "epoch=*/batch=*")))
-      .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
-      .filterNot(p => covered.contains(s"${p.getParent.getName}/${p.getName}"))
+    val uncovered = pairPartitions(spark).filterNot(covered)
+      .map(rel => s"$pairDir/$rel")
     if (uncovered.isEmpty) None
     else Some(spark.read.option("basePath", pairDir)
-      .parquet(uncovered.map(_.toString): _*).drop("epoch", "batch"))
+      .parquet(uncovered: _*).drop("epoch", "batch"))
   }
 
   /** Compact the signature, band, and pair stores into one partition
@@ -688,13 +715,14 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     // partition discovery — and compact regardless of epoch (see above)
     val (flat, bucketedAll) = batchDirs(sigDir).partition(p =>
       Option(f.globStatus(new Path(p, "pb=*"))).forall(_.isEmpty))
-    val sigOld = flat ++ bucketedAll.filterNot(replayable)
+    val bucketedOld = bucketedAll.filterNot(replayable)
+    val sigOld = flat ++ bucketedOld
     if (sigOld.exists(BatchStore.hasDataFiles(f, _))) {
       def readGroup(dirs: Seq[Path]): Option[DataFrame] =
         if (!dirs.exists(BatchStore.hasDataFiles(f, _))) None
         else Some(spark.read.option("basePath", sigDir)
           .parquet(dirs.map(_.toString): _*).drop("epoch", "batch"))
-      val withPb = (readGroup(bucketedAll.filterNot(replayable)) ++
+      val withPb = (readGroup(bucketedOld) ++
           readGroup(flat).map(
             _.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))))
         .reduce(_.unionByName(_))
@@ -715,8 +743,29 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
       BatchStore.deleteBatches(f, bandOld)
       BatchStore.deleteBatches(f, sigOld)
     } else BatchStore.deleteBatches(f, sigOld) // fileless skeletons
-    BatchStore.compact(spark, pairDir, Seq("doc_a", "doc_b"), epoch = ce,
-      spareBatch = replayable)
+    BatchStore.sweepEmptyEpochs(f, sigDir, keepEpoch = ce)
+    BatchStore.sweepEmptyEpochs(f, bandDir, keepEpoch = ce)
+    // pair-store compaction must keep the label snapshot's covered
+    // listing meaningful: with a manifest present, compact ONLY the
+    // partitions it declares covered (the uncovered tail is small by
+    // construction — pairs since the last snapshot — and must stay
+    // individually addressable so recovery keeps reading O(tail)),
+    // then repoint the listing at the compact partition plus whatever
+    // covered partitions compaction spared. Label-less stores (the
+    // dedup sink) have no manifest and compact everything.
+    val covered = BatchStore.snapshotCovered(spark, labelDir).toSet
+    if (covered.isEmpty)
+      BatchStore.compact(spark, pairDir, Seq("doc_a", "doc_b"), epoch = ce,
+        spareBatch = replayable)
+    else {
+      def relOf(p: Path) = s"${p.getParent.getName}/${p.getName}"
+      BatchStore.compact(spark, pairDir, Seq("doc_a", "doc_b"), epoch = ce,
+        spareBatch = p => replayable(p) || !covered.contains(relOf(p)))
+      val stillThere = covered.toSeq.sorted
+        .filter(rel => f.exists(new Path(s"$pairDir/$rel")))
+      BatchStore.rewriteCovered(spark, labelDir,
+        s"epoch=$ce/batch=0" +: stillThere)
+    }
   }
 
   /** Some published signature batch holds rows OUTSIDE the bucketed

@@ -786,6 +786,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(epochDirs(state2.sigDir).size == 1 &&
       epochDirs(state2.pairDir).size == 1,
       "compaction must leave exactly one epoch per store")
+    // the label manifest's covered listing survived the compaction: it
+    // repointed at the compact partition, so recovery stays O(tail)
+    // instead of refolding the whole rewritten WAL on the next session
+    val coveredAfter = graft.streaming.BatchStore
+      .snapshotCovered(spark, state2.labelDir)
+    assert(coveredAfter.nonEmpty && coveredAfter.forall(rel =>
+        new java.io.File(s"$root/pairs/$rel").exists()),
+      s"covered listing must name live partitions after compaction: $coveredAfter")
+    assert(state2.unfoldedPairs(spark).isEmpty,
+      "everything covered: recovery must have no WAL tail to fold")
     assert(state2.matches(spark).select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet == oneShot)
     assert(state2.index(spark).count() == 6)
