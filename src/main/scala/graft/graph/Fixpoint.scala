@@ -81,7 +81,11 @@ object Fixpoint {
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .pin
-    edges.count() // materialize once; reused every round
+    // NO standalone materializing count here: the first labelSum below
+    // materializes the (lazy) pair, edge, and init-label pins in ONE
+    // job; rounds re-read the cached edge blocks either way. A separate
+    // edges.count() was one extra job per call — per MICRO-BATCH for
+    // the streaming fold sinks, where fixed job cost dominates.
     // init fuses the first min-propagation: label = min(self, neighbors) —
     // one round fewer than starting from label = self (every node appears
     // as `a` in the symmetrized edge set, so the groupBy covers all nodes)
@@ -913,6 +917,13 @@ object Fixpoint {
       new org.apache.spark.sql.types.StructType()
         .add("node", "long").add("color", "long"))
     var round = 0
+    // per-round accumulation as a LIST of pinned parts: re-pinning the
+    // whole colored set each round copied O(V) blocks per round
+    // (O(V·rounds) total writes); the union-of-leaves plan reads the
+    // same cached parts and only the round's OWN delta is ever newly
+    // pinned. The nbrColors join consumes the union either way.
+    var coloredParts = List(colored)
+    def coloredAll = coloredParts.reduce(_ unionByName _)
     // live-count bookkeeping: the count comes from the round's own `live`
     // materialization, so loop control costs no extra isEmpty job
     var nLive = live.count()
@@ -920,17 +931,20 @@ object Fixpoint {
       round += 1
       require(round <= maxRounds,
         s"greedyColoring did not converge in $maxRounds rounds")
-      // ready = live nodes with no higher-priority LIVE neighbor
+      // ready = live nodes with no higher-priority LIVE neighbor.
+      // `blocked` stays duplicate-bearing: left_anti ignores right-side
+      // multiplicity, so the old per-round distinct was one whole
+      // exchange+agg of pure overhead.
       val blocked = cur
         .filter(prio(col("dst")) > prio(col("src")))
-        .select(col("src").as("node")).distinct()
+        .select(col("src").as("node"))
       val ready = live.join(blocked, Seq("node"), "left_anti")
         .pin
       // mex over already-colored neighbors (full adjacency, not cur —
       // cur only keeps live-live edges)
       val nbrColors = und
         .join(ready.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(colored.select(col("node").as("dst"), col("color")), Seq("dst"))
+        .join(coloredAll.select(col("node").as("dst"), col("color")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(array_sort(collect_set(col("color"))).as("arr"))
       val newlyColored = ready.join(nbrColors, Seq("node"), "left")
@@ -938,7 +952,7 @@ object Fixpoint {
           when(col("arr").isNull, lit(0L)).otherwise(
             array_min(array_except(sequence(lit(0L), size(col("arr")).cast("long")),
               col("arr")))).as("color"))
-      colored = colored.unionByName(newlyColored).pin
+      coloredParts = coloredParts :+ newlyColored.pin
       live = live.join(ready, Seq("node"), "left_anti").cut
       nLive = live.count()
       cur = cur
@@ -946,7 +960,7 @@ object Fixpoint {
         .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")).cut
     }
-    colored
+    coloredAll
   }
 
   /** Greedy maximal matching by mutual-minimum edges: each round an

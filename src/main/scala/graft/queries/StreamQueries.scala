@@ -304,6 +304,16 @@ object StreamQueries {
   private def withStateSession[A](spark: SparkSession, n: Int = 1)(body: SparkSession => A): A = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // AQE materializes EVERY exchange as its own query-stage job; at a
+    // replay harness's n=1 shuffle partitions there is nothing for it to
+    // coalesce or skew-split, so per micro-batch it is pure job-launch +
+    // replan overhead (measured: stream_growing_components ran 165 jobs
+    // for 4 micro-batches with AQE on, 80 with it off — same rows, same
+    // oracle hash). Production sinks run on the caller's session with
+    // real partition counts, where AQE stays on; this is the same
+    // harness-level choice as the n=1 partitions above (guide §2.2/§7 —
+    // fewer, larger units of scheduling when the work per unit is tiny).
+    if (n == 1) scoped.conf.set("spark.sql.adaptive.enabled", "false")
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Checkpoint on tmpfs when available: every stateful partition pays a
     // per-micro-batch commit (delta file + fsync) and the offset/commit

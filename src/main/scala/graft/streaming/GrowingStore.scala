@@ -448,12 +448,16 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     // blocks instead of recomputing the 8-hash projection from scratch
     val s = graft.Lineage.pinned(sigs, eager = false)
     val payload = s.withColumn("pb", payloadBucketExpr(pB, col("doc_id")))
-    BatchStore.append(payload.repartition(col("pb")), sigDir, epoch, batchId,
-      partitionBy = Seq("pb"))
+    graft.Jobs.described(spark, "grow: payload append") {
+      BatchStore.append(payload.repartition(col("pb")), sigDir, epoch, batchId,
+        partitionBy = Seq("pb"))
+    }
     val bands = graft.dedup.Dedup.bandsOf(s)
       .withColumn("bk", bandBucketExpr(bB))
-    BatchStore.append(bands.repartition(col("bk")), bandDir, epoch, batchId,
-      partitionBy = Seq("bk"))
+    graft.Jobs.described(spark, "grow: band append") {
+      BatchStore.append(bands.repartition(col("bk")), bandDir, epoch, batchId,
+        partitionBy = Seq("bk"))
+    }
   }
 
   /** Partition dirs of `dir` holding the given bucket values — the
@@ -558,8 +562,10 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
     } else {
       val (bB, pB) = effectiveBuckets(spark)
       val newBands = graft.Lineage.pinned(Dedup.bandTable(newMat), eager = false)
-      val bks = newBands.select(bandBucketExpr(bB).as("bk"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      val bks = graft.Jobs.described(spark, "probe: bk collect") {
+        newBands.select(bandBucketExpr(bB).as("bk"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+      }
       prunedRead(spark, bandDir, "bk", bks) match {
         case None => None
         case Some(hist) =>
@@ -568,9 +574,10 @@ final case class GrowingDedupState(root: String, epoch: String = "0",
               hist.select(col("doc_id"), col("band"), col("h1"), col("h2")),
               newBands, maxBucketOccupancy, failOnHotBucket),
             eager = false)
-          val pbs = cand
-            .select(payloadBucketExpr(pB, col("old_id")).as("pb"))
-            .distinct().collect().map(_.getInt(0)).toSeq
+          val pbs = graft.Jobs.described(spark, "probe: pb collect") {
+            cand.select(payloadBucketExpr(pB, col("old_id")).as("pb"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+          }
           if (spark.conf.getOption("graft.growing.probeIoDiagnostics")
               .contains("true")) {
             val f = fs(spark)

@@ -535,7 +535,9 @@ object Streaming {
     val sh = graft.Lineage.pinned(
       graft.dedup.Dedup.shingleTable(batch, idCol, textCol), eager = false)
     val hits = state.probeComplete(sh, minJaccX1e6, maxBucketOccupancy)
-    BatchStore.append(hits, state.pairDir, state.epoch, batchId)
+    graft.Jobs.described(spark, "grow: pair append") {
+      BatchStore.append(hits, state.pairDir, state.epoch, batchId)
+    }
     state.appendSignatures(graft.dedup.Dedup.signatures(sh), batchId)
     spark.read.parquet(BatchStore.batchDir(state.pairDir, state.epoch, batchId))
   }
@@ -608,31 +610,37 @@ object Streaming {
       // FileNotFound when the snapshot publish finally executes it —
       // and crash-loop on every restart.
       val prev = Option(cache.get()).orElse {
-        val stored = state.unfoldedPairs(spark)
-          .map(_.select(col("doc_a").as("a"), col("doc_b").as("b")))
-        val recovered = (state.labels(spark), stored) match {
-          case (Some(lab), Some(p)) =>
-            Some(graft.graph.Fixpoint.incrementalComponents(lab, p))
-          case (None, Some(p)) =>
-            Some(graft.graph.Fixpoint.connectedComponents(p))
-          case (lab, None) => lab
+        graft.Jobs.described(spark, "components: recovery") {
+          val stored = state.unfoldedPairs(spark)
+            .map(_.select(col("doc_a").as("a"), col("doc_b").as("b")))
+          val recovered = (state.labels(spark), stored) match {
+            case (Some(lab), Some(p)) =>
+              Some(graft.graph.Fixpoint.incrementalComponents(lab, p))
+            case (None, Some(p)) =>
+              Some(graft.graph.Fixpoint.connectedComponents(p))
+            case (lab, None) => lab
+          }
+          recovered.map(graft.Lineage.pinned(_, eager = true))
         }
-        recovered.map(graft.Lineage.pinned(_, eager = true))
       }
       val hits = growDedupStep(batch, batchId, state, minJaccX1e6, idCol,
         textCol, maxBucketOccupancy)
       val pairs = hits.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val next = prev match {
-        case None => graft.graph.Fixpoint.connectedComponents(pairs)
-        case Some(cur) => graft.graph.Fixpoint.incrementalComponents(cur, pairs)
+      val next = graft.Jobs.described(spark, "components: fold") {
+        prev match {
+          case None => graft.graph.Fixpoint.connectedComponents(pairs)
+          case Some(cur) => graft.graph.Fixpoint.incrementalComponents(cur, pairs)
+        }
       }
       val mat = next.select(col("node"), col("component"))
       if (batchId % snapshotEvery == 0) {
         // the snapshot declares every pair partition published so far
         // covered (this batch's own included — its pairs just folded):
         // the next session replays only the WAL tail after this point
-        BatchStore.publishSnapshot(mat, state.labelDir, state.epoch, batchId,
-          covered = state.pairPartitions(spark))
+        graft.Jobs.described(spark, "components: snapshot") {
+          BatchStore.publishSnapshot(mat, state.labelDir, state.epoch, batchId,
+            covered = state.pairPartitions(spark))
+        }
         // the cache becomes the published parquet leaf: zero in-memory
         // state while snapshots are current
         cache.set(state.labels(spark).orNull)
