@@ -402,24 +402,34 @@ object Centrality {
     * engine. One shuffle for degrees + one broadcast-degree join over
     * the edges; decimal(38,0) sums so a 10^12-edge graph cannot wrap. */
   def degreeAssortativityMoments(edges: DataFrame): DataFrame = {
-    val und0 = edges
+    // Work on the UNDIRECTED edge set and fold the symmetric convention
+    // into the aggregates instead of materializing both directions: over
+    // the symmetrized set, m = 2·|und|, Σx = Σy = Σ_und (da + db),
+    // Σxy = 2·Σ_und da·db, Σx² = Σy² = Σ_und (da² + db²) — exact integer
+    // identities, so the output is value-identical while the degree
+    // joins, the shuffle, and the pin all carry HALF the rows and the
+    // union disappears (guide §2.3: shuffle fewer bytes; §2.4: remove
+    // the duplicate-direction pass outright). Degrees come from one
+    // in-row explode of the endpoint pair — same one-shuffle census.
+    val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val sym = und0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und0.select(col("b").as("src"), col("a").as("dst")))
       .pin
-    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
     def dec(c: Column) = c.cast("decimal(38,0)")
-    sym
-      .join(deg.select(col("node").as("src"), col("d").as("dx")), Seq("src"))
-      .join(deg.select(col("node").as("dst"), col("d").as("dy")), Seq("dst"))
-      .agg(count(lit(1)).as("m"),
-        sum(dec(col("dx"))).cast("decimal(38,0)").as("sum_x"),
-        sum(dec(col("dy"))).cast("decimal(38,0)").as("sum_y"),
-        sum(dec(col("dx")) * dec(col("dy"))).cast("decimal(38,0)").as("sum_xy"),
-        sum(dec(col("dx")) * dec(col("dx"))).cast("decimal(38,0)").as("sum_x2"),
-        sum(dec(col("dy")) * dec(col("dy"))).cast("decimal(38,0)").as("sum_y2"))
+    und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .agg((count(lit(1)) * 2L).as("m"),
+        sum(dec(col("da")) + dec(col("db"))).cast("decimal(38,0)").as("sum_x"),
+        sum(dec(col("da")) + dec(col("db"))).cast("decimal(38,0)").as("sum_y"),
+        (sum(dec(col("da")) * dec(col("db"))) * 2L).cast("decimal(38,0)").as("sum_xy"),
+        sum(dec(col("da")) * dec(col("da")) + dec(col("db")) * dec(col("db")))
+          .cast("decimal(38,0)").as("sum_x2"),
+        sum(dec(col("da")) * dec(col("da")) + dec(col("db")) * dec(col("db")))
+          .cast("decimal(38,0)").as("sum_y2"))
   }
 
   /** Distinct co-occurrence edges: items sharing a group become (src <
@@ -505,15 +515,30 @@ object Centrality {
     * broadcast-sized by assumption. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val o = orientByDegree(edges).pin
-    val tris = o.as("e1")
-      .join(o.as("e2"), col("e1.v") === col("e2.u"))
-      .join(o.as("e3"),
-        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-    // one scan of the triangle set: explode the three corners in-row
-    // instead of unioning three copies of the wedge-join plan
-    val corners = tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+    // Edge iterator over compact-forward adjacency (Schank & Wagner
+    // 2005) instead of the 2-join wedge pipeline: triangle u≺v≺w is
+    // closed exactly once, at its base edge (u, v), as
+    // w ∈ N⁺(u) ∩ N⁺(v) — an in-row codegen'd array_intersect. The
+    // wedge join materialized and SHUFFLED Σ C(d⁺, 2) candidate rows
+    // (sf0.1 co-purchase graph: 41M wedge rows for 1.2M edges / 1.9M
+    // triangles) and hash-joined them against the edge set; here each
+    // edge is shuffled once carrying two adjacency arrays bounded by
+    // the orientation's d⁺ = O(√E), and only ACTUAL triangles are
+    // exploded (3 corners each). Same asymptotic Σ d⁺² work, paid as a
+    // fused per-row loop instead of exchanged+probed rows (guide §2.3
+    // "shuffle keys and metadata instead of payloads", §2.4).
+    val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("ns")).pin
+    val closed = o
+      .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+    // corner census in one scan: the third corners ride the intersect
+    // result; u and v each count once per triangle on their base edge
+    val corners = closed
+      .select(explode(concat(col("ws"),
+        array_repeat(col("u"), size(col("ws"))),
+        array_repeat(col("v"), size(col("ws"))))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n"))
     val nodes = o.select(col("u").as("node"))
       .unionByName(o.select(col("v").as("node")))
@@ -773,25 +798,31 @@ object Centrality {
 
   /** Support over an already-canonical (a < b, distinct) edge set. */
   private def supportOn(und: DataFrame): DataFrame = {
-    // pinHot: the oriented set feeds both wedge arms + the closing join
-    // (3 reads per call, once per peel round in ktruss). NOTE
-    // triangleCount's own orientByDegree pin stays on the SER default —
-    // it was the r14 storm site and its measured deser win is 0.18s.
+    // Edge iterator over compact-forward adjacency, same shape as
+    // [[triangleCount]]: triangle u≺v≺w closes exactly once at its base
+    // edge (u, v) via the in-row intersect of the two out-neighbor
+    // arrays, instead of shuffling Σ C(d⁺, 2) wedge rows into a closing
+    // hash join — which ktruss paid once per PEEL ROUND. The oriented
+    // set is consumed by the adjacency agg and the two attach joins
+    // (pinHot as before: once per peel round in ktruss).
     val o = orientByDegree(und.select(col("a").as("src"), col("b").as("dst")))
       .pinHot
-    val tris = o.as("e1")
-      .join(o.as("e2"), col("e1.v") === col("e2.u"))
-      .join(o.as("e3"),
-        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("ns")).pin
+    val closed = o
+      .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
     def edge(p: Column, q: Column): Column =
       struct(least(p, q).as("a"), greatest(p, q).as("b"))
-    // one scan of the triangle set: the three member edges exploded in-row
-    val hits = tris
-      .select(explode(array(
-        edge(col("x"), col("y")),
-        edge(col("y"), col("z")),
-        edge(col("x"), col("z")))).as("e"))
+    // one scan of the closed-triangle set: the three member edges of
+    // each (u, v, w) — (u,v) once per w plus the two w-edges — exploded
+    // in-row and counted map-side
+    val hits = closed
+      .select(explode(concat(
+        array_repeat(edge(col("u"), col("v")), size(col("ws"))),
+        transform(col("ws"), w => edge(col("u"), w)),
+        transform(col("ws"), w => edge(col("v"), w)))).as("e"))
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("support"))
     und.join(hits, Seq("a", "b"), "left")
