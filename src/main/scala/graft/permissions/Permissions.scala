@@ -2,6 +2,7 @@ package graft.permissions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** IAM-style permission-relationship computation: evaluate wildcard
   * policies over principals × resources and emit the allowed edges
@@ -205,12 +206,21 @@ object Permissions {
 
     val pmNames = (0 until nb).map(b => s"pm$b")
     val rmNames = (0 until nb).map(b => s"rm$b")
+    // pin the masked tables: each side is consumed TWICE (the decision
+    // table's distinct AND the final expansion join), and the mask
+    // columns are one compiled-regex RLike per statement per row — the
+    // expensive part of the whole evaluator. Unpinned, the physical plan
+    // holds two copies of each mask subtree and every row pays the full
+    // regex battery twice (guide §2.3/§5: don't recompute what you can
+    // re-read; the pinned rows are just id + nb longs).
     val p = principals.select(col("id").as("principal_id") +:
       blocks.zipWithIndex.map { case (m, b) =>
         maskCol(col("name"), m.principalRegexes).as(s"pm$b") }: _*)
+      .pin
     val r = resources.select(col("id").as("resource_id") +:
       blocks.zipWithIndex.map { case (m, b) =>
         maskCol(col("arn"), m.resourceRegexes).as(s"rm$b") }: _*)
+      .pin
 
     def shared(b: Int) = col(s"pm$b").bitwiseAND(col(s"rm$b"))
     def anyBit(bits: Seq[(Block, Int)], f: Block => Long): Column =

@@ -1394,7 +1394,11 @@ object TextFunctions {
       .withColumn("num", expr("cast(dot as decimal(38,0)) * dot * 1000000"))
       .withColumn("den", expr("cast(na as decimal(38,0)) * nb"))
       .select(col("doc_a"), col("doc_b"), col("dot"),
-        expr("cast((num - num % den) / den as bigint)").as("cos2_ppm"))
+        // integral decimal division in ONE operator: `div` on decimals
+        // IS floor-toward-zero of the exact quotient (both operands
+        // non-negative here), value-identical to the remainder-subtract
+        // form but one BigDecimal op per candidate pair instead of three
+        expr("cast(num div den as bigint)").as("cos2_ppm"))
       .orderBy(col("cos2_ppm").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(k)
   }
