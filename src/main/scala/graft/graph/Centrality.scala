@@ -1048,22 +1048,37 @@ object Centrality {
       .pinHot // loop-static: read twice for nodes + once per ANF round
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+    // Registers ride as nRegisters ONE-HOT MASK COLUMNS on one row per
+    // node, not as (node, i, r) rows: h & −h IS the one-hot at the
+    // lowest-set-bit position, per-register max(r) ≡ length(bin(bit_or
+    // of the one-hots)) (the OR's highest bit is the max position;
+    // h = 0 degenerates to r = 1 on both forms), and bit_or is a
+    // map-side-combinable builtin. The exploded form shuffled
+    // nRegisters×|E| three-long rows through the round join and keyed
+    // the merge agg on nRegisters×|V| — this shuffles |E| rows and
+    // keys on |V|, value-identical output (guide §2.3).
+    val mNames = (0 until nRegisters).map(i => s"_m$i")
+    def maskOf(i: Int): Column = {
+      val h = md5_prefix64(
+        concat(lit(i.toString), lit(":"), col("node").cast("string")))
+      h.bitwiseAND(-h)
+    }
     var sk = nodes
-      .select(col("node"), explode(sequence(lit(0), lit(nRegisters - 1))).as("i"))
-      .withColumn("_h", md5_prefix64(
-        concat(col("i").cast("string"), lit(":"), col("node").cast("string"))))
-      .select(col("node"), col("i"),
-        length(bin(col("_h").bitwiseAND(-col("_h")))).cast("long").as("r"))
+      .select(col("node") +: (0 until nRegisters).map(i =>
+        maskOf(i).as(s"_m$i")): _*)
       .pin
     def sumRow(t: Int, s: DataFrame): DataFrame =
-      s.agg(sum(col("r")).as("sum_registers"))
+      s.agg(sum(mNames.map(m => length(bin(col(m))).cast("long"))
+          .reduce(_ + _)).as("sum_registers"))
         .select(lit(t.toLong).as("t"), col("sum_registers"))
     var out = sumRow(0, sk)
     for (t <- 1 to rounds) {
       sk = sk.unionByName(
           e.join(sk.withColumnRenamed("node", "dst"), Seq("dst"))
-            .select(col("src").as("node"), col("i"), col("r")))
-        .groupBy(col("node"), col("i")).agg(max(col("r")).as("r"))
+            .select(col("src").as("node") +: mNames.map(col): _*))
+        .groupBy(col("node"))
+        .agg(bit_or(col(mNames.head)).as(mNames.head),
+          mNames.tail.map(m => bit_or(col(m)).as(m)): _*)
         .cut
       out = out.unionByName(sumRow(t, sk))
     }
