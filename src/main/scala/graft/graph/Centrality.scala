@@ -527,8 +527,20 @@ object Centrality {
     // exploded (3 corners each). Same asymptotic Σ d⁺² work, paid as a
     // fused per-row loop instead of exchanged+probed rows (guide §2.3
     // "shuffle keys and metadata instead of payloads", §2.4).
-    val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("ns")).pin
-    val closed = o
+    // Re-widen before the heavy stages: AQE's size-based coalescing
+    // sees only the oriented set's ~16 bytes/row, not the Σ d⁺²
+    // intersect work each row fans into downstream, and collapses the
+    // whole edge iterator onto 1-4 tasks (measured: 32 tasks across 10
+    // stages for the full query — the r17 "slower at 32 cores than 8"
+    // signature). One explicit hash exchange on u at the session's
+    // configured shuffle parallelism (the scale knob, not a constant)
+    // feeds BOTH the adjacency agg (same key — no further exchange)
+    // and the intersect join's probe side (exchange reuse), restoring
+    // task parallelism ∝ cores (guide §2.5: compute-heavy narrow rows
+    // are exactly what size-based coalescing cannot see).
+    val owide = widenByKey(o, col("u"))
+    val adj = owide.groupBy(col("u")).agg(collect_list(col("v")).as("ns")).pin
+    val closed = owide
       .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
       .select(col("u"), col("v"),
@@ -807,8 +819,11 @@ object Centrality {
     // (pinHot as before: once per peel round in ktruss).
     val o = orientByDegree(und.select(col("a").as("src"), col("b").as("dst")))
       .pinHot
-    val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("ns")).pin
-    val closed = o
+    // same re-widening as [[triangleCount]]: the intersect stage's
+    // per-row work is invisible to AQE's size-based coalescing
+    val owide = widenByKey(o, col("u"))
+    val adj = owide.groupBy(col("u")).agg(collect_list(col("v")).as("ns")).pin
+    val closed = owide
       .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
       .select(col("u"), col("v"),
@@ -1170,6 +1185,20 @@ object Centrality {
     far.select(col("node").as("far_node"), col("dist").as("ecc_seed"))
       .crossJoin(broadcast(d2.agg(max(col("dist")).as("diameter_lb"))))
   }
+
+  /** Hash-repartition a NARROW frame whose downstream per-row work is
+    * heavy (adjacency intersects, in-row pair explodes) to the
+    * session's configured shuffle parallelism. AQE's size-based
+    * partition coalescing only sees bytes, so a few-MB frame that fans
+    * out into Σ d⁺² of compute gets collapsed onto 1-4 tasks and the
+    * stage runs serial no matter how many cores the session has
+    * (guide §2.5). The explicit numPartitions pins the exchange
+    * against AQE re-coalescing; the count is the session's shuffle
+    * knob — at real scale it is the same width every other exchange
+    * gets, never a local constant. */
+  private def widenByKey(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
 
   /** Degree-ordered orientation of an undirected simple graph: each
     * distinct edge appears once as (u, v) with
